@@ -1,0 +1,262 @@
+"""Export channels E1-E5: Document -> md / strict-text / html /
+doctags / json strings.
+
+Channel semantics follow the reference's export surface
+(reference:docling_serve/response_preparation.py:74-111):
+  - text    = markdown with ``strict_text=True``: plain item texts,
+              no markup, items joined by a blank line (E2 — the
+              byte-identical ``text`` channel of the north rule)
+  - md      = markdown with headings/lists/tables/code fences (E1),
+              optional page-break placeholder
+              (reference:datamodel/convert.py:299-305)
+  - html    = golden prefix ``<!DOCTYPE html>\\n<html>\\n<head>``
+              (asserted in reference:tests/test_1-file-all-outputs.py:93-98)
+  - doctags = ``<doctag>...`` with quantized <loc_x> bbox tags
+              (reference test :112-122 asserts the
+              ``<doctag><page_header><loc`` prefix shape)
+  - json    = DoclingDocument-shaped dict serialized with sorted keys
+
+All serializers are pure functions of the Document — byte-stable.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+
+from docling_serve_spark.docmodel.model import (
+    CAPTION,
+    CODE,
+    LIST_ITEM,
+    PAGE_FOOTER,
+    PAGE_HEADER,
+    SCHEMA_NAME,
+    SCHEMA_VERSION,
+    SECTION_HEADER,
+    TABLE,
+    TEXT,
+    TITLE,
+    DocItem,
+    Document,
+    Prov,
+    table_to_rows,
+)
+
+ITEM_SEP = "\n\n"
+# Page-break marker used by the per-page assembly operator (A4,
+# reference:docling_serve/ai_vision_settings.py:32 / middleware :267-272).
+PAGE_BREAK = "\n\n---\n\n"
+
+
+def _table_text(item: DocItem) -> str:
+    """Strict-text rendering of a table: cells joined by ', ',
+    rows by newline. Deterministic spec of this engine."""
+    if item.table is None:
+        return item.text
+    return "\n".join(", ".join(r) for r in table_to_rows(item.table))
+
+
+def item_text(item: DocItem) -> str:
+    return _table_text(item) if item.item_type == TABLE else item.text
+
+
+def export_to_text(doc: Document) -> str:
+    """E2 — strict-text channel; the north-rule byte-identical column."""
+    return ITEM_SEP.join(item_text(i) for i in doc.items)
+
+
+def assign_charspans(doc: Document) -> Document:
+    """Set each item's prov charspan to its [start, end) offsets in
+    the strict-text channel (export_to_text). Idempotent."""
+    off = 0
+    for idx, item in enumerate(doc.items):
+        t = item_text(item)
+        start = off
+        end = off + len(t)
+        if item.prov:
+            item.prov = [
+                Prov(p.page_no, p.bbox, (start, end)) for p in item.prov
+            ]
+        else:
+            item.prov = [Prov(1, charspan=(start, end))]
+        off = end + len(ITEM_SEP)
+    return doc
+
+
+def _md_table(item: DocItem) -> str:
+    rows = table_to_rows(item.table) if item.table else [[item.text]]
+    if not rows:
+        return ""
+    ncol = len(rows[0])
+    out = ["| " + " | ".join(c.replace("|", "\\|") for c in rows[0]) + " |"]
+    out.append("|" + "|".join(["---"] * ncol) + "|")
+    for r in rows[1:]:
+        out.append("| " + " | ".join(c.replace("|", "\\|") for c in r) + " |")
+    return "\n".join(out)
+
+
+def export_to_markdown(
+    doc: Document,
+    strict_text: bool = False,
+    page_break_placeholder: str | None = None,
+) -> str:
+    """E1 — markdown channel (strict_text=True delegates to E2,
+    mirroring reference:response_preparation.py:94-103)."""
+    if strict_text:
+        return export_to_text(doc)
+    parts: list[str] = []
+    prev_page = None
+    for item in doc.items:
+        page = item.prov[0].page_no if item.prov else 1
+        if (
+            page_break_placeholder is not None
+            and prev_page is not None
+            and page != prev_page
+        ):
+            parts.append(page_break_placeholder)
+        prev_page = page
+        if item.item_type == TITLE:
+            parts.append("# " + item.text)
+        elif item.item_type == SECTION_HEADER:
+            lvl = min(max(item.level or 2, 1), 6)
+            parts.append("#" * lvl + " " + item.text)
+        elif item.item_type == LIST_ITEM:
+            parts.append("- " + item.text)
+        elif item.item_type == TABLE:
+            parts.append(_md_table(item))
+        elif item.item_type == CODE:
+            parts.append("```\n" + item.text + "\n```")
+        else:
+            parts.append(item.text)
+    return ITEM_SEP.join(p for p in parts if p)
+
+
+_HTML_TAG = {
+    TITLE: "h1",
+    TEXT: "p",
+    CODE: "pre",
+}
+
+
+def export_to_html(doc: Document) -> str:
+    """E3 — html channel with the reference's golden prefix."""
+    body: list[str] = []
+    open_list = False
+    for item in doc.items:
+        if item.item_type == LIST_ITEM:
+            if not open_list:
+                body.append("<ul>")
+                open_list = True
+            body.append("<li>" + _html.escape(item.text) + "</li>")
+            continue
+        if open_list:
+            body.append("</ul>")
+            open_list = False
+        if item.item_type == SECTION_HEADER:
+            lvl = min(max(item.level or 2, 1), 6)
+            body.append(f"<h{lvl}>" + _html.escape(item.text) + f"</h{lvl}>")
+        elif item.item_type == TABLE:
+            rows = table_to_rows(item.table) if item.table else []
+            t = ["<table>"]
+            for r in rows:
+                t.append(
+                    "<tr>" + "".join("<td>" + _html.escape(c) + "</td>" for c in r) + "</tr>"
+                )
+            t.append("</table>")
+            body.append("".join(t))
+        else:
+            tag = _HTML_TAG.get(item.item_type, "p")
+            body.append(f"<{tag}>" + _html.escape(item.text) + f"</{tag}>")
+    if open_list:
+        body.append("</ul>")
+    return (
+        "<!DOCTYPE html>\n<html>\n<head>"
+        f"<meta charset=\"utf-8\"><title>{_html.escape(doc.name)}</title>"
+        "</head>\n<body>\n" + "\n".join(body) + "\n</body>\n</html>"
+    )
+
+
+# doctags quantize bboxes onto a 0..500 grid like docling's <loc_x> tags.
+_LOC_GRID = 500
+_PAGE_W = 612.0
+_PAGE_H = 792.0
+
+_DOCTAG = {
+    TITLE: "title",
+    SECTION_HEADER: "section_header",
+    TEXT: "text",
+    LIST_ITEM: "list_item",
+    TABLE: "otsl",
+    CODE: "code",
+    PAGE_HEADER: "page_header",
+    PAGE_FOOTER: "page_footer",
+    CAPTION: "caption",
+}
+
+
+def _loc(v: float, extent: float) -> int:
+    x = int(round(v / extent * _LOC_GRID))
+    return min(max(x, 0), _LOC_GRID)
+
+
+def export_to_doctags(doc: Document) -> str:
+    """E4 — doctags channel: <doctag><tag><loc_l><loc_t><loc_r><loc_b>text</tag>..."""
+    parts = ["<doctag>"]
+    for item in doc.items:
+        tag = _DOCTAG.get(item.item_type, "text")
+        p = item.prov[0] if item.prov else Prov()
+        locs = (
+            f"<loc_{_loc(p.bbox.l, _PAGE_W)}><loc_{_loc(p.bbox.t, _PAGE_H)}>"
+            f"<loc_{_loc(p.bbox.r, _PAGE_W)}><loc_{_loc(p.bbox.b, _PAGE_H)}>"
+        )
+        parts.append(f"<{tag}>{locs}{item_text(item)}</{tag}>")
+    parts.append("</doctag>")
+    return "".join(parts)
+
+
+def document_to_dict(doc: Document) -> dict:
+    texts = []
+    tables = []
+    for item in doc.items:
+        rec = {
+            "label": item.item_type,
+            "text": item_text(item),
+            "level": item.level,
+            "prov": [p.as_dict() for p in item.prov],
+        }
+        if item.item_type == TABLE and item.table is not None:
+            rec["data"] = {
+                "num_rows": item.table.num_rows,
+                "num_cols": item.table.num_cols,
+                "grid": [
+                    [
+                        {
+                            "text": c.text,
+                            "row_span": c.row_span,
+                            "col_span": c.col_span,
+                            "is_header": c.is_header,
+                        }
+                        for c in row
+                    ]
+                    for row in item.table.grid
+                ],
+            }
+            tables.append(rec)
+        else:
+            texts.append(rec)
+    return {
+        "schema_name": SCHEMA_NAME,
+        "version": SCHEMA_VERSION,
+        "name": doc.name,
+        "origin": {"mimetype": doc.origin_mimetype, "filename": doc.name},
+        "num_pages": doc.num_pages,
+        "texts": texts,
+        "tables": tables,
+    }
+
+
+def export_to_json(doc: Document) -> str:
+    """E5 — json channel (sorted keys, compact separators: byte-stable)."""
+    return json.dumps(
+        document_to_dict(doc), ensure_ascii=False, sort_keys=True, separators=(",", ":")
+    )

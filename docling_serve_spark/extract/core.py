@@ -1,0 +1,218 @@
+"""Per-row conversion core: one page row in -> one result row out.
+
+This is the engine's equivalent of the reference's
+``run_conversion`` worker body
+(reference:docling_serve/engines/async_local/worker.py:85-257):
+source normalization -> format routing (S4) -> PDF analysis (F1-F10)
+-> parse/extract (C1-C8) -> channel export (E1-E7) -> BiDi
+post-processing (T2-T4). It is a *pure function* of
+(bytes, name, lang, options), which is what makes the Spark pipeline's
+output byte-identical to this single-node oracle (the north-rule
+invariant, SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from docling_serve_spark.docmodel.export import (
+    export_to_doctags,
+    export_to_html,
+    export_to_json,
+    export_to_markdown,
+    export_to_text,
+)
+from docling_serve_spark.docmodel.model import Document
+from docling_serve_spark.extract.html_extract import extract_html
+from docling_serve_spark.extract.pdf_extract import (
+    PdfParseError,
+    extract_pdf,
+    is_tagged_pdf,
+    pdf_page_texts,
+)
+from docling_serve_spark.extract.postprocess import process_markdown_bidi
+from docling_serve_spark.extract.quality import (
+    MODE_SKIP,
+    QUALITY_UNKNOWN,
+    analyze_pages,
+    force_ocr_effective,
+    quality_score,
+    sample_pages,
+)
+
+DOC_TYPE_HTML = "html"
+DOC_TYPE_PDF = "pdf"
+DOC_TYPE_UNKNOWN = "unknown"
+
+STATUS_SUCCESS = "success"
+STATUS_FAILURE = "failure"
+STATUS_SKIPPED = "skipped"
+
+ALL_FORMATS = ("md", "text", "html", "doctags", "json")
+
+
+def sniff_doc_type(data: bytes) -> str:
+    """S4 — format routing by magic bytes (the reference routes on
+    from_formats + file extension,
+    reference:docling_serve/datamodel/convert.py:115-125; a crawl
+    corpus has no extensions, so sniff content)."""
+    if data.startswith(b"%PDF"):
+        return DOC_TYPE_PDF
+    head = data[:1024].lstrip().lower()
+    if head.startswith(b"<!doctype") or head.startswith(b"<html"):
+        return DOC_TYPE_HTML
+    if b"<html" in head or b"<body" in head or b"<head" in head:
+        return DOC_TYPE_HTML
+    # permissive: tag-looking content is treated as html fragment
+    if head.startswith(b"<"):
+        return DOC_TYPE_HTML
+    return DOC_TYPE_UNKNOWN
+
+
+@dataclass(frozen=True)
+class ExtractOptions:
+    """Batch-job analog of ConvertDocumentsOptions
+    (reference:docling_serve/datamodel/convert.py:114-479); defaults
+    mirror the reference's."""
+
+    to_formats: tuple[str, ...] = ALL_FORMATS
+    do_ocr: bool = True
+    force_ocr: bool = False
+    enable_bidi_processing: bool = True  # convert.py:456-466
+    max_file_size_bytes: int = 200 * 1024 * 1024  # ocrmypdf_settings.py:32
+    max_num_pages: int = 0  # 0 = unlimited (docling_conversion.py:252-254)
+    page_break_placeholder: str = ""  # convert.py:299-305
+
+
+@dataclass
+class ExtractionResult:
+    """One output row (DocumentResponse ⊕ analysis ⊕ counters,
+    reference:datamodel/responses.py:22-36 + pdf_analysis.py:26-32)."""
+
+    name: str
+    status: str
+    doc_type: str
+    extracted_text: str = ""
+    md_content: str = ""
+    html_content: str = ""
+    doctags_content: str = ""
+    json_content: str = ""
+    spans_json: str = "[]"
+    num_pages: int = 0
+    n_items: int = 0
+    # F1-F10 analysis surface
+    has_text: bool = False
+    is_tagged: bool = False
+    text_quality: str = QUALITY_UNKNOWN
+    quality_score: float = 0.0
+    recommended_mode: str = ""
+    force_ocr_effective: bool = False
+    ocr_invoked: bool = False
+    error: str = ""
+    errors: list[str] = field(default_factory=list)
+
+
+def _spans_json(doc: Document) -> str:
+    spans = []
+    for item in doc.items:
+        for p in item.prov:
+            spans.append(
+                {
+                    "label": item.item_type,
+                    "page_no": p.page_no,
+                    "bbox": p.bbox.as_dict(),
+                    "charspan": list(p.charspan),
+                }
+            )
+    return json.dumps(spans, ensure_ascii=False, sort_keys=True, separators=(",", ":"))
+
+
+def _export_channels(
+    res: ExtractionResult, doc: Document, opts: ExtractOptions, lang: str
+) -> None:
+    """E1-E7 + T2-T4 wiring (worker.py:238-257 order: export, then
+    BiDi on md)."""
+    res.extracted_text = export_to_text(doc)
+    if "md" in opts.to_formats:
+        md = export_to_markdown(
+            doc, page_break_placeholder=opts.page_break_placeholder or None
+        )
+        if opts.enable_bidi_processing:
+            md = process_markdown_bidi(md)
+        res.md_content = md
+    if "html" in opts.to_formats:
+        res.html_content = export_to_html(doc)
+    if "doctags" in opts.to_formats:
+        res.doctags_content = export_to_doctags(doc)
+    if "json" in opts.to_formats:
+        res.json_content = export_to_json(doc)
+    res.spans_json = _spans_json(doc)
+    res.num_pages = doc.num_pages
+    res.n_items = len(doc.items)
+
+
+def extract_document(
+    data: bytes,
+    name: str = "",
+    lang: str = "",
+    opts: ExtractOptions | None = None,
+) -> ExtractionResult:
+    """The per-row conversion: pure, deterministic, total (never
+    raises — failures become status rows, mirroring the reference's
+    per-document error containment at worker.py:274-287)."""
+    opts = opts or ExtractOptions()
+    doc_type = sniff_doc_type(data or b"")
+    res = ExtractionResult(name=name, status=STATUS_SUCCESS, doc_type=doc_type)
+
+    if not data:
+        res.status = STATUS_FAILURE
+        res.error = "empty input"
+        return res
+    if len(data) > opts.max_file_size_bytes:
+        # F13 oversize guard: routed to the skip bucket, counted
+        res.status = STATUS_SKIPPED
+        res.error = f"file exceeds max_file_size ({len(data)} bytes)"
+        return res
+
+    try:
+        if doc_type == DOC_TYPE_PDF:
+            page_texts = pdf_page_texts(data)
+            tagged = is_tagged_pdf(data)
+            if opts.max_num_pages and len(page_texts) > opts.max_num_pages:
+                res.status = STATUS_SKIPPED
+                res.error = f"exceeds max_num_pages ({len(page_texts)})"
+                return res
+            analysis = analyze_pages(page_texts, tagged)
+            res.has_text = analysis.has_text
+            res.is_tagged = analysis.is_tagged
+            res.text_quality = analysis.text_quality
+            res.quality_score = quality_score(sample_pages(page_texts))
+            res.recommended_mode = analysis.recommended_mode
+            res.force_ocr_effective = (
+                opts.do_ocr
+                and force_ocr_effective(analysis.recommended_mode, opts.force_ocr)
+            )
+            # OCR dispatch: rows needing OCR are *counted* (C5 is an
+            # external engine offline — SURVEY.md §2.3); the text
+            # channel falls back to embedded text.
+            res.ocr_invoked = opts.do_ocr and analysis.recommended_mode != MODE_SKIP
+            doc = extract_pdf(data, name=name)
+            _export_channels(res, doc, opts, lang)
+        elif doc_type == DOC_TYPE_HTML:
+            doc = extract_html(data, name=name)
+            res.has_text = any(i.text for i in doc.items)
+            _export_channels(res, doc, opts, lang)
+            if not doc.items:
+                res.status = STATUS_FAILURE
+                res.error = "no content extracted"
+        else:
+            res.status = STATUS_FAILURE
+            res.error = "unsupported format"
+    except PdfParseError as e:
+        res.status = STATUS_FAILURE
+        res.error = f"pdf parse error: {e}"
+    except Exception as e:  # noqa: BLE001 — per-row containment
+        res.status = STATUS_FAILURE
+        res.error = f"{type(e).__name__}: {e}"
+    return res

@@ -1,0 +1,369 @@
+"""PDF -> Document extraction (operators C1-C4, C10 of SURVEY.md §2.3).
+
+What the reference computes (via docling-parse/pypdfium2 +
+layout models, configured at
+reference:docling_serve/docling_conversion.py:153-165): per-page text
+cells with positions, block segmentation, reading-order
+reconstruction, table structure. This module is a from-scratch
+deterministic equivalent for the *uncompressed* synthetic-PDF subset
+this engine's corpus generator emits (FIXTURES.md §1c): content
+streams with BT/ET, Tf, Td/TD/Tm/T*, Tj/TJ/' operators and
+parenthesis strings with backslash escapes.
+
+Stages (all pure Python, no deps):
+  1. object scan      -> page order + content streams + /Marked flag (F1)
+  2. stream tokenizer -> positioned glyph runs (x, y, size, text)
+  3. line grouping    -> runs at equal baseline, sorted by x
+  4. column clustering-> x-histogram split (C2 geometric segmentation)
+  5. block segmentation by leading gap; table detection from aligned
+     multi-run rows (C4 whitespace-alignment reconstruction)
+  6. reading order    -> (page, column, -y, x) stable sort (C3)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from docling_serve_spark.docmodel.model import (
+    SECTION_HEADER,
+    TABLE,
+    TEXT,
+    TITLE,
+    BBox,
+    DocItem,
+    Document,
+    Prov,
+    TableCell,
+    TableData,
+)
+from docling_serve_spark.docmodel.export import assign_charspans
+
+PAGE_W = 612.0
+PAGE_H = 792.0
+
+_OBJ_RE = re.compile(r"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
+_KIDS_RE = re.compile(r"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(r"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(r"/Contents\s+(\d+)\s+0\s+R")
+
+
+class PdfParseError(ValueError):
+    pass
+
+
+@dataclass
+class _Run:
+    x: float
+    y: float
+    size: float
+    text: str
+
+
+def is_tagged_pdf(data: bytes) -> bool:
+    """F1 — tagged check; the reference asks pikepdf for
+    Root.MarkInfo./Marked (reference:docling_serve/pdf_analysis.py:36-44)."""
+    return re.search(rb"/MarkInfo\s*<<[^>]*/Marked\s+true", data) is not None
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt in "nrtbf":
+                out.append({"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}[nxt])
+                i += 2
+            elif nxt in "()\\":
+                out.append(nxt)
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                oct_digits = ""
+                while j < n and s[j].isdigit() and len(oct_digits) < 3:
+                    oct_digits += s[j]
+                    j += 1
+                out.append(chr(int(oct_digits, 8)))
+                i = j
+            else:
+                out.append(nxt)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    \((?P<str>(?:[^()\\]|\\.)*)\)   # string
+  | (?P<num>[-+]?\d*\.?\d+)          # number
+  | (?P<op>[A-Za-z'"*]+)             # operator
+  | (?P<arr>[\[\]])                  # array delim
+    """,
+    re.VERBOSE,
+)
+
+
+def _parse_content(stream: str) -> list[_Run]:
+    """Tokenize one content stream into positioned text runs."""
+    runs: list[_Run] = []
+    stack: list = []
+    x = y = 0.0
+    size = 12.0
+    leading = 14.0
+    in_array: list | None = None
+    for m in _TOKEN_RE.finditer(stream):
+        if m.group("str") is not None:
+            s = _unescape(m.group("str"))
+            if in_array is not None:
+                in_array.append(s)
+            else:
+                stack.append(("s", s))
+        elif m.group("num") is not None:
+            v = float(m.group("num"))
+            if in_array is not None:
+                in_array.append(v)
+            else:
+                stack.append(("n", v))
+        elif m.group("arr") == "[":
+            in_array = []
+        elif m.group("arr") == "]":
+            stack.append(("a", in_array or []))
+            in_array = None
+        else:
+            op = m.group("op")
+            if op == "Td" and len(stack) >= 2:
+                x += stack[-2][1]
+                y += stack[-1][1]
+            elif op == "TD" and len(stack) >= 2:
+                x += stack[-2][1]
+                y += stack[-1][1]
+                leading = -stack[-1][1] or leading
+            elif op == "Tm" and len(stack) >= 6:
+                x = stack[-2][1]
+                y = stack[-1][1]
+            elif op == "TL" and stack:
+                leading = stack[-1][1]
+            elif op == "T*":
+                y -= leading
+            elif op == "Tf" and stack:
+                size = stack[-1][1]
+            elif op == "Tj" and stack and stack[-1][0] == "s":
+                runs.append(_Run(x, y, size, stack[-1][1]))
+            elif op == "'" and stack and stack[-1][0] == "s":
+                y -= leading
+                runs.append(_Run(x, y, size, stack[-1][1]))
+            elif op == "TJ" and stack and stack[-1][0] == "a":
+                txt = "".join(t for t in stack[-1][1] if isinstance(t, str))
+                if txt:
+                    runs.append(_Run(x, y, size, txt))
+            elif op == "BT":
+                x = y = 0.0
+            stack = []
+    return runs
+
+
+def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
+    """Object scan -> ordered per-page run lists + tagged flag."""
+    if not data.startswith(b"%PDF"):
+        raise PdfParseError("not a PDF: missing %PDF header")
+    text = data.decode("latin-1")
+    objects: dict[int, str] = {}
+    for m in _OBJ_RE.finditer(text):
+        objects[int(m.group(1))] = m.group(2)
+
+    page_streams: list[str] = []
+    kids_order: list[int] = []
+    for body in objects.values():
+        if "/Type /Pages" in body or "/Type/Pages" in body:
+            km = _KIDS_RE.search(body)
+            if km:
+                kids_order = [int(r) for r in _REF_RE.findall(km.group(1))]
+            break
+    if kids_order:
+        for kid in kids_order:
+            body = objects.get(kid, "")
+            cm = _CONTENTS_RE.search(body)
+            if cm and int(cm.group(1)) in objects:
+                sm = _STREAM_RE.search(objects[int(cm.group(1))])
+                page_streams.append(sm.group(1) if sm else "")
+            else:
+                sm = _STREAM_RE.search(body)
+                page_streams.append(sm.group(1) if sm else "")
+    else:
+        # fallback: every stream in document order is a page
+        page_streams = [m.group(1) for m in _STREAM_RE.finditer(text)]
+    if not page_streams:
+        raise PdfParseError("no content streams found")
+    return [_parse_content(s) for s in page_streams], is_tagged_pdf(data)
+
+
+@dataclass
+class _Line:
+    y: float
+    runs: list[_Run]
+
+    @property
+    def x0(self) -> float:
+        return self.runs[0].x
+
+    @property
+    def size(self) -> float:
+        return max(r.size for r in self.runs)
+
+    def text(self) -> str:
+        return " ".join(r.text for r in self.runs).strip()
+
+
+_Y_TOL = 2.0
+# x-gap between run *starts* on the same baseline that implies a column
+# gutter (splits the line) rather than table-column alignment (keeps it):
+# the synthetic corpus uses ~150pt tab stops for tables and >240pt for
+# 2-column layouts; 200pt separates the two regimes.
+_COL_GAP = 200.0
+
+
+def _group_lines(runs: list[_Run]) -> list[_Line]:
+    lines: list[_Line] = []
+    for r in sorted(runs, key=lambda r: (-r.y, r.x)):
+        if not r.text:
+            continue
+        if (
+            lines
+            and abs(lines[-1].y - r.y) <= _Y_TOL
+            and r.x - lines[-1].runs[-1].x <= _COL_GAP
+        ):
+            lines[-1].runs.append(r)
+        else:
+            lines.append(_Line(r.y, [r]))
+    for ln in lines:
+        ln.runs.sort(key=lambda r: r.x)
+    return lines
+
+
+def _assign_columns(lines: list[_Line]) -> list[int]:
+    """C2 — x-histogram column clustering: two clusters of line start
+    positions separated by > 30% page width => 2-column layout."""
+    if not lines:
+        return []
+    xs = sorted({round(ln.x0, 1) for ln in lines})
+    if len(xs) >= 2 and (xs[-1] - xs[0]) > 0.30 * PAGE_W:
+        split = (xs[0] + xs[-1]) / 2.0
+        return [0 if ln.x0 < split else 1 for ln in lines]
+    return [0] * len(lines)
+
+
+def _estimate_width(run: _Run) -> float:
+    return 0.5 * run.size * len(run.text)
+
+
+def _line_bbox(ln: _Line) -> BBox:
+    x1 = max(r.x + _estimate_width(r) for r in ln.runs)
+    return BBox(
+        l=ln.x0, t=PAGE_H - ln.y - ln.size, r=min(x1, PAGE_W), b=PAGE_H - ln.y
+    )
+
+
+def _merge_bbox(a: BBox, b: BBox) -> BBox:
+    return BBox(min(a.l, b.l), min(a.t, b.t), max(a.r, b.r), max(a.b, b.b))
+
+
+def _blocks_from_lines(lines: list[_Line]) -> list[list[_Line]]:
+    """C2/C3 — block segmentation by vertical gap > 1.6x leading."""
+    blocks: list[list[_Line]] = []
+    for ln in lines:
+        if blocks:
+            prev = blocks[-1][-1]
+            gap = prev.y - ln.y
+            leading = max(prev.size, ln.size) * 1.6
+            if 0 < gap <= leading:
+                blocks[-1].append(ln)
+                continue
+        blocks.append([ln])
+    return blocks
+
+
+def _block_is_table(block: list[_Line]) -> bool:
+    """C4 — a block whose every line is >=2 runs with a consistent
+    run count is an aligned-columns table."""
+    if len(block) < 2:
+        return False
+    counts = {len(ln.runs) for ln in block}
+    return len(counts) == 1 and counts.pop() >= 2
+
+
+_TITLE_SIZE = 16.0
+_HEADER_SIZE = 14.0
+
+
+def _reading_order_lines(runs: list[_Run]) -> list[_Line]:
+    """C3 — lines in reading order: column, top-to-bottom, then x."""
+    lines = _group_lines(runs)
+    cols = _assign_columns(lines)
+    order = sorted(
+        range(len(lines)), key=lambda i: (cols[i], -lines[i].y, lines[i].x0)
+    )
+    return [lines[i] for i in order]
+
+
+def extract_pdf(data: bytes, name: str = "") -> Document:
+    pages, tagged = parse_pdf_pages(data)
+    items: list[DocItem] = []
+    saw_title = False
+    for page_no, runs in enumerate(pages, start=1):
+        ordered = _reading_order_lines(runs)
+        for block in _blocks_from_lines(ordered):
+            bbox = _line_bbox(block[0])
+            for ln in block[1:]:
+                bbox = _merge_bbox(bbox, _line_bbox(ln))
+            prov = [Prov(page_no=page_no, bbox=bbox)]
+            if _block_is_table(block):
+                grid = [
+                    [TableCell(r.text.strip()) for r in ln.runs] for ln in block
+                ]
+                ncol = max(len(r) for r in grid)
+                for row in grid:
+                    while len(row) < ncol:
+                        row.append(TableCell(""))
+                items.append(
+                    DocItem(
+                        TABLE,
+                        "",
+                        prov=prov,
+                        table=TableData(len(grid), ncol, grid),
+                    )
+                )
+                continue
+            size = max(ln.size for ln in block)
+            txt = " ".join(ln.text() for ln in block).strip()
+            if not txt:
+                continue
+            if size >= _TITLE_SIZE and not saw_title:
+                items.append(DocItem(TITLE, txt, level=1, prov=prov))
+                saw_title = True
+            elif size >= _HEADER_SIZE:
+                items.append(DocItem(SECTION_HEADER, txt, level=2, prov=prov))
+            else:
+                items.append(DocItem(TEXT, txt, prov=prov))
+    doc = Document(
+        name=name,
+        items=items,
+        num_pages=len(pages),
+        origin_mimetype="application/pdf",
+    )
+    return assign_charspans(doc)
+
+
+def pdf_page_texts(data: bytes) -> list[str]:
+    """Per-page plain text (the F2 projection feeding quality
+    analysis, reference:docling_serve/pdf_analysis.py:52-72)."""
+    pages, _ = parse_pdf_pages(data)
+    return [
+        "\n".join(ln.text() for ln in _reading_order_lines(runs))
+        for runs in pages
+    ]

@@ -1,0 +1,150 @@
+"""PDF parse (C1-C4) + quality/dispatch (F1-F10) unit tests."""
+
+import random
+
+import pytest
+
+from docling_serve_spark.extract.pdf_extract import (
+    PdfParseError,
+    extract_pdf,
+    is_tagged_pdf,
+    parse_pdf_pages,
+    pdf_page_texts,
+)
+from docling_serve_spark.extract.quality import (
+    analyze_pages,
+    avg_space_run,
+    control_ratio,
+    decide_mode,
+    escape_count,
+    quality_score,
+    sample_indicators,
+    sample_pages,
+    symbol_ratio,
+)
+from docling_serve_spark.sources.pages import _synth_pdf, gen_page
+
+
+def _pdf(tagged=False, body_lines=None, title="The Doc Title"):
+    lines = ["BT /F1 12 Tf"]
+    lines.append(f"/F1 18 Tf 1 0 0 1 72 720 Tm ({title}) Tj /F1 12 Tf")
+    y = 690
+    for t in body_lines or ["line one text", "line two text"]:
+        y -= 14
+        lines.append(f"1 0 0 1 72 {y} Tm ({t}) Tj")
+    lines.append("ET")
+    stream = "\n".join(lines)
+    mark = "/MarkInfo << /Marked true >> " if tagged else ""
+    return (
+        "%PDF-1.4\n"
+        f"1 0 obj\n<< /Type /Catalog /Pages 2 0 R {mark}>>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\nendobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+
+
+def test_basic_parse_title_and_body():
+    doc = extract_pdf(_pdf())
+    assert doc.num_pages == 1
+    assert doc.items[0].item_type == "title"
+    assert doc.items[0].text == "The Doc Title"
+    assert "line one text line two text" in doc.items[1].text
+
+
+def test_tagged_flag():
+    assert is_tagged_pdf(_pdf(tagged=True))
+    assert not is_tagged_pdf(_pdf(tagged=False))
+
+
+def test_escaped_strings():
+    doc = extract_pdf(_pdf(body_lines=[r"paren \( and \) and \\ done"]))
+    assert "paren ( and ) and \\ done" in doc.items[-1].text
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfParseError):
+        parse_pdf_pages(b"<html>nope</html>")
+
+
+def test_synth_corpus_pdfs_parse():
+    rng = random.Random("t:1")
+    data = _synth_pdf(rng, 1, "en")
+    pages, tagged = parse_pdf_pages(data)
+    assert 10 <= len(pages) <= 200
+    doc = extract_pdf(data)
+    assert doc.num_pages == len(pages)
+    assert len(doc.items) > len(pages)  # multiple blocks per page
+    # at least one aligned table block detected (every ~3rd page has one)
+    assert any(i.item_type == "table" for i in doc.items)
+
+
+def test_two_column_reading_order():
+    # two columns: left column fully precedes right column in output
+    lines = ["BT /F1 12 Tf"]
+    for k, t in enumerate(["L1 text", "L2 text"]):
+        lines.append(f"1 0 0 1 72 {700 - k * 14} Tm ({t}) Tj")
+    for k, t in enumerate(["R1 text", "R2 text"]):
+        lines.append(f"1 0 0 1 400 {700 - k * 14} Tm ({t}) Tj")
+    lines.append("ET")
+    stream = "\n".join(lines)
+    data = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\nendobj\n"
+    ).encode("latin-1")
+    texts = pdf_page_texts(data)
+    assert texts[0].splitlines() == ["L1 text", "L2 text", "R1 text", "R2 text"]
+
+
+# --- F2-F9 quality heuristics (reference:docling_serve/pdf_analysis.py) ---
+
+
+def test_sample_pages_rule():
+    pages = [f"page {i} text" for i in range(30)]
+    # step = 30//10 = 3 -> pages 0-4 plus every 3rd
+    samples = sample_pages(pages)
+    assert samples[:5] == [f"page {i} text" for i in range(5)]
+    assert "page 6 text" in samples and "page 7 text" not in samples
+
+
+def test_predicates():
+    assert control_ratio("abc\x00\x01\x02defg") > 0.03
+    assert symbol_ratio("!!!???...,,,") > 0.30
+    assert escape_count(r"\af \be \c1 \d2 \e3 \f4") == 6
+    assert avg_space_run("a    b    c") > 2.5
+    assert sample_indicators("clean normal prose text here") == 0
+    assert sample_indicators("bad��text") == 2  # F7 counts each
+
+
+def test_quality_score_and_classification():
+    # U+FFFD is also category So, so F4 trips too: 3 (F7) + 1 (F4) = 4
+    poor = ["�" * 3 + "x"]
+    assert quality_score(poor) == 4.0
+    good = ["perfectly normal text sample"]
+    assert quality_score(good) == 0.0
+
+
+@pytest.mark.parametrize(
+    "has_text,is_tagged,quality,expected",
+    [
+        (True, True, "good", "skip"),
+        (True, False, "poor", "force"),
+        (True, True, "poor", "force"),
+        (True, False, "good", "redo"),
+        (False, False, "unknown", "force"),
+        (False, True, "unknown", "force"),
+    ],
+)
+def test_decision_tree(has_text, is_tagged, quality, expected):
+    assert decide_mode(has_text, is_tagged, quality) == expected
+
+
+def test_analyze_pages_end_to_end():
+    a = analyze_pages(["good clean text"] * 3, is_tagged=True)
+    assert a.recommended_mode == "skip" and not a.needs_ocr
+    b = analyze_pages([], is_tagged=False)
+    assert b.recommended_mode == "force" and not b.has_text
