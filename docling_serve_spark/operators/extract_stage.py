@@ -1,0 +1,137 @@
+"""The extraction pipeline Spark stage (SURVEY.md §3.4).
+
+Reads the pages table ``(url, warc_ts, html, text, lang)`` and
+produces one result row per page — the Spark form of the reference's
+worker body (reference:engines/async_local/worker.py:85-257), with the
+whole per-document conversion inside ONE Arrow-batched ``mapInPandas``
+stage (the per-row compute is opaque to Catalyst by design; everything
+around it — routing, projection, bucketing — is declarative so
+Catalyst prunes columns and pushes filters into the scan).
+
+Skew handling (the reference has none — naive contiguous slicing at
+kfp_pipeline.py:36 would put ten 200-page PDFs in one batch):
+  - JVM-side cheap routing on the first 4 bytes + byte length splits
+    the corpus into a LIGHT bucket (small HTML, ~98% of rows) and a
+    HEAVY bucket (PDFs / oversized rows)
+  - the heavy bucket is salted round-robin across the cluster before
+    the UDF so no task inherits a run of heavy rows
+  - both buckets run the same extraction function; results union back
+
+At 100 TB the light path dominates and runs scan->extract->write with
+no shuffle at all; only the tiny heavy bucket (~2%) repartitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+from docling_serve_spark.extract.core import ExtractOptions, extract_document
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Output schema: DocumentResponse ⊕ analysis ⊕ counters (SURVEY.md §1.3)
+RESULT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "status string, doc_type string, "
+    "extracted_text string, md_content string, html_content string, "
+    "doctags_content string, json_content string, spans_json string, "
+    "num_pages int, n_items int, n_bytes bigint, "
+    "has_text boolean, is_tagged boolean, text_quality string, "
+    "quality_score double, recommended_mode string, "
+    "force_ocr_effective boolean, ocr_invoked boolean, error string"
+)
+
+_RESULT_COLS = [f.split()[0] for f in RESULT_SCHEMA.split(", ")]
+
+# Rows above this byte size go to the heavy bucket even if HTML.
+HEAVY_BYTES = 256 * 1024
+
+
+def _extract_batches(opts: ExtractOptions):
+    """Arrow-batch worker: pandas DataFrames in, result frames out.
+    The options object rides the closure (the Spark analog of the
+    reference's broadcast ConvertDocumentsOptions, SURVEY.md §1.3)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, ts, html, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+            ):
+                data = bytes(html) if html is not None else b""
+                r = extract_document(data, name=url, lang=lang or "", opts=opts)
+                rows.append(
+                    (
+                        url,
+                        ts,
+                        lang,
+                        r.status,
+                        r.doc_type,
+                        r.extracted_text,
+                        r.md_content,
+                        r.html_content,
+                        r.doctags_content,
+                        r.json_content,
+                        r.spans_json,
+                        r.num_pages,
+                        r.n_items,
+                        len(data),
+                        r.has_text,
+                        r.is_tagged,
+                        r.text_quality,
+                        r.quality_score,
+                        r.recommended_mode,
+                        r.force_ocr_effective,
+                        r.ocr_invoked,
+                        r.error,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=_RESULT_COLS)
+
+    return fn
+
+
+def heavy_predicate():
+    """JVM-side routing predicate (operator S4's bucketing hook):
+    first 4 bytes == %PDF, or oversize row."""
+    return (F.substring("html", 1, 4) == F.lit(b"%PDF")) | (
+        F.length("html") > F.lit(HEAVY_BYTES)
+    )
+
+
+def run_extraction(
+    pages: DataFrame,
+    opts: ExtractOptions | None = None,
+    heavy_partitions: int | None = None,
+) -> DataFrame:
+    """pages (url, warc_ts, html, text, lang) -> result rows.
+
+    Column pruning: only the 4 needed columns enter the UDF ('text'
+    — the crawler's noisy text — is dropped before the scan so the
+    parquet reader never materializes it).
+    """
+    opts = opts or ExtractOptions()
+    src = pages.select("url", "warc_ts", "html", "lang")
+    fn = _extract_batches(opts)
+
+    light = src.filter(~heavy_predicate()).mapInPandas(fn, schema=RESULT_SCHEMA)
+
+    heavy = src.filter(heavy_predicate())
+    if heavy_partitions:
+        heavy = heavy.repartition(heavy_partitions)
+    else:
+        # spread heavy rows evenly: hash-of-url round robin kills runs
+        # of adjacent heavy rows that naive slicing would co-locate
+        heavy = heavy.repartition(
+            int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            F.pmod(F.xxhash64("url"), F.lit(1 << 16)),
+        )
+    heavy = heavy.mapInPandas(fn, schema=RESULT_SCHEMA)
+
+    return light.unionByName(heavy)
