@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extract": {docs_per_sec, mb_per_sec, ...},
+   "scaling": {t_low, t_high, cpus_low, cpus_high, efficiency}}
+
+The scaling block evidences the north rule's N->4N criterion by
+running the same extraction job at local[8] and local[32] on the same
+cached corpus (efficiency = (T_low / T_high) * (cpus_low/cpus_high)).
+
+Usage:
+  python bench.py                 # full suite + scaling evidence
+  python bench.py --no-scaling    # skip the two-parallelism rerun
+  python bench.py --scaling-worker --cpus 8   # internal: one timed run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+# pages-corpus size scaled to the sf dir (sf0.1 -> 50k pages)
+_SF_PAGES = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
+
+# headline operator queries (jaccard_neardup excluded: the token
+# self-join is the O(n^2) teaching example; minhash is the scale path)
+BENCH_QUERIES = [
+    "quality_scoring",
+    "ocr_mode_dispatch",
+    "page_concat",
+    "langmap_join",
+    "retention_filter",
+    "resume_anti_join",
+    "status_counts",
+    "json_props",
+    "pricing_summary",
+    "segment_revenue",
+    "top_order_per_customer",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "textstats",
+    "ann_bruteforce",
+    "ann_lsh",
+    "centroid_similarity",
+]
+
+
+def _pages_n() -> int:
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    return _SF_PAGES.get(name, 50000)
+
+
+def _pages_path() -> str:
+    return os.path.join(CACHE_DIR, f"pages_{os.path.basename(SF_DIR.rstrip('/'))}")
+
+
+def _ensure_corpus(spark) -> str:
+    """Materialize the deterministic pages corpus once (generation is
+    excluded from the timed extraction)."""
+    from docling_serve_spark.sources.pages import build_pages_df
+
+    path = _pages_path()
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        build_pages_df(spark, _pages_n(), partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _run_extraction(spark, path: str) -> float:
+    from docling_serve_spark.operators.extract_stage import run_extraction
+
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    _force(run_extraction(pages))
+    return time.time() - t0
+
+
+def scaling_worker(cpus: int) -> None:
+    from docling_serve_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-scale-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    path = _ensure_corpus(spark)
+    dt = _run_extraction(spark, path)
+    print(json.dumps({"cpus": cpus, "sec": dt}))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-scaling", action="store_true")
+    ap.add_argument("--scaling-worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    args = ap.parse_args()
+
+    if args.scaling_worker:
+        scaling_worker(args.cpus)
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from docling_serve_spark.queries import QUERIES
+    from docling_serve_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    # flagship extraction throughput
+    corpus = _ensure_corpus(spark)
+    pages = spark.read.parquet(corpus)
+    n_docs = pages.count()
+    n_bytes = pages.selectExpr("sum(length(html)) AS b").collect()[0]["b"]
+    dt = _run_extraction(spark, corpus)
+    timings["extract"] = round(dt, 3)
+    extract_stats = {
+        "docs": n_docs,
+        "mb": round(n_bytes / 1e6, 1),
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "mb_per_sec": round(n_bytes / 1e6 / dt, 2),
+    }
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    scaling = None
+    if not args.no_scaling:
+        spark.stop()  # free the JVM before the two measured runs
+        lows, highs = 8, 32
+        results = {}
+        for cpus in (lows, highs):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-worker", "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)["sec"]
+        eff = (results[lows] / results[highs]) * (lows / highs)
+        scaling = {
+            "cpus_low": lows,
+            "cpus_high": highs,
+            "t_low_sec": round(results[lows], 3),
+            "t_high_sec": round(results[highs], 3),
+            "efficiency": round(eff, 3),
+        }
+
+    payload = {
+        "metric": "extraction+operator suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "extract": extract_stats,
+    }
+    if scaling:
+        payload["scaling"] = scaling
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

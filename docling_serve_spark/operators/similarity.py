@@ -1,0 +1,136 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths, as the scale plan requires:
+  - brute-force cosine top-k: F.zip_with dot product (JVM-side
+    higher-order functions; no Python), exact baseline —
+    O(n) per query, fine broadcast-side
+  - LSH-bucketed ANN: random-hyperplane signs (seeded, deterministic)
+    bucket vectors; queries probe only their bucket — the 100 TB path
+    (bucket count scales with corpus; per-bucket scan is tiny)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one stored vector. The query
+    vector is a one-row broadcast cross join (no shuffle of the big
+    side; scan -> project -> top-k via sort spilled per-partition
+    then merged — Spark's TakeOrderedAndProject)."""
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (seeded LCG; avoids any
+    library RNG differences)."""
+    vals = []
+    state = (seed * 1_000_003 + plane * 7_919 + 12345) & 0x7FFFFFFF
+    for _ in range(dim):
+        state = (state * 1_103_515_245 + 12_345) & 0x7FFFFFFF
+        vals.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket(vec: Column, dim: int = 64, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1), computed
+    with array higher-order functions against literal plane arrays."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed, p)])
+        sign = F.when(_dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(sign, p)
+    return bucket.cast("int")
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """ANN: probe only the query's LSH bucket, exact cosine within.
+    At 10^12 scale the bucketed table is written partitioned by
+    bucket id, so the probe is a partition-pruned scan."""
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes)
+    )
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec_col).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        with_bucket.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid then each vector's cosine to its centroid —
+    grouped agg over arrays (posexplode -> avg -> regroup), a shape
+    the 100 TB pipeline uses for cluster-quality scoring."""
+    dim_vals = embeddings.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    centroids = dim_vals.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cent_arr = centroids.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs")
+    ).select(
+        "label", F.transform("pairs", lambda s: s.cval).alias("centroid")
+    )
+    return (
+        embeddings.join(F.broadcast(cent_arr), "label")
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.col("label").cast("int"),
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias(
+                "centroid_sim"
+            ),
+        )
+    )

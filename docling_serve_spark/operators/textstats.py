@@ -1,0 +1,90 @@
+"""Text-analysis operators for the training-data tier: token counting,
+language-ID heuristic, quality scoring, document fingerprinting.
+All JVM-side built-ins (WholeStageCodegen end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from docling_serve_spark.operators.dedup import norm_text
+
+# tiny stopword sets per language (public-knowledge function words);
+# enough to separate the corpus languages deterministically
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "over"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "de", "sobre"),
+    "de": ("der", "die", "und", "das", "uber"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of stopword occurrences (word-boundary regex)."""
+    words = "|".join(_STOPWORDS[lang])
+    return F.regexp_count(F.lower(col), F.lit(rf"\b({words})\b")).cast("bigint")
+
+
+def arabic_char_count(col: Column) -> Column:
+    """F11-style Arabic-codepoint count (the lang gate fallback when
+    no lang column exists; reference gates on langdetect,
+    arabic_correction_middleware.py:69-97)."""
+    return (
+        F.length(col)
+        - F.length(F.regexp_replace(col, r"[؀-ۿ]", ""))
+    ).cast("bigint")
+
+
+def lang_id_heuristic(col: Column) -> Column:
+    """n-gram/stopword language guess over {en,fr,es,de,ar}: pick the
+    language with the most stopword hits; Arabic wins if Arabic
+    codepoints dominate. Deterministic tie-break by fixed order."""
+    hits = {lang: stopword_hits(col, lang) for lang in _STOPWORDS}
+    best = F.lit("unknown")
+    best_n = F.lit(0).cast("bigint")
+    for lang in ("en", "fr", "es", "de"):  # fixed priority order
+        cond = hits[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, hits[lang]).otherwise(best_n)
+    return F.when(
+        arabic_char_count(col) * 2 > F.length(col), F.lit("ar")
+    ).otherwise(best)
+
+
+def doc_quality_score(col: Column) -> Column:
+    """Composite web-text quality score in [0,1]: length factor,
+    alpha ratio, space sanity — the Gopher/C4-style filter family
+    (public heuristics), deterministic arithmetic only."""
+    length = F.greatest(F.length(col), F.lit(1))
+    alpha = F.length(F.regexp_replace(col, r"[^\p{L}]", "")) / length
+    toks = token_count(col)
+    mean_word = length / F.greatest(toks, F.lit(1))
+    len_factor = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
+    word_factor = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    return F.round(len_factor * 0.4 + alpha * 0.4 + word_factor * 0.2, 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of normalized text (the exact-dedup
+    key doubles as a stable content id)."""
+    return F.md5(norm_text(col))
+
+
+def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        token_count(c).alias("n_tokens"),
+        F.length(c).cast("bigint").alias("n_chars_text"),
+        lang_id_heuristic(c).alias("lang_guess"),
+        doc_quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

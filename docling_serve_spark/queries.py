@@ -1,0 +1,577 @@
+"""Driver-contract query catalog: every SQL-checkable operator from
+SURVEY.md §2 as a (spark, sf_dir) -> DataFrame callable plus its
+DuckDB oracle twin (ANSI SQL over the same parquet views).
+
+Column names are aliased identically on both sides (the driver's
+compare hashes values with columns sorted by name). Float aggregates
+are computed over DECIMAL(18,2) casts (exact) or rounded to 6 digits
+so value hashes are engine-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from docling_serve_spark.operators import analysis, dedup, relational, similarity, textstats
+from docling_serve_spark.operators.extract_stage import run_extraction
+from docling_serve_spark.sources.pages import build_pages_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------- #
+# F3-F8: quality scoring (documents.text = one sample per row)
+# ----------------------------------------------------------------- #
+
+def q_quality_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = analysis.quality_columns(F.col("text"))
+    pts = analysis.indicator_points(cols)
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        cols["control_cnt"].cast("bigint").alias("control_cnt"),
+        cols["symbol_cnt"].cast("bigint").alias("symbol_cnt"),
+        cols["escape_cnt"].cast("bigint").alias("escape_cnt"),
+        cols["space_runs"].cast("bigint").alias("space_runs"),
+        cols["repl_cnt"].cast("bigint").alias("repl_cnt"),
+        pts.cast("bigint").alias("quality_points"),
+        F.when(pts > 0.8, "poor").otherwise("good").alias("text_quality"),
+    )
+
+
+ORACLE_QUALITY = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(control_cnt AS BIGINT) AS control_cnt, "
+    "CAST(symbol_cnt AS BIGINT) AS symbol_cnt, "
+    "CAST(escape_cnt AS BIGINT) AS escape_cnt, "
+    "CAST(space_runs AS BIGINT) AS space_runs, "
+    "CAST(repl_cnt AS BIGINT) AS repl_cnt, "
+    "CAST(" + analysis.QUALITY_POINTS_SQL + " AS BIGINT) AS quality_points, "
+    "CASE WHEN " + analysis.QUALITY_POINTS_SQL + " > 0.8 THEN 'poor' ELSE 'good' END AS text_quality "
+    "FROM (SELECT doc_id, " + analysis.QUALITY_COUNTS_SQL.format(t="text") + " FROM documents)"
+)
+
+
+# ----------------------------------------------------------------- #
+# F9/F10: OCR-mode dispatch decision tree
+# has_text/is_tagged derived deterministically from table columns so
+# both engines see identical inputs.
+# ----------------------------------------------------------------- #
+
+def q_ocr_mode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = analysis.quality_columns(F.col("text"))
+    pts = analysis.indicator_points(cols)
+    quality = F.when(pts > 0.8, "poor").otherwise("good")
+    has_text = F.col("n_chars") > 0
+    is_tagged = F.col("doc_id") % 4 == 0
+    mode = analysis.recommended_mode(has_text, is_tagged, quality)
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        mode.alias("recommended_mode"),
+        (mode == "force").alias("force_ocr_effective"),
+        (mode != "skip").alias("ocr_invoked"),
+    )
+
+
+ORACLE_OCR_DISPATCH = (
+    "WITH q AS (SELECT doc_id, n_chars, "
+    + analysis.QUALITY_COUNTS_SQL.format(t="text")
+    + " FROM documents), "
+    "d AS (SELECT doc_id, n_chars > 0 AS has_text, doc_id % 4 = 0 AS is_tagged, "
+    "CASE WHEN " + analysis.QUALITY_POINTS_SQL + " > 0.8 THEN 'poor' ELSE 'good' END AS tq FROM q) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CASE WHEN is_tagged AND has_text AND tq <> 'poor' THEN 'skip' "
+    "     WHEN has_text AND tq = 'poor' THEN 'force' "
+    "     WHEN has_text AND NOT is_tagged THEN 'redo' "
+    "     ELSE 'force' END AS recommended_mode, "
+    "(CASE WHEN is_tagged AND has_text AND tq <> 'poor' THEN 'skip' "
+    "      WHEN has_text AND tq = 'poor' THEN 'force' "
+    "      WHEN has_text AND NOT is_tagged THEN 'redo' "
+    "      ELSE 'force' END) = 'force' AS force_ocr_effective, "
+    "(CASE WHEN is_tagged AND has_text AND tq <> 'poor' THEN 'skip' "
+    "      WHEN has_text AND tq = 'poor' THEN 'force' "
+    "      WHEN has_text AND NOT is_tagged THEN 'redo' "
+    "      ELSE 'force' END) <> 'skip' AS ocr_invoked "
+    "FROM d"
+)
+
+
+# ----------------------------------------------------------------- #
+# A4: ordered per-page concat (events as the page stream)
+# ----------------------------------------------------------------- #
+
+def q_page_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return relational.ordered_concat(
+        ev, "user_id", "event_id", "event_type", out_col="pages_joined"
+    ).select(F.col("user_id").cast("bigint"), "pages_joined")
+
+
+ORACLE_PAGE_CONCAT = (
+    "SELECT CAST(user_id AS BIGINT) AS user_id, "
+    "string_agg(event_type, e'\\n\\n---\\n\\n' ORDER BY event_id) AS pages_joined "
+    "FROM events GROUP BY user_id"
+)
+
+
+# ----------------------------------------------------------------- #
+# P4: language mapping broadcast join
+# ----------------------------------------------------------------- #
+
+def q_langmap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    joined = relational.join_lang_mapping(docs, "lang")
+    return (
+        joined.groupBy("lang", "tesseract_code")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def _langmap_values_sql() -> str:
+    from docling_serve_spark.extract.langmap import mapping_rows
+
+    vals = ", ".join(f"('{s}', '{t}')" for s, t in mapping_rows())
+    return f"(VALUES {vals}) AS m(src_code, tesseract_code)"
+
+
+ORACLE_LANGMAP = (
+    "SELECT d.lang AS lang, m.tesseract_code AS tesseract_code, "
+    "CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents d LEFT JOIN " + _langmap_values_sql()
+    + " ON lower(trim(d.lang)) = m.src_code "
+    "GROUP BY d.lang, m.tesseract_code"
+)
+
+
+# ----------------------------------------------------------------- #
+# S8: retention cutoff filter (timestamp predicate)
+# ----------------------------------------------------------------- #
+
+_CUTOFF = "2024-01-03 00:00:00"
+
+
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        relational.retention_filter(ev, "ts", _CUTOFF)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")), 2
+            ).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_RETENTION = (
+    f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    f"CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value "
+    f"FROM events WHERE ts < TIMESTAMP '{_CUTOFF}' GROUP BY event_type"
+)
+
+
+# ----------------------------------------------------------------- #
+# O15: resume anti-join (manifest = completed doc_ids)
+# ----------------------------------------------------------------- #
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    manifest = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    remaining = relational.resume_anti_join(docs, manifest, key="doc_id")
+    return remaining.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_remaining")
+    )
+
+
+ORACLE_RESUME = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_remaining FROM documents "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 < 3) "
+    "GROUP BY lang"
+)
+
+
+# ----------------------------------------------------------------- #
+# O6: status counters (status derived deterministically)
+# ----------------------------------------------------------------- #
+
+def q_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    derived = docs.select(
+        F.when(F.col("n_chars") >= 100, "success").otherwise("failure").alias("status"),
+        F.col("n_chars").cast("bigint").alias("n_bytes"),
+        (F.col("doc_id") % 5 == 0).alias("ocr_invoked"),
+    )
+    return relational.status_counts(derived)
+
+
+ORACLE_STATUS = (
+    "SELECT CASE WHEN n_chars >= 100 THEN 'success' ELSE 'failure' END AS status, "
+    "CAST(count(*) AS BIGINT) AS num_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS bytes_processed, "
+    "CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ocr_invocations "
+    "FROM documents GROUP BY 1"
+)
+
+
+# ----------------------------------------------------------------- #
+# JSON scalar access (events.props)
+# ----------------------------------------------------------------- #
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+ORACLE_JSON = (
+    "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1"
+)
+
+
+# ----------------------------------------------------------------- #
+# Relational proof points: scan-heavy agg, broadcast join, window
+# ----------------------------------------------------------------- #
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty, "
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+ORACLE_SEGMENT = (
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment"
+)
+
+
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").cast("bigint"),
+            F.col("o_orderkey").cast("bigint"),
+            F.col("o_totalprice").cast("double"),
+        )
+    )
+
+
+ORACLE_TOP_ORDER = (
+    "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, "
+    "CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+    "CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1"
+)
+
+
+# ----------------------------------------------------------------- #
+# Dedup family (documents unioned with shifted copy => known dups)
+# ----------------------------------------------------------------- #
+
+_DUP_SHIFT = 100000
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(copy)
+
+
+_DUP_UNION_SQL = (
+    f"(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents)"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = (
+    "SELECT md5(" + dedup.NORM_SQL.format(t="text") + ") AS content_hash, "
+    "CAST(count(*) AS BIGINT) AS n_dups, CAST(min(doc_id) AS BIGINT) AS keep_doc_id "
+    f"FROM {_DUP_UNION_SQL} t GROUP BY 1 HAVING count(*) > 1"
+)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_docs_with_dups(spark, sf_dir))
+
+
+def _minhash_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    mins = ", ".join(
+        "list_min(list_transform(shingles, s -> CAST(('0x' || substr(md5('"
+        + f"{i}:' || s), 1, 8))::UBIGINT AS BIGINT))) AS m{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, "
+        f"CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {norm} AS t FROM {_DUP_UNION_SQL} u), "
+        "tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM d), "
+        "sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks) - 2, 1)), "
+        "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS shingles FROM tok), "
+        f"sig AS (SELECT doc_id, {mins} FROM sh), "
+        f"bands AS ({bands}) "
+        "SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b "
+        "FROM bands a JOIN bands b ON a.band_no = b.band_no "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    )
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_groups(_docs_with_dups(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"WITH d AS (SELECT doc_id, {norm} AS t FROM {_DUP_UNION_SQL} u), "
+        "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM d), "
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5('0:' || tk), 1, 8))::UBIGINT AS BIGINT) AS hv FROM tok), "
+        "bits AS (SELECT doc_id, b, sum((hv >> b) & 1) AS ones, count(*) AS n "
+        "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY doc_id, b), "
+        "sigs AS (SELECT doc_id, sum(CASE WHEN ones * 2 >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash "
+        "FROM bits GROUP BY doc_id) "
+        "SELECT CAST(simhash AS BIGINT) AS simhash, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id FROM sigs GROUP BY simhash"
+    )
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle()
+
+
+def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+ORACLE_JACCARD = (
+    "WITH d AS (SELECT doc_id, " + dedup.NORM_SQL.format(t="text")
+    + f" AS t FROM {_DUP_UNION_SQL} u), "
+    "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM d), "
+    "tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''), "
+    "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
+    "FROM tok2 a JOIN tok2 b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+    "round(n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+    "WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= 0.5"
+)
+
+
+# ----------------------------------------------------------------- #
+# Text stats: tokens, lang-id, quality, fingerprint
+# ----------------------------------------------------------------- #
+
+def q_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.with_textstats(_t(spark, sf_dir, "documents"))
+
+
+def _textstats_oracle() -> str:
+    sw = {
+        "en": "the|and|of|to|over",
+        "fr": "le|la|et|les|des",
+        "es": "el|la|los|de|sobre",
+        "de": "der|die|und|das|uber",
+    }
+    hits = ", ".join(
+        f"length(regexp_extract_all(lower(text), '\\b({p})\\b')) AS h_{lang}"
+        for lang, p in sw.items()
+    )
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"WITH b AS (SELECT doc_id, text, {hits}, "
+        "length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS ar_cnt, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents), "
+        "l AS (SELECT *, "
+        "CASE WHEN h_de > (CASE WHEN h_es > (CASE WHEN h_fr > h_en THEN h_fr ELSE h_en END) "
+        "THEN h_es ELSE (CASE WHEN h_fr > h_en THEN h_fr ELSE h_en END) END) THEN 'de' "
+        "WHEN h_es > (CASE WHEN h_fr > h_en THEN h_fr ELSE h_en END) THEN 'es' "
+        "WHEN h_fr > h_en THEN 'fr' WHEN h_en > 0 THEN 'en' ELSE 'unknown' END AS sw_guess "
+        "FROM b) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars_text, "
+        "CASE WHEN ar_cnt * 2 > length(text) THEN 'ar' ELSE sw_guess END AS lang_guess, "
+        "round(least(length(text) / 200.0, 1.0) * 0.4 "
+        "+ (length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / greatest(length(text), 1)) * 0.4 "
+        "+ (CASE WHEN length(text) * 1.0 / greatest(n_tokens, 1) BETWEEN 3 AND 12 "
+        "THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality, "
+        f"md5({norm}) AS fingerprint FROM l"
+    )
+
+
+ORACLE_TEXTSTATS = _textstats_oracle()
+
+
+# ----------------------------------------------------------------- #
+# Similarity search
+# ----------------------------------------------------------------- #
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+ORACLE_ANN_BRUTE = (
+    "WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0), "
+    "s AS (SELECT vec_id, "
+    "list_sum(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c "
+    "FROM embeddings, q WHERE vec_id <> 0) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 6) AS cos_sim FROM s "
+    "ORDER BY round(c, 6) DESC, vec_id LIMIT 10"
+)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the scale path; no SQL oracle (hyperplanes
+    are engine-side literals), driver records rows-only."""
+    return similarity.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), 0, 10)
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------- #
+# The extraction pipeline itself (no SQL oracle: the HTML/PDF parse
+# is not SQL-expressible; byte-identity is enforced in pytest against
+# the single-node oracle instead)
+# ----------------------------------------------------------------- #
+
+def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages_df(spark, 300, partitions=8)
+    res = run_extraction(pages)
+    return res.select(
+        "url", "status", "doc_type", "lang", "n_items", "num_pages",
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = build_pages_df(spark, 300, partitions=8)
+    res = run_extraction(pages)
+    return relational.status_counts(res)
+
+
+# ----------------------------------------------------------------- #
+# Catalog
+# ----------------------------------------------------------------- #
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_scoring": q_quality_scoring,
+    "ocr_mode_dispatch": q_ocr_mode_dispatch,
+    "page_concat": q_page_concat,
+    "langmap_join": q_langmap_join,
+    "retention_filter": q_retention_filter,
+    "resume_anti_join": q_resume_anti_join,
+    "status_counts": q_status_counts,
+    "json_props": q_json_props,
+    "pricing_summary": q_pricing_summary,
+    "segment_revenue": q_segment_revenue,
+    "top_order_per_customer": q_top_order_per_customer,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "jaccard_neardup": q_jaccard_neardup,
+    "textstats": q_textstats,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "centroid_similarity": q_centroid_similarity,
+    "pipeline_extract": q_pipeline_extract,
+    "pipeline_metrics": q_pipeline_metrics,
+}
+
+ORACLES: dict[str, str] = {
+    "quality_scoring": ORACLE_QUALITY,
+    "ocr_mode_dispatch": ORACLE_OCR_DISPATCH,
+    "page_concat": ORACLE_PAGE_CONCAT,
+    "langmap_join": ORACLE_LANGMAP,
+    "retention_filter": ORACLE_RETENTION,
+    "resume_anti_join": ORACLE_RESUME,
+    "status_counts": ORACLE_STATUS,
+    "json_props": ORACLE_JSON,
+    "pricing_summary": ORACLE_PRICING,
+    "segment_revenue": ORACLE_SEGMENT,
+    "top_order_per_customer": ORACLE_TOP_ORDER,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "jaccard_neardup": ORACLE_JACCARD,
+    "textstats": ORACLE_TEXTSTATS,
+    "ann_bruteforce": ORACLE_ANN_BRUTE,
+    # ann_lsh / centroid_similarity / pipeline_*: rows-only checks
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: batch extraction over a pages table.
+
+The batch-job form of the reference's convert endpoints
+(reference:docling_serve/app.py:369-428): one run = one corpus, with
+ConvertDocumentsOptions surfaced as flags (defaults mirror
+reference:datamodel/convert.py:114-479) and per-partition resumable
+checkpointing (the durability the reference's local engine lacks).
+
+Usage:
+  spark-submit --py-files dist/docling_serve_spark.zip jobs/extract.py \
+      --input  /warehouse/pages --output /warehouse/extracted \
+      --chunks 256
+  python jobs/extract.py --input synthetic:5000 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="pages parquet path, or synthetic:<n> for the seeded corpus")
+    ap.add_argument("--output", required=True, help="results warehouse dir")
+    ap.add_argument("--chunks", type=int, default=16,
+                    help="resumable checkpoint units (Iceberg-partition analog)")
+    ap.add_argument("--master", default=None)
+    # ConvertDocumentsOptions analog (reference defaults)
+    ap.add_argument("--to-formats", default="md,text,html,doctags,json")
+    ap.add_argument("--no-ocr", action="store_true", help="disable OCR dispatch (do_ocr=False)")
+    ap.add_argument("--force-ocr", action="store_true")
+    ap.add_argument("--no-bidi", action="store_true")
+    ap.add_argument("--max-file-size-mb", type=int, default=200)
+    ap.add_argument("--max-num-pages", type=int, default=0)
+    ap.add_argument("--page-break-placeholder", default="")
+    args = ap.parse_args()
+
+    from docling_serve_spark.extract.core import ExtractOptions
+    from docling_serve_spark.session import get_spark
+    from docling_serve_spark.sources.pages import build_pages_df
+    from docling_serve_spark.sources.warehouse import (
+        metrics_df,
+        run_checkpointed,
+    )
+
+    spark = get_spark(app_name="extract-job", master=args.master)
+    opts = ExtractOptions(
+        to_formats=tuple(f.strip() for f in args.to_formats.split(",") if f.strip()),
+        do_ocr=not args.no_ocr,
+        force_ocr=args.force_ocr,
+        enable_bidi_processing=not args.no_bidi,
+        max_file_size_bytes=args.max_file_size_mb * 1024 * 1024,
+        max_num_pages=args.max_num_pages,
+        page_break_placeholder=args.page_break_placeholder,
+    )
+
+    if args.input.startswith("synthetic:"):
+        pages = build_pages_df(spark, int(args.input.split(":", 1)[1]))
+    else:
+        pages = spark.read.parquet(args.input)
+
+    reports = run_checkpointed(
+        spark, pages, args.output, n_chunks=args.chunks, opts=opts
+    )
+    resumed = sum(1 for r in reports if r.skipped_resume)
+    totals = metrics_df(spark, args.output).agg(
+        {"num_docs": "sum", "num_succeeded": "sum", "num_failed": "sum",
+         "num_skipped": "sum", "bytes_processed": "sum",
+         "ocr_invocations": "sum"}
+    ).collect()[0]
+    print(json.dumps({
+        "chunks_total": args.chunks,
+        "chunks_resumed_skip": resumed,
+        "num_docs": int(totals["sum(num_docs)"] or 0),
+        "num_succeeded": int(totals["sum(num_succeeded)"] or 0),
+        "num_failed": int(totals["sum(num_failed)"] or 0),
+        "num_skipped": int(totals["sum(num_skipped)"] or 0),
+        "bytes_processed": int(totals["sum(bytes_processed)"] or 0),
+        "ocr_invocations": int(totals["sum(ocr_invocations)"] or 0),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

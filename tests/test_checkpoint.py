@@ -1,0 +1,91 @@
+"""Checkpoint/resume (O15): killed run resumes with zero recompute of
+completed partitions and byte-identical final output."""
+
+import os
+
+from docling_serve_spark.sources.pages import build_pages_df
+from docling_serve_spark.sources.warehouse import (
+    completed_chunks,
+    metrics_df,
+    read_results,
+    run_checkpointed,
+)
+
+N = 80
+CHUNKS = 4
+
+
+def test_kill_and_resume(spark, tmp_path):
+    out = str(tmp_path / "wh")
+    pages = build_pages_df(spark, N, partitions=4)
+
+    # simulated kill: only 2 of 4 chunks complete
+    first = run_checkpointed(spark, pages, out, n_chunks=CHUNKS, max_chunks=2)
+    assert len(completed_chunks(out)) == 2
+    assert sum(1 for r in first if not r.skipped_resume) == 2
+
+    # resume: the 2 completed chunks are skipped, the rest computed
+    second = run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    assert sum(1 for r in second if r.skipped_resume) == 2
+    assert sum(1 for r in second if not r.skipped_resume) == 2
+    assert len(completed_chunks(out)) == CHUNKS
+
+    # all rows present exactly once
+    res = read_results(spark, out)
+    assert res.count() == N
+    assert res.select("url").distinct().count() == N
+
+
+def test_resume_equals_cold_run(spark, tmp_path):
+    pages = build_pages_df(spark, N, partitions=4)
+    cold_dir = str(tmp_path / "cold")
+    warm_dir = str(tmp_path / "warm")
+    run_checkpointed(spark, pages, cold_dir, n_chunks=CHUNKS)
+    run_checkpointed(spark, pages, warm_dir, n_chunks=CHUNKS, max_chunks=1)
+    run_checkpointed(spark, pages, warm_dir, n_chunks=CHUNKS)
+
+    cold = {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in read_results(spark, cold_dir).collect()
+    }
+    warm = {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in read_results(spark, warm_dir).collect()
+    }
+    assert cold == warm
+
+
+def test_manifest_lineage_counters(spark, tmp_path):
+    out = str(tmp_path / "wh2")
+    pages = build_pages_df(spark, N, partitions=4)
+    run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    m = metrics_df(spark, out)
+    rows = {r["chunk"]: r for r in m.collect()}
+    assert len(rows) == CHUNKS
+    total = sum(r["num_docs"] for r in rows.values())
+    assert total == N
+    for r in rows.values():
+        # callback.py:31-39 invariant
+        assert r["num_docs"] == r["num_succeeded"] + r["num_failed"] + r["num_skipped"]
+    # manifest counters reconcile with the data itself
+    res = read_results(spark, out)
+    assert res.filter("status = 'success'").count() == sum(
+        r["num_succeeded"] for r in rows.values()
+    )
+
+
+def test_idempotent_rerun_no_new_work(spark, tmp_path):
+    out = str(tmp_path / "wh3")
+    pages = build_pages_df(spark, N, partitions=4)
+    run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, "_manifest", f))
+        for f in os.listdir(os.path.join(out, "_manifest"))
+    }
+    reports = run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    assert all(r.skipped_resume for r in reports)
+    mtimes2 = {
+        f: os.path.getmtime(os.path.join(out, "_manifest", f))
+        for f in os.listdir(os.path.join(out, "_manifest"))
+    }
+    assert mtimes == mtimes2  # nothing rewritten
