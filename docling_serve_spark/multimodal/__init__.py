@@ -1,0 +1,17 @@
+from docling_serve_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    audio_features,
+    build_media_df,
+    decode_metadata,
+    frame_sample,
+    image_resize,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "audio_features",
+    "build_media_df",
+    "decode_metadata",
+    "frame_sample",
+    "image_resize",
+]

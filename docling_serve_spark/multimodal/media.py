@@ -1,0 +1,262 @@
+"""Multimodal columns for the training-data tier: image/audio/video as
+opaque ``binary`` payloads + typed metadata, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The reference's only media handling is PDF->image rasterization for
+the AI-Vision OCR path (reference:docling_serve/ai_vision_middleware.py:68-130:
+pdf2image @ dpi 200, LANCZOS downscale to max 2048 px, JPEG re-encode).
+This module generalizes that shape to a media pipeline: decode ->
+typed metadata, aspect-preserving resize, frame sampling, feature
+extraction. Real codecs (PIL/ffmpeg) are NOT in this container, so the
+codec boundary is isolated in ``_decode_real`` (raises
+``NotImplementedError``) and everything else runs against FIMG/FAUD/
+FVID, a deterministic fake container with a parseable header — the
+Spark-side plumbing (schemas, UDF signatures, batch shapes, salting)
+is real and is what these stages test.
+
+Container layout (big-endian): 4-byte magic (FIMG|FAUD|FVID) +
+5 x uint32 fields + payload bytes.
+  image: (width, height, channels, 0, payload_len)
+  audio: (sample_rate, n_samples, 1, 0, payload_len)
+  video: (width, height, fps, n_frames, payload_len)
+
+All header fields derive from ``media_id`` by fixed arithmetic (see
+``_meta_for``), so DuckDB oracles can recompute the expected metadata
+without parsing binary — the driver check then verifies the full
+generate -> serialize -> Arrow -> parse round trip.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+_MAGIC = {"image": b"FIMG", "audio": b"FAUD", "video": b"FVID"}
+_KINDS = ("image", "audio", "video")
+
+MEDIA_SCHEMA = "media_id bigint, kind string, payload binary"
+
+META_SCHEMA = (
+    "media_id bigint, kind string, width int, height int, channels int, "
+    "sample_rate int, n_samples int, fps int, n_frames int, "
+    "payload_len bigint"
+)
+
+RESIZE_SCHEMA = (
+    "media_id bigint, width int, height int, new_width int, new_height int, "
+    "payload binary"
+)
+
+FRAME_SCHEMA = "media_id bigint, frame_no int, frame_bytes binary"
+
+FEATURE_SCHEMA = "media_id bigint, n_windows int, features array<double>"
+
+
+def _meta_for(media_id: int) -> dict:
+    """The fixed arithmetic both the generator and the SQL oracles use."""
+    kind = _KINDS[media_id % 3]
+    if kind == "image":
+        return {
+            "kind": kind,
+            "f": (
+                320 + (media_id * 7) % 1600,
+                240 + (media_id * 13) % 900,
+                3,
+                0,
+                256 + media_id % 512,
+            ),
+        }
+    if kind == "audio":
+        return {
+            "kind": kind,
+            "f": (
+                8000 + (media_id % 5) * 4000,
+                1000 + (media_id * 17) % 9000,
+                1,
+                0,
+                256 + media_id % 512,
+            ),
+        }
+    return {
+        "kind": kind,
+        "f": (
+            320 + (media_id * 7) % 1600,
+            240 + (media_id * 13) % 900,
+            24 + (media_id % 3) * 6,
+            10 + (media_id * 3) % 110,
+            256 + media_id % 512,
+        ),
+    }
+
+
+def _payload(media_id: int, n: int) -> bytes:
+    """Deterministic pseudo-random payload (LCG, seeded by id)."""
+    state = (media_id * 2_654_435_761 + 12_345) & 0xFFFFFFFF
+    out = bytearray(n)
+    for i in range(n):
+        state = (state * 1_103_515_245 + 12_345) & 0xFFFFFFFF
+        out[i] = (state >> 16) & 0xFF
+    return bytes(out)
+
+
+def encode_media(media_id: int) -> tuple[int, str, bytes]:
+    m = _meta_for(media_id)
+    blob = _MAGIC[m["kind"]] + struct.pack(">5I", *m["f"]) + _payload(
+        media_id, m["f"][4]
+    )
+    return media_id, m["kind"], blob
+
+
+def build_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
+    """Synthesize the media table distributed: ids generated JVM-side
+    (spark.range), blobs encoded per Arrow batch on executors."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = [encode_media(int(i)) for i in b["id"]]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return (
+        spark.range(0, n, numPartitions=partitions)
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def _decode_real(payload: bytes) -> dict:
+    """The real-codec boundary. In production this is PIL / soundfile /
+    pyav; those libraries are not in this container."""
+    raise NotImplementedError("real media codecs unavailable offline")
+
+
+def _parse_header(payload: bytes) -> tuple[str, tuple[int, ...]]:
+    magic = bytes(payload[:4])
+    for kind, m in _MAGIC.items():
+        if magic == m:
+            return kind, struct.unpack(">5I", bytes(payload[4:24]))
+    raise ValueError(f"unknown media magic {magic!r}")
+
+
+def decode_metadata(media: DataFrame) -> DataFrame:
+    """Decode stage: binary -> typed metadata row. Narrow (no shuffle);
+    the payload column is projected away on output, so downstream
+    relational ops never shuffle blobs."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for mid, kind, payload in zip(b["media_id"], b["kind"], b["payload"]):
+                k, f = _parse_header(payload)
+                assert k == kind
+                if k == "image":
+                    row = (int(mid), k, f[0], f[1], f[2], 0, 0, 0, 0, f[4])
+                elif k == "audio":
+                    row = (int(mid), k, 0, 0, 0, f[0], f[1], 0, 0, f[4])
+                else:
+                    row = (int(mid), k, f[0], f[1], 0, 0, 0, f[2], f[3], f[4])
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "width", "height", "channels",
+                    "sample_rate", "n_samples", "fps", "n_frames",
+                    "payload_len",
+                ],
+            )
+
+    return media.mapInPandas(fn, schema=META_SCHEMA)
+
+
+def image_resize(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """Aspect-preserving downscale bound, the A2 policy
+    (reference:ai_vision_middleware.py:84-86 caps the longest edge at
+    2048 px with LANCZOS). Pixel resampling itself is behind the codec
+    boundary; dimension math + payload rewrite plumbing are real."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                kind, f = _parse_header(payload)
+                if kind == "audio":
+                    continue
+                w, h = f[0], f[1]
+                scale = min(1.0, max_px / max(w, h))
+                nw, nh = int(w * scale), int(h * scale)
+                # fake "resampled" payload: header rewritten, payload
+                # truncated proportionally (real path: PIL LANCZOS)
+                body = bytes(payload[24:])
+                keep = max(1, int(len(body) * scale))
+                blob = payload[:4] + struct.pack(
+                    ">5I", nw, nh, f[2], f[3], keep
+                ) + body[:keep]
+                out.append((int(mid), w, h, nw, nh, blob))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "new_width",
+                         "new_height", "payload"],
+            )
+
+    return media.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (row-count
+    expanding mapInPandas). Frame bytes are equal slices of the
+    payload — the slicing/indexing plumbing a real decoder feeds."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                kind, f = _parse_header(payload)
+                if kind != "video":
+                    continue
+                n_frames, plen = f[3], f[4]
+                body = bytes(payload[24:])
+                step = max(1, plen // max(1, n_frames))
+                for fr in range(0, n_frames, every_n):
+                    out.append((int(mid), fr, body[fr * step:(fr + 1) * step]))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "frame_bytes"]
+            )
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def audio_features(media: DataFrame, window: int = 64) -> DataFrame:
+    """Feature extraction: windowed byte-level mean over the payload as
+    an ``array<double>`` feature vector (numpy-vectorized per batch;
+    the real path swaps in MFCC/fbank over decoded samples)."""
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                kind, f = _parse_header(payload)
+                if kind != "audio":
+                    continue
+                body = np.frombuffer(bytes(payload[24:]), dtype=np.uint8)
+                n_win = max(1, len(body) // window)
+                trimmed = body[: n_win * window].reshape(n_win, window)
+                feats = (trimmed.mean(axis=1) / 255.0).round(6)
+                out.append((int(mid), n_win, feats.tolist()))
+            yield pd.DataFrame(out, columns=["media_id", "n_windows", "features"])
+
+    return media.mapInPandas(fn, schema=FEATURE_SCHEMA)

@@ -41,6 +41,28 @@ def ordered_concat(
     )
 
 
+def page_sample(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    head: int = 5,
+    stride: int = 10,
+) -> DataFrame:
+    """F2 — the PDF-analysis page-sampling policy as a relational op
+    (reference:docling_serve/pdf_analysis.py:52-72: sample the first 5
+    pages plus every ~10th). Pages are numbered within each document
+    by a window (one shuffle on the group key), then filtered; at
+    scale the input is already clustered by document so the window is
+    a cheap within-partition sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("page_no", F.row_number().over(w))
+        .filter((F.col("page_no") <= head) | (F.col("page_no") % stride == 0))
+    )
+
+
 def lang_mapping_df(spark: SparkSession) -> DataFrame:
     """P4 — the OCR language mapping as a (src_code, tesseract_code)
     table; tiny, always broadcast."""

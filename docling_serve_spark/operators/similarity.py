@@ -111,6 +111,62 @@ def ann_topk_lsh(
     )
 
 
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+
+    The self-join is equi-keyed on ``block_col`` so Spark plans a
+    shuffle hash join on the block id — pairs are only materialized
+    within blocks, never across the full corpus (the all-pairs cross
+    join would be O(n^2) and is never planned). At 10^12 scale the
+    block key is an LSH bucket (``embedding_neardup_lsh``) so block
+    sizes stay bounded; here ``label`` doubles as the semantic block.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("va"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vb"),
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("vec_a").cast("bigint"),
+            F.col("vec_b").cast("bigint"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path near-dup: block on the LSH bucket instead of a
+    semantic label. Recall is per-bucket (near-identical vectors land
+    in the same bucket with high probability); cost is sum of
+    per-bucket squares instead of corpus square."""
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes)
+    )
+    return embedding_neardup(
+        bucketed, threshold=threshold, block_col="bucket", vec_col=vec_col
+    )
+
+
 def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid then each vector's cosine to its centroid —
     grouped agg over arrays (posexplode -> avg -> regroup), a shape

@@ -14,7 +14,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from docling_serve_spark.operators import analysis, dedup, relational, similarity, textstats
+from docling_serve_spark.operators import (
+    analysis,
+    channels,
+    dedup,
+    relational,
+    similarity,
+    textstats,
+)
+from docling_serve_spark import multimodal
 from docling_serve_spark.operators.extract_stage import run_extraction
 from docling_serve_spark.sources.pages import build_pages_df
 
@@ -506,6 +514,173 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = (
+    "WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c "
+    "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) "
+    "SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, "
+    "round(c, 6) AS cos_sim FROM s WHERE round(c, 6) >= 0.35"
+)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-blocked near-dup — the 10^12-row path; hyperplanes
+    are engine-side literals, so driver records rows-only."""
+    return similarity.embedding_neardup_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ----------------------------------------------------------------- #
+# A5: markdown -> text/html/doctags channel downgrades
+# (md synthesized identically on both sides from documents)
+# ----------------------------------------------------------------- #
+
+def q_markdown_downgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# "), F.col("source"), F.lit("\n\n"), F.col("text"),
+        F.lit("\n\n\n[link](https://x)"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        channels.md_to_text(md).alias("text_content"),
+        channels.md_to_html(md).alias("html_content"),
+        channels.md_to_doctags(md).alias("doctags_content"),
+    )
+
+
+ORACLE_MD_DOWNGRADE = (
+    "WITH m AS (SELECT doc_id, '# ' || source || e'\\n\\n' || text "
+    "|| e'\\n\\n\\n[link](https://x)' AS md FROM documents) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(md, '[#*_`\\[\\]()]', '', 'g'), "
+    "e'\\n+', e'\\n', 'g'), '^\\s+|\\s+$', '', 'g') AS text_content, "
+    "'<pre>' || md || '</pre>' AS html_content, "
+    "'<document>' || md || '</document>' AS doctags_content FROM m"
+)
+
+
+# ----------------------------------------------------------------- #
+# F2: page-sampling policy (first 5 + every 10th) over the events
+# table as the per-document page stream
+# ----------------------------------------------------------------- #
+
+def q_page_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return relational.page_sample(ev, "user_id", "event_id").select(
+        F.col("user_id").cast("bigint"),
+        F.col("event_id").cast("bigint"),
+        F.col("page_no").cast("int"),
+        "event_type",
+    )
+
+
+ORACLE_PAGE_SAMPLING = (
+    "WITH p AS (SELECT user_id, event_id, event_type, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS page_no "
+    "FROM events) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id, "
+    "CAST(page_no AS INT) AS page_no, event_type FROM p "
+    "WHERE page_no <= 5 OR page_no % 10 = 0"
+)
+
+
+# ----------------------------------------------------------------- #
+# Multimodal: binary media columns + typed metadata. The fake
+# container's header fields are fixed arithmetic of media_id, so the
+# oracles recompute them relationally while Spark round-trips the
+# actual bytes through Arrow + mapInPandas (multimodal/media.py).
+# ----------------------------------------------------------------- #
+
+_N_MEDIA = 400
+
+_MEDIA_META_CTE = (
+    "WITH ids AS (SELECT CAST(media_id AS BIGINT) AS media_id "
+    f"FROM range(0, {_N_MEDIA}) t(media_id)), "
+    "m AS (SELECT media_id, "
+    "CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "320 + (media_id * 7) % 1600 AS w, 240 + (media_id * 13) % 900 AS h, "
+    "8000 + (media_id % 5) * 4000 AS sr, 1000 + (media_id * 17) % 9000 AS ns, "
+    "24 + (media_id % 3) * 6 AS fps, 10 + (media_id * 3) % 110 AS nf, "
+    "256 + media_id % 512 AS plen FROM ids)"
+)
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.build_media_df(spark, _N_MEDIA)
+    return multimodal.decode_metadata(media)
+
+
+ORACLE_MEDIA_METADATA = (
+    _MEDIA_META_CTE + " "
+    "SELECT media_id, kind, "
+    "CAST(CASE WHEN kind IN ('image','video') THEN w ELSE 0 END AS INT) AS width, "
+    "CAST(CASE WHEN kind IN ('image','video') THEN h ELSE 0 END AS INT) AS height, "
+    "CAST(CASE WHEN kind = 'image' THEN 3 ELSE 0 END AS INT) AS channels, "
+    "CAST(CASE WHEN kind = 'audio' THEN sr ELSE 0 END AS INT) AS sample_rate, "
+    "CAST(CASE WHEN kind = 'audio' THEN ns ELSE 0 END AS INT) AS n_samples, "
+    "CAST(CASE WHEN kind = 'video' THEN fps ELSE 0 END AS INT) AS fps, "
+    "CAST(CASE WHEN kind = 'video' THEN nf ELSE 0 END AS INT) AS n_frames, "
+    "CAST(plen AS BIGINT) AS payload_len FROM m"
+)
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.build_media_df(spark, _N_MEDIA)
+    resized = multimodal.image_resize(media, max_px=256)
+    return resized.select(
+        "media_id", "width", "height", "new_width", "new_height",
+        F.length("payload").cast("bigint").alias("blob_len"),
+    )
+
+
+ORACLE_MEDIA_RESIZE = (
+    _MEDIA_META_CTE + ", "
+    "r AS (SELECT media_id, w, h, plen, "
+    "least(1.0, 256.0 / greatest(w, h)) AS scale FROM m WHERE kind <> 'audio') "
+    "SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "CAST(floor(w * scale) AS INT) AS new_width, "
+    "CAST(floor(h * scale) AS INT) AS new_height, "
+    "CAST(24 + greatest(1, CAST(floor(plen * scale) AS BIGINT)) AS BIGINT) AS blob_len "
+    "FROM r"
+)
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.build_media_df(spark, _N_MEDIA)
+    frames = multimodal.frame_sample(media, every_n=10)
+    return frames.select(
+        "media_id", "frame_no",
+        F.length("frame_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+ORACLE_MEDIA_FRAMES = (
+    _MEDIA_META_CTE + " "
+    "SELECT m.media_id, CAST(f.frame_no AS INT) AS frame_no, "
+    "CAST(plen // nf AS BIGINT) AS n_bytes "
+    "FROM m, LATERAL (SELECT unnest(range(0, nf, 10)) AS frame_no) f "
+    "WHERE kind = 'video'"
+)
+
+
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed byte-level features over audio payloads — computed from
+    the binary itself, so rows-only (no SQL twin)."""
+    media = multimodal.build_media_df(spark, _N_MEDIA)
+    return multimodal.audio_features(media)
+
+
 # ----------------------------------------------------------------- #
 # The extraction pipeline itself (no SQL oracle: the HTML/PDF parse
 # is not SQL-expressible; byte-identity is enforced in pytest against
@@ -548,9 +723,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "jaccard_neardup": q_jaccard_neardup,
     "textstats": q_textstats,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "markdown_downgrade": q_markdown_downgrade,
+    "page_sampling": q_page_sampling,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "centroid_similarity": q_centroid_similarity,
+    "media_metadata": q_media_metadata,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
+    "media_audio_features": q_media_audio_features,
     "pipeline_extract": q_pipeline_extract,
     "pipeline_metrics": q_pipeline_metrics,
 }
@@ -572,6 +755,14 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "jaccard_neardup": ORACLE_JACCARD,
     "textstats": ORACLE_TEXTSTATS,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "markdown_downgrade": ORACLE_MD_DOWNGRADE,
+    "page_sampling": ORACLE_PAGE_SAMPLING,
     "ann_bruteforce": ORACLE_ANN_BRUTE,
-    # ann_lsh / centroid_similarity / pipeline_*: rows-only checks
+    "media_metadata": ORACLE_MEDIA_METADATA,
+    "media_resize": ORACLE_MEDIA_RESIZE,
+    "media_frame_sample": ORACLE_MEDIA_FRAMES,
+    # ann_lsh / dedup_embedding_lsh / centroid_similarity /
+    # media_audio_features / pipeline_*: rows-only checks
+    # (engine-side literals / binary-derived / non-SQL)
 }

@@ -1,0 +1,59 @@
+"""Multimodal plumbing: binary round-trip through Arrow, expanding
+frame-sample output, codec-boundary stub, deterministic payloads."""
+
+import pytest
+
+from docling_serve_spark.multimodal import media as mm
+
+
+def test_encode_parse_roundtrip():
+    for mid in (0, 1, 2, 37, 101):
+        _, kind, blob = mm.encode_media(mid)
+        k, f = mm._parse_header(blob)
+        assert k == kind
+        assert len(blob) == 24 + f[4]
+
+
+def test_payload_deterministic():
+    assert mm._payload(7, 64) == mm._payload(7, 64)
+    assert mm._payload(7, 64) != mm._payload(8, 64)
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm._decode_real(b"\x89PNG")
+
+
+def test_decode_metadata_spark(spark):
+    meta = mm.decode_metadata(mm.build_media_df(spark, 30)).collect()
+    assert len(meta) == 30
+    by_id = {r.media_id: r for r in meta}
+    assert by_id[0].kind == "image" and by_id[0].width == 320
+    assert by_id[1].kind == "audio" and by_id[1].sample_rate == 12000
+    assert by_id[2].kind == "video" and by_id[2].n_frames == 16
+
+
+def test_frame_sample_expands_rows(spark):
+    frames = mm.frame_sample(mm.build_media_df(spark, 30), every_n=10)
+    rows = frames.collect()
+    # only video rows (ids 2,5,...) contribute; each yields >= 1 frame
+    vids = {r.media_id for r in rows}
+    assert vids == {i for i in range(30) if i % 3 == 2}
+    assert all(len(r.frame_bytes) > 0 for r in rows)
+
+
+def test_resize_caps_longest_edge(spark):
+    out = mm.image_resize(mm.build_media_df(spark, 30), max_px=256).collect()
+    for r in out:
+        assert max(r.new_width, r.new_height) <= 256
+        # aspect ratio preserved within integer truncation
+        if r.width >= r.height:
+            assert r.new_width == 256 or (r.width <= 256 and r.new_width == r.width)
+
+
+def test_audio_features_shape(spark):
+    feats = mm.audio_features(mm.build_media_df(spark, 30)).collect()
+    assert {r.media_id for r in feats} == {i for i in range(30) if i % 3 == 1}
+    for r in feats:
+        assert len(r.features) == r.n_windows
+        assert all(0.0 <= v <= 1.0 for v in r.features)
