@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("lang"),
     )
     # exercise the resume path too: nothing completed -> full corpus
-    manifest = spark.createDataFrame([], "url string")
+    manifest = spark.sql("SELECT CAST(NULL AS STRING) AS url WHERE false")
     pending = resume_anti_join(pages, manifest, key="url")
     results = run_extraction(pending)
     return (

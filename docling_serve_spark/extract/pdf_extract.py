@@ -67,7 +67,12 @@ def is_tagged_pdf(data: bytes) -> bool:
     return re.search(rb"/MarkInfo\s*<<[^>]*/Marked\s+true", data) is not None
 
 
+_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
+
+
 def _unescape(s: str) -> str:
+    if "\\" not in s:  # fast path: the overwhelmingly common case
+        return s
     out = []
     i = 0
     n = len(s)
@@ -76,7 +81,7 @@ def _unescape(s: str) -> str:
         if c == "\\" and i + 1 < n:
             nxt = s[i + 1]
             if nxt in "nrtbf":
-                out.append({"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}[nxt])
+                out.append(_ESCAPES[nxt])
                 i += 2
             elif nxt in "()\\":
                 out.append(nxt)
@@ -118,23 +123,25 @@ def _parse_content(stream: str) -> list[_Run]:
     leading = 14.0
     in_array: list | None = None
     for m in _TOKEN_RE.finditer(stream):
-        if m.group("str") is not None:
+        kind = m.lastgroup  # single-group dispatch: one lookup per token
+        if kind == "str":
             s = _unescape(m.group("str"))
             if in_array is not None:
                 in_array.append(s)
             else:
                 stack.append(("s", s))
-        elif m.group("num") is not None:
+        elif kind == "num":
             v = float(m.group("num"))
             if in_array is not None:
                 in_array.append(v)
             else:
                 stack.append(("n", v))
-        elif m.group("arr") == "[":
-            in_array = []
-        elif m.group("arr") == "]":
-            stack.append(("a", in_array or []))
-            in_array = None
+        elif kind == "arr":
+            if m.group("arr") == "[":
+                in_array = []
+            else:
+                stack.append(("a", in_array or []))
+                in_array = None
         else:
             op = m.group("op")
             if op == "Td" and len(stack) >= 2:

@@ -68,20 +68,33 @@ def _md5_hash(col: Column, salt: int) -> Column:
     ).cast("bigint")
 
 
-def minhash_signature(col: Column, n_hashes: int = 8, k: int = 3) -> Column:
-    """Array of n minhash values over word k-shingles.
+def raw_shingles(col: Column, k: int = 3) -> Column:
+    """Word k-grams WITHOUT distinct/sort — duplicates cannot change a
+    min-hash, so the cheaper form feeds the minhash path."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
 
-    NB: lambdas passed to Spark higher-order functions must have
-    exactly the declared arity — extra default-arg captures are bound
-    to lambda variables (the element index), so salts are baked in
-    via closure factories instead."""
-    sh = word_shingles(col, k)
 
-    def hasher(salt: int):
-        return lambda s: _md5_hash(s, salt)
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       n_hashes: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, h0..h{n-1}) minhash signature, explode-once.
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(i))) for i in range(n_hashes)]
+    Each shingle is hashed once per salt and min-reduced by hash
+    aggregation — map-side partial agg means the shuffle carries
+    n_hashes longs per doc, not the shingle set. (The one-column
+    ``array_min(transform(...))`` form re-derives the whole shingle
+    array once per salt inside interpreted higher-order functions —
+    measured ~9x slower at sf0.1.)"""
+    sh = docs.select("doc_id", F.explode(raw_shingles(F.col(text_col), k)).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_hash(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
 
 
@@ -90,9 +103,8 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
     """(doc_id, band_no, band_key): LSH banding — docs sharing a band
     key are near-dup candidates. Candidate join is a shuffle on
     band_key (small keys; skew impossible because keys are hashes)."""
-    sig = minhash_signature(F.col(text_col), n_hashes)
+    sig = minhash_signatures(docs, text_col, n_hashes)
     n_bands = n_hashes // band_size
-    d = docs.select("doc_id", sig.alias("sig"))
     bands = F.array(
         *[
             F.struct(
@@ -100,7 +112,7 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
                 F.concat_ws(
                     "_",
                     *[
-                        F.element_at("sig", b * band_size + j + 1).cast("string")
+                        F.col(f"h{b * band_size + j}").cast("string")
                         for j in range(band_size)
                     ],
                 ).alias("band_key"),
@@ -108,7 +120,7 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
             for b in range(n_bands)
         ]
     )
-    return d.select(
+    return sig.select(
         "doc_id", F.explode(bands).alias("band")
     ).select("doc_id", F.col("band.band_no").alias("band_no"),
              F.col("band.band_key").alias("band_key"))
@@ -135,36 +147,42 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def simhash32(col: Column) -> Column:
-    """32-bit SimHash over tokens: per-bit majority vote of token
-    hashes, entirely with higher-order array functions (JVM-side)."""
-    toks = F.array_distinct(tokens(col))
-    hashes = F.transform(toks, lambda t: _md5_hash(t, 0))
-    # bit b of signature = 1 if sum over tokens of bit b >= half
-    def bit_summer(b: int):
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
-
-    bits = [
-        F.when(
-            F.aggregate(hashes, F.lit(0).cast("bigint"), bit_summer(b)) * 2
-            >= F.size(hashes),
-            F.lit(1).cast("bigint"),
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash — per-bit majority vote of
+    distinct-token hashes. Explode-once: each token hashed once, then
+    32 codegen'd SUM aggregates (one per bit) in a single hash
+    aggregation; the shuffle carries 33 longs per doc. (The one-column
+    form with 32 ``F.aggregate`` passes re-walks — and re-hashes — the
+    token array per bit, interpreted.)"""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tk")
+    )
+    h = toks.select("doc_id", _md5_hash(F.col("tk"), 0).alias("hv"))
+    agg = h.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+            for b in range(32)
+        ],
+    )
+    sig = None
+    for b in range(32):
+        bit = F.when(
+            F.col(f"o{b}") * 2 >= F.col("n_tok"), F.lit(1).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(32)
-    ]
-    sig = bits[0]
-    for b in range(1, 32):
-        sig = sig + F.shiftleft(bits[b], b)
-    return sig
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Docs grouped by identical SimHash (strong near-dup signal)."""
     return (
-        docs.select("doc_id", simhash32(F.col(text_col)).alias("simhash"))
+        simhash_signatures(docs, text_col)
         .groupBy("simhash")
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.min("doc_id").cast("bigint").alias("keep_doc_id"))
+        .select(F.col("simhash").cast("bigint"), "n_docs", "keep_doc_id")
     )
 
 

@@ -127,9 +127,11 @@ def run_extraction(
         heavy = heavy.repartition(heavy_partitions)
     else:
         # spread heavy rows evenly: hash-of-url round robin kills runs
-        # of adjacent heavy rows that naive slicing would co-locate
+        # of adjacent heavy rows that naive slicing would co-locate.
+        # 4x the shuffle width: heavy rows cost ~50x a light row, so
+        # shorter tasks smooth the stage's straggler tail.
         heavy = heavy.repartition(
-            int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            4 * int(pages.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             F.pmod(F.xxhash64("url"), F.lit(1 << 16)),
         )
     heavy = heavy.mapInPandas(fn, schema=RESULT_SCHEMA)

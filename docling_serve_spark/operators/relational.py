@@ -65,8 +65,14 @@ def page_sample(
 
 def lang_mapping_df(spark: SparkSession) -> DataFrame:
     """P4 — the OCR language mapping as a (src_code, tesseract_code)
-    table; tiny, always broadcast."""
-    return spark.createDataFrame(mapping_rows(), "src_code string, tesseract_code string")
+    table; tiny, always broadcast. Built as a SQL VALUES LocalRelation
+    (stays entirely JVM-side; ``createDataFrame`` would round-trip the
+    rows through a Python RDD and pay Python-worker spawn on first
+    use)."""
+    values = ", ".join(f"('{s}', '{t}')" for s, t in mapping_rows())
+    return spark.sql(
+        f"SELECT * FROM (VALUES {values}) AS m(src_code, tesseract_code)"
+    )
 
 
 def join_lang_mapping(df: DataFrame, lang_col: str = "lang") -> DataFrame:

@@ -23,8 +23,15 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch: int = 256,
+    files_max_partition_bytes: int | None = None,
     extra: dict | None = None,
 ) -> SparkSession:
+    """``files_max_partition_bytes``: input-split size. The extraction
+    UDF is compute-bound (~2 MB/s/core measured), so split size sets
+    task granularity in CPU-seconds, not IO: 128 MB (default) ≈ 60 s
+    tasks — right for a 1000-executor run over 100 TB; small corpora
+    need 4-16 MB or the scan packs everything into a handful of splits
+    and most cores idle."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
@@ -39,7 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(files_max_partition_bytes or 134217728),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
