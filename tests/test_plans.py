@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the properties that make the
+engine scale are asserted on `.explain` output, so a refactor that
+silently de-optimizes a plan (drops pushdown, widens a scan, turns a
+broadcast into a shuffle join) fails CI, not the 100 TB run."""
+
+from pyspark.sql import functions as F
+
+from docling_serve_spark.operators.extract_stage import run_extraction
+from docling_serve_spark.queries import QUERIES
+from docling_serve_spark.sources.pages import build_pages_df
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_extract_scan_prunes_text_column(spark, tmp_path):
+    """The crawler's noisy `text` column must never be read from
+    parquet into the extraction stage."""
+    path = str(tmp_path / "pages")
+    build_pages_df(spark, 50).write.parquet(path)
+    plan = _plan(spark, run_extraction(spark.read.parquet(path)))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas, "no file scan in plan"
+    for line in schemas:
+        assert "text" not in line, f"text column not pruned: {line}"
+        assert "html" in line
+
+
+def test_langmap_join_is_broadcast(spark):
+    plan = _plan(spark, QUERIES["langmap_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_filter_pushes_down(spark):
+    plan = _plan(spark, QUERIES["retention_filter"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "LessThan(ts" in pushed[0], pushed
+
+
+def test_dedup_exact_has_partial_aggregation(spark):
+    plan = _plan(spark, QUERIES["dedup_exact"](spark, SF_DIR))
+    # partial agg before the exchange, final after: >= 2 HashAggregates
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_resume_anti_join_is_broadcast(spark):
+    plan = _plan(spark, QUERIES["resume_anti_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_ann_bruteforce_broadcasts_query_vector(spark):
+    plan = _plan(spark, QUERIES["ann_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # top-k must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_row_udfs_anywhere(spark):
+    """Every catalog query must stay JVM-side or Arrow-batched: the
+    plan may contain ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas,
+    never BatchEvalPython (row-at-a-time pickle)."""
+    for name, q in QUERIES.items():
+        plan = _plan(spark, q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row UDF"
