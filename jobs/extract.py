@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=16,
                     help="resumable checkpoint units (Iceberg-partition analog)")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--max-partition-bytes", type=int, default=None,
+                    help="input-split size; the UDF stage is compute-bound "
+                         "(~2 MB/s/core), so this sets task granularity — "
+                         "default 128MB suits cluster scale, use 2-16MB for "
+                         "small corpora (see BENCH.md)")
     # ConvertDocumentsOptions analog (reference defaults)
     ap.add_argument("--to-formats", default="md,text,html,doctags,json")
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR dispatch (do_ocr=False)")
@@ -50,7 +55,8 @@ def main() -> None:
         run_checkpointed,
     )
 
-    spark = get_spark(app_name="extract-job", master=args.master)
+    spark = get_spark(app_name="extract-job", master=args.master,
+                      files_max_partition_bytes=args.max_partition_bytes)
     opts = ExtractOptions(
         to_formats=tuple(f.strip() for f in args.to_formats.split(",") if f.strip()),
         do_ocr=not args.no_ocr,
