@@ -27,9 +27,10 @@ from docling_serve_spark.docmodel.model import Document
 from docling_serve_spark.extract.html_extract import extract_html
 from docling_serve_spark.extract.pdf_extract import (
     PdfParseError,
-    extract_pdf,
-    is_tagged_pdf,
-    pdf_page_texts,
+    extract_pdf_ordered,
+    order_pages,
+    page_texts_ordered,
+    parse_pdf_pages,
 )
 from docling_serve_spark.extract.postprocess import process_markdown_bidi
 from docling_serve_spark.extract.quality import (
@@ -177,8 +178,12 @@ def extract_document(
 
     try:
         if doc_type == DOC_TYPE_PDF:
-            page_texts = pdf_page_texts(data)
-            tagged = is_tagged_pdf(data)
+            # parse + reading-order ONCE; quality projection and doc
+            # assembly share the ordered lines (a PDF row is ~50x an
+            # HTML row — re-parsing doubled the heavy bucket's cost)
+            pages, tagged = parse_pdf_pages(data)
+            ordered = order_pages(pages)
+            page_texts = page_texts_ordered(ordered)
             if opts.max_num_pages and len(page_texts) > opts.max_num_pages:
                 res.status = STATUS_SKIPPED
                 res.error = f"exceeds max_num_pages ({len(page_texts)})"
@@ -197,7 +202,7 @@ def extract_document(
             # external engine offline — SURVEY.md §2.3); the text
             # channel falls back to embedded text.
             res.ocr_invoked = opts.do_ocr and analysis.recommended_mode != MODE_SKIP
-            doc = extract_pdf(data, name=name)
+            doc = extract_pdf_ordered(ordered, name=name)
             _export_channels(res, doc, opts, lang)
         elif doc_type == DOC_TYPE_HTML:
             doc = extract_html(data, name=name)

@@ -318,12 +318,24 @@ def _reading_order_lines(runs: list[_Run]) -> list[_Line]:
     return [lines[i] for i in order]
 
 
+def order_pages(pages: list[list[_Run]]) -> list[list[_Line]]:
+    """Reading-ordered lines per page — computed once and shared by
+    the quality projection (F2) and document assembly (C2-C4), so one
+    PDF is tokenized and ordered exactly once per row."""
+    return [_reading_order_lines(runs) for runs in pages]
+
+
 def extract_pdf(data: bytes, name: str = "") -> Document:
-    pages, tagged = parse_pdf_pages(data)
+    pages, _ = parse_pdf_pages(data)
+    return extract_pdf_ordered(order_pages(pages), name=name)
+
+
+def extract_pdf_ordered(
+    ordered_pages: list[list[_Line]], name: str = ""
+) -> Document:
     items: list[DocItem] = []
     saw_title = False
-    for page_no, runs in enumerate(pages, start=1):
-        ordered = _reading_order_lines(runs)
+    for page_no, ordered in enumerate(ordered_pages, start=1):
         for block in _blocks_from_lines(ordered):
             bbox = _line_bbox(block[0])
             for ln in block[1:]:
@@ -360,17 +372,20 @@ def extract_pdf(data: bytes, name: str = "") -> Document:
     doc = Document(
         name=name,
         items=items,
-        num_pages=len(pages),
+        num_pages=len(ordered_pages),
         origin_mimetype="application/pdf",
     )
     return assign_charspans(doc)
 
 
-def pdf_page_texts(data: bytes) -> list[str]:
+def page_texts_ordered(ordered_pages: list[list[_Line]]) -> list[str]:
     """Per-page plain text (the F2 projection feeding quality
     analysis, reference:docling_serve/pdf_analysis.py:52-72)."""
-    pages, _ = parse_pdf_pages(data)
     return [
-        "\n".join(ln.text() for ln in _reading_order_lines(runs))
-        for runs in pages
+        "\n".join(ln.text() for ln in ordered) for ordered in ordered_pages
     ]
+
+
+def pdf_page_texts(data: bytes) -> list[str]:
+    pages, _ = parse_pdf_pages(data)
+    return page_texts_ordered(order_pages(pages))
