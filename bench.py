@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "markdown_downgrade",
     "page_sampling",
+    "event_windows",
+    "sessionize",
     "textstats",
     "ann_bruteforce",
     "ann_lsh",

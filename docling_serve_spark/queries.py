@@ -596,6 +596,83 @@ ORACLE_PAGE_SAMPLING = (
 
 
 # ----------------------------------------------------------------- #
+# Event-time windows + sessionization (the batch twins of the
+# streaming rollups in streaming/ingest.py)
+# ----------------------------------------------------------------- #
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    watermarked rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+ORACLE_EVENT_WINDOWS = (
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    of session-break flags over a per-user window, then per-session
+    rollup — one shuffle on user_id reused by both windows and the
+    final aggregation."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.col("session_no").cast("bigint"),
+            "n_events", "session_start", "session_end",
+        )
+    )
+
+
+ORACLE_SESSIONIZE = (
+    "WITH g AS (SELECT user_id, event_id, ts, "
+    "epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap "
+    "FROM events), "
+    "s AS (SELECT user_id, ts, "
+    "sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS session_no FROM g) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_no AS BIGINT) AS session_no, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+    "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end "
+    "FROM s GROUP BY user_id, session_no"
+)
+
+
+# ----------------------------------------------------------------- #
 # Multimodal: binary media columns + typed metadata. The fake
 # container's header fields are fixed arithmetic of media_id, so the
 # oracles recompute them relationally while Spark round-trips the
@@ -730,6 +807,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "centroid_similarity": q_centroid_similarity,
+    "event_windows": q_event_windows,
+    "sessionize": q_sessionize,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
@@ -759,6 +838,8 @@ ORACLES: dict[str, str] = {
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,
     "ann_bruteforce": ORACLE_ANN_BRUTE,
+    "event_windows": ORACLE_EVENT_WINDOWS,
+    "sessionize": ORACLE_SESSIONIZE,
     "media_metadata": ORACLE_MEDIA_METADATA,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
