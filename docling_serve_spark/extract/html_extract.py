@@ -36,6 +36,7 @@ from docling_serve_spark.docmodel.model import (
     TableData,
 )
 from docling_serve_spark.docmodel.export import assign_charspans
+from docling_serve_spark.extract.fasthtml import feed_fast
 
 # Tags whose entire subtree is never content.
 _DROP_TAGS = frozenset(
@@ -366,6 +367,23 @@ def _decode(html_bytes: bytes) -> str:
         return html_bytes.decode("utf-8", errors="replace")
 
 
+def _build_tree(text: str, fast: bool = True) -> _Node:
+    """DOM build: fast one-pass scanner (fasthtml.feed_fast) driving
+    the same handlers, with the stdlib parser as the fallback — both
+    paths are differential-tested byte-equal (tests/test_fasthtml.py)."""
+    if fast:
+        try:
+            parser = _TreeBuilder()
+            feed_fast(parser, text)
+            return parser.root
+        except Exception:  # noqa: BLE001 — any scanner gap -> stdlib
+            pass
+    parser = _TreeBuilder()
+    parser.feed(text)
+    parser.close()
+    return parser.root
+
+
 def extract_html(html_bytes: bytes, name: str = "") -> Document:
     """Parse page bytes -> boilerplate-stripped Document.
 
@@ -374,10 +392,8 @@ def extract_html(html_bytes: bytes, name: str = "") -> Document:
     items in document order -> assign charspans into the strict-text
     channel.
     """
-    parser = _TreeBuilder()
-    parser.feed(_decode(html_bytes))
-    parser.close()
-    root = parser.root
+    text = _decode(html_bytes)
+    root = _build_tree(text)
 
     _prune(root)
     _measure(root)
