@@ -29,6 +29,7 @@ CODE = "code"
 PAGE_HEADER = "page_header"
 PAGE_FOOTER = "page_footer"
 CAPTION = "caption"
+PICTURE = "picture"
 
 
 @dataclass(frozen=True)
@@ -79,10 +80,11 @@ class TableData:
 @dataclass
 class DocItem:
     item_type: str
-    text: str
+    text: str  # for pictures: the alt text
     level: int = 0  # heading level for section_header (1..6)
     prov: list[Prov] = field(default_factory=list)
     table: TableData | None = None
+    image_ref: str = ""  # for pictures: the source URI
 
 
 @dataclass

@@ -84,6 +84,20 @@ class ExtractOptions:
     max_file_size_bytes: int = 200 * 1024 * 1024  # ocrmypdf_settings.py:32
     max_num_pages: int = 0  # 0 = unlimited (docling_conversion.py:252-254)
     page_break_placeholder: str = ""  # convert.py:299-305
+    # C10 — page_range [first, last], 1-based inclusive; last=0 = open
+    # (reference:datamodel/convert.py:230-236 default [1, max])
+    page_range: tuple[int, int] = (1, 0)
+    # E6 — image_export_mode ∈ {embedded, placeholder, referenced}
+    # (convert.py:139-151, default embedded)
+    image_export_mode: str = "embedded"
+    # F11/T1 — Arabic-correction dispatch gate (fork default OFF via
+    # .env DOCLING_ARABIC_ENABLED=false; correction itself is an
+    # external LLM service -> no-op fallback offline,
+    # arabic_correction_middleware.py:171-180)
+    enable_arabic_correction: bool = False
+    # C11 — per-document wall-clock budget in seconds; 0 = unlimited
+    # (convert.py:238-245, settings.py:49)
+    document_timeout_s: float = 0.0
 
 
 @dataclass
@@ -110,6 +124,7 @@ class ExtractionResult:
     recommended_mode: str = ""
     force_ocr_effective: bool = False
     ocr_invoked: bool = False
+    arabic_dispatched: bool = False
     error: str = ""
     errors: list[str] = field(default_factory=list)
 
@@ -137,13 +152,15 @@ def _export_channels(
     res.extracted_text = export_to_text(doc)
     if "md" in opts.to_formats:
         md = export_to_markdown(
-            doc, page_break_placeholder=opts.page_break_placeholder or None
+            doc,
+            page_break_placeholder=opts.page_break_placeholder or None,
+            image_mode=opts.image_export_mode,
         )
         if opts.enable_bidi_processing:
             md = process_markdown_bidi(md)
         res.md_content = md
     if "html" in opts.to_formats:
-        res.html_content = export_to_html(doc)
+        res.html_content = export_to_html(doc, image_mode=opts.image_export_mode)
     if "doctags" in opts.to_formats:
         res.doctags_content = export_to_doctags(doc)
     if "json" in opts.to_formats:
@@ -151,6 +168,17 @@ def _export_channels(
     res.spans_json = _spans_json(doc)
     res.num_pages = doc.num_pages
     res.n_items = len(doc.items)
+    # F11 Arabic gate: dispatch flag + offline no-op correction with
+    # per-row fallback (the reference's graceful degradation,
+    # arabic_correction_middleware.py:171-180); gate mirrors F11
+    # (len >= 10 and Arabic detected; we use the lang column / Arabic
+    # codepoint majority instead of langdetect)
+    if opts.enable_arabic_correction:
+        t = res.extracted_text.strip()
+        n_ar = sum(1 for ch in t if "؀" <= ch <= "ۿ")
+        res.arabic_dispatched = len(t) >= 10 and (
+            lang.lower().startswith("ar") or n_ar * 2 > len(t)
+        )
 
 
 def extract_document(
@@ -162,9 +190,21 @@ def extract_document(
     """The per-row conversion: pure, deterministic, total (never
     raises — failures become status rows, mirroring the reference's
     per-document error containment at worker.py:274-287)."""
+    import time as _time
+
     opts = opts or ExtractOptions()
+    t0 = _time.monotonic()
     doc_type = sniff_doc_type(data or b"")
     res = ExtractionResult(name=name, status=STATUS_SUCCESS, doc_type=doc_type)
+
+    def timed_out() -> bool:
+        # C11 — wall-clock budget checked between stages (the
+        # reference cancels between pipeline stages too; a stage in
+        # flight cannot be preempted)
+        return (
+            opts.document_timeout_s > 0
+            and _time.monotonic() - t0 > opts.document_timeout_s
+        )
 
     if not data:
         res.status = STATUS_FAILURE
@@ -182,6 +222,10 @@ def extract_document(
             # assembly share the ordered lines (a PDF row is ~50x an
             # HTML row — re-parsing doubled the heavy bucket's cost)
             pages, tagged = parse_pdf_pages(data)
+            if timed_out():
+                res.status = STATUS_FAILURE
+                res.error = "document timeout"
+                return res
             ordered = order_pages(pages)
             page_texts = page_texts_ordered(ordered)
             if opts.max_num_pages and len(page_texts) > opts.max_num_pages:
@@ -202,10 +246,20 @@ def extract_document(
             # external engine offline — SURVEY.md §2.3); the text
             # channel falls back to embedded text.
             res.ocr_invoked = opts.do_ocr and analysis.recommended_mode != MODE_SKIP
-            doc = extract_pdf_ordered(ordered, name=name)
+            # C10 — page_range slice (analysis above ran on the full
+            # document, as the reference's pre-conversion analysis
+            # does); prov page numbers stay true via first_page
+            first, last = opts.page_range
+            first = max(1, first)
+            sel = ordered[first - 1 : (last if last > 0 else None)]
+            doc = extract_pdf_ordered(sel, name=name, first_page=first)
             _export_channels(res, doc, opts, lang)
         elif doc_type == DOC_TYPE_HTML:
             doc = extract_html(data, name=name)
+            if timed_out():
+                res.status = STATUS_FAILURE
+                res.error = "document timeout"
+                return res
             res.has_text = any(i.text for i in doc.items)
             _export_channels(res, doc, opts, lang)
             if not doc.items:

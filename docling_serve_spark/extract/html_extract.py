@@ -26,6 +26,7 @@ from docling_serve_spark.docmodel.model import (
     CAPTION,
     CODE,
     LIST_ITEM,
+    PICTURE,
     SECTION_HEADER,
     TABLE,
     TEXT,
@@ -351,6 +352,12 @@ def _emit_items(node: _Node, items: list[DocItem], saw_title: list[bool]) -> Non
             td = _extract_table(c)
             if td.num_rows > 0:
                 items.append(DocItem(TABLE, "", table=td))
+            continue
+        if c.tag == "img":
+            src = str(c.attrs.get("src") or "")
+            alt = _norm_text(str(c.attrs.get("alt") or ""))
+            if src or alt:
+                items.append(DocItem(PICTURE, alt, image_ref=src))
             continue
         if c.tag == "figcaption":
             t = _all_text(c)

@@ -331,11 +331,13 @@ def extract_pdf(data: bytes, name: str = "") -> Document:
 
 
 def extract_pdf_ordered(
-    ordered_pages: list[list[_Line]], name: str = ""
+    ordered_pages: list[list[_Line]], name: str = "", first_page: int = 1
 ) -> Document:
+    """``first_page`` keeps prov page numbers true when a page_range
+    slice (C10) was applied upstream."""
     items: list[DocItem] = []
     saw_title = False
-    for page_no, ordered in enumerate(ordered_pages, start=1):
+    for page_no, ordered in enumerate(ordered_pages, start=first_page):
         for block in _blocks_from_lines(ordered):
             bbox = _line_bbox(block[0])
             for ln in block[1:]:

@@ -42,7 +42,8 @@ RESULT_SCHEMA = (
     "num_pages int, n_items int, n_bytes bigint, "
     "has_text boolean, is_tagged boolean, text_quality string, "
     "quality_score double, recommended_mode string, "
-    "force_ocr_effective boolean, ocr_invoked boolean, error string"
+    "force_ocr_effective boolean, ocr_invoked boolean, "
+    "arabic_dispatched boolean, error string"
 )
 
 _RESULT_COLS = [f.split()[0] for f in RESULT_SCHEMA.split(", ")]
@@ -89,6 +90,7 @@ def _extract_batches(opts: ExtractOptions):
                         r.recommended_mode,
                         r.force_ocr_effective,
                         r.ocr_invoked,
+                        r.arabic_dispatched,
                         r.error,
                     )
                 )

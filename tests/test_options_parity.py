@@ -1,0 +1,105 @@
+"""ConvertDocumentsOptions parity: page_range (C10), image export
+modes (E6), Arabic-correction gate (F11/T1), document timeout (C11),
+picture items."""
+
+import json
+
+from docling_serve_spark.extract.core import ExtractOptions, extract_document
+from docling_serve_spark.extract.html_extract import extract_html
+from docling_serve_spark.sources.pages import gen_page
+
+
+def _first_pdf():
+    for i in range(500):
+        row = gen_page(i)
+        if bytes(row["html"]).startswith(b"%PDF"):
+            return bytes(row["html"]), row["url"]
+    raise AssertionError("no pdf in corpus")
+
+
+IMG_HTML = (
+    b"<html><body><main><article><h1>T</h1>"
+    b'<p>Some long enough paragraph of body text for scoring here.</p>'
+    b'<figure><img src="https://x/img.png" alt="A chart">'
+    b"<figcaption>Fig 1</figcaption></figure>"
+    b'<img src="/rel.jpg">'
+    b"</article></main></body></html>"
+)
+
+
+def test_picture_items_extracted():
+    doc = extract_html(IMG_HTML)
+    pics = [i for i in doc.items if i.item_type == "picture"]
+    assert len(pics) == 2
+    assert pics[0].image_ref == "https://x/img.png"
+    assert pics[0].text == "A chart"
+    # pictures occupy no span in the strict-text channel
+    assert all(p.prov[0].charspan[0] == p.prov[0].charspan[1] for p in pics)
+
+
+def test_image_export_modes():
+    outs = {}
+    for mode in ("embedded", "placeholder", "referenced"):
+        r = extract_document(
+            IMG_HTML, name="img", opts=ExtractOptions(image_export_mode=mode)
+        )
+        assert r.status == "success"
+        outs[mode] = r
+        # text channel is mode-independent (pictures carry no text)
+        assert r.extracted_text == outs["embedded"].extracted_text
+    assert "<!-- image -->" in outs["placeholder"].md_content
+    assert "![A chart](https://x/img.png)" in outs["referenced"].md_content
+    assert "data:image/png;base64," in outs["embedded"].md_content
+    assert '<img src="https://x/img.png"' in outs["referenced"].html_content
+    j = json.loads(outs["embedded"].json_content)
+    assert len(j["pictures"]) == 2
+    assert j["pictures"][0]["image"]["uri"] == "https://x/img.png"
+
+
+def test_page_range_slices_with_true_page_numbers():
+    data, url = _first_pdf()
+    full = extract_document(data, name=url)
+    sliced = extract_document(
+        data, name=url, opts=ExtractOptions(page_range=(2, 3))
+    )
+    assert full.num_pages > 3
+    assert sliced.num_pages == 2
+    spans = json.loads(sliced.spans_json)
+    assert spans and {s["page_no"] for s in spans} <= {2, 3}
+    # analysis still ran on the full document
+    assert sliced.recommended_mode == full.recommended_mode
+
+
+def test_arabic_gate():
+    ar = "المحتوى العربي الكامل لهذه الوثيقة طويل بما يكفي للبوابة".encode()
+    html = b"<html><body><main><p>" + ar + b"</p></main></body></html>"
+    off = extract_document(html, name="a", lang="ar")
+    assert not off.arabic_dispatched  # disabled by default (fork .env)
+    on = extract_document(
+        html, name="a", lang="ar", opts=ExtractOptions(enable_arabic_correction=True)
+    )
+    assert on.arabic_dispatched
+    en = extract_document(
+        b"<html><body><main><p>plain english text here</p></main></body></html>",
+        name="e", lang="en",
+        opts=ExtractOptions(enable_arabic_correction=True),
+    )
+    assert not en.arabic_dispatched
+    # codepoint-majority fallback when lang column is empty
+    unk = extract_document(
+        html, name="u", lang="", opts=ExtractOptions(enable_arabic_correction=True)
+    )
+    assert unk.arabic_dispatched
+
+
+def test_document_timeout():
+    data, url = _first_pdf()
+    r = extract_document(
+        data, name=url, opts=ExtractOptions(document_timeout_s=1e-9)
+    )
+    assert r.status == "failure"
+    assert r.error == "document timeout"
+    ok = extract_document(
+        data, name=url, opts=ExtractOptions(document_timeout_s=3600)
+    )
+    assert ok.status == "success"
