@@ -595,6 +595,81 @@ ORACLE_PAGE_SAMPLING = (
 )
 
 
+def q_size_guard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — file-size guard routing: rows bucketed by size thresholds
+    (skip/heavy/light), counted not dropped (reference caps at
+    ocrmypdf_middleware.py:70-100, settings.py:49-51)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") > 2000, "skip_oversize")
+        .when(F.col("n_chars") > 500, "heavy")
+        .otherwise("light")
+    )
+    return (
+        docs.groupBy(bucket.alias("route"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_SIZE_GUARD = (
+    "SELECT CASE WHEN n_chars > 2000 THEN 'skip_oversize' "
+    "WHEN n_chars > 500 THEN 'heavy' ELSE 'light' END AS route, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1"
+)
+
+
+def q_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — base64 file-source decode (reference:datamodel/
+    requests.py:33-49): encode -> decode round trip, checked by hash."""
+    docs = _t(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode(F.col("text"), "UTF-8"))
+    raw = F.unbase64(b64)
+    back = F.decode(raw, "UTF-8")
+    # NB: Spark's base64() is MIME-chunked (CRLF every 76 chars),
+    # DuckDB's to_base64 is not — so the cross-engine check compares
+    # the decoded bytes, not the encoded text
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.length(raw).cast("bigint").alias("n_bytes"),
+        (F.md5(back) == F.md5(F.col("text"))).alias("roundtrip_ok"),
+    )
+
+
+ORACLE_BASE64 = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(octet_length(from_base64(to_base64(encode(text)))) AS BIGINT) AS n_bytes, "
+    "md5(decode(from_base64(to_base64(encode(text))))) = md5(text) AS roundtrip_ok "
+    "FROM documents"
+)
+
+
+def q_line_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — per-line mirror (reference:mirror_lines.py:1-13:
+    line[::-1] per line), as pure array expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    mirrored = F.array_join(
+        F.transform(F.split(F.col("text"), "\n"), lambda s: F.reverse(s)),
+        "\n",
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.md5(mirrored).alias("mirrored_md5"),
+        (F.reverse(mirrored) == F.col("text")).alias("single_line_palindrome_prop"),
+    )
+
+
+ORACLE_LINE_MIRROR = (
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "md5(array_to_string(list_transform(string_split(text, chr(10)), s -> reverse(s)), chr(10))) AS mirrored_md5, "
+    "reverse(array_to_string(list_transform(string_split(text, chr(10)), s -> reverse(s)), chr(10))) = text "
+    "AS single_line_palindrome_prop FROM documents"
+)
+
+
 # ----------------------------------------------------------------- #
 # Event-time windows + sessionization (the batch twins of the
 # streaming rollups in streaming/ingest.py)
@@ -807,6 +882,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "centroid_similarity": q_centroid_similarity,
+    "size_guard_routing": q_size_guard_routing,
+    "base64_roundtrip": q_base64_roundtrip,
+    "line_mirror": q_line_mirror,
     "event_windows": q_event_windows,
     "sessionize": q_sessionize,
     "media_metadata": q_media_metadata,
@@ -838,6 +916,9 @@ ORACLES: dict[str, str] = {
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,
     "ann_bruteforce": ORACLE_ANN_BRUTE,
+    "size_guard_routing": ORACLE_SIZE_GUARD,
+    "base64_roundtrip": ORACLE_BASE64,
+    "line_mirror": ORACLE_LINE_MIRROR,
     "event_windows": ORACLE_EVENT_WINDOWS,
     "sessionize": ORACLE_SESSIONIZE,
     "media_metadata": ORACLE_MEDIA_METADATA,
