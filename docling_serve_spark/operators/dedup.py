@@ -186,6 +186,74 @@ def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs
+    (doc_a < doc_b) by iterative min-label propagation — the standard
+    cluster-then-keep-one dedup used by large-scale corpus pipelines.
+
+    Each round joins every node's current label with its neighbors'
+    and takes the min; terminates at fixpoint (checked with a cheap
+    count) or max_iters. Rounds are O(E) shuffles on the node id; at
+    10^12 scale the pair graph is tiny relative to the corpus (only
+    near-dup candidates appear), and label frames are checkpointed
+    per-round via localCheckpoint to cut lineage growth.
+
+    Returns (doc_id, component) with component = min doc_id reachable.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                    "component", "dst_component"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_component").alias("nbr_component"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc_id").cast("bigint"), F.col("component").cast("bigint")
+    )
+
+
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   threshold: float = 0.5) -> DataFrame:
     """n-gram (word-token) Jaccard similarity pairs >= threshold,

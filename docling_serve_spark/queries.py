@@ -416,6 +416,67 @@ def _simhash_oracle() -> str:
 ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dup clustering over MinHash candidate
+    pairs (iterative min-label propagation; the oracle is a recursive
+    transitive-closure CTE)."""
+    pairs = dedup.minhash_candidate_pairs(_docs_with_dups(spark, sf_dir))
+    return dedup.dup_components(pairs)
+
+
+ORACLE_DUP_COMPONENTS = (
+    "WITH RECURSIVE edges AS ("
+    "SELECT doc_a AS src, doc_b AS dst FROM (" + _minhash_oracle() + ") p "
+    "UNION SELECT doc_b, doc_a FROM (" + _minhash_oracle() + ") p2), "
+    "reach(src, dst) AS ("
+    "SELECT src, dst FROM edges "
+    "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+    "SELECT CAST(src AS BIGINT) AS doc_id, "
+    "CAST(least(src, min(dst)) AS BIGINT) AS component "
+    "FROM reach GROUP BY src"
+)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style corpus filter verdict: keep/drop + first
+    failing rule, all WholeStageCodegen arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.token_count(F.col("text"))
+    length = F.greatest(F.length("text"), F.lit(1))
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^\p{L}]", "")) / length
+    mean_word = length / F.greatest(toks, F.lit(1))
+    reason = (
+        F.when(toks < 20, "too_short")
+        .when(~mean_word.between(3, 12), "word_length")
+        .when(alpha < 0.6, "low_alpha")
+        .otherwise("keep")
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        toks.alias("n_tokens"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(mean_word, 6).alias("mean_word_len"),
+        reason.alias("verdict"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+ORACLE_QUALITY_FILTER = (
+    "WITH b AS (SELECT doc_id, "
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+    "length(regexp_replace(text, '[^\\p{L}]', '', 'g')) * 1.0 / greatest(length(text), 1) AS alpha, "
+    "greatest(length(text), 1) AS length FROM documents), "
+    "v AS (SELECT doc_id, n_tokens, alpha, length * 1.0 / greatest(n_tokens, 1) AS mean_word, "
+    "CASE WHEN n_tokens < 20 THEN 'too_short' "
+    "WHEN NOT (length * 1.0 / greatest(n_tokens, 1) BETWEEN 3 AND 12) THEN 'word_length' "
+    "WHEN alpha < 0.6 THEN 'low_alpha' ELSE 'keep' END AS verdict FROM b) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "round(alpha, 6) AS alpha_ratio, round(mean_word, 6) AS mean_word_len, "
+    "verdict, verdict = 'keep' AS keep FROM v"
+)
+
+
 def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
 
@@ -874,6 +935,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "jaccard_neardup": q_jaccard_neardup,
+    "dup_components": q_dup_components,
+    "quality_filter": q_quality_filter,
     "textstats": q_textstats,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -911,6 +974,8 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "jaccard_neardup": ORACLE_JACCARD,
+    "dup_components": ORACLE_DUP_COMPONENTS,
+    "quality_filter": ORACLE_QUALITY_FILTER,
     "textstats": ORACLE_TEXTSTATS,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
