@@ -7,8 +7,11 @@ reference:docling_serve/datamodel/convert.py:115-125). This module is a
 from-scratch, dependency-free equivalent built on stdlib
 ``html.parser``, extended with the north-star boilerplate heuristic:
 tag-density + text-density scoring over the parsed element tree
-(the Readability/Boilerpipe family of heuristics — public knowledge)
-to select the main-content subtree and drop nav/header/footer chrome.
+(the Readability/Boilerpipe family — text-to-tag density features per
+Kohlschütter/Fankhauser/Nejdl, "Boilerplate detection using shallow
+text features", WSDM 2010; link-density discounting per Arc90
+Readability — public knowledge) to select the main-content subtree
+and drop nav/header/footer chrome.
 
 Fully deterministic: stable tree walk, NFC normalization, fixed
 whitespace collapsing — the same function is both the Spark stage body

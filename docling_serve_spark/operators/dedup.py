@@ -13,6 +13,12 @@ JVM; no Python UDFs anywhere in this module):
 Hash functions are md5-derived (first 8 hex chars as uint) so the
 DuckDB oracles can reproduce values bit-exactly; at cluster scale
 swap in xxhash64 for speed (same plan shape).
+
+Algorithms are the published ones: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997),
+LSH banding (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3), SimHash (Charikar, "Similarity estimation techniques from
+rounding algorithms", STOC 2002).
 """
 
 from __future__ import annotations

@@ -6,7 +6,9 @@ Two paths, as the scale plan requires:
     O(n) per query, fine broadcast-side
   - LSH-bucketed ANN: random-hyperplane signs (seeded, deterministic)
     bucket vectors; queries probe only their bucket — the 100 TB path
-    (bucket count scales with corpus; per-bucket scan is tiny)
+    (bucket count scales with corpus; per-bucket scan is tiny).
+    Random-hyperplane LSH per Charikar (STOC 2002); IVF-style
+    blocked search shape per Johnson/Douze/Jégou (faiss, 2017).
 """
 
 from __future__ import annotations
