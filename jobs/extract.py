@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="results warehouse dir")
     ap.add_argument("--chunks", type=int, default=16,
                     help="resumable checkpoint units (Iceberg-partition analog)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="treat --input as a landing dir and drain it via "
+                         "Structured Streaming (availableNow, exactly-once "
+                         "sink checkpoint) instead of the chunked batch path")
     ap.add_argument("--master", default=None)
     ap.add_argument("--max-partition-bytes", type=int, default=None,
                     help="input-split size; the UDF stage is compute-bound "
@@ -66,6 +70,34 @@ def main() -> None:
         max_num_pages=args.max_num_pages,
         page_break_placeholder=args.page_break_placeholder,
     )
+
+    if args.streaming:
+        from docling_serve_spark.streaming import extract_stream, stream_pages
+        from docling_serve_spark.streaming.ingest import run_to_parquet
+
+        out_data = os.path.join(args.output, "data")
+        ckpt = os.path.join(args.output, "_stream_checkpoint")
+        q = run_to_parquet(
+            extract_stream(stream_pages(spark, args.input), opts=opts),
+            out_data, ckpt,
+        )
+        q.awaitTermination()
+        from pyspark.sql import functions as F
+
+        res = spark.read.parquet(out_data)
+        counts = {
+            r["status"]: r["n"]
+            for r in res.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({
+            "mode": "streaming",
+            "num_docs": int(res.count()),
+            "num_succeeded": int(counts.get("success", 0)),
+            "num_failed": int(counts.get("failure", 0)),
+            "num_skipped": int(counts.get("skipped", 0)),
+        }))
+        spark.stop()
+        return
 
     if args.input.startswith("synthetic:"):
         pages = build_pages_df(spark, int(args.input.split(":", 1)[1]))
