@@ -43,6 +43,8 @@ def bidi_line(raw: str) -> str:
 def process_markdown_bidi(text: str) -> str:
     """T2 — walk lines, rewrite consecutive RTL blocks, keep LTR lines
     untouched (post_processing_bidi.py:60-87)."""
+    if not ARABIC_RE.search(text):  # fast path: no RTL content at all
+        return text
     out: list[str] = []
     for raw in text.splitlines(keepends=True):
         out.append(bidi_line(raw) if line_is_rtl(raw) else raw)
