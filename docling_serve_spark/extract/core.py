@@ -44,6 +44,7 @@ from docling_serve_spark.extract.quality import (
 
 DOC_TYPE_HTML = "html"
 DOC_TYPE_PDF = "pdf"
+DOC_TYPE_OFFICE = "office"  # OOXML zip container (docx/pptx/xlsx)
 DOC_TYPE_UNKNOWN = "unknown"
 
 STATUS_SUCCESS = "success"
@@ -60,6 +61,10 @@ def sniff_doc_type(data: bytes) -> str:
     corpus has no extensions, so sniff content)."""
     if data.startswith(b"%PDF"):
         return DOC_TYPE_PDF
+    if data.startswith(b"PK\x03\x04"):
+        # OOXML container (C9 — office backends are out of v1 scope;
+        # typed routing keeps the bucket countable, not 'unknown')
+        return DOC_TYPE_OFFICE
     head = data[:1024].lstrip().lower()
     if head.startswith(b"<!doctype") or head.startswith(b"<html"):
         return DOC_TYPE_HTML
@@ -98,6 +103,31 @@ class ExtractOptions:
     # C11 — per-document wall-clock budget in seconds; 0 = unlimited
     # (convert.py:238-245, settings.py:49)
     document_timeout_s: float = 0.0
+    # C6 — enrichment flags (convert.py:307-349): external-model
+    # stages, dispatch-only offline; carried so job configs round-trip
+    do_code_enrichment: bool = False
+    do_formula_enrichment: bool = False
+    do_picture_classification: bool = False
+    do_picture_description: bool = False
+    # C7 — pipeline ∈ {standard, vlm} (convert.py:225-228); vlm is the
+    # external SmolDocling path, dispatch-only offline
+    pipeline: str = "standard"
+    # P1/P2 — OCRMyPDF preprocessing surface (ocrmypdf_middleware.py:
+    # 79-200); compute is an external binary, the mode logic is ours
+    enable_ocrmypdf_preprocessing: bool = False
+    ocrmypdf_deskew: bool = False
+    ocrmypdf_clean: bool = False
+    ocrmypdf_redo_ocr: bool = False
+
+    def normalized(self) -> "ExtractOptions":
+        """P2 — mode-conflict resolution: redo_ocr cannot combine with
+        page-altering preprocessing (deskew/clean); demote to force
+        (reference:ocrmypdf_middleware.py:131-138). Driver-side, once."""
+        from dataclasses import replace
+
+        if self.ocrmypdf_redo_ocr and (self.ocrmypdf_deskew or self.ocrmypdf_clean):
+            return replace(self, ocrmypdf_redo_ocr=False, force_ocr=True)
+        return self
 
 
 @dataclass
@@ -265,6 +295,9 @@ def extract_document(
             if not doc.items:
                 res.status = STATUS_FAILURE
                 res.error = "no content extracted"
+        elif doc_type == DOC_TYPE_OFFICE:
+            res.status = STATUS_FAILURE
+            res.error = "unsupported format: office (OOXML) — not in v1"
         else:
             res.status = STATUS_FAILURE
             res.error = "unsupported format"

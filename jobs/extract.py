@@ -69,7 +69,7 @@ def main() -> None:
         max_file_size_bytes=args.max_file_size_mb * 1024 * 1024,
         max_num_pages=args.max_num_pages,
         page_break_placeholder=args.page_break_placeholder,
-    )
+    ).normalized()  # P2 mode-conflict resolution, driver-side once
 
     if args.streaming:
         from docling_serve_spark.streaming import extract_stream, stream_pages

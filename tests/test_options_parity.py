@@ -103,3 +103,23 @@ def test_document_timeout():
         data, name=url, opts=ExtractOptions(document_timeout_s=3600)
     )
     assert ok.status == "success"
+
+
+def test_ocrmypdf_mode_conflict_normalization():
+    """P2 — redo_ocr + deskew/clean demotes to force
+    (reference:ocrmypdf_middleware.py:131-138)."""
+    o = ExtractOptions(
+        enable_ocrmypdf_preprocessing=True,
+        ocrmypdf_redo_ocr=True,
+        ocrmypdf_deskew=True,
+    ).normalized()
+    assert not o.ocrmypdf_redo_ocr and o.force_ocr
+    clean = ExtractOptions(ocrmypdf_redo_ocr=True).normalized()
+    assert clean.ocrmypdf_redo_ocr and not clean.force_ocr
+
+
+def test_office_container_routed_and_counted():
+    r = extract_document(b"PK\x03\x04junkzip", name="d.docx")
+    assert r.doc_type == "office"
+    assert r.status == "failure"
+    assert "office" in r.error
