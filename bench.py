@@ -147,7 +147,7 @@ def scaling_worker(cpus: int) -> None:
         files_max_partition_bytes=BENCH_SPLIT_BYTES,
     )
     path = _ensure_corpus(spark, SCALING_DOCS)
-    dt = _run_extraction(spark, path, reps=1 if cpus <= 8 else 2)
+    dt = _run_extraction(spark, path, reps=2)
     print(json.dumps({"cpus": cpus, "sec": dt}))
     spark.stop()
 
@@ -198,6 +198,8 @@ def main() -> None:
         # measured workers then only read it
         _ensure_corpus(spark, SCALING_DOCS)
         spark.stop()  # free the JVM before the two measured runs
+        time.sleep(10)  # let the host settle (GC, writeback) so the
+        # first measured worker doesn't inherit the main run's tail
         # N -> 4N on cores 4 -> 16: the high end must not saturate the
         # 32-core host, since each Spark task pairs a JVM thread with a
         # Python worker process — local[32] measures machine contention,
