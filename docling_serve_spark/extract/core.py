@@ -82,7 +82,10 @@ class ExtractOptions:
     (reference:docling_serve/datamodel/convert.py:114-479); defaults
     mirror the reference's."""
 
-    to_formats: tuple[str, ...] = ALL_FORMATS
+    # default mirrors the reference: markdown only (convert.py:127-137
+    # "Optional, defaults to Markdown"); extracted_text (the
+    # north-rule strict-text column) and spans are always produced
+    to_formats: tuple[str, ...] = ("md",)
     do_ocr: bool = True
     force_ocr: bool = False
     enable_bidi_processing: bool = True  # convert.py:456-466

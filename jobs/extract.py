@@ -42,7 +42,9 @@ def main() -> None:
                          "default 128MB suits cluster scale, use 2-16MB for "
                          "small corpora (see BENCH.md)")
     # ConvertDocumentsOptions analog (reference defaults)
-    ap.add_argument("--to-formats", default="md,text,html,doctags,json")
+    ap.add_argument("--to-formats", default="md",
+                    help="comma list of md,text,html,doctags,json "
+                         "(reference default: md; text+spans always emitted)")
     ap.add_argument("--no-ocr", action="store_true", help="disable OCR dispatch (do_ocr=False)")
     ap.add_argument("--force-ocr", action="store_true")
     ap.add_argument("--no-bidi", action="store_true")

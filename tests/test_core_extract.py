@@ -54,7 +54,10 @@ def test_pdf_row_has_analysis_fields():
 
 def test_html_row_channels_populated():
     row = gen_page(3)
-    r = extract_document(row["html"], name=row["url"], lang=row["lang"])
+    r = extract_document(
+        row["html"], name=row["url"], lang=row["lang"],
+        opts=ExtractOptions(to_formats=("md", "html", "doctags", "json")),
+    )
     assert r.status == "success" and r.doc_type == "html"
     assert r.extracted_text
     assert r.md_content
@@ -62,6 +65,15 @@ def test_html_row_channels_populated():
     assert r.doctags_content.startswith("<doctag>")
     assert '"schema_name":"DoclingDocument"' in r.json_content
     assert r.spans_json.startswith("[{")
+
+
+def test_default_channels_mirror_reference():
+    # reference default to_formats = [markdown] (convert.py:127-137);
+    # strict text + spans always emitted
+    row = gen_page(3)
+    r = extract_document(row["html"], name=row["url"], lang=row["lang"])
+    assert r.extracted_text and r.md_content and r.spans_json != "[]"
+    assert r.html_content == "" and r.doctags_content == "" and r.json_content == ""
 
 
 def test_never_raises_on_junk():

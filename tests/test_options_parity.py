@@ -41,7 +41,11 @@ def test_image_export_modes():
     outs = {}
     for mode in ("embedded", "placeholder", "referenced"):
         r = extract_document(
-            IMG_HTML, name="img", opts=ExtractOptions(image_export_mode=mode)
+            IMG_HTML, name="img",
+            opts=ExtractOptions(
+                image_export_mode=mode,
+                to_formats=("md", "html", "doctags", "json"),
+            ),
         )
         assert r.status == "success"
         outs[mode] = r
