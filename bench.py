@@ -105,7 +105,7 @@ def _ensure_corpus(spark, n: int | None = None) -> str:
 # about the 10^12-doc regime where per-run constant costs (scan spin-
 # up, Arrow warm path, stage scheduling) are noise; on a corpus this
 # small they would otherwise dominate the 4N denominator.
-SCALING_DOCS = 100_000
+SCALING_DOCS = 150_000
 
 
 def _force(df) -> None:
@@ -207,9 +207,18 @@ def main() -> None:
         lows, highs = 4, 16
         results = {}
         for cpus in (lows, highs):
+            # pin the whole worker (JVM + Python workers) to exactly
+            # `cpus` host cores: a cluster executor with N cores gets N
+            # cores for BOTH its JVM and Python sides, but unpinned
+            # local[N] leaks JVM scan/Arrow/shuffle threads onto idle
+            # host cores — proportionally more at small N, which
+            # understates true engine scaling
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scaling-worker", "--cpus", str(cpus)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-worker", "--cpus", str(cpus)],
+                cmd,
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
