@@ -566,13 +566,62 @@ ORACLE_ANN_BRUTE = (
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — the scale path; no SQL oracle (hyperplanes
-    are engine-side literals), driver records rows-only."""
+    """LSH-bucketed ANN — the scale path. The seeded hyperplanes are
+    deterministic driver-side floats, so the oracle embeds them as SQL
+    literals and recomputes the bucket probe relationally."""
     return similarity.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), 0, 10)
+
+
+def _plane_sql(dim: int, seed: int, plane: int) -> str:
+    vals = similarity._hyperplane(dim, seed, plane)
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def _bucket_sql(vec: str, n_planes: int) -> str:
+    """SQL expression for the random-hyperplane bucket of ``vec``."""
+    terms = []
+    for p in range(n_planes):
+        dot = (
+            "list_sum(list_transform(generate_series(1, 64), "
+            f"k -> CAST({vec}[k] AS DOUBLE) * ({_plane_sql(64, 42, p)}::DOUBLE[])[k]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE_ANN_LSH = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    + _bucket_sql("embedding", 6)
+    + " AS bucket FROM embeddings), "
+    "q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0), "
+    "s AS (SELECT vec_id, "
+    "list_sum(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c "
+    "FROM b, q WHERE b.bucket = q.qbucket AND vec_id <> 0) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 6) AS cos_sim FROM s "
+    "ORDER BY round(c, 6) DESC, vec_id LIMIT 10"
+)
 
 
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_CENTROID = (
+    "WITH dims AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS cval "
+    "FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t GROUP BY label, i), "
+    "cent AS (SELECT label, "
+    "sqrt(sum(cval * cval)) AS cnorm FROM dims GROUP BY label), "
+    "parts AS (SELECT e.vec_id, e.label, "
+    "sum(CAST(e.embedding[d.i] AS DOUBLE) * d.cval) AS dot, "
+    "sqrt(sum(CAST(e.embedding[d.i] AS DOUBLE) * CAST(e.embedding[d.i] AS DOUBLE))) AS vnorm "
+    "FROM embeddings e JOIN dims d ON e.label = d.label GROUP BY e.vec_id, e.label) "
+    "SELECT CAST(p.vec_id AS BIGINT) AS vec_id, CAST(p.label AS INT) AS label, "
+    "round(p.dot / (p.vnorm * c.cnorm), 6) AS centroid_sim "
+    "FROM parts p JOIN cent c ON p.label = c.label"
+)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,10 +643,26 @@ ORACLE_DEDUP_EMBEDDING = (
 
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucket-blocked near-dup — the 10^12-row path; hyperplanes
-    are engine-side literals, so driver records rows-only."""
+    """LSH-bucket-blocked near-dup — the 10^12-row path; the seeded
+    hyperplanes are embedded in the oracle as SQL literals."""
     return similarity.embedding_neardup_lsh(
         _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def _dedup_lsh_oracle() -> str:
+    return (
+        "WITH b AS (SELECT vec_id, embedding, "
+        + _bucket_sql("embedding", 4)
+        + " AS bucket FROM embeddings), "
+        "s AS (SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b, "
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(bb.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        " sqrt(list_sum(list_transform(bb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c "
+        "FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id) "
+        "SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, "
+        "round(c, 6) AS cos_sim FROM s WHERE round(c, 6) >= 0.35"
     )
 
 
@@ -978,6 +1043,9 @@ ORACLES: dict[str, str] = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "textstats": ORACLE_TEXTSTATS,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_embedding_lsh": _dedup_lsh_oracle(),
+    "ann_lsh": ORACLE_ANN_LSH,
+    "centroid_similarity": ORACLE_CENTROID,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,
     "ann_bruteforce": ORACLE_ANN_BRUTE,
@@ -989,7 +1057,6 @@ ORACLES: dict[str, str] = {
     "media_metadata": ORACLE_MEDIA_METADATA,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
-    # ann_lsh / dedup_embedding_lsh / centroid_similarity /
     # media_audio_features / pipeline_*: rows-only checks
-    # (engine-side literals / binary-derived / non-SQL)
+    # (binary-derived features / non-SQL-expressible parse)
 }
