@@ -59,6 +59,14 @@ def sniff_doc_type(data: bytes) -> str:
     from_formats + file extension,
     reference:docling_serve/datamodel/convert.py:115-125; a crawl
     corpus has no extensions, so sniff content)."""
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        # UTF-16 BOM: decode enough to re-sniff (crawls carry these)
+        try:
+            return sniff_doc_type(
+                data[:2048].decode("utf-16", errors="ignore").encode("utf-8")
+            )
+        except Exception:  # noqa: BLE001
+            return DOC_TYPE_UNKNOWN
     if data.startswith(b"%PDF"):
         return DOC_TYPE_PDF
     if data.startswith(b"PK\x03\x04"):
@@ -115,6 +123,9 @@ class ExtractOptions:
     # C7 — pipeline ∈ {standard, vlm} (convert.py:225-228); vlm is the
     # external SmolDocling path, dispatch-only offline
     pipeline: str = "standard"
+    # S4 — from_formats allow-list (convert.py:115-125): sniffed types
+    # outside the list are skipped + counted, not failed
+    from_formats: tuple[str, ...] = ("html", "pdf")
     # P1/P2 — OCRMyPDF preprocessing surface (ocrmypdf_middleware.py:
     # 79-200); compute is an external binary, the mode logic is ours
     enable_ocrmypdf_preprocessing: bool = False
@@ -227,6 +238,16 @@ def extract_document(
 
     opts = opts or ExtractOptions()
     t0 = _time.monotonic()
+    if data and data[:2] == b"\x1f\x8b":
+        # gzip member (crawls often store compressed bodies): inflate
+        # before sniffing; on corrupt streams fall through to the
+        # unknown-format failure row
+        import gzip as _gzip
+
+        try:
+            data = _gzip.decompress(data)
+        except Exception:  # noqa: BLE001
+            pass
     doc_type = sniff_doc_type(data or b"")
     res = ExtractionResult(name=name, status=STATUS_SUCCESS, doc_type=doc_type)
 
@@ -247,6 +268,11 @@ def extract_document(
         # F13 oversize guard: routed to the skip bucket, counted
         res.status = STATUS_SKIPPED
         res.error = f"file exceeds max_file_size ({len(data)} bytes)"
+        return res
+    if doc_type in (DOC_TYPE_HTML, DOC_TYPE_PDF) and doc_type not in opts.from_formats:
+        # S4 — from_formats allow-list (convert.py:115-125)
+        res.status = STATUS_SKIPPED
+        res.error = f"format not in from_formats: {doc_type}"
         return res
 
     try:

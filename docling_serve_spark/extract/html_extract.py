@@ -371,6 +371,11 @@ def _emit_items(node: _Node, items: list[DocItem], saw_title: list[bool]) -> Non
 
 
 def _decode(html_bytes: bytes) -> str:
+    if html_bytes[:2] in (b"\xff\xfe", b"\xfe\xff"):  # UTF-16 BOM
+        try:
+            return html_bytes.decode("utf-16")
+        except UnicodeDecodeError:
+            pass
     try:
         return html_bytes.decode("utf-8")
     except UnicodeDecodeError:

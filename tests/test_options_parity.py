@@ -127,3 +127,39 @@ def test_office_container_routed_and_counted():
     assert r.doc_type == "office"
     assert r.status == "failure"
     assert "office" in r.error
+
+
+def test_gzip_pages_inflated_transparently():
+    import gzip
+
+    row = gen_page(4)
+    plain = extract_document(row["html"], name=row["url"], lang=row["lang"])
+    gz = extract_document(
+        gzip.compress(bytes(row["html"])), name=row["url"], lang=row["lang"]
+    )
+    assert gz.status == plain.status
+    assert gz.extracted_text == plain.extracted_text
+    # corrupt gzip falls through to a failure row, never raises
+    bad = extract_document(b"\x1f\x8bgarbage", name="bad.gz")
+    assert bad.status == "failure"
+
+
+def test_utf16_html_decoded():
+    html16 = (
+        "<html><body><main><p>utf sixteen page body with enough text"
+        "</p></main></body></html>"
+    ).encode("utf-16")  # emits BOM
+    r = extract_document(html16, name="u16")
+    assert r.doc_type == "html"
+    assert r.status == "success"
+    assert "utf sixteen page body" in r.extracted_text
+
+
+def test_from_formats_allowlist_skips_counted():
+    row = gen_page(4)
+    r = extract_document(
+        row["html"], name=row["url"],
+        opts=ExtractOptions(from_formats=("pdf",)),
+    )
+    assert r.status == "skipped"
+    assert "from_formats" in r.error
