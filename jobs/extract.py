@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
-                    help="pages parquet path, or synthetic:<n> for the seeded corpus")
+                    help="pages source: parquet path, iceberg:<tbl>, "
+                         "table:<name>, or synthetic:<n>")
     ap.add_argument("--output", required=True, help="results warehouse dir")
     ap.add_argument("--chunks", type=int, default=16,
                     help="resumable checkpoint units (Iceberg-partition analog)")
@@ -55,7 +56,6 @@ def main() -> None:
 
     from docling_serve_spark.extract.core import ExtractOptions
     from docling_serve_spark.session import get_spark
-    from docling_serve_spark.sources.pages import build_pages_df
     from docling_serve_spark.sources.warehouse import (
         metrics_df,
         run_checkpointed,
@@ -101,10 +101,9 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.input.startswith("synthetic:"):
-        pages = build_pages_df(spark, int(args.input.split(":", 1)[1]))
-    else:
-        pages = spark.read.parquet(args.input)
+    from docling_serve_spark.sources.catalog import read_pages
+
+    pages = read_pages(spark, args.input)
 
     reports = run_checkpointed(
         spark, pages, args.output, n_chunks=args.chunks, opts=opts

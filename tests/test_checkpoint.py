@@ -89,3 +89,21 @@ def test_idempotent_rerun_no_new_work(spark, tmp_path):
         for f in os.listdir(os.path.join(out, "_manifest"))
     }
     assert mtimes == mtimes2  # nothing rewritten
+
+
+def test_read_pages_source_schemes(spark, tmp_path):
+    from docling_serve_spark.sources.catalog import read_pages
+    from docling_serve_spark.sources.pages import build_pages_df
+
+    p = str(tmp_path / "pages")
+    build_pages_df(spark, 20).write.parquet(p)
+    assert read_pages(spark, p).count() == 20
+    spark.read.parquet(p).createOrReplaceTempView("pages_v")
+    assert read_pages(spark, "table:pages_v").count() == 20
+    assert read_pages(spark, "synthetic:15").count() == 15
+    # iceberg scheme needs the runtime jar; absent here it must fail
+    # with Spark's data-source error, not silently misroute
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)iceberg|data.?source|Failed to find"):
+        read_pages(spark, "iceberg:db.tbl").count()
