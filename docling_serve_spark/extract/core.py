@@ -106,6 +106,9 @@ class ExtractOptions:
     # E6 — image_export_mode ∈ {embedded, placeholder, referenced}
     # (convert.py:139-151, default embedded)
     image_export_mode: str = "embedded"
+    # C4 — table_mode ∈ {fast, accurate} (convert.py:212-223, default
+    # fast); accurate also recovers ragged grids by column anchoring
+    table_mode: str = "fast"
     # F11/T1 — Arabic-correction dispatch gate (fork default OFF via
     # .env DOCLING_ARABIC_ENABLED=false; correction itself is an
     # external LLM service -> no-op fallback offline,
@@ -311,7 +314,9 @@ def extract_document(
             first, last = opts.page_range
             first = max(1, first)
             sel = ordered[first - 1 : (last if last > 0 else None)]
-            doc = extract_pdf_ordered(sel, name=name, first_page=first)
+            doc = extract_pdf_ordered(
+                sel, name=name, first_page=first, table_mode=opts.table_mode
+            )
             _export_channels(res, doc, opts, lang)
         elif doc_type == DOC_TYPE_HTML:
             doc = extract_html(data, name=name)

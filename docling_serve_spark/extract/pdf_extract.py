@@ -261,7 +261,12 @@ def _assign_columns(lines: list[_Line]) -> list[int]:
     xs = sorted({round(ln.x0, 1) for ln in lines})
     if len(xs) >= 2 and (xs[-1] - xs[0]) > 0.30 * PAGE_W:
         split = (xs[0] + xs[-1]) / 2.0
-        return [0 if ln.x0 < split else 1 for ln in lines]
+        cols = [0 if ln.x0 < split else 1 for ln in lines]
+        # a genuine 2-column layout has a balanced line split; a lone
+        # wide-x line is a table cell, not a column
+        share = sum(cols) / len(cols)
+        if 0.3 <= share <= 0.7:
+            return cols
     return [0] * len(lines)
 
 
@@ -288,7 +293,9 @@ def _blocks_from_lines(lines: list[_Line]) -> list[list[_Line]]:
             prev = blocks[-1][-1]
             gap = prev.y - ln.y
             leading = max(prev.size, ln.size) * 1.6
-            if 0 < gap <= leading:
+            # gap == 0: same baseline (a wide table row split into
+            # multiple line groups) stays in the block
+            if 0 <= gap <= leading:
                 blocks[-1].append(ln)
                 continue
         blocks.append([ln])
@@ -296,12 +303,71 @@ def _blocks_from_lines(lines: list[_Line]) -> list[list[_Line]]:
 
 
 def _block_is_table(block: list[_Line]) -> bool:
-    """C4 — a block whose every line is >=2 runs with a consistent
-    run count is an aligned-columns table."""
+    """C4 fast mode — a block whose every line is >=2 runs with a
+    consistent run count is an aligned-columns table
+    (reference table_mode default 'fast', convert.py:212-223)."""
     if len(block) < 2:
         return False
     counts = {len(ln.runs) for ln in block}
     return len(counts) == 1 and counts.pop() >= 2
+
+
+_COL_X_TOL = 3.0
+
+
+def _cluster_columns(block: list[_Line]) -> list[float]:
+    """Cluster run x-starts across the block into column anchors."""
+    xs = sorted({round(r.x, 1) for ln in block for r in ln.runs})
+    cols: list[float] = []
+    for x in xs:
+        if not cols or x - cols[-1] > _COL_X_TOL:
+            cols.append(x)
+    return cols
+
+
+def _ragged_table_grid(block: list[_Line]) -> list[list[str]] | None:
+    """C4 accurate mode — recover tables with MISSING cells: cluster
+    x-starts into column anchors and place each run at its anchor,
+    leaving gaps empty. Accepts the block as a table when there are
+    >=2 anchored columns, >=2 rows, every row starts at the first
+    anchor, and cell fill is >=60% (below that it's prose, not a
+    grid). The whitespace-alignment analog of TableFormer's accurate
+    mode (reference:datamodel/convert.py:212-223); deterministic."""
+    if len(block) < 2:
+        return None
+    cols = _cluster_columns(block)
+    if len(cols) < 2:
+        return None
+    # merge same-baseline line groups into one table row first (a row
+    # with a missing middle cell arrives as two _Line groups)
+    rows_runs: list[list[_Run]] = []
+    _row_y: list[float] = []
+    for ln in block:
+        if rows_runs and abs(_row_y[-1] - ln.y) <= _Y_TOL:
+            rows_runs[-1].extend(ln.runs)
+        else:
+            rows_runs.append(list(ln.runs))
+            _row_y.append(ln.y)
+    if len(rows_runs) < 2:
+        return None
+    grid: list[list[str]] = []
+    filled = 0
+    for runs in rows_runs:
+        row = [""] * len(cols)
+        for r in sorted(runs, key=lambda r: r.x):
+            ci = min(range(len(cols)), key=lambda i: abs(cols[i] - r.x))
+            if abs(cols[ci] - r.x) > _COL_X_TOL:
+                return None
+            row[ci] = (row[ci] + " " + r.text.strip()).strip()
+        if not row[0]:
+            return None  # rows of a grid share the leading column
+        filled += sum(1 for c in row if c)
+        grid.append(row)
+    if filled < 0.6 * len(cols) * len(grid):
+        return None
+    if all(sum(1 for c in row if c) == len(cols) for row in grid):
+        return None  # fully dense: fast mode's case, keep parity
+    return grid
 
 
 _TITLE_SIZE = 16.0
@@ -331,10 +397,15 @@ def extract_pdf(data: bytes, name: str = "") -> Document:
 
 
 def extract_pdf_ordered(
-    ordered_pages: list[list[_Line]], name: str = "", first_page: int = 1
+    ordered_pages: list[list[_Line]],
+    name: str = "",
+    first_page: int = 1,
+    table_mode: str = "fast",
 ) -> Document:
     """``first_page`` keeps prov page numbers true when a page_range
-    slice (C10) was applied upstream."""
+    slice (C10) was applied upstream. ``table_mode`` ∈ {fast,
+    accurate}: accurate additionally recovers ragged grids via
+    column-anchor clustering (_ragged_table_grid)."""
     items: list[DocItem] = []
     saw_title = False
     for page_no, ordered in enumerate(ordered_pages, start=first_page):
@@ -343,6 +414,23 @@ def extract_pdf_ordered(
             for ln in block[1:]:
                 bbox = _merge_bbox(bbox, _line_bbox(ln))
             prov = [Prov(page_no=page_no, bbox=bbox)]
+            if table_mode == "accurate" and not _block_is_table(block):
+                ragged = _ragged_table_grid(block)
+                if ragged is not None:
+                    ncol = len(ragged[0])
+                    items.append(
+                        DocItem(
+                            TABLE,
+                            "",
+                            prov=prov,
+                            table=TableData(
+                                len(ragged),
+                                ncol,
+                                [[TableCell(c) for c in row] for row in ragged],
+                            ),
+                        )
+                    )
+                    continue
             if _block_is_table(block):
                 grid = [
                     [TableCell(r.text.strip()) for r in ln.runs] for ln in block

@@ -148,3 +148,76 @@ def test_analyze_pages_end_to_end():
     assert a.recommended_mode == "skip" and not a.needs_ocr
     b = analyze_pages([], is_tagged=False)
     assert b.recommended_mode == "force" and not b.has_text
+
+
+# --- C4 table_mode accurate (reference:datamodel/convert.py:212-223) ---
+
+
+def _ragged_table_pdf():
+    """3-column table whose middle row is missing the middle cell —
+    fast mode rejects it (run counts differ), accurate recovers it."""
+    rows = [
+        (700, [(72, "h1"), (220, "h2"), (370, "h3")]),
+        (686, [(72, "a1"), (370, "a3")]),
+        (672, [(72, "b1"), (220, "b2"), (370, "b3")]),
+    ]
+    lines = ["BT /F1 12 Tf"]
+    for y, cells in rows:
+        for x, t in cells:
+            lines.append(f"1 0 0 1 {x} {y} Tm ({t}) Tj")
+    lines.append("ET")
+    stream = "\n".join(lines)
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\nendobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+
+
+def test_table_mode_accurate_recovers_ragged_grid():
+    from docling_serve_spark.extract.core import ExtractOptions, extract_document
+
+    data = _ragged_table_pdf()
+    fast = extract_document(data, name="t.pdf")
+    acc = extract_document(
+        data, name="t.pdf", opts=ExtractOptions(table_mode="accurate")
+    )
+    import json as _json
+
+    fast_doc = _json.loads(
+        extract_document(
+            data, name="t.pdf",
+            opts=ExtractOptions(to_formats=("json",)),
+        ).json_content
+    )
+    acc_doc = _json.loads(
+        extract_document(
+            data, name="t.pdf",
+            opts=ExtractOptions(to_formats=("json",), table_mode="accurate"),
+        ).json_content
+    )
+    assert fast_doc["tables"] == []  # ragged -> fast mode sees prose
+    assert len(acc_doc["tables"]) == 1
+    grid = acc_doc["tables"][0]["data"]["grid"]
+    assert [[c["text"] for c in row] for row in grid] == [
+        ["h1", "h2", "h3"], ["a1", "", "a3"], ["b1", "b2", "b3"],
+    ]
+    # strict-text channel unaffected in fast mode; accurate joins rows
+    assert fast.status == acc.status == "success"
+
+
+def test_table_mode_accurate_leaves_prose_alone():
+    from docling_serve_spark.extract.core import ExtractOptions, extract_document
+
+    data = _pdf(body_lines=["just a normal paragraph line here",
+                            "and a second one below it"])
+    fast = extract_document(data, name="p.pdf")
+    acc = extract_document(
+        data, name="p.pdf", opts=ExtractOptions(table_mode="accurate")
+    )
+    assert fast.extracted_text == acc.extracted_text
+    assert "table" not in [i for i in ()]  # no-op guard; channels equal is the check
+    assert fast.md_content == acc.md_content
