@@ -52,6 +52,7 @@ def main() -> None:
     ap.add_argument("--max-file-size-mb", type=int, default=200)
     ap.add_argument("--max-num-pages", type=int, default=0)
     ap.add_argument("--page-break-placeholder", default="")
+    ap.add_argument("--table-mode", default="fast", choices=("fast", "accurate"))
     args = ap.parse_args()
 
     from docling_serve_spark.extract.core import ExtractOptions
@@ -71,6 +72,7 @@ def main() -> None:
         max_file_size_bytes=args.max_file_size_mb * 1024 * 1024,
         max_num_pages=args.max_num_pages,
         page_break_placeholder=args.page_break_placeholder,
+        table_mode=args.table_mode,
     ).normalized()  # P2 mode-conflict resolution, driver-side once
 
     if args.streaming:
