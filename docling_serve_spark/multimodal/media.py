@@ -237,13 +237,24 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def compute_audio_features(payload: bytes, window: int = 64) -> list[float]:
+    """Windowed byte-level mean over an audio payload body (numpy) —
+    the shared pure kernel used by both the Spark stage and the
+    driver-side oracle precompute, so both see bit-identical doubles."""
+    import numpy as np
+
+    body = np.frombuffer(bytes(payload[24:]), dtype=np.uint8)
+    n_win = max(1, len(body) // window)
+    trimmed = body[: n_win * window].reshape(n_win, window)
+    return (trimmed.mean(axis=1) / 255.0).round(6).tolist()
+
+
 def audio_features(media: DataFrame, window: int = 64) -> DataFrame:
     """Feature extraction: windowed byte-level mean over the payload as
     an ``array<double>`` feature vector (numpy-vectorized per batch;
     the real path swaps in MFCC/fbank over decoded samples)."""
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
         import pandas as pd
 
         for b in batches:
@@ -252,11 +263,8 @@ def audio_features(media: DataFrame, window: int = 64) -> DataFrame:
                 kind, f = _parse_header(payload)
                 if kind != "audio":
                     continue
-                body = np.frombuffer(bytes(payload[24:]), dtype=np.uint8)
-                n_win = max(1, len(body) // window)
-                trimmed = body[: n_win * window].reshape(n_win, window)
-                feats = (trimmed.mean(axis=1) / 255.0).round(6)
-                out.append((int(mid), n_win, feats.tolist()))
+                feats = compute_audio_features(payload, window)
+                out.append((int(mid), len(feats), feats))
             yield pd.DataFrame(out, columns=["media_id", "n_windows", "features"])
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)

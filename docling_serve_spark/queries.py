@@ -10,6 +10,7 @@ so value hashes are engine-independent.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -953,31 +954,143 @@ ORACLE_MEDIA_FRAMES = (
 
 
 def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed byte-level features over audio payloads — computed from
-    the binary itself, so rows-only (no SQL twin)."""
+    """Windowed byte-level features over audio payloads, exploded to
+    one scalar row per window (media_id, n_windows, window_no,
+    feature) so the result is canonicalizable by any compare harness.
+    The payloads are pure functions of media_id (LCG), so the oracle
+    precomputes the expected rows through the same numpy kernel and
+    embeds them as a VALUES literal."""
     media = multimodal.build_media_df(spark, _N_MEDIA)
-    return multimodal.audio_features(media)
+    feats = multimodal.audio_features(media)
+    return feats.select(
+        F.col("media_id").cast("bigint"),
+        F.col("n_windows").cast("int"),
+        F.posexplode("features").alias("window_no", "feature"),
+    ).select(
+        "media_id", "n_windows",
+        F.col("window_no").cast("int"), F.col("feature").cast("double"),
+    )
+
+
+def _oracle_media_audio_features() -> str:
+    """VALUES oracle: the expected per-window features, recomputed
+    driver-side from the deterministic generator + the shared numpy
+    kernel (same doubles bit-for-bit; repr round-trips exactly)."""
+    from docling_serve_spark.multimodal.media import (
+        compute_audio_features,
+        encode_media,
+    )
+
+    rows = []
+    for mid in range(_N_MEDIA):
+        if mid % 3 != 1:  # only audio rows
+            continue
+        _, _, blob = encode_media(mid)
+        feats = compute_audio_features(blob)
+        rows.extend(
+            f"({mid}, {len(feats)}, {w}, {f!r})" for w, f in enumerate(feats)
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(n_windows AS INT) AS n_windows, "
+        "CAST(window_no AS INT) AS window_no, "
+        "CAST(feature AS DOUBLE) AS feature "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(media_id, n_windows, window_no, feature)"
+    )
 
 
 # ----------------------------------------------------------------- #
-# The extraction pipeline itself (no SQL oracle: the HTML/PDF parse
-# is not SQL-expressible; byte-identity is enforced in pytest against
-# the single-node oracle instead)
+# The extraction pipeline itself. The parse is not SQL-expressible,
+# but the seeded 300-page corpus is a pure function of (seed, i), so
+# the expected rows ARE precomputable: the oracle runs the same
+# per-document conversion single-node on the driver and embeds the
+# result as a VALUES literal — the driver check then verifies that
+# the distributed (bucketed, salted, Arrow-batched) execution is
+# byte-identical to the single-node oracle, which is exactly the
+# north-rule invariant.
 # ----------------------------------------------------------------- #
+
+_PIPELINE_N = 300
+
 
 def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = build_pages_df(spark, 300, partitions=8)
+    pages = build_pages_df(spark, _PIPELINE_N, partitions=8)
     res = run_extraction(pages)
     return res.select(
-        "url", "status", "doc_type", "lang", "n_items", "num_pages",
+        "url", "status", "doc_type", "lang",
+        F.col("n_items").cast("int"), F.col("num_pages").cast("int"),
         F.md5("extracted_text").alias("text_md5"),
     )
 
 
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = build_pages_df(spark, 300, partitions=8)
+    pages = build_pages_df(spark, _PIPELINE_N, partitions=8)
     res = run_extraction(pages)
     return relational.status_counts(res)
+
+
+@_functools.lru_cache(maxsize=1)
+def _expected_pipeline_rows() -> list[tuple]:
+    """Single-node replay of the seeded corpus through the same pure
+    conversion function (extract/core.py) — the independent expected
+    values for both pipeline oracles."""
+    import hashlib
+
+    from docling_serve_spark.extract.core import extract_document
+    from docling_serve_spark.sources.pages import gen_page
+
+    rows = []
+    for i in range(_PIPELINE_N):
+        p = gen_page(i)
+        data = bytes(p["html"])
+        r = extract_document(data, name=p["url"], lang=p["lang"])
+        rows.append(
+            (
+                p["url"],
+                r.status,
+                r.doc_type,
+                p["lang"],
+                r.n_items,
+                r.num_pages,
+                hashlib.md5(r.extracted_text.encode("utf-8")).hexdigest(),
+                len(data),
+                r.ocr_invoked,
+            )
+        )
+    return rows
+
+
+def _oracle_pipeline_extract() -> str:
+    vals = ", ".join(
+        f"('{url}', '{status}', '{dt}', '{lang}', {ni}, {np_}, '{md5}')"
+        for url, status, dt, lang, ni, np_, md5, _, _ in _expected_pipeline_rows()
+    )
+    return (
+        "SELECT url, status, doc_type, lang, "
+        "CAST(n_items AS INT) AS n_items, CAST(num_pages AS INT) AS num_pages, "
+        "text_md5 FROM (VALUES " + vals
+        + ") AS t(url, status, doc_type, lang, n_items, num_pages, text_md5)"
+    )
+
+
+def _oracle_pipeline_metrics() -> str:
+    agg: dict[str, list[int]] = {}
+    for _, status, _, _, _, _, _, n_bytes, ocr in _expected_pipeline_rows():
+        a = agg.setdefault(status, [0, 0, 0])
+        a[0] += 1
+        a[1] += n_bytes
+        a[2] += int(ocr)
+    vals = ", ".join(
+        f"('{s}', {a[0]}, {a[1]}, {a[2]})" for s, a in agg.items()
+    )
+    return (
+        "SELECT status, CAST(num_docs AS BIGINT) AS num_docs, "
+        "CAST(bytes_processed AS BIGINT) AS bytes_processed, "
+        "CAST(ocr_invocations AS BIGINT) AS ocr_invocations "
+        "FROM (VALUES " + vals
+        + ") AS t(status, num_docs, bytes_processed, ocr_invocations)"
+    )
 
 
 # ----------------------------------------------------------------- #
@@ -1057,6 +1170,9 @@ ORACLES: dict[str, str] = {
     "media_metadata": ORACLE_MEDIA_METADATA,
     "media_resize": ORACLE_MEDIA_RESIZE,
     "media_frame_sample": ORACLE_MEDIA_FRAMES,
-    # media_audio_features / pipeline_*: rows-only checks
-    # (binary-derived features / non-SQL-expressible parse)
+    # computed VALUES oracles (deterministic single-node replays of
+    # the seeded generators; built once at import, ~1 s)
+    "media_audio_features": _oracle_media_audio_features(),
+    "pipeline_extract": _oracle_pipeline_extract(),
+    "pipeline_metrics": _oracle_pipeline_metrics(),
 }
