@@ -5,10 +5,11 @@ layout models, configured at
 reference:docling_serve/docling_conversion.py:153-165): per-page text
 cells with positions, block segmentation, reading-order
 reconstruction, table structure. This module is a from-scratch
-deterministic equivalent for the *uncompressed* synthetic-PDF subset
-this engine's corpus generator emits (FIXTURES.md §1c): content
-streams with BT/ET, Tf, Td/TD/Tm/T*, Tj/TJ/' operators and
-parenthesis strings with backslash escapes.
+deterministic equivalent for the text-PDF subset a crawl carries:
+content streams with BT/ET, Tf, Td/TD/Tm/T*, Tj/TJ/' operators and
+parenthesis strings with backslash escapes, stored raw or
+/FlateDecode-compressed (inflated with stdlib zlib; the /Length-aware
+object scan survives binary stream bytes).
 
 Stages (all pure Python, no deps):
   1. object scan      -> page order + content streams + /Marked flag (F1)
@@ -42,8 +43,6 @@ from docling_serve_spark.docmodel.export import assign_charspans
 PAGE_W = 612.0
 PAGE_H = 792.0
 
-_OBJ_RE = re.compile(r"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
-_STREAM_RE = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
 _KIDS_RE = re.compile(r"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(r"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(r"/Contents\s+(\d+)\s+0\s+R")
@@ -175,18 +174,79 @@ def _parse_content(stream: str) -> list[_Run]:
     return runs
 
 
+_OBJ_HEAD_RE = re.compile(r"(\d+)\s+0\s+obj")
+_STREAM_START_RE = re.compile(r"stream\r?\n")
+_LENGTH_RE = re.compile(r"/Length\s+(\d+)(?!\s+0\s+R)")
+_FLATE_RE = re.compile(r"/Filter\s*(?:\[\s*)?/FlateDecode")
+
+
+def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
+    """Sequential object scan: obj_num -> (dict/body text, raw stream
+    or None). /Length-aware stream skipping, so binary (compressed)
+    stream bytes that happen to contain 'endobj'/'endstream' cannot
+    derail object splitting — the failure mode of a pure-regex scan on
+    real-world PDFs. Indirect /Length refs fall back to the endstream
+    search (our generator and most linearized writers emit direct
+    lengths on content streams)."""
+    objects: dict[int, tuple[str, str | None]] = {}
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(text, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        em = text.find("endobj", body_start)
+        sm = _STREAM_START_RE.search(text, body_start, em if em != -1 else n)
+        if sm is None:
+            objects[num] = (
+                text[body_start : em if em != -1 else n], None
+            )
+            pos = em + 6 if em != -1 else n
+            continue
+        head = text[body_start : sm.start()]
+        data_start = sm.end()
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            data_end = data_start + int(lm.group(1))
+            end_idx = text.find("endstream", data_end)
+        else:
+            end_idx = text.find("endstream", data_start)
+            data_end = end_idx
+        if data_end == -1 or end_idx == -1:
+            raise PdfParseError(f"unterminated stream in object {num}")
+        objects[num] = (head, text[data_start:data_end])
+        em = text.find("endobj", end_idx)
+        pos = em + 6 if em != -1 else end_idx + 9
+    return objects
+
+
+def _decode_stream(head: str, stream: str) -> str:
+    """Apply the stream filter chain. FlateDecode is inflated with
+    stdlib zlib (the reference's backends handle arbitrary filters via
+    pdfium/qpdf, docling_conversion.py:153-165; Flate covers virtually
+    every real-world content stream)."""
+    if stream and _FLATE_RE.search(head):
+        import zlib
+
+        try:
+            return zlib.decompress(stream.encode("latin-1")).decode("latin-1")
+        except zlib.error as e:
+            raise PdfParseError(f"flate decode error: {e}") from None
+    return stream
+
+
 def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
     """Object scan -> ordered per-page run lists + tagged flag."""
     if not data.startswith(b"%PDF"):
         raise PdfParseError("not a PDF: missing %PDF header")
     text = data.decode("latin-1")
-    objects: dict[int, str] = {}
-    for m in _OBJ_RE.finditer(text):
-        objects[int(m.group(1))] = m.group(2)
+    objects = _scan_objects(text)
 
     page_streams: list[str] = []
     kids_order: list[int] = []
-    for body in objects.values():
+    for body, _ in objects.values():
         if "/Type /Pages" in body or "/Type/Pages" in body:
             km = _KIDS_RE.search(body)
             if km:
@@ -194,17 +254,20 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
             break
     if kids_order:
         for kid in kids_order:
-            body = objects.get(kid, "")
+            body, own_stream = objects.get(kid, ("", None))
             cm = _CONTENTS_RE.search(body)
             if cm and int(cm.group(1)) in objects:
-                sm = _STREAM_RE.search(objects[int(cm.group(1))])
-                page_streams.append(sm.group(1) if sm else "")
+                chead, cstream = objects[int(cm.group(1))]
+                page_streams.append(_decode_stream(chead, cstream or ""))
             else:
-                sm = _STREAM_RE.search(body)
-                page_streams.append(sm.group(1) if sm else "")
+                page_streams.append(_decode_stream(body, own_stream or ""))
     else:
         # fallback: every stream in document order is a page
-        page_streams = [m.group(1) for m in _STREAM_RE.finditer(text)]
+        page_streams = [
+            _decode_stream(head, stream)
+            for head, stream in objects.values()
+            if stream is not None
+        ]
     if not page_streams:
         raise PdfParseError("no content streams found")
     return [_parse_content(s) for s in page_streams], is_tagged_pdf(data)

@@ -116,12 +116,17 @@ def _pdf_escape(s: str) -> str:
 
 
 def _synth_pdf(rng: random.Random, i: int, lang: str) -> bytes:
-    """Uncompressed PDF exercising the C1-C4 parser subset: title run
+    """Synthetic PDF exercising the C1-C4 parser subset: title run
     (18pt), section headers (14pt), body lines (12pt), one aligned
-    table block per ~3 pages, ~25% tagged, ~20% 2-column."""
+    table block per ~3 pages, ~25% tagged, ~20% 2-column. Content
+    streams are /FlateDecode-compressed for even ``i`` (keyed off the
+    row index, NOT an rng draw, so the text content of every page is
+    unchanged vs the uncompressed-only corpus) — real crawl PDFs are
+    virtually always Flate-compressed, so goldens cover both."""
     n_pages = rng.randint(10, 200)
     tagged = rng.random() < 0.25
     two_col = rng.random() < 0.20
+    compress = i % 2 == 0
     wlang = "en" if lang == "zh" else lang  # latin-1 content streams
     if wlang == "ar":
         wlang = "en"
@@ -172,9 +177,18 @@ def _synth_pdf(rng: random.Random, i: int, lang: str) -> bytes:
                     )
         lines.append("ET")
         stream = "\n".join(lines)
-        cref = obj(
-            f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\n"
-        )
+        if compress:
+            import zlib
+
+            comp = zlib.compress(stream.encode("latin-1")).decode("latin-1")
+            cref = obj(
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
+                f"stream\n{comp}\nendstream\n"
+            )
+        else:
+            cref = obj(
+                f"<< /Length {len(stream)} >>\nstream\n{stream}\nendstream\n"
+            )
         content_refs.append(cref)
         page_refs.append(0)  # placeholder, filled after pages obj known
 

@@ -80,6 +80,58 @@ def test_synth_corpus_pdfs_parse():
     assert any(i.item_type == "table" for i in doc.items)
 
 
+def _flate_pdf(stream: str, length: int | None = None) -> bytes:
+    import zlib
+
+    comp = zlib.compress(stream.encode("latin-1"))
+    n = len(comp) if length is None else length
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>\nendobj\n"
+        + f"4 0 obj\n<< /Length {n} /Filter /FlateDecode >>\nstream\n".encode()
+        + comp
+        + b"\nendstream\nendobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_flate_stream_parses_same_as_raw():
+    raw = _pdf(body_lines=["compressed body line"])
+    stream = "BT /F1 12 Tf\n/F1 18 Tf 1 0 0 1 72 720 Tm (The Doc Title) Tj /F1 12 Tf\n1 0 0 1 72 676 Tm (compressed body line) Tj\nET"
+    doc_raw = extract_pdf(_pdf(body_lines=["compressed body line"]))
+    doc_flate = extract_pdf(_flate_pdf(stream))
+    assert [i.text for i in doc_flate.items] == [i.text for i in doc_raw.items]
+
+
+def test_flate_stream_with_embedded_endstream_bytes():
+    # a compressed stream whose bytes contain the literal markers must
+    # not derail the /Length-aware object scan
+    stream = (
+        "BT /F1 12 Tf\n1 0 0 1 72 720 Tm (endstream endobj inside text) Tj\nET"
+    )
+    doc = extract_pdf(_flate_pdf(stream))
+    assert any("endstream endobj inside text" in i.text for i in doc.items)
+
+
+def test_corrupt_flate_raises_typed_error():
+    data = _flate_pdf("BT ET").replace(b"stream\n", b"stream\nXX", 1)
+    with pytest.raises(PdfParseError):
+        parse_pdf_pages(data)
+
+
+def test_synth_corpus_compressed_matches_uncompressed():
+    # even i -> compressed, odd i -> raw; same rng state => same text
+    rng_a = random.Random("t:9")
+    rng_b = random.Random("t:9")
+    comp = _synth_pdf(rng_a, 2, "en")
+    raw = _synth_pdf(rng_b, 3, "en")
+    assert len(comp) < len(raw)
+    assert b"/Filter /FlateDecode" in comp and b"/Filter" not in raw
+    assert pdf_page_texts(comp) == pdf_page_texts(raw)
+
+
 def test_two_column_reading_order():
     # two columns: left column fully precedes right column in output
     lines = ["BT /F1 12 Tf"]
