@@ -98,11 +98,15 @@ def assign_charspans(doc: Document) -> Document:
     """Set each item's prov charspan to its [start, end) offsets in
     the strict-text channel (export_to_text). Idempotent."""
     off = 0
+    total = len(export_to_text(doc))
     for idx, item in enumerate(doc.items):
         if item.item_type == PICTURE:
-            # pictures occupy no span in the text channel
+            # pictures occupy no span in the text channel; a trailing
+            # picture's zero-width span is clamped to the channel end
+            # (off already includes the previous item's ITEM_SEP)
+            pos = min(off, total)
             pr = item.prov or [Prov(1)]
-            item.prov = [Prov(p.page_no, p.bbox, (off, off)) for p in pr]
+            item.prov = [Prov(p.page_no, p.bbox, (pos, pos)) for p in pr]
             continue
         t = item_text(item)
         start = off

@@ -25,6 +25,7 @@ from docling_serve_spark.docmodel.export import (
 )
 from docling_serve_spark.docmodel.model import Document
 from docling_serve_spark.extract.html_extract import extract_html
+from docling_serve_spark.extract.office_extract import OfficeParseError
 from docling_serve_spark.extract.pdf_extract import (
     PdfParseError,
     extract_pdf_ordered,
@@ -44,8 +45,22 @@ from docling_serve_spark.extract.quality import (
 
 DOC_TYPE_HTML = "html"
 DOC_TYPE_PDF = "pdf"
-DOC_TYPE_OFFICE = "office"  # OOXML zip container (docx/pptx/xlsx)
+DOC_TYPE_DOCX = "docx"
+DOC_TYPE_PPTX = "pptx"
+DOC_TYPE_XLSX = "xlsx"
+DOC_TYPE_MD = "md"
+DOC_TYPE_ASCIIDOC = "asciidoc"
+DOC_TYPE_IMAGE = "image"
+DOC_TYPE_OFFICE = "office"  # PK container of unrecognized flavor
 DOC_TYPE_UNKNOWN = "unknown"
+
+# every type the router can dispatch (the reference's InputFormat set,
+# reference:docs/usage.md:9 — docx/pptx/html/image/pdf/asciidoc/md —
+# plus xlsx, which docling's InputFormat also accepts)
+ROUTABLE_TYPES = (
+    DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_DOCX, DOC_TYPE_PPTX,
+    DOC_TYPE_XLSX, DOC_TYPE_MD, DOC_TYPE_ASCIIDOC, DOC_TYPE_IMAGE,
+)
 
 STATUS_SUCCESS = "success"
 STATUS_FAILURE = "failure"
@@ -53,13 +68,49 @@ STATUS_SKIPPED = "skipped"
 
 ALL_FORMATS = ("md", "text", "html", "doctags", "json")
 
+_IMAGE_MAGICS = (
+    b"\x89PNG\r\n\x1a\n",
+    b"\xff\xd8\xff",  # JPEG
+    b"GIF87a",
+    b"GIF89a",
+    b"II*\x00",  # TIFF LE
+    b"MM\x00*",  # TIFF BE
+    b"BM",  # BMP
+)
+
+
+def _sniff_markup(head: bytes) -> str | None:
+    """Markdown vs AsciiDoc heuristic over decodable text that is not
+    HTML (the reference routes by extension, convert.py:115-125; a
+    crawl has none). Conservative: only explicit structural markers
+    classify; plain prose stays 'unknown'."""
+    try:
+        text = head.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return None
+    first = lines[0]
+    if first.startswith("= ") or any(
+        ln.startswith(("== ", "|===")) for ln in lines
+    ):
+        return DOC_TYPE_ASCIIDOC
+    if first.startswith(("# ", "## ")) or any(
+        ln.startswith(("## ", "```")) for ln in lines
+    ):
+        return DOC_TYPE_MD
+    return None
+
 
 def sniff_doc_type(data: bytes) -> str:
-    """S4 — format routing by magic bytes (the reference routes on
-    from_formats + file extension,
+    """S4 — format routing by magic bytes + structure (the reference
+    routes on from_formats + file extension,
     reference:docling_serve/datamodel/convert.py:115-125; a crawl
     corpus has no extensions, so sniff content)."""
-    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff") and not any(
+        data.startswith(m) for m in _IMAGE_MAGICS
+    ):
         # UTF-16 BOM: decode enough to re-sniff (crawls carry these)
         try:
             return sniff_doc_type(
@@ -70,9 +121,13 @@ def sniff_doc_type(data: bytes) -> str:
     if data.startswith(b"%PDF"):
         return DOC_TYPE_PDF
     if data.startswith(b"PK\x03\x04"):
-        # OOXML container (C9 — office backends are out of v1 scope;
-        # typed routing keeps the bucket countable, not 'unknown')
-        return DOC_TYPE_OFFICE
+        # OOXML container: flavor from the part names riding the local
+        # file headers (C9)
+        from docling_serve_spark.extract.office_extract import detect_ooxml
+
+        return detect_ooxml(data) or DOC_TYPE_OFFICE
+    if any(data.startswith(m) for m in _IMAGE_MAGICS):
+        return DOC_TYPE_IMAGE
     head = data[:1024].lstrip().lower()
     if head.startswith(b"<!doctype") or head.startswith(b"<html"):
         return DOC_TYPE_HTML
@@ -81,7 +136,7 @@ def sniff_doc_type(data: bytes) -> str:
     # permissive: tag-looking content is treated as html fragment
     if head.startswith(b"<"):
         return DOC_TYPE_HTML
-    return DOC_TYPE_UNKNOWN
+    return _sniff_markup(data[:4096]) or DOC_TYPE_UNKNOWN
 
 
 @dataclass(frozen=True)
@@ -127,14 +182,51 @@ class ExtractOptions:
     # external SmolDocling path, dispatch-only offline
     pipeline: str = "standard"
     # S4 — from_formats allow-list (convert.py:115-125): sniffed types
-    # outside the list are skipped + counted, not failed
-    from_formats: tuple[str, ...] = ("html", "pdf")
+    # outside the list are skipped + counted, not failed; default is
+    # every routable format, as the reference defaults to all
+    from_formats: tuple[str, ...] = ROUTABLE_TYPES
     # P1/P2 — OCRMyPDF preprocessing surface (ocrmypdf_middleware.py:
     # 79-200); compute is an external binary, the mode logic is ours
     enable_ocrmypdf_preprocessing: bool = False
     ocrmypdf_deskew: bool = False
     ocrmypdf_clean: bool = False
     ocrmypdf_redo_ocr: bool = False
+    # P1 — OCRMyPDF per-file size cap (ocrmypdf_settings.py:32)
+    ocrmypdf_max_file_size_mb: int = 200
+    # A1 — AI-Vision trigger gate (worker.py:119-127; middleware
+    # compute is an external VLM service, the trigger predicate is ours)
+    enable_ai_vision: bool = False
+    # C5 — OCR engine selection + languages (convert.py:175-198);
+    # engines are external, the dispatch surface and the P4 language
+    # mapping are ours
+    ocr_engine: str = "easyocr"
+    ocr_lang: tuple[str, ...] = ()
+    # C1 — pdf_backend (convert.py:200-210): accepted + recorded; this
+    # engine has exactly one from-scratch backend
+    pdf_backend: str = "dlparse_v4"
+    # O6/batch — abort_on_error (convert.py:247-255): job-level
+    # fail-fast, enforced by the checkpointed runner (warehouse.py)
+    abort_on_error: bool = False
+    # C4 — do_table_structure (convert.py:257-267): when off, table
+    # regions degrade to plain text rows
+    do_table_structure: bool = True
+    # E6 — include_images + images_scale (convert.py:269-297): when
+    # off, picture items are dropped from every channel; scale rides
+    # along for the (external) raster path
+    include_images: bool = True
+    images_scale: float = 2.0
+
+    def tesseract_langs(self) -> tuple[str, ...]:
+        """P4 — ocr_lang codes mapped to tesseract codes for the
+        tesseract engines (ocr_language_utils.py:160-175: unknown
+        codes are dropped); other engines take the codes verbatim."""
+        if not self.ocr_engine.startswith("tesseract"):
+            return self.ocr_lang
+        from docling_serve_spark.extract.langmap import (
+            convert_to_tesseract_codes,
+        )
+
+        return tuple(convert_to_tesseract_codes(list(self.ocr_lang)))
 
     def normalized(self) -> "ExtractOptions":
         """P2 — mode-conflict resolution: redo_ocr cannot combine with
@@ -172,6 +264,11 @@ class ExtractionResult:
     force_ocr_effective: bool = False
     ocr_invoked: bool = False
     arabic_dispatched: bool = False
+    # A1 — AI-Vision trigger (worker.py:119-127)
+    ai_vision_triggered: bool = False
+    # P1/P3 — OCRMyPDF dispatch + post-preprocess force_ocr reset
+    # (worker.py:215-220)
+    ocrmypdf_performed: bool = False
     error: str = ""
     errors: list[str] = field(default_factory=list)
 
@@ -191,11 +288,45 @@ def _spans_json(doc: Document) -> str:
     return json.dumps(spans, ensure_ascii=False, sort_keys=True, separators=(",", ":"))
 
 
+def _degrade_items(doc: Document, opts: ExtractOptions) -> Document:
+    """do_table_structure=False degrades table regions to plain text
+    rows (structure model off, content kept — convert.py:257-267);
+    include_images=False drops picture items from every channel
+    (convert.py:269-278). Charspans are re-assigned afterwards."""
+    from docling_serve_spark.docmodel.export import assign_charspans
+    from docling_serve_spark.docmodel.model import (
+        PICTURE,
+        TABLE,
+        TEXT,
+        DocItem,
+        table_to_rows,
+    )
+
+    if opts.do_table_structure and opts.include_images:
+        return doc
+    items = []
+    for it in doc.items:
+        if it.item_type == TABLE and not opts.do_table_structure:
+            rows = table_to_rows(it.table) if it.table else []
+            t = "\n".join(
+                " ".join(c for c in r if c) for r in rows
+            ).strip()
+            if t:
+                items.append(DocItem(TEXT, t, prov=it.prov))
+        elif it.item_type == PICTURE and not opts.include_images:
+            continue
+        else:
+            items.append(it)
+    doc.items = items
+    return assign_charspans(doc)
+
+
 def _export_channels(
     res: ExtractionResult, doc: Document, opts: ExtractOptions, lang: str
 ) -> None:
     """E1-E7 + T2-T4 wiring (worker.py:238-257 order: export, then
     BiDi on md)."""
+    doc = _degrade_items(doc, opts)
     res.extracted_text = export_to_text(doc)
     if "md" in opts.to_formats:
         md = export_to_markdown(
@@ -243,14 +374,31 @@ def extract_document(
     t0 = _time.monotonic()
     if data and data[:2] == b"\x1f\x8b":
         # gzip member (crawls often store compressed bodies): inflate
-        # before sniffing; on corrupt streams fall through to the
-        # unknown-format failure row
+        # before sniffing — but STREAM-decompress with a hard cap so a
+        # gzip bomb (realistic in crawl data) cannot expand unbounded
+        # in executor memory before the F13 size guard sees it; on
+        # corrupt streams fall through to the unknown-format failure row
         import gzip as _gzip
+        import io as _io
 
+        inflated = None
         try:
-            data = _gzip.decompress(data)
+            with _gzip.GzipFile(fileobj=_io.BytesIO(data)) as gz:
+                inflated = gz.read(opts.max_file_size_bytes + 1)
         except Exception:  # noqa: BLE001
             pass
+        if inflated is not None:
+            if len(inflated) > opts.max_file_size_bytes:
+                res = ExtractionResult(
+                    name=name, status=STATUS_SKIPPED,
+                    doc_type=DOC_TYPE_UNKNOWN,
+                )
+                res.error = (
+                    "gzip payload exceeds max_file_size "
+                    f"(> {opts.max_file_size_bytes} bytes)"
+                )
+                return res
+            data = inflated
     doc_type = sniff_doc_type(data or b"")
     res = ExtractionResult(name=name, status=STATUS_SUCCESS, doc_type=doc_type)
 
@@ -272,7 +420,7 @@ def extract_document(
         res.status = STATUS_SKIPPED
         res.error = f"file exceeds max_file_size ({len(data)} bytes)"
         return res
-    if doc_type in (DOC_TYPE_HTML, DOC_TYPE_PDF) and doc_type not in opts.from_formats:
+    if doc_type in ROUTABLE_TYPES and doc_type not in opts.from_formats:
         # S4 — from_formats allow-list (convert.py:115-125)
         res.status = STATUS_SKIPPED
         res.error = f"format not in from_formats: {doc_type}"
@@ -308,6 +456,25 @@ def extract_document(
             # external engine offline — SURVEY.md §2.3); the text
             # channel falls back to embedded text.
             res.ocr_invoked = opts.do_ocr and analysis.recommended_mode != MODE_SKIP
+            # A1 — AI-Vision trigger predicate (worker.py:119-127:
+            # enabled ∧ recommended_mode=='force' ∧ supported type —
+            # the middleware's supported_extensions default is ['.pdf'],
+            # ai_vision_settings.py:18)
+            res.ai_vision_triggered = (
+                opts.enable_ai_vision
+                and analysis.recommended_mode == "force"
+            )
+            # P1/P3 — OCRMyPDF dispatch: performed for any enabled PDF
+            # under the size cap (ocrmypdf_middleware.py:70-100); when
+            # performed, the preprocessor already did the OCR, so the
+            # conversion must not force-redo it (worker.py:215-220 sets
+            # options.force_ocr=False)
+            res.ocrmypdf_performed = (
+                opts.enable_ocrmypdf_preprocessing
+                and len(data) <= opts.ocrmypdf_max_file_size_mb * 1024 * 1024
+            )
+            if res.ocrmypdf_performed:
+                res.force_ocr_effective = False
             # C10 — page_range slice (analysis above ran on the full
             # document, as the reference's pre-conversion analysis
             # does); prov page numbers stay true via first_page
@@ -329,15 +496,64 @@ def extract_document(
             if not doc.items:
                 res.status = STATUS_FAILURE
                 res.error = "no content extracted"
+        elif doc_type in (DOC_TYPE_DOCX, DOC_TYPE_PPTX, DOC_TYPE_XLSX):
+            # C9 — OOXML parse (stdlib zipfile + ElementTree)
+            from docling_serve_spark.extract.office_extract import (
+                extract_docx,
+                extract_pptx,
+                extract_xlsx,
+            )
+
+            fn = {
+                DOC_TYPE_DOCX: extract_docx,
+                DOC_TYPE_PPTX: extract_pptx,
+                DOC_TYPE_XLSX: extract_xlsx,
+            }[doc_type]
+            doc = fn(data, name=name)
+            if timed_out():
+                res.status = STATUS_FAILURE
+                res.error = "document timeout"
+                return res
+            res.has_text = any(i.text for i in doc.items)
+            _export_channels(res, doc, opts, lang)
+            if not doc.items:
+                res.status = STATUS_FAILURE
+                res.error = "no content extracted"
+        elif doc_type in (DOC_TYPE_MD, DOC_TYPE_ASCIIDOC):
+            # C9 — markup parse
+            from docling_serve_spark.extract.markup_extract import (
+                extract_asciidoc,
+                extract_md,
+            )
+
+            fn = extract_md if doc_type == DOC_TYPE_MD else extract_asciidoc
+            doc = fn(data, name=name)
+            res.has_text = any(i.text for i in doc.items)
+            _export_channels(res, doc, opts, lang)
+            if not doc.items:
+                res.status = STATUS_FAILURE
+                res.error = "no content extracted"
+        elif doc_type == DOC_TYPE_IMAGE:
+            # C5 boundary — a raster's text IS the OCR output, and the
+            # engines are external offline (SURVEY §2.3); the dispatch
+            # surface is computed and counted like every other OCR row
+            res.has_text = False
+            res.recommended_mode = "force"
+            res.force_ocr_effective = opts.do_ocr
+            res.ocr_invoked = opts.do_ocr
+            res.num_pages = 1
         elif doc_type == DOC_TYPE_OFFICE:
             res.status = STATUS_FAILURE
-            res.error = "unsupported format: office (OOXML) — not in v1"
+            res.error = "unsupported format: office container of unknown flavor"
         else:
             res.status = STATUS_FAILURE
             res.error = "unsupported format"
     except PdfParseError as e:
         res.status = STATUS_FAILURE
         res.error = f"pdf parse error: {e}"
+    except OfficeParseError as e:
+        res.status = STATUS_FAILURE
+        res.error = f"office parse error: {e}"
     except Exception as e:  # noqa: BLE001 — per-row containment
         res.status = STATUS_FAILURE
         res.error = f"{type(e).__name__}: {e}"

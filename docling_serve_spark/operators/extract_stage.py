@@ -43,7 +43,8 @@ RESULT_SCHEMA = (
     "has_text boolean, is_tagged boolean, text_quality string, "
     "quality_score double, recommended_mode string, "
     "force_ocr_effective boolean, ocr_invoked boolean, "
-    "arabic_dispatched boolean, error string"
+    "arabic_dispatched boolean, ai_vision_triggered boolean, "
+    "ocrmypdf_performed boolean, error string"
 )
 
 _RESULT_COLS = [f.split()[0] for f in RESULT_SCHEMA.split(", ")]
@@ -91,6 +92,8 @@ def _extract_batches(opts: ExtractOptions):
                         r.force_ocr_effective,
                         r.ocr_invoked,
                         r.arabic_dispatched,
+                        r.ai_vision_triggered,
+                        r.ocrmypdf_performed,
                         r.error,
                     )
                 )

@@ -53,6 +53,13 @@ def completed_chunks(out_dir: str) -> set[int]:
     return done
 
 
+class AbortOnErrorError(RuntimeError):
+    """Job-level fail-fast (ConvertDocumentsOptions.abort_on_error,
+    reference:datamodel/convert.py:247-255): raised after the first
+    chunk that commits with failure rows. The chunk's manifest is
+    still written, so a fixed-up rerun resumes past it."""
+
+
 @dataclass
 class ChunkReport:
     chunk: int
@@ -117,6 +124,11 @@ def run_checkpointed(
             json.dump({"chunk": chunk, **counters}, f)
         reports.append(ChunkReport(chunk, **counters))
         processed += 1
+        if (opts and opts.abort_on_error) and counters["num_failed"] > 0:
+            raise AbortOnErrorError(
+                f"chunk {chunk}: {counters['num_failed']} document(s) "
+                "failed and abort_on_error is set"
+            )
     return reports
 
 

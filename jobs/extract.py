@@ -53,6 +53,22 @@ def main() -> None:
     ap.add_argument("--max-num-pages", type=int, default=0)
     ap.add_argument("--page-break-placeholder", default="")
     ap.add_argument("--table-mode", default="fast", choices=("fast", "accurate"))
+    ap.add_argument("--from-formats", default=None,
+                    help="comma allow-list of input formats "
+                         "(default: all of html,pdf,docx,pptx,xlsx,md,asciidoc,image)")
+    ap.add_argument("--ocr-engine", default="easyocr",
+                    choices=("easyocr", "tesseract_cli", "tesseract",
+                             "rapidocr", "ocrmac"))
+    ap.add_argument("--ocr-lang", default="",
+                    help="comma list of OCR language codes")
+    ap.add_argument("--pdf-backend", default="dlparse_v4",
+                    choices=("pypdfium2", "dlparse_v1", "dlparse_v2", "dlparse_v4"))
+    ap.add_argument("--abort-on-error", action="store_true",
+                    help="fail the job after the first chunk with failure rows")
+    ap.add_argument("--no-table-structure", action="store_true")
+    ap.add_argument("--no-images", action="store_true")
+    ap.add_argument("--images-scale", type=float, default=2.0)
+    ap.add_argument("--enable-ai-vision", action="store_true")
     args = ap.parse_args()
 
     from docling_serve_spark.extract.core import ExtractOptions
@@ -73,6 +89,19 @@ def main() -> None:
         max_num_pages=args.max_num_pages,
         page_break_placeholder=args.page_break_placeholder,
         table_mode=args.table_mode,
+        **(
+            {"from_formats": tuple(
+                f.strip() for f in args.from_formats.split(",") if f.strip()
+            )} if args.from_formats else {}
+        ),
+        ocr_engine=args.ocr_engine,
+        ocr_lang=tuple(c.strip() for c in args.ocr_lang.split(",") if c.strip()),
+        pdf_backend=args.pdf_backend,
+        abort_on_error=args.abort_on_error,
+        do_table_structure=not args.no_table_structure,
+        include_images=not args.no_images,
+        images_scale=args.images_scale,
+        enable_ai_vision=args.enable_ai_vision,
     ).normalized()  # P2 mode-conflict resolution, driver-side once
 
     if args.streaming:
@@ -86,16 +115,23 @@ def main() -> None:
             out_data, ckpt,
         )
         q.awaitTermination()
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
 
-        res = spark.read.parquet(out_data)
-        counts = {
-            r["status"]: r["n"]
-            for r in res.groupBy("status").agg(F.count("*").alias("n")).collect()
-        }
+        # an empty landing dir writes no files; the summary read must
+        # not crash — report num_docs=0
+        try:
+            res = spark.read.parquet(out_data)
+            counts = {
+                r["status"]: r["n"]
+                for r in res.groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            num_docs = int(res.count())
+        except AnalysisException:
+            counts, num_docs = {}, 0
         print(json.dumps({
             "mode": "streaming",
-            "num_docs": int(res.count()),
+            "num_docs": num_docs,
             "num_succeeded": int(counts.get("success", 0)),
             "num_failed": int(counts.get("failure", 0)),
             "num_skipped": int(counts.get("skipped", 0)),

@@ -107,3 +107,26 @@ def test_read_pages_source_schemes(spark, tmp_path):
 
     with _pytest.raises(Exception, match="(?i)iceberg|data.?source|Failed to find"):
         read_pages(spark, "iceberg:db.tbl").count()
+
+
+def test_abort_on_error_fails_fast_but_resumes(spark, tmp_path):
+    """ConvertDocumentsOptions.abort_on_error (convert.py:247-255) as a
+    job-level semantic: the run stops after the first chunk that
+    commits failures; a rerun without the flag resumes past it."""
+    import pytest
+
+    from docling_serve_spark.extract.core import ExtractOptions
+    from docling_serve_spark.sources.warehouse import AbortOnErrorError
+
+    out = str(tmp_path / "wh")
+    pages = build_pages_df(spark, N, partitions=4)  # ~8% degenerate rows
+    with pytest.raises(AbortOnErrorError):
+        run_checkpointed(
+            spark, pages, out, n_chunks=CHUNKS,
+            opts=ExtractOptions(abort_on_error=True),
+        )
+    n_done = len(completed_chunks(out))
+    assert 1 <= n_done < CHUNKS  # stopped early, failing chunk committed
+    reports = run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    assert sum(1 for r in reports if r.skipped_resume) == n_done
+    assert read_results(spark, out).count() == N

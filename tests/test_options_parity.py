@@ -163,3 +163,68 @@ def test_from_formats_allowlist_skips_counted():
     )
     assert r.status == "skipped"
     assert "from_formats" in r.error
+
+
+def test_gzip_bomb_capped_not_inflated():
+    """A small gzip member expanding past max_file_size must be
+    skip-routed without materializing the full payload."""
+    import gzip
+
+    bomb = gzip.compress(b"\x00" * (4 * 1024 * 1024))  # ~4 KB compressed
+    r = extract_document(
+        bomb, name="bomb.gz",
+        opts=ExtractOptions(max_file_size_bytes=1024 * 1024),
+    )
+    assert r.status == "skipped"
+    assert "gzip payload exceeds max_file_size" in r.error
+
+
+def test_ocr_engine_lang_mapping():
+    """ocr_lang passes through for easyocr, maps via P4 for
+    tesseract engines (unknown codes dropped,
+    reference:ocr_language_utils.py:160-175)."""
+    easy = ExtractOptions(ocr_engine="easyocr", ocr_lang=("fr", "xx"))
+    assert easy.tesseract_langs() == ("fr", "xx")
+    tess = ExtractOptions(ocr_engine="tesseract", ocr_lang=("fr", "en", "xx"))
+    assert tess.tesseract_langs() == ("fra", "eng")
+    cli = ExtractOptions(ocr_engine="tesseract_cli", ocr_lang=("ar",))
+    assert cli.tesseract_langs() == ("ara",)
+
+
+def test_recorded_option_fields_roundtrip():
+    o = ExtractOptions(pdf_backend="pypdfium2", images_scale=1.5,
+                       abort_on_error=True)
+    assert o.pdf_backend == "pypdfium2"
+    assert o.images_scale == 1.5
+    assert o.abort_on_error
+
+
+TABLE_HTML = (
+    b"<html><body><main><article><h1>T</h1>"
+    b"<p>Some long enough paragraph of body text for scoring here.</p>"
+    b"<table><tr><th>k</th><th>v</th></tr><tr><td>a</td><td>1</td></tr></table>"
+    b"</article></main></body></html>"
+)
+
+
+def test_do_table_structure_off_degrades_to_text():
+    on = extract_document(TABLE_HTML, name="t")
+    off = extract_document(
+        TABLE_HTML, name="t", opts=ExtractOptions(do_table_structure=False)
+    )
+    assert "| k | v |" in on.md_content  # structured
+    assert "| k | v |" not in off.md_content  # degraded
+    assert "k v" in off.extracted_text  # content kept as text rows
+    assert "a 1" in off.extracted_text
+
+
+def test_include_images_off_drops_pictures():
+    keep = extract_document(IMG_HTML, name="i", opts=ExtractOptions())
+    drop = extract_document(
+        IMG_HTML, name="i", opts=ExtractOptions(include_images=False)
+    )
+    assert "![A chart]" in keep.md_content or "data:image" in keep.md_content
+    assert "A chart" not in drop.md_content
+    assert "img" not in drop.md_content
+    # text channel identical (pictures never carry text)
+    assert keep.extracted_text == drop.extracted_text
