@@ -7,8 +7,10 @@ JVM; no Python UDFs anywhere in this module):
   - exact dedup:      normalize -> md5 -> hash-groupBy
   - MinHash + LSH:    word-shingles -> k md5-derived min-hashes ->
                       banded signature -> bucket join for candidates
-  - SimHash:          per-token md5 bit votes -> 32-bit signature
-  - n-gram Jaccard:   token-set self-join with length blocking
+  - SimHash:          per-token md5 bit votes -> 64-bit signature
+                      (two 32-bit words)
+  - n-gram Jaccard:   token-set self-join, doc-frequency-capped +
+                      length-ratio pruned
 
 Hash functions are md5-derived (first 8 hex chars as uint) so the
 DuckDB oracles can reproduce values bit-exactly; at cluster scale
@@ -66,11 +68,13 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
-def _md5_hash(col: Column, salt: int) -> Column:
-    """Deterministic 32-bit hash from md5 — portable to DuckDB as
-    ('0x' || substr(md5(...),1,8))::UBIGINT."""
+def _md5_hash(col: Column, salt: int, pos: int = 1) -> Column:
+    """Deterministic 32-bit hash from md5 (hex chars [pos, pos+8)) —
+    portable to DuckDB as ('0x' || substr(md5(...),pos,8))::UBIGINT.
+    ``pos=1`` and ``pos=9`` give two independent 32-bit words of the
+    same digest (one md5 per token, reused)."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), pos, 8), 16, 10
     ).cast("bigint")
 
 
@@ -154,41 +158,74 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash — per-bit majority vote of
-    distinct-token hashes. Explode-once: each token hashed once, then
-    32 codegen'd SUM aggregates (one per bit) in a single hash
-    aggregation; the shuffle carries 33 longs per doc. (The one-column
-    form with 32 ``F.aggregate`` passes re-walks — and re-hashes — the
-    token array per bit, interpreted.)"""
+    """(doc_id, simhash_hi, simhash_lo): 64-bit SimHash — per-bit
+    majority vote of distinct-token hashes, carried as two 32-bit
+    words so no bit ever touches a BIGINT sign position (a single
+    64-bit signature column would put bit 63 in the sign bit, where
+    cross-engine overflow semantics diverge). 32 bits was a round-1
+    weakness: at 10^12 docs the birthday bound makes identical-32-bit
+    grouping pure collision noise; 64 bits puts the expected collision
+    count back below 1 for corpora up to ~5*10^9 distinct signatures
+    and is the width the published SimHash dedup systems use
+    (Manku/Jain/Sarma, WWW 2007).
+
+    Explode-once: each token md5-hashed ONCE, both 32-bit words sliced
+    from the same digest, then 64 codegen'd SUM aggregates (one per
+    bit) in a single hash aggregation; the shuffle carries 65 longs
+    per doc."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tk")
     )
-    h = toks.select("doc_id", _md5_hash(F.col("tk"), 0).alias("hv"))
+    h = toks.select(
+        "doc_id",
+        _md5_hash(F.col("tk"), 0, pos=1).alias("hv_hi"),
+        _md5_hash(F.col("tk"), 0, pos=9).alias("hv_lo"),
+    )
     agg = h.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
         *[
-            F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+            F.sum(
+                F.shiftright(F.col("hv_hi"), b).bitwiseAND(F.lit(1))
+            ).alias(f"hi{b}")
+            for b in range(32)
+        ],
+        *[
+            F.sum(
+                F.shiftright(F.col("hv_lo"), b).bitwiseAND(F.lit(1))
+            ).alias(f"lo{b}")
             for b in range(32)
         ],
     )
-    sig = None
-    for b in range(32):
-        bit = F.when(
-            F.col(f"o{b}") * 2 >= F.col("n_tok"), F.lit(1).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig + term
-    return agg.select("doc_id", sig.alias("simhash"))
+
+    def word(prefix: str) -> Column:
+        sig = None
+        for b in range(32):
+            bit = F.when(
+                F.col(f"{prefix}{b}") * 2 >= F.col("n_tok"),
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            term = F.shiftleft(bit, b)
+            sig = term if sig is None else sig + term
+        return sig
+
+    return agg.select(
+        "doc_id", word("hi").alias("simhash_hi"), word("lo").alias("simhash_lo")
+    )
 
 
 def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Docs grouped by identical SimHash (strong near-dup signal)."""
+    """Docs grouped by identical 64-bit SimHash (strong near-dup
+    signal); the group key is the (hi, lo) word pair."""
     return (
         simhash_signatures(docs, text_col)
-        .groupBy("simhash")
+        .groupBy("simhash_hi", "simhash_lo")
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.min("doc_id").cast("bigint").alias("keep_doc_id"))
-        .select(F.col("simhash").cast("bigint"), "n_docs", "keep_doc_id")
+        .select(
+            F.col("simhash_hi").cast("bigint"),
+            F.col("simhash_lo").cast("bigint"),
+            "n_docs", "keep_doc_id",
+        )
     )
 
 
@@ -261,33 +298,75 @@ def dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_df_frac: float = 0.5) -> DataFrame:
     """n-gram (word-token) Jaccard similarity pairs >= threshold,
     computed relationally: explode distinct tokens, self-join on
-    token, |A∩B| / (|A| + |B| - |A∩B|). Length-ratio blocking prunes
-    the join. Fully portable to the DuckDB oracle."""
+    token, |A∩B| / (|A| + |B| - |A∩B|). Fully portable to the DuckDB
+    oracle.
+
+    Two blockings keep the self-join off the O(df²)-per-hot-token
+    cliff that an unblocked token join hits at corpus scale:
+
+    1. **Document-frequency cap**: tokens appearing in more than
+       ``max_df_frac`` of all docs (stopwords — exactly the tokens
+       whose per-token pair blowup is quadratic in corpus size) are
+       dropped BEFORE sizes and intersections are computed, on both
+       engines identically. This changes the similarity measure to
+       Jaccard-over-informative-tokens — the standard stopword-pruned
+       form; a stopword shared by most docs carries no dedup signal.
+    2. **Length-ratio pruning**: J(A,B) >= t implies
+       min(|A|,|B|)/max(|A|,|B|) >= t, so the pair join carries the
+       predicate ``n_tok_a BETWEEN n_tok_b*t AND n_tok_b/t``. This is
+       a pure pruning (provably cannot remove a qualifying pair) that
+       skips intersection work for size-incompatible pairs.
+
+    Still the teaching baseline vs MinHash (minhash_candidate_pairs
+    is the 10^12-doc path — its shuffle carries 8 longs/doc), but no
+    longer one with a quadratic stopword trap."""
+    n_docs = docs.select("doc_id").distinct().count()
+    # floor 2: a token shared by only one pair of docs is signal, not
+    # a stopword, regardless of corpus size
+    max_df = max(2, int(max_df_frac * n_docs))
     toks = docs.select(
         F.col("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).filter(F.col("tok") != "")
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    # df-cap: one extra agg on the token key (map-side combinable);
+    # the surviving token list is small and broadcast into the join
+    keep_toks = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("tok")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    toks = toks.join(F.broadcast(keep_toks), "tok")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    sized = toks.join(sizes, "doc_id")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length-ratio pruning (valid for J >= threshold)
+            & (F.col("a.n_tok") >= F.col("b.n_tok") * threshold)
+            & (F.col("a.n_tok") * threshold <= F.col("b.n_tok")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first(F.col("a.n_tok")).alias("n_tok_a"),
+            F.first(F.col("b.n_tok")).alias("n_tok_b"),
+        )
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        inter.select(
             F.col("doc_a").cast("bigint"),
             F.col("doc_b").cast("bigint"),
             (
                 F.col("n_inter")
-                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_inter"))
+                / (F.col("n_tok_a") + F.col("n_tok_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -151,16 +151,37 @@ def embedding_neardup(
     )
 
 
+TARGET_BUCKET_SIZE = 128
+
+
+def planes_for_corpus(n_vectors: int, target: int = TARGET_BUCKET_SIZE) -> int:
+    """Plane count such that the expected bucket holds ~``target``
+    vectors: 2^planes ≈ n/target. Grows with the corpus — the
+    round-1 fixed default of 4 planes (16 buckets) meant per-bucket
+    pair cost O((n/16)²), i.e. still quadratic in corpus size."""
+    import math
+
+    if n_vectors <= target:
+        return 4
+    return max(4, min(30, math.ceil(math.log2(n_vectors / target))))
+
+
 def embedding_neardup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Scale-path near-dup: block on the LSH bucket instead of a
     semantic label. Recall is per-bucket (near-identical vectors land
     in the same bucket with high probability); cost is sum of
-    per-bucket squares instead of corpus square."""
+    per-bucket squares instead of corpus square.
+
+    ``n_planes`` defaults to ``planes_for_corpus(count)`` so bucket
+    count scales with the input (one extra count() job; at known
+    corpus sizes pass the value explicitly to skip it)."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
     bucketed = embeddings.withColumn(
         "bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes)
     )

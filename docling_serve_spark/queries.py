@@ -404,13 +404,21 @@ def _simhash_oracle() -> str:
     return (
         f"WITH d AS (SELECT doc_id, {norm} AS t FROM {_DUP_UNION_SQL} u), "
         "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM d), "
-        "h AS (SELECT doc_id, CAST(('0x' || substr(md5('0:' || tk), 1, 8))::UBIGINT AS BIGINT) AS hv FROM tok), "
-        "bits AS (SELECT doc_id, b, sum((hv >> b) & 1) AS ones, count(*) AS n "
+        "h AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5('0:' || tk), 1, 8))::UBIGINT AS BIGINT) AS hv_hi, "
+        "CAST(('0x' || substr(md5('0:' || tk), 9, 8))::UBIGINT AS BIGINT) AS hv_lo FROM tok), "
+        "bits AS (SELECT doc_id, b, sum((hv_hi >> b) & 1) AS ones_hi, "
+        "sum((hv_lo >> b) & 1) AS ones_lo, count(*) AS n "
         "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY doc_id, b), "
-        "sigs AS (SELECT doc_id, sum(CASE WHEN ones * 2 >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash "
+        "sigs AS (SELECT doc_id, "
+        "sum(CASE WHEN ones_hi * 2 >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash_hi, "
+        "sum(CASE WHEN ones_lo * 2 >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash_lo "
         "FROM bits GROUP BY doc_id) "
-        "SELECT CAST(simhash AS BIGINT) AS simhash, CAST(count(*) AS BIGINT) AS n_docs, "
-        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id FROM sigs GROUP BY simhash"
+        "SELECT CAST(simhash_hi AS BIGINT) AS simhash_hi, "
+        "CAST(simhash_lo AS BIGINT) AS simhash_lo, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id "
+        "FROM sigs GROUP BY simhash_hi, simhash_lo"
     )
 
 
@@ -482,18 +490,30 @@ def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
 
 
+# mirrors jaccard_pairs exactly: df-cap (tokens in > 50% of docs
+# dropped before sizes/intersections) + length-ratio pruning (a pure
+# prune for J >= 0.5, cannot change the result set)
 ORACLE_JACCARD = (
     "WITH d AS (SELECT doc_id, " + dedup.NORM_SQL.format(t="text")
     + f" AS t FROM {_DUP_UNION_SQL} u), "
+    "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d), "
     "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM d), "
-    "tok2 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''), "
+    "tok1 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''), "
+    "keep AS (SELECT tk FROM tok1, nd GROUP BY tk, n_docs "
+    "HAVING count(*) <= greatest(2, CAST(0.5 * n_docs AS BIGINT))), "
+    "tok2 AS (SELECT doc_id, t.tk FROM tok1 t JOIN keep k ON t.tk = k.tk), "
     "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id), "
-    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
-    "FROM tok2 a JOIN tok2 b ON a.tk = b.tk AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter, "
+    "any_value(sa.n_tok) AS n_tok_a, any_value(sb.n_tok) AS n_tok_b "
+    "FROM tok2 a JOIN sizes sa ON a.doc_id = sa.doc_id "
+    "JOIN tok2 b ON a.tk = b.tk AND a.doc_id < b.doc_id "
+    "JOIN sizes sb ON b.doc_id = sb.doc_id "
+    "WHERE sa.n_tok >= sb.n_tok * 0.5 AND sa.n_tok * 0.5 <= sb.n_tok "
+    "GROUP BY 1, 2) "
     "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
-    "round(n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard "
-    "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
-    "WHERE n_inter * 1.0 / (sa.n_tok + sb.n_tok - n_inter) >= 0.5"
+    "round(n_inter * 1.0 / (n_tok_a + n_tok_b - n_inter), 6) AS jaccard "
+    "FROM inter "
+    "WHERE n_inter * 1.0 / (n_tok_a + n_tok_b - n_inter) >= 0.5"
 )
 
 
@@ -645,9 +665,12 @@ ORACLE_DEDUP_EMBEDDING = (
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucket-blocked near-dup — the 10^12-row path; the seeded
-    hyperplanes are embedded in the oracle as SQL literals."""
+    hyperplanes are embedded in the oracle as SQL literals. n_planes
+    is pinned (= what planes_for_corpus derives at this sf) so the
+    static oracle stays exact; the operator's default derives the
+    plane count from the corpus size."""
     return similarity.embedding_neardup_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
     )
 
 

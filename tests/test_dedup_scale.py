@@ -1,0 +1,72 @@
+"""Scale-hardening behavior of the dedup tier: 64-bit SimHash,
+doc-frequency-capped Jaccard, corpus-derived LSH plane count."""
+
+from pyspark.sql import Row
+
+from docling_serve_spark.operators import dedup
+from docling_serve_spark.operators.similarity import planes_for_corpus
+
+
+def test_planes_for_corpus_scales():
+    assert planes_for_corpus(100) == 4
+    assert planes_for_corpus(10_000) == 7
+    assert planes_for_corpus(1_000_000) == 13
+    assert planes_for_corpus(10**12) == 30  # capped (2^30 buckets)
+    # monotone non-decreasing
+    prev = 0
+    for n in (10, 10**3, 10**6, 10**9, 10**12):
+        p = planes_for_corpus(n)
+        assert p >= prev
+        prev = p
+
+
+def test_simhash_is_64_bit(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"),
+         Row(doc_id=2, text="alpha beta gamma delta"),
+         Row(doc_id=3, text="completely different words here")]
+    )
+    sigs = {r.doc_id: (r.simhash_hi, r.simhash_lo)
+            for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    # both 32-bit words carry signal (values within uint32 range)
+    for hi, lo in sigs.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    assert any(hi != 0 for hi, _ in sigs.values())
+    assert any(lo != 0 for _, lo in sigs.values())
+    groups = dedup.simhash_groups(docs).collect()
+    dup = [g for g in groups if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].keep_doc_id == 1
+
+
+def test_jaccard_df_cap_drops_stopwords(spark):
+    # 'the' appears in all 4 docs (df 100% > 50% cap) and must not
+    # create pairs by itself; docs 1/2 still pair on real overlap
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox runs"),
+         Row(doc_id=2, text="the quick brown fox sleeps"),
+         Row(doc_id=3, text="the weather report tonight"),
+         Row(doc_id=4, text="the stock market closed")]
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dedup.jaccard_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs
+    # with 'the' dropped: inter=3 (quick brown fox), sizes 4,4 -> 3/5
+    assert abs(pairs[(1, 2)] - 0.6) < 1e-9
+    # no pair exists only via the stopword
+    assert (3, 4) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_length_ratio_prunes_without_loss(spark):
+    # a tiny doc vs a huge doc can never reach J >= 0.5; identical
+    # mid-size docs must survive the pruning untouched
+    big = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="shared words only"),
+         Row(doc_id=2, text="shared words only"),
+         Row(doc_id=3, text=big)]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in
+             dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
