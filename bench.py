@@ -41,6 +41,7 @@ _SF_PAGES = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
 BENCH_QUERIES = [
     "quality_scoring",
     "ocr_mode_dispatch",
+    "ai_vision_dispatch",
     "page_concat",
     "langmap_join",
     "retention_filter",

@@ -111,6 +111,60 @@ ORACLE_OCR_DISPATCH = (
 
 
 # ----------------------------------------------------------------- #
+# A1/P3: AI-Vision trigger + post-OCRMyPDF force_ocr reset as pure
+# boolean-column dispatch over the F9 mode (the reference's
+# worker.py:119-127 and :215-220 semantics; doc-type stand-in derived
+# deterministically so both engines see identical inputs)
+# ----------------------------------------------------------------- #
+
+def q_ai_vision_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = analysis.quality_columns(F.col("text"))
+    pts = analysis.indicator_points(cols)
+    quality = F.when(pts > 0.8, "poor").otherwise("good")
+    has_text = F.col("n_chars") > 0
+    is_tagged = F.col("doc_id") % 4 == 0
+    mode = analysis.recommended_mode(has_text, is_tagged, quality)
+    is_pdf = F.col("doc_id") % 3 == 0  # supported-type stand-in
+    ocrmypdf_on = F.col("doc_id") % 5 == 0
+    triggered = (mode == "force") & is_pdf
+    performed = ocrmypdf_on & is_pdf
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        mode.alias("recommended_mode"),
+        is_pdf.alias("is_supported_type"),
+        triggered.alias("ai_vision_triggered"),
+        performed.alias("ocrmypdf_performed"),
+        # P3: preprocessing already OCRed -> conversion must not force
+        ((mode == "force") & ~performed).alias("force_ocr_effective"),
+    )
+
+
+_MODE_SQL = (
+    "CASE WHEN is_tagged AND has_text AND tq <> 'poor' THEN 'skip' "
+    "     WHEN has_text AND tq = 'poor' THEN 'force' "
+    "     WHEN has_text AND NOT is_tagged THEN 'redo' "
+    "     ELSE 'force' END"
+)
+
+ORACLE_AI_VISION = (
+    "WITH q AS (SELECT doc_id, n_chars, "
+    + analysis.QUALITY_COUNTS_SQL.format(t="text")
+    + " FROM documents), "
+    "d AS (SELECT doc_id, n_chars > 0 AS has_text, doc_id % 4 = 0 AS is_tagged, "
+    "doc_id % 3 = 0 AS is_pdf, doc_id % 5 = 0 AS ocrmypdf_on, "
+    "CASE WHEN " + analysis.QUALITY_POINTS_SQL + " > 0.8 THEN 'poor' ELSE 'good' END AS tq FROM q), "
+    f"m AS (SELECT doc_id, is_pdf, ocrmypdf_on, {_MODE_SQL} AS mode FROM d) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, mode AS recommended_mode, "
+    "is_pdf AS is_supported_type, "
+    "(mode = 'force' AND is_pdf) AS ai_vision_triggered, "
+    "(ocrmypdf_on AND is_pdf) AS ocrmypdf_performed, "
+    "(mode = 'force' AND NOT (ocrmypdf_on AND is_pdf)) AS force_ocr_effective "
+    "FROM m"
+)
+
+
+# ----------------------------------------------------------------- #
 # A4: ordered per-page concat (events as the page stream)
 # ----------------------------------------------------------------- #
 
@@ -1123,6 +1177,7 @@ def _oracle_pipeline_metrics() -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scoring": q_quality_scoring,
     "ocr_mode_dispatch": q_ocr_mode_dispatch,
+    "ai_vision_dispatch": q_ai_vision_dispatch,
     "page_concat": q_page_concat,
     "langmap_join": q_langmap_join,
     "retention_filter": q_retention_filter,
@@ -1162,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "quality_scoring": ORACLE_QUALITY,
     "ocr_mode_dispatch": ORACLE_OCR_DISPATCH,
+    "ai_vision_dispatch": ORACLE_AI_VISION,
     "page_concat": ORACLE_PAGE_CONCAT,
     "langmap_join": ORACLE_LANGMAP,
     "retention_filter": ORACLE_RETENTION,

@@ -214,8 +214,75 @@ def _synth_pdf(rng: random.Random, i: int, lang: str) -> bytes:
     return b"".join(out)
 
 
+def _synth_docx(rng: random.Random, lang: str) -> bytes:
+    """Minimal deterministic docx: fixed zip timestamps + stored
+    (uncompressed) entries so bytes are a pure function of content."""
+    import io
+    import zipfile
+
+    wlang = lang if lang in _WORDS else "en"
+    title = _sentence(rng, wlang, rng.randint(3, 6))
+    paras = [_paragraph(rng, wlang) for _ in range(rng.randint(2, 6))]
+    body = [
+        '<w:p><w:pPr><w:pStyle w:val="Title"/></w:pPr>'
+        f"<w:r><w:t>{title}</w:t></w:r></w:p>"
+    ]
+    for k, p in enumerate(paras):
+        if k == 1:
+            body.append(
+                '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+                f"<w:r><w:t>{_sentence(rng, wlang, 3)}</w:t></w:r></w:p>"
+            )
+        body.append(f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>")
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w='
+        '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{''.join(body)}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in (
+            ("[Content_Types].xml", "<Types/>"),
+            ("word/document.xml", doc),
+        ):
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
+def _synth_md(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    parts = [f"# {_sentence(rng, wlang, rng.randint(3, 5))}", ""]
+    for _ in range(rng.randint(2, 5)):
+        parts += [_paragraph(rng, wlang), ""]
+    parts += [f"## {_sentence(rng, wlang, 2)}", ""]
+    parts += [f"- {_sentence(rng, wlang, 4)}" for _ in range(rng.randint(2, 4))]
+    return "\n".join(parts).encode("utf-8")
+
+
+def _synth_asciidoc(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    parts = [f"= {_sentence(rng, wlang, rng.randint(3, 5))}", ""]
+    for _ in range(rng.randint(1, 3)):
+        parts += [_paragraph(rng, wlang), ""]
+    parts += [f"== {_sentence(rng, wlang, 2)}", ""]
+    parts += [f"* {_sentence(rng, wlang, 4)}" for _ in range(rng.randint(2, 4))]
+    return "\n".join(parts).encode("utf-8")
+
+
+def _synth_image(rng: random.Random) -> bytes:
+    """PNG-magic blob with a deterministic pseudo-payload; the engine
+    routes rasters to the OCR dispatch bucket without decoding."""
+    n = rng.randint(64, 512)
+    body = bytes((i * 73 + n) % 256 for i in range(n))
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
 def gen_page(i: int, seed: int = 42) -> dict:
-    """One corpus row — pure function of (seed, i)."""
+    """One corpus row — pure function of (seed, i). Mix: ~83% HTML,
+    8% degenerate, 2% PDF, and ~7% across the other routable formats
+    (docx/md/asciidoc/image) so the pipeline gate exercises every
+    router branch."""
     rng = random.Random(f"{seed}:{i}")
     lang = _LANGS[rng.randint(0, len(_LANGS) - 1)]
     roll = rng.random()
@@ -225,6 +292,18 @@ def gen_page(i: int, seed: int = 42) -> dict:
     elif roll < 0.10:
         html = _degenerate_html(rng, i, lang)
         kind = "degenerate"
+    elif roll < 0.13:
+        html = _synth_docx(rng, lang)
+        kind = "docx"
+    elif roll < 0.15:
+        html = _synth_md(rng, lang)
+        kind = "md"
+    elif roll < 0.16:
+        html = _synth_asciidoc(rng, lang)
+        kind = "asciidoc"
+    elif roll < 0.17:
+        html = _synth_image(rng)
+        kind = "image"
     else:
         html = _html_page(rng, i, lang)
         kind = "html"
