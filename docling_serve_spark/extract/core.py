@@ -196,6 +196,13 @@ class ExtractOptions:
     # A1 — AI-Vision trigger gate (worker.py:119-127; middleware
     # compute is an external VLM service, the trigger predicate is ours)
     enable_ai_vision: bool = False
+    # A4/A5 — AI-Vision output shaping flags (convert.py:400-421);
+    # recorded; the page-break marker join is operator A4
+    ai_vision_preserve_formatting: bool = True
+    ai_vision_include_page_breaks: bool = True
+    # C6 — picture-description area gate (convert.py:351-357); the
+    # description model itself is an external service
+    picture_description_area_threshold: float = 0.05
     # C5 — OCR engine selection + languages (convert.py:175-198);
     # engines are external, the dispatch surface and the P4 language
     # mapping are ours

@@ -218,6 +218,93 @@ def test_do_table_structure_off_degrades_to_text():
     assert "a 1" in off.extracted_text
 
 
+# Field-by-field parity with the reference's ConvertDocumentsOptions
+# (reference:datamodel/convert.py:114-479 + :383-386). Every reference
+# field maps to an ExtractOptions field or is explicitly declared
+# server-only / external-config with a reason.
+REFERENCE_FIELD_MAP = {
+    "from_formats": "from_formats",
+    "to_formats": "to_formats",
+    "image_export_mode": "image_export_mode",
+    "do_ocr": "do_ocr",
+    "force_ocr": "force_ocr",
+    "ocr_engine": "ocr_engine",
+    "ocr_lang": "ocr_lang",
+    "pdf_backend": "pdf_backend",
+    "table_mode": "table_mode",
+    "pipeline": "pipeline",
+    "page_range": "page_range",
+    "document_timeout": "document_timeout_s",
+    "abort_on_error": "abort_on_error",
+    "return_as_file": None,  # server-only: zip packaging of the HTTP response
+    "do_table_structure": "do_table_structure",
+    "include_images": "include_images",
+    "images_scale": "images_scale",
+    "md_page_break_placeholder": "page_break_placeholder",
+    "do_code_enrichment": "do_code_enrichment",
+    "do_formula_enrichment": "do_formula_enrichment",
+    "do_picture_classification": "do_picture_classification",
+    "do_picture_description": "do_picture_description",
+    "picture_description_area_threshold": "picture_description_area_threshold",
+    "picture_description_local": None,  # nested external-VLM config
+    "picture_description_api": None,  # nested external-API config
+    "enable_arabic_correction": "enable_arabic_correction",
+    "enable_ai_vision": "enable_ai_vision",
+    "ai_vision_preserve_formatting": "ai_vision_preserve_formatting",
+    "ai_vision_include_page_breaks": "ai_vision_include_page_breaks",
+    "enable_ocrmypdf_preprocessing": "enable_ocrmypdf_preprocessing",
+    "ocrmypdf_deskew": "ocrmypdf_deskew",
+    "ocrmypdf_clean": "ocrmypdf_clean",
+    "enable_bidi_processing": "enable_bidi_processing",
+}
+
+# reference defaults we must mirror (usage.md + convert.py examples)
+REFERENCE_DEFAULTS = {
+    "to_formats": ("md",),
+    "do_ocr": True,
+    "force_ocr": False,
+    "ocr_engine": "easyocr",
+    "ocr_lang": (),
+    "pdf_backend": "dlparse_v4",
+    "table_mode": "fast",
+    "pipeline": "standard",
+    "abort_on_error": False,
+    "do_table_structure": True,
+    "include_images": True,
+    "images_scale": 2.0,
+    "image_export_mode": "embedded",
+    "do_code_enrichment": False,
+    "do_formula_enrichment": False,
+    "do_picture_classification": False,
+    "do_picture_description": False,
+    "picture_description_area_threshold": 0.05,
+    "enable_arabic_correction": False,
+    "enable_ai_vision": False,
+    "ai_vision_preserve_formatting": True,
+    "ai_vision_include_page_breaks": True,
+    "enable_ocrmypdf_preprocessing": False,
+    "ocrmypdf_deskew": False,
+    "ocrmypdf_clean": False,
+    "enable_bidi_processing": True,
+}
+
+
+def test_every_reference_option_field_is_mapped():
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(ExtractOptions)}
+    for ref_field, ours in REFERENCE_FIELD_MAP.items():
+        if ours is not None:
+            assert ours in fields, f"{ref_field} -> {ours} missing"
+
+
+def test_reference_defaults_mirrored():
+    o = ExtractOptions()
+    for ref_field, expected in REFERENCE_DEFAULTS.items():
+        ours = REFERENCE_FIELD_MAP[ref_field]
+        assert getattr(o, ours) == expected, (ref_field, ours)
+
+
 def test_include_images_off_drops_pictures():
     keep = extract_document(IMG_HTML, name="i", opts=ExtractOptions())
     drop = extract_document(
