@@ -91,3 +91,74 @@ def run_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    pages: DataFrame,
+    retention_days: int | None = None,
+) -> DataFrame:
+    """Cross-micro-batch URL dedup — the custom stateful operator
+    (``applyInPandasWithState``) a continuous crawl feed needs: a
+    recrawled url must not be re-extracted in a later micro-batch.
+
+    State: one boolean per url group (first-seen flag), keyed by url —
+    the shuffle key is the dedup key, so state is partition-local and
+    scales linearly with executors.
+
+    Eviction modes, chosen by deployment shape:
+    - ``retention_days=None`` (default, drain mode): NoTimeout. An
+      ``availableNow`` drain terminates after the backlog; state
+      lives for the checkpoint's lifetime. Required for drain jobs —
+      a registered processing-time timeout keeps an availableNow
+      query alive waiting for the timer (measured).
+    - ``retention_days=N`` (continuous mode): processing-time timeout
+      refreshed on every sighting, so a url not re-seen within the
+      wall-clock horizon is evicted — bounded state for the 10^12-url
+      regime; a recrawl after retention re-extracts (the refresh
+      semantics).
+
+    Processing-time (not event-time) eviction is deliberate: an
+    event-time timeout makes the operator watermark-gated, and crawl
+    feeds replay historical partitions whose ``warc_ts`` lies far
+    behind the frontier — a watermark would silently drop those rows
+    as late instead of deduplicating them (measured:
+    numRowsDroppedByWatermark swallowed entire replay batches).
+
+    Within a batch the earliest (warc_ts, then stable frame order) row
+    wins, deterministically.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    retention_ms = (retention_days or 0) * 86_400_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values("warc_ts", kind="stable").iloc[[0]]
+            if first is None or (
+                cand["warc_ts"].iloc[0] < first["warc_ts"].iloc[0]
+            ):
+                first = cand
+        already = state.exists
+        state.update((True,))
+        if retention_ms:
+            state.setTimeoutDuration(retention_ms)
+        if not already and first is not None:
+            yield first
+
+    return pages.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=PAGES_DDL,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if retention_days
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

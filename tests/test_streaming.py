@@ -120,3 +120,50 @@ def test_streaming_plan_is_arrow_batched(spark, tmp_path):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a url seen
+    in an earlier micro-batch is suppressed in later ones; within a
+    batch the earliest warc_ts row wins."""
+    from docling_serve_spark.streaming.ingest import dedup_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # state-store instances bind to shuffle partitions at checkpoint
+    # creation; 4 is plenty for 100 urls and keeps the per-batch
+    # python-worker fan-out small
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        first = build_pages_df(spark, 50)
+        first.write.parquet(landing)
+        q = run_to_parquet(
+            dedup_stream(stream_pages(spark, landing)), out, ckpt
+        )
+        _await(q)
+        assert spark.read.parquet(out).count() == 50
+
+        # second batch: recrawls of all 50 earlier urls (later ts) +
+        # the 50 genuinely-new urls of the 100-page corpus
+        hundred = build_pages_df(spark, 100)
+        first_urls = first.select("url")
+        recrawl = hundred.join(first_urls, "url").withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")
+        ).select("url", "warc_ts", "html", "text", "lang")
+        new = hundred.join(first_urls, "url", "left_anti")
+        n_new = new.count()
+        assert n_new == 50
+        recrawl.unionByName(new).write.mode("append").parquet(landing)
+
+        q = run_to_parquet(
+            dedup_stream(stream_pages(spark, landing)), out, ckpt
+        )
+        _await(q)
+        res = spark.read.parquet(out)
+        assert res.count() == 100  # 50 + only the 50 new urls
+        assert res.select("url").distinct().count() == 100
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
