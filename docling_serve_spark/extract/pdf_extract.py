@@ -46,6 +46,7 @@ PAGE_H = 792.0
 _KIDS_RE = re.compile(r"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(r"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(r"/Contents\s+(\d+)\s+0\s+R")
+_CONTENTS_ARR_RE = re.compile(r"/Contents\s*\[([^\]]*)\]")
 
 
 class PdfParseError(ValueError):
@@ -85,10 +86,13 @@ def _unescape(s: str) -> str:
             elif nxt in "()\\":
                 out.append(nxt)
                 i += 2
-            elif nxt.isdigit():
+            elif nxt in "01234567":
+                # octal escape: up to three OCTAL digits only (8, 9
+                # and unicode digits must not be consumed — real-world
+                # strings contain \8-adjacent sequences)
                 j = i + 1
                 oct_digits = ""
-                while j < n and s[j].isdigit() and len(oct_digits) < 3:
+                while j < n and s[j] in "01234567" and len(oct_digits) < 3:
                     oct_digits += s[j]
                     j += 1
                 out.append(chr(int(oct_digits, 8)))
@@ -102,29 +106,78 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+class _FontMap:
+    """Glyph-code -> unicode mapping from a font's /ToUnicode CMap
+    (PDF 32000-1:2008 §9.10.3). ``width`` is the code byte width from
+    the codespace range (1 for simple fonts, 2 for CID/Type0)."""
+
+    __slots__ = ("width", "map")
+
+    def __init__(self, width: int, mapping: dict[int, str]):
+        self.width = width
+        self.map = mapping
+
+    def decode(self, raw: str) -> str:
+        if self.width == 1:
+            return "".join(self.map.get(ord(c), c) for c in raw)
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            code = (ord(raw[i]) << 8) | ord(raw[i + 1])
+            out.append(self.map.get(code, ""))
+        return "".join(out)
+
+
 _TOKEN_RE = re.compile(
     r"""
-    \((?P<str>(?:[^()\\]|\\.)*)\)   # string
-  | (?P<num>[-+]?\d*\.?\d+)          # number
-  | (?P<op>[A-Za-z'"*]+)             # operator
-  | (?P<arr>[\[\]])                  # array delim
+    \((?P<str>(?:[^()\\]|\\.)*)\)      # literal string
+  | (?P<dict><<|>>)                    # dict delims (before hex!)
+  | <(?P<hex>[0-9A-Fa-f\s]*)>          # hex string
+  | /(?P<name>[^\s/<>\[\]()]+)         # name
+  | (?P<num>[-+]?\d*\.?\d+)            # number
+  | (?P<op>[A-Za-z'"*]+)               # operator
+  | (?P<arr>[\[\]])                    # array delim
     """,
     re.VERBOSE,
 )
 
 
-def _parse_content(stream: str) -> list[_Run]:
-    """Tokenize one content stream into positioned text runs."""
+def _num(tok) -> float:
+    return tok[1] if tok and tok[0] == "n" else 0.0
+
+
+def _parse_content(
+    stream: str, fonts: dict[str, _FontMap] | None = None
+) -> list[_Run]:
+    """Tokenize one content stream into positioned text runs. String
+    arguments (literal or hex) are decoded through the current font's
+    ToUnicode map when one exists — the real-world (subset-font)
+    path; without a map the raw text passes through unchanged (the
+    synthetic-corpus and simple-encoding path)."""
     runs: list[_Run] = []
     stack: list = []
     x = y = 0.0
     size = 12.0
     leading = 14.0
+    fmap: _FontMap | None = None
     in_array: list | None = None
+
+    def emit(raw: str) -> None:
+        text = fmap.decode(raw) if fmap is not None else raw
+        if text:
+            runs.append(_Run(x, y, size, text))
+
     for m in _TOKEN_RE.finditer(stream):
         kind = m.lastgroup  # single-group dispatch: one lookup per token
-        if kind == "str":
-            s = _unescape(m.group("str"))
+        if kind == "str" or kind == "hex":
+            if kind == "str":
+                s = _unescape(m.group("str"))
+            else:
+                hx = m.group("hex").replace(" ", "").replace("\n", "")
+                if len(hx) % 2:
+                    hx += "0"  # odd count: implicit trailing zero (spec)
+                s = "".join(
+                    chr(int(hx[i : i + 2], 16)) for i in range(0, len(hx), 2)
+                )
             if in_array is not None:
                 in_array.append(s)
             else:
@@ -135,6 +188,11 @@ def _parse_content(stream: str) -> list[_Run]:
                 in_array.append(v)
             else:
                 stack.append(("n", v))
+        elif kind == "name":
+            if in_array is None:
+                stack.append(("nm", m.group("name")))
+        elif kind == "dict":
+            pass  # BDC/DP property dicts carry no text state
         elif kind == "arr":
             if m.group("arr") == "[":
                 in_array = []
@@ -144,30 +202,34 @@ def _parse_content(stream: str) -> list[_Run]:
         else:
             op = m.group("op")
             if op == "Td" and len(stack) >= 2:
-                x += stack[-2][1]
-                y += stack[-1][1]
+                x += _num(stack[-2])
+                y += _num(stack[-1])
             elif op == "TD" and len(stack) >= 2:
-                x += stack[-2][1]
-                y += stack[-1][1]
-                leading = -stack[-1][1] or leading
+                x += _num(stack[-2])
+                y += _num(stack[-1])
+                leading = -_num(stack[-1]) or leading
             elif op == "Tm" and len(stack) >= 6:
-                x = stack[-2][1]
-                y = stack[-1][1]
+                x = _num(stack[-2])
+                y = _num(stack[-1])
             elif op == "TL" and stack:
-                leading = stack[-1][1]
+                leading = _num(stack[-1])
             elif op == "T*":
                 y -= leading
             elif op == "Tf" and stack:
-                size = stack[-1][1]
+                size = _num(stack[-1])
+                if fonts:
+                    names = [t[1] for t in stack if t[0] == "nm"]
+                    if names:
+                        fmap = fonts.get(names[-1])
             elif op == "Tj" and stack and stack[-1][0] == "s":
-                runs.append(_Run(x, y, size, stack[-1][1]))
+                emit(stack[-1][1])
             elif op == "'" and stack and stack[-1][0] == "s":
                 y -= leading
-                runs.append(_Run(x, y, size, stack[-1][1]))
+                emit(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "a":
                 txt = "".join(t for t in stack[-1][1] if isinstance(t, str))
                 if txt:
-                    runs.append(_Run(x, y, size, txt))
+                    emit(txt)
             elif op == "BT":
                 x = y = 0.0
             stack = []
@@ -176,7 +238,10 @@ def _parse_content(stream: str) -> list[_Run]:
 
 _OBJ_HEAD_RE = re.compile(r"(\d+)\s+0\s+obj")
 _STREAM_START_RE = re.compile(r"stream\r?\n")
-_LENGTH_RE = re.compile(r"/Length\s+(\d+)(?!\s+0\s+R)")
+# the (?!\d) is load-bearing: without it, (\d+) backtracks on
+# '/Length 383 0 R' to match '38' and the indirect ref is missed
+_LENGTH_RE = re.compile(r"/Length\s+(\d+)(?!\d|\s+0\s+R)")
+_LENGTH_REF_RE = re.compile(r"/Length\s+(\d+)\s+0\s+R")
 _FLATE_RE = re.compile(r"/Filter\s*(?:\[\s*)?/FlateDecode")
 
 
@@ -189,6 +254,14 @@ def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
     search (our generator and most linearized writers emit direct
     lengths on content streams)."""
     objects: dict[int, tuple[str, str | None]] = {}
+    # one pass over the text collects every bare-integer object up
+    # front (length objects are integers and never streams), so each
+    # indirect /Length resolves with a dict lookup instead of a
+    # full-text regex — O(n) total, not O(n * streams)
+    int_objects = {
+        int(m.group(1)): int(m.group(2))
+        for m in re.finditer(r"(?<!\d)(\d+)\s+0\s+obj\s*(\d+)\s*endobj", text)
+    }
     pos = 0
     n = len(text)
     while pos < n:
@@ -207,10 +280,26 @@ def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
             continue
         head = text[body_start : sm.start()]
         data_start = sm.end()
+        length = None
         lm = _LENGTH_RE.search(head)
         if lm:
-            data_end = data_start + int(lm.group(1))
+            length = int(lm.group(1))
+        else:
+            rm = _LENGTH_REF_RE.search(head)
+            if rm:
+                # indirect /Length N 0 R: resolved from the
+                # precomputed integer-object table — real-world
+                # writers (Word/LibreOffice exports) use indirect
+                # lengths on every content stream
+                length = int_objects.get(int(rm.group(1)))
+        if length is not None:
+            data_end = data_start + length
             end_idx = text.find("endstream", data_end)
+            if end_idx == -1 or end_idx > data_end + 4:
+                # declared length doesn't land at an endstream marker:
+                # distrust it and fall back to the marker search
+                end_idx = text.find("endstream", data_start)
+                data_end = end_idx
         else:
             end_idx = text.find("endstream", data_start)
             data_end = end_idx
@@ -237,6 +326,94 @@ def _decode_stream(head: str, stream: str) -> str:
     return stream
 
 
+_CSR_RE = re.compile(r"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX2_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
+)
+_TOUNI_RE = re.compile(r"/ToUnicode\s+(\d+)\s+0\s+R")
+_RESOURCES_REF_RE = re.compile(r"/Resources\s+(\d+)\s+0\s+R")
+_FONT_DICT_RE = re.compile(r"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_REF_RE = re.compile(r"/Font\s+(\d+)\s+0\s+R")
+_NAME_REF_RE = re.compile(r"/([^\s/<>\[\]()]+)\s+(\d+)\s+0\s+R")
+
+
+def _utf16be(hx: str) -> str:
+    try:
+        return bytes.fromhex(hx).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _parse_cmap(cmap: str) -> _FontMap:
+    """ToUnicode CMap -> _FontMap (bfchar pairs + bfrange runs; dst
+    values are UTF-16BE, possibly multi-unit — ligatures etc.)."""
+    csr = _CSR_RE.search(cmap)
+    width = max(1, len(csr.group(1)) // 2) if csr else 1
+    mapping: dict[int, str] = {}
+    for block in _BFCHAR_RE.findall(cmap):
+        for src, dst in _HEX2_RE.findall(block):
+            mapping[int(src, 16)] = _utf16be(dst)
+    for block in _BFRANGE_RE.findall(cmap):
+        for lo, hi, dst in _RANGE_RE.findall(block):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if dst.startswith("["):
+                dsts = re.findall(r"<([0-9A-Fa-f]+)>", dst)
+                for k, d in enumerate(dsts):
+                    if lo_i + k <= hi_i:
+                        mapping[lo_i + k] = _utf16be(d)
+            else:
+                base_hex = dst.strip("<>")
+                base = int(base_hex, 16)
+                # only the last UTF-16 unit increments across a range
+                prefix = _utf16be(base_hex[:-4]) if len(base_hex) > 4 else ""
+                base_unit = base & 0xFFFF
+                for k in range(min(hi_i - lo_i, 0xFFFF) + 1):
+                    mapping[lo_i + k] = prefix + chr(base_unit + k)
+    return _FontMap(width, mapping)
+
+
+def _page_fonts(
+    objects: dict[int, tuple[str, str | None]],
+    page_body: str,
+    cache: dict[int, _FontMap | None],
+) -> dict[str, _FontMap]:
+    """Resolve the page's /Resources /Font entries to ToUnicode maps
+    (cached per font object — fonts are shared across pages)."""
+    res = page_body
+    rm = _RESOURCES_REF_RE.search(page_body)
+    if rm and int(rm.group(1)) in objects:
+        res = objects[int(rm.group(1))][0]
+    fm = _FONT_DICT_RE.search(res)
+    if fm:
+        font_src = fm.group(1)
+    else:
+        fr = _FONT_REF_RE.search(res)
+        if not (fr and int(fr.group(1)) in objects):
+            return {}
+        font_src = objects[int(fr.group(1))][0]
+    fonts: dict[str, _FontMap] = {}
+    for name, ref in _NAME_REF_RE.findall(font_src):
+        ref_i = int(ref)
+        if ref_i not in cache:
+            cache[ref_i] = None
+            body, _ = objects.get(ref_i, ("", None))
+            tm = _TOUNI_RE.search(body)
+            if tm and int(tm.group(1)) in objects:
+                chead, cstream = objects[int(tm.group(1))]
+                try:
+                    cache[ref_i] = _parse_cmap(
+                        _decode_stream(chead, cstream or "")
+                    )
+                except (PdfParseError, ValueError):
+                    cache[ref_i] = None
+        if cache[ref_i] is not None:
+            fonts[name] = cache[ref_i]
+    return fonts
+
+
 def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
     """Object scan -> ordered per-page run lists + tagged flag."""
     if not data.startswith(b"%PDF"):
@@ -244,33 +421,73 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
     text = data.decode("latin-1")
     objects = _scan_objects(text)
 
-    page_streams: list[str] = []
+    pages: list[list[_Run]] = []
+    # root page tree: catalog /Pages ref if present, else the first
+    # /Type /Pages object; intermediate Pages nodes (nested /Kids)
+    # are walked depth-first in document order
+    root_pages = None
+    for num, (body, _) in objects.items():
+        if "/Type /Catalog" in body or "/Type/Catalog" in body:
+            pm = re.search(r"/Pages\s+(\d+)\s+0\s+R", body)
+            if pm and int(pm.group(1)) in objects:
+                root_pages = int(pm.group(1))
+            break
+    if root_pages is None:
+        for num, (body, _) in objects.items():
+            if "/Type /Pages" in body or "/Type/Pages" in body:
+                root_pages = num
+                break
+
     kids_order: list[int] = []
-    for body, _ in objects.values():
-        if "/Type /Pages" in body or "/Type/Pages" in body:
+    if root_pages is not None:
+        seen: set[int] = set()
+
+        def walk(num: int) -> None:
+            if num in seen or num not in objects:
+                return
+            seen.add(num)
+            body, _ = objects[num]
             km = _KIDS_RE.search(body)
             if km:
-                kids_order = [int(r) for r in _REF_RE.findall(km.group(1))]
-            break
+                for r in _REF_RE.findall(km.group(1)):
+                    walk(int(r))
+            elif "/Type /Page" in body or "/Type/Page" in body or num != root_pages:
+                kids_order.append(num)
+
+        walk(root_pages)
     if kids_order:
+        font_cache: dict[int, _FontMap | None] = {}
         for kid in kids_order:
             body, own_stream = objects.get(kid, ("", None))
-            cm = _CONTENTS_RE.search(body)
-            if cm and int(cm.group(1)) in objects:
-                chead, cstream = objects[int(cm.group(1))]
-                page_streams.append(_decode_stream(chead, cstream or ""))
+            refs: list[int] = []
+            am = _CONTENTS_ARR_RE.search(body)
+            if am:
+                # /Contents [ 6 0 R 7 0 R ] — streams concatenate
+                refs = [int(r) for r in _REF_RE.findall(am.group(1))]
             else:
-                page_streams.append(_decode_stream(body, own_stream or ""))
+                cm = _CONTENTS_RE.search(body)
+                if cm:
+                    refs = [int(cm.group(1))]
+            parts = [
+                _decode_stream(*objects[r]) for r in refs if r in objects
+                and objects[r][1] is not None
+            ]
+            if parts:
+                stream = "\n".join(parts)
+            else:
+                stream = _decode_stream(body, own_stream or "")
+            fonts = _page_fonts(objects, body, font_cache)
+            pages.append(_parse_content(stream, fonts or None))
     else:
         # fallback: every stream in document order is a page
-        page_streams = [
-            _decode_stream(head, stream)
+        pages = [
+            _parse_content(_decode_stream(head, stream))
             for head, stream in objects.values()
             if stream is not None
         ]
-    if not page_streams:
+    if not pages:
         raise PdfParseError("no content streams found")
-    return [_parse_content(s) for s in page_streams], is_tagged_pdf(data)
+    return pages, is_tagged_pdf(data)
 
 
 @dataclass

@@ -1,0 +1,122 @@
+"""Real-world PDF coverage (C1): the reference repo's own test PDFs —
+Word/LibreOffice exports with FlateDecode streams, indirect /Length
+refs, /Contents arrays, subset fonts with ToUnicode CMaps (1- and
+2-byte codes), Arabic/Greek text — must extract real text, not typed
+failures. (The reference converts these via docling-parse/pypdfium2,
+docling_conversion.py:153-165; these fixtures are replayed directly.)
+"""
+
+import glob
+import os
+
+import pytest
+
+from docling_serve_spark.extract.core import extract_document
+from docling_serve_spark.extract.pdf_extract import (
+    _FontMap,
+    _parse_cmap,
+    _parse_content,
+)
+
+REF = "/root/reference/test-files"
+
+# the small fixtures (the two Doc 13 scans are 1000+-page OCR scans —
+# they parse, but belong in the probe script, not the unit suite)
+SMALL = [
+    p for p in sorted(
+        glob.glob(f"{REF}/english/*.pdf") + glob.glob(f"{REF}/greek/*.pdf")
+    )
+]
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="no reference fixtures"
+)
+
+
+@needs_ref
+@pytest.mark.parametrize("path", SMALL, ids=lambda p: os.path.basename(p))
+def test_reference_pdf_extracts_text(path):
+    r = extract_document(open(path, "rb").read(), name=path)
+    assert r.status == "success"
+    assert r.num_pages >= 5
+    assert len(r.extracted_text) > 1000
+
+
+@needs_ref
+def test_reference_pdf_known_content():
+    r = extract_document(
+        open(f"{REF}/english/SOP Returns.pdf", "rb").read(), name="sop"
+    )
+    assert "Standard Operating Procedure" in r.extracted_text
+    assert "Samsung" in r.extracted_text
+    g = extract_document(
+        open(f"{REF}/greek/HR Greek.pdf", "rb").read(), name="hr"
+    )
+    assert "Αρτοποιεία" in g.extracted_text  # Greek via ToUnicode CMap
+
+
+@needs_ref
+def test_reference_arabic_pdf_extracts():
+    r = extract_document(
+        open(f"{REF}/arabic/Other.pdf", "rb").read(), name="ar"
+    )
+    assert r.status == "success"
+    assert len(r.extracted_text) > 10_000
+    n_ar = sum(1 for ch in r.extracted_text if "؀" <= ch <= "ۿ")
+    assert n_ar > 1000  # actual Arabic codepoints decoded
+
+
+# ------------------------- unit coverage -------------------------- #
+
+def test_cmap_bfchar_and_bfrange():
+    cmap = """
+/CIDInit /ProcSet findresource begin
+1 begincodespacerange <00> <FF> endcodespacerange
+2 beginbfchar
+<01> <0053>
+<02> <0074>
+endbfchar
+1 beginbfrange
+<10> <12> <0041>
+endbfrange
+endcmap
+"""
+    fm = _parse_cmap(cmap)
+    assert fm.width == 1
+    assert fm.decode("\x01\x02") == "St"
+    assert fm.decode("\x10\x11\x12") == "ABC"
+
+
+def test_cmap_two_byte_codes():
+    cmap = """
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+1 beginbfchar <0045> <00E9> endbfchar
+"""
+    fm = _parse_cmap(cmap)
+    assert fm.width == 2
+    assert fm.decode("\x00\x45") == "é"
+
+
+def test_cmap_bfrange_array_form():
+    fm = _parse_cmap(
+        "1 begincodespacerange <00> <FF> endcodespacerange "
+        "1 beginbfrange <05> <06> [<0058> <0059>] endbfrange"
+    )
+    assert fm.decode("\x05\x06") == "XY"
+
+
+def test_hex_strings_and_tj_with_font():
+    fonts = {"F1": _FontMap(1, {1: "H", 2: "i"})}
+    stream = "BT /F1 12 Tf 1 0 0 1 72 700 Tm [<0102>] TJ ET"
+    runs = _parse_content(stream, fonts)
+    assert len(runs) == 1 and runs[0].text == "Hi"
+    # without the font map the raw codes pass through
+    raw = _parse_content("BT /F9 12 Tf 1 0 0 1 72 700 Tm (plain) Tj ET", fonts)
+    assert raw[0].text == "plain"
+
+
+def test_dict_tokens_do_not_break_parsing():
+    stream = "/H1<</MCID 0>>BDC BT 56.8 700 Td /F1 24 Tf (text) Tj ET EMC"
+    runs = _parse_content(stream)
+    assert runs[0].text == "text"
+    assert runs[0].x == 56.8 and runs[0].y == 700.0
