@@ -93,16 +93,26 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        n_hashes: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, h0..h{n-1}) minhash signature, explode-once.
 
-    Each shingle is hashed once per salt and min-reduced by hash
-    aggregation — map-side partial agg means the shuffle carries
-    n_hashes longs per doc, not the shingle set. (The one-column
-    ``array_min(transform(...))`` form re-derives the whole shingle
-    array once per salt inside interpreted higher-order functions —
-    measured ~9x slower at sf0.1.)"""
+    The hash family is Kirsch–Mitzenmacher double hashing: ONE md5
+    per shingle yields two independent 32-bit words (a, b); the i-th
+    hash is (a + i*b) mod 2^32. That replaces n_hashes md5 inversions
+    per shingle with one — md5 is the dominant per-shingle cost — at
+    no loss for min-wise LSH (Kirsch & Mitzenmacher, "Less hashing,
+    same performance", ESA 2006). All arithmetic is whole-stage
+    codegen; min-reduction by hash aggregation — map-side partial agg
+    means the shuffle carries n_hashes longs per doc, not the shingle
+    set. (The one-column ``array_min(transform(...))`` form re-derives
+    the whole shingle array once per salt inside interpreted
+    higher-order functions — measured ~9x slower at sf0.1.)"""
     sh = docs.select("doc_id", F.explode(raw_shingles(F.col(text_col), k)).alias("shingle"))
-    return sh.groupBy("doc_id").agg(
+    a = _md5_hash(F.col("shingle"), 0, pos=1)
+    b = _md5_hash(F.col("shingle"), 0, pos=9)
+    hashed = sh.select("doc_id", a.alias("ha"), b.alias("hb"))
+    return hashed.groupBy("doc_id").agg(
         *[
-            F.min(_md5_hash(F.col("shingle"), i)).alias(f"h{i}")
+            F.min(
+                (F.col("ha") + F.lit(i) * F.col("hb")) % F.lit(1 << 32)
+            ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )

@@ -422,10 +422,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # Kirsch–Mitzenmacher double hashing, mirroring dedup.py: one md5
+    # per shingle, words a=hex[1:9) b=hex[9:17), h_i=(a+i*b) mod 2^32
     norm = dedup.NORM_SQL.format(t="text")
     mins = ", ".join(
-        "list_min(list_transform(shingles, s -> CAST(('0x' || substr(md5('"
-        + f"{i}:' || s), 1, 8))::UBIGINT AS BIGINT))) AS m{i}"
+        "list_min(list_transform(shingles, s -> "
+        "CAST((CAST(('0x' || substr(md5('0:' || s), 1, 8))::UBIGINT AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substr(md5('0:' || s), 9, 8))::UBIGINT AS BIGINT)"
+        f") % 4294967296 AS BIGINT))) AS m{i}"
         for i in range(8)
     )
     bands = " UNION ALL ".join(
