@@ -308,7 +308,41 @@ def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
         objects[num] = (head, text[data_start:data_end])
         em = text.find("endobj", end_idx)
         pos = em + 6 if em != -1 else end_idx + 9
+    _merge_object_streams(objects)
     return objects
+
+
+_OBJSTM_N_RE = re.compile(r"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(r"/First\s+(\d+)")
+
+
+def _merge_object_streams(objects: dict[int, tuple[str, str | None]]) -> None:
+    """PDF 1.5+ object streams (/Type /ObjStm): modern writers pack
+    all non-stream objects (page dicts, font dicts, CMaps' owners)
+    into compressed container streams, invisible to a top-level scan.
+    Inflate each container, read its (objnum offset) header pairs, and
+    merge the embedded objects — top-level definitions win (a classic
+    incremental update overrides the packed copy)."""
+    for head, stream in list(objects.values()):
+        if stream is None or "/ObjStm" not in head:
+            continue
+        nm, fm = _OBJSTM_N_RE.search(head), _OBJSTM_FIRST_RE.search(head)
+        if not (nm and fm):
+            continue
+        try:
+            content = _decode_stream(head, stream)
+        except PdfParseError:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header_ints = re.findall(r"\d+", content[:first])
+        pairs = [
+            (int(header_ints[2 * i]), int(header_ints[2 * i + 1]))
+            for i in range(min(n, len(header_ints) // 2))
+        ]
+        for i, (num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(content) - first
+            body = content[first + off : first + end]
+            objects.setdefault(num, (body, None))
 
 
 def _decode_stream(head: str, stream: str) -> str:
@@ -479,11 +513,15 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
             fonts = _page_fonts(objects, body, font_cache)
             pages.append(_parse_content(stream, fonts or None))
     else:
-        # fallback: every stream in document order is a page
+        # fallback: every plausible content stream in document order
+        # is a page (container/font/metadata streams excluded)
+        _NON_CONTENT = ("/ObjStm", "/XRef", "/Metadata", "/FontFile",
+                        "/ToUnicode", "/Image")
         pages = [
             _parse_content(_decode_stream(head, stream))
             for head, stream in objects.values()
             if stream is not None
+            and not any(k in head for k in _NON_CONTENT)
         ]
     if not pages:
         raise PdfParseError("no content streams found")

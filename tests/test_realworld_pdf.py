@@ -120,3 +120,39 @@ def test_dict_tokens_do_not_break_parsing():
     runs = _parse_content(stream)
     assert runs[0].text == "text"
     assert runs[0].x == 56.8 and runs[0].y == 700.0
+
+
+def test_object_stream_pdf_parses():
+    """PDF 1.5+ ObjStm: catalog/pages/page dicts packed inside a
+    compressed container stream; only the content stream is a
+    top-level object."""
+    import zlib
+
+    from docling_serve_spark.extract.pdf_extract import parse_pdf_pages
+
+    content = "BT /F1 12 Tf 1 0 0 1 72 700 Tm (packed objects work) Tj ET"
+    packed_objs = [
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    offsets, bodies, off = [], [], 0
+    for num, body in packed_objs:
+        offsets.append(f"{num} {off}")
+        bodies.append(body)
+        off += len(body) + 1
+    payload = " ".join(offsets) + "\n" + "\n".join(bodies) + "\n"
+    first = len(" ".join(offsets)) + 1
+    comp = zlib.compress(payload.encode("latin-1"))
+    pdf = (
+        b"%PDF-1.5\n"
+        + f"5 0 obj\n<< /Type /ObjStm /N 3 /First {first} /Length {len(comp)} "
+          f"/Filter /FlateDecode >>\nstream\n".encode("latin-1")
+        + comp
+        + b"\nendstream\nendobj\n"
+        + f"4 0 obj\n<< /Length {len(content)} >>\nstream\n{content}\nendstream\nendobj\n".encode("latin-1")
+        + b"%%EOF\n"
+    )
+    pages, _ = parse_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert pages[0][0].text == "packed objects work"
