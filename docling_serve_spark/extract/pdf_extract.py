@@ -146,7 +146,9 @@ def _num(tok) -> float:
 
 
 def _parse_content(
-    stream: str, fonts: dict[str, _FontMap] | None = None
+    stream: str,
+    fonts: dict[str, _FontMap] | None = None,
+    xobjects: dict[str, tuple] | None = None,
 ) -> list[_Run]:
     """Tokenize one content stream into positioned text runs. String
     arguments (literal or hex) are decoded through the current font's
@@ -230,6 +232,15 @@ def _parse_content(
                 txt = "".join(t for t in stack[-1][1] if isinstance(t, str))
                 if txt:
                     emit(txt)
+            elif op == "Do" and xobjects:
+                # Form XObject invocation: expand its runs inline
+                # (OCR text layers live here; coords are page-like)
+                names = [t[1] for t in stack if t[0] == "nm"]
+                if names and names[-1] in xobjects:
+                    s2, f2, x2 = xobjects[names[-1]]
+                    runs.extend(
+                        _parse_content(s2, f2 or None, x2 or None)
+                    )
             elif op == "BT":
                 x = y = 0.0
             stack = []
@@ -409,6 +420,15 @@ def _parse_cmap(cmap: str) -> _FontMap:
     return _FontMap(width, mapping)
 
 
+def _resources_src(
+    objects: dict[int, tuple[str, str | None]], body: str
+) -> str:
+    rm = _RESOURCES_REF_RE.search(body)
+    if rm and int(rm.group(1)) in objects:
+        return objects[int(rm.group(1))][0]
+    return body
+
+
 def _page_fonts(
     objects: dict[int, tuple[str, str | None]],
     page_body: str,
@@ -416,10 +436,7 @@ def _page_fonts(
 ) -> dict[str, _FontMap]:
     """Resolve the page's /Resources /Font entries to ToUnicode maps
     (cached per font object — fonts are shared across pages)."""
-    res = page_body
-    rm = _RESOURCES_REF_RE.search(page_body)
-    if rm and int(rm.group(1)) in objects:
-        res = objects[int(rm.group(1))][0]
+    res = _resources_src(objects, page_body)
     fm = _FONT_DICT_RE.search(res)
     if fm:
         font_src = fm.group(1)
@@ -448,6 +465,46 @@ def _page_fonts(
     return fonts
 
 
+_XOBJ_DICT_RE = re.compile(r"/XObject\s*<<(.*?)>>", re.DOTALL)
+_XOBJ_REF_RE = re.compile(r"/XObject\s+(\d+)\s+0\s+R")
+
+
+def _page_xobjects(
+    objects: dict[int, tuple[str, str | None]],
+    body: str,
+    font_cache: dict[int, _FontMap | None],
+    depth: int = 0,
+) -> dict[str, tuple]:
+    """Resolve /Resources /XObject entries to (stream, fonts, nested
+    xobjects) for Form XObjects — OCR tools put the recognized-text
+    layer in a form invoked via ``name Do``, not in the page content
+    stream itself. Images are skipped; recursion capped."""
+    if depth > 3:
+        return {}
+    res = _resources_src(objects, body)
+    xm = _XOBJ_DICT_RE.search(res)
+    if xm:
+        src = xm.group(1)
+    else:
+        xr = _XOBJ_REF_RE.search(res)
+        if not (xr and int(xr.group(1)) in objects):
+            return {}
+        src = objects[int(xr.group(1))][0]
+    out: dict[str, tuple] = {}
+    for name, ref in _NAME_REF_RE.findall(src):
+        head, stream = objects.get(int(ref), ("", None))
+        if stream is None or "/Image" in head:
+            continue
+        try:
+            s = _decode_stream(head, stream)
+        except PdfParseError:
+            continue
+        fonts = _page_fonts(objects, head, font_cache)
+        sub = _page_xobjects(objects, head, font_cache, depth + 1)
+        out[name] = (s, fonts, sub)
+    return out
+
+
 def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
     """Object scan -> ordered per-page run lists + tagged flag."""
     if not data.startswith(b"%PDF"):
@@ -460,12 +517,23 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
     # /Type /Pages object; intermediate Pages nodes (nested /Kids)
     # are walked depth-first in document order
     root_pages = None
-    for num, (body, _) in objects.items():
-        if "/Type /Catalog" in body or "/Type/Catalog" in body:
-            pm = re.search(r"/Pages\s+(\d+)\s+0\s+R", body)
-            if pm and int(pm.group(1)) in objects:
-                root_pages = int(pm.group(1))
+    # the LAST trailer/xref-dict /Root pointer is authoritative:
+    # incrementally-updated files (e.g. an OCR layer appended by
+    # ocrmypdf) carry one catalog per revision, newest at file end
+    root_refs = re.findall(r"/Root\s+(\d+)\s+0\s+R", text)
+    for ref in reversed(root_refs):
+        body, _ = objects.get(int(ref), ("", None))
+        pm = re.search(r"/Pages\s+(\d+)\s+0\s+R", body)
+        if pm and int(pm.group(1)) in objects:
+            root_pages = int(pm.group(1))
             break
+    if root_pages is None:
+        for num, (body, _) in objects.items():
+            if "/Type /Catalog" in body or "/Type/Catalog" in body:
+                pm = re.search(r"/Pages\s+(\d+)\s+0\s+R", body)
+                if pm and int(pm.group(1)) in objects:
+                    root_pages = int(pm.group(1))
+                    break
     if root_pages is None:
         for num, (body, _) in objects.items():
             if "/Type /Pages" in body or "/Type/Pages" in body:
@@ -511,7 +579,8 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
             else:
                 stream = _decode_stream(body, own_stream or "")
             fonts = _page_fonts(objects, body, font_cache)
-            pages.append(_parse_content(stream, fonts or None))
+            xobjs = _page_xobjects(objects, body, font_cache)
+            pages.append(_parse_content(stream, fonts or None, xobjs or None))
     else:
         # fallback: every plausible content stream in document order
         # is a page (container/font/metadata streams excluded)

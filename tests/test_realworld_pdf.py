@@ -156,3 +156,50 @@ def test_object_stream_pdf_parses():
     pages, _ = parse_pdf_pages(pdf)
     assert len(pages) == 1
     assert pages[0][0].text == "packed objects work"
+
+
+def test_form_xobject_text_expanded():
+    """OCR tools put the text layer in a Form XObject invoked via Do."""
+    import zlib
+
+    from docling_serve_spark.extract.pdf_extract import parse_pdf_pages
+
+    form = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (ocr layer text) Tj ET"
+    page_content = "q /OCRLayer Do Q"
+    pdf = (
+        "%PDF-1.5\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        "/Resources << /XObject << /OCRLayer 5 0 R >> >> >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(page_content)} >>\nstream\n{page_content}\nendstream\nendobj\n"
+        f"5 0 obj\n<< /Subtype /Form /Length {len(form)} >>\nstream\n{form}\nendstream\nendobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+    pages, _ = parse_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert any(r.text == "ocr layer text" for r in pages[0])
+
+
+def test_incremental_update_last_root_wins():
+    from docling_serve_spark.extract.pdf_extract import parse_pdf_pages
+
+    c_old = "BT 1 0 0 1 72 700 Tm (old revision) Tj ET"
+    c_new = "BT 1 0 0 1 72 700 Tm (new revision) Tj ET"
+    pdf = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(c_old)} >>\nstream\n{c_old}\nendstream\nendobj\n"
+        "trailer << /Root 1 0 R >>\n"
+        # incremental update appends a new revision
+        "11 0 obj\n<< /Type /Catalog /Pages 12 0 R >>\nendobj\n"
+        "12 0 obj\n<< /Type /Pages /Kids [13 0 R] /Count 1 >>\nendobj\n"
+        "13 0 obj\n<< /Type /Page /Parent 12 0 R /Contents 14 0 R >>\nendobj\n"
+        f"14 0 obj\n<< /Length {len(c_new)} >>\nstream\n{c_new}\nendstream\nendobj\n"
+        "trailer << /Root 11 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+    pages, _ = parse_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert pages[0][0].text == "new revision"
