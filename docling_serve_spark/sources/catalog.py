@@ -11,6 +11,8 @@ present, falling back cleanly otherwise:
   - ``table:<name>``               -> ``spark.table`` (any catalog-
     registered table, incl. Iceberg via Spark SQL catalogs)
   - ``synthetic:<n>``              -> the seeded deterministic corpus
+  - ``warc:<glob>``                -> raw Common-Crawl WARC files
+    (sources/warc.py; one file per task)
   - anything else                  -> parquet path
 
 The checkpointed warehouse (sources/warehouse.py) mirrors Iceberg's
@@ -33,4 +35,8 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
         from docling_serve_spark.sources.pages import build_pages_df
 
         return build_pages_df(spark, int(source.split(":", 1)[1]))
+    if source.startswith("warc:"):
+        from docling_serve_spark.sources.warc import read_warc
+
+        return read_warc(spark, source[len("warc:"):])
     return spark.read.parquet(source)

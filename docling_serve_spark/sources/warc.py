@@ -1,0 +1,150 @@
+"""WARC source: ingest Common-Crawl-style WARC files into the pages
+table shape ``(url, warc_ts, html, text, lang)``.
+
+The reference ingests per-request uploads (S1/S3,
+reference:datamodel/requests.py:16-50); a crawl-scale batch engine
+ingests the crawl's native container instead. WARC/1.0 is the ISO
+28500 public format: concatenated records, each
+``WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes>\\r\\n\\r\\n``;
+Common Crawl stores one gzip member per record (a "gzipped WARC"),
+which stdlib gzip reads as a concatenated stream.
+
+Scale shape: WARC files are the unit of parallelism (exactly how
+production Common-Crawl jobs shard — one ~1 GB file per task), read
+via Spark's ``binaryFile`` source and parsed per-file inside
+``mapInPandas``. Only ``response`` records with an http payload
+become rows; the HTTP header block is stripped so ``html`` is the
+body bytes the extractor expects.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import io
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_MAX_RECORD = 64 * 1024 * 1024  # cap a single record's payload
+
+
+def _parse_warc_stream(buf: bytes) -> Iterator[dict]:
+    """Yield response records from raw (already-inflated) WARC bytes."""
+    view = memoryview(buf)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # find record start
+        start = buf.find(b"WARC/", pos)
+        if start == -1:
+            return
+        head_end = buf.find(b"\r\n\r\n", start)
+        if head_end == -1:
+            return
+        header_block = bytes(view[start:head_end]).decode(
+            "latin-1", errors="replace"
+        )
+        headers: dict[str, str] = {}
+        for line in header_block.split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body_start = head_end + 4
+        body_end = min(body_start + min(length, _MAX_RECORD), n)
+        pos = body_end
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = _dt.datetime.strptime(
+                ts_raw, "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=_dt.timezone.utc)
+        except ValueError:
+            ts = None
+        payload = bytes(view[body_start:body_end])
+        # strip the HTTP response header block if present
+        if payload.startswith(b"HTTP/"):
+            he = payload.find(b"\r\n\r\n")
+            if he != -1:
+                payload = payload[he + 4 :]
+        if url and payload:
+            yield {
+                "url": url,
+                "warc_ts": ts,
+                "html": payload,
+                "text": "",
+                "lang": "",
+            }
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Inflate-if-gzipped, then parse records. Gzipped WARCs are
+    concatenated members; ``gzip.GzipFile`` reads them all."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                data = gz.read()
+        except (OSError, EOFError):
+            # truncated/corrupt member: keep whatever inflated —
+            # per-file containment, the row-level analog of the
+            # extractor's per-document containment
+            return
+    yield from _parse_warc_stream(data)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files -> pages DataFrame. One file per task (binaryFile
+    rows are whole files — the natural Common-Crawl shard); record
+    parsing happens executor-side in an Arrow-batched stage."""
+
+    def parse(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("content")
+    )
+    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+def write_warc(path: str, records: list[tuple[str, bytes]],
+               gzip_members: bool = True) -> None:
+    """Test/fixture writer: (url, body) pairs -> a WARC file with one
+    gzip member per record (the Common Crawl layout)."""
+    out = io.BytesIO()
+    for url, body in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n"
+            + http
+            + b"\r\n\r\n"
+        )
+        out.write(gzip.compress(rec) if gzip_members else rec)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
