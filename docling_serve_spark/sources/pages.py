@@ -270,6 +270,65 @@ def _synth_asciidoc(rng: random.Random, lang: str) -> bytes:
     return "\n".join(parts).encode("utf-8")
 
 
+def _zip_stored(parts: list[tuple[str, str]]) -> bytes:
+    """Deterministic zip: fixed timestamps, stored entries."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, content in parts:
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
+def _synth_pptx(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    a = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    p = 'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    parts = [("ppt/presentation.xml", "<p:presentation/>")]
+    for s in range(1, rng.randint(2, 5) + 1):
+        title = _sentence(rng, wlang, rng.randint(2, 4))
+        bullets = "".join(
+            f"<a:p><a:r><a:t>{_sentence(rng, wlang, rng.randint(4, 8))}</a:t></a:r></a:p>"
+            for _ in range(rng.randint(2, 4))
+        )
+        parts.append((
+            f"ppt/slides/slide{s}.xml",
+            f"<p:sld {p} {a}><p:cSld><p:spTree>"
+            f"<p:sp><p:txBody><a:p><a:r><a:t>{title}</a:t></a:r></a:p></p:txBody></p:sp>"
+            f"<p:sp><p:txBody>{bullets}</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>",
+        ))
+    return _zip_stored(parts)
+
+
+def _synth_xlsx(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    words = _WORDS[wlang]
+    shared = [rng.choice(words) for _ in range(rng.randint(4, 8))]
+    si = "".join(f"<si><t>{w}</t></si>" for w in shared)
+    rows = []
+    for r in range(1, rng.randint(3, 7) + 1):
+        cells = []
+        for ci, col in enumerate("ABC"):
+            if ci == 0:
+                idx = rng.randint(0, len(shared) - 1)
+                cells.append(f'<c r="{col}{r}" t="s"><v>{idx}</v></c>')
+            else:
+                cells.append(f'<c r="{col}{r}"><v>{rng.randint(0, 999)}</v></c>')
+        rows.append(f'<row r="{r}">{"".join(cells)}</row>')
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    return _zip_stored([
+        ("xl/workbook.xml",
+         f'<workbook {ns}><sheets><sheet name="Data" sheetId="1"/></sheets></workbook>'),
+        ("xl/sharedStrings.xml", f"<sst {ns}>{si}</sst>"),
+        ("xl/worksheets/sheet1.xml",
+         f"<worksheet {ns}><sheetData>{''.join(rows)}</sheetData></worksheet>"),
+    ])
+
+
 def _synth_image(rng: random.Random) -> bytes:
     """PNG-magic blob with a deterministic pseudo-payload; the engine
     routes rasters to the OCR dispatch bucket without decoding."""
@@ -279,10 +338,10 @@ def _synth_image(rng: random.Random) -> bytes:
 
 
 def gen_page(i: int, seed: int = 42) -> dict:
-    """One corpus row — pure function of (seed, i). Mix: ~83% HTML,
-    8% degenerate, 2% PDF, and ~7% across the other routable formats
-    (docx/md/asciidoc/image) so the pipeline gate exercises every
-    router branch."""
+    """One corpus row — pure function of (seed, i). Mix: ~81% HTML,
+    8% degenerate, 2% PDF, and ~9% across the other routable formats
+    (docx/pptx/xlsx/md/asciidoc/image) so the pipeline gate exercises
+    every router branch."""
     rng = random.Random(f"{seed}:{i}")
     lang = _LANGS[rng.randint(0, len(_LANGS) - 1)]
     roll = rng.random()
@@ -304,6 +363,12 @@ def gen_page(i: int, seed: int = 42) -> dict:
     elif roll < 0.17:
         html = _synth_image(rng)
         kind = "image"
+    elif roll < 0.18:
+        html = _synth_pptx(rng, lang)
+        kind = "pptx"
+    elif roll < 0.19:
+        html = _synth_xlsx(rng, lang)
+        kind = "xlsx"
     else:
         html = _html_page(rng, i, lang)
         kind = "html"
