@@ -1092,7 +1092,10 @@ def _oracle_media_audio_features() -> str:
 # north-rule invariant.
 # ----------------------------------------------------------------- #
 
-_PIPELINE_N = 300
+# 350 is the smallest prefix of the seeded corpus containing every
+# routable kind (incl. the 1%-probability image rows), so the gate
+# exercises all eight router branches
+_PIPELINE_N = 350
 
 
 def q_pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
