@@ -356,18 +356,73 @@ def _merge_object_streams(objects: dict[int, tuple[str, str | None]]) -> None:
             objects.setdefault(num, (body, None))
 
 
+_PREDICTOR_RE = re.compile(r"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(r"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(r"/Colors\s+(\d+)")
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1) -> bytes:
+    """Reverse PNG row predictors (PDF 32000-1 §7.4.4.4 / RFC 2083):
+    each row is 1 filter byte + `columns*colors` bytes. Modern writers
+    apply Predictor 12 (PNG Up) to ObjStm/XRef streams."""
+    bpp = colors  # 8 bits per component
+    row_len = columns * colors
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    n = len(data)
+    while pos + 1 <= n:
+        ft = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + row_len])
+        pos += 1 + row_len
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        # ft == 0: None
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(head: str, stream: str) -> str:
     """Apply the stream filter chain. FlateDecode is inflated with
-    stdlib zlib (the reference's backends handle arbitrary filters via
-    pdfium/qpdf, docling_conversion.py:153-165; Flate covers virtually
-    every real-world content stream)."""
+    stdlib zlib; PNG row predictors (DecodeParms /Predictor >= 10) are
+    reversed afterwards. (The reference's backends handle arbitrary
+    filters via pdfium/qpdf, docling_conversion.py:153-165; Flate +
+    PNG predictors cover real-world content/container streams.)"""
     if stream and _FLATE_RE.search(head):
         import zlib
 
         try:
-            return zlib.decompress(stream.encode("latin-1")).decode("latin-1")
+            raw = zlib.decompress(stream.encode("latin-1"))
         except zlib.error as e:
             raise PdfParseError(f"flate decode error: {e}") from None
+        pm = _PREDICTOR_RE.search(head)
+        if pm and int(pm.group(1)) >= 10:
+            cm = _COLUMNS_RE.search(head)
+            km = _COLORS_RE.search(head)
+            raw = _png_unpredict(
+                raw,
+                int(cm.group(1)) if cm else 1,
+                int(km.group(1)) if km else 1,
+            )
+        return raw.decode("latin-1")
     return stream
 
 

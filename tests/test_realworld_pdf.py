@@ -203,3 +203,34 @@ def test_incremental_update_last_root_wins():
     pages, _ = parse_pdf_pages(pdf)
     assert len(pages) == 1
     assert pages[0][0].text == "new revision"
+
+
+def test_flate_png_predictor_streams():
+    """DecodeParms /Predictor 12 (PNG Up) on an ObjStm — the layout
+    modern writers emit for container streams."""
+    import zlib
+
+    from docling_serve_spark.extract.pdf_extract import (
+        _decode_stream,
+        _png_unpredict,
+    )
+
+    # build predictor-encoded data: rows of 4 bytes, filter 2 (Up)
+    rows = [b"\x01\x02\x03\x04", b"\x05\x06\x07\x08"]
+    enc = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        enc.append(2)
+        enc.extend((r[i] - prev[i]) & 0xFF for i in range(4))
+        prev = r
+    assert _png_unpredict(bytes(enc), 4) == b"".join(rows)
+
+    comp = zlib.compress(bytes(enc)).decode("latin-1")
+    head = "<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> >>"
+    out = _decode_stream(head, comp)
+    assert out.encode("latin-1") == b"".join(rows)
+
+    # predictor 1 (none declared numerically) leaves data untouched
+    head_np = "<< /Filter /FlateDecode /DecodeParms << /Predictor 1 >> >>"
+    plain = zlib.compress(b"hello").decode("latin-1")
+    assert _decode_stream(head_np, plain) == "hello"
