@@ -27,6 +27,7 @@ from __future__ import annotations
 import io
 import re
 import zipfile
+from collections.abc import Iterator
 from xml.etree import ElementTree
 
 from docling_serve_spark.docmodel.export import assign_charspans
@@ -57,19 +58,37 @@ class OfficeParseError(ValueError):
     pass
 
 
+def _zip_entry_names(data: bytes, limit: int = 4096) -> Iterator[str]:
+    """Exact stored filenames from zip local-file headers (PK\\x03\\x04
+    records: name length at +26, extra length at +28, name at +30).
+    No directory parse needed; bounded at `limit` entries."""
+    pos, n = 0, len(data)
+    for _ in range(limit):
+        pos = data.find(b"PK\x03\x04", pos)
+        if pos == -1 or pos + 30 > n:
+            return
+        name_len = int.from_bytes(data[pos + 26 : pos + 28], "little")
+        yield data[pos + 30 : pos + 30 + name_len].decode(
+            "utf-8", errors="replace"
+        )
+        pos += 30 + name_len
+
+
 def detect_ooxml(data: bytes) -> str | None:
-    """Which OOXML flavor a PK container holds. Local file headers
-    embed part names through the archive, so a plain byte search finds
-    the marker part without parsing the zip directory (cheap enough to
-    run JVM-free in the sniffer)."""
+    """Which OOXML flavor a PK container holds. Walks the local file
+    headers and compares EXACT part names (not substrings) — a generic
+    zip holding a docx under e.g. backup/word/document.xml must not be
+    routed to the docx parser, which would fail on the missing
+    top-level part."""
     if not data.startswith(b"PK\x03\x04"):
         return None
-    if b"word/document.xml" in data:
-        return "docx"
-    if b"ppt/presentation.xml" in data or b"ppt/slides/" in data:
-        return "pptx"
-    if b"xl/workbook.xml" in data:
-        return "xlsx"
+    for name in _zip_entry_names(data):
+        if name == "word/document.xml":
+            return "docx"
+        if name == "ppt/presentation.xml" or name.startswith("ppt/slides/"):
+            return "pptx"
+        if name == "xl/workbook.xml":
+            return "xlsx"
     return None
 
 

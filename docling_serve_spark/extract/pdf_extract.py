@@ -471,7 +471,13 @@ def _parse_cmap(cmap: str) -> _FontMap:
                 prefix = _utf16be(base_hex[:-4]) if len(base_hex) > 4 else ""
                 base_unit = base & 0xFFFF
                 for k in range(min(hi_i - lo_i, 0xFFFF) + 1):
-                    mapping[lo_i + k] = prefix + chr(base_unit + k)
+                    v = base_unit + k
+                    # a hostile/malformed range crossing U+D800-DFFF would
+                    # emit lone surrogates that Arrow cannot serialize
+                    # (fails the whole task, not the row) — drop them,
+                    # matching _utf16be's errors='ignore' policy
+                    ch = "" if 0xD800 <= v <= 0xDFFF or v > 0x10FFFF else chr(v)
+                    mapping[lo_i + k] = prefix + ch
     return _FontMap(width, mapping)
 
 

@@ -25,6 +25,8 @@ rounding algorithms", STOC 2002).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -336,20 +338,25 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     longer one with a quadratic stopword trap."""
     n_docs = docs.select("doc_id").distinct().count()
     # floor 2: a token shared by only one pair of docs is signal, not
-    # a stopword, regardless of corpus size
-    max_df = max(2, int(max_df_frac * n_docs))
+    # a stopword, regardless of corpus size. math.floor (not int())
+    # so the threshold matches the oracle's floor() for any sign/parity
+    max_df = max(2, math.floor(max_df_frac * n_docs))
     toks = docs.select(
         F.col("doc_id"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).filter(F.col("tok") != "")
-    # df-cap: one extra agg on the token key (map-side combinable);
-    # the surviving token list is small and broadcast into the join
+    # df-cap: one extra agg on the token key (map-side combinable).
+    # The surviving vocabulary is joined with a plain SHUFFLE join on
+    # `tok` — at corpus scale (10^12 docs) the post-cap vocabulary is
+    # still billions of rows, far beyond broadcast limits; the df-cap
+    # has already removed the skewed (stopword) keys, so the shuffle
+    # join is well-balanced.
     keep_toks = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_df)
         .select("tok")
     )
-    toks = toks.join(F.broadcast(keep_toks), "tok")
+    toks = toks.join(keep_toks, "tok")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     sized = toks.join(sizes, "doc_id")
     a = sized.alias("a")

@@ -558,7 +558,7 @@ ORACLE_JACCARD = (
     "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM d), "
     "tok1 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''), "
     "keep AS (SELECT tk FROM tok1, nd GROUP BY tk, n_docs "
-    "HAVING count(*) <= greatest(2, CAST(0.5 * n_docs AS BIGINT))), "
+    "HAVING count(*) <= greatest(2, CAST(floor(0.5 * n_docs) AS BIGINT))), "
     "tok2 AS (SELECT doc_id, t.tk FROM tok1 t JOIN keep k ON t.tk = k.tk), "
     "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter, "

@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime as _dt
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,7 +61,10 @@ def _parse_warc_stream(buf: bytes) -> Iterator[dict]:
             length = 0
         body_start = head_end + 4
         body_end = min(body_start + min(length, _MAX_RECORD), n)
-        pos = body_end
+        # advance past the FULL declared length (copy only the capped
+        # prefix): resuming inside an oversized payload would let a body
+        # containing literal 'WARC/1.0' text be parsed as a forged record
+        pos = min(body_start + length, n)
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri", "")
@@ -91,14 +95,22 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
     """Inflate-if-gzipped, then parse records. Gzipped WARCs are
     concatenated members; ``gzip.GzipFile`` reads them all."""
     if data[:2] == b"\x1f\x8b":
-        try:
-            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-                data = gz.read()
-        except (OSError, EOFError):
-            # truncated/corrupt member: keep whatever inflated —
-            # per-file containment, the row-level analog of the
-            # extractor's per-document containment
-            return
+        # decompress member-by-member so a truncated/corrupt trailing
+        # member (interrupted transfer) still yields the records of the
+        # intact leading members — gzip.GzipFile.read() is all-or-nothing
+        out = []
+        rest = data
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                out.append(d.decompress(rest))
+                out.append(d.flush())
+            except zlib.error:
+                break
+            if not d.eof:  # truncated final member
+                break
+            rest = d.unused_data
+        data = b"".join(out)
     yield from _parse_warc_stream(data)
 
 

@@ -326,3 +326,18 @@ def test_ocrmypdf_performed_resets_force_ocr():
                             ocrmypdf_max_file_size_mb=0),
     )
     assert not big.ocrmypdf_performed
+
+
+def test_nested_docx_path_not_misrouted():
+    """A generic zip holding a docx part under a SUBDIRECTORY
+    (backup/word/document.xml) must not be routed to the docx parser —
+    exact part names, not substring search."""
+    import io as _io
+    import zipfile as _zf
+
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr("backup/word/document.xml", "<w:document/>")
+        z.writestr("readme.txt", "archive of a docx")
+    assert detect_ooxml(buf.getvalue()) is None
+    assert sniff_doc_type(buf.getvalue()) == "office"

@@ -234,3 +234,20 @@ def test_flate_png_predictor_streams():
     head_np = "<< /Filter /FlateDecode /DecodeParms << /Predictor 1 >> >>"
     plain = zlib.compress(b"hello").decode("latin-1")
     assert _decode_stream(head_np, plain) == "hello"
+
+
+def test_cmap_bfrange_surrogate_range_dropped():
+    """A hostile/malformed bfrange crossing U+D800-DFFF must not emit
+    lone surrogates (they fail Arrow serialization of the whole batch,
+    turning one bad crawl PDF into a full-task failure)."""
+    fm = _parse_cmap(
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange "
+        "1 beginbfrange <0000> <0004> <D7FE> endbfrange"
+    )
+    out = fm.decode("\x00\x00\x00\x01\x00\x02\x00\x03\x00\x04")
+    assert out == "퟾퟿"  # D800..DFFF dropped
+    for ch in out:
+        assert not 0xD800 <= ord(ch) <= 0xDFFF
+    import pyarrow as pa
+
+    pa.array(["".join(fm.map.values())])  # must not raise

@@ -68,3 +68,44 @@ def test_warc_through_spark_extraction(spark, tmp_path):
     assert set(rows) == {"https://a.example/x", "https://b.example/y"}
     assert all(r.status == "success" for r in rows.values())
     assert "page a body text here" in rows["https://a.example/x"].extracted_text
+
+
+def test_oversized_record_cannot_forge_embedded_warc(monkeypatch):
+    """A payload larger than _MAX_RECORD is truncated for copying, but
+    the scanner must advance past the FULL declared length — otherwise
+    a body containing literal 'WARC/1.0' text (pages about the WARC
+    format exist in crawls) is parsed as a forged record."""
+    import docling_serve_spark.sources.warc as warc_mod
+
+    monkeypatch.setattr(warc_mod, "_MAX_RECORD", 16)
+    forged = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://evil.example/forged\r\n"
+        b"Content-Length: 4\r\n\r\nhack"
+    )
+    body = b"x" * 20 + forged  # forged text sits past the copy cap
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://real.example/page\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://real.example/next\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    rows = list(parse_warc_bytes(rec))
+    urls = [r["url"] for r in rows]
+    assert "https://evil.example/forged" not in urls
+    assert urls == ["https://real.example/page", "https://real.example/next"]
+    assert rows[0]["html"] == b"x" * 16  # capped copy
+
+
+def test_truncated_final_gzip_member_keeps_leading_members(tmp_path):
+    """Member-by-member decompression: a truncated final member (an
+    interrupted transfer) must not discard the intact leading members."""
+    p = str(tmp_path / "f.warc.gz")
+    write_warc(p, _records(), gzip_members=True)
+    data = open(p, "rb").read()
+    rows = list(parse_warc_bytes(data[:-80]))  # chop into 2nd member's data
+    assert [r["url"] for r in rows] == ["https://a.example/x"]
