@@ -9,16 +9,31 @@ around it — routing, projection, bucketing — is declarative so
 Catalyst prunes columns and pushes filters into the scan).
 
 Skew handling (the reference has none — naive contiguous slicing at
-kfp_pipeline.py:36 would put ten 200-page PDFs in one batch):
-  - JVM-side cheap routing on the first 4 bytes + byte length splits
-    the corpus into a LIGHT bucket (small HTML, ~98% of rows) and a
-    HEAVY bucket (PDFs / oversized rows)
-  - the heavy bucket is salted round-robin across the cluster before
-    the UDF so no task inherits a run of heavy rows
-  - both buckets run the same extraction function; results union back
+kfp_pipeline.py:36 would put ten 200-page PDFs in one batch). Two
+modes, chosen by ``split_heavy``:
 
-At 100 TB the light path dominates and runs scan->extract->write with
-no shuffle at all; only the tiny heavy bucket (~2%) repartitions.
+DEFAULT (single-pass): ONE mapInPandas stage over ONE scan of the
+input — scan -> extract -> write, zero shuffles, and the input is
+read exactly once (a branched plan re-executes the source per
+branch; Spark only shares subplans across branches at an exchange).
+Skew is bounded by INPUT SPLIT SIZE, not by rerouting rows: heavy
+docs (PDFs, ~2% of a crawl) arriving i.i.d. average out within any
+128 MB split (Poisson: a ~2000-doc split holds 40±6 PDFs — ±15%
+task-time variance, not a straggler); the worst case — a shard that
+is ALL heavy docs — is still capped at maxPartitionBytes of heavy
+bytes per task (session.get_spark exposes the knob; 128 MB ≈ 60 s
+at the measured ~2 MB/s/core). This is the plan to run at 100 TB.
+
+OPT-IN (``split_heavy=True``): the round-1/2 two-bucket shape —
+JVM-side routing on the first 4 bytes + byte length sends small
+HTML to a shuffle-free LIGHT branch and PDFs/oversized rows to a
+HEAVY branch salted round-robin across the cluster. Strictly better
+task balance when heavy rows arrive in long contiguous runs AND
+splits cannot be shrunk, but it costs a SECOND full scan of the
+input (both branches read the source; the heavy predicate is not
+parquet-pushable). At 100 TB that is +100 TB of object-store reads
+to save a straggler tail that split sizing already bounds — hence
+not the default.
 """
 
 from __future__ import annotations
@@ -114,16 +129,25 @@ def run_extraction(
     pages: DataFrame,
     opts: ExtractOptions | None = None,
     heavy_partitions: int | None = None,
+    split_heavy: bool = False,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) -> result rows.
 
     Column pruning: only the 4 needed columns enter the UDF ('text'
     — the crawler's noisy text — is dropped before the scan so the
     parquet reader never materializes it).
+
+    Default is the single-pass plan (one scan, zero shuffles; skew
+    bounded by input split size — module docstring); ``split_heavy``
+    opts into the salted two-bucket plan for corpora with long
+    contiguous heavy runs, at the cost of a second input scan.
     """
     opts = opts or ExtractOptions()
     src = pages.select("url", "warc_ts", "html", "lang")
     fn = _extract_batches(opts)
+
+    if not split_heavy:
+        return src.mapInPandas(fn, schema=RESULT_SCHEMA)
 
     light = src.filter(~heavy_predicate()).mapInPandas(fn, schema=RESULT_SCHEMA)
 

@@ -16,7 +16,34 @@ on plain parquet:
 
 A chunk is ``pmod(xxhash64(url), n_chunks)`` — deterministic, evenly
 sized, independent of input order. Resume = skip chunks whose
-manifest entry exists; each chunk write is idempotent (overwrite).
+manifest entry exists; each chunk write is idempotent (dynamic
+partition overwrite replaces exactly the chunks being recomputed).
+
+Execution shape (the part that matters at 100 TB): ALL pending
+chunks are extracted in ONE pass over the input —
+``extract -> write.partitionBy(chunk)`` with dynamic partition
+overwrite — so a fresh 256-chunk run scans the input exactly once,
+not 256 times. The only per-chunk work after the write is the
+counter audit, a column-pruned read of the just-committed output
+(4 small columns; parquet never materializes the text columns),
+grouped by chunk in one job. Counters computed from committed files
+are also better lineage than in-flight aggregates: they describe
+what is actually on disk.
+
+File-count math: the write does NOT shuffle (a repartition by chunk
+alone would create one giant task per chunk — 100 TB / 256 ≈ 390 GB
+per task), so each write task emits up to one file per chunk it
+touches. At 1000 executors x 256 chunks that is ≤ 256k files per
+run — the regime Iceberg's manifest files are built for; on plain
+parquet, raise ``n_chunks`` granularity only as far as the resume
+unit needs.
+
+``abort_on_error`` (fail-fast) is inherently sequential — the point
+is to STOP scanning after the first failing unit — so that mode
+processes one chunk per pass (the reference's per-document abort,
+reference:datamodel/convert.py:247-255, mapped to chunk
+granularity). The default path never pays that amplification.
+
 When a real Iceberg catalog is available, swap the writer for
 ``df.writeTo(table).overwritePartitions()`` — the chunking, manifest
 counters and resume logic are unchanged.
@@ -32,6 +59,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from docling_serve_spark.extract.core import ExtractOptions
 from docling_serve_spark.operators.extract_stage import run_extraction
+
+_COUNTER_KEYS = (
+    "num_docs",
+    "num_succeeded",
+    "num_failed",
+    "num_skipped",
+    "bytes_processed",
+    "ocr_invocations",
+)
 
 
 def chunk_expr(n_chunks: int):
@@ -72,18 +108,72 @@ class ChunkReport:
     skipped_resume: bool = False
 
 
-def _counters(results: DataFrame) -> dict:
-    """Per-partition lineage counters (TaskProcessingMeta ⊕ callback
-    lineage, reference:datamodel/task_meta.py:4-8, callback.py:31-39)."""
-    row = results.agg(
-        F.count("*").alias("num_docs"),
-        F.sum((F.col("status") == "success").cast("int")).alias("num_succeeded"),
-        F.sum((F.col("status") == "failure").cast("int")).alias("num_failed"),
-        F.sum((F.col("status") == "skipped").cast("int")).alias("num_skipped"),
-        F.sum("n_bytes").alias("bytes_processed"),
-        F.sum(F.col("ocr_invoked").cast("int")).alias("ocr_invocations"),
-    ).collect()[0]
-    return {k: int(row[k] or 0) for k in row.asDict()}
+def _wave_counters(
+    spark: SparkSession, out_dir: str, wave: list[int]
+) -> dict[int, dict]:
+    """Per-chunk lineage counters (TaskProcessingMeta ⊕ callback
+    lineage, reference:datamodel/task_meta.py:4-8, callback.py:31-39)
+    audited from the COMMITTED output: one column-pruned grouped read
+    for the whole wave (status/n_bytes/ocr_invoked/chunk only — the
+    text columns are never materialized), not a full re-read per
+    chunk. Chunks in the wave that produced zero rows get explicit
+    zero counters so resume still skips them."""
+    counters = {c: {k: 0 for k in _COUNTER_KEYS} for c in wave}
+    data_dir = os.path.join(out_dir, "data")
+    try:
+        committed = spark.read.option("basePath", data_dir).parquet(
+            os.path.join(data_dir, "chunk=*")
+        )
+    except Exception:  # no partitions at all (every wave chunk empty)
+        return counters
+    rows = (
+        committed.filter(F.col("chunk").isin(wave))
+        .groupBy("chunk")
+        .agg(
+            F.count("*").alias("num_docs"),
+            F.sum((F.col("status") == "success").cast("int")).alias("num_succeeded"),
+            F.sum((F.col("status") == "failure").cast("int")).alias("num_failed"),
+            F.sum((F.col("status") == "skipped").cast("int")).alias("num_skipped"),
+            F.sum("n_bytes").alias("bytes_processed"),
+            F.sum(F.col("ocr_invoked").cast("int")).alias("ocr_invocations"),
+        )
+        .collect()
+    )
+    for r in rows:
+        counters[r["chunk"]] = {k: int(r[k] or 0) for k in _COUNTER_KEYS}
+    return counters
+
+
+def _run_wave(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_chunks: int,
+    wave: list[int],
+    opts: ExtractOptions | None,
+) -> dict[int, dict]:
+    """Extract every chunk in ``wave`` in ONE pass over the input and
+    commit them via dynamic partition overwrite, then write their
+    manifests. Crash mid-write leaves partial files but no manifests;
+    the next run recomputes exactly those chunks and the overwrite
+    replaces the partial partitions (idempotence)."""
+    src = pages
+    if len(wave) < n_chunks:  # resume / capped run: subset of chunks
+        src = src.filter(chunk_expr(n_chunks).isin(wave))
+    results = run_extraction(src, opts=opts).withColumn(
+        "chunk", chunk_expr(n_chunks)
+    )
+    (
+        results.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk")
+        .parquet(os.path.join(out_dir, "data"))
+    )
+    counters = _wave_counters(spark, out_dir, wave)
+    for chunk in wave:
+        with open(_manifest_path(out_dir, chunk), "w") as f:
+            json.dump({"chunk": chunk, **counters[chunk]}, f)
+    return counters
 
 
 def run_checkpointed(
@@ -94,40 +184,43 @@ def run_checkpointed(
     opts: ExtractOptions | None = None,
     max_chunks: int | None = None,
 ) -> list[ChunkReport]:
-    """Extraction over the corpus in n_chunks resumable units.
+    """Extraction over the corpus in n_chunks resumable units,
+    computed in a SINGLE pass over the input (see module docstring).
 
-    Each unit: filter (pushed to the scan via the chunk predicate) ->
-    extract -> idempotent overwrite of data/chunk=<k> -> manifest
-    entry with counters. ``max_chunks`` bounds work for kill tests.
-    On restart, completed chunks are skipped entirely (the resume
-    anti-join over chunk ids, O15).
+    ``max_chunks`` bounds how many pending chunks this invocation
+    commits (kill tests / incremental drains). On restart, completed
+    chunks are skipped entirely (the resume anti-join over chunk ids,
+    O15) and the remaining chunks again run as one pass.
     """
     done = completed_chunks(out_dir)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
-    src = pages.withColumn("__chunk", chunk_expr(n_chunks))
+    pending = [c for c in range(n_chunks) if c not in done]
+    if max_chunks is not None:
+        pending = pending[:max_chunks]
+    # fail-fast serializes: one chunk per pass, stop at first failure
+    waves = (
+        [[c] for c in pending]
+        if (opts and opts.abort_on_error)
+        else ([pending] if pending else [])
+    )
+    by_chunk: dict[int, dict] = {}
+    for wave in waves:
+        counters = _run_wave(spark, pages, out_dir, n_chunks, wave, opts)
+        by_chunk.update(counters)
+        if opts and opts.abort_on_error:
+            failed = [c for c in wave if counters[c]["num_failed"] > 0]
+            if failed:
+                raise AbortOnErrorError(
+                    f"chunk {failed[0]}: {counters[failed[0]]['num_failed']} "
+                    "document(s) failed and abort_on_error is set"
+                )
     reports: list[ChunkReport] = []
-    processed = 0
     for chunk in range(n_chunks):
-        if chunk in done:
+        if chunk in by_chunk:
+            reports.append(ChunkReport(chunk, **by_chunk[chunk]))
+        elif chunk in done:
             reports.append(
                 ChunkReport(chunk, 0, 0, 0, 0, 0, 0, skipped_resume=True)
-            )
-            continue
-        if max_chunks is not None and processed >= max_chunks:
-            break
-        subset = src.filter(F.col("__chunk") == chunk).drop("__chunk")
-        results = run_extraction(subset, opts=opts)
-        data_path = os.path.join(out_dir, "data", f"chunk={chunk}")
-        results.write.mode("overwrite").parquet(data_path)
-        counters = _counters(spark.read.parquet(data_path))
-        with open(_manifest_path(out_dir, chunk), "w") as f:
-            json.dump({"chunk": chunk, **counters}, f)
-        reports.append(ChunkReport(chunk, **counters))
-        processed += 1
-        if (opts and opts.abort_on_error) and counters["num_failed"] > 0:
-            raise AbortOnErrorError(
-                f"chunk {chunk}: {counters['num_failed']} document(s) "
-                "failed and abort_on_error is set"
             )
     return reports
 

@@ -130,3 +130,63 @@ def test_abort_on_error_fails_fast_but_resumes(spark, tmp_path):
     reports = run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
     assert sum(1 for r in reports if r.skipped_resume) == n_done
     assert read_results(spark, out).count() == N
+
+
+def test_full_run_scans_input_once(spark, tmp_path):
+    """The single-pass execution shape: a fresh n-chunk run must
+    materialize each input row exactly ONCE (the old per-chunk
+    pmod-filter loop read the whole input n_chunks times — at 100 TB
+    with 256 chunks that is ~256x read amplification)."""
+    import pandas as pd
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def counted(batches):
+        from docling_serve_spark.sources.pages import gen_page
+
+        for pdf in batches:
+            acc.add(len(pdf))
+            rows = [gen_page(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    pages = spark.range(N, numPartitions=4).mapInPandas(
+        counted, schema="url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    )
+    out = str(tmp_path / "wh_once")
+    run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    # one materialization for extract+write; the counter audit reads
+    # the committed OUTPUT, never the input
+    assert acc.value == N
+    assert read_results(spark, out).count() == N
+
+
+def test_resume_scans_input_once(spark, tmp_path):
+    """Resume also runs all remaining chunks as one pass."""
+    import pandas as pd
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def counted(batches):
+        from docling_serve_spark.sources.pages import gen_page
+
+        for pdf in batches:
+            acc.add(len(pdf))
+            rows = [gen_page(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    pages = spark.range(N, numPartitions=4).mapInPandas(
+        counted, schema="url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    )
+    out = str(tmp_path / "wh_resume_once")
+    run_checkpointed(spark, pages, out, n_chunks=CHUNKS, max_chunks=2)
+    first = acc.value  # one pass (chunk filter evaluated in-flight)
+    run_checkpointed(spark, pages, out, n_chunks=CHUNKS)
+    assert acc.value == first + N  # resume = exactly one more pass

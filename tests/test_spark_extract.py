@@ -65,3 +65,16 @@ def test_counters_reconcile(results):
     ok = sum(1 for r in results.values() if r["status"] == "success")
     bad = sum(1 for r in results.values() if r["status"] != "success")
     assert ok + bad == n
+
+
+def test_split_heavy_mode_matches_single_pass(spark):
+    """Opt-in salted two-bucket plan is byte-identical to the default
+    single-pass plan; only the execution shape differs."""
+    from docling_serve_spark.sources.pages import build_pages_df
+
+    pages = build_pages_df(spark, 120, partitions=4)
+    single = {r["url"]: (r["status"], r["extracted_text"])
+              for r in run_extraction(pages).collect()}
+    split = {r["url"]: (r["status"], r["extracted_text"])
+             for r in run_extraction(pages, split_heavy=True).collect()}
+    assert single == split
