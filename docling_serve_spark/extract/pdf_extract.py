@@ -256,14 +256,68 @@ _LENGTH_REF_RE = re.compile(r"/Length\s+(\d+)\s+0\s+R")
 _FLATE_RE = re.compile(r"/Filter\s*(?:\[\s*)?/FlateDecode")
 
 
+def _parse_object_at(
+    text: str, pos: int, resolve_len
+) -> tuple[int, str, str | None, int] | None:
+    """Parse ONE `N 0 obj ... endobj` starting at/after ``pos``.
+    /Length-aware stream skipping, so binary (compressed) stream
+    bytes that happen to contain 'endobj'/'endstream' cannot derail
+    object splitting — the failure mode of a pure-regex scan on
+    real-world PDFs. ``resolve_len(obj_num)`` resolves an indirect
+    /Length ref. Returns (num, head, stream|None, end_pos)."""
+    n = len(text)
+    m = _OBJ_HEAD_RE.search(text, pos)
+    if not m:
+        return None
+    num = int(m.group(1))
+    body_start = m.end()
+    em = text.find("endobj", body_start)
+    sm = _STREAM_START_RE.search(text, body_start, em if em != -1 else n)
+    if sm is None:
+        return (
+            num,
+            text[body_start : em if em != -1 else n],
+            None,
+            em + 6 if em != -1 else n,
+        )
+    head = text[body_start : sm.start()]
+    data_start = sm.end()
+    length = None
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        length = int(lm.group(1))
+    else:
+        rm = _LENGTH_REF_RE.search(head)
+        if rm:
+            # indirect /Length N 0 R — real-world writers
+            # (Word/LibreOffice exports) use indirect lengths on
+            # every content stream
+            length = resolve_len(int(rm.group(1)))
+    if length is not None:
+        data_end = data_start + length
+        end_idx = text.find("endstream", data_end)
+        if end_idx == -1 or end_idx > data_end + 4:
+            # declared length doesn't land at an endstream marker:
+            # distrust it and fall back to the marker search
+            end_idx = text.find("endstream", data_start)
+            data_end = end_idx
+    else:
+        end_idx = text.find("endstream", data_start)
+        data_end = end_idx
+    if data_end == -1 or end_idx == -1:
+        raise PdfParseError(f"unterminated stream in object {num}")
+    em = text.find("endobj", end_idx)
+    return (
+        num,
+        head,
+        text[data_start:data_end],
+        em + 6 if em != -1 else end_idx + 9,
+    )
+
+
 def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
-    """Sequential object scan: obj_num -> (dict/body text, raw stream
-    or None). /Length-aware stream skipping, so binary (compressed)
-    stream bytes that happen to contain 'endobj'/'endstream' cannot
-    derail object splitting — the failure mode of a pure-regex scan on
-    real-world PDFs. Indirect /Length refs fall back to the endstream
-    search (our generator and most linearized writers emit direct
-    lengths on content streams)."""
+    """Sequential whole-file object scan (the xref-less fallback):
+    obj_num -> (dict/body text, raw stream or None)."""
     objects: dict[int, tuple[str, str | None]] = {}
     # one pass over the text collects every bare-integer object up
     # front (length objects are integers and never streams), so each
@@ -276,51 +330,171 @@ def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
     pos = 0
     n = len(text)
     while pos < n:
-        m = _OBJ_HEAD_RE.search(text, pos)
-        if not m:
+        parsed = _parse_object_at(text, pos, int_objects.get)
+        if parsed is None:
             break
-        num = int(m.group(1))
-        body_start = m.end()
-        em = text.find("endobj", body_start)
-        sm = _STREAM_START_RE.search(text, body_start, em if em != -1 else n)
-        if sm is None:
-            objects[num] = (
-                text[body_start : em if em != -1 else n], None
-            )
-            pos = em + 6 if em != -1 else n
-            continue
-        head = text[body_start : sm.start()]
-        data_start = sm.end()
-        length = None
-        lm = _LENGTH_RE.search(head)
-        if lm:
-            length = int(lm.group(1))
-        else:
-            rm = _LENGTH_REF_RE.search(head)
-            if rm:
-                # indirect /Length N 0 R: resolved from the
-                # precomputed integer-object table — real-world
-                # writers (Word/LibreOffice exports) use indirect
-                # lengths on every content stream
-                length = int_objects.get(int(rm.group(1)))
-        if length is not None:
-            data_end = data_start + length
-            end_idx = text.find("endstream", data_end)
-            if end_idx == -1 or end_idx > data_end + 4:
-                # declared length doesn't land at an endstream marker:
-                # distrust it and fall back to the marker search
-                end_idx = text.find("endstream", data_start)
-                data_end = end_idx
-        else:
-            end_idx = text.find("endstream", data_start)
-            data_end = end_idx
-        if data_end == -1 or end_idx == -1:
-            raise PdfParseError(f"unterminated stream in object {num}")
-        objects[num] = (head, text[data_start:data_end])
-        em = text.find("endobj", end_idx)
-        pos = em + 6 if em != -1 else end_idx + 9
+        num, head, stream, pos = parsed
+        objects[num] = (head, stream)
     _merge_object_streams(objects)
     return objects
+
+
+_STARTXREF_RE = re.compile(r"startxref\s+(\d+)")
+_XREF_SUBSEC_RE = re.compile(r"(\d+)\s+(\d+)\s*\r?\n")
+_XREF_ENTRY_RE = re.compile(r"(\d{10})\s(\d{5})\s([nf])")
+_TRAILER_ROOT_RE = re.compile(r"/Root\s+(\d+)\s+0\s+R")
+_PREV_RE = re.compile(r"/Prev\s+(\d+)")
+_XREFSTM_RE = re.compile(r"/XRefStm\s+(\d+)")
+_W_RE = re.compile(r"/W\s*\[([^\]]*)\]")
+_INDEX_RE = re.compile(r"/Index\s*\[([^\]]*)\]")
+_SIZE_RE = re.compile(r"/Size\s+(\d+)")
+
+
+def _parse_xref_at(
+    text: str, off: int, entries: dict[int, tuple], state: dict
+) -> None:
+    """Parse ONE xref section (classic table or /Type /XRef stream,
+    PDF 32000-1 §7.5.4/§7.5.8) at byte offset ``off``. First-seen
+    wins in ``entries`` (the chain is walked newest revision first),
+    matching incremental-update semantics. Queues /Prev and hybrid
+    /XRefStm offsets onto state['queue']; records the newest /Root."""
+    n = len(text)
+    m = re.compile(r"\s*xref\b").match(text, off)
+    if m:  # classic cross-reference table
+        pos = m.end()
+        while True:
+            while pos < n and text[pos] in "\r\n ":
+                pos += 1
+            # subsection header is "start count\n"; stop at 'trailer'
+            sub = _XREF_SUBSEC_RE.match(text, pos) if pos < n else None
+            if not sub:
+                break
+            start, count = int(sub.group(1)), int(sub.group(2))
+            pos = sub.end()
+            for i in range(count):
+                em = _XREF_ENTRY_RE.match(text, pos)
+                if not em:
+                    break
+                if em.group(3) == "n":
+                    entries.setdefault(start + i, ("o", int(em.group(1))))
+                pos = em.end()
+                # entries are 20 bytes incl. the 2-char EOL
+                while pos < n and text[pos] in "\r\n ":
+                    pos += 1
+        tp = text.find("trailer", pos)
+        if tp == -1:
+            raise PdfParseError("xref table without trailer")
+        tend = text.find(">>", tp)
+        tdict = text[tp : tend if tend != -1 else tp + 2048]
+        rm = _TRAILER_ROOT_RE.search(tdict)
+        if rm and state.get("root") is None:
+            state["root"] = int(rm.group(1))
+        xm = _XREFSTM_RE.search(tdict)
+        if xm:  # hybrid-reference file: the stream has the real rows
+            state["queue"].append(int(xm.group(1)))
+        pm = _PREV_RE.search(tdict)
+        if pm:
+            state["queue"].append(int(pm.group(1)))
+        return
+    # cross-reference STREAM (/Type /XRef): binary rows of /W-sized
+    # big-endian fields, usually Flate + PNG-predictor encoded
+    parsed = _parse_object_at(text, off, lambda _n: None)
+    if parsed is None or parsed[2] is None:
+        raise PdfParseError(f"no xref section at offset {off}")
+    _num_, head, stream, _end = parsed
+    if "/XRef" not in head:
+        raise PdfParseError(f"object at startxref offset {off} is not /XRef")
+    wm = _W_RE.search(head)
+    sm = _SIZE_RE.search(head)
+    if not wm or not sm:
+        raise PdfParseError("xref stream missing /W or /Size")
+    widths = [int(x) for x in re.findall(r"\d+", wm.group(1))]
+    if len(widths) != 3 or sum(widths) == 0:
+        raise PdfParseError(f"bad /W {widths}")
+    im = _INDEX_RE.search(head)
+    index = (
+        [int(x) for x in re.findall(r"\d+", im.group(1))]
+        if im
+        else [0, int(sm.group(1))]
+    )
+    raw = _decode_stream(head, stream).encode("latin-1")
+    w1, w2, w3 = widths
+    rw = w1 + w2 + w3
+    rows = len(raw) // rw
+    pairs = [(index[i], index[i + 1]) for i in range(0, len(index) - 1, 2)]
+    r = 0
+    for start, count in pairs:
+        for i in range(count):
+            if r >= rows:
+                break
+            rec = raw[r * rw : (r + 1) * rw]
+            r += 1
+            typ = int.from_bytes(rec[:w1], "big") if w1 else 1
+            f2 = int.from_bytes(rec[w1 : w1 + w2], "big")
+            f3 = int.from_bytes(rec[w1 + w2 :], "big")
+            if typ == 1:  # plain object at byte offset f2
+                entries.setdefault(start + i, ("o", f2))
+            elif typ == 2:  # packed in ObjStm f2 at index f3
+                entries.setdefault(start + i, ("s", f2, f3))
+    rm = _TRAILER_ROOT_RE.search(head)
+    if rm and state.get("root") is None:
+        state["root"] = int(rm.group(1))
+    pm = _PREV_RE.search(head)
+    if pm:
+        state["queue"].append(int(pm.group(1)))
+
+
+def _xref_objects(
+    text: str,
+) -> tuple[dict[int, tuple[str, str | None]], int | None]:
+    """Resolve objects via the cross-reference chain: O(xref + used
+    objects), not O(file) — the last `startxref` names the newest
+    section; /Prev links walk older revisions; first-seen entry wins.
+    The reference gets this from docling-parse/pdfium
+    (reference:docling_conversion.py:153-165). Raises PdfParseError
+    when the chain is absent/broken (caller falls back to the
+    whole-file scan)."""
+    sx = None
+    for m in _STARTXREF_RE.finditer(text):
+        sx = m  # last startxref wins
+    if sx is None:
+        raise PdfParseError("no startxref")
+    entries: dict[int, tuple] = {}
+    state: dict = {"root": None, "queue": [int(sx.group(1))]}
+    seen: set[int] = set()
+    hops = 0
+    while state["queue"] and hops < 64:
+        off = state["queue"].pop(0)
+        if off in seen or not 0 <= off < len(text):
+            continue
+        seen.add(off)
+        hops += 1
+        _parse_xref_at(text, off, entries, state)
+    if not entries:
+        raise PdfParseError("empty xref chain")
+
+    def resolve_len(num: int) -> int | None:
+        e = entries.get(num)
+        if e and e[0] == "o":
+            p = _parse_object_at(text, e[1], lambda _n: None)
+            if p and p[0] == num and p[2] is None:
+                im = re.match(r"\s*(\d+)\s*$", p[1])
+                if im:
+                    return int(im.group(1))
+        return None
+
+    objects: dict[int, tuple[str, str | None]] = {}
+    for num, e in entries.items():
+        if e[0] != "o":
+            continue
+        try:
+            p = _parse_object_at(text, e[1], resolve_len)
+        except PdfParseError:
+            continue
+        if p is not None and p[0] == num:
+            objects[num] = (p[1], p[2])
+    _merge_object_streams(objects)
+    return objects, state["root"]
 
 
 _OBJSTM_N_RE = re.compile(r"/N\s+(\d+)")
@@ -567,21 +741,47 @@ def _page_xobjects(
 
 
 def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
-    """Object scan -> ordered per-page run lists + tagged flag."""
+    """Objects -> ordered per-page run lists + tagged flag.
+
+    Object resolution tries the cross-reference chain first
+    (O(xref), robust to binary streams containing 'N 0 obj'-shaped
+    bytes), and falls back to the whole-file sequential scan when the
+    chain is absent or broken — crawl PDFs are frequently truncated
+    mid-transfer, which severs the trailer."""
     if not data.startswith(b"%PDF"):
         raise PdfParseError("not a PDF: missing %PDF header")
     text = data.decode("latin-1")
-    objects = _scan_objects(text)
+    pages: list[list[_Run]] = []
+    try:
+        objects, xroot = _xref_objects(text)
+        root_refs = [str(xroot)] if xroot is not None else []
+        pages = _build_pages(objects, root_refs, stream_fallback=False)
+    except PdfParseError:
+        pages = []
+    if not pages:
+        objects = _scan_objects(text)
+        # the LAST trailer/xref-dict /Root pointer is authoritative:
+        # incrementally-updated files (e.g. an OCR layer appended by
+        # ocrmypdf) carry one catalog per revision, newest at file end
+        root_refs = re.findall(r"/Root\s+(\d+)\s+0\s+R", text)
+        pages = _build_pages(objects, root_refs, stream_fallback=True)
+    if not pages:
+        raise PdfParseError("no content streams found")
+    return pages, is_tagged_pdf(data)
 
+
+def _build_pages(
+    objects: dict[int, tuple[str, str | None]],
+    root_refs: list[str],
+    stream_fallback: bool,
+) -> list[list[_Run]]:
+    """Page-tree walk over a resolved object table. ``root_refs`` are
+    candidate catalog object numbers, newest LAST (reversed here)."""
     pages: list[list[_Run]] = []
     # root page tree: catalog /Pages ref if present, else the first
     # /Type /Pages object; intermediate Pages nodes (nested /Kids)
     # are walked depth-first in document order
     root_pages = None
-    # the LAST trailer/xref-dict /Root pointer is authoritative:
-    # incrementally-updated files (e.g. an OCR layer appended by
-    # ocrmypdf) carry one catalog per revision, newest at file end
-    root_refs = re.findall(r"/Root\s+(\d+)\s+0\s+R", text)
     for ref in reversed(root_refs):
         body, _ = objects.get(int(ref), ("", None))
         pm = re.search(r"/Pages\s+(\d+)\s+0\s+R", body)
@@ -642,7 +842,7 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
             fonts = _page_fonts(objects, body, font_cache)
             xobjs = _page_xobjects(objects, body, font_cache)
             pages.append(_parse_content(stream, fonts or None, xobjs or None))
-    else:
+    elif stream_fallback:
         # fallback: every plausible content stream in document order
         # is a page (container/font/metadata streams excluded)
         _NON_CONTENT = ("/ObjStm", "/XRef", "/Metadata", "/FontFile",
@@ -653,9 +853,7 @@ def parse_pdf_pages(data: bytes) -> tuple[list[list[_Run]], bool]:
             if stream is not None
             and not any(k in head for k in _NON_CONTENT)
         ]
-    if not pages:
-        raise PdfParseError("no content streams found")
-    return pages, is_tagged_pdf(data)
+    return pages
 
 
 @dataclass

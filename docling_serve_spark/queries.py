@@ -684,6 +684,35 @@ ORACLE_ANN_LSH = (
 )
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: the query additionally probes every
+    Hamming-distance-1 bucket, recovering neighbors that sit one
+    hyperplane-sign away from the query (vec_id=3's true nearest
+    neighbor does — tests/test_dedup_scale.py proves the single-probe
+    miss/multi-probe recovery on this corpus)."""
+    return similarity.ann_topk_lsh(
+        _t(spark, sf_dir, "embeddings"), 3, 10, multiprobe=True
+    )
+
+
+ORACLE_ANN_LSH_MULTIPROBE = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    + _bucket_sql("embedding", 6)
+    + " AS bucket FROM embeddings), "
+    "q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 3), "
+    "p AS (SELECT qvec, unnest(list_prepend(qbucket, "
+    "list_transform(generate_series(0, 5), i -> xor(qbucket, (1 << i))))) AS probe FROM q), "
+    "s AS (SELECT vec_id, "
+    "list_sum(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c "
+    "FROM b, p WHERE b.bucket = p.probe AND vec_id <> 3) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 6) AS cos_sim FROM s "
+    "ORDER BY round(c, 6) DESC, vec_id LIMIT 10"
+)
+
+
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
@@ -1207,6 +1236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_sampling": q_page_sampling,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "centroid_similarity": q_centroid_similarity,
     "size_guard_routing": q_size_guard_routing,
     "base64_roundtrip": q_base64_roundtrip,
@@ -1244,6 +1274,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,
+    "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "centroid_similarity": ORACLE_CENTROID,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,

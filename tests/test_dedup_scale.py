@@ -70,3 +70,36 @@ def test_jaccard_length_ratio_prunes_without_loss(spark):
     pairs = {(r.doc_a, r.doc_b) for r in
              dedup.jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_multiprobe_recovers_hamming1_neighbor(spark):
+    """Single-probe LSH misses a true nearest neighbor whose bucket
+    differs by ONE hyperplane sign; Hamming-1 multi-probe recovers it
+    (Lv et al., VLDB 2007). vec_id=3's exact-NN (223, cos≈0.34) sits
+    one bit away on the sf0.001 corpus — premise re-verified here so
+    the test self-invalidates if the corpus ever changes."""
+    from pyspark.sql import functions as F
+
+    from docling_serve_spark.operators.similarity import (
+        ann_topk_lsh,
+        brute_force_topk,
+        lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qid = 3
+    true_nn = brute_force_topk(emb, qid, 1).collect()[0]["vec_id"]
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.filter(F.col("vec_id").isin(qid, true_nn))
+        .select("vec_id", lsh_bucket(F.col("embedding"), n_planes=6).alias("b"))
+        .collect()
+    }
+    hd = bin(buckets[qid] ^ buckets[true_nn]).count("1")
+    assert hd == 1, f"premise broken: Hamming distance {hd}"
+
+    single = [r["vec_id"] for r in ann_topk_lsh(emb, qid, 10).collect()]
+    multi = [r["vec_id"] for r in ann_topk_lsh(emb, qid, 10, multiprobe=True).collect()]
+    assert true_nn not in single  # the recall cliff
+    assert true_nn in multi       # recovered
+    assert multi[0] == true_nn    # and it is the top hit
