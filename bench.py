@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "textstats",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_lsh_multiprobe",
     "centroid_similarity",
     "media_metadata",
     "media_resize",
@@ -163,15 +164,53 @@ def scaling_worker(cpus: int) -> None:
     spark.stop()
 
 
+def sf1_extract() -> None:
+    """Second scale point for the 100 TB projection: extract-only at
+    500k rows (~10x the headline corpus). One timed rep — at ~60 s
+    wall the startup constants the min-of-2 protocol defends against
+    are <2% noise."""
+    from docling_serve_spark.operators.extract_stage import run_extraction
+    from docling_serve_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-sf1", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS,
+                      files_max_partition_bytes=8 * 1024 * 1024)
+    n = 500_000
+    corpus = _ensure_corpus(spark, n)
+    # corpus generation fills the heap with garbage; collect before
+    # timing (same as the main suite)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    pages = spark.read.parquet(corpus)
+    n_bytes = pages.selectExpr("sum(length(html)) AS b").collect()[0]["b"]
+    _force(run_extraction(pages.sample(0.005, seed=1)))  # warm-up
+    dt = float("inf")
+    for _ in range(2):  # min-of-2, same protocol as the suite
+        t0 = time.time()
+        _force(run_extraction(pages))
+        dt = min(dt, time.time() - t0)
+    print(json.dumps({
+        "metric": "sf1 extract-only throughput",
+        "docs": n, "mb": round(n_bytes / 1e6, 1), "sec": round(dt, 2),
+        "docs_per_sec": round(n / dt, 1),
+        "mb_per_sec": round(n_bytes / 1e6 / dt, 2),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument("--scaling-worker", action="store_true")
+    ap.add_argument("--sf1-extract", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
 
     if args.scaling_worker:
         scaling_worker(args.cpus)
+        return
+    if args.sf1_extract:
+        sf1_extract()
         return
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
