@@ -253,7 +253,6 @@ _STREAM_START_RE = re.compile(r"stream\r?\n")
 # '/Length 383 0 R' to match '38' and the indirect ref is missed
 _LENGTH_RE = re.compile(r"/Length\s+(\d+)(?!\d|\s+0\s+R)")
 _LENGTH_REF_RE = re.compile(r"/Length\s+(\d+)\s+0\s+R")
-_FLATE_RE = re.compile(r"/Filter\s*(?:\[\s*)?/FlateDecode")
 
 
 def _parse_object_at(
@@ -335,6 +334,7 @@ def _scan_objects(text: str) -> dict[int, tuple[str, str | None]]:
             break
         num, head, stream, pos = parsed
         objects[num] = (head, stream)
+    _maybe_decrypt(objects, text)
     _merge_object_streams(objects)
     return objects
 
@@ -493,8 +493,158 @@ def _xref_objects(
             continue
         if p is not None and p[0] == num:
             objects[num] = (p[1], p[2])
+    _maybe_decrypt(objects, text)
     _merge_object_streams(objects)
     return objects, state["root"]
+
+
+# ----------------------------------------------------------------- #
+# Standard security handler (PDF 32000-1 §7.6.3): crawl PDFs are
+# frequently RC4-encrypted with an EMPTY user password (viewers open
+# them without prompting; the bytes are still enciphered). Supported:
+# /Filter /Standard, V 1-2, R 2-3 (RC4 40-128 bit). AES (V 4-5) and
+# real passwords yield a typed PdfParseError -> contained failure
+# row, matching the reference's behavior of surfacing backend errors
+# per document.
+# ----------------------------------------------------------------- #
+
+_PW_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for ch in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(ch ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pdf_string_value(body: str, key: str) -> bytes | None:
+    """Value of ``/key`` when it is a literal (…) or hex <…> string;
+    literal scanning honors backslash escapes and nested parens (the
+    /O and /U fields are 32 raw bytes, full of both)."""
+    m = re.search(re.escape(key) + r"\s*(?=[(<])", body)
+    if not m:
+        return None
+    pos = m.end()
+    if body[pos] == "<":
+        end = body.find(">", pos)
+        hx = re.sub(r"\s+", "", body[pos + 1 : end])
+        if len(hx) % 2:
+            hx += "0"
+        return bytes.fromhex(hx)
+    depth = 0
+    i = pos
+    n = len(body)
+    out_start = pos + 1
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return _unescape(body[out_start:i]).encode("latin-1")
+        i += 1
+    return None
+
+
+def _std_security_key(body: str, id0: bytes) -> bytes:
+    """Algorithm 2 file-encryption key for the EMPTY user password.
+    Raises for unsupported revisions/handlers or a real password."""
+    import hashlib
+
+    if "/Standard" not in body:
+        raise PdfParseError("unsupported security handler")
+    vm = re.search(r"/V\s+(\d+)", body)
+    rm = re.search(r"/R\s+(\d+)", body)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise PdfParseError(f"unsupported encryption V={v} R={r} (AES?)")
+    pm = re.search(r"/P\s+(-?\d+)", body)
+    p = int(pm.group(1)) if pm else -1
+    lm = re.search(r"/Length\s+(\d+)", body)
+    nbytes = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
+    o = _pdf_string_value(body, "/O")
+    u = _pdf_string_value(body, "/U")
+    if o is None or u is None:
+        raise PdfParseError("encrypt dict missing /O or /U")
+    h = hashlib.md5(
+        _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    )
+    key = h.digest()[:nbytes]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()[:nbytes]
+    # Algorithm 4/5: verify the empty USER password against /U;
+    # mismatch = a real password we cannot know
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x[:16] == u[:16]
+    if not ok:
+        raise PdfParseError("encrypted PDF: password protected")
+    return key
+
+
+def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Per-object RC4 key (Algorithm 1): md5(key + objnum[3 LE] +
+    gen[2 LE]), truncated to min(len+5, 16)."""
+    import hashlib
+
+    d = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _maybe_decrypt(objects: dict[int, tuple[str, str | None]], text: str) -> None:
+    """If the file carries a trailer /Encrypt ref, derive the key for
+    the empty user password and decrypt every stream in place (xref
+    streams are never encrypted, spec §7.5.8.2; the Encrypt dict has
+    no stream). Runs BEFORE ObjStm merge so containers inflate from
+    plaintext."""
+    # search only trailer dicts and xref-stream dicts — a compressed
+    # stream body containing '/Encrypt N 0 R'-shaped bytes must not
+    # flip an unencrypted file into the decrypt path
+    regions = [text[m.end() : m.end() + 2048] for m in re.finditer(r"trailer", text)]
+    regions += [head for head, _s in objects.values() if "/XRef" in head]
+    em = idm = None
+    for region in regions:
+        for m in re.finditer(r"/Encrypt\s+(\d+)\s+0\s+R", region):
+            em = m  # newest revision wins
+        for m in re.finditer(r"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", region):
+            idm = m
+    if em is None:
+        return
+    enc_num = int(em.group(1))
+    enc = objects.get(enc_num)
+    if enc is None:
+        raise PdfParseError("encrypted PDF: Encrypt dict unresolvable")
+    id0 = bytes.fromhex(re.sub(r"\s+", "", idm.group(1))) if idm else b""
+    key = _std_security_key(enc[0], id0)
+    for num, (head, stream) in list(objects.items()):
+        if stream is None or num == enc_num or "/XRef" in head:
+            continue
+        plain = _rc4(_object_key(key, num), stream.encode("latin-1"))
+        objects[num] = (head, plain.decode("latin-1"))
 
 
 _OBJSTM_N_RE = re.compile(r"/N\s+(\d+)")
@@ -574,30 +724,139 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(head: str, stream: str) -> str:
-    """Apply the stream filter chain. FlateDecode is inflated with
-    stdlib zlib; PNG row predictors (DecodeParms /Predictor >= 10) are
-    reversed afterwards. (The reference's backends handle arbitrary
-    filters via pdfium/qpdf, docling_conversion.py:153-165; Flate +
-    PNG predictors cover real-world content/container streams.)"""
-    if stream and _FLATE_RE.search(head):
-        import zlib
+_FILTER_VAL_RE = re.compile(r"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
-        try:
-            raw = zlib.decompress(stream.encode("latin-1"))
-        except zlib.error as e:
-            raise PdfParseError(f"flate decode error: {e}") from None
-        pm = _PREDICTOR_RE.search(head)
-        if pm and int(pm.group(1)) >= 10:
-            cm = _COLUMNS_RE.search(head)
-            km = _COLORS_RE.search(head)
-            raw = _png_unpredict(
-                raw,
-                int(cm.group(1)) if cm else 1,
-                int(km.group(1)) if km else 1,
-            )
-        return raw.decode("latin-1")
-    return stream
+# image codecs (DCT/JPX/JBIG2/CCITT): not text-bearing — a content
+# stream never uses them; decoding stops with empty output so one
+# exotic object cannot fail the document
+_IMAGE_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode",
+                  "CCITTFaxDecode", "CCF"}
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hx = re.sub(rb"\s+", b"", body)
+    if len(hx) % 2:
+        hx += b"0"  # PDF 32000-1 §7.4.2: odd final digit implies 0
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError as e:
+        raise PdfParseError(f"ASCIIHex decode error: {e}") from None
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    try:
+        return base64.a85decode(re.sub(rb"\s+", b"", body))
+    except ValueError as e:
+        raise PdfParseError(f"ASCII85 decode error: {e}") from None
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n:
+        l = data[pos]
+        pos += 1
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out.extend(data[pos : pos + l + 1])
+            pos += l + 1
+        else:
+            if pos < n:
+                out.extend(data[pos : pos + 1] * (257 - l))
+                pos += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZW per PDF 32000-1 §7.4.4 / TIFF 6: 9→12-bit MSB-first codes,
+    256=clear, 257=EOD, EarlyChange width bump one code early."""
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfParseError(f"bad LZW start code {code}")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfParseError(f"bad LZW code {code}")
+            out.extend(entry)
+            prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _decode_stream(head: str, stream: str) -> str:
+    """Apply the stream's /Filter chain (name or array, applied in
+    order): Flate (zlib), LZW, ASCIIHex, ASCII85, RunLength — the
+    text-bearing subset of PDF 32000-1 §7.4 — then reverse PNG row
+    predictors (DecodeParms /Predictor >= 10). Image codecs (DCT,
+    JPX, JBIG2, CCITTFax) yield empty output rather than garbage.
+    (The reference's backends get arbitrary filters from pdfium/qpdf,
+    docling_conversion.py:153-165.)"""
+    fm = _FILTER_VAL_RE.search(head)
+    if not stream or not fm:
+        return stream
+    names = re.findall(r"/([A-Za-z0-9]+)", fm.group(1))
+    raw = stream.encode("latin-1")
+    for name in names:
+        if name in _IMAGE_FILTERS:
+            return ""
+        if name in ("FlateDecode", "Fl"):
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise PdfParseError(f"flate decode error: {e}") from None
+        elif name in ("LZWDecode", "LZW"):
+            raw = _lzw_decode(raw)
+        elif name in ("ASCIIHexDecode", "AHx"):
+            raw = _ascii_hex_decode(raw)
+        elif name in ("ASCII85Decode", "A85"):
+            raw = _ascii85_decode(raw)
+        elif name in ("RunLengthDecode", "RL"):
+            raw = _runlength_decode(raw)
+        elif name == "Crypt":
+            return ""  # unsupported security filter
+        # unknown name: leave bytes as-is (conservative pass-through)
+    pm = _PREDICTOR_RE.search(head)
+    if pm and int(pm.group(1)) >= 10:
+        cm = _COLUMNS_RE.search(head)
+        km = _COLORS_RE.search(head)
+        raw = _png_unpredict(
+            raw,
+            int(cm.group(1)) if cm else 1,
+            int(km.group(1)) if km else 1,
+        )
+    return raw.decode("latin-1")
 
 
 _CSR_RE = re.compile(r"begincodespacerange\s*<([0-9A-Fa-f]+)>")

@@ -108,25 +108,18 @@ class ChunkReport:
     skipped_resume: bool = False
 
 
-def _wave_counters(
+def _wave_counters_df(
     spark: SparkSession, out_dir: str, wave: list[int]
-) -> dict[int, dict]:
-    """Per-chunk lineage counters (TaskProcessingMeta ⊕ callback
-    lineage, reference:datamodel/task_meta.py:4-8, callback.py:31-39)
-    audited from the COMMITTED output: one column-pruned grouped read
-    for the whole wave (status/n_bytes/ocr_invoked/chunk only — the
-    text columns are never materialized), not a full re-read per
-    chunk. Chunks in the wave that produced zero rows get explicit
-    zero counters so resume still skips them."""
-    counters = {c: {k: 0 for k in _COUNTER_KEYS} for c in wave}
+) -> DataFrame:
+    """The counter-audit plan: a grouped aggregation over the
+    committed output, reading ONLY (chunk, status, n_bytes,
+    ocr_invoked) — parquet column pruning keeps the text channels on
+    disk (asserted in tests/test_plans.py)."""
     data_dir = os.path.join(out_dir, "data")
-    try:
-        committed = spark.read.option("basePath", data_dir).parquet(
-            os.path.join(data_dir, "chunk=*")
-        )
-    except Exception:  # no partitions at all (every wave chunk empty)
-        return counters
-    rows = (
+    committed = spark.read.option("basePath", data_dir).parquet(
+        os.path.join(data_dir, "chunk=*")
+    )
+    return (
         committed.filter(F.col("chunk").isin(wave))
         .groupBy("chunk")
         .agg(
@@ -137,8 +130,23 @@ def _wave_counters(
             F.sum("n_bytes").alias("bytes_processed"),
             F.sum(F.col("ocr_invoked").cast("int")).alias("ocr_invocations"),
         )
-        .collect()
     )
+
+
+def _wave_counters(
+    spark: SparkSession, out_dir: str, wave: list[int]
+) -> dict[int, dict]:
+    """Per-chunk lineage counters (TaskProcessingMeta ⊕ callback
+    lineage, reference:datamodel/task_meta.py:4-8, callback.py:31-39)
+    audited from the COMMITTED output: one column-pruned grouped read
+    for the whole wave, not a full re-read per chunk. Chunks in the
+    wave that produced zero rows get explicit zero counters so resume
+    still skips them."""
+    counters = {c: {k: 0 for k in _COUNTER_KEYS} for c in wave}
+    try:
+        rows = _wave_counters_df(spark, out_dir, wave).collect()
+    except Exception:  # no partitions at all (every wave chunk empty)
+        return counters
     for r in rows:
         counters[r["chunk"]] = {k: int(r[k] or 0) for k in _COUNTER_KEYS}
     return counters

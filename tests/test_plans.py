@@ -69,3 +69,24 @@ def test_no_python_row_udfs_anywhere(spark):
     for name, q in QUERIES.items():
         plan = _plan(spark, q(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{name} uses a row UDF"
+
+
+def test_checkpoint_counter_audit_prunes_text_columns(spark, tmp_path):
+    """The per-chunk counter audit reads the committed output with
+    only (chunk, status, n_bytes, ocr_invoked) — the text channels
+    (extracted_text, md/html/doctags/json, spans) must stay on disk."""
+    from docling_serve_spark.sources.warehouse import (
+        _wave_counters_df,
+        run_checkpointed,
+    )
+
+    out = str(tmp_path / "wh")
+    run_checkpointed(spark, build_pages_df(spark, 40, partitions=2), out, n_chunks=2)
+    plan = _plan(spark, _wave_counters_df(spark, out, [0, 1]))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas, "no file scan in counter plan"
+    for line in schemas:
+        for banned in ("extracted_text", "md_content", "html_content",
+                       "doctags_content", "json_content", "spans_json"):
+            assert banned not in line, f"unpruned column: {line}"
+        assert "status" in line and "n_bytes" in line

@@ -394,3 +394,223 @@ def test_binary_stream_with_obj_shaped_bytes_xref_path():
     text = " ".join(r.text for pg in pages for r in pg)
     assert "xref stream works" in text
     assert "decoy text" not in text
+
+
+# ------------------------- filter chains -------------------------- #
+
+def _one_page_pdf(stream_obj: bytes) -> bytes:
+    """Wrap a raw `4 0 obj` content-stream object into a 1-page PDF."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + stream_obj
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def _extract_one(pdf: bytes) -> str:
+    from docling_serve_spark.extract.pdf_extract import parse_pdf_pages
+
+    pages, _ = parse_pdf_pages(pdf)
+    return " ".join(r.text for pg in pages for r in pg)
+
+
+CONTENT = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (filter chain works) Tj ET"
+
+
+def test_asciihex_filter():
+    enc = CONTENT.hex().encode() + b">"
+    obj = (b"4 0 obj\n<< /Filter /ASCIIHexDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(enc), enc))
+    assert "filter chain works" in _extract_one(_one_page_pdf(obj))
+
+
+def test_ascii85_filter():
+    import base64
+
+    enc = base64.a85encode(CONTENT) + b"~>"
+    obj = (b"4 0 obj\n<< /Filter /ASCII85Decode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(enc), enc))
+    assert "filter chain works" in _extract_one(_one_page_pdf(obj))
+
+
+def test_runlength_filter():
+    # naive RLE: emit literal runs of <=128 bytes, terminated by EOD
+    out = bytearray()
+    for i in range(0, len(CONTENT), 120):
+        chunk = CONTENT[i : i + 120]
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+    out.append(128)
+    obj = (b"4 0 obj\n<< /Filter /RunLengthDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(out), bytes(out)))
+    assert "filter chain works" in _extract_one(_one_page_pdf(obj))
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Reference LZW encoder (early-change), for round-trip testing."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits = []
+    w = b""
+
+    def put(code):
+        bits.extend(int(b) for b in format(code, f"0{width}b"))
+
+    put(256)  # clear
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            put(table[w])
+            table[wc] = next_code
+            next_code += 1
+            # encoder table runs one entry ahead of the decoder's, so
+            # with EarlyChange=1 it bumps at 2^w where the decoder
+            # bumps at 2^w - 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+    if w:
+        put(table[w])
+    put(257)  # EOD
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+
+
+def test_lzw_filter_roundtrip():
+    from docling_serve_spark.extract.pdf_extract import _lzw_decode
+
+    for payload in (CONTENT, b"aaaaaaaaaaaaaaaaaaaab", bytes(range(256)) * 3):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_filter_in_pdf():
+    enc = _lzw_encode(CONTENT)
+    obj = (b"4 0 obj\n<< /Filter /LZWDecode /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(enc), enc))
+    assert "filter chain works" in _extract_one(_one_page_pdf(obj))
+
+
+def test_filter_chain_a85_then_flate():
+    """Array form applied in order: [/ASCII85Decode /FlateDecode]."""
+    import base64
+    import zlib
+
+    enc = base64.a85encode(zlib.compress(CONTENT)) + b"~>"
+    obj = (b"4 0 obj\n<< /Filter [/ASCII85Decode /FlateDecode] /Length %d >>\n"
+           b"stream\n%s\nendstream\nendobj\n" % (len(enc), enc))
+    assert "filter chain works" in _extract_one(_one_page_pdf(obj))
+
+
+def test_image_filter_yields_no_garbage():
+    from docling_serve_spark.extract.pdf_extract import _decode_stream
+
+    assert _decode_stream("<< /Filter /DCTDecode >>", "\xff\xd8junk") == ""
+
+
+# ------------------------ encrypted PDFs -------------------------- #
+# Crawl PDFs are often RC4-encrypted with an EMPTY user password —
+# viewers open them silently, but the bytes are enciphered. Fixtures
+# are generated with the spec algorithms (2/3/4/5) directly.
+
+_ID0 = bytes.fromhex("0123456789abcdef0123456789abcdef")
+
+
+def _make_encrypted_pdf(r: int, p: int = -44) -> bytes:
+    import hashlib
+
+    from docling_serve_spark.extract.pdf_extract import (
+        _PW_PAD,
+        _object_key,
+        _rc4,
+    )
+
+    nbytes = 16 if r >= 3 else 5
+    # Algorithm 3: /O for empty owner+user password
+    okey = hashlib.md5(_PW_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:nbytes]
+    o = _rc4(okey, _PW_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: file key for empty user password
+    key = hashlib.md5(
+        _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + _ID0
+    ).digest()[:nbytes]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()[:nbytes]
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PW_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PW_PAD + _ID0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (secret crawl text) Tj ET"
+    enc_content = _rc4(_object_key(key, 4), content)
+
+    def hexs(b):
+        return b"<" + b.hex().encode() + b">"
+
+    v, lengths = (1, b"") if r == 2 else (2, b"/Length 128 ")
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content)
+        + b"5 0 obj\n<< /Filter /Standard /V %d /R %d " % (v, r)
+        + lengths
+        + b"/P %d /O %s /U %s >>\nendobj\n" % (p, hexs(o), hexs(u))
+        + b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [%s %s] >>\n%%%%EOF\n"
+        % (hexs(_ID0), hexs(_ID0))
+    )
+
+
+@pytest.mark.parametrize("r", [2, 3])
+def test_rc4_encrypted_empty_password_extracts(r):
+    pdf = _make_encrypted_pdf(r)
+    res = extract_document(pdf, name=f"enc-r{r}")
+    assert res.status == "success"
+    assert "secret crawl text" in res.extracted_text
+
+
+def test_password_protected_pdf_contained_failure():
+    pdf = _make_encrypted_pdf(3)
+    # corrupt /U: the empty user password no longer verifies
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", pdf)
+    bad = pdf.replace(m.group(1), b"00" * (len(m.group(1)) // 2))
+    res = extract_document(bad, name="locked")
+    assert res.status == "failure"
+    assert "password" in (res.error or "")
+
+
+def test_aes_encrypted_pdf_contained_failure():
+    pdf = _make_encrypted_pdf(3).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    res = extract_document(pdf, name="aes")
+    assert res.status == "failure"
+    assert "unsupported encryption" in (res.error or "")
+
+
+def test_unencrypted_with_decoy_encrypt_bytes_unaffected():
+    """'/Encrypt N 0 R' bytes inside a stream body must not flip an
+    unencrypted file into the decrypt path."""
+    decoy = b"BT (about /Encrypt 3 0 R syntax) Tj ET\n" + CONTENT
+    obj = (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(decoy), decoy))
+    assert "filter chain works" in _extract_one(_one_page_pdf(obj))
