@@ -25,6 +25,7 @@ from docling_serve_spark.docmodel.export import (
 )
 from docling_serve_spark.docmodel.model import Document
 from docling_serve_spark.extract.html_extract import extract_html
+from docling_serve_spark.extract.data_extract import DataParseError
 from docling_serve_spark.extract.office_extract import OfficeParseError
 from docling_serve_spark.extract.pdf_extract import (
     PdfParseError,
@@ -52,6 +53,13 @@ DOC_TYPE_MD = "md"
 DOC_TYPE_ASCIIDOC = "asciidoc"
 DOC_TYPE_IMAGE = "image"
 DOC_TYPE_OFFICE = "office"  # PK container of unrecognized flavor
+# docling InputFormat values (reference defaults from_formats to ALL
+# of InputFormat, datamodel/convert.py:115-125 — csv/xml_jats/
+# xml_uspto/json_docling included)
+DOC_TYPE_CSV = "csv"
+DOC_TYPE_XML_JATS = "xml_jats"
+DOC_TYPE_XML_USPTO = "xml_uspto"
+DOC_TYPE_JSON_DOCLING = "json_docling"
 DOC_TYPE_UNKNOWN = "unknown"
 
 # every type the router can dispatch (the reference's InputFormat set,
@@ -60,6 +68,8 @@ DOC_TYPE_UNKNOWN = "unknown"
 ROUTABLE_TYPES = (
     DOC_TYPE_HTML, DOC_TYPE_PDF, DOC_TYPE_DOCX, DOC_TYPE_PPTX,
     DOC_TYPE_XLSX, DOC_TYPE_MD, DOC_TYPE_ASCIIDOC, DOC_TYPE_IMAGE,
+    DOC_TYPE_CSV, DOC_TYPE_XML_JATS, DOC_TYPE_XML_USPTO,
+    DOC_TYPE_JSON_DOCLING,
 )
 
 STATUS_SUCCESS = "success"
@@ -103,6 +113,27 @@ def _sniff_markup(head: bytes) -> str | None:
     return None
 
 
+def _sniff_csv(head: bytes) -> str | None:
+    """Conservative CSV detection: >=3 non-empty lines sharing an
+    IDENTICAL count (>=1) of the same delimiter. Prose with commas has
+    varying counts per line; tables do not."""
+    try:
+        text = head.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln for ln in text.split("\n") if ln.strip()][:6]
+    # drop the final (possibly truncated by the 4 KiB probe) line
+    if len(lines) > 3:
+        lines = lines[:-1]
+    if len(lines) < 3:
+        return None
+    for delim in (",", ";", "\t", "|"):
+        counts = [ln.count(delim) for ln in lines]
+        if counts[0] >= 1 and all(c == counts[0] for c in counts):
+            return DOC_TYPE_CSV
+    return None
+
+
 def sniff_doc_type(data: bytes) -> str:
     """S4 — format routing by magic bytes + structure (the reference
     routes on from_formats + file extension,
@@ -129,6 +160,25 @@ def sniff_doc_type(data: bytes) -> str:
     if any(data.startswith(m) for m in _IMAGE_MAGICS):
         return DOC_TYPE_IMAGE
     head = data[:1024].lstrip().lower()
+    if head.startswith(b"{") and b'"schema_name"' in data[:2048]:
+        # the engine's own json channel round-trips (docling
+        # InputFormat.JSON_DOCLING)
+        if b"doclingdocument" in data[:2048].lower():
+            return DOC_TYPE_JSON_DOCLING
+    if head.startswith(b"<?xml") or head.startswith(b"<!doctype article") \
+            or head.startswith(b"<!doctype us-patent"):
+        # structured-XML flavors the reference routes via docling
+        # backends (XML declaration / DTD required — an HTML5 fragment
+        # using <article> must stay on the html path). Checked BEFORE
+        # the html substring probes: JATS uses a <body> element too.
+        probe = data[:4096].lower()
+        if b"<us-patent" in probe or b"<patdoc" in probe:
+            return DOC_TYPE_XML_USPTO
+        if b"<article" in probe and (
+            b"<front" in probe or b"<article-title" in probe or b"jats" in probe
+        ):
+            return DOC_TYPE_XML_JATS
+        return DOC_TYPE_HTML  # xhtml and friends
     if head.startswith(b"<!doctype") or head.startswith(b"<html"):
         return DOC_TYPE_HTML
     if b"<html" in head or b"<body" in head or b"<head" in head:
@@ -136,7 +186,7 @@ def sniff_doc_type(data: bytes) -> str:
     # permissive: tag-looking content is treated as html fragment
     if head.startswith(b"<"):
         return DOC_TYPE_HTML
-    return _sniff_markup(data[:4096]) or DOC_TYPE_UNKNOWN
+    return _sniff_markup(data[:4096]) or _sniff_csv(data[:4096]) or DOC_TYPE_UNKNOWN
 
 
 @dataclass(frozen=True)
@@ -540,6 +590,32 @@ def extract_document(
             if not doc.items:
                 res.status = STATUS_FAILURE
                 res.error = "no content extracted"
+        elif doc_type in (
+            DOC_TYPE_CSV,
+            DOC_TYPE_XML_JATS,
+            DOC_TYPE_XML_USPTO,
+            DOC_TYPE_JSON_DOCLING,
+        ):
+            # remaining docling InputFormats (convert.py:115-125)
+            from docling_serve_spark.extract.data_extract import (
+                extract_csv,
+                extract_docling_json,
+                extract_jats,
+                extract_uspto,
+            )
+
+            fn = {
+                DOC_TYPE_CSV: extract_csv,
+                DOC_TYPE_XML_JATS: extract_jats,
+                DOC_TYPE_XML_USPTO: extract_uspto,
+                DOC_TYPE_JSON_DOCLING: extract_docling_json,
+            }[doc_type]
+            doc = fn(data, name=name)
+            res.has_text = any(i.text or i.table for i in doc.items)
+            _export_channels(res, doc, opts, lang)
+            if not doc.items:
+                res.status = STATUS_FAILURE
+                res.error = "no content extracted"
         elif doc_type == DOC_TYPE_IMAGE:
             # C5 boundary — a raster's text IS the OCR output, and the
             # engines are external offline (SURVEY §2.3); the dispatch
@@ -561,6 +637,9 @@ def extract_document(
     except OfficeParseError as e:
         res.status = STATUS_FAILURE
         res.error = f"office parse error: {e}"
+    except DataParseError as e:
+        res.status = STATUS_FAILURE
+        res.error = f"data parse error: {e}"
     except Exception as e:  # noqa: BLE001 — per-row containment
         res.status = STATUS_FAILURE
         res.error = f"{type(e).__name__}: {e}"

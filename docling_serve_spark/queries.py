@@ -1121,10 +1121,10 @@ def _oracle_media_audio_features() -> str:
 # north-rule invariant.
 # ----------------------------------------------------------------- #
 
-# 2,000 rows: covers every routable kind many times over (the first
-# 350 already contain all eight router branches incl. the
-# 1%-probability image rows) and 36 multi-page PDFs totalling ~3,700
-# pages — table blocks, two-column layouts, Flate streams — so the
+# 2,000 rows: covers all twelve router branches many times over
+# (html/pdf/docx/pptx/xlsx/md/asciidoc/image/csv/xml_jats/xml_uspto/
+# json_docling) and 36 multi-page PDFs totalling ~3,700 pages — table
+# blocks, two-column layouts, Flate streams — so the
 # distributed-vs-single-node byte-identity gate runs at corpus-mix
 # scale, not smoke scale
 _PIPELINE_N = 2000

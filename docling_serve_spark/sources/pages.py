@@ -260,6 +260,92 @@ def _synth_md(rng: random.Random, lang: str) -> bytes:
     return "\n".join(parts).encode("utf-8")
 
 
+def _synth_csv(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    n_cols = rng.randint(3, 6)
+    n_rows = rng.randint(4, 20)
+    header = [
+        _sentence(rng, wlang, 1).rstrip(".").lower() for _ in range(n_cols)
+    ]
+    lines = [",".join(header)]
+    for _ in range(n_rows):
+        lines.append(
+            ",".join(
+                str(rng.randint(0, 9999))
+                if rng.random() < 0.4
+                else _sentence(rng, wlang, 1).rstrip(".")
+                for _ in range(n_cols)
+            )
+        )
+    return "\n".join(lines).encode("utf-8")
+
+
+def _synth_jats(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    secs = []
+    for _ in range(rng.randint(1, 3)):
+        secs.append(
+            f"<sec><title>{_sentence(rng, wlang, 2).rstrip('.')}</title>"
+            + "".join(
+                f"<p>{_paragraph(rng, wlang)}</p>"
+                for _ in range(rng.randint(1, 3))
+            )
+            + "</sec>"
+        )
+    return (
+        '<?xml version="1.0"?><article><front><article-meta><title-group>'
+        f"<article-title>{_sentence(rng, wlang, 4).rstrip('.')}</article-title>"
+        "</title-group><abstract>"
+        f"<p>{_paragraph(rng, wlang)}</p></abstract></article-meta></front>"
+        f"<body>{''.join(secs)}</body></article>"
+    ).encode("utf-8")
+
+
+def _synth_uspto(rng: random.Random, lang: str) -> bytes:
+    wlang = lang if lang in _WORDS else "en"
+    claims = "".join(
+        f"<claim><claim-text>{i + 1}. {_sentence(rng, wlang, 8)}</claim-text></claim>"
+        for i in range(rng.randint(1, 4))
+    )
+    return (
+        '<?xml version="1.0"?><us-patent-grant>'
+        "<us-bibliographic-data-grant><invention-title>"
+        f"{_sentence(rng, wlang, 3).rstrip('.')}</invention-title>"
+        "</us-bibliographic-data-grant>"
+        f"<abstract><p>{_paragraph(rng, wlang)}</p></abstract>"
+        f"<description><p>{_paragraph(rng, wlang)}</p></description>"
+        f"<claims>{claims}</claims></us-patent-grant>"
+    ).encode("utf-8")
+
+
+def _synth_docling_json(rng: random.Random, lang: str) -> bytes:
+    """A DoclingDocument-shaped json payload (the engine's own E5
+    channel round-trips through InputFormat.JSON_DOCLING)."""
+    import json as _json
+
+    wlang = lang if lang in _WORDS else "en"
+    texts = [
+        {"label": "title", "text": _sentence(rng, wlang, 3).rstrip("."),
+         "level": 0, "prov": []}
+    ] + [
+        {"label": "text", "text": _paragraph(rng, wlang), "level": 0, "prov": []}
+        for _ in range(rng.randint(1, 4))
+    ]
+    return _json.dumps(
+        {
+            "schema_name": "DoclingDocument",
+            "version": "1.0.0",
+            "name": "payload",
+            "origin": {"mimetype": "application/json", "filename": "payload"},
+            "num_pages": 1,
+            "texts": texts,
+            "tables": [],
+            "pictures": [],
+        },
+        ensure_ascii=False, sort_keys=True, separators=(",", ":"),
+    ).encode("utf-8")
+
+
 def _synth_asciidoc(rng: random.Random, lang: str) -> bytes:
     wlang = lang if lang in _WORDS else "en"
     parts = [f"= {_sentence(rng, wlang, rng.randint(3, 5))}", ""]
@@ -338,10 +424,10 @@ def _synth_image(rng: random.Random) -> bytes:
 
 
 def gen_page(i: int, seed: int = 42) -> dict:
-    """One corpus row — pure function of (seed, i). Mix: ~81% HTML,
-    8% degenerate, 2% PDF, and ~9% across the other routable formats
-    (docx/pptx/xlsx/md/asciidoc/image) so the pipeline gate exercises
-    every router branch."""
+    """One corpus row — pure function of (seed, i). Mix: ~79% HTML,
+    8% degenerate, 2% PDF, and ~11% across the other routable formats
+    (docx/pptx/xlsx/md/asciidoc/image/csv/jats/uspto/json_docling) so
+    the pipeline gate exercises every router branch."""
     rng = random.Random(f"{seed}:{i}")
     lang = _LANGS[rng.randint(0, len(_LANGS) - 1)]
     roll = rng.random()
@@ -369,6 +455,18 @@ def gen_page(i: int, seed: int = 42) -> dict:
     elif roll < 0.19:
         html = _synth_xlsx(rng, lang)
         kind = "xlsx"
+    elif roll < 0.195:
+        html = _synth_csv(rng, lang)
+        kind = "csv"
+    elif roll < 0.20:
+        html = _synth_jats(rng, lang)
+        kind = "jats"
+    elif roll < 0.205:
+        html = _synth_uspto(rng, lang)
+        kind = "uspto"
+    elif roll < 0.21:
+        html = _synth_docling_json(rng, lang)
+        kind = "json_docling"
     else:
         html = _html_page(rng, i, lang)
         kind = "html"
