@@ -23,7 +23,25 @@ fixtures, and hypothesis fuzzing (tests/test_fasthtml.py).
 
 from __future__ import annotations
 
+import re
 from html import unescape
+
+# Fast paths for the overwhelmingly common WELL-FORMED tag shapes;
+# anything the narrow grammars below do not match exactly falls back
+# to the stdlib parse_starttag/parse_endtag, so tolerance semantics
+# for malformed input are unchanged (differential + hypothesis tests
+# in tests/test_fasthtml.py enforce byte-equality either way).
+# Quoted attr values exclude '<' (stdlib allows it; those rare tags
+# take the fallback), unquoted values are not fast-pathed at all.
+_FAST_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:\s*=\s*(?:\"[^\"<]*\"|'[^'<]*'))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:\s*=\s*(?:\"([^\"<]*)\"|'([^'<]*)'))?"
+)
+_FAST_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
 
 
 def feed_fast(p, text: str) -> None:
@@ -58,9 +76,35 @@ def feed_fast(p, text: str) -> None:
         # i is at '<'
         c = text[i + 1:i + 2]
         if c and c.isascii() and c.isalpha():  # starttagopen
-            k = p.parse_starttag(i)
+            m = _FAST_START.match(text, i)
+            if m:
+                tag = m.group(1).lower()
+                p.lasttag = tag
+                attrs = []
+                for am in _FAST_ATTR.finditer(m.group(2)):
+                    v = am.group(2) if am.group(2) is not None else am.group(3)
+                    if v is not None and "&" in v:
+                        v = unescape(v)
+                    attrs.append((am.group(1).lower(), v))
+                if m.group(3):
+                    p.handle_startendtag(tag, attrs)
+                else:
+                    p.handle_starttag(tag, attrs)
+                    if tag in p.CDATA_CONTENT_ELEMENTS:
+                        p.set_cdata_mode(tag)
+                k = m.end()
+            else:
+                k = p.parse_starttag(i)
         elif c == "/":
-            k = p.parse_endtag(i)
+            if p.cdata_elem is None:
+                m = _FAST_END.match(text, i)
+            else:  # rawtext close tags need stdlib cdata handling
+                m = None
+            if m:
+                p.handle_endtag(m.group(1).lower())
+                k = m.end()
+            else:
+                k = p.parse_endtag(i)
         elif text.startswith("<!--", i):
             k = p.parse_comment(i)
         elif c == "?":
