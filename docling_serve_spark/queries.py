@@ -938,6 +938,41 @@ ORACLE_EVENT_WINDOWS = (
 )
 
 
+def q_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming first-wins dedup
+    (streaming/ingest.py dedup_stream: ``applyInPandasWithState``
+    keyed on url keeps the FIRST occurrence across micro-batches).
+    Same semantics over the events table keyed by user: one
+    hash-aggregation — min(struct(ts, event_id)) carries the winner,
+    map-side partial agg means the shuffle moves one struct + one
+    count per key, not the event rows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.col("first.ts").alias("first_ts"),
+            F.col("first.event_id").cast("bigint").alias("first_event_id"),
+            F.col("n_events").cast("bigint"),
+        )
+    )
+
+
+ORACLE_FIRST_SEEN = (
+    "WITH r AS (SELECT user_id, ts, event_id, "
+    "count(*) OVER (PARTITION BY user_id) AS n_events, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+    "FROM events) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, ts AS first_ts, "
+    "CAST(event_id AS BIGINT) AS first_event_id, "
+    "CAST(n_events AS BIGINT) AS n_events FROM r WHERE rn = 1"
+)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum
     of session-break flags over a per-user window, then per-session
@@ -1324,6 +1359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "base64_roundtrip": q_base64_roundtrip,
     "line_mirror": q_line_mirror,
     "event_windows": q_event_windows,
+    "first_seen_dedup": q_first_seen_dedup,
     "sessionize": q_sessionize,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
@@ -1366,6 +1402,7 @@ ORACLES: dict[str, str] = {
     "base64_roundtrip": ORACLE_BASE64,
     "line_mirror": ORACLE_LINE_MIRROR,
     "event_windows": ORACLE_EVENT_WINDOWS,
+    "first_seen_dedup": ORACLE_FIRST_SEEN,
     "sessionize": ORACLE_SESSIONIZE,
     "media_metadata": ORACLE_MEDIA_METADATA,
     "media_resize": ORACLE_MEDIA_RESIZE,

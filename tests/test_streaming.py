@@ -165,5 +165,18 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
         res = spark.read.parquet(out)
         assert res.count() == 100  # 50 + only the 50 new urls
         assert res.select("url").distinct().count() == 100
+
+        # stream == batch-twin identity: the stateful first-wins op
+        # must pick exactly the rows a batch min(struct(ts, ...))
+        # over the full landing data picks (q_first_seen_dedup shape)
+        batch = (
+            spark.read.parquet(landing)
+            .groupBy("url")
+            .agg(F.min(F.struct("warc_ts", "text")).alias("f"))
+            .select("url", F.col("f.warc_ts").alias("warc_ts"))
+        )
+        stream_map = {r["url"]: r["warc_ts"] for r in res.select("url", "warc_ts").collect()}
+        batch_map = {r["url"]: r["warc_ts"] for r in batch.collect()}
+        assert stream_map == batch_map
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
