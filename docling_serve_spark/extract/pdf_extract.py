@@ -542,7 +542,10 @@ def _pdf_string_value(body: str, key: str) -> bytes | None:
         hx = re.sub(r"\s+", "", body[pos + 1 : end])
         if len(hx) % 2:
             hx += "0"
-        return bytes.fromhex(hx)
+        try:
+            return bytes.fromhex(hx)
+        except ValueError:  # corrupted hex string (crawl truncation)
+            return None
     depth = 0
     i = pos
     n = len(body)
@@ -638,7 +641,10 @@ def _maybe_decrypt(objects: dict[int, tuple[str, str | None]], text: str) -> Non
     enc = objects.get(enc_num)
     if enc is None:
         raise PdfParseError("encrypted PDF: Encrypt dict unresolvable")
-    id0 = bytes.fromhex(re.sub(r"\s+", "", idm.group(1))) if idm else b""
+    id_hex = re.sub(r"\s+", "", idm.group(1)) if idm else ""
+    if len(id_hex) % 2:  # corrupted /ID (odd digit count)
+        id_hex += "0"
+    id0 = bytes.fromhex(id_hex)
     key = _std_security_key(enc[0], id0)
     for num, (head, stream) in list(objects.items()):
         if stream is None or num == enc_num or "/XRef" in head:
