@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "page_sampling",
     "event_windows",
     "sessionize",
+    "first_seen_dedup",
     "textstats",
     "ann_bruteforce",
     "ann_lsh",
@@ -84,10 +85,23 @@ def _pages_n() -> int:
     return _SF_PAGES.get(name, 50000)
 
 
+def _gen_fingerprint() -> str:
+    """Cache key component derived from the corpus generator source:
+    a change to gen_page must invalidate the cached parquet corpus, or
+    the bench silently measures a stale document mix."""
+    import hashlib
+    import inspect
+
+    from docling_serve_spark.sources import pages as _pages_mod
+
+    return hashlib.md5(inspect.getsource(_pages_mod).encode()).hexdigest()[:10]
+
+
 def _pages_path(n: int | None = None) -> str:
     suffix = f"_{n}" if n else ""
     return os.path.join(
-        CACHE_DIR, f"pages_{os.path.basename(SF_DIR.rstrip('/'))}{suffix}"
+        CACHE_DIR,
+        f"pages_{os.path.basename(SF_DIR.rstrip('/'))}{suffix}_{_gen_fingerprint()}",
     )
 
 
