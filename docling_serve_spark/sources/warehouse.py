@@ -115,10 +115,10 @@ def _wave_counters_df(
     committed output, reading ONLY (chunk, status, n_bytes,
     ocr_invoked) — parquet column pruning keeps the text channels on
     disk (asserted in tests/test_plans.py)."""
-    data_dir = os.path.join(out_dir, "data")
-    committed = spark.read.option("basePath", data_dir).parquet(
-        os.path.join(data_dir, "chunk=*")
-    )
+    # read the directory root (partition discovery finds chunk=*);
+    # a glob path here makes Spark probe for streaming-sink metadata
+    # and log a spurious stacktrace per call
+    committed = spark.read.parquet(os.path.join(out_dir, "data"))
     return (
         committed.filter(F.col("chunk").isin(wave))
         .groupBy("chunk")
@@ -234,9 +234,7 @@ def run_checkpointed(
 
 
 def read_results(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(out_dir, "data")).parquet(
-        os.path.join(out_dir, "data", "chunk=*")
-    )
+    return spark.read.parquet(os.path.join(out_dir, "data"))
 
 
 def metrics_df(spark: SparkSession, out_dir: str) -> DataFrame:
