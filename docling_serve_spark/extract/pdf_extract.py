@@ -565,10 +565,37 @@ def _pdf_string_value(body: str, key: str) -> bytes | None:
     return None
 
 
-def _std_security_key(body: str, id0: bytes) -> bytes:
-    """Algorithm 2 file-encryption key for the EMPTY user password.
-    Raises for unsupported revisions/handlers or a real password."""
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 Algorithm 2.B iterated hash (ISO 32000-2 §7.6.4.3.4,
+    the R6 password hardening): SHA-256 seed, then rounds of
+    AES-128-CBC over 64 repetitions with a data-dependent digest
+    choice, until >=64 rounds and the last byte bounds the count."""
     import hashlib
+
+    from docling_serve_spark.extract import aes as _aes
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k1, k[16:32])
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _std_security_key(body: str, id0: bytes) -> tuple[bytes, str]:
+    """File-encryption key for the EMPTY user password -> (key,
+    cipher) with cipher in {'rc4', 'aes-v4', 'aes-v5'}. Supports the
+    standard handler revisions found in crawls: R2/R3 (RC4 40-128),
+    R4 (/CFM /V2 rc4 or /AESV2), and V5 R5/R6 (AES-256, SHA-2 key
+    derivation per ISO 32000-2). Raises for other handlers or a real
+    password."""
+    import hashlib
+
+    from docling_serve_spark.extract import aes as _aes
 
     if "/Standard" not in body:
         raise PdfParseError("unsupported security handler")
@@ -576,19 +603,53 @@ def _std_security_key(body: str, id0: bytes) -> bytes:
     rm = re.search(r"/R\s+(\d+)", body)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
-        raise PdfParseError(f"unsupported encryption V={v} R={r} (AES?)")
-    pm = re.search(r"/P\s+(-?\d+)", body)
-    p = int(pm.group(1)) if pm else -1
-    lm = re.search(r"/Length\s+(\d+)", body)
-    nbytes = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
     o = _pdf_string_value(body, "/O")
     u = _pdf_string_value(body, "/U")
     if o is None or u is None:
         raise PdfParseError("encrypt dict missing /O or /U")
+
+    if v == 5 and r in (5, 6):
+        # AES-256: /U = hash(32) + validation salt(8) + key salt(8)
+        ue = _pdf_string_value(body, "/UE")
+        if ue is None or len(u) < 48 or len(ue) < 32:
+            raise PdfParseError("encrypt dict missing /UE or short /U")
+        val_salt, key_salt = u[32:40], u[40:48]
+        if r == 6:
+            ok = _hash_2b(b"", val_salt) == u[:32]
+            inter = _hash_2b(b"", key_salt)
+        else:  # R5 (Adobe ExtensionLevel 3)
+            ok = hashlib.sha256(val_salt).digest() == u[:32]
+            inter = hashlib.sha256(key_salt).digest()
+        if not ok:
+            raise PdfParseError("encrypted PDF: password protected")
+        key = _aes.cbc_decrypt(inter, ue[:32], iv=b"\x00" * 16)
+        return key, "aes-v5"
+
+    if v not in (1, 2, 4) or r not in (2, 3, 4):
+        raise PdfParseError(f"unsupported encryption V={v} R={r}")
+    cipher = "rc4"
+    if v == 4:
+        # crypt filters: /StdCF /CFM names the algorithm
+        if "/AESV2" in body:
+            cipher = "aes-v4"
+        elif "/V2" not in body and "/Identity" not in body:
+            raise PdfParseError("unsupported V4 crypt filter")
+    pm = re.search(r"/P\s+(-?\d+)", body)
+    p = int(pm.group(1)) if pm else -1
+    lm = re.search(r"/Length\s+(\d+)", body)
+    if r == 2:
+        nbytes = 5
+    elif lm:
+        lv = int(lm.group(1))
+        # top-level /Length is bits; a CF-dict /Length is bytes
+        nbytes = lv // 8 if lv >= 40 else lv
+    else:
+        nbytes = 16 if v == 4 else 5
     h = hashlib.md5(
         _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
     )
+    if r >= 4 and "/EncryptMetadata false" in body:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()[:nbytes]
     if r >= 3:
         for _ in range(50):
@@ -604,18 +665,36 @@ def _std_security_key(body: str, id0: bytes) -> bytes:
         ok = x[:16] == u[:16]
     if not ok:
         raise PdfParseError("encrypted PDF: password protected")
-    return key
+    return key, cipher
 
 
-def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
-    """Per-object RC4 key (Algorithm 1): md5(key + objnum[3 LE] +
-    gen[2 LE]), truncated to min(len+5, 16)."""
+def _object_key(
+    key: bytes, num: int, gen: int = 0, aes: bool = False
+) -> bytes:
+    """Per-object key (Algorithm 1): md5(key + objnum[3 LE] +
+    gen[2 LE] [+ 'sAlT' for AESV2]), truncated to min(len+5, 16)."""
     import hashlib
 
     d = hashlib.md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return d[: min(len(key) + 5, 16)]
+
+
+def _decrypt_bytes(raw: bytes, key: bytes, cipher: str, num: int) -> bytes:
+    from docling_serve_spark.extract import aes as _aes
+
+    if cipher == "rc4":
+        return _rc4(_object_key(key, num), raw)
+    if cipher == "aes-v4":
+        k = _object_key(key, num, aes=True)
+    else:  # aes-v5: the file key is used directly (ISO 32000-2)
+        k = key
+    # stream layout: 16-byte IV || CBC ciphertext, PKCS#5-padded
+    return _aes.strip_pkcs5(_aes.cbc_decrypt(k, raw))
 
 
 def _maybe_decrypt(objects: dict[int, tuple[str, str | None]], text: str) -> None:
@@ -645,11 +724,11 @@ def _maybe_decrypt(objects: dict[int, tuple[str, str | None]], text: str) -> Non
     if len(id_hex) % 2:  # corrupted /ID (odd digit count)
         id_hex += "0"
     id0 = bytes.fromhex(id_hex)
-    key = _std_security_key(enc[0], id0)
+    key, cipher = _std_security_key(enc[0], id0)
     for num, (head, stream) in list(objects.items()):
         if stream is None or num == enc_num or "/XRef" in head:
             continue
-        plain = _rc4(_object_key(key, num), stream.encode("latin-1"))
+        plain = _decrypt_bytes(stream.encode("latin-1"), key, cipher, num)
         objects[num] = (head, plain.decode("latin-1"))
 
 

@@ -600,11 +600,129 @@ def test_password_protected_pdf_contained_failure():
     assert "password" in (res.error or "")
 
 
-def test_aes_encrypted_pdf_contained_failure():
-    pdf = _make_encrypted_pdf(3).replace(b"/V 2 /R 3", b"/V 4 /R 4")
-    res = extract_document(pdf, name="aes")
+def test_unknown_encryption_revision_contained_failure():
+    pdf = _make_encrypted_pdf(3).replace(b"/V 2 /R 3", b"/V 7 /R 9")
+    res = extract_document(pdf, name="exotic")
     assert res.status == "failure"
     assert "unsupported encryption" in (res.error or "")
+
+
+def _make_aesv2_pdf() -> bytes:
+    """V4 R4 /CFM /AESV2 fixture (128-bit key, empty passwords)."""
+    import hashlib
+
+    from docling_serve_spark.extract import aes as _aes
+    from docling_serve_spark.extract.pdf_extract import (
+        _PW_PAD,
+        _object_key,
+        _rc4,
+    )
+
+    p = -44
+    okey = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey).digest()
+    okey = okey[:16]
+    o = _rc4(okey, _PW_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    key = hashlib.md5(
+        _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + _ID0
+    ).digest()[:16]
+    for _ in range(50):
+        key = hashlib.md5(key[:16]).digest()[:16]
+    u = _rc4(key, hashlib.md5(_PW_PAD + _ID0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (aes v2 secret) Tj ET"
+    iv = bytes(range(16))
+    enc_content = iv + _aes.cbc_encrypt(
+        _object_key(key, 4, aes=True), _aes.pad_pkcs5(content), iv
+    )
+
+    def hexs(b):
+        return b"<" + b.hex().encode() + b">"
+
+    return (
+        b"%PDF-1.6\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content)
+        + b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+        + b"/P %d /O %s /U %s >>\nendobj\n" % (p, hexs(o), hexs(u))
+        + b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [%s %s] >>\n%%%%EOF\n"
+        % (hexs(_ID0), hexs(_ID0))
+    )
+
+
+def test_aesv2_encrypted_empty_password_extracts():
+    res = extract_document(_make_aesv2_pdf(), name="aesv2")
+    assert res.status == "success"
+    assert "aes v2 secret" in res.extracted_text
+
+
+def _make_aes256_pdf(r: int) -> bytes:
+    """V5 AES-256 fixture: R5 (SHA-256 salts) or R6 (Algorithm 2.B
+    hardened hash), empty user password."""
+    import hashlib
+
+    from docling_serve_spark.extract import aes as _aes
+    from docling_serve_spark.extract.pdf_extract import _hash_2b
+
+    val_salt = b"VALSALT1"
+    key_salt = b"KEYSALT2"
+    file_key = bytes(range(32))
+    if r == 6:
+        uhash = _hash_2b(b"", val_salt)
+        inter = _hash_2b(b"", key_salt)
+    else:
+        uhash = hashlib.sha256(val_salt).digest()
+        inter = hashlib.sha256(key_salt).digest()
+    u = uhash + val_salt + key_salt
+    ue = _aes.cbc_encrypt(inter, file_key, b"\x00" * 16)
+    o = b"\x11" * 48  # owner path unused by the empty-user flow
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (aes256 secret text) Tj ET"
+    iv = bytes(reversed(range(16)))
+    enc_content = iv + _aes.cbc_encrypt(file_key, _aes.pad_pkcs5(content), iv)
+
+    def hexs(b):
+        return b"<" + b.hex().encode() + b">"
+
+    return (
+        b"%PDF-2.0\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(enc_content), enc_content)
+        + b"5 0 obj\n<< /Filter /Standard /V 5 /R %d /Length 256 " % r
+        + b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+        + b"/P -44 /O %s /U %s /UE %s >>\nendobj\n" % (hexs(o), hexs(u), hexs(ue))
+        + b"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [%s %s] >>\n%%%%EOF\n"
+        % (hexs(_ID0), hexs(_ID0))
+    )
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aes256_encrypted_empty_password_extracts(r):
+    res = extract_document(_make_aes256_pdf(r), name=f"aes256-r{r}")
+    assert res.status == "success"
+    assert "aes256 secret text" in res.extracted_text
+
+
+def test_aes256_password_protected_contained():
+    pdf = _make_aes256_pdf(6)
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]{96})>", pdf)
+    bad = pdf.replace(m.group(1), b"00" * 48)
+    res = extract_document(bad, name="locked256")
+    assert res.status == "failure"
+    assert "password" in (res.error or "")
 
 
 def test_unencrypted_with_decoy_encrypt_bytes_unaffected():
