@@ -1,16 +1,16 @@
-"""Minimal AES-128/256 + CBC for the PDF standard security handler
-(FIPS-197; PDF 32000-1 §7.6.2 AESV2, PDF 32000-2 §7.6.4 AESV3).
+"""Minimal AES-128/192/256 + CBC for the PDF standard security
+handler (FIPS-197; PDF 32000-1 §7.6.2 AESV2, PDF 32000-2 §7.6.4
+AESV3).
 
 Pure stdlib: the container ships no crypto package, and the only
-consumer is the ~2% of crawl PDFs that are AES-encrypted with an
-empty user password — tens of KB of stream bytes per document, well
-inside pure-Python throughput. Table-based (encrypt S-box + decrypt
-T-tables would be faster; the simple form is fast enough and easier
-to audit against the FIPS-197 test vectors in tests)."""
+consumer is the AES-encrypted fraction of crawl PDFs. Implementation
+is the classic 32-bit T-table form (4 lookup tables fold SubBytes +
+ShiftRows + MixColumns into one XOR chain per word; decryption uses
+the equivalent inverse cipher with InvMixColumns-transformed round
+keys) — ~10x the naive byte-wise form in CPython. Validated against
+the FIPS-197 Appendix C vectors in tests/test_aes.py."""
 
 from __future__ import annotations
-
-# ---------------------------- AES core ---------------------------- #
 
 _SBOX = bytes.fromhex(
     "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
@@ -22,99 +22,165 @@ _SBOX = bytes.fromhex(
     "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
     "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
 )
-_INV_SBOX = bytes(256)
-_inv = bytearray(256)
-for i, v in enumerate(_SBOX):
-    _inv[v] = i
-_INV_SBOX = bytes(_inv)
+_INV = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV[_v] = _i
+_INV_SBOX = bytes(_INV)
 
 _RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
          0x6C, 0xD8, 0xAB, 0x4D)
 
 
-def _xtime(a: int) -> int:
-    a <<= 1
-    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+def _gmul(a: int, b: int) -> int:
+    v = 0
+    while b:
+        if b & 1:
+            v ^= a
+        a = ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+        b >>= 1
+    return v
 
 
-def _build_mul(factor: int) -> bytes:
-    out = bytearray(256)
-    for a in range(256):
-        v, b, f = 0, a, factor
-        while f:
-            if f & 1:
-                v ^= b
-            b = _xtime(b)
-            f >>= 1
-        out[a] = v
-    return bytes(out)
+def _build_tables() -> tuple:
+    te0 = [0] * 256
+    td0 = [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        te0[x] = (_gmul(s, 2) << 24) | (s << 16) | (s << 8) | _gmul(s, 3)
+        si = _INV_SBOX[x]
+        td0[x] = (
+            (_gmul(si, 14) << 24)
+            | (_gmul(si, 9) << 16)
+            | (_gmul(si, 13) << 8)
+            | _gmul(si, 11)
+        )
+
+    def ror8(t):
+        return [((v >> 8) | ((v & 0xFF) << 24)) & 0xFFFFFFFF for v in t]
+
+    te1 = ror8(te0)
+    te2 = ror8(te1)
+    te3 = ror8(te2)
+    td1 = ror8(td0)
+    td2 = ror8(td1)
+    td3 = ror8(td2)
+    return te0, te1, te2, te3, td0, td1, td2, td3
 
 
-_M2 = _build_mul(2)
-_M3 = _build_mul(3)
-_M9 = _build_mul(9)
-_M11 = _build_mul(11)
-_M13 = _build_mul(13)
-_M14 = _build_mul(14)
+_TE0, _TE1, _TE2, _TE3, _TD0, _TD1, _TD2, _TD3 = _build_tables()
+
+def _inv_mix_columns_word(w: int) -> int:
+    b0, b1, b2, b3 = (w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF
+    return (
+        ((_gmul(b0, 14) ^ _gmul(b1, 11) ^ _gmul(b2, 13) ^ _gmul(b3, 9)) << 24)
+        | ((_gmul(b0, 9) ^ _gmul(b1, 14) ^ _gmul(b2, 11) ^ _gmul(b3, 13)) << 16)
+        | ((_gmul(b0, 13) ^ _gmul(b1, 9) ^ _gmul(b2, 14) ^ _gmul(b3, 11)) << 8)
+        | (_gmul(b0, 11) ^ _gmul(b1, 13) ^ _gmul(b2, 9) ^ _gmul(b3, 14))
+    )
 
 
-def _expand_key(key: bytes) -> list[bytes]:
+def _expand_key_words(key: bytes) -> list[int]:
     nk = len(key) // 4
     nr = nk + 6
-    words = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    w = [int.from_bytes(key[4 * i : 4 * i + 4], "big") for i in range(nk)]
     for i in range(nk, 4 * (nr + 1)):
-        t = words[i - 1]
+        t = w[i - 1]
         if i % nk == 0:
-            t = bytes(
-                (_SBOX[t[1]] ^ _RCON[i // nk - 1], _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]])
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+            t = (
+                (_SBOX[(t >> 24) & 0xFF] << 24)
+                | (_SBOX[(t >> 16) & 0xFF] << 16)
+                | (_SBOX[(t >> 8) & 0xFF] << 8)
+                | _SBOX[t & 0xFF]
             )
+            t ^= _RCON[i // nk - 1] << 24
         elif nk > 6 and i % nk == 4:
-            t = bytes(_SBOX[b] for b in t)
-        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+            t = (
+                (_SBOX[(t >> 24) & 0xFF] << 24)
+                | (_SBOX[(t >> 16) & 0xFF] << 16)
+                | (_SBOX[(t >> 8) & 0xFF] << 8)
+                | _SBOX[t & 0xFF]
+            )
+        w.append(w[i - nk] ^ t)
+    return w
 
 
-def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rks[0]))
-    nr = len(rks) - 1
-    for rnd in range(1, nr):
-        # SubBytes + ShiftRows
-        t = bytes(
-            _SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)
-        )
-        # MixColumns + AddRoundKey
-        rk = rks[rnd]
-        s = bytearray(16)
-        for c in range(4):
-            a0, a1, a2, a3 = t[4 * c : 4 * c + 4]
-            s[4 * c] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3 ^ rk[4 * c]
-            s[4 * c + 1] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3 ^ rk[4 * c + 1]
-            s[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3] ^ rk[4 * c + 2]
-            s[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3] ^ rk[4 * c + 3]
-    t = bytes(_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16))
-    return bytes(a ^ b for a, b in zip(t, rks[-1]))
+class _Key:
+    """Expanded encryption + equivalent-inverse-cipher schedules."""
+
+    __slots__ = ("enc", "dec", "nr")
+
+    def __init__(self, key: bytes):
+        w = _expand_key_words(key)
+        self.nr = len(key) // 4 + 6
+        self.enc = w
+        # decryption schedule: reversed rounds, InvMixColumns on the
+        # middle round keys (equivalent inverse cipher, FIPS-197 §5.3.5)
+        dec = []
+        for r in range(self.nr, -1, -1):
+            rk = w[4 * r : 4 * r + 4]
+            if 0 < r < self.nr:
+                rk = [_inv_mix_columns_word(v) for v in rk]
+            dec.extend(rk)
+        self.dec = dec
 
 
-def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rks[-1]))
-    nr = len(rks) - 1
-    for rnd in range(nr - 1, 0, -1):
-        # InvShiftRows + InvSubBytes
-        t = bytes(
-            _INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)
-        )
-        # AddRoundKey + InvMixColumns
-        rk = rks[rnd]
-        u = bytes(a ^ b for a, b in zip(t, rk))
-        s = bytearray(16)
-        for c in range(4):
-            a0, a1, a2, a3 = u[4 * c : 4 * c + 4]
-            s[4 * c] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
-            s[4 * c + 1] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
-            s[4 * c + 2] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
-            s[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
-    t = bytes(_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16))
-    return bytes(a ^ b for a, b in zip(t, rks[0]))
+def _expand_key(key: bytes) -> _Key:
+    return _Key(key)
+
+
+def _encrypt_block(block: bytes, k: _Key) -> bytes:
+    w = k.enc
+    nr = k.nr
+    s0 = int.from_bytes(block[0:4], "big") ^ w[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    te0, te1, te2, te3 = _TE0, _TE1, _TE2, _TE3
+    for r in range(1, nr):
+        i = 4 * r
+        t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF] ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ w[i]
+        t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF] ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ w[i + 1]
+        t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF] ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ w[i + 2]
+        t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF] ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ w[i + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    i = 4 * nr
+    sb = _SBOX
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16) | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ w[i]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16) | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ w[i + 1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16) | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ w[i + 2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16) | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ w[i + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
+
+
+def _decrypt_block(block: bytes, k: _Key) -> bytes:
+    w = k.dec
+    nr = k.nr
+    s0 = int.from_bytes(block[0:4], "big") ^ w[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ w[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ w[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ w[3]
+    td0, td1, td2, td3 = _TD0, _TD1, _TD2, _TD3
+    for r in range(1, nr):
+        i = 4 * r
+        t0 = td0[s0 >> 24] ^ td1[(s3 >> 16) & 0xFF] ^ td2[(s2 >> 8) & 0xFF] ^ td3[s1 & 0xFF] ^ w[i]
+        t1 = td0[s1 >> 24] ^ td1[(s0 >> 16) & 0xFF] ^ td2[(s3 >> 8) & 0xFF] ^ td3[s2 & 0xFF] ^ w[i + 1]
+        t2 = td0[s2 >> 24] ^ td1[(s1 >> 16) & 0xFF] ^ td2[(s0 >> 8) & 0xFF] ^ td3[s3 & 0xFF] ^ w[i + 2]
+        t3 = td0[s3 >> 24] ^ td1[(s2 >> 16) & 0xFF] ^ td2[(s1 >> 8) & 0xFF] ^ td3[s0 & 0xFF] ^ w[i + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    i = 4 * nr
+    sb = _INV_SBOX
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16) | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ w[i]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16) | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ w[i + 1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16) | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ w[i + 2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16) | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ w[i + 3]
+    return (
+        o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big") + o3.to_bytes(4, "big")
+    )
 
 
 # ----------------------------- CBC ------------------------------- #
@@ -127,25 +193,25 @@ def cbc_decrypt(key: bytes, data: bytes, iv: bytes | None = None) -> bytes:
         iv, data = data[:16], data[16:]
     if len(data) % 16:
         data = data[: len(data) - len(data) % 16]  # truncated tail
-    rks = _expand_key(key)
+    k = _Key(key)
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = data[i : i + 16]
-        out.extend(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        out.extend(a ^ b for a, b in zip(_decrypt_block(blk, k), prev))
         prev = blk
     return bytes(out)
 
 
 def cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
-    """AES-CBC encrypt (used only to GENERATE test fixtures; the
-    engine itself never encrypts). No padding added."""
-    rks = _expand_key(key)
+    """AES-CBC encrypt (fixture generation and the R6 Algorithm 2.B
+    hash rounds). No padding added."""
+    k = _Key(key)
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(blk, rks)
+        prev = _encrypt_block(blk, k)
         out.extend(prev)
     return bytes(out)
 

@@ -728,6 +728,15 @@ def _maybe_decrypt(objects: dict[int, tuple[str, str | None]], text: str) -> Non
     for num, (head, stream) in list(objects.items()):
         if stream is None or num == enc_num or "/XRef" in head:
             continue
+        if (
+            any("/" + f in head for f in _IMAGE_FILTERS)
+            or "/Metadata" in head
+            or "/FontFile" in head
+        ):
+            # never text-bearing; skip the (pure-Python) AES work —
+            # in a typical encrypted PDF images are most of the bytes
+            objects[num] = (head, "")
+            continue
         plain = _decrypt_bytes(stream.encode("latin-1"), key, cipher, num)
         objects[num] = (head, plain.decode("latin-1"))
 
