@@ -947,6 +947,13 @@ def q_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial agg means the shuffle moves one struct + one
     count per key, not the event rows."""
     ev = _t(spark, sf_dir, "events")
+    # min(struct) plans as SortAggregate (struct/string min buffers
+    # are not HashAggregate-compatible — measured; a packed-string
+    # variant lands in SortAggregate too). That is still the scale
+    # shape that matters: PARTIAL aggregation runs before the
+    # exchange, so the shuffle carries one struct per key; the local
+    # per-partition sort it adds is spillable and stays on the map
+    # side.
     return (
         ev.groupBy("user_id")
         .agg(

