@@ -145,6 +145,50 @@ def _num(tok) -> float:
     return tok[1] if tok and tok[0] == "n" else 0.0
 
 
+def _strip_inline_images(stream: str) -> str:
+    """Remove BI…ID…EI inline-image segments (PDF 32000-1 §8.9.7):
+    the raw pixel bytes after ID are NOT tokens, and binary that
+    happens to contain '(…) Tj'-shaped bytes would otherwise leak
+    junk text runs. EI must be whitespace-delimited; binary containing
+    bare 'EI' keeps scanning."""
+    out = []
+    pos = 0
+    n = len(stream)
+    while True:
+        bi = stream.find("BI", pos)
+        # require token boundary (BI at start or after whitespace/EOL)
+        while bi != -1 and bi > 0 and stream[bi - 1] not in " \t\r\n":
+            bi = stream.find("BI", bi + 2)
+        if bi == -1:
+            out.append(stream[pos:])
+            return "".join(out)
+        idp = stream.find("ID", bi)
+        if idp == -1:
+            out.append(stream[pos:])
+            return "".join(out)
+        seg = stream[bi + 2 : idp]
+        # a real inline image declares /W /H etc between BI and ID;
+        # prose inside a string literal (" BI ... ID ") does not —
+        # require a name token and only dict-ish characters
+        if "/" not in seg or not re.fullmatch(r"[\s/A-Za-z0-9<>\[\].+-]*", seg):
+            out.append(stream[pos : bi + 2])
+            pos = bi + 2
+            continue
+        ei = idp + 2
+        while True:
+            ei = stream.find("EI", ei + 1)
+            if ei == -1:
+                ei = n
+                break
+            if stream[ei - 1] in " \t\r\n\x00" and (
+                ei + 2 >= n or stream[ei + 2] in " \t\r\n"
+            ):
+                ei += 2
+                break
+        out.append(stream[pos:bi])
+        pos = ei
+
+
 def _parse_content(
     stream: str,
     fonts: dict[str, _FontMap] | None = None,
@@ -155,6 +199,8 @@ def _parse_content(
     ToUnicode map when one exists — the real-world (subset-font)
     path; without a map the raw text passes through unchanged (the
     synthetic-corpus and simple-encoding path)."""
+    if "BI" in stream:
+        stream = _strip_inline_images(stream)
     runs: list[_Run] = []
     stack: list = []
     x = y = 0.0

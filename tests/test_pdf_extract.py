@@ -273,3 +273,17 @@ def test_table_mode_accurate_leaves_prose_alone():
     assert fast.extracted_text == acc.extracted_text
     assert "table" not in [i for i in ()]  # no-op guard; channels equal is the check
     assert fast.md_content == acc.md_content
+
+
+def test_inline_images_stripped_not_text():
+    """BI...ID...EI raw pixel bytes are not tokens — binary containing
+    '(junk) Tj'-shaped bytes must not leak text runs; prose that
+    merely mentions BI/ID inside a string stays intact."""
+    from docling_serve_spark.extract.pdf_extract import _parse_content
+
+    s = ("BT /F1 12 Tf 1 0 0 1 72 700 Tm (real text) Tj ET\n"
+         "BI /W 4 /H 4 /BPC 8 /CS /G ID \x00\x01(junk) Tj\x9f\xff EI\n"
+         "BT 1 0 0 1 72 680 Tm (more real) Tj ET")
+    assert [r.text for r in _parse_content(s)] == ["real text", "more real"]
+    prose = "BT 1 0 0 1 0 0 Tm (the BI and ID teams) Tj ET"
+    assert [r.text for r in _parse_content(prose)] == ["the BI and ID teams"]
