@@ -214,6 +214,10 @@ def _parse_content(
         if text:
             runs.append(_Run(x, y, size, text))
 
+    def emit_decoded(text: str) -> None:
+        if text:
+            runs.append(_Run(x, y, size, text))
+
     for m in _TOKEN_RE.finditer(stream):
         kind = m.lastgroup  # single-group dispatch: one lookup per token
         if kind == "str" or kind == "hex":
@@ -275,9 +279,20 @@ def _parse_content(
                 y -= leading
                 emit(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "a":
-                txt = "".join(t for t in stack[-1][1] if isinstance(t, str))
-                if txt:
-                    emit(txt)
+                # numeric elements are kern/space adjustments in
+                # 1/1000 em; a large negative one IS the inter-word
+                # gap (pdftex-style PDFs carry no literal spaces).
+                # Decode glyph strings individually BEFORE inserting
+                # the space so the font map never sees it.
+                parts: list[str] = []
+                for t in stack[-1][1]:
+                    if isinstance(t, str):
+                        parts.append(
+                            fmap.decode(t) if fmap is not None else t
+                        )
+                    elif t <= -150 and parts and not parts[-1].endswith(" "):
+                        parts.append(" ")
+                emit_decoded("".join(parts))
             elif op == "Do" and xobjects:
                 # Form XObject invocation: expand its runs inline
                 # (OCR text layers live here; coords are page-like)

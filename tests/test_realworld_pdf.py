@@ -732,3 +732,14 @@ def test_unencrypted_with_decoy_encrypt_bytes_unaffected():
     obj = (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
            % (len(decoy), decoy))
     assert "filter chain works" in _extract_one(_one_page_pdf(obj))
+
+
+@needs_ref
+def test_tj_offsets_produce_word_spaces():
+    """pdftex-style PDFs encode inter-word gaps as negative TJ
+    offsets, not literal spaces: before offset-aware decoding this
+    file extracted 'SOPBakeries OperationalStandardOperatingProcedures'."""
+    r = extract_document(open(f"{REF}/english/SOP.pdf", "rb").read(), name="sop")
+    assert "Standard Operating Procedures (SOP) Manual" in r.extracted_text
+    assert "Table of Contents" in r.extracted_text
+    assert "TableofContents" not in r.extracted_text
