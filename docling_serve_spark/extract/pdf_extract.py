@@ -1284,7 +1284,16 @@ class _Line:
         return max(r.size for r in self.runs)
 
     def text(self) -> str:
-        return " ".join(r.text for r in self.runs).strip()
+        # runs are joined with one space UNLESS the boundary already
+        # carries an explicit space glyph (many writers emit ' ' as
+        # its own run; blindly joining with ' ' inflated those gaps
+        # to triple spaces)
+        parts = [self.runs[0].text]
+        for a, b in zip(self.runs, self.runs[1:]):
+            if not (a.text.endswith(" ") or b.text.startswith(" ")):
+                parts.append(" ")
+            parts.append(b.text)
+        return "".join(parts).strip()
 
 
 _Y_TOL = 2.0
