@@ -204,7 +204,9 @@ def _parse_content(
     runs: list[_Run] = []
     stack: list = []
     x = y = 0.0
-    size = 12.0
+    tf_size = 12.0
+    tm_scale = 1.0  # cairo-style writers set Tf 1 and carry the real
+    size = 12.0     # size in the text matrix: size = tf_size*|Tm|
     leading = 14.0
     fmap: _FontMap | None = None
     in_array: list | None = None
@@ -261,6 +263,11 @@ def _parse_content(
                 y += _num(stack[-1])
                 leading = -_num(stack[-1]) or leading
             elif op == "Tm" and len(stack) >= 6:
+                a, b = _num(stack[-6]), _num(stack[-5])
+                c, d = _num(stack[-4]), _num(stack[-3])
+                det = abs(a * d - b * c)
+                tm_scale = det ** 0.5 if det > 0 else 1.0
+                size = tf_size * tm_scale
                 x = _num(stack[-2])
                 y = _num(stack[-1])
             elif op == "TL" and stack:
@@ -268,7 +275,8 @@ def _parse_content(
             elif op == "T*":
                 y -= leading
             elif op == "Tf" and stack:
-                size = _num(stack[-1])
+                tf_size = _num(stack[-1])
+                size = tf_size * tm_scale
                 if fonts:
                     names = [t[1] for t in stack if t[0] == "nm"]
                     if names:

@@ -287,3 +287,18 @@ def test_inline_images_stripped_not_text():
     assert [r.text for r in _parse_content(s)] == ["real text", "more real"]
     prose = "BT 1 0 0 1 0 0 Tm (the BI and ID teams) Tj ET"
     assert [r.text for r in _parse_content(prose)] == ["the BI and ID teams"]
+
+
+def test_tm_scale_sets_effective_font_size():
+    """cairo-family writers emit 'Tf 1' and carry the real size in
+    the text matrix; effective size = tf_size * sqrt(|det Tm|), so
+    heading detection keeps working on those PDFs."""
+    from docling_serve_spark.extract.pdf_extract import _parse_content
+
+    runs = _parse_content("BT /F1 1 Tf 13.17 0 0 -13.17 90 151 Tm (scaled) Tj ET")
+    assert abs(runs[0].size - 13.17) < 0.01
+    runs = _parse_content("BT /F1 18 Tf 1 0 0 1 72 720 Tm (classic) Tj ET")
+    assert runs[0].size == 18.0
+    # Tf AFTER Tm also picks up the matrix scale
+    runs = _parse_content("BT 2 0 0 -2 0 700 Tm /F1 9 Tf (late tf) Tj ET")
+    assert abs(runs[0].size - 18.0) < 1e-9
