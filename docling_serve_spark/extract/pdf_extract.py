@@ -189,6 +189,24 @@ def _strip_inline_images(stream: str) -> str:
         pos = ei
 
 
+_IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1: tuple, m2: tuple) -> tuple:
+    """Affine concat: apply m1 then m2 ((a,b,c,d,e,f) maps (x,y) to
+    (a x + c y + e, b x + d y + f))."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
 def _parse_content(
     stream: str,
     fonts: dict[str, _FontMap] | None = None,
@@ -198,27 +216,44 @@ def _parse_content(
     arguments (literal or hex) are decoded through the current font's
     ToUnicode map when one exists — the real-world (subset-font)
     path; without a map the raw text passes through unchanged (the
-    synthetic-corpus and simple-encoding path)."""
+    synthetic-corpus and simple-encoding path).
+
+    Positions are tracked through the FULL affine pipeline — text
+    matrix (Tm/Td/T*) times CTM (cm, saved/restored by q/Q) — so
+    cairo-family streams that write under a flip matrix
+    ('1 0 0 -1 0 H cm') land in standard y-up device space and sort
+    into the right reading order; effective font size is
+    tf_size * sqrt(|det(Tm x CTM)|) (those writers set 'Tf 1' and
+    carry the size in the matrix)."""
     if "BI" in stream:
         stream = _strip_inline_images(stream)
     runs: list[_Run] = []
     stack: list = []
-    x = y = 0.0
+    ctm = _IDENT
+    gs_stack: list[tuple] = []
+    tm = _IDENT
     tf_size = 12.0
-    tm_scale = 1.0  # cairo-style writers set Tf 1 and carry the real
-    size = 12.0     # size in the text matrix: size = tf_size*|Tm|
+    size = 12.0
     leading = 14.0
     fmap: _FontMap | None = None
     in_array: list | None = None
 
+    def _resize() -> None:
+        nonlocal size
+        trm = _mat_mul(tm, ctm)
+        det = abs(trm[0] * trm[3] - trm[1] * trm[2])
+        size = tf_size * (det ** 0.5 if det > 0 else 1.0)
+
     def emit(raw: str) -> None:
         text = fmap.decode(raw) if fmap is not None else raw
         if text:
-            runs.append(_Run(x, y, size, text))
+            trm = _mat_mul(tm, ctm)
+            runs.append(_Run(trm[4], trm[5], size, text))
 
     def emit_decoded(text: str) -> None:
         if text:
-            runs.append(_Run(x, y, size, text))
+            trm = _mat_mul(tm, ctm)
+            runs.append(_Run(trm[4], trm[5], size, text))
 
     for m in _TOKEN_RE.finditer(stream):
         kind = m.lastgroup  # single-group dispatch: one lookup per token
@@ -256,27 +291,42 @@ def _parse_content(
         else:
             op = m.group("op")
             if op == "Td" and len(stack) >= 2:
-                x += _num(stack[-2])
-                y += _num(stack[-1])
+                tm = _mat_mul(
+                    (1.0, 0.0, 0.0, 1.0, _num(stack[-2]), _num(stack[-1])), tm
+                )
             elif op == "TD" and len(stack) >= 2:
-                x += _num(stack[-2])
-                y += _num(stack[-1])
+                tm = _mat_mul(
+                    (1.0, 0.0, 0.0, 1.0, _num(stack[-2]), _num(stack[-1])), tm
+                )
                 leading = -_num(stack[-1]) or leading
             elif op == "Tm" and len(stack) >= 6:
-                a, b = _num(stack[-6]), _num(stack[-5])
-                c, d = _num(stack[-4]), _num(stack[-3])
-                det = abs(a * d - b * c)
-                tm_scale = det ** 0.5 if det > 0 else 1.0
-                size = tf_size * tm_scale
-                x = _num(stack[-2])
-                y = _num(stack[-1])
+                tm = (
+                    _num(stack[-6]), _num(stack[-5]), _num(stack[-4]),
+                    _num(stack[-3]), _num(stack[-2]), _num(stack[-1]),
+                )
+                _resize()
             elif op == "TL" and stack:
                 leading = _num(stack[-1])
             elif op == "T*":
-                y -= leading
+                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
+            elif op == "cm" and len(stack) >= 6:
+                ctm = _mat_mul(
+                    (
+                        _num(stack[-6]), _num(stack[-5]), _num(stack[-4]),
+                        _num(stack[-3]), _num(stack[-2]), _num(stack[-1]),
+                    ),
+                    ctm,
+                )
+                _resize()
+            elif op == "q":
+                gs_stack.append(ctm)
+            elif op == "Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+                    _resize()
             elif op == "Tf" and stack:
                 tf_size = _num(stack[-1])
-                size = tf_size * tm_scale
+                _resize()
                 if fonts:
                     names = [t[1] for t in stack if t[0] == "nm"]
                     if names:
@@ -284,7 +334,7 @@ def _parse_content(
             elif op == "Tj" and stack and stack[-1][0] == "s":
                 emit(stack[-1][1])
             elif op == "'" and stack and stack[-1][0] == "s":
-                y -= leading
+                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
                 emit(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "a":
                 # numeric elements are kern/space adjustments in
@@ -311,7 +361,8 @@ def _parse_content(
                         _parse_content(s2, f2 or None, x2 or None)
                     )
             elif op == "BT":
-                x = y = 0.0
+                tm = _IDENT
+                _resize()
             stack = []
     return runs
 

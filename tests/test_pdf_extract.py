@@ -302,3 +302,33 @@ def test_tm_scale_sets_effective_font_size():
     # Tf AFTER Tm also picks up the matrix scale
     runs = _parse_content("BT 2 0 0 -2 0 700 Tm /F1 9 Tf (late tf) Tj ET")
     assert abs(runs[0].size - 18.0) < 1e-9
+
+
+def test_ctm_flip_lands_in_device_space():
+    """cairo-family streams draw under '1 0 0 -1 0 H cm'; positions
+    must come out in standard y-up device space so reading order
+    sorts correctly, and q/Q must save/restore the CTM."""
+    from docling_serve_spark.extract.pdf_extract import _parse_content
+
+    s = ("1 0 0 -1 0 792 cm BT 13 0 0 -13 90 151 Tm /F1 1 Tf (first) Tj "
+         "13 0 0 -13 90 300 Tm (second) Tj ET")
+    rs = _parse_content(s)
+    assert abs(rs[0].y - (792 - 151)) < 0.1
+    assert abs(rs[0].size - 13) < 0.01
+    assert [r.text for r in sorted(rs, key=lambda r: -r.y)] == ["first", "second"]
+
+    s3 = ("q 2 0 0 2 0 0 cm BT /F1 6 Tf 1 0 0 1 10 10 Tm (big) Tj ET Q "
+          "BT /F1 6 Tf 1 0 0 1 10 10 Tm (small) Tj ET")
+    rs3 = _parse_content(s3)
+    assert rs3[0].size == 12.0 and rs3[1].size == 6.0  # scale restored
+
+
+def test_td_advances_in_text_space():
+    """Td operands are text-space units: under a scaled matrix the
+    device advance is scaled too (naive x += tx collapses scaled
+    line spacing into the y-tolerance)."""
+    from docling_serve_spark.extract.pdf_extract import _parse_content
+
+    s = "BT 10 0 0 10 50 700 Tm /F1 1 Tf (l1) Tj 0 -2 Td (l2) Tj ET"
+    rs = _parse_content(s)
+    assert abs(rs[0].y - rs[1].y - 20) < 0.01  # 2 text units * scale 10
