@@ -211,6 +211,7 @@ def _parse_content(
     stream: str,
     fonts: dict[str, _FontMap] | None = None,
     xobjects: dict[str, tuple] | None = None,
+    base_ctm: tuple = _IDENT,
 ) -> list[_Run]:
     """Tokenize one content stream into positioned text runs. String
     arguments (literal or hex) are decoded through the current font's
@@ -229,7 +230,7 @@ def _parse_content(
         stream = _strip_inline_images(stream)
     runs: list[_Run] = []
     stack: list = []
-    ctm = _IDENT
+    ctm = base_ctm
     gs_stack: list[tuple] = []
     tm = _IDENT
     tf_size = 12.0
@@ -357,8 +358,10 @@ def _parse_content(
                 names = [t[1] for t in stack if t[0] == "nm"]
                 if names and names[-1] in xobjects:
                     s2, f2, x2 = xobjects[names[-1]]
+                    # form content draws under the CURRENT ctm (its
+                    # own /Matrix defaults to identity)
                     runs.extend(
-                        _parse_content(s2, f2 or None, x2 or None)
+                        _parse_content(s2, f2 or None, x2 or None, ctm)
                     )
             elif op == "BT":
                 tm = _IDENT

@@ -332,3 +332,16 @@ def test_td_advances_in_text_space():
     s = "BT 10 0 0 10 50 700 Tm /F1 1 Tf (l1) Tj 0 -2 Td (l2) Tj ET"
     rs = _parse_content(s)
     assert abs(rs[0].y - rs[1].y - 20) < 0.01  # 2 text units * scale 10
+
+
+def test_form_xobject_inherits_ctm():
+    """A Do-invoked form draws under the invoker's CURRENT ctm — an
+    OCR text layer placed under a flip matrix must land in device
+    space like everything else."""
+    from docling_serve_spark.extract.pdf_extract import _parse_content
+
+    form = "BT /F1 10 Tf 1 0 0 1 72 100 Tm (layer) Tj ET"
+    page = "1 0 0 -1 0 792 cm q /X0 Do Q"
+    rs = _parse_content(page, None, {"X0": (form, None, None)})
+    assert rs[0].text == "layer"
+    assert abs(rs[0].y - (792 - 100)) < 0.1
