@@ -245,16 +245,23 @@ def _parse_content(
         det = abs(trm[0] * trm[3] - trm[1] * trm[2])
         size = tf_size * (det ** 0.5 if det > 0 else 1.0)
 
+    def _pos() -> tuple[float, float]:
+        if ctm is _IDENT:  # the overwhelmingly common case
+            return tm[4], tm[5]
+        a2, b2, c2, d2, e2, f2 = ctm
+        e, f = tm[4], tm[5]
+        return e * a2 + f * c2 + e2, e * b2 + f * d2 + f2
+
     def emit(raw: str) -> None:
         text = fmap.decode(raw) if fmap is not None else raw
         if text:
-            trm = _mat_mul(tm, ctm)
-            runs.append(_Run(trm[4], trm[5], size, text))
+            x, y = _pos()
+            runs.append(_Run(x, y, size, text))
 
     def emit_decoded(text: str) -> None:
         if text:
-            trm = _mat_mul(tm, ctm)
-            runs.append(_Run(trm[4], trm[5], size, text))
+            x, y = _pos()
+            runs.append(_Run(x, y, size, text))
 
     for m in _TOKEN_RE.finditer(stream):
         kind = m.lastgroup  # single-group dispatch: one lookup per token
@@ -292,14 +299,16 @@ def _parse_content(
         else:
             op = m.group("op")
             if op == "Td" and len(stack) >= 2:
-                tm = _mat_mul(
-                    (1.0, 0.0, 0.0, 1.0, _num(stack[-2]), _num(stack[-1])), tm
-                )
+                # translate @ tm only moves the origin:
+                # (e,f) += (tx, ty) through tm's linear part
+                tx, ty = _num(stack[-2]), _num(stack[-1])
+                a, b, c, d, e, f = tm
+                tm = (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
             elif op == "TD" and len(stack) >= 2:
-                tm = _mat_mul(
-                    (1.0, 0.0, 0.0, 1.0, _num(stack[-2]), _num(stack[-1])), tm
-                )
-                leading = -_num(stack[-1]) or leading
+                tx, ty = _num(stack[-2]), _num(stack[-1])
+                a, b, c, d, e, f = tm
+                tm = (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+                leading = -ty or leading
             elif op == "Tm" and len(stack) >= 6:
                 tm = (
                     _num(stack[-6]), _num(stack[-5]), _num(stack[-4]),
@@ -309,7 +318,8 @@ def _parse_content(
             elif op == "TL" and stack:
                 leading = _num(stack[-1])
             elif op == "T*":
-                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
+                a, b, c, d, e, f = tm
+                tm = (a, b, c, d, -leading * c + e, -leading * d + f)
             elif op == "cm" and len(stack) >= 6:
                 ctm = _mat_mul(
                     (
@@ -335,7 +345,8 @@ def _parse_content(
             elif op == "Tj" and stack and stack[-1][0] == "s":
                 emit(stack[-1][1])
             elif op == "'" and stack and stack[-1][0] == "s":
-                tm = _mat_mul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tm)
+                a, b, c, d, e, f = tm
+                tm = (a, b, c, d, -leading * c + e, -leading * d + f)
                 emit(stack[-1][1])
             elif op == "TJ" and stack and stack[-1][0] == "a":
                 # numeric elements are kern/space adjustments in
