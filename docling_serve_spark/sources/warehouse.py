@@ -142,10 +142,16 @@ def _wave_counters(
     for the whole wave, not a full re-read per chunk. Chunks in the
     wave that produced zero rows get explicit zero counters so resume
     still skips them."""
+    from pyspark.errors import AnalysisException
+
     counters = {c: {k: 0 for k in _COUNTER_KEYS} for c in wave}
     try:
         rows = _wave_counters_df(spark, out_dir, wave).collect()
-    except Exception:  # no partitions at all (every wave chunk empty)
+    except AnalysisException:  # no data dir: every wave chunk empty.
+        # Only the missing-path case is absorbed — a FAILED read of
+        # committed files must propagate, or zero-count manifests
+        # would mark corrupt chunks complete and resume would skip
+        # them forever.
         return counters
     for r in rows:
         counters[r["chunk"]] = {k: int(r[k] or 0) for k in _COUNTER_KEYS}
