@@ -694,7 +694,11 @@ def _pdf_string_value(body: str, key: str) -> bytes | None:
         elif c == ")":
             depth -= 1
             if depth == 0:
-                return _unescape(body[out_start:i]).encode("latin-1")
+                # 'replace' guards malformed octal escapes like \777
+                # (chr(511) has no latin-1 byte); the key bytes are
+                # wrong either way for such a corrupt string, but the
+                # error stays typed (password-verification failure)
+                return _unescape(body[out_start:i]).encode("latin-1", "replace")
         i += 1
     return None
 
