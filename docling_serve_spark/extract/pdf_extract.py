@@ -95,7 +95,8 @@ def _unescape(s: str) -> str:
                 while j < n and s[j] in "01234567" and len(oct_digits) < 3:
                     oct_digits += s[j]
                     j += 1
-                out.append(chr(int(oct_digits, 8)))
+                # §7.3.4.2: high-order overflow is ignored (\777 -> FF)
+                out.append(chr(int(oct_digits, 8) & 0xFF))
                 i = j
             else:
                 out.append(nxt)
