@@ -315,3 +315,16 @@ def test_include_images_off_drops_pictures():
     assert "img" not in drop.md_content
     # text channel identical (pictures never carry text)
     assert keep.extracted_text == drop.extracted_text
+
+
+def test_routable_types_cover_docling_inputformat():
+    """S4 parity: the router accepts exactly docling 2.36's
+    InputFormat values (the reference defaults from_formats to
+    list(InputFormat), datamodel/convert.py:115-125)."""
+    from docling_serve_spark.extract.core import ROUTABLE_TYPES
+
+    DOCLING_236_INPUTFORMAT = {
+        "docx", "pptx", "html", "image", "pdf", "asciidoc", "md",
+        "csv", "xlsx", "xml_uspto", "xml_jats", "json_docling",
+    }
+    assert set(ROUTABLE_TYPES) == DOCLING_236_INPUTFORMAT
