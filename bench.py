@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
+    "ann_ivf",
     "centroid_similarity",
     "media_metadata",
     "media_resize",

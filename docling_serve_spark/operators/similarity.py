@@ -255,3 +255,95 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
             ).alias("centroid_sim"),
         )
     )
+
+
+# ----------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the second scale path alongside LSH
+# ----------------------------------------------------------------- #
+
+def ivf_centroids(
+    embeddings: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the K vectors with the
+    smallest vec_ids (IVF-flat per Johnson/Douze/Jégou, faiss 2017,
+    with seeded sampling standing in for the k-means refinement —
+    refinement changes recall, not the partition/probe shape the
+    engine is responsible for). K rows collect to the driver; at
+    10^12 scale K ~ sqrt(n) still broadcasts as literals."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(v) for v in r[vec_col]]) for r in rows]
+
+
+def _best_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Index (0..K-1) of the max-cosine centroid, as a chain of
+    codegen'd comparisons over centroid literals. The similarity uses
+    the same arithmetic graph as the DuckDB oracle —
+    dot / (|v| * |c|) with |c| a driver-precomputed double — so
+    argmax ties resolve identically on both engines (first index
+    wins: the comparison is strict)."""
+    import math
+
+    sims = []
+    for _cid, vals in cents:
+        nrm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        lit = F.array(*[F.lit(v) for v in vals])
+        sims.append(_dot(vec, lit) / (_norm(vec) * F.lit(nrm)))
+    best_i: Column = F.lit(0)
+    best_s: Column = sims[0]
+    for i in range(1, len(sims)):
+        cond = sims[i] > best_s
+        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        best_s = F.when(cond, sims[i]).otherwise(best_s)
+    return best_i.cast("int")
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (one codegen'd pass; at scale the table is WRITTEN partitioned by
+    list id, so probes are partition-pruned scans), then scan only
+    the query's ``nprobe`` nearest lists with exact cosine. No
+    cross-corpus work ever happens: cost = nprobe * (n / K)."""
+    cents = ivf_centroids(embeddings, n_centroids, vec_col)
+    assigned = embeddings.withColumn(
+        "list_id", _best_centroid(F.col(vec_col), cents)
+    )
+    import math
+
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(vec_col).collect()
+    if not qrow:
+        return assigned.limit(0).select(
+            F.col("vec_id").cast("bigint"), F.lit(0.0).alias("cos_sim")
+        )
+    qvec = [float(v) for v in qrow[0][vec_col]]
+    qn = math.sqrt(sum(v * v for v in qvec)) or 1.0
+    sims = []
+    for _cid, vals in cents:
+        cn = math.sqrt(sum(v * v for v in vals)) or 1.0
+        sims.append(sum(a * b for a, b in zip(qvec, vals)) / (qn * cn))
+    probes = sorted(range(len(cents)), key=lambda i: (-sims[i], i))[:nprobe]
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    return (
+        assigned.filter(F.col("list_id").isin(probes))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.round(
+                _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qn)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

