@@ -1,0 +1,105 @@
+"""End-to-end proof of the cluster deployment path: build the
+``--py-files`` zip, copy the job script OUTSIDE the repo, and run it
+through real ``spark-submit`` — so the package must arrive on the
+driver and executors via the archive, exactly as it would on a
+multi-executor cluster (north rule: "run via spark-submit --py-files").
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+import pyspark
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "jobs"))
+
+from package import build_zip  # noqa: E402
+
+SPARK_SUBMIT = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+def test_build_zip_is_deterministic_and_importable(tmp_path):
+    z1 = build_zip(str(tmp_path / "a.zip"))
+    z2 = build_zip(str(tmp_path / "b.zip"))
+    with open(z1, "rb") as f1, open(z2, "rb") as f2:
+        assert f1.read() == f2.read()
+    # the archive root must be directly importable
+    sys.path.insert(0, z1)
+    try:
+        import importlib
+
+        spec = importlib.util.find_spec("docling_serve_spark.extract.core")
+        assert spec is not None and z1 in (spec.origin or "")
+    finally:
+        sys.path.remove(z1)
+        # drop any partially-cached zip-backed modules
+        for name in [n for n in sys.modules if n.startswith("docling_serve_spark")]:
+            if z1 in (getattr(sys.modules[name], "__file__", "") or ""):
+                del sys.modules[name]
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """The full command from README run for real: job script isolated
+    in a tmp dir (its repo-relative sys.path hack finds nothing there),
+    package delivered only through --py-files, output read back with
+    an independent engine (DuckDB)."""
+    zip_path = build_zip(str(tmp_path / "docling_serve_spark.zip"))
+    job = tmp_path / "extract_job.py"
+    shutil.copy(os.path.join(REPO, "jobs", "extract.py"), job)
+    out_dir = tmp_path / "warehouse"
+
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)  # nothing up our sleeve
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--driver-memory", "2g",
+            "--py-files", zip_path,
+            str(job),
+            "--input", "synthetic:40",
+            "--output", str(out_dir),
+            "--chunks", "2",
+        ],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=280,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # single-node replay of the same deterministic corpus = the oracle
+    # for what the cluster run must produce (failures — undecodable
+    # degenerate rows — are part of the corpus design)
+    from docling_serve_spark.extract.core import extract_document
+    from docling_serve_spark.sources.pages import gen_page
+
+    expected = {}
+    for i in range(40):
+        row = gen_page(i)
+        res = extract_document(row["html"], name=row["url"], lang=row["lang"])
+        expected[row["url"]] = (res.status, res.extracted_text)
+    exp_ok = sum(1 for s, _ in expected.values() if s == "success")
+    exp_fail = sum(1 for s, _ in expected.values() if s == "failure")
+
+    assert summary["num_docs"] == 40
+    assert summary["num_succeeded"] == exp_ok
+    assert summary["num_failed"] == exp_fail
+    assert summary["chunks_total"] == 2
+
+    rows = duckdb.sql(
+        f"SELECT url, status, extracted_text"
+        f" FROM read_parquet('{out_dir}/data/**/*.parquet')"
+    ).fetchall()
+    assert len(rows) == 40
+    for url, status, text in rows:
+        assert (status, text) == expected[url], url
