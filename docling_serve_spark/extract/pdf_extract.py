@@ -1147,6 +1147,89 @@ def _parse_cmap(cmap: str) -> _FontMap:
     return _FontMap(width, mapping)
 
 
+_ENC_NAME_RE = re.compile(r"/Encoding\s*/([A-Za-z]+)")
+_BASE_ENC_RE = re.compile(r"/BaseEncoding\s*/([A-Za-z]+)")
+_ENC_REF_RE = re.compile(r"/Encoding\s+(\d+)\s+0\s+R")
+_ENC_DICT_RE = re.compile(r"/Encoding\s*<<")
+_DIFF_RE = re.compile(r"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOK_RE = re.compile(r"(\d+)|/([^\s/<>\[\]()]+)")
+
+
+def _balanced_dict(src: str, start: int) -> str:
+    """Source of the ``<< ... >>`` dict opening at ``start`` (nesting
+    respected; returns the inside, without the outer delimiters)."""
+    depth = 0
+    i = start
+    n = len(src)
+    while i < n - 1:
+        pair = src[i : i + 2]
+        if pair == "<<":
+            depth += 1
+            i += 2
+        elif pair == ">>":
+            depth -= 1
+            if depth == 0:
+                return src[start + 2 : i]
+            i += 2
+        else:
+            i += 1
+    return src[start + 2 :]
+
+
+def _font_encoding_map(
+    objects: dict[int, tuple[str, str | None]], body: str
+) -> dict[int, str] | None:
+    """Simple-font /Encoding -> code->unicode map (PDF 32000-1:2008
+    §9.6.5): a named base encoding (/WinAnsiEncoding et al.) or an
+    encoding dict with /BaseEncoding + /Differences of AGL glyph
+    names. This is the no-ToUnicode real-world path — Word-family
+    writers emit WinAnsi simple fonts where bytes 0x80-0x9F (curly
+    quotes, en/em dashes) differ from the latin-1 passthrough the
+    tokenizer otherwise applies. Type0 fonts are excluded: their
+    /Encoding names a CID CMap (glyph IDs, not characters), which
+    only a /ToUnicode map can take to text."""
+    from docling_serve_spark.extract.glyphlist import (
+        BASE_ENCODINGS,
+        glyph_to_unicode,
+    )
+
+    if "/Type0" in body:
+        return None
+    enc_src = None
+    m = _ENC_DICT_RE.search(body)
+    if m:
+        enc_src = _balanced_dict(body, m.end() - 2)
+    else:
+        m = _ENC_REF_RE.search(body)
+        if m and int(m.group(1)) in objects:
+            enc_src = objects[int(m.group(1))][0]
+        else:
+            m = _ENC_NAME_RE.search(body)
+            if m:
+                base = BASE_ENCODINGS.get(m.group(1))
+                return dict(base) if base else None
+    if enc_src is None:
+        return None
+    mapping: dict[int, str] = {}
+    bm = _BASE_ENC_RE.search(enc_src)
+    if bm and bm.group(1) in BASE_ENCODINGS:
+        mapping.update(BASE_ENCODINGS[bm.group(1)])
+    dm = _DIFF_RE.search(enc_src)
+    if dm:
+        code = 0
+        for num, name in _DIFF_TOK_RE.findall(dm.group(1)):
+            if num:
+                code = int(num)
+                continue
+            uni = glyph_to_unicode(name)
+            if uni is not None and 0 <= code <= 255:
+                mapping[code] = uni
+            elif 0 <= code <= 255:
+                mapping.pop(code, None)  # unknown glyph: raw passthrough
+            code += 1
+    return mapping or None
+
+
 def _resources_src(
     objects: dict[int, tuple[str, str | None]], body: str
 ) -> str:
@@ -1187,6 +1270,12 @@ def _page_fonts(
                     )
                 except (PdfParseError, ValueError):
                     cache[ref_i] = None
+            if cache[ref_i] is None:
+                # no (usable) ToUnicode: fall back to the font's
+                # declared simple encoding, if any
+                enc = _font_encoding_map(objects, body)
+                if enc:
+                    cache[ref_i] = _FontMap(1, enc)
         if cache[ref_i] is not None:
             fonts[name] = cache[ref_i]
     return fonts

@@ -345,3 +345,130 @@ def test_form_xobject_inherits_ctm():
     rs = _parse_content(page, None, {"X0": (form, None, None)})
     assert rs[0].text == "layer"
     assert abs(rs[0].y - (792 - 100)) < 0.1
+
+
+# ---- simple-font /Encoding resolution (no ToUnicode) ----------------
+
+
+def _escape_pdf_bytes(bs: bytes) -> bytes:
+    out = bytearray()
+    for b in bs:
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([b])
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def _font_pdf(font_obj: str, text: bytes, extra_objs: str = "") -> bytes:
+    stream = (
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm ("
+        + _escape_pdf_bytes(text)
+        + b") Tj ET"
+    )
+    head = (
+        "%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(stream)} >>\nstream\n"
+    ).encode("latin-1")
+    tail = (
+        "\nendstream\nendobj\n"
+        f"5 0 obj\n{font_obj}\nendobj\n"
+        f"{extra_objs}"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+    return head + stream + tail
+
+
+def _first_text(data: bytes) -> str:
+    pages, _ = parse_pdf_pages(data)
+    return "".join(r.text for r in pages[0])
+
+
+def test_winansi_encoding_maps_80_9f_region():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /TrueType /BaseFont /Arial "
+        "/Encoding /WinAnsiEncoding >>",
+        b"\x93Hi\x94 \x97 it\x92s \x85",
+    )
+    assert _first_text(doc) == "“Hi” — it’s …"
+
+
+def test_macroman_encoding_upper_half():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Times "
+        "/Encoding /MacRomanEncoding >>",
+        b"caf\x8e \xd0 \xa5",
+    )
+    assert _first_text(doc) == "café – •"
+
+
+def test_differences_array_with_agl_and_uni_names():
+    enc = (
+        "6 0 obj\n<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        "/Differences [ 97 /quoteright /emdash /uni20AC 200 /g42 ] >>\n"
+        "endobj\n"
+    )
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        b"abc \x93x\xc8",
+        extra_objs=enc,
+    )
+    # a->quoteright b->emdash c->Euro; base WinAnsi still applies to
+    # 0x93; code 200 names an unknown subset glyph -> raw passthrough
+    assert _first_text(doc) == "’—€ “x\xc8"
+
+
+def test_inline_encoding_dict_differences():
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 "
+        "/Encoding << /Differences [ 88 /bullet ] >> >>",
+        b"X and Y",
+    )
+    assert _first_text(doc) == "• and Y"
+
+
+def test_tounicode_wins_over_encoding(tmp_path):
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "1 begincodespacerange <00> <FF> endcodespacerange\n"
+        "1 beginbfchar <41> <005A> endbfchar\n"
+        "end"
+    )
+    extra = (
+        f"6 0 obj\n<< /Length {len(cmap)} >>\nstream\n{cmap}\n"
+        "endstream\nendobj\n"
+    )
+    doc = _font_pdf(
+        "<< /Type /Font /Subtype /TrueType /Encoding /WinAnsiEncoding "
+        "/ToUnicode 6 0 R >>",
+        b"A\x93",
+    )
+    # splice the extra object in before the trailer
+    doc = doc.replace(b"trailer", extra.encode("latin-1") + b"trailer", 1)
+    # ToUnicode maps 0x41 -> Z and, being authoritative, replaces the
+    # whole encoding: 0x93 has no CMap entry so passes through raw
+    assert _first_text(doc) == "Z\x93"
+
+
+def test_type0_identity_encoding_is_not_a_simple_encoding():
+    from docling_serve_spark.extract.pdf_extract import _font_encoding_map
+
+    assert _font_encoding_map(
+        {}, "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"
+    ) is None
+
+
+def test_glyph_name_fallbacks():
+    from docling_serve_spark.extract.glyphlist import glyph_to_unicode
+
+    assert glyph_to_unicode("emdash") == "—"
+    assert glyph_to_unicode("a.sc") == "a"
+    assert glyph_to_unicode("uni0041") == "A"
+    assert glyph_to_unicode("u1F600") == "\U0001f600"
+    assert glyph_to_unicode("uniD800") is None  # lone surrogate
+    assert glyph_to_unicode("g42") is None
+    assert glyph_to_unicode("cid107") is None
