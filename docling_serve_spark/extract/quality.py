@@ -51,16 +51,41 @@ def sample_pages(page_texts: list[str]) -> list[str]:
     return samples
 
 
+# Per-char category memo with small-int codes (1=C, 2=P/S, 0=other):
+# samples draw from a small character vocabulary, so after warm-up
+# each char costs one dict hit instead of a unicodedata call + string
+# compare. (A precompiled regex character class was tried and is ~6x
+# SLOWER for non-ASCII text — CPython's re has no fast path for huge
+# non-Latin classes.)
+_CATCODE: dict[str, int] = {}
+
+
+def _cat_counts(s: str) -> tuple[int, int]:
+    """One pass -> (#category-C chars, #category-P/S chars)."""
+    get = _CATCODE.get
+    n_c = n_ps = 0
+    for ch in s:
+        v = get(ch)
+        if v is None:
+            k = unicodedata.category(ch)[0]
+            v = 1 if k == "C" else 2 if k in ("P", "S") else 0
+            _CATCODE[ch] = v
+        if v:
+            if v == 1:
+                n_c += 1
+            else:
+                n_ps += 1
+    return n_c, n_ps
+
+
 def control_ratio(s: str) -> float:
-    """F3."""
-    n = sum(1 for c in s if unicodedata.category(c)[0] == "C")
-    return n / max(len(s), 1)
+    """F3 — ratio of category-C (control/format/unassigned) chars."""
+    return _cat_counts(s)[0] / max(len(s), 1)
 
 
 def symbol_ratio(s: str) -> float:
-    """F4."""
-    n = sum(1 for c in s if unicodedata.category(c)[0] in ("P", "S"))
-    return n / max(len(s), 1)
+    """F4 — ratio of punctuation/symbol (category P or S) chars."""
+    return _cat_counts(s)[1] / max(len(s), 1)
 
 
 def escape_count(s: str) -> int:
@@ -85,9 +110,11 @@ def sample_indicators(s: str) -> int:
     """Poor-quality indicator points for one sample
     (pdf_analysis.py:75-111 loop body)."""
     pts = 0
-    if control_ratio(s) > 0.03:
+    n_c, n_ps = _cat_counts(s)  # one pass serves both F3 and F4
+    denom = max(len(s), 1)
+    if n_c / denom > 0.03:
         pts += 1
-    if symbol_ratio(s) > 0.30:
+    if n_ps / denom > 0.30:
         pts += 1
     if escape_count(s) > 5:
         pts += 2

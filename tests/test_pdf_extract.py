@@ -472,3 +472,93 @@ def test_glyph_name_fallbacks():
     assert glyph_to_unicode("uniD800") is None  # lone surrogate
     assert glyph_to_unicode("g42") is None
     assert glyph_to_unicode("cid107") is None
+
+
+# ---- fast simple-stream scanner vs general tokenizer ----------------
+
+
+def _runs_sig(runs):
+    return [(round(r.x, 6), round(r.y, 6), round(r.size, 6), r.text) for r in runs]
+
+
+def _general_parse(stream, fonts=None):
+    import docling_serve_spark.extract.pdf_extract as px
+
+    saved = px._parse_content_fast
+    px._parse_content_fast = lambda s, f: None
+    try:
+        return px._parse_content(stream, fonts)
+    finally:
+        px._parse_content_fast = saved
+
+
+def test_fast_scanner_matches_general_on_corpus_streams():
+    import re as _re
+
+    import docling_serve_spark.extract.pdf_extract as px
+
+    taken = 0
+    i = pdfs = 0
+    while pdfs < 25:
+        r = gen_page(i)
+        i += 1
+        if r["html"][:5] != b"%PDF-":
+            continue
+        pdfs += 1
+        text = r["html"].decode("latin-1")
+        for m in _re.finditer(r"stream\r?\n(.*?)endstream", text, _re.DOTALL):
+            s = m.group(1)
+            fast = px._parse_content_fast(s, None)
+            if fast is None:
+                continue
+            taken += 1
+            assert _runs_sig(fast) == _runs_sig(_general_parse(s))
+    assert taken > 500  # the corpus genuinely exercises the fast path
+
+
+@pytest.mark.parametrize(
+    "stream",
+    [
+        # state-bearing ops outside any span must force the general path
+        "BT /F1 12 Tf 1 0 0 1 10 10 Tm [(a) -200 (b)] TJ ET",
+        "BT 2 TL (x) ' ET",
+        "0.5 0 0 0.5 0 0 cm BT (x) Tj ET",
+        "BT (a) Tj ET q 1 0 0 1 5 5 cm Q",
+        "BT <48656C6C6F> Tj ET",
+        "BT 12 TL T* (x) Tj ET",
+        "BT /F1 12 Tf (a) 5 Tj ET",  # Tj without adjacent string
+    ],
+)
+def test_fast_scanner_falls_back_on_complex_ops(stream):
+    import docling_serve_spark.extract.pdf_extract as px
+
+    assert px._parse_content_fast(stream, None) is None
+    # and the public entry still parses it (general path)
+    px._parse_content(stream)
+
+
+@pytest.mark.parametrize(
+    "stream",
+    [
+        # needle substrings INSIDE string literals must stay fast
+        "BT /F1 12 Tf 1 0 0 1 10 700 Tm (it's 5cm [wide] BT TJ < ok) Tj ET",
+        'BT (he said "hi" \\' + "\\" + '") Tj ET',
+        "BT (OBTAIN Td Tm Tf Do) Tj 0 -14 Td (next) Tj ET",
+    ],
+)
+def test_fast_scanner_handles_needles_inside_literals(stream):
+    import docling_serve_spark.extract.pdf_extract as px
+
+    fast = px._parse_content_fast(stream, None)
+    assert fast is not None
+    assert _runs_sig(fast) == _runs_sig(_general_parse(stream))
+
+
+def test_fast_scanner_quote_op_advances_line():
+    import docling_serve_spark.extract.pdf_extract as px
+
+    stream = "BT 1 0 0 1 50 700 Tm (one) Tj (two) ' ET"
+    fast = px._parse_content_fast(stream, None)
+    assert fast is not None
+    assert _runs_sig(fast) == _runs_sig(_general_parse(stream))
+    assert fast[1].y == 700 - 14.0  # default leading
