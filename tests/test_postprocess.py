@@ -109,3 +109,27 @@ def test_langmap_conversion():
 def test_format_for_ocrmypdf():
     assert format_for_ocrmypdf(["eng", "ara"]) == "eng+ara"
     assert format_for_ocrmypdf([]) == ""
+
+
+def test_pure_rtl_fast_path_matches_full_pipeline():
+    """The all-RTL shortcut in get_display must be indistinguishable
+    from the full W/N/I/L pipeline (run here with the gate disabled
+    via a source-patched module copy)."""
+    import random
+    import types
+
+    import docling_serve_spark.extract.bidi as bidi
+
+    src = open(bidi.__file__).read().replace(
+        "if base == 1 and all(", "if False and base == 1 and all("
+    )
+    nofast = types.ModuleType("bidi_nofast")
+    exec(compile(src, "bidi_nofast", "exec"), nofast.__dict__)
+
+    rng = random.Random(11)
+    arabic = [chr(c) for c in range(0x0621, 0x064B)] + [" "]
+    hebrew = [chr(c) for c in range(0x05D0, 0x05EB)] + [" ", "«", "»"]
+    for pool in (arabic, hebrew):
+        for _ in range(500):
+            s = "".join(rng.choice(pool) for _ in range(rng.randint(1, 50)))
+            assert bidi.get_display(s) == nofast.get_display(s), repr(s)
