@@ -24,6 +24,7 @@ Stages (all pure Python, no deps):
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from dataclasses import dataclass
 
 from docling_serve_spark.docmodel.model import (
@@ -161,22 +162,26 @@ def _num(tok) -> float:
 # fast path can never silently drop or misplace a construct the
 # general parser would have honored.
 
+# the general tokenizer lexes operators as [A-Za-z'"*]+ runs, so a
+# fast-path op match must end at that charset's boundary ("Tmy" is
+# the single unknown op Tmy, NOT Tm followed by y)
+_OPB = r"""(?![A-Za-z'"*])"""
 _FAST_RE = re.compile(
-    r"""
-    \((?P<s1>(?:[^()\\]|\\.)*)\)\s*(?P<op1>Tj|')   # show text
-  | (?P<tm>(?:[-+]?[\d.]+\s+){6})Tm                # set text matrix
-  | (?P<td>(?:[-+]?[\d.]+\s+){2})Td                # translate
-  | /(?P<fn>[^\s/<>\[\]()]+)\s+(?P<fs>[-+]?[\d.]+)\s+Tf   # font+size
-  | (?<![A-Za-z])(?P<bt>BT)(?![A-Za-z])            # begin text
-  | \((?P<sx>(?:[^()\\]|\\.)*)\)                   # bare string: no-op
-    """,
-    re.VERBOSE,
+    r"\((?P<s1>(?:[^()\\]|\\.)*)\)\s*(?P<op1>Tj|')" + _OPB  # show text
+    + r"|(?P<tm>(?:[-+]?[\d.]+\s+){6})Tm" + _OPB            # text matrix
+    + r"|(?P<td>(?:[-+]?[\d.]+\s+){2})Td" + _OPB            # translate
+    + r"|/(?P<fn>[^\s/<>\[\]()]+)\s+(?P<fs>[-+]?[\d.]+)\s+Tf" + _OPB
+    + r"""|(?<![A-Za-z'"*])(?P<bt>BT)""" + _OPB             # begin text
+    + r"|\((?P<sx>(?:[^()\\]|\\.)*)\)"                      # bare string
 )
 
 # operator substrings that carry state the fast scanner does not
 # model; any occurrence OUTSIDE a matched span forces the general path
+# "/" is a needle because a name token can land inside the "last k
+# stack entries" the general parser feeds to Tm/Td/Tf (coerced to
+# 0.0 by _num) — the fast grammar only models numeric literals there
 _FAST_NEEDLES = (
-    "Tj", "Tm", "Td", "Tf", "BT", "'", '"',
+    "Tj", "Tm", "Td", "Tf", "BT", "'", '"', "/",
     "TJ", "TD", "TL", "T*", "cm", "Do", "BI", "<", "[",
 )
 
@@ -187,8 +192,6 @@ def _parse_content_fast(
     """Scan a simple stream; return None when validation shows any
     construct the fast grammar doesn't model (caller falls back to
     the general tokenizer)."""
-    from bisect import bisect_right
-
     runs: list[_Run] = []
     starts: list[int] = []
     ends: list[int] = []

@@ -79,3 +79,75 @@ def test_pdf_mutation_fuzz_typed_errors_only():
                 parse_pdf_pages(bytes(data))
             except PdfParseError:
                 pass
+
+
+def test_encoding_pdf_mutation_fuzz_typed_errors_only():
+    """Same contract for the simple-font /Encoding path: hostile
+    Differences arrays / encoding dicts must never raise untyped."""
+    import random
+
+    from docling_serve_spark.extract.pdf_extract import (
+        PdfParseError,
+        parse_pdf_pages,
+    )
+    from tests.test_pdf_extract import _font_pdf
+
+    seed_doc = _font_pdf(
+        "<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        b"abc \x93x\xc8 def \x97",
+        extra_objs=(
+            "6 0 obj\n<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            "/Differences [ 97 /quoteright /emdash /uni20AC 200 /g42 ] >>\n"
+            "endobj\n"
+        ),
+    )
+    rng = random.Random(4242)
+    for _ in range(250):
+        data = bytearray(seed_doc)
+        for _ in range(rng.randrange(1, 12)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            data = data[: rng.randrange(16, len(data))]
+        try:
+            parse_pdf_pages(bytes(data))
+        except PdfParseError:
+            pass
+
+
+def test_fast_scanner_mutation_equivalence():
+    """Mutate simple content streams; whenever the fast scanner
+    accepts a mutant, its runs must equal the general tokenizer's.
+    (Rejection is always allowed — fallback is the safe direction.)"""
+    import random
+
+    import docling_serve_spark.extract.pdf_extract as px
+
+    base = (
+        "BT /F1 12 Tf 1 0 0 1 72 720 Tm (first line) Tj "
+        "0 -14 Td (it's a 5cm [test]) Tj 2 0 0 2 10 600 Tm (big) ' ET"
+    )
+    rng = random.Random(77)
+    checked = 0
+    for _ in range(800):
+        s = list(base)
+        for _ in range(rng.randrange(1, 6)):
+            k = rng.randrange(len(s))
+            s[k] = chr(rng.randrange(32, 127))
+        mutant = "".join(s)
+        fast = px._parse_content_fast(mutant, None)
+        if fast is None:
+            continue
+        checked += 1
+        saved = px._parse_content_fast
+        px._parse_content_fast = lambda a, b: None
+        try:
+            general = px._parse_content(mutant)
+        finally:
+            px._parse_content_fast = saved
+        assert [
+            (round(r.x, 6), round(r.y, 6), round(r.size, 6), r.text) for r in fast
+        ] == [
+            (round(r.x, 6), round(r.y, 6), round(r.size, 6), r.text)
+            for r in general
+        ], mutant
+    assert checked > 100
