@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_lsh_multiprobe",
     "ann_ivf",
+    "ann_recall",
     "centroid_similarity",
     "media_metadata",
     "media_resize",

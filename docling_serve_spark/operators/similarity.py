@@ -347,3 +347,89 @@ def ann_topk_ivf(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Recall@k evaluation harness: multi-probe LSH top-k vs exact
+    cosine top-k for the first ``n_queries`` stored vectors, in one
+    relational job — (query_id, n_hits, recall) per query.
+
+    This is how an index's quality is certified before pointing a
+    corpus-scale dedup/search pipeline at it (the eval set stays
+    bounded — Q queries — while the corpus side is the full table:
+    exact side is a Q-row broadcast against one corpus scan + one
+    windowed top-k; approx side probes Q*(n_planes+1) buckets).
+    """
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        _normalized(F.col(vec_col)).alias("qn"),
+        lsh_bucket(F.col(vec_col), n_planes=n_planes).alias("qbucket"),
+    )
+
+    def _topk(candidates: DataFrame) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        return (
+            candidates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "vec_id")
+        )
+
+    scored = F.round(
+        _dot(F.col(vec_col), F.col("qn")) / _norm(F.col(vec_col)), 6
+    ).alias("cos_sim")
+
+    exact = _topk(
+        embeddings.crossJoin(F.broadcast(queries.select("qid", "qn")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", scored)
+    )
+
+    probes = queries.select(
+        "qid",
+        "qn",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("probe"),
+    )
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes)
+    )
+    approx = _topk(
+        with_bucket.join(
+            F.broadcast(probes), F.col("bucket") == F.col("probe"), "inner"
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", scored)
+    )
+
+    hits = exact.join(approx, ["qid", "vec_id"], "inner")
+    return (
+        exact.groupBy("qid")
+        .agg(F.count("*").alias("n_exact"))
+        .join(
+            hits.groupBy("qid").agg(F.count("*").alias("n_hits")),
+            "qid",
+            "left",
+        )
+        .select(
+            F.col("qid").cast("bigint").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -713,6 +713,50 @@ ORACLE_ANN_LSH_MULTIPROBE = (
 )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of multi-probe LSH vs exact cosine over the first 16
+    stored vectors — the index-quality certification harness
+    (operators/similarity.py:ann_recall). Fully relational on both
+    engines: broadcast query set, windowed top-k, inner-join hits."""
+    return similarity.ann_recall(
+        _t(spark, sf_dir, "embeddings"), n_queries=16, k=10, n_planes=6
+    )
+
+
+_RECALL_COS = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+ORACLE_ANN_RECALL = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    + _bucket_sql("embedding", 6)
+    + " AS bucket FROM embeddings), "
+    "qs AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket "
+    "FROM b WHERE vec_id < 16), "
+    "exact AS (SELECT qid, vec_id FROM ("
+    "SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid "
+    "ORDER BY round(" + _RECALL_COS + ", 6) DESC, e.vec_id) AS rn "
+    "FROM embeddings e, qs q WHERE e.vec_id <> q.qid) WHERE rn <= 10), "
+    "p AS (SELECT qid, qvec, unnest(list_prepend(qbucket, "
+    "list_transform(generate_series(0, 5), i -> xor(qbucket, (1 << i))))) AS probe "
+    "FROM qs), "
+    "approx AS (SELECT qid, vec_id FROM ("
+    "SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid "
+    "ORDER BY round(" + _RECALL_COS + ", 6) DESC, e.vec_id) AS rn "
+    "FROM b e, p q WHERE e.bucket = q.probe AND e.vec_id <> q.qid) WHERE rn <= 10), "
+    "hits AS (SELECT exact.qid, count(*) AS n_hits FROM exact "
+    "JOIN approx USING (qid, vec_id) GROUP BY exact.qid) "
+    "SELECT CAST(qs.qid AS BIGINT) AS query_id, "
+    "CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits, "
+    "round(coalesce(hits.n_hits, 0) / 10.0, 6) AS recall "
+    "FROM (SELECT DISTINCT qid FROM qs) qs LEFT JOIN hits ON qs.qid = hits.qid"
+)
+
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the faiss-style second scale path: deterministic
     coarse centroids, per-vector list assignment, nprobe=2 nearest
@@ -1399,6 +1443,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "centroid_similarity": q_centroid_similarity,
     "size_guard_routing": q_size_guard_routing,
     "base64_roundtrip": q_base64_roundtrip,
@@ -1440,6 +1485,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_recall": ORACLE_ANN_RECALL,
     "centroid_similarity": ORACLE_CENTROID,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,
