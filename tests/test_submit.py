@@ -28,19 +28,18 @@ def test_build_zip_is_deterministic_and_importable(tmp_path):
     z2 = build_zip(str(tmp_path / "b.zip"))
     with open(z1, "rb") as f1, open(z2, "rb") as f2:
         assert f1.read() == f2.read()
-    # the archive root must be directly importable
-    sys.path.insert(0, z1)
-    try:
-        import importlib
+    # the archive root must be directly importable (probe the zip
+    # itself — sys.modules may already hold the repo-backed package)
+    import zipimport
 
-        spec = importlib.util.find_spec("docling_serve_spark.extract.core")
-        assert spec is not None and z1 in (spec.origin or "")
-    finally:
-        sys.path.remove(z1)
-        # drop any partially-cached zip-backed modules
-        for name in [n for n in sys.modules if n.startswith("docling_serve_spark")]:
-            if z1 in (getattr(sys.modules[name], "__file__", "") or ""):
-                del sys.modules[name]
+    zi = zipimport.zipimporter(z1)
+    assert zi.find_spec("docling_serve_spark") is not None
+    assert (
+        zi.get_data("docling_serve_spark/extract/core.py")
+        == open(
+            os.path.join(REPO, "docling_serve_spark", "extract", "core.py"), "rb"
+        ).read()
+    )
 
 
 def test_spark_submit_py_files_end_to_end(tmp_path):
