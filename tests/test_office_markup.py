@@ -341,3 +341,38 @@ def test_nested_docx_path_not_misrouted():
         z.writestr("readme.txt", "archive of a docx")
     assert detect_ooxml(buf.getvalue()) is None
     assert sniff_doc_type(buf.getvalue()) == "office"
+
+
+REF_BASE = "/root/reference/test-files"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BASE), reason="no reference fixtures")
+@pytest.mark.parametrize("name", ["english/HR", "english/SOP", "english/Hygiene"])
+def test_docx_pdf_cross_parser_consistency(name):
+    """The reference ships each document as BOTH .docx and .pdf; the
+    two formats go through entirely independent parsers here (zip+XML
+    flow vs content-stream geometry), so full word-set agreement
+    between them is a strong end-to-end fidelity check on both."""
+    import re
+
+    dx = extract_document(open(f"{REF_BASE}/{name}.docx", "rb").read(), name=name)
+    pf = extract_document(open(f"{REF_BASE}/{name}.pdf", "rb").read(), name=name)
+    assert dx.status == "success" and pf.status == "success"
+
+    def toks(t):
+        return set(re.findall(r"[A-Za-z]{3,}", t.lower()))
+
+    docx_words = toks(dx.extracted_text)
+    assert len(docx_words) > 300
+    missing = docx_words - toks(pf.extracted_text)
+    assert not missing, sorted(missing)[:20]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BASE), reason="no reference fixtures")
+def test_benchmark_results_docx_parses():
+    r = extract_document(
+        open(f"{REF_BASE}/Benchmark Results.docx", "rb").read(), name="bench.docx"
+    )
+    assert r.status == "success" and r.doc_type == "docx"
+    assert r.extracted_text.startswith("Comparative OCR Benchmark")
+    assert r.n_items > 40
