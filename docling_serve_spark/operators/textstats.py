@@ -27,6 +27,19 @@ def token_count(col: Column) -> Column:
     ).cast("bigint")
 
 
+# BPE-ish pre-tokenization pieces (GPT-2-family shape, simplified to
+# an RE2/Java-common subset): letter runs, digit groups of <=3, and
+# each other non-space symbol as its own piece. The count approximates
+# trained-tokenizer token counts well enough for corpus budgeting,
+# entirely JVM-side (and re-playable in DuckDB's RE2 verbatim).
+BPE_PIECE_RE = r"\p{L}+|\p{N}{1,3}|[^\p{L}\p{N}\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokenization pieces (0 for blank)."""
+    return F.regexp_count(col, F.lit(BPE_PIECE_RE)).cast("bigint")
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
     """Count of stopword occurrences (word-boundary regex)."""
     words = "|".join(_STOPWORDS[lang])
@@ -83,6 +96,7 @@ def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("bigint"),
         token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
         F.length(c).cast("bigint").alias("n_chars_text"),
         lang_id_heuristic(c).alias("lang_guess"),
         doc_quality_score(c).alias("quality"),

@@ -608,6 +608,8 @@ def _textstats_oracle() -> str:
         "WHEN h_fr > h_en THEN 'fr' WHEN h_en > 0 THEN 'en' ELSE 'unknown' END AS sw_guess "
         "FROM b) "
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(length(regexp_extract_all(text, "
+        "'\\p{L}+|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_bpe_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars_text, "
         "CASE WHEN ar_cnt * 2 > length(text) THEN 'ar' ELSE sw_guess END AS lang_guess, "
         "round(least(length(text) / 200.0, 1.0) * 0.4 "
