@@ -108,3 +108,49 @@ def test_ann_lsh_multiprobe_broadcasts_probe_list(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_warehouse_chunk_read_is_partition_pruned(spark, tmp_path):
+    """Resume/audit reads of the chunk-partitioned warehouse must
+    prune both partitions (PartitionFilters on chunk) and columns
+    (the wide text/binary payload never enters a counters read)."""
+    from docling_serve_spark.sources.warehouse import (
+        read_results,
+        run_checkpointed,
+    )
+
+    d = str(tmp_path / "wh")
+    run_checkpointed(spark, build_pages_df(spark, 40), d, n_chunks=4)
+    df = read_results(spark, d).filter(F.col("chunk") == 2).select(
+        "url", "status"
+    )
+    plan = _plan(spark, df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "chunk" in pf[0] and "= 2" in pf[0], pf
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "extracted_text" not in rs[0] and "md_content" not in rs[0]
+
+
+def test_iceberg_scheme_routes_to_iceberg_reader(spark, monkeypatch):
+    """`iceberg:<table>` must go through the Iceberg DataSource (the
+    runtime jar is absent in this sandbox, so the wiring is pinned by
+    intercepting the reader)."""
+    from docling_serve_spark.sources.catalog import read_pages
+
+    calls = {}
+
+    class _FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def load(self, path):
+            calls["load"] = path
+            return build_pages_df(spark, 1)
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: _FakeReader())
+    )
+    df = read_pages(spark, "iceberg:warehouse.pages")
+    assert calls == {"format": "iceberg", "load": "warehouse.pages"}
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
