@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "sessionize",
     "first_seen_dedup",
     "textstats",
+    "rep_ngram_stats",
+    "passage_dedup",
+    "url_host_stats",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

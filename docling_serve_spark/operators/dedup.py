@@ -169,6 +169,48 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def passage_windows(col: Column, w: int = 8) -> Column:
+    """Non-overlapping w-token passages of normalized text (the last
+    passage may be shorter). Passage-level exact dedup is the C4/
+    RefinedWeb-style sub-document pass (C4 removed repeated
+    three-sentence spans; RefinedWeb exact substrings) re-expressed
+    on fixed token windows so the unit is deterministic and
+    engine-portable."""
+    toks = tokens(col)
+    n = F.size(toks)
+    n_windows = F.floor((n - F.lit(1)) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_windows, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+    )
+
+
+def passage_dup_groups(docs: DataFrame, text_col: str = "text",
+                       w: int = 8) -> DataFrame:
+    """Passages appearing in more than one document: explode windows,
+    md5 each, hash-groupBy on the digest. The shuffle carries one
+    16-byte digest per passage; counts partial-aggregate map-side.
+    At corpus scale this is the sub-document twin of exact_dup_groups
+    (same plan shape, finer unit); downstream removal is a semi-join
+    of (doc_id, passage_no) against this table."""
+    p = (
+        docs.select(
+            "doc_id", F.explode(passage_windows(F.col(text_col), w)).alias("passage")
+        )
+        .filter(F.col("passage") != "")
+        .select(F.md5("passage").alias("passage_hash"), "doc_id")
+    )
+    return (
+        p.groupBy("passage_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash_hi, simhash_lo): 64-bit SimHash — per-bit
     majority vote of distinct-token hashes, carried as two 32-bit

@@ -91,6 +91,56 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm_text(col))
 
 
+def ngram_repetition(docs: DataFrame, text_col: str = "text",
+                     k: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021, Table A1 — the
+    "fraction of characters in the most common n-gram" and "fraction
+    of characters in duplicated n-grams" family, counted here over
+    overlapping word k-grams as gram occurrences):
+
+      - ``top_ngram_frac``: occurrences of the most frequent k-gram /
+        total k-gram occurrences;
+      - ``dup_ngram_frac``: occurrences belonging to k-grams seen more
+        than once / total occurrences;
+      - ``repetitive``: top frac > 0.20 or dup frac > 0.60 (integer
+        cross-multiplied so the flag never rides float rounding).
+
+    Plan shape: explode k-grams once, two hash aggregations (both
+    map-side combinable — (doc_id, gram) then doc_id), all
+    WholeStageCodegen. The shuffle key includes the gram hash, so a
+    single hot document cannot skew a partition at corpus scale.
+    Documents with fewer than k tokens have no k-gram and are absent
+    from the output (mirrored by the oracle's length filter)."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), (n - (k - 1)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    g = (
+        docs.filter(n >= k)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = g.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+    )
+    return agg.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("n_grams").cast("bigint"),
+        F.round(F.col("top_cnt") / F.col("n_grams"), 6).alias("top_ngram_frac"),
+        F.round(F.col("dup_cnt") / F.col("n_grams"), 6).alias("dup_ngram_frac"),
+        (
+            (F.col("top_cnt") * 5 > F.col("n_grams"))
+            | (F.col("dup_cnt") * 5 > F.col("n_grams") * 3)
+        ).alias("repetitive"),
+    )
+
+
 def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return docs.select(

@@ -22,6 +22,7 @@ from docling_serve_spark.operators import (
     relational,
     similarity,
     textstats,
+    urltools,
 )
 from docling_serve_spark import multimodal
 from docling_serve_spark.operators.extract_stage import run_extraction
@@ -621,6 +622,112 @@ def _textstats_oracle() -> str:
 
 
 ORACLE_TEXTSTATS = _textstats_oracle()
+
+
+def q_rep_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (top/dup 2-gram occurrence
+    fractions + repetitive flag) per document."""
+    return textstats.ngram_repetition(_t(spark, sf_dir, "documents"), k=2)
+
+
+def _rep_ngram_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram "
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)), "
+        "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), "
+        "a AS (SELECT doc_id, sum(cnt) AS n_grams, max(cnt) AS top_cnt, "
+        "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt FROM c GROUP BY 1) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "round(top_cnt * 1.0 / n_grams, 6) AS top_ngram_frac, "
+        "round(dup_cnt * 1.0 / n_grams, 6) AS dup_ngram_frac, "
+        "(top_cnt * 5 > n_grams OR dup_cnt * 5 > n_grams * 3) AS repetitive "
+        "FROM a"
+    )
+
+
+ORACLE_REP_NGRAM = _rep_ngram_oracle()
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (8-token window) exact dedup across the corpus —
+    the sub-document pass of C4/RefinedWeb-style pipelines."""
+    return dedup.passage_dup_groups(_t(spark, sf_dir, "documents"), w=8)
+
+
+def _passage_dedup_oracle(w: int = 8) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS toks "
+        "FROM documents), "
+        "w AS (SELECT doc_id, "
+        f"array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ') AS passage "
+        "FROM t, LATERAL (SELECT unnest(generate_series(0, "
+        f"GREATEST(CAST(floor((len(toks) - 1) / {w}.0) AS INT), 0))) AS i)), "
+        "p AS (SELECT md5(passage) AS passage_hash, doc_id FROM w WHERE passage <> '') "
+        "SELECT passage_hash, CAST(count(*) AS BIGINT) AS n_occurrences, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS keep_doc_id "
+        "FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) > 1"
+    )
+
+
+ORACLE_PASSAGE_DEDUP = _passage_dedup_oracle()
+
+
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level aggregation: scheme/www/
+    query/fragment/trailing-slash variants of one site collapse to a
+    single host key. URLs are synthesized deterministically from the
+    documents table (the corpus fixture carries no url column), with
+    the variant pattern keyed on doc_id so both engines build the
+    same inputs."""
+    docs = _t(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://www.")).otherwise(
+        F.lit("http://")
+    )
+    tail = F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(
+        F.lit("?utm_source=feed#frag")
+    )
+    url = F.concat(
+        scheme,
+        F.lit("Site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.com/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        tail,
+    )
+    pages = docs.select(url.alias("url"), "n_chars", "lang", "doc_id")
+    return urltools.host_stats(pages)
+
+
+def _url_host_oracle() -> str:
+    canon = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "lower(url), '^https?://', ''), '[?#].*$', ''), '^www\\.', ''), '/$', '')"
+    )
+    return (
+        "WITH u AS (SELECT doc_id, n_chars, lang, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END) "
+        "|| 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.com/' || lang "
+        "|| '/doc' || CAST(doc_id AS VARCHAR) "
+        "|| (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '?utm_source=feed#frag' END) "
+        "AS url FROM documents), "
+        f"c AS (SELECT regexp_extract({canon}, '^([^/]+)', 1) AS host, "
+        "n_chars, lang, doc_id FROM u) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(min(doc_id) AS BIGINT) AS first_doc_id "
+        "FROM c GROUP BY 1"
+    )
+
+
+ORACLE_URL_HOST = _url_host_oracle()
 
 
 # ----------------------------------------------------------------- #
@@ -1437,6 +1544,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_components": q_dup_components,
     "quality_filter": q_quality_filter,
     "textstats": q_textstats,
+    "rep_ngram_stats": q_rep_ngram_stats,
+    "passage_dedup": q_passage_dedup,
+    "url_host_stats": q_url_host_stats,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "markdown_downgrade": q_markdown_downgrade,
@@ -1482,6 +1592,9 @@ ORACLES: dict[str, str] = {
     "dup_components": ORACLE_DUP_COMPONENTS,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "textstats": ORACLE_TEXTSTATS,
+    "rep_ngram_stats": ORACLE_REP_NGRAM,
+    "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "url_host_stats": ORACLE_URL_HOST,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,

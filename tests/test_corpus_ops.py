@@ -1,0 +1,126 @@
+"""Semantic unit tests for the corpus-pipeline operators added in
+round 3: Gopher-style n-gram repetition stats, passage-level exact
+dedup, and URL canonicalization / host aggregation. (Cross-engine
+value parity vs DuckDB is covered by test_oracle_parity.py; these
+check the operator semantics on hand-computable inputs.)"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from docling_serve_spark.operators import dedup, textstats, urltools
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# ------------------------------------------------------------------ #
+# ngram_repetition
+# ------------------------------------------------------------------ #
+
+def test_ngram_repetition_hand_computed(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b]
+    #   counts: "a b"=3, "b a"=2 -> n=5, top=3, dup=5
+    df = textstats.ngram_repetition(
+        _docs(spark, [(1, "a b a b a b"), (2, "one two three four five six seven")])
+    )
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    rep = got[1]
+    assert rep["n_grams"] == 5
+    assert rep["top_ngram_frac"] == pytest.approx(0.6)
+    assert rep["dup_ngram_frac"] == pytest.approx(1.0)
+    assert rep["repetitive"] is True
+    clean = got[2]
+    assert clean["n_grams"] == 6
+    assert clean["top_ngram_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert clean["dup_ngram_frac"] == 0.0
+    assert clean["repetitive"] is False
+
+
+def test_ngram_repetition_short_docs_absent(spark):
+    df = textstats.ngram_repetition(
+        _docs(spark, [(1, "single"), (2, ""), (3, "  "), (4, "two tokens")])
+    )
+    assert [r["doc_id"] for r in df.collect()] == [4]
+
+
+def test_ngram_repetition_threshold_is_integer_exact(spark):
+    # exactly at the 0.20 boundary: top=1 of 5 -> 1*5 > 5 is False
+    df = textstats.ngram_repetition(_docs(spark, [(1, "v w x y z q")]))
+    row = df.collect()[0]
+    assert row["top_ngram_frac"] == pytest.approx(0.2)
+    assert row["repetitive"] is False
+
+
+# ------------------------------------------------------------------ #
+# passage dedup
+# ------------------------------------------------------------------ #
+
+def test_passage_windows_shape(spark):
+    text = " ".join(f"t{i}" for i in range(17))  # 17 tokens, w=8 -> 8/8/1
+    df = _docs(spark, [(1, text)]).select(
+        dedup.passage_windows(F.col("text"), w=8).alias("p")
+    )
+    [ps] = [r["p"] for r in df.collect()]
+    assert len(ps) == 3
+    assert ps[0] == " ".join(f"t{i}" for i in range(8))
+    assert ps[1] == " ".join(f"t{i}" for i in range(8, 16))
+    assert ps[2] == "t16"
+
+
+def test_passage_dup_groups_cross_doc(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(8))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(8))),
+            (3, " ".join(f"c{i}" for i in range(8))),
+        ],
+    )
+    got = dedup.passage_dup_groups(docs, w=8).collect()
+    assert len(got) == 1  # only the shared leading passage
+    assert got[0]["n_docs"] == 2
+    assert got[0]["n_occurrences"] == 2
+    assert got[0]["keep_doc_id"] == 1
+
+
+def test_passage_dup_groups_counts_within_doc_occurrences(spark):
+    p = " ".join(f"s{i}" for i in range(8))
+    docs = _docs(spark, [(1, p + " " + p), (2, p)])
+    [g] = dedup.passage_dup_groups(docs, w=8).collect()
+    assert g["n_docs"] == 2
+    assert g["n_occurrences"] == 3
+
+
+# ------------------------------------------------------------------ #
+# URL canonicalization / host stats
+# ------------------------------------------------------------------ #
+
+def test_canonical_url_collapses_variants(spark):
+    urls = [
+        "HTTPS://www.Example.com/Path/?q=1#frag",
+        "http://example.com/path/",
+        "example.com/path",
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls]).select(
+        urltools.canonical_url(F.col("url")).alias("c")
+    )
+    assert {r["c"] for r in df.collect()} == {"example.com/path"}
+
+
+def test_host_stats_aggregates_by_canonical_host(spark):
+    rows = [
+        Row(doc_id=1, url="https://www.a.com/x", n_chars=10, lang="en"),
+        Row(doc_id=2, url="http://a.com/y?z=1", n_chars=20, lang="fr"),
+        Row(doc_id=3, url="https://b.com/", n_chars=5, lang="en"),
+    ]
+    got = {
+        r["host"]: r.asDict()
+        for r in urltools.host_stats(spark.createDataFrame(rows)).collect()
+    }
+    assert got["a.com"]["n_pages"] == 2
+    assert got["a.com"]["total_chars"] == 30
+    assert got["a.com"]["n_langs"] == 2
+    assert got["a.com"]["first_doc_id"] == 1
+    assert got["b.com"]["n_pages"] == 1
