@@ -152,3 +152,33 @@ def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         doc_quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def corpus_filter_chain(docs: DataFrame, text_col: str = "text",
+                        min_tokens: int = 10,
+                        min_quality: float = 0.5) -> DataFrame:
+    """Per-document keep/drop decision — the filter composition real
+    corpus pipelines ship (length gate, Gopher repetition gate,
+    quality gate; first rejection reason wins). Comparisons run on
+    the ROUNDED quality column so the threshold never rides raw
+    double noise across engines. One broadcast-free left join on
+    doc_id (repetition stats are absent for sub-k-token docs)."""
+    ts = with_textstats(docs, text_col).select("doc_id", "n_tokens", "quality")
+    rep = ngram_repetition(docs, text_col).select("doc_id", "repetitive")
+    j = ts.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.coalesce(F.col("repetitive"), F.lit(False)).alias("repetitive"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("repetitive"), F.lit("repetitive"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        F.col("doc_id").cast("bigint"),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )

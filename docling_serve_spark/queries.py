@@ -21,6 +21,7 @@ from docling_serve_spark.operators import (
     dedup,
     relational,
     similarity,
+    pii,
     textstats,
     urltools,
 )
@@ -728,6 +729,100 @@ def _url_host_oracle() -> str:
 
 
 ORACLE_URL_HOST = _url_host_oracle()
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
+    per-doc counts. PII snippets are synthesized deterministically
+    into the corpus text (keyed on doc_id, identical expression on
+    both engines) because the fixture text carries none."""
+    docs = _t(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org now"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.lit(""))
+    salted = docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+    return pii.with_pii_redaction(salted)
+
+
+def _pii_oracle() -> str:
+    email_re = pii.EMAIL_RE
+    phone_re = pii.PHONE_RE
+    ipv4_re = pii.IPV4_RE
+    salted = (
+        "text "
+        "|| (CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@mail.example.org now' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 010-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) "
+        "|| (CASE WHEN doc_id % 11 = 0 THEN ' from 10.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END)"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {salted} AS text FROM documents), "
+        f"e AS (SELECT doc_id, text, regexp_replace(text, '{email_re}', "
+        f"'{pii.EMAIL_TOKEN}', 'g') AS after_email FROM s), "
+        f"p AS (SELECT *, regexp_replace(after_email, '{phone_re}', "
+        f"'{pii.PHONE_TOKEN}', 'g') AS after_phone FROM e) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"md5(regexp_replace(after_phone, '{ipv4_re}', '{pii.IPV4_TOKEN}', 'g')) "
+        "AS clean_md5, "
+        f"CAST(len(regexp_extract_all(text, '{email_re}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(after_email, '{phone_re}')) AS BIGINT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(after_phone, '{ipv4_re}')) AS BIGINT) AS n_ipv4, "
+        f"(len(regexp_extract_all(text, '{email_re}')) "
+        f"+ len(regexp_extract_all(after_email, '{phone_re}')) "
+        f"+ len(regexp_extract_all(after_phone, '{ipv4_re}'))) > 0 AS had_pii "
+        "FROM p"
+    )
+
+
+ORACLE_PII = _pii_oracle()
+
+
+def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final keep/drop decision per document — the
+    composition real corpora ship: length gate, Gopher repetition
+    gate, quality-score gate, first rejection reason wins. Both the
+    stats and the repetition signals reuse the already-oracle-proven
+    operators; the rounded quality column is the comparison operand
+    on both engines so the 0.5 threshold never rides raw-double
+    noise."""
+    return textstats.corpus_filter_chain(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_FILTER_CHAIN = (
+    f"WITH ts AS ({ORACLE_TEXTSTATS}), rep AS ({ORACLE_REP_NGRAM}), "
+    "j AS (SELECT ts.doc_id, ts.n_tokens, ts.quality, "
+    "COALESCE(rep.repetitive, FALSE) AS repetitive "
+    "FROM ts LEFT JOIN rep ON ts.doc_id = rep.doc_id), "
+    "r AS (SELECT doc_id, CASE WHEN n_tokens < 10 THEN 'too_short' "
+    "WHEN repetitive THEN 'repetitive' "
+    "WHEN quality < 0.5 THEN 'low_quality' ELSE 'keep' END AS reason FROM j) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, reason, "
+    "reason = 'keep' AS keep FROM r"
+)
 
 
 # ----------------------------------------------------------------- #
@@ -1547,6 +1642,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rep_ngram_stats": q_rep_ngram_stats,
     "passage_dedup": q_passage_dedup,
     "url_host_stats": q_url_host_stats,
+    "pii_redact": q_pii_redact,
+    "corpus_filter_chain": q_corpus_filter_chain,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "markdown_downgrade": q_markdown_downgrade,
@@ -1595,6 +1692,8 @@ ORACLES: dict[str, str] = {
     "rep_ngram_stats": ORACLE_REP_NGRAM,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "url_host_stats": ORACLE_URL_HOST,
+    "pii_redact": ORACLE_PII,
+    "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,

@@ -7,7 +7,7 @@ check the operator semantics on hand-computable inputs.)"""
 import pytest
 from pyspark.sql import Row, functions as F
 
-from docling_serve_spark.operators import dedup, textstats, urltools
+from docling_serve_spark.operators import dedup, pii, textstats, urltools
 
 
 def _docs(spark, rows):
@@ -96,6 +96,61 @@ def test_passage_dup_groups_counts_within_doc_occurrences(spark):
 # ------------------------------------------------------------------ #
 # URL canonicalization / host stats
 # ------------------------------------------------------------------ #
+
+# ------------------------------------------------------------------ #
+# PII redaction
+# ------------------------------------------------------------------ #
+
+def test_redact_pii_all_three_classes(spark):
+    text = "mail a.b+c@sub.example.co or +1 (555) 010-1234 from 192.168.0.1 ok"
+    df = spark.createDataFrame([Row(t=text)]).select(
+        pii.redact_pii(F.col("t")).alias("clean")
+    )
+    [clean] = [r["clean"] for r in df.collect()]
+    assert clean == "mail <EMAIL> or <PHONE> from <IP> ok"
+
+
+def test_pii_counts_order_no_double_count(spark):
+    # the email's digits must not also count as a phone; the phone's
+    # digits must not count as an IP
+    rows = [Row(doc_id=1, text="x user123@h.io y +49 123 456 7890 z 8.8.8.8")]
+    [r] = pii.with_pii_redaction(spark.createDataFrame(rows)).collect()
+    assert (r["n_emails"], r["n_phones"], r["n_ipv4"]) == (1, 1, 1)
+    assert r["had_pii"] is True
+
+
+def test_pii_clean_doc_untouched(spark):
+    rows = [Row(doc_id=1, text="no personal data here at all")]
+    [r] = pii.with_pii_redaction(spark.createDataFrame(rows)).collect()
+    assert r["had_pii"] is False
+    assert (r["n_emails"], r["n_phones"], r["n_ipv4"]) == (0, 0, 0)
+
+
+# ------------------------------------------------------------------ #
+# corpus filter chain
+# ------------------------------------------------------------------ #
+
+def test_filter_chain_reasons_first_match_wins(spark):
+    long_clean = " ".join(
+        f"word{i} thing{i} item{i}" for i in range(30)
+    )  # long, varied, alpha-heavy -> keep
+    docs = _docs(
+        spark,
+        [
+            (1, "tiny doc"),                       # too_short
+            (2, " ".join(["spam ham"] * 40)),      # repetitive (and long)
+            (3, long_clean),                       # keep
+            # >=10 distinct tokens (no repeated bigram) but almost no
+            # letters and short overall -> low_quality, not repetitive
+            (4, " ".join(f"?{i}!" for i in range(12))),
+        ],
+    )
+    got = {r["doc_id"]: r for r in textstats.corpus_filter_chain(docs).collect()}
+    assert got[1]["reason"] == "too_short" and got[1]["keep"] is False
+    assert got[2]["reason"] == "repetitive"
+    assert got[3]["reason"] == "keep" and got[3]["keep"] is True
+    assert got[4]["reason"] == "low_quality"
+
 
 def test_canonical_url_collapses_variants(spark):
     urls = [
