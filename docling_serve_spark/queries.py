@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from docling_serve_spark.operators import (
     analysis,
     channels,
+    decontam,
     dedup,
     relational,
+    sampling,
     similarity,
     pii,
     textstats,
@@ -823,6 +825,117 @@ ORACLE_FILTER_CHAIN = (
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, reason, "
     "reason = 'keep' AS keep FROM r"
 )
+
+
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    6-gram with the benchmark set. The benchmark is carved
+    deterministically out of the corpus itself (every 31st document
+    stands in for the eval suite) so both engines build the same
+    inputs; the benchmark docs and their near-verbatim duplicates are
+    the expected contaminated population."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 31 == 0).select("text")
+    return decontam.contamination_flags(docs, bench, k=6)
+
+
+def _decontam_oracle(k: int = 6) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    gram = f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
+    series = f"LATERAL (SELECT unnest(generate_series(1, len(toks) - {k - 1})) AS i)"
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS toks "
+        "FROM documents), "
+        f"bg AS (SELECT DISTINCT {gram} AS gram FROM t, {series} "
+        f"WHERE doc_id % 31 = 0 AND len(toks) >= {k}), "
+        f"cg AS (SELECT doc_id, {gram} AS gram FROM t, {series} "
+        f"WHERE len(toks) >= {k}), "
+        "h AS (SELECT cg.doc_id, count(*) AS n FROM cg JOIN bg USING (gram) "
+        "GROUP BY 1) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(h.n, 0) AS BIGINT) AS n_gram_hits, "
+        "COALESCE(h.n, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+    )
+
+
+ORACLE_DECONTAM = _decontam_oracle()
+
+
+# mixture spec for the domain-mix query: 20 synthetic hosts, rates
+# stepping 0..950000 ppm, every fourth host deliberately absent from
+# the spec (allow-list semantics: absent -> drop)
+_MIX_SPEC = [
+    (f"site{b}.example.com", b * 50000) for b in range(20) if b % 4 != 3
+]
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix sampling: per-host keep rates in ppm,
+    keep decision = Knuth multiplicative hash of doc_id compared in
+    exact integer arithmetic — reproducible across runs, resumes, and
+    engines (no rand()). Hosts are synthesized from doc_id (the
+    corpus fixture carries no url column) exactly as in
+    url_host_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    rates = spark.createDataFrame(_MIX_SPEC, "host string, keep_ppm long")
+    return sampling.domain_mix_sample(pages, rates)
+
+
+def _domain_mix_oracle() -> str:
+    values = ", ".join(f"('{h}', {p})" for h, p in _MIX_SPEC)
+    return (
+        "WITH pages AS (SELECT doc_id, "
+        "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host "
+        "FROM documents), "
+        f"rates(host, keep_ppm) AS (VALUES {values}), "
+        "j AS (SELECT p.doc_id, p.host, COALESCE(r.keep_ppm, 0) AS keep_ppm "
+        "FROM pages p LEFT JOIN rates r USING (host)) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, host, "
+        "CAST(keep_ppm AS BIGINT) AS keep_ppm, "
+        "((doc_id * 2654435761) % 4294967296) * 1000000 "
+        "< keep_ppm * 4294967296 AS kept FROM j"
+    )
+
+
+ORACLE_DOMAIN_MIX = _domain_mix_oracle()
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concat-and-chunk documents into
+    512-token bins, independently per shard (doc_id mod 16) so the
+    window never serializes into one global sort at corpus scale."""
+    return sampling.pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, n_shards=16
+    )
+
+
+def _pack_oracle(seq_len: int = 512, n_shards: int = 16) -> str:
+    return (
+        "WITH b AS (SELECT doc_id, "
+        f"doc_id % {n_shards} AS shard, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s "
+        "FROM b) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"CAST(floor(s / {seq_len}.0) AS BIGINT) AS bin_id, "
+        f"CAST(s % {seq_len} AS BIGINT) AS offset_in_bin FROM c"
+    )
+
+
+ORACLE_PACK = _pack_oracle()
 
 
 # ----------------------------------------------------------------- #
@@ -1644,6 +1757,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_host_stats": q_url_host_stats,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
+    "decontam_flags": q_decontam_flags,
+    "domain_mix_sample": q_domain_mix_sample,
+    "pack_sequences": q_pack_sequences,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "markdown_downgrade": q_markdown_downgrade,
@@ -1694,6 +1810,9 @@ ORACLES: dict[str, str] = {
     "url_host_stats": ORACLE_URL_HOST,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
+    "decontam_flags": ORACLE_DECONTAM,
+    "domain_mix_sample": ORACLE_DOMAIN_MIX,
+    "pack_sequences": ORACLE_PACK,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,

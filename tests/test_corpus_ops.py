@@ -7,7 +7,14 @@ check the operator semantics on hand-computable inputs.)"""
 import pytest
 from pyspark.sql import Row, functions as F
 
-from docling_serve_spark.operators import dedup, pii, textstats, urltools
+from docling_serve_spark.operators import (
+    decontam,
+    dedup,
+    pii,
+    sampling,
+    textstats,
+    urltools,
+)
 
 
 def _docs(spark, rows):
@@ -150,6 +157,76 @@ def test_filter_chain_reasons_first_match_wins(spark):
     assert got[2]["reason"] == "repetitive"
     assert got[3]["reason"] == "keep" and got[3]["keep"] is True
     assert got[4]["reason"] == "low_quality"
+
+
+# ------------------------------------------------------------------ #
+# decontamination
+# ------------------------------------------------------------------ #
+
+def test_decontam_flags_overlap_and_short_docs(spark):
+    bench_passage = "the quick brown fox jumps over the lazy dog tonight"
+    docs = _docs(
+        spark,
+        [
+            (1, f"intro text then {bench_passage} then an outro here"),
+            (2, "a completely different document about maritime law zz"),
+            (3, "too short"),  # < k tokens: trivially clean
+        ],
+    )
+    bench = spark.createDataFrame([Row(text=bench_passage)])
+    got = {
+        r["doc_id"]: r
+        for r in decontam.contamination_flags(docs, bench, k=6).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] is True and got[1]["n_gram_hits"] >= 1
+    assert got[2]["contaminated"] is False and got[2]["n_gram_hits"] == 0
+    assert got[3]["contaminated"] is False
+
+
+def test_decontam_counts_each_occurrence(spark):
+    passage = "one two three four five six"
+    docs = _docs(spark, [(1, f"{passage} filler {passage}")])
+    bench = spark.createDataFrame([Row(text=passage)])
+    [r] = decontam.contamination_flags(docs, bench, k=6).collect()
+    assert r["n_gram_hits"] == 2  # the 6-gram appears twice
+
+
+# ------------------------------------------------------------------ #
+# domain-mix sampling / sequence packing
+# ------------------------------------------------------------------ #
+
+def test_domain_mix_boundaries_and_determinism(spark):
+    pages = spark.createDataFrame(
+        [Row(doc_id=i, host=h) for i, h in enumerate(
+            ["keep.all"] * 5 + ["drop.all"] * 5 + ["no.spec"] * 5
+        )]
+    )
+    rates = spark.createDataFrame(
+        [("keep.all", 1000000), ("drop.all", 0)], "host string, keep_ppm long"
+    )
+    out = sampling.domain_mix_sample(pages, rates)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(rows[i]["kept"] for i in range(5))           # ppm=1e6: all
+    assert not any(rows[i]["kept"] for i in range(5, 15))   # 0 / absent
+    assert rows[12]["keep_ppm"] == 0                        # absent -> 0
+    again = {r["doc_id"]: r["kept"]
+             for r in sampling.domain_mix_sample(pages, rates).collect()}
+    assert again == {i: r["kept"] for i, r in rows.items()}
+
+
+def test_pack_sequences_hand_computed(spark):
+    # one shard (n_shards=1): token counts 3,4,2 with seq_len 5 ->
+    # starts 0,3,7 -> bins 0,0,1, offsets 0,3,2
+    docs = _docs(spark, [(0, "a b c"), (1, "d e f g"), (2, "h i")])
+    got = {
+        r["doc_id"]: r
+        for r in sampling.pack_sequences(docs, seq_len=5, n_shards=1).collect()
+    }
+    assert (got[0]["bin_id"], got[0]["offset_in_bin"]) == (0, 0)
+    assert (got[1]["bin_id"], got[1]["offset_in_bin"]) == (0, 3)
+    assert (got[2]["bin_id"], got[2]["offset_in_bin"]) == (1, 2)
+    assert all(r["shard"] == 0 for r in got.values())
 
 
 def test_canonical_url_collapses_variants(spark):

@@ -154,3 +154,40 @@ def test_iceberg_scheme_routes_to_iceberg_reader(spark, monkeypatch):
     df = read_pages(spark, "iceberg:warehouse.pages")
     assert calls == {"format": "iceberg", "load": "warehouse.pages"}
     assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_domain_mix_is_map_only_broadcast(spark):
+    """The mixture spec is a tiny config table: the keep decision must
+    run inside the scan stage — broadcast join, zero shuffles."""
+    import re
+
+    plan = _plan(spark, QUERIES["domain_mix_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # only the broadcast exchange may appear — no shuffle exchange
+    for n in re.findall(r"\(\d+\) (\w*Exchange)", plan):
+        assert n == "BroadcastExchange", plan
+    assert "hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Packing must never globally sort: exactly one exchange, keyed
+    on the shard column, feeding the window."""
+    import re
+
+    plan = _plan(spark, QUERIES["pack_sequences"](spark, SF_DIR))
+    # formatted mode: "(N) Exchange" node headers, partitioning in the
+    # node's Arguments line
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan  # no global sort
+    assert "Window" in plan
+
+
+def test_decontam_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is bounded (eval suites are small); the
+    corpus side must meet it in a broadcast join, not a shuffle of
+    raw corpus grams."""
+    plan = _plan(spark, QUERIES["decontam_flags"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
