@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "rep_ngram_stats",
     "passage_dedup",
     "url_host_stats",
+    "pii_redact",
+    "corpus_filter_chain",
+    "decontam_flags",
+    "domain_mix_sample",
+    "pack_sequences",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

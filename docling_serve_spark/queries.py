@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from docling_serve_spark.operators import (
     analysis,
     channels,
+    corpus,
     decontam,
     dedup,
     relational,
@@ -938,6 +939,111 @@ def _pack_oracle(seq_len: int = 512, n_shards: int = 16) -> str:
 ORACLE_PACK = _pack_oracle()
 
 
+def _mix_inputs(spark: SparkSession, sf_dir: str):
+    """Shared inputs for the composed mixture pipeline. The corpus is
+    salted so every gate provably bites: the dup-union doubles it
+    (exact-dedup gate drops the shifted copies) and every 13th doc's
+    text is stubbed to two tokens (filter-chain too_short gate; the
+    identical stubs also collapse under dedup). Benchmark slice =
+    every 31st doc (decontamination gate); hosts + ppm spec as in
+    ``domain_mix_sample``."""
+    docs = _docs_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("stub page"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 31 == 0).select("text")
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+    )
+    rates = spark.createDataFrame(_MIX_SPEC, "host string, keep_ppm long")
+    return docs, bench, hosts, rates
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row attrition audit of the composed mixture pipeline:
+    docs surviving each cumulative gate (filter chain, exact-dedup
+    winner, decontamination, domain mix) in pipeline order."""
+    return corpus.mixture_funnel(*_mix_inputs(spark, sf_dir))
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-mixture construction end to end: all four
+    gates, then 512-token sequence packing of the survivors — the
+    one-job composition a corpus team runs before tokenization."""
+    return corpus.build_training_mixture(*_mix_inputs(spark, sf_dir))
+
+
+def _gate_flags_sql() -> str:
+    # the per-gate oracles read `FROM documents`; the composed
+    # pipeline runs them over the salted corpus CTE instead — a
+    # mechanical table swap, the gate SQL itself is reused verbatim
+    norm = dedup.NORM_SQL.format(t="text")
+    swap = lambda sql: sql.replace("FROM documents", "FROM corpus")  # noqa: E731
+    return (
+        "corpus AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 13 = 0 THEN 'stub page' ELSE text END AS text "
+        f"FROM {_DUP_UNION_SQL} u), "
+        f"fc AS ({swap(ORACLE_FILTER_CHAIN)}), "
+        f"dc AS ({swap(ORACLE_DECONTAM)}), "
+        f"mx AS ({swap(ORACLE_DOMAIN_MIX)}), "
+        f"w AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5({norm})), "
+        "flags AS (SELECT d.doc_id, fc.keep AS keep_filter, "
+        "w.doc_id IS NOT NULL AS is_winner, "
+        "NOT dc.contaminated AS clean, mx.kept AS mix_kept "
+        "FROM corpus d "
+        "JOIN fc ON d.doc_id = fc.doc_id "
+        "JOIN dc ON d.doc_id = dc.doc_id "
+        "JOIN mx ON d.doc_id = mx.doc_id "
+        "LEFT JOIN w ON d.doc_id = w.doc_id)"
+    )
+
+
+def _funnel_oracle() -> str:
+    def cnt(cond: str, name: str) -> str:
+        return f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+
+    return (
+        f"WITH {_gate_flags_sql()} "
+        "SELECT CAST(count(*) AS BIGINT) AS n_input, "
+        + cnt("keep_filter", "n_after_filter") + ", "
+        + cnt("keep_filter AND is_winner", "n_after_dedup") + ", "
+        + cnt("keep_filter AND is_winner AND clean", "n_after_decontam") + ", "
+        + cnt("keep_filter AND is_winner AND clean AND mix_kept", "n_after_mix")
+        + " FROM flags"
+    )
+
+
+def _mixture_oracle(seq_len: int = 512, n_shards: int = 16) -> str:
+    return (
+        f"WITH {_gate_flags_sql()}, "
+        "surv AS (SELECT doc_id FROM flags "
+        "WHERE keep_filter AND is_winner AND clean AND mix_kept), "
+        "b AS (SELECT d.doc_id, "
+        f"d.doc_id % {n_shards} AS shard, "
+        "CASE WHEN length(trim(d.text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS n_tokens "
+        "FROM corpus d JOIN surv ON d.doc_id = surv.doc_id), "
+        "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s "
+        "FROM b) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard, "
+        "CAST(n_tokens AS BIGINT) AS n_tokens, "
+        f"CAST(floor(s / {seq_len}.0) AS BIGINT) AS bin_id, "
+        f"CAST(s % {seq_len} AS BIGINT) AS offset_in_bin FROM c"
+    )
+
+
+ORACLE_CORPUS_FUNNEL = _funnel_oracle()
+ORACLE_CORPUS_MIXTURE = _mixture_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Similarity search
 # ----------------------------------------------------------------- #
@@ -1760,6 +1866,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_flags": q_decontam_flags,
     "domain_mix_sample": q_domain_mix_sample,
     "pack_sequences": q_pack_sequences,
+    "corpus_funnel": q_corpus_funnel,
+    "corpus_mixture": q_corpus_mixture,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "markdown_downgrade": q_markdown_downgrade,
@@ -1813,6 +1921,8 @@ ORACLES: dict[str, str] = {
     "decontam_flags": ORACLE_DECONTAM,
     "domain_mix_sample": ORACLE_DOMAIN_MIX,
     "pack_sequences": ORACLE_PACK,
+    "corpus_funnel": ORACLE_CORPUS_FUNNEL,
+    "corpus_mixture": ORACLE_CORPUS_MIXTURE,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,

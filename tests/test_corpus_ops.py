@@ -229,6 +229,56 @@ def test_pack_sequences_hand_computed(spark):
     assert all(r["shard"] == 0 for r in got.values())
 
 
+# ------------------------------------------------------------------ #
+# composed mixture pipeline
+# ------------------------------------------------------------------ #
+
+def test_mixture_gates_compose(spark):
+    from docling_serve_spark.operators import corpus
+
+    good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    bench_passage = "secret eval question about the seven moons here"
+    docs = _docs(
+        spark,
+        [
+            (1, good),                              # survives everything
+            (2, good),                              # exact dup of 1 -> loses
+            (3, "too short"),                       # filter gate
+            (4, f"{good} {bench_passage} tail"),    # decontam gate
+            (5, good + " unique tail token"),       # host with ppm=0 -> mix gate
+        ],
+    )
+    bench = spark.createDataFrame([Row(text=bench_passage)])
+    hosts = spark.createDataFrame(
+        [Row(doc_id=i, host="drop.host" if i == 5 else "keep.host")
+         for i in range(1, 6)]
+    )
+    rates = spark.createDataFrame(
+        [("keep.host", 1000000), ("drop.host", 0)],
+        "host string, keep_ppm long",
+    )
+    flags = {
+        r["doc_id"]: r
+        for r in corpus.gate_flags(docs, bench, hosts, rates).collect()
+    }
+    assert flags[1]["keep_filter"] and flags[1]["is_winner"] \
+        and flags[1]["clean"] and flags[1]["mix_kept"]
+    assert not flags[2]["is_winner"]           # dup: min-doc_id wins
+    assert not flags[3]["keep_filter"]
+    assert not flags[4]["clean"]
+    assert not flags[5]["mix_kept"]
+
+    [funnel] = corpus.mixture_funnel(docs, bench, hosts, rates).collect()
+    assert funnel["n_input"] == 5
+    assert funnel["n_after_mix"] == 1
+
+    packed = corpus.build_training_mixture(
+        docs, bench, hosts, rates, seq_len=16, n_shards=1
+    ).collect()
+    assert [r["doc_id"] for r in packed] == [1]
+    assert packed[0]["bin_id"] == 0 and packed[0]["offset_in_bin"] == 0
+
+
 def test_canonical_url_collapses_variants(spark):
     urls = [
         "HTTPS://www.Example.com/Path/?q=1#frag",
