@@ -180,3 +180,60 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
         assert stream_map == batch_map
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_mixture_gates_stream_equals_batch(spark, tmp_path):
+    """The per-document mixture gates (filter chain's inputs, PII
+    scrub, domain-mix keep) are stateless pure functions of the row,
+    so the same column expressions run unchanged under readStream and
+    must agree with batch row for row. (The cross-doc gates — dedup
+    winners, packing — are batch/periodic by design.)"""
+    from docling_serve_spark.operators import pii, sampling, textstats
+
+    landing = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (i, f"dear user{i}@mail.test " + " ".join(f"w{i}x{j}" for j in range(i % 25)),
+         f"host{i % 3}.example.com")
+        for i in range(80)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, host string")
+    batch.write.parquet(landing)
+    rates = spark.createDataFrame(
+        [("host0.example.com", 1000000), ("host1.example.com", 400000)],
+        "host string, keep_ppm long",
+    )
+
+    def gates(df):
+        n_email, n_phone, n_ip = pii.pii_counts(F.col("text"))
+        return sampling.domain_mix_sample(df, rates).join(
+            df.select(
+                "doc_id",
+                textstats.token_count(F.col("text")).alias("n_tokens"),
+                n_email.alias("n_emails"),
+            ),
+            "doc_id",
+        )
+
+    stream_in = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        gates(stream_in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    want = sorted(map(tuple, gates(batch).collect()))
+    assert got == want and len(got) == 80
