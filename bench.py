@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "simhash_neardup",
     # dup_components excluded: iterative multi-job op, correctness-
     # checked at sf0.01 by the oracle gate; its per-round cost is the
     # minhash pair join above

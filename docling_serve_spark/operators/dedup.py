@@ -283,6 +283,88 @@ def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# 64-bit signature carved into 6 blocks: 3 per 32-bit word, widths
+# (11, 11, 10).  Hamming distance <= 3 flips at most 3 blocks, so by
+# pigeonhole at least one C(6,3) block-triple is intact — the
+# "probe tables" of Manku/Jain/Sarma, WWW 2007 §3.
+_SIMHASH_BLOCKS = [(w, off, 11 if i < 2 else 10)
+                   for w in ("hi", "lo")
+                   for i, off in enumerate((0, 11, 22))]
+
+
+def _block_combos(k: int):
+    from itertools import combinations
+
+    intact = len(_SIMHASH_BLOCKS) - k
+    return list(combinations(range(len(_SIMHASH_BLOCKS)), intact))
+
+
+def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
+                          k: int = 3) -> DataFrame:
+    """Near-duplicate pairs within SimHash Hamming distance ``k``
+    (Manku/Jain/Sarma, "Detecting near-duplicates for web crawling",
+    WWW 2007): candidates are generated by equi-joining on block-combo
+    probe keys (any pair within distance k agrees exactly on at least
+    one combination of ``6-k`` of the 6 signature blocks), then
+    verified with ``bit_count(xor)`` on the full 64-bit signature.
+
+    Scale shape: each doc explodes into C(6, 6-k) = 20 (for k=3)
+    probe rows keyed by (table_no, ~33-bit packed key); buckets hold
+    n/2^33 docs per table at corpus scale (~120 docs per bucket at
+    10^12), so the join is banded, never all-pairs.  The identical-
+    signature grouping (`simhash_groups`) remains the cheap k=0 path.
+    """
+    sigs = simhash_signatures(docs, text_col)
+    combos = _block_combos(k)
+
+    def block_val(bi: int) -> Column:
+        word, off, width = _SIMHASH_BLOCKS[bi]
+        return F.shiftright(F.col(f"simhash_{word}"), off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    def combo_key(combo) -> Column:
+        key = None
+        for bi in combo:
+            v = block_val(bi)
+            key = v if key is None else F.shiftleft(key, 11) + v
+        return key
+
+    probes = sigs.select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("table_no"),
+                combo_key(c).cast("bigint").alias("probe_key"),
+            )
+            for t, c in enumerate(combos)
+        ])).alias("p"),
+    ).select("doc_id", "simhash_hi", "simhash_lo",
+             F.col("p.table_no").alias("table_no"),
+             F.col("p.probe_key").alias("probe_key"))
+
+    a, b = probes.alias("a"), probes.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+        + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.table_no") == F.col("b.table_no"))
+            & (F.col("a.probe_key") == F.col("b.probe_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").cast("bigint").alias("doc_a"),
+            F.col("b.doc_id").cast("bigint").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
 def dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup candidate pairs
     (doc_a < doc_b) by iterative min-label propagation — the standard

@@ -488,6 +488,77 @@ def _simhash_oracle() -> str:
 ORACLE_DEDUP_SIMHASH = _simhash_oracle()
 
 
+# Near-dup corpus: exact copies (hamming 0) plus one-token-appended
+# copies whose signatures usually land within a few flipped bits.
+_NEAR_SHIFT = 200000
+
+
+def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "text")
+    near = docs.select(
+        (F.col("doc_id") + _NEAR_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qx7zt")).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_NEARDUP_UNION_SQL = (
+    f"(SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {_NEAR_SHIFT} AS doc_id, text || ' qx7zt' AS text "
+    f"FROM documents)"
+)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neardup_pairs(_docs_with_neardups(spark, sf_dir), k=3)
+
+
+def _simhash_neardup_oracle(k: int = 3) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    sigs = (
+        f"WITH d AS (SELECT doc_id, {norm} AS t FROM {_NEARDUP_UNION_SQL} u), "
+        "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM d), "
+        "h AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5('0:' || tk), 1, 8))::UBIGINT AS BIGINT) AS hv_hi, "
+        "CAST(('0x' || substr(md5('0:' || tk), 9, 8))::UBIGINT AS BIGINT) AS hv_lo FROM tok), "
+        "bits AS (SELECT doc_id, b, sum((hv_hi >> b) & 1) AS ones_hi, "
+        "sum((hv_lo >> b) & 1) AS ones_lo, count(*) AS n "
+        "FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY doc_id, b), "
+        "sigs AS (SELECT doc_id, "
+        "sum(CASE WHEN ones_hi * 2 >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash_hi, "
+        "sum(CASE WHEN ones_lo * 2 >= n THEN (1::BIGINT << b) ELSE 0 END) AS simhash_lo "
+        "FROM bits GROUP BY doc_id)"
+    )
+    branches = []
+    for t, combo in enumerate(dedup._block_combos(k)):
+        key = None
+        for bi in combo:
+            word, off, width = dedup._SIMHASH_BLOCKS[bi]
+            v = f"((simhash_{word} >> {off}) & {(1 << width) - 1})"
+            key = v if key is None else f"(({key} << 11) + {v})"
+        branches.append(
+            f"SELECT doc_id, simhash_hi, simhash_lo, {t} AS table_no, "
+            f"CAST({key} AS BIGINT) AS probe_key FROM sigs"
+        )
+    probes = " UNION ALL ".join(branches)
+    return (
+        f"{sigs}, probes AS ({probes}) "
+        "SELECT DISTINCT doc_a, doc_b, hamming FROM ("
+        "SELECT CAST(a.doc_id AS BIGINT) AS doc_a, "
+        "CAST(b.doc_id AS BIGINT) AS doc_b, "
+        "CAST(bit_count(xor(a.simhash_hi, b.simhash_hi)) "
+        "+ bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming "
+        "FROM probes a JOIN probes b ON a.table_no = b.table_no "
+        "AND a.probe_key = b.probe_key AND a.doc_id < b.doc_id) "
+        f"WHERE hamming <= {k}"
+    )
+
+
+ORACLE_SIMHASH_NEARDUP = _simhash_neardup_oracle()
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components dup clustering over MinHash candidate
     pairs (iterative min-label propagation; the oracle is a recursive
@@ -1854,6 +1925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "jaccard_neardup": q_jaccard_neardup,
     "dup_components": q_dup_components,
     "quality_filter": q_quality_filter,
@@ -1909,6 +1981,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "jaccard_neardup": ORACLE_JACCARD,
     "dup_components": ORACLE_DUP_COMPONENTS,
     "quality_filter": ORACLE_QUALITY_FILTER,

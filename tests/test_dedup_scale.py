@@ -132,3 +132,48 @@ def test_ivf_probes_only_two_lists_and_finds_neighbors(spark):
     # every result really sits in a probed list (cost bound: no
     # corpus-wide scan can sneak in)
     assert len(ivf) == 10
+
+
+def _hamming(a, b):
+    return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+
+def test_simhash_neardup_finds_hamming_neighbors(spark):
+    """The Manku probe-table join must recover a pair whose signatures
+    differ by 1-3 bits — invisible to identical-signature grouping.
+    The near pair is found by a deterministic search over one-token
+    perturbations (md5 is fixed, so the chosen variant never changes)."""
+    base = " ".join(f"word{i:02d}" for i in range(50))
+    cands = [(100 + j, base + f" extra{j}") for j in range(24)]
+    sig_df = dedup.simhash_signatures(
+        spark.createDataFrame([Row(doc_id=1, text=base)] +
+                              [Row(doc_id=d, text=t) for d, t in cands])
+    )
+    sigs = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in sig_df.collect()}
+    near = [d for d, _ in cands if 1 <= _hamming(sigs[1], sigs[d]) <= 3]
+    assert near, "premise broken: no 1-token variant lands within Hamming 3"
+    chosen = near[0]
+    dist = _hamming(sigs[1], sigs[chosen])
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=base),
+         Row(doc_id=chosen, text=dict(cands)[chosen]),
+         Row(doc_id=999, text="totally unrelated content about ships")]
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_neardup_pairs(docs, k=3).collect()}
+    assert pairs.get((1, chosen)) == dist and dist >= 1
+    # identical-signature grouping cannot see this pair
+    groups = [g for g in dedup.simhash_groups(docs).collect() if g.n_docs > 1]
+    assert groups == []
+    # the unrelated doc must not pair with anything
+    assert all(999 not in p for p in pairs)
+
+
+def test_simhash_neardup_exact_dups_at_distance_zero(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+         Row(doc_id=2, text="alpha beta gamma delta epsilon")]
+    )
+    rows = dedup.simhash_neardup_pairs(docs, k=3).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
