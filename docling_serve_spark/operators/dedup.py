@@ -308,13 +308,21 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     one combination of ``6-k`` of the 6 signature blocks), then
     verified with ``bit_count(xor)`` on the full 64-bit signature.
 
-    Scale shape: each doc explodes into C(6, 6-k) = 20 (for k=3)
+    Scale shape (the WWW 2007 paper's own): the probe join runs over
+    the DISTINCT fingerprint table, not the doc table — duplicate
+    contents collapse before the quadratic step, so a dup family of m
+    docs costs one probe row set instead of m (and m^2 candidate rows).
+    Each distinct signature explodes into C(6, 6-k) = 20 (for k=3)
     probe rows keyed by (table_no, ~33-bit packed key); buckets hold
-    n/2^33 docs per table at corpus scale (~120 docs per bucket at
-    10^12), so the join is banded, never all-pairs.  The identical-
-    signature grouping (`simhash_groups`) remains the cheap k=0 path.
+    u/2^33 signatures per table at corpus scale, so the join is
+    banded, never all-pairs.  Doc pairs are then recovered by two
+    equi-joins on the signature key plus a within-signature self-join
+    (the hamming-0 pairs); each output pair is produced exactly once,
+    so no wide final distinct is needed.  The identical-signature
+    grouping (`simhash_groups`) remains the cheap k=0 path.
     """
     sigs = simhash_signatures(docs, text_col)
+    usig = sigs.select("simhash_hi", "simhash_lo").distinct()
     combos = _block_combos(k)
 
     def block_val(bi: int) -> Column:
@@ -330,8 +338,8 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
             key = v if key is None else F.shiftleft(key, 11) + v
         return key
 
-    probes = sigs.select(
-        "doc_id", "simhash_hi", "simhash_lo",
+    probes = usig.select(
+        "simhash_hi", "simhash_lo",
         F.explode(F.array(*[
             F.struct(
                 F.lit(t).alias("table_no"),
@@ -339,7 +347,7 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
             )
             for t, c in enumerate(combos)
         ])).alias("p"),
-    ).select("doc_id", "simhash_hi", "simhash_lo",
+    ).select("simhash_hi", "simhash_lo",
              F.col("p.table_no").alias("table_no"),
              F.col("p.probe_key").alias("probe_key"))
 
@@ -348,21 +356,64 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
         F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
         + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
     ).cast("bigint")
-    return (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.table_no") == F.col("b.table_no"))
             & (F.col("a.probe_key") == F.col("b.probe_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (
+                (F.col("a.simhash_hi") < F.col("b.simhash_hi"))
+                | (
+                    (F.col("a.simhash_hi") == F.col("b.simhash_hi"))
+                    & (F.col("a.simhash_lo") < F.col("b.simhash_lo"))
+                )
+            ),
         )
         .select(
-            F.col("a.doc_id").cast("bigint").alias("doc_a"),
-            F.col("b.doc_id").cast("bigint").alias("doc_b"),
+            F.col("a.simhash_hi").alias("a_hi"),
+            F.col("a.simhash_lo").alias("a_lo"),
+            F.col("b.simhash_hi").alias("b_hi"),
+            F.col("b.simhash_lo").alias("b_lo"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= k)
         .distinct()
     )
+
+    cross = (
+        sig_pairs.join(
+            sigs.alias("da"),
+            (F.col("a_hi") == F.col("da.simhash_hi"))
+            & (F.col("a_lo") == F.col("da.simhash_lo")),
+        )
+        .join(
+            sigs.alias("db"),
+            (F.col("b_hi") == F.col("db.simhash_hi"))
+            & (F.col("b_lo") == F.col("db.simhash_lo")),
+        )
+        .select(
+            F.least(F.col("da.doc_id"), F.col("db.doc_id"))
+            .cast("bigint").alias("doc_a"),
+            F.greatest(F.col("da.doc_id"), F.col("db.doc_id"))
+            .cast("bigint").alias("doc_b"),
+            F.col("hamming"),
+        )
+    )
+    x, y = sigs.alias("x"), sigs.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x.simhash_hi") == F.col("y.simhash_hi"))
+            & (F.col("x.simhash_lo") == F.col("y.simhash_lo"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").cast("bigint").alias("doc_a"),
+            F.col("y.doc_id").cast("bigint").alias("doc_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def dup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
