@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "textstats",
     "rep_ngram_stats",
     "passage_dedup",
+    "passage_scrub",
     "url_host_stats",
     "pii_redact",
     "corpus_filter_chain",

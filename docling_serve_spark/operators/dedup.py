@@ -211,6 +211,59 @@ def passage_dup_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def passage_scrub(docs: DataFrame, text_col: str = "text",
+                  w: int = 8) -> DataFrame:
+    """Duplicate-passage REMOVAL (the action half of `passage_dup_groups`,
+    after Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022, and C4's repeated-span drop): every
+    w-token passage whose content occurs in more than one document is
+    excised from every document, and the surviving passages re-join in
+    order. One output row per doc that has at least one non-empty
+    passage: (doc_id, scrubbed_text, n_kept, n_dropped).
+
+    Plan shape: explode windows (linear), map-side-partial hash-agg of
+    the 16-byte digests for the cross-doc dup set, left join on the
+    digest, one groupBy(doc_id) rebuild over (passage_no, passage)
+    structs. Text bytes cross the wire once for the rebuild — inherent
+    to a reconstruction op; everything else ships digests only."""
+    win = (
+        docs.select(
+            "doc_id",
+            F.posexplode(passage_windows(F.col(text_col), w))
+            .alias("passage_no", "passage"),
+        )
+        .filter(F.col("passage") != "")
+        .select("doc_id", "passage_no", "passage",
+                F.md5("passage").alias("passage_hash"))
+    )
+    dup = (
+        win.groupBy("passage_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("passage_hash", F.lit(True).alias("is_dup"))
+    )
+    marked = win.join(dup, "passage_hash", "left").select(
+        "doc_id", "passage_no", "passage",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(F.struct("passage_no", "is_dup", "passage"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(kept_struct, lambda s: ~s.is_dup),
+                lambda s: s.passage,
+            ),
+        ).alias("scrubbed_text"),
+        F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint").alias("n_dropped"),
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash_hi, simhash_lo): 64-bit SimHash — per-bit
     majority vote of distinct-token hashes, carried as two 32-bit

@@ -752,6 +752,37 @@ def _passage_dedup_oracle(w: int = 8) -> str:
 ORACLE_PASSAGE_DEDUP = _passage_dedup_oracle()
 
 
+def q_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage removal (Lee et al. ACL 2022 / C4): cross-doc
+    8-token passages excised from every document, survivors re-joined
+    in order."""
+    return dedup.passage_scrub(_t(spark, sf_dir, "documents"), w=8)
+
+
+def _passage_scrub_oracle(w: int = 8) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS toks "
+        "FROM documents), "
+        "w0 AS (SELECT doc_id, i AS passage_no, "
+        f"array_to_string(list_slice(toks, i * {w} + 1, i * {w} + {w}), ' ') AS passage "
+        "FROM t, LATERAL (SELECT unnest(generate_series(0, "
+        f"GREATEST(CAST(floor((len(toks) - 1) / {w}.0) AS INT), 0))) AS i)), "
+        "p AS (SELECT doc_id, passage_no, passage, md5(passage) AS ph "
+        "FROM w0 WHERE passage <> ''), "
+        "dup AS (SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) > 1) "
+        "SELECT doc_id, "
+        "COALESCE(string_agg(passage, ' ' ORDER BY passage_no) "
+        "FILTER (WHERE ph NOT IN (SELECT ph FROM dup)), '') AS scrubbed_text, "
+        "CAST(count(*) FILTER (WHERE ph NOT IN (SELECT ph FROM dup)) AS BIGINT) AS n_kept, "
+        "CAST(count(*) FILTER (WHERE ph IN (SELECT ph FROM dup)) AS BIGINT) AS n_dropped "
+        "FROM p GROUP BY doc_id"
+    )
+
+
+ORACLE_PASSAGE_SCRUB = _passage_scrub_oracle()
+
+
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host-level aggregation: scheme/www/
     query/fragment/trailing-slash variants of one site collapse to a
@@ -1932,6 +1963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "textstats": q_textstats,
     "rep_ngram_stats": q_rep_ngram_stats,
     "passage_dedup": q_passage_dedup,
+    "passage_scrub": q_passage_scrub,
     "url_host_stats": q_url_host_stats,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
@@ -1988,6 +2020,7 @@ ORACLES: dict[str, str] = {
     "textstats": ORACLE_TEXTSTATS,
     "rep_ngram_stats": ORACLE_REP_NGRAM,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
+    "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "url_host_stats": ORACLE_URL_HOST,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,

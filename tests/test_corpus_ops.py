@@ -100,6 +100,42 @@ def test_passage_dup_groups_counts_within_doc_occurrences(spark):
     assert g["n_occurrences"] == 3
 
 
+def test_passage_scrub_removes_cross_doc_passages(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    a_tail = " ".join(f"a{i}" for i in range(8))
+    b_tail = " ".join(f"b{i}" for i in range(8))
+    solo = " ".join(f"c{i}" for i in range(8))
+    docs = _docs(
+        spark,
+        [(1, shared + " " + a_tail), (2, shared + " " + b_tail), (3, solo)],
+    )
+    got = {r["doc_id"]: r for r in dedup.passage_scrub(docs, w=8).collect()}
+    # the shared passage vanishes from BOTH docs; private tails survive
+    assert got[1]["scrubbed_text"] == a_tail
+    assert got[2]["scrubbed_text"] == b_tail
+    assert got[3]["scrubbed_text"] == solo
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (1, 1)
+    assert (got[3]["n_kept"], got[3]["n_dropped"]) == (1, 0)
+
+
+def test_passage_scrub_within_doc_repeat_survives(spark):
+    # occurring twice in ONE doc is repetition (X14's concern), not
+    # cross-doc duplication — the scrub only drops n_docs > 1 passages
+    p = " ".join(f"s{i}" for i in range(8))
+    docs = _docs(spark, [(1, p + " " + p)])
+    [r] = dedup.passage_scrub(docs, w=8).collect()
+    assert r["scrubbed_text"] == p + " " + p
+    assert (r["n_kept"], r["n_dropped"]) == (2, 0)
+
+
+def test_passage_scrub_fully_duplicated_doc_empties(spark):
+    p = " ".join(f"s{i}" for i in range(8))
+    docs = _docs(spark, [(1, p), (2, p)])
+    rows = {r["doc_id"]: r for r in dedup.passage_scrub(docs, w=8).collect()}
+    assert rows[1]["scrubbed_text"] == "" and rows[2]["scrubbed_text"] == ""
+    assert rows[1]["n_dropped"] == 1 and rows[1]["n_kept"] == 0
+
+
 # ------------------------------------------------------------------ #
 # URL canonicalization / host stats
 # ------------------------------------------------------------------ #
