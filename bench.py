@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_lsh_multiprobe",
     "ann_ivf",
+    "ann_ivf_refined",
     "ann_recall",
     "centroid_similarity",
     "media_metadata",

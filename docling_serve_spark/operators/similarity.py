@@ -302,6 +302,54 @@ def _best_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     return best_i.cast("int")
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the IVF coarse quantizer (the k-means step
+    of Johnson/Douze/Jégou's IVF training, run as a bounded driver
+    loop — the standard Spark iterative-algorithm shape). Each round:
+    one codegen'd argmax-cosine assignment over centroid literals (no
+    vector ever shuffles by centroid — only (list_id, pos) partial
+    sums move), one groupBy mean per dimension, and K*dim scalar rows
+    collect to the driver to become the next round's literals.
+
+    Updated components are rounded to 6 decimals so the refined
+    centroids are an exact fixed-point both engines can reproduce
+    bit-identically (float-sum reordering noise sits ~1e-15 below the
+    rounding step, so argmax decisions downstream are stable). A
+    cluster that loses every member keeps its previous centroid."""
+    for _ in range(n_iters):
+        assigned = embeddings.withColumn(
+            "list_id", _best_centroid(F.col(vec_col), cents)
+        )
+        rows = (
+            assigned.select(
+                "list_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(int(r["list_id"]), {})[int(r["pos"])] = float(
+                r["cval"]
+            )
+        cents = [
+            (
+                cid,
+                [by_list[i][p] for p in range(len(old))]
+                if i in by_list
+                else old,
+            )
+            for i, (cid, old) in enumerate(cents)
+        ]
+    return cents
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -309,13 +357,15 @@ def ann_topk_ivf(
     n_centroids: int = 8,
     nprobe: int = 2,
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: assign every vector to its nearest coarse centroid
     (one codegen'd pass; at scale the table is WRITTEN partitioned by
     list id, so probes are partition-pruned scans), then scan only
     the query's ``nprobe`` nearest lists with exact cosine. No
     cross-corpus work ever happens: cost = nprobe * (n / K)."""
-    cents = ivf_centroids(embeddings, n_centroids, vec_col)
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_centroids, vec_col)
     assigned = embeddings.withColumn(
         "list_id", _best_centroid(F.col(vec_col), cents)
     )

@@ -1319,6 +1319,53 @@ ORACLE_ANN_IVF = (
 )
 
 
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one Lloyd k-means round on the coarse quantizer (the
+    training step faiss runs before indexing): seeded centroids →
+    assign → per-dimension mean (rounded to the 6-decimal fixed point
+    both engines share) → probe the refined lists for query vec 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb, 8)
+    cents = similarity.kmeans_refine(emb, cents, n_iters=1)
+    return similarity.ann_topk_ivf(emb, 5, 10, nprobe=2, cents=cents)
+
+
+ORACLE_ANN_IVF_REFINED = (
+    # seed centroids = 8 lowest vec_ids; one Lloyd round: argmax-cosine
+    # assignment, per-dimension avg rounded to 6 decimals, empty
+    # clusters keep their seed; then the standard IVF probe (query 5)
+    "WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
+    "FROM embeddings ORDER BY vec_id LIMIT 8), "
+    "sims0 AS (SELECT e.vec_id, e.embedding, c.idx, "
+    + _COS_SQL.format(a="e.embedding", b="c.cvec")
+    + " AS s FROM embeddings e CROSS JOIN cents0 c), "
+    "assign0 AS (SELECT vec_id, embedding, idx, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx) AS rn FROM sims0), "
+    "a0 AS (SELECT vec_id, embedding, idx AS list_id FROM assign0 WHERE rn = 1), "
+    "newc AS (SELECT list_id AS idx, "
+    "list(round(cval, 6) ORDER BY i) AS cvec FROM ("
+    "SELECT a.list_id, t.i, avg(CAST(a.embedding[t.i] AS DOUBLE)) AS cval "
+    "FROM a0 a, (SELECT unnest(generate_series(1, 64)) AS i) t "
+    "GROUP BY a.list_id, t.i) GROUP BY list_id), "
+    "cents1 AS (SELECT c.idx, COALESCE(n.cvec, c.cvec) AS cvec "
+    "FROM cents0 c LEFT JOIN newc n ON c.idx = n.idx), "
+    "sims1 AS (SELECT e.vec_id, e.embedding, c.idx, "
+    + _COS_SQL.format(a="e.embedding", b="c.cvec")
+    + " AS s FROM embeddings e CROSS JOIN cents1 c), "
+    "assign1 AS (SELECT vec_id, embedding, idx, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx) AS rn FROM sims1), "
+    "a AS (SELECT vec_id, embedding, idx AS list_id FROM assign1 WHERE rn = 1), "
+    "probes AS (SELECT idx FROM sims1 WHERE vec_id = 5 ORDER BY s DESC, idx LIMIT 2), "
+    "q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 5) "
+    "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, "
+    "round(" + _COS_SQL.format(a="a.embedding", b="qvec") + ", 6) AS cos_sim "
+    "FROM a JOIN probes p ON a.list_id = p.idx, q WHERE a.vec_id <> 5 "
+    "ORDER BY round(" + _COS_SQL.format(a="a.embedding", b="qvec") + ", 6) DESC, vec_id "
+    "LIMIT 10"
+)
+
+
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
@@ -1980,6 +2027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_refined": q_ann_ivf_refined,
     "ann_recall": q_ann_recall,
     "centroid_similarity": q_centroid_similarity,
     "size_guard_routing": q_size_guard_routing,
@@ -2034,6 +2082,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_ivf_refined": ORACLE_ANN_IVF_REFINED,
     "ann_recall": ORACLE_ANN_RECALL,
     "centroid_similarity": ORACLE_CENTROID,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,

@@ -177,3 +177,49 @@ def test_simhash_neardup_exact_dups_at_distance_zero(spark):
     )
     rows = dedup.simhash_neardup_pairs(docs, k=3).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_kmeans_refine_converges_on_separable_clusters(spark):
+    """Two well-separated direction clusters: after one Lloyd round the
+    centroids are the (rounded) cluster means, and a second round is a
+    fixed point — assignments cannot change once centroids sit inside
+    their own cluster."""
+    from docling_serve_spark.operators.similarity import (
+        ivf_centroids, kmeans_refine,
+    )
+
+    # cluster A points near +e1, cluster B near +e2 (64-dim)
+    def vec(axis, bump, eps):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[bump] = eps
+        return v
+
+    rows = ([Row(vec_id=i, embedding=vec(0, 10 + i, 0.1)) for i in range(4)]
+            + [Row(vec_id=10 + i, embedding=vec(1, 20 + i, 0.1))
+               for i in range(4)])
+    emb = spark.createDataFrame(rows)
+    seeds = ivf_centroids(emb, 2)  # two lowest vec_ids: both cluster A!
+    c1 = kmeans_refine(emb, seeds, n_iters=1)
+    c2 = kmeans_refine(emb, c1, n_iters=1)
+    # deterministic across invocations
+    assert kmeans_refine(emb, seeds, n_iters=1) == c1
+    # seed 0 (vec 0) attracts all of cluster A, so its refined centroid
+    # points along e1; whichever seed won cluster B points along e2
+    assert any(c[0] > 0.9 for _, c in c1) or any(c[1] > 0.9 for _, c in c1)
+    # fixed point once every vector is closest to its own centroid
+    assert c2 == kmeans_refine(emb, c2, n_iters=1)
+
+
+def test_kmeans_refine_keeps_empty_cluster_seed(spark):
+    from docling_serve_spark.operators.similarity import kmeans_refine
+
+    # every vector is nearest centroid 0; centroid 1 must survive as-is
+    e1 = [1.0] + [0.0] * 63
+    far = [0.0] * 63 + [1.0]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=e1) for i in range(3)]
+    )
+    out = kmeans_refine(emb, [(0, e1), (1, far)], n_iters=1)
+    assert out[1] == (1, far)
+    assert out[0][1][0] == 1.0
