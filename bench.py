@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "top_order_per_customer",
     "dedup_exact",
     "dedup_minhash",
+    "incremental_dedup",
     "dedup_simhash",
     "simhash_neardup",
     # dup_components excluded: iterative multi-job op, correctness-

@@ -169,6 +169,44 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_dup_flags(new_docs: DataFrame, history_docs: DataFrame,
+                          text_col: str = "text", n_hashes: int = 8,
+                          band_size: int = 2) -> DataFrame:
+    """Incremental near-dedup: flag each NEW document that LSH-collides
+    with the HISTORICAL corpus. This is the production crawl shape
+    (each monthly Common-Crawl-style batch is deduplicated against
+    everything already ingested, per CCNet / RefinedWeb): the history
+    side reduces to its distinct ``(band_no, band_key)`` index —
+    n_bands short hash keys per doc, no text — and the new batch
+    probes it with one equi semi-join. No new x new and no history x
+    history pair ever forms, so cost is O(|new| * n_bands) probe rows
+    regardless of history size. At 10^12-doc history the index is a
+    table WRITTEN bucketed by band_key, so the probe co-locates
+    without reshuffling the index; appending this batch's own band
+    rows to it is the only write. Returns (doc_id, dup_of_history)
+    for every new doc."""
+    new_bands = minhash_bands(new_docs, text_col, n_hashes, band_size)
+    hist_index = (
+        minhash_bands(history_docs, text_col, n_hashes, band_size)
+        .select("band_no", "band_key")
+        .distinct()
+    )
+    matched = (
+        new_bands.join(hist_index, ["band_no", "band_key"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        new_docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("dup_of_history"),
+        )
+    )
+
+
 def passage_windows(col: Column, w: int = 8) -> Column:
     """Non-overlapping w-token passages of normalized text (the last
     passage may be shorter). Passage-level exact dedup is the C4/

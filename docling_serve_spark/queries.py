@@ -458,6 +458,77 @@ def _minhash_oracle() -> str:
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
 
 
+def _minhash_bands_ctes(src: str, p: str) -> str:
+    """The minhash→bands CTE chain of ``_minhash_oracle`` with every
+    CTE name prefixed by ``p``, so one query can band two corpora."""
+    norm = dedup.NORM_SQL.format(t="text")
+    mins = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        "CAST((CAST(('0x' || substr(md5('0:' || s), 1, 8))::UBIGINT AS BIGINT) "
+        f"+ {i} * CAST(('0x' || substr(md5('0:' || s), 9, 8))::UBIGINT AS BIGINT)"
+        f") % 4294967296 AS BIGINT))) AS m{i}"
+        for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, "
+        f"CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) "
+        f"AS band_key FROM {p}sig"
+        for b in range(4)
+    )
+    return (
+        f"{p}d AS (SELECT doc_id, {norm} AS t FROM {src}), "
+        f"{p}tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM {p}d), "
+        f"{p}sh AS (SELECT doc_id, "
+        "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), "
+        f"i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS shingles FROM {p}tok), "
+        f"{p}sig AS (SELECT doc_id, {mins} FROM {p}sh), "
+        f"{p}bands AS ({bands})"
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-batch dedup: the NEW batch (even-sourced docs
+    are verbatim recrawls of history, odd-sourced docs are genuinely
+    fresh text) probes the historical minhash band index; each new doc
+    gets a dup_of_history flag. History never self-joins."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("fresh unique page "), F.col("doc_id").cast("string")
+            )
+        )
+        .alias("text"),
+    )
+    return dedup.incremental_dup_flags(new, docs)
+
+
+def _incremental_oracle() -> str:
+    newb = (
+        f"(SELECT doc_id + {_DUP_SHIFT} AS doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN text "
+        "ELSE 'fresh unique page ' || CAST(doc_id AS VARCHAR) END AS text "
+        "FROM documents)"
+    )
+    return (
+        "WITH "
+        + _minhash_bands_ctes("documents", "h")
+        + ", "
+        + _minhash_bands_ctes(newb, "n")
+        + ", hidx AS (SELECT DISTINCT band_no, band_key FROM hbands), "
+        "hits AS (SELECT DISTINCT nb.doc_id FROM nbands nb "
+        "JOIN hidx USING (band_no, band_key)) "
+        "SELECT CAST(n.doc_id AS BIGINT) AS doc_id, "
+        "(hits.doc_id IS NOT NULL) AS dup_of_history "
+        f"FROM {newb} n LEFT JOIN hits ON n.doc_id = hits.doc_id"
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = _incremental_oracle()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_groups(_docs_with_dups(spark, sf_dir))
 
@@ -2002,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_order_per_customer": q_top_order_per_customer,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "incremental_dedup": q_incremental_dedup,
     "dedup_simhash": q_dedup_simhash,
     "simhash_neardup": q_simhash_neardup,
     "jaccard_neardup": q_jaccard_neardup,
@@ -2060,6 +2132,7 @@ ORACLES: dict[str, str] = {
     "top_order_per_customer": ORACLE_TOP_ORDER,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "jaccard_neardup": ORACLE_JACCARD,

@@ -223,3 +223,21 @@ def test_kmeans_refine_keeps_empty_cluster_seed(spark):
     out = kmeans_refine(emb, [(0, e1), (1, far)], n_iters=1)
     assert out[1] == (1, far)
     assert out[0][1][0] == 1.0
+
+
+def test_incremental_dup_flags_new_vs_history_only(spark):
+    """Exact recrawls flag against history; fresh docs don't — and two
+    identical FRESH docs never flag each other (no new x new pass)."""
+    hist = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=2, text="pack my box with five dozen liquor jugs now")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=101,
+             text="the quick brown fox jumps over the lazy dog"),   # recrawl
+         Row(doc_id=102, text="completely novel writing about turnips here"),
+         Row(doc_id=103, text="completely novel writing about turnips here")]
+    )
+    out = {r.doc_id: r.dup_of_history
+           for r in dedup.incremental_dup_flags(new, hist).collect()}
+    assert out == {101: True, 102: False, 103: False}
