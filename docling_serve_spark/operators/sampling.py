@@ -94,3 +94,102 @@ def pack_sequences(docs: DataFrame, seq_len: int = 512,
         F.floor(start / seq_len).cast("bigint").alias("bin_id"),
         F.pmod(start, F.lit(seq_len)).cast("bigint").alias("offset_in_bin"),
     )
+
+
+def host_quota(pages: DataFrame, max_per_host: int = 3,
+               n_salts: int = 16, host_col: str = "host",
+               key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host, host_rank) — cap pages per host (RefinedWeb-style
+    domain quota), keeping a deterministic uniform sample: priority is
+    the Knuth hash of the doc key, so which pages survive is stable
+    across re-runs and independent of crawl order.
+
+    Skew is the whole problem here — one mega-host can hold 10^8 pages
+    while the median host has 3 — so the top-N is two-phase: phase 1
+    ranks within ``(host, key mod n_salts)`` and keeps ``max_per_host``
+    per salt (the heavy host fans out over n_salts tasks; every other
+    host pays nothing extra), phase 2 ranks the ≤ n_salts*max
+    survivors per host exactly. The global top-N is a subset of the
+    union of per-salt top-Ns, so the two-phase result is exact."""
+    pri = hash_u32(F.col(key_col))
+    salt = F.pmod(F.col(key_col).cast("bigint"), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(
+        pri.asc(), F.col(key_col).asc()
+    )
+    local = (
+        pages.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= max_per_host)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(pri.asc(), F.col(key_col).asc())
+    return (
+        local.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= max_per_host)
+        .select(
+            F.col(key_col).cast("bigint").alias("doc_id"),
+            F.col(host_col).alias("host"),
+            F.col("host_rank").cast("bigint").alias("host_rank"),
+        )
+    )
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int,
+                        n_buckets: int = 256,
+                        text_col: str = "text",
+                        key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, cum_tokens, kept) — fill a token budget with
+    a deterministic uniform subsample: documents are ordered by Knuth
+    hash priority and taken while the running token total stays within
+    ``budget_tokens`` (the Dolma-style "subsample the corpus to K
+    tokens" pass; a doc whose inclusion would cross the budget is
+    dropped, not truncated).
+
+    A global ORDER BY cumulative sum would serialize into one task, so
+    the prefix sum is distributed: priority's top 8 bits form an
+    ordered bucket (buckets partition the priority space), each bucket
+    cumsums locally under its own window, and the per-bucket totals —
+    ``n_buckets`` scalar rows, broadcast back — provide each bucket's
+    global offset. Exactly the classic two-level scan: local scan +
+    offsets of block sums."""
+    from docling_serve_spark.operators.textstats import token_count
+
+    pri = hash_u32(F.col(key_col))
+    base = docs.select(
+        F.col(key_col).cast("bigint").alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        pri.alias("__pri"),
+        F.floor(pri / F.lit(_U32 // n_buckets)).cast("bigint").alias("__bucket"),
+    )
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__pri").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__cum_local", F.sum("n_tokens").over(w_local))
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        base.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__bucket_tokens"))
+        .withColumn(
+            "__offset",
+            F.sum("__bucket_tokens").over(w_off) - F.col("__bucket_tokens"),
+        )
+        .select("__bucket", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__cum_local") + F.col("__offset"))
+            .cast("bigint")
+            .alias("cum_tokens"),
+            (
+                F.col("__cum_local") + F.col("__offset")
+                <= F.lit(budget_tokens)
+            ).alias("kept"),
+        )
+    )

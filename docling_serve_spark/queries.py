@@ -1083,6 +1083,66 @@ def _domain_mix_oracle() -> str:
 ORACLE_DOMAIN_MIX = _domain_mix_oracle()
 
 
+def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page quota (RefinedWeb-style domain cap): keep at most
+    5 pages per host, chosen by deterministic hash priority. Every
+    third doc lands on one mega-host so the salted two-phase top-N
+    actually exercises its skew path."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mega.example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("host"),
+    )
+    return sampling.host_quota(pages, max_per_host=5)
+
+
+ORACLE_HOST_QUOTA = (
+    "WITH pages AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'mega.example.com' "
+    "ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END AS host "
+    "FROM documents), "
+    "r AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host "
+    "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS host_rank "
+    "FROM pages) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, host, "
+    "CAST(host_rank AS BIGINT) AS host_rank FROM r WHERE host_rank <= 5"
+)
+
+
+_TOKEN_BUDGET = 100000
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling: take documents in hash-priority order
+    while the running token total fits the budget — the distributed
+    two-level prefix sum (local bucket scans + broadcast block
+    offsets), never a single global-window task."""
+    return sampling.token_budget_select(
+        _t(spark, sf_dir, "documents"), budget_tokens=_TOKEN_BUDGET
+    )
+
+
+ORACLE_TOKEN_BUDGET = (
+    "WITH d AS (SELECT doc_id, "
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+    "(doc_id * 2654435761) % 4294967296 AS pri FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY pri, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens, "
+    f"cum <= {_TOKEN_BUDGET} AS kept FROM c"
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: concat-and-chunk documents into
     512-token bins, independently per shard (doc_id mod 16) so the
@@ -2088,6 +2148,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
     "domain_mix_sample": q_domain_mix_sample,
+    "host_quota": q_host_quota,
+    "token_budget_select": q_token_budget_select,
     "pack_sequences": q_pack_sequences,
     "corpus_funnel": q_corpus_funnel,
     "corpus_mixture": q_corpus_mixture,
@@ -2147,6 +2209,8 @@ ORACLES: dict[str, str] = {
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,
     "domain_mix_sample": ORACLE_DOMAIN_MIX,
+    "host_quota": ORACLE_HOST_QUOTA,
+    "token_budget_select": ORACLE_TOKEN_BUDGET,
     "pack_sequences": ORACLE_PACK,
     "corpus_funnel": ORACLE_CORPUS_FUNNEL,
     "corpus_mixture": ORACLE_CORPUS_MIXTURE,
