@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "corpus_filter_chain",
     "decontam_flags",
     "domain_mix_sample",
+    "host_quota",
+    "token_budget_select",
     "pack_sequences",
     "ann_bruteforce",
     "ann_lsh",

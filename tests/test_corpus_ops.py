@@ -342,3 +342,78 @@ def test_host_stats_aggregates_by_canonical_host(spark):
     assert got["a.com"]["n_langs"] == 2
     assert got["a.com"]["first_doc_id"] == 1
     assert got["b.com"]["n_pages"] == 1
+
+
+# ------------------------------------------------------------------ #
+# host_quota / token_budget_select
+# ------------------------------------------------------------------ #
+
+_KNUTH, _U32 = 2654435761, 2**32
+
+
+def _pri(doc_id):
+    return (doc_id * _KNUTH) % _U32
+
+
+def test_host_quota_matches_unsalted_reference(spark):
+    # one mega-host (60 pages) + 10 small hosts (2 pages each): the
+    # salted two-phase top-N must equal the plain per-host top-N.
+    rows = [Row(doc_id=i, host="mega") for i in range(60)]
+    rows += [Row(doc_id=100 + i, host=f"h{i % 10}") for i in range(20)]
+    got = {
+        (r["host"], r["doc_id"]): r["host_rank"]
+        for r in sampling.host_quota(
+            spark.createDataFrame(rows), max_per_host=3, n_salts=4
+        ).collect()
+    }
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.doc_id)
+    want = {}
+    for host, ids in by_host.items():
+        for rank, d in enumerate(
+            sorted(ids, key=lambda d: (_pri(d), d))[:3], start=1
+        ):
+            want[(host, d)] = rank
+    assert got == want
+
+
+def test_host_quota_caps_and_is_deterministic(spark):
+    rows = [Row(doc_id=i, host=f"h{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, sampling.host_quota(df, max_per_host=5).collect()))
+    b = sorted(map(tuple, sampling.host_quota(df, max_per_host=5).collect()))
+    assert a == b
+    counts = {}
+    for _, host, rank in a:
+        counts[host] = counts.get(host, 0) + 1
+        assert 1 <= rank <= 5
+    assert all(v == 5 for v in counts.values())
+
+
+def test_token_budget_matches_global_cumsum(spark):
+    texts = {i: " ".join(["w"] * (i % 7 + 1)) for i in range(50)}
+    df = _docs(spark, list(texts.items()))
+    got = {r["doc_id"]: r for r in
+           sampling.token_budget_select(df, budget_tokens=60,
+                                        n_buckets=8).collect()}
+    cum = 0
+    for d in sorted(texts, key=lambda d: (_pri(d), d)):
+        n = d % 7 + 1
+        cum += n
+        assert got[d]["n_tokens"] == n
+        assert got[d]["cum_tokens"] == cum, f"doc {d}"
+        assert got[d]["kept"] == (cum <= 60)
+    assert 0 < sum(r["kept"] for r in got.values()) < len(texts)
+
+
+def test_token_budget_boundary_doc_dropped_not_truncated(spark):
+    # build a budget that lands mid-document: the crossing doc is
+    # dropped (kept=False) even though part of it would fit.
+    df = _docs(spark, [(i, "a b c d") for i in range(10)])  # 4 tokens each
+    got = sorted(
+        sampling.token_budget_select(df, budget_tokens=10).collect(),
+        key=lambda r: r["cum_tokens"],
+    )
+    assert [r["kept"] for r in got] == [True, True] + [False] * 8
+    assert got[2]["cum_tokens"] == 12  # crossed 10 -> dropped whole
