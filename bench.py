@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "passage_dedup",
     "passage_scrub",
     "url_host_stats",
+    "url_blocklist",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

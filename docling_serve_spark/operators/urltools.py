@@ -34,6 +34,58 @@ def url_host(col: Column) -> Column:
     return F.regexp_extract(canonical_url(col), r"^([^/]+)", 1)
 
 
+def host_suffixes(col: Column) -> Column:
+    """All dot-suffixes of a host with ≥ 2 labels, longest first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com]``. The list is bounded by the label count (~5 for
+    real hosts), so the explode it feeds is O(pages), not O(pages ×
+    blocklist). Single-label hosts yield an empty list (never block on
+    a bare TLD)."""
+    parts = F.split(col, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(2)),
+            lambda i: F.array_join(F.slice(parts, i + F.lit(1), n - i), "."),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def blocklist_filter(pages: DataFrame, blocklist: DataFrame,
+                     host_col: str = "host", domain_col: str = "domain",
+                     key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host, blocked, matched_domain) — UT1/RefinedWeb-style
+    URL blocklist pass: a page is blocked when its host equals a
+    blocked domain OR sits under one (subdomain suffix match).
+
+    Plan shape for a 4M-domain blocklist over 10^12 pages: hosts
+    explode into their ≤ ~5 suffixes, then ONE equi-join on the suffix
+    string (AQE broadcasts the blocklist when it fits, shuffles
+    otherwise) — never the naive ``LIKE '%domain'`` cross-product and
+    never a per-row loop over the blocklist. Ties (a host under two
+    blocked domains) resolve to the lexicographically smallest domain
+    so re-runs are deterministic."""
+    sfx = pages.select(
+        F.col(key_col),
+        F.explode(host_suffixes(F.col(host_col))).alias("suffix"),
+    )
+    hits = (
+        sfx.join(
+            blocklist.select(F.col(domain_col).alias("suffix")).distinct(),
+            "suffix",
+        )
+        .groupBy(key_col)
+        .agg(F.min("suffix").alias("matched_domain"))
+    )
+    return pages.join(hits, key_col, "left").select(
+        F.col(key_col).cast("bigint").alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.col("matched_domain").isNotNull().alias("blocked"),
+        F.col("matched_domain"),
+    )
+
+
 def host_stats(pages: DataFrame, url_col: str = "url",
                chars_col: str = "n_chars",
                lang_col: str = "lang") -> DataFrame:

@@ -907,6 +907,55 @@ def _url_host_oracle() -> str:
 ORACLE_URL_HOST = _url_host_oracle()
 
 
+_BLOCKLIST = ["badnet0.com", "site7.example.com", "absent.example.net"]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filter (UT1-style domain blocking): a page is
+    blocked when its host equals a blocked domain or is a subdomain of
+    one. Hosts are synthesized so all three paths fire: suffix match
+    (cdn.badnet0.com under badnet0.com), exact match
+    (site7.example.com), and clean hosts."""
+    docs = _t(spark, sf_dir, "documents")
+    bad_digit = (F.floor(F.col("doc_id") / 4) % 2).cast("string")
+    host = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("cdn.badnet"), bad_digit, F.lit(".com")),
+    ).otherwise(
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    pages = docs.select("doc_id", host.alias("host"))
+    blocklist = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST], "domain string"
+    )
+    return urltools.blocklist_filter(pages, blocklist)
+
+
+ORACLE_URL_BLOCKLIST = (
+    "WITH pages AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'cdn.badnet' || CAST((doc_id // 4) % 2 AS VARCHAR) || '.com' "
+    "ELSE 'site' || CAST(doc_id % 25 AS VARCHAR) || '.example.com' END "
+    "AS host FROM documents), "
+    "bl(domain) AS (VALUES "
+    + ", ".join(f"('{d}')" for d in _BLOCKLIST)
+    + "), "
+    "sp AS (SELECT doc_id, host, string_split(host, '.') AS parts "
+    "FROM pages), "
+    "sfx AS (SELECT doc_id, array_to_string(parts[i:], '.') AS suffix "
+    "FROM sp, UNNEST(generate_series(1, len(parts) - 1)) AS t(i)), "
+    "m AS (SELECT doc_id, min(domain) AS matched_domain "
+    "FROM sfx JOIN bl ON sfx.suffix = bl.domain GROUP BY doc_id) "
+    "SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.host, "
+    "m.matched_domain IS NOT NULL AS blocked, m.matched_domain "
+    "FROM pages p LEFT JOIN m ON p.doc_id = m.doc_id"
+)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
     per-doc counts. PII snippets are synthesized deterministically
@@ -2144,6 +2193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_dedup": q_passage_dedup,
     "passage_scrub": q_passage_scrub,
     "url_host_stats": q_url_host_stats,
+    "url_blocklist": q_url_blocklist,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2205,6 +2255,7 @@ ORACLES: dict[str, str] = {
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "url_host_stats": ORACLE_URL_HOST,
+    "url_blocklist": ORACLE_URL_BLOCKLIST,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

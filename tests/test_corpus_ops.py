@@ -417,3 +417,40 @@ def test_token_budget_boundary_doc_dropped_not_truncated(spark):
     )
     assert [r["kept"] for r in got] == [True, True] + [False] * 8
     assert got[2]["cum_tokens"] == 12  # crossed 10 -> dropped whole
+
+
+# ------------------------------------------------------------------ #
+# blocklist_filter
+# ------------------------------------------------------------------ #
+
+def test_host_suffixes_shape(spark):
+    df = spark.createDataFrame(
+        [Row(host="a.b.example.com"), Row(host="example.com"),
+         Row(host="localhost")]
+    ).select("host", urltools.host_suffixes(F.col("host")).alias("s"))
+    got = {r["host"]: r["s"] for r in df.collect()}
+    assert got["a.b.example.com"] == [
+        "a.b.example.com", "b.example.com", "example.com"
+    ]
+    assert got["example.com"] == ["example.com"]
+    assert got["localhost"] == []  # never block a bare label/TLD
+
+
+def test_blocklist_filter_exact_subdomain_and_tie(spark):
+    pages = spark.createDataFrame(
+        [Row(doc_id=1, host="bad.com"),          # exact
+         Row(doc_id=2, host="cdn.bad.com"),      # subdomain
+         Row(doc_id=3, host="notbad.com"),       # substring is NOT a match
+         Row(doc_id=4, host="a.bad.com"),        # two list hits -> min wins
+         Row(doc_id=5, host="clean.org")]
+    )
+    bl = spark.createDataFrame(
+        [("bad.com",), ("a.bad.com",)], "domain string"
+    )
+    got = {r["doc_id"]: r for r in
+           urltools.blocklist_filter(pages, bl).collect()}
+    assert got[1]["blocked"] and got[1]["matched_domain"] == "bad.com"
+    assert got[2]["blocked"] and got[2]["matched_domain"] == "bad.com"
+    assert not got[3]["blocked"] and got[3]["matched_domain"] is None
+    assert got[4]["blocked"] and got[4]["matched_domain"] == "a.bad.com"
+    assert not got[5]["blocked"]
