@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "passage_scrub",
     "url_host_stats",
     "url_blocklist",
+    "snapshot_diff",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

@@ -114,3 +114,33 @@ def status_counts(results: DataFrame) -> DataFrame:
             F.sum(F.col("ocr_invoked").cast("int")).cast("bigint").alias("ocr_invocations"),
         )
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_col: str = "url",
+                  fp_col: str = "fingerprint") -> DataFrame:
+    """(key, status, old_fp, new_fp) — incremental-crawl delta between
+    two snapshot tables keyed on url: ``added`` (new only), ``removed``
+    (old only), ``changed`` (both sides, fingerprint differs),
+    ``unchanged``. The CDX-style diff every recrawl pipeline runs
+    before deciding what to re-extract.
+
+    One full-outer equi-join on the key — the minimum possible data
+    movement for a two-sided diff. At 100 TB both snapshots live
+    bucketed by url in the warehouse, so the sort-merge join needs no
+    exchange at all; fingerprints (16-byte md5), never document bytes,
+    are what shuffles when they aren't."""
+    o = old.select(F.col(key_col).alias("__k"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("__k"), F.col(fp_col).alias("new_fp"))
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "__k", "full_outer").select(
+        F.col("__k").alias(key_col),
+        status.alias("status"),
+        "old_fp",
+        "new_fp",
+    )

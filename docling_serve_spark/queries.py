@@ -956,6 +956,40 @@ ORACLE_URL_BLOCKLIST = (
 )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff: two crawl snapshots derived
+    deterministically from the documents table (old = doc_id%10 != 9,
+    new = doc_id%10 != 0 with every doc_id%7==3 page edited), diffed
+    into added/removed/changed/unchanged by content fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") % 10 != 9).select(
+        url.alias("url"), F.md5(F.col("text")).alias("fingerprint")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 10 != 0).select(
+        url.alias("url"), F.md5(new_text).alias("fingerprint")
+    )
+    return relational.snapshot_diff(old, new)
+
+
+ORACLE_SNAPSHOT_DIFF = (
+    "WITH old AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+    "md5(text) AS old_fp FROM documents WHERE doc_id % 10 <> 9), "
+    "new AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, "
+    "md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) "
+    "AS new_fp FROM documents WHERE doc_id % 10 <> 0) "
+    "SELECT COALESCE(old.url, new.url) AS url, "
+    "CASE WHEN old_fp IS NULL THEN 'added' "
+    "WHEN new_fp IS NULL THEN 'removed' "
+    "WHEN old_fp <> new_fp THEN 'changed' "
+    "ELSE 'unchanged' END AS status, old_fp, new_fp "
+    "FROM old FULL OUTER JOIN new ON old.url = new.url"
+)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
     per-doc counts. PII snippets are synthesized deterministically
@@ -2194,6 +2228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_scrub": q_passage_scrub,
     "url_host_stats": q_url_host_stats,
     "url_blocklist": q_url_blocklist,
+    "snapshot_diff": q_snapshot_diff,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2256,6 +2291,7 @@ ORACLES: dict[str, str] = {
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "url_host_stats": ORACLE_URL_HOST,
     "url_blocklist": ORACLE_URL_BLOCKLIST,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

@@ -11,6 +11,7 @@ from docling_serve_spark.operators import (
     decontam,
     dedup,
     pii,
+    relational,
     sampling,
     textstats,
     urltools,
@@ -454,3 +455,22 @@ def test_blocklist_filter_exact_subdomain_and_tie(spark):
     assert not got[3]["blocked"] and got[3]["matched_domain"] is None
     assert got[4]["blocked"] and got[4]["matched_domain"] == "a.bad.com"
     assert not got[5]["blocked"]
+
+
+# ------------------------------------------------------------------ #
+# snapshot_diff
+# ------------------------------------------------------------------ #
+
+def test_snapshot_diff_all_four_states(spark):
+    old = spark.createDataFrame(
+        [("a", "f1"), ("b", "f2"), ("c", "f3")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("b", "f2"), ("c", "f3x"), ("d", "f4")], "url string, fingerprint string"
+    )
+    got = {r["url"]: r for r in relational.snapshot_diff(old, new).collect()}
+    assert got["a"]["status"] == "removed" and got["a"]["new_fp"] is None
+    assert got["b"]["status"] == "unchanged"
+    assert got["c"]["status"] == "changed" and got["c"]["old_fp"] == "f3"
+    assert got["d"]["status"] == "added" and got["d"]["old_fp"] is None
+    assert len(got) == 4
