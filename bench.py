@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "url_host_stats",
     "url_blocklist",
     "snapshot_diff",
+    "text_normalize",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

@@ -21,6 +21,7 @@ from docling_serve_spark.operators import (
     corpus,
     decontam,
     dedup,
+    normalize,
     relational,
     sampling,
     similarity,
@@ -987,6 +988,49 @@ ORACLE_SNAPSHOT_DIFF = (
     "WHEN old_fp <> new_fp THEN 'changed' "
     "ELSE 'unchanged' END AS status, old_fp, new_fp "
     "FROM old FULL OUTER JOIN new ON old.url = new.url"
+)
+
+
+# deterministic "messy unicode" prefixes keyed on doc_id % 4, shared
+# verbatim by the Spark query and the DuckDB oracle: precomposed
+# accents + double space, combining marks (NFD forms NFC must
+# compose) + tab, a C0 control + accented word, and a clean row.
+_NORM_PREFIXES = (
+    "École  naïve ",
+    "Crème\tnaïve ",
+    "\x01señor  ",
+    "",
+)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization audit over the corpus: control strip +
+    whitespace collapse (JVM) then NFC + accent folding (one Arrow
+    struct UDF). Messy prefixes are synthesized deterministically
+    (keyed on doc_id) because the fixture text is already clean."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _NORM_PREFIXES]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    salted = docs.select(
+        "doc_id", F.concat(prefix, F.col("text")).alias("text")
+    )
+    return normalize.normalize_corpus(salted).select(
+        "doc_id", "norm_text", "folded_text", "changed", "norm_fp"
+    )
+
+
+ORACLE_TEXT_NORMALIZE = (
+    "WITH salted AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT) "
+    f"WHEN 0 THEN '{_NORM_PREFIXES[0]}' WHEN 1 THEN '{_NORM_PREFIXES[1]}' "
+    f"WHEN 2 THEN chr(1) || '{_NORM_PREFIXES[2][1:]}' ELSE '' END || text AS text "
+    "FROM documents), "
+    "norm AS (SELECT doc_id, text, nfc_normalize(trim(regexp_replace("
+    "regexp_replace(text, '[\\x00-\\x08\\x0E-\\x1F\\x7F]', '', 'g'), "
+    "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS norm_text FROM salted) "
+    "SELECT doc_id, norm_text, strip_accents(norm_text) AS folded_text, "
+    "norm_text <> text AS changed, md5(norm_text) AS norm_fp FROM norm"
 )
 
 
@@ -2229,6 +2273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_host_stats": q_url_host_stats,
     "url_blocklist": q_url_blocklist,
     "snapshot_diff": q_snapshot_diff,
+    "text_normalize": q_text_normalize,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2292,6 +2337,7 @@ ORACLES: dict[str, str] = {
     "url_host_stats": ORACLE_URL_HOST,
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "text_normalize": ORACLE_TEXT_NORMALIZE,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

@@ -10,6 +10,7 @@ from pyspark.sql import Row, functions as F
 from docling_serve_spark.operators import (
     decontam,
     dedup,
+    normalize,
     pii,
     relational,
     sampling,
@@ -474,3 +475,42 @@ def test_snapshot_diff_all_four_states(spark):
     assert got["c"]["status"] == "changed" and got["c"]["old_fp"] == "f3"
     assert got["d"]["status"] == "added" and got["d"]["old_fp"] is None
     assert len(got) == 4
+
+
+# ------------------------------------------------------------------ #
+# normalize_corpus
+# ------------------------------------------------------------------ #
+
+def test_normalize_corpus_nfc_fold_and_cleanup(spark):
+    rows = [
+        (1, "Crème  brûlée"),      # NFD -> NFC + collapse
+        (2, "\x01\x02hello\tworld\n"),                 # controls + ws
+        (3, "École naïve"),                  # already NFC
+        (4, "مرحبا"),         # Arabic passthrough
+        (5, "  "),                                     # blank -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in normalize.normalize_corpus(df).collect()}
+    assert got[1]["norm_text"] == "Crème brûlée"
+    assert got[1]["folded_text"] == "Creme brulee"
+    assert got[1]["changed"]
+    assert got[2]["norm_text"] == "hello world" and got[2]["changed"]
+    assert got[3]["norm_text"] == "École naïve"
+    assert got[3]["folded_text"] == "Ecole naive"
+    assert not got[3]["changed"]
+    assert got[4]["norm_text"] == got[4]["folded_text"] == rows[3][1]
+    assert got[5]["norm_text"] == "" and got[5]["changed"]
+
+
+def test_normalize_corpus_keeps_other_columns_and_fp(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "à b")], "doc_id bigint, lang string, text string"
+    )
+    out = normalize.normalize_corpus(df)
+    assert set(out.columns) == {
+        "doc_id", "lang", "norm_text", "folded_text", "changed", "norm_fp"
+    }
+    row = out.collect()[0]
+    assert row["lang"] == "en" and row["norm_text"] == "à b"
+    import hashlib
+    assert row["norm_fp"] == hashlib.md5("à b".encode()).hexdigest()
