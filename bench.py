@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "url_blocklist",
     "snapshot_diff",
     "text_normalize",
+    "split_assign",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

@@ -193,3 +193,47 @@ def token_budget_select(docs: DataFrame, budget_tokens: int,
             ).alias("kept"),
         )
     )
+
+
+# --- leakage-safe corpus splits ----------------------------------- #
+
+_BP = 10000  # basis points: split boundaries in 1/10000ths
+
+
+def md5_hash48(col: Column) -> Column:
+    """48-bit integer from the md5 hex prefix — the deterministic
+    cross-engine STRING hash (hash_u32 covers bigint keys). 12 hex
+    chars = 48 bits: fits a bigint exactly, no sign wraparound."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def split_assign(pages: DataFrame, url_col: str = "url",
+                 test_bp: int = 500, val_bp: int = 500,
+                 salt: str = "split-v1") -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the page's canonical HOST (+ a version salt), so every
+    page of a host lands in the same split — near-duplicate pages from
+    one site can never straddle train and eval, the standard guard
+    when corpus-level near-dups survive dedup.
+
+    ``test_bp``/``val_bp`` are basis points (1/10000). Pure narrow map
+    — no shuffle, no state; resharding or growing the corpus never
+    moves an existing host between splits (hash stability is the
+    contract a 100 TB incremental pipeline needs)."""
+    from docling_serve_spark.operators import urltools
+
+    host = urltools.url_host(F.col(url_col))
+    bucket = F.pmod(
+        md5_hash48(F.concat(host, F.lit("/" + salt))), F.lit(_BP)
+    )
+    split = (
+        F.when(bucket < F.lit(test_bp), F.lit("test"))
+        .when(bucket < F.lit(test_bp + val_bp), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return pages.select(
+        "*",
+        host.alias("host"),
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )

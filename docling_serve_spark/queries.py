@@ -1034,6 +1034,58 @@ ORACLE_TEXT_NORMALIZE = (
 )
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment is a pure
+    function of the canonical host, so scheme/www/query variants of
+    one site always land in the same split. 50 synthetic hosts,
+    15%/15% val/test in basis points."""
+    docs = _t(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://www.")).otherwise(
+        F.lit("http://")
+    )
+    tail = F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(
+        F.lit("?utm_source=feed#frag")
+    )
+    url = F.concat(
+        scheme,
+        F.lit("Site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.com/p/"),
+        F.col("doc_id").cast("string"),
+        tail,
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return sampling.split_assign(pages, test_bp=1500, val_bp=1500).select(
+        "doc_id", "host", "split_bucket", "split"
+    )
+
+
+def _split_assign_oracle() -> str:
+    canon = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "lower(url), '^https?://', ''), '[?#].*$', ''), '^www\\.', ''), '/$', '')"
+    )
+    bucket = (
+        "(('0x' || substr(md5(host || '/split-v1'), 1, 12))::BIGINT % 10000)"
+    )
+    return (
+        "WITH u AS (SELECT doc_id, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END) "
+        "|| 'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.com/p/' "
+        "|| CAST(doc_id AS VARCHAR) "
+        "|| (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '?utm_source=feed#frag' END) "
+        "AS url FROM documents), "
+        f"h AS (SELECT doc_id, regexp_extract({canon}, '^([^/]+)', 1) AS host "
+        "FROM u) "
+        f"SELECT doc_id, host, {bucket} AS split_bucket, "
+        f"CASE WHEN {bucket} < 1500 THEN 'test' "
+        f"WHEN {bucket} < 3000 THEN 'val' ELSE 'train' END AS split FROM h"
+    )
+
+
+ORACLE_SPLIT_ASSIGN = _split_assign_oracle()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
     per-doc counts. PII snippets are synthesized deterministically
@@ -2274,6 +2326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_blocklist": q_url_blocklist,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
+    "split_assign": q_split_assign,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2338,6 +2391,7 @@ ORACLES: dict[str, str] = {
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
+    "split_assign": ORACLE_SPLIT_ASSIGN,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

@@ -514,3 +514,47 @@ def test_normalize_corpus_keeps_other_columns_and_fp(spark):
     assert row["lang"] == "en" and row["norm_text"] == "à b"
     import hashlib
     assert row["norm_fp"] == hashlib.md5("à b".encode()).hexdigest()
+
+
+# ------------------------------------------------------------------ #
+# split_assign
+# ------------------------------------------------------------------ #
+
+def test_split_assign_host_variants_same_split(spark):
+    # scheme/www/query/slash variants of one site must agree
+    urls = [
+        (1, "https://www.Example.com/a"),
+        (2, "http://example.com/b?q=1"),
+        (3, "HTTPS://EXAMPLE.COM/c/"),
+        (4, "http://other.net/x"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id bigint, url string")
+    got = {r["doc_id"]: r for r in sampling.split_assign(df).collect()}
+    assert got[1]["host"] == got[2]["host"] == got[3]["host"] == "example.com"
+    assert got[1]["split"] == got[2]["split"] == got[3]["split"]
+    assert got[1]["split_bucket"] == got[2]["split_bucket"]
+
+
+def test_split_assign_salt_versions_splits(spark):
+    # a different salt is a different (still deterministic) assignment
+    df = spark.createDataFrame(
+        [(i, f"http://site{i}.com/") for i in range(200)],
+        "doc_id bigint, url string",
+    )
+    a = {r["doc_id"]: r["split"] for r in sampling.split_assign(df, salt="a").collect()}
+    b = {r["doc_id"]: r["split"] for r in sampling.split_assign(df, salt="b").collect()}
+    a2 = {r["doc_id"]: r["split"] for r in sampling.split_assign(df, salt="a").collect()}
+    assert a == a2
+    assert a != b
+    # boundaries honored: default 5%/5% leaves the bulk in train
+    from collections import Counter
+    c = Counter(a.values())
+    assert c["train"] > c.get("val", 0) and c["train"] > c.get("test", 0)
+
+
+def test_split_assign_md5_hash48_matches_python(spark):
+    import hashlib
+    df = spark.createDataFrame([("example.com/split-v1",)], "s string")
+    [got] = df.select(sampling.md5_hash48(F.col("s")).alias("h")).collect()
+    want = int(hashlib.md5(b"example.com/split-v1").hexdigest()[:12], 16)
+    assert got["h"] == want
