@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "text_normalize",
     "split_assign",
+    "host_top_terms",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

@@ -182,3 +182,70 @@ def corpus_filter_chain(docs: DataFrame, text_col: str = "text",
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+def host_top_terms(pages: DataFrame, host_col: str = "host",
+                   text_col: str = "text", k: int = 3,
+                   min_len: int = 3) -> DataFrame:
+    """Top-k distinctive terms per host — the corpus-exploration query
+    (what is each site about?) every dataset card needs. Emits
+    (host, term, tf, df, tfidf, term_rank).
+
+    Ranking is INTEGER-EXACT — (tf desc, df asc, term asc) — so both
+    engines pick identical top-k rows regardless of double rounding;
+    the smoothed tf-idf score rides along rounded to 6 digits as the
+    human-facing value.
+
+    Shape at scale: explode once, two hash aggregations with map-side
+    partial combine (term counts keyed (host, term); document
+    frequency keyed term), one shuffle join tf⋈df on term (AQE
+    broadcasts it only if the surviving vocabulary is actually small),
+    and a per-host window for the top-k — no global sort, no driver
+    state. The ln(n_hosts) scalar comes from a 1-row aggregate
+    cross-joined in (broadcast of one row), keeping the plan fully
+    lazy."""
+    host = F.col(host_col)
+    terms = (
+        pages.select(
+            host.alias("host"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    tf = terms.groupBy("host", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = terms.groupBy("term").agg(
+        F.countDistinct("host").cast("bigint").alias("df")
+    )
+    n_hosts = pages.select(host.alias("host")).agg(
+        F.countDistinct("host").cast("bigint").alias("__n_hosts")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_hosts))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_hosts") + 1).cast("double")
+                        / (F.col("df") + 1)
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("term_rank", F.row_number().over(w))
+    )
+    return scored.filter(F.col("term_rank") <= k).select(
+        "host", "term", "tf", "df", "tfidf",
+        F.col("term_rank").cast("bigint").alias("term_rank"),
+    )

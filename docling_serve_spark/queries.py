@@ -1086,6 +1086,39 @@ def _split_assign_oracle() -> str:
 ORACLE_SPLIT_ASSIGN = _split_assign_oracle()
 
 
+def q_host_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per host (tf-idf with integer-exact
+    ranking): 20 synthetic hosts over the documents corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com"),
+    )
+    pages = docs.select(host.alias("host"), "text")
+    return textstats.host_top_terms(pages, k=3)
+
+
+ORACLE_HOST_TOP_TERMS = (
+    "WITH pages AS (SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) "
+    "|| '.example.com' AS host, text FROM documents), "
+    "raw AS (SELECT host, unnest(string_split_regex(lower(text), "
+    "'[^a-z]+')) AS term FROM pages), "
+    "terms AS (SELECT host, term FROM raw WHERE length(term) >= 3), "
+    "tc AS (SELECT host, term, CAST(count(*) AS BIGINT) AS tf "
+    "FROM terms GROUP BY 1, 2), "
+    "dc AS (SELECT term, CAST(count(DISTINCT host) AS BIGINT) AS df "
+    "FROM terms GROUP BY 1), "
+    "nh AS (SELECT CAST(count(DISTINCT host) AS BIGINT) AS n FROM pages), "
+    "scored AS (SELECT host, term, tf, df, "
+    "round(tf * (ln(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1), 6) AS tfidf, "
+    "row_number() OVER (PARTITION BY host "
+    "ORDER BY tf DESC, df ASC, term ASC) AS term_rank "
+    "FROM tc JOIN dc USING (term) CROSS JOIN nh) "
+    "SELECT host, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank "
+    "FROM scored WHERE term_rank <= 3"
+)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
     per-doc counts. PII snippets are synthesized deterministically
@@ -2327,6 +2360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
+    "host_top_terms": q_host_top_terms,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2392,6 +2426,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,
+    "host_top_terms": ORACLE_HOST_TOP_TERMS,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

@@ -558,3 +558,41 @@ def test_split_assign_md5_hash48_matches_python(spark):
     [got] = df.select(sampling.md5_hash48(F.col("s")).alias("h")).collect()
     want = int(hashlib.md5(b"example.com/split-v1").hexdigest()[:12], 16)
     assert got["h"] == want
+
+
+# ------------------------------------------------------------------ #
+# host_top_terms
+# ------------------------------------------------------------------ #
+
+def test_host_top_terms_hand_computed(spark):
+    import math
+    rows = [
+        ("a.com", "apple apple banana shared"),
+        ("b.com", "banana cherry shared shared"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r["host"], r["term"]): r
+        for r in textstats.host_top_terms(df, k=3).collect()
+    }
+    # a.com: apple tf=2 df=1 -> rank 1; banana tf=1 df=2 vs shared tf=1 df=2
+    #   -> tie broken by term asc: banana rank 2, shared rank 3
+    a = got[("a.com", "apple")]
+    assert (a["tf"], a["df"], a["term_rank"]) == (2, 1, 1)
+    assert a["tfidf"] == round(2 * (math.log(3 / 2) + 1), 6)
+    assert got[("a.com", "banana")]["term_rank"] == 2
+    assert got[("a.com", "shared")]["term_rank"] == 3
+    # b.com: shared tf=2 df=2 rank 1 (tf wins over rarity),
+    #   cherry tf=1 df=1 rank 2 (rarer than banana), banana rank 3
+    assert got[("b.com", "shared")]["term_rank"] == 1
+    assert got[("b.com", "cherry")]["term_rank"] == 2
+    assert got[("b.com", "banana")]["term_rank"] == 3
+
+
+def test_host_top_terms_min_len_and_tokenization(spark):
+    df = spark.createDataFrame(
+        [("h.com", "Foo-BAR! ab foo99bar xyz")], "host string, text string"
+    )
+    got = {r["term"] for r in textstats.host_top_terms(df, k=10).collect()}
+    # 'ab' too short; 'foo99bar' splits into foo/bar; case folded
+    assert got == {"foo", "bar", "xyz"}
