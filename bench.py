@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "split_assign",
     "host_top_terms",
+    "charlm_score",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

@@ -1,0 +1,103 @@
+"""Character n-gram language-model quality scoring — the CCNet-style
+corpus filter (Wenzek et al., LREC 2020 score documents with a LM
+trained on a trusted corpus and keep the low-perplexity tail; KenLM
+there, a char-trigram add-one model here, which is deterministic,
+trains in two hash aggregations, and needs no external artifacts).
+
+Float discipline: double SUMs are order-dependent across engines, so
+each trigram's log-probability is quantized to MICRO-NATS
+(``floor(ln(p) * 1e6)`` as bigint) and documents aggregate exact
+integers; only the final per-doc average is a (deterministic,
+single-op) double. That keeps the driver's value-hash engine-stable.
+
+Scale shape: the model key space is bounded by charset³ (trigrams) /
+charset² (prefixes) — a few million rows at worst, so the score join
+is AQE-broadcastable in practice while written as a plain shuffle
+join for safety. Trigram extraction is a JVM-side
+``sequence``/``explode`` (no Python), one row per character position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_MICRO = 1000000
+
+
+def _trigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tri) — one row per character position; docs shorter than
+    3 chars contribute nothing."""
+    return (
+        docs.filter(F.length(text_col) >= 3)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - 2)
+            ).alias("__pos"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            "__id", F.col("__t").substr(F.col("__pos"), F.lit(3)).alias("tri")
+        )
+    )
+
+
+def train_char_lm(ref: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> tuple[DataFrame, DataFrame, Column]:
+    """Add-one char-trigram model from the trusted slice: returns
+    (trigram counts, prefix counts, vocab-size scalar DataFrame)."""
+    tri = _trigrams(ref, text_col, id_col)
+    tri_counts = tri.groupBy("tri").agg(
+        F.count("*").cast("bigint").alias("c_tri")
+    )
+    prefix_counts = tri.select(
+        F.substring("tri", 1, 2).alias("prefix")
+    ).groupBy("prefix").agg(F.count("*").cast("bigint").alias("c_prefix"))
+    vocab = tri.select(
+        F.substring("tri", 3, 1).alias("last")
+    ).agg(F.countDistinct("last").cast("bigint").alias("v"))
+    return tri_counts, prefix_counts, vocab
+
+
+def charlm_score(docs: DataFrame, ref: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_trigrams, sum_logprob_micro, avg_logprob) — per-doc
+    average trigram log-probability under the trusted-slice model.
+    Higher (closer to 0) = more like the trusted corpus; the CCNet
+    keep-rule thresholds this column.
+
+    P(c₃|c₁c₂) = (c(tri)+1)/(c(prefix)+V); unseen prefix → 1/V.
+    Each trigram contributes ``floor(ln(p)·1e6)`` micro-nats (exact
+    bigint aggregation, engine-order-independent)."""
+    tri_counts, prefix_counts, vocab = train_char_lm(ref, text_col, id_col)
+    doc_tri = _trigrams(docs, text_col, id_col).withColumn(
+        "prefix", F.substring("tri", 1, 2)
+    )
+    joined = (
+        doc_tri.join(tri_counts, "tri", "left")
+        .join(prefix_counts, "prefix", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (
+        (F.coalesce(F.col("c_tri"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c_prefix"), F.lit(0)) + F.col("v"))
+    )
+    micro = F.floor(F.log(p) * F.lit(_MICRO)).cast("bigint")
+    return (
+        joined.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum(micro).cast("bigint").alias("sum_logprob_micro"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "sum_logprob_micro",
+            F.round(
+                F.col("sum_logprob_micro")
+                / (F.col("n_trigrams") * F.lit(_MICRO)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

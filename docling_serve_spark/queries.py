@@ -21,6 +21,7 @@ from docling_serve_spark.operators import (
     corpus,
     decontam,
     dedup,
+    langmodel,
     normalize,
     relational,
     sampling,
@@ -1116,6 +1117,42 @@ ORACLE_HOST_TOP_TERMS = (
     "FROM tc JOIN dc USING (term) CROSS JOIN nh) "
     "SELECT host, term, tf, df, tfidf, CAST(term_rank AS BIGINT) AS term_rank "
     "FROM scored WHERE term_rank <= 3"
+)
+
+
+def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: char-trigram add-one model
+    trained on a trusted slice (doc_id % 10 < 3), every document
+    scored by average trigram log-probability (micro-nat-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    return langmodel.charlm_score(docs, ref)
+
+
+ORACLE_CHARLM = (
+    "WITH ref AS (SELECT text FROM documents "
+    "WHERE doc_id % 10 < 3 AND length(text) >= 3), "
+    "ref_tri AS (SELECT substr(text, CAST(u AS INT), 3) AS tri "
+    "FROM (SELECT text, unnest(range(1, length(text) - 1)) AS u FROM ref)), "
+    "tri_c AS (SELECT tri, CAST(count(*) AS BIGINT) AS c_tri "
+    "FROM ref_tri GROUP BY 1), "
+    "pre_c AS (SELECT substr(tri, 1, 2) AS prefix, "
+    "CAST(count(*) AS BIGINT) AS c_prefix FROM ref_tri GROUP BY 1), "
+    "vv AS (SELECT CAST(count(DISTINCT substr(tri, 3, 1)) AS BIGINT) AS v "
+    "FROM ref_tri), "
+    "doc_tri AS (SELECT doc_id, substr(text, CAST(u AS INT), 3) AS tri "
+    "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS u "
+    "FROM documents WHERE length(text) >= 3)), "
+    "scored AS (SELECT doc_id, CAST(floor(ln("
+    "CAST(coalesce(c_tri, 0) + 1 AS DOUBLE) / (coalesce(c_prefix, 0) + v)"
+    ") * 1000000) AS BIGINT) AS micro "
+    "FROM doc_tri LEFT JOIN tri_c USING (tri) "
+    "LEFT JOIN pre_c ON substr(doc_tri.tri, 1, 2) = pre_c.prefix "
+    "CROSS JOIN vv) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+    "CAST(sum(micro) AS BIGINT) AS sum_logprob_micro, "
+    "round(sum(micro) / (count(*) * 1000000), 6) AS avg_logprob "
+    "FROM scored GROUP BY doc_id"
 )
 
 
@@ -2361,6 +2398,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
     "host_top_terms": q_host_top_terms,
+    "charlm_score": q_charlm_score,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2427,6 +2465,7 @@ ORACLES: dict[str, str] = {
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "host_top_terms": ORACLE_HOST_TOP_TERMS,
+    "charlm_score": ORACLE_CHARLM,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

@@ -596,3 +596,44 @@ def test_host_top_terms_min_len_and_tokenization(spark):
     got = {r["term"] for r in textstats.host_top_terms(df, k=10).collect()}
     # 'ab' too short; 'foo99bar' splits into foo/bar; case folded
     assert got == {"foo", "bar", "xyz"}
+
+
+# ------------------------------------------------------------------ #
+# charlm_score
+# ------------------------------------------------------------------ #
+
+def test_charlm_score_hand_computed(spark):
+    import math
+    from docling_serve_spark.operators import langmodel
+    # model from "abab": trigrams aba, bab; prefixes ab=1, ba=1; V=2
+    ref = spark.createDataFrame([(0, "abab")], "doc_id bigint, text string")
+    docs = spark.createDataFrame(
+        [(1, "aba"), (2, "abc"), (3, "xyz"), (4, "ab")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in langmodel.charlm_score(docs, ref).collect()}
+    # seen trigram: p = (1+1)/(1+2)
+    assert got[1]["sum_logprob_micro"] == math.floor(math.log(2 / 3) * 1e6)
+    # unseen trigram, seen prefix: p = 1/(1+2)
+    assert got[2]["sum_logprob_micro"] == math.floor(math.log(1 / 3) * 1e6)
+    # unseen prefix: p = 1/V = 1/2
+    assert got[3]["sum_logprob_micro"] == math.floor(math.log(1 / 2) * 1e6)
+    assert 4 not in got  # too short to score
+    assert got[1]["n_trigrams"] == 1
+    assert got[1]["avg_logprob"] == round(got[1]["sum_logprob_micro"] / 1e6, 6)
+
+
+def test_charlm_score_prefers_in_distribution_text(spark):
+    from docling_serve_spark.operators import langmodel
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog and runs on")
+         for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox runs"), (2, "zzqx jjkk wwvv qqpp zz")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["avg_logprob"]
+           for r in langmodel.charlm_score(docs, ref).collect()}
+    assert got[1] > got[2]  # in-distribution text scores closer to 0
