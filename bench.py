@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "split_assign",
     "host_top_terms",
     "charlm_score",
+    "boilerplate_scrub",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

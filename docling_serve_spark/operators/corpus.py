@@ -106,3 +106,60 @@ def build_training_mixture(docs: DataFrame, benchmark: DataFrame,
     return pack_sequences(
         docs.join(surviving, "doc_id"), seq_len, n_shards, text_col
     )
+
+
+def boilerplate_scrub(pages: DataFrame, host_col: str = "host",
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      frac_bp: int = 5000,
+                      min_pages: int = 2) -> DataFrame:
+    """Per-host boilerplate line removal — CCNet's line-level dedup
+    (Wenzek et al., LREC 2020 §3.1) scoped to the host: a line that
+    appears on ≥ ``min_pages`` distinct pages of a host AND on
+    ≥ ``frac_bp``/10000 of that host's pages is nav/footer chrome,
+    not content, and is excised from every page; document-unique
+    lines always survive. Emits (doc_id, clean_text, n_lines_kept,
+    n_lines_dropped).
+
+    Decision rule is integer-exact (``n_docs·10000 ≥ frac_bp·pages``)
+    so both engines agree at the boundary. Shuffle budget: lines are
+    keyed by md5 so the count aggregation and the verdict join move
+    32-hex keys, never line text twice; reassembly is one groupBy
+    doc_id with ``sort_array`` over (pos, line) pairs — per-document
+    state only, no global sort, host skew bounded by lines-per-host
+    partial aggregation."""
+    lines = pages.select(
+        F.col(id_col).alias("__id"),
+        F.col(host_col).alias("__host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__lk", F.md5(F.col("__line")))
+    host_pages = pages.groupBy(F.col(host_col).alias("__host")).agg(
+        F.countDistinct(id_col).cast("bigint").alias("__pages")
+    )
+    line_freq = lines.groupBy("__host", "__lk").agg(
+        F.countDistinct("__id").cast("bigint").alias("__n_docs")
+    )
+    boiler = (
+        line_freq.join(host_pages, "__host")
+        .filter(
+            (F.col("__n_docs") >= F.lit(min_pages))
+            & (F.col("__n_docs") * F.lit(10000) >= F.lit(frac_bp) * F.col("__pages"))
+        )
+        .select("__host", "__lk", F.lit(True).alias("__boiler"))
+    )
+    verdict = lines.join(boiler, ["__host", "__lk"], "left")
+    kept = F.when(F.col("__boiler").isNull(), F.struct("__pos", "__line"))
+    return (
+        verdict.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(kept).cast("bigint").alias("n_lines_kept"),
+            (F.count("*") - F.count(kept)).cast("bigint").alias("n_lines_dropped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["__line"]
+                ),
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_lines_kept", "n_lines_dropped")
+    )

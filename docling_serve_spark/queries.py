@@ -1156,6 +1156,58 @@ ORACLE_CHARLM = (
 )
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host boilerplate line removal: a nav line on
+    every page and a 'share this page' footer on ~2/3 of pages cross
+    the 50% threshold and are excised; a ~1/3-frequency copyright
+    line and the unique body line survive."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 11).cast("string")
+    nav = F.concat(F.lit("HOME | About | Site"), h)
+    foot = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("Copyright Site"), h)
+    ).otherwise(F.lit("share this page"))
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), h, F.lit(".com")).alias("host"),
+        F.concat_ws("\n", nav, F.col("text"), foot).alias("text"),
+    )
+    return corpus.boilerplate_scrub(pages)
+
+
+ORACLE_BOILERPLATE = (
+    "WITH pages AS (SELECT doc_id, "
+    "'site' || CAST(doc_id % 11 AS VARCHAR) || '.com' AS host, "
+    "'HOME | About | Site' || CAST(doc_id % 11 AS VARCHAR) || chr(10) "
+    "|| text || chr(10) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'Copyright Site' "
+    "|| CAST(doc_id % 11 AS VARCHAR) ELSE 'share this page' END) AS text "
+    "FROM documents), "
+    "hp AS (SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages "
+    "FROM pages GROUP BY 1), "
+    "lines AS (SELECT doc_id, host, u AS pos, ls[CAST(u AS INT)] AS line "
+    "FROM (SELECT doc_id, host, string_split(text, chr(10)) AS ls, "
+    "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS u "
+    "FROM pages)), "
+    "freq AS (SELECT host, md5(line) AS lk, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM lines GROUP BY 1, 2), "
+    "boiler AS (SELECT host, lk FROM freq JOIN hp USING (host) "
+    "WHERE n_docs >= 2 AND n_docs * 10000 >= 5000 * n_pages), "
+    "verdict AS (SELECT l.doc_id, l.pos, l.line, "
+    "b.lk IS NOT NULL AS is_boiler FROM lines l "
+    "LEFT JOIN boiler b ON l.host = b.host AND md5(l.line) = b.lk) "
+    "SELECT doc_id, "
+    "coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, "
+    "chr(10) ORDER BY pos), '') AS clean_text, "
+    "CAST(count(CASE WHEN NOT is_boiler THEN 1 END) AS BIGINT) "
+    "AS n_lines_kept, "
+    "CAST(count(*) - count(CASE WHEN NOT is_boiler THEN 1 END) AS BIGINT) "
+    "AS n_lines_dropped "
+    "FROM verdict GROUP BY doc_id"
+)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
     per-doc counts. PII snippets are synthesized deterministically
@@ -2399,6 +2451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "host_top_terms": q_host_top_terms,
     "charlm_score": q_charlm_score,
+    "boilerplate_scrub": q_boilerplate_scrub,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2466,6 +2519,7 @@ ORACLES: dict[str, str] = {
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "host_top_terms": ORACLE_HOST_TOP_TERMS,
     "charlm_score": ORACLE_CHARLM,
+    "boilerplate_scrub": ORACLE_BOILERPLATE,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

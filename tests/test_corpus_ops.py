@@ -637,3 +637,50 @@ def test_charlm_score_prefers_in_distribution_text(spark):
     got = {r["doc_id"]: r["avg_logprob"]
            for r in langmodel.charlm_score(docs, ref).collect()}
     assert got[1] > got[2]  # in-distribution text scores closer to 0
+
+
+# ------------------------------------------------------------------ #
+# boilerplate_scrub
+# ------------------------------------------------------------------ #
+
+def test_boilerplate_scrub_host_scoped(spark):
+    from docling_serve_spark.operators import corpus
+    rows = [
+        (1, "a.com", "NAV\nbody one\nNAV2"),
+        (2, "a.com", "NAV\nbody two\nNAV2"),
+        (3, "a.com", "NAV\nbody three\nunique footer"),
+        # same NAV line on b.com but it's b.com's ONLY page -> kept
+        (4, "b.com", "NAV\nsolo body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    got = {r["doc_id"]: r for r in corpus.boilerplate_scrub(df).collect()}
+    # NAV on 3/3 pages of a.com -> dropped; NAV2 on 2/3 (>=50%) -> dropped
+    assert got[1]["clean_text"] == "body one"
+    assert got[2]["clean_text"] == "body two"
+    assert got[3]["clean_text"] == "body three\nunique footer"
+    assert (got[1]["n_lines_kept"], got[1]["n_lines_dropped"]) == (1, 2)
+    # host-scoped: b.com's single page keeps everything (min_pages=2)
+    assert got[4]["clean_text"] == "NAV\nsolo body"
+    assert got[4]["n_lines_dropped"] == 0
+
+
+def test_boilerplate_scrub_fully_boiler_doc_empties(spark):
+    from docling_serve_spark.operators import corpus
+    df = spark.createDataFrame(
+        [(1, "h.com", "SAME"), (2, "h.com", "SAME")],
+        "doc_id bigint, host string, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.boilerplate_scrub(df).collect()}
+    assert got[1]["clean_text"] == "" and got[1]["n_lines_kept"] == 0
+
+
+def test_boilerplate_scrub_threshold_boundary_exact(spark):
+    from docling_serve_spark.operators import corpus
+    # line on exactly 2 of 4 pages: 2*10000 >= 5000*4 -> dropped (>=)
+    rows = [
+        (1, "h.com", "HALF\nu1"), (2, "h.com", "HALF\nu2"),
+        (3, "h.com", "u3"), (4, "h.com", "u4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    got = {r["doc_id"]: r for r in corpus.boilerplate_scrub(df).collect()}
+    assert got[1]["clean_text"] == "u1" and got[1]["n_lines_dropped"] == 1
