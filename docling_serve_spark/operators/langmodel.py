@@ -24,17 +24,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 _MICRO = 1000000
 
 
-def _trigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _trigrams(docs: DataFrame, text_col: str, id_col: str,
+              max_chars: int | None = None) -> DataFrame:
     """(id, tri) — one row per character position; docs shorter than
-    3 chars contribute nothing."""
+    3 chars contribute nothing.
+
+    ``max_chars`` caps the scored prefix: ``F.sequence`` materializes
+    the full per-row position array BEFORE exploding, so an uncapped
+    multi-MB outlier document allocates a same-sized JVM array in one
+    task. At corpus scale always set a cap (CCNet itself scores a
+    prefix; the quality estimate converges in a few thousand chars)."""
+    t = F.col(text_col)
+    if max_chars is not None:
+        t = t.substr(F.lit(1), F.lit(max_chars))
     return (
-        docs.filter(F.length(text_col) >= 3)
+        docs.filter(F.length(t) >= 3)
         .select(
             F.col(id_col).alias("__id"),
             F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - 2)
+                F.sequence(F.lit(1), F.length(t) - 2)
             ).alias("__pos"),
-            F.col(text_col).alias("__t"),
+            t.alias("__t"),
         )
         .select(
             "__id", F.col("__t").substr(F.col("__pos"), F.lit(3)).alias("tri")
@@ -43,10 +53,11 @@ def _trigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def train_char_lm(ref: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> tuple[DataFrame, DataFrame, Column]:
+                  id_col: str = "doc_id",
+                  max_chars: int | None = None) -> tuple[DataFrame, DataFrame, Column]:
     """Add-one char-trigram model from the trusted slice: returns
     (trigram counts, prefix counts, vocab-size scalar DataFrame)."""
-    tri = _trigrams(ref, text_col, id_col)
+    tri = _trigrams(ref, text_col, id_col, max_chars)
     tri_counts = tri.groupBy("tri").agg(
         F.count("*").cast("bigint").alias("c_tri")
     )
@@ -61,7 +72,8 @@ def train_char_lm(ref: DataFrame, text_col: str = "text",
 
 def charlm_score(docs: DataFrame, ref: DataFrame,
                  text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 max_chars: int | None = None) -> DataFrame:
     """(doc_id, n_trigrams, sum_logprob_micro, avg_logprob) — per-doc
     average trigram log-probability under the trusted-slice model.
     Higher (closer to 0) = more like the trusted corpus; the CCNet
@@ -70,13 +82,15 @@ def charlm_score(docs: DataFrame, ref: DataFrame,
     P(c₃|c₁c₂) = (c(tri)+1)/(c(prefix)+V); unseen prefix → 1/V.
     Each trigram contributes ``floor(ln(p)·1e6)`` micro-nats (exact
     bigint aggregation, engine-order-independent)."""
-    tri_counts, prefix_counts, vocab = train_char_lm(ref, text_col, id_col)
+    tri_counts, prefix_counts, vocab = train_char_lm(
+        ref, text_col, id_col, max_chars
+    )
     # pre-aggregate (doc, tri) BEFORE the model join: the join input
     # shrinks from one row per character to one row per distinct
     # trigram per doc (~5-20x), and the per-trigram micro-nat value is
     # deterministic, so weighting by the count is exact
     doc_tri = (
-        _trigrams(docs, text_col, id_col)
+        _trigrams(docs, text_col, id_col, max_chars)
         .groupBy("__id", "tri")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .withColumn("prefix", F.substring("tri", 1, 2))

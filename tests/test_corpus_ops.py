@@ -684,3 +684,15 @@ def test_boilerplate_scrub_threshold_boundary_exact(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
     got = {r["doc_id"]: r for r in corpus.boilerplate_scrub(df).collect()}
     assert got[1]["clean_text"] == "u1" and got[1]["n_lines_dropped"] == 1
+
+
+def test_charlm_score_max_chars_cap(spark):
+    from docling_serve_spark.operators import langmodel
+    ref = spark.createDataFrame([(0, "abcdefgh")], "doc_id bigint, text string")
+    docs = spark.createDataFrame([(1, "abcdefgh")], "doc_id bigint, text string")
+    full = langmodel.charlm_score(docs, ref).collect()[0]
+    capped = langmodel.charlm_score(docs, ref, max_chars=5).collect()[0]
+    assert full["n_trigrams"] == 6
+    assert capped["n_trigrams"] == 3  # only the 5-char prefix scored
+    # capped model+doc agree: all prefix trigrams seen -> same per-tri score
+    assert capped["sum_logprob_micro"] > full["sum_logprob_micro"] * 3 // 6 - 10**6
