@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "host_top_terms",
     "charlm_score",
     "boilerplate_scrub",
+    "substring_spans",
     "pii_redact",
     "corpus_filter_chain",
     "decontam_flags",

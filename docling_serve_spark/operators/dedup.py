@@ -655,3 +655,76 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def substring_dup_spans(docs: DataFrame, text_col: str = "text",
+                        w: int = 8) -> DataFrame:
+    """Exact duplicated-substring spans — Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    re-expressed on stride-1 rolling token windows instead of a
+    suffix array: every w-token window that occurs in ≥ 2 documents
+    marks its token range, and overlapping/adjacent marked ranges
+    merge into maximal spans. Emits one row per span:
+    (doc_id, span_no, tok_start, tok_end, n_windows), 1-based
+    inclusive token positions over normalized text.
+
+    Scale shape: rolling windows explode to ~n_tokens rows but shuffle
+    only (md5, doc_id, pos) triples; the cross-doc test is one hash
+    aggregation on the window key (map-side partial) and the verdict
+    join moves 32-hex keys. Span merging is the classic islands
+    computation — two per-doc window functions over (doc_id, wpos),
+    partition-local after a single exchange on doc_id, no global
+    sort. The suffix-array original needs a global order; this form
+    needs only per-doc state and is exact for spans ≥ w tokens."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = docs.select(F.col("doc_id"), toks.alias("__toks")).filter(
+        F.size("__toks") >= w
+    )
+    wins = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - w + 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, w)),
+                )
+            ).alias("__p0", "__wtext"),
+        )
+        .select(
+            "doc_id",
+            (F.col("__p0") + 1).alias("wpos"),
+            F.md5(F.col("__wtext")).alias("__wk"),
+        )
+    )
+    dup = (
+        wins.groupBy("__wk")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__wk")
+    )
+    flagged = wins.join(dup, "__wk").select("doc_id", "wpos")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = (
+        Window.partitionBy("doc_id")
+        .orderBy("wpos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("wpos") + F.lit(w - 1)).over(prev)
+    new_island = (
+        prev_end.isNull() | (F.col("wpos") > prev_end + 1)
+    ).cast("int")
+    spans = flagged.withColumn(
+        "span_no", F.sum(new_island).over(cur).cast("bigint")
+    )
+    return spans.groupBy("doc_id", "span_no").agg(
+        F.min("wpos").cast("bigint").alias("tok_start"),
+        (F.max("wpos") + F.lit(w - 1)).cast("bigint").alias("tok_end"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    )

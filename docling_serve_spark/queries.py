@@ -1208,6 +1208,66 @@ ORACLE_BOILERPLATE = (
 )
 
 
+_SPAN_HEAD = "breaking shared header alpha beta gamma delta epsilon zeta eta"
+_SPAN_TAIL = "common footer omega psi chi phi upsilon tau sigma rho"
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 shape):
+    a shared 10-token header on 1/4 of docs and a shared 10-token
+    footer on 1/3 mark head/tail spans; corpus-level exact-dup texts
+    mark whole-body spans."""
+    docs = _t(spark, sf_dir, "documents")
+    head = F.when(F.col("doc_id") % 4 == 0, F.lit(_SPAN_HEAD)).otherwise(
+        F.lit("")
+    )
+    tail = F.when(F.col("doc_id") % 3 == 0, F.lit(_SPAN_TAIL)).otherwise(
+        F.lit("")
+    )
+    salted = docs.select(
+        "doc_id", F.concat_ws(" ", head, F.col("text"), tail).alias("text")
+    )
+    return dedup.substring_dup_spans(salted, w=8)
+
+
+def _substring_spans_oracle(w: int = 8) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        "WITH s AS (SELECT doc_id, "
+        f"(CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_HEAD}' ELSE '' END) "
+        "|| ' ' || text || ' ' || "
+        f"(CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_TAIL}' ELSE '' END) "
+        "AS text FROM documents), "
+        f"t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS toks "
+        "FROM s), "
+        "r AS (SELECT doc_id, i AS wpos, array_to_string(list_slice("
+        f"toks, CAST(i AS INT), CAST(i + {w - 1} AS INT)), ' ') AS wtext "
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, "
+        f"len(toks) - {w - 1})) AS i) WHERE len(toks) >= {w}), "
+        "d AS (SELECT doc_id, wpos, md5(wtext) AS wk FROM r), "
+        "dup AS (SELECT wk FROM d GROUP BY wk "
+        "HAVING count(DISTINCT doc_id) >= 2), "
+        "f AS (SELECT doc_id, wpos FROM d WHERE wk IN (SELECT wk FROM dup)), "
+        "isl AS (SELECT doc_id, wpos, CASE WHEN "
+        f"max(wpos + {w - 1}) OVER (PARTITION BY doc_id ORDER BY wpos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+        f"OR wpos > max(wpos + {w - 1}) OVER (PARTITION BY doc_id "
+        "ORDER BY wpos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1 "
+        "THEN 1 ELSE 0 END AS ni FROM f), "
+        "g AS (SELECT doc_id, wpos, sum(ni) OVER (PARTITION BY doc_id "
+        "ORDER BY wpos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS span_no FROM isl) "
+        "SELECT doc_id, CAST(span_no AS BIGINT) AS span_no, "
+        "CAST(min(wpos) AS BIGINT) AS tok_start, "
+        f"CAST(max(wpos) + {w - 1} AS BIGINT) AS tok_end, "
+        "CAST(count(*) AS BIGINT) AS n_windows "
+        "FROM g GROUP BY doc_id, span_no"
+    )
+
+
+ORACLE_SUBSTRING_SPANS = _substring_spans_oracle()
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub audit: emails/phones/IPv4 replaced with typed tokens,
     per-doc counts. PII snippets are synthesized deterministically
@@ -2452,6 +2512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_top_terms": q_host_top_terms,
     "charlm_score": q_charlm_score,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "substring_spans": q_substring_spans,
     "pii_redact": q_pii_redact,
     "corpus_filter_chain": q_corpus_filter_chain,
     "decontam_flags": q_decontam_flags,
@@ -2520,6 +2581,7 @@ ORACLES: dict[str, str] = {
     "host_top_terms": ORACLE_HOST_TOP_TERMS,
     "charlm_score": ORACLE_CHARLM,
     "boilerplate_scrub": ORACLE_BOILERPLATE,
+    "substring_spans": ORACLE_SUBSTRING_SPANS,
     "pii_redact": ORACLE_PII,
     "corpus_filter_chain": ORACLE_FILTER_CHAIN,
     "decontam_flags": ORACLE_DECONTAM,

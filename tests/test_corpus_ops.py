@@ -696,3 +696,50 @@ def test_charlm_score_max_chars_cap(spark):
     assert capped["n_trigrams"] == 3  # only the 5-char prefix scored
     # capped model+doc agree: all prefix trigrams seen -> same per-tri score
     assert capped["sum_logprob_micro"] > full["sum_logprob_micro"] * 3 // 6 - 10**6
+
+
+# ------------------------------------------------------------------ #
+# substring_dup_spans
+# ------------------------------------------------------------------ #
+
+def test_substring_dup_spans_hand_computed(spark):
+    shared = " ".join(f"s{i}" for i in range(10))   # 10 shared tokens
+    a_mid = " ".join(f"a{i}" for i in range(6))
+    rows = [
+        (1, shared + " " + a_mid + " " + shared),   # spans at both ends
+        (2, shared),                                # whole doc duplicated
+        (3, " ".join(f"u{i}" for i in range(12))),  # unique -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in dedup.substring_dup_spans(df, w=8).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_no"], r["tok_start"], r["tok_end"], r["n_windows"])
+        )
+    for v in got.values():
+        v.sort()
+    # doc 1: 26 tokens; dup windows at pos 1..3 (head) and 17..19 (tail)
+    assert got[1] == [(1, 1, 10, 3), (2, 17, 26, 3)]
+    # doc 2: windows 1..3 all duplicated -> one span covering all 10
+    assert got[2] == [(1, 1, 10, 3)]
+    assert 3 not in got
+
+
+def test_substring_dup_spans_adjacent_windows_merge(spark):
+    # two docs share tokens 1..9 only (9 tokens -> windows at pos 1,2)
+    shared = " ".join(f"s{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(1, shared + " x1 x2"), (2, shared + " y1 y2")],
+        "doc_id bigint, text string",
+    )
+    got = dedup.substring_dup_spans(df, w=8).collect()
+    by_doc = {r["doc_id"]: r for r in got}
+    assert len(got) == 2  # one merged span per doc, not two
+    assert (by_doc[1]["tok_start"], by_doc[1]["tok_end"]) == (1, 9)
+
+
+def test_substring_dup_spans_short_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    assert dedup.substring_dup_spans(df, w=8).count() == 0
