@@ -728,3 +728,32 @@ def substring_dup_spans(docs: DataFrame, text_col: str = "text",
         (F.max("wpos") + F.lit(w - 1)).cast("bigint").alias("tok_end"),
         F.count("*").cast("bigint").alias("n_windows"),
     )
+
+
+def canonical_select(components: DataFrame, docs: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Canonical-document selection over dup clusters — the decision
+    step after clustering (X10): each component keeps its longest
+    member (ties → smallest doc_id), everything else is marked for
+    drop. RefinedWeb/C4-style pipelines keep one representative per
+    near-dup cluster; longest-text is the common deterministic policy.
+    Emits (doc_id, component, n_chars, is_canonical).
+
+    One equi-join component⋈doc on doc_id and one partition-local
+    window rank per component — component skew is bounded by real dup
+    clusters (size ~ duplication factor, not corpus size)."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id", F.length(text_col).cast("bigint").alias("n_chars")
+    )
+    j = components.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

@@ -653,6 +653,35 @@ ORACLE_DUP_COMPONENTS = (
 )
 
 
+def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical doc per dup cluster: MinHash candidate pairs →
+    connected components → keep the longest member of each component
+    (ties → smallest doc_id)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    comps = dedup.dup_components(dedup.minhash_candidate_pairs(docs))
+    return dedup.canonical_select(comps, docs)
+
+
+def _canonical_oracle() -> str:
+    i = ORACLE_DUP_COMPONENTS.rindex("SELECT CAST(src")
+    head, final = ORACLE_DUP_COMPONENTS[:i], ORACLE_DUP_COMPONENTS[i:]
+    return (
+        head
+        + ", comp AS ("
+        + final
+        + "), d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        + "FROM " + _DUP_UNION_SQL + " u), "
+        + "r AS (SELECT c.doc_id, c.component, d.n_chars, "
+        + "row_number() OVER (PARTITION BY c.component "
+        + "ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn "
+        + "FROM comp c JOIN d USING (doc_id)) "
+        + "SELECT doc_id, component, n_chars, rn = 1 AS is_canonical FROM r"
+    )
+
+
+ORACLE_CANONICAL_SELECT = _canonical_oracle()
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style corpus filter verdict: keep/drop + first
     failing rule, all WholeStageCodegen arithmetic."""
@@ -2499,6 +2528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "jaccard_neardup": q_jaccard_neardup,
     "dup_components": q_dup_components,
+    "canonical_select": q_canonical_select,
     "quality_filter": q_quality_filter,
     "textstats": q_textstats,
     "rep_ngram_stats": q_rep_ngram_stats,
@@ -2568,6 +2598,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,
     "jaccard_neardup": ORACLE_JACCARD,
     "dup_components": ORACLE_DUP_COMPONENTS,
+    "canonical_select": ORACLE_CANONICAL_SELECT,
     "quality_filter": ORACLE_QUALITY_FILTER,
     "textstats": ORACLE_TEXTSTATS,
     "rep_ngram_stats": ORACLE_REP_NGRAM,

@@ -743,3 +743,25 @@ def test_substring_dup_spans_short_docs_skipped(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
     )
     assert dedup.substring_dup_spans(df, w=8).count() == 0
+
+
+# ------------------------------------------------------------------ #
+# canonical_select
+# ------------------------------------------------------------------ #
+
+def test_canonical_select_longest_wins_ties_by_id(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "doc_id bigint, component bigint",
+    )
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text"), (3, "mid text"),
+         (4, "same size"), (5, "Same Size")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.canonical_select(comps, docs).collect()}
+    assert got[2]["is_canonical"] and not got[1]["is_canonical"]
+    assert not got[3]["is_canonical"]
+    # equal lengths -> smallest doc_id wins
+    assert got[4]["is_canonical"] and not got[5]["is_canonical"]
+    assert sum(r["is_canonical"] for r in got.values()) == 2
