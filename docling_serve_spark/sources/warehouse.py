@@ -256,3 +256,66 @@ def metrics_df(spark: SparkSession, out_dir: str) -> DataFrame:
         "chunk int, num_docs bigint, num_succeeded bigint, num_failed bigint, "
         "num_skipped bigint, bytes_processed bigint, ocr_invocations bigint",
     )
+
+
+def upsert(
+    spark: SparkSession,
+    out_dir: str,
+    updates: DataFrame,
+    n_chunks: int = 16,
+) -> dict:
+    """SCD-1 merge of a recrawl batch into the committed warehouse,
+    keyed on url — the consumer of the X26 snapshot diff: re-extracted
+    'changed'/'added' rows replace or join their predecessors WITHOUT
+    rewriting the warehouse. Only the hash-chunk partitions that
+    contain an updated url are read (partition-pruned scan) and
+    rewritten (dynamic partition overwrite); every other chunk
+    directory keeps its files byte-identical. This is Iceberg's
+    MERGE/overwritePartitions expressed on plain parquet, with the
+    same working-set bound: the touched partitions, not the table.
+
+    ``updates`` must carry the warehouse row schema (url, status,
+    channels, ...) with ONE row per url — resolve recrawl ties (e.g.
+    latest warc_ts) upstream. Like Iceberg's MERGE, ``updates`` must
+    not be a lazy plan over the target warehouse itself (the
+    overwrite would invalidate its source files); materialize such a
+    plan first (``localCheckpoint``) or write it elsewhere. Touched-chunk manifests are re-audited
+    from the committed files afterwards, so resume lineage stays
+    truthful. Returns merge counters."""
+    upd = updates.withColumn("chunk", chunk_expr(n_chunks))
+    touched = sorted(
+        r["chunk"] for r in upd.select("chunk").distinct().collect()
+    )
+    if not touched:
+        return {"touched_chunks": [], "n_updates": 0,
+                "n_replaced": 0, "n_new": 0}
+    data = os.path.join(out_dir, "data")
+    old = spark.read.parquet(data).filter(F.col("chunk").isin(touched))
+    n_old = old.count()
+    survivors = old.join(
+        upd.select("url").distinct(), "url", "left_anti"
+    ).select(*upd.columns)
+    # localCheckpoint cuts the lineage back to the files being
+    # overwritten — Spark refuses a write whose plan still reads the
+    # target path. Materialized size = survivors of touched chunks
+    # only (the merge working set).
+    merged = survivors.unionByName(upd).localCheckpoint(eager=True)
+    n_upd = upd.count()
+    n_merged = merged.count()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk")
+        .parquet(data)
+    )
+    counters = _wave_counters(spark, out_dir, touched)
+    for chunk in touched:
+        with open(_manifest_path(out_dir, chunk), "w") as f:
+            json.dump({"chunk": chunk, **counters[chunk]}, f)
+    n_new = n_merged - n_old  # net additions
+    return {
+        "touched_chunks": touched,
+        "n_updates": n_upd,
+        "n_replaced": n_upd - n_new,
+        "n_new": n_new,
+    }
