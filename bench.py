@@ -184,7 +184,39 @@ def _run_extraction(spark, path: str, warmup: bool = True, reps: int = 2) -> flo
 BENCH_SPLIT_BYTES = 2 * 1024 * 1024
 
 
-def scaling_worker(cpus: int) -> None:
+def _ensure_scaled_docs(spark, factor: int = 40) -> str:
+    """A documents corpus big enough for the operator-scaling legs:
+    sf0.1's documents table is 5k rows — a ~5 s op there is all fixed
+    overhead (stage scheduling, codegen) and measures nothing about
+    engine scaling. Replicate it ``factor``× with per-replica doc_id
+    offsets AND a per-replica text salt token (no cross-replica exact
+    dups, same shingle statistics), cached as a synthetic sf dir so
+    catalog queries run on it unchanged."""
+    from pyspark.sql import functions as F
+
+    name = os.path.basename(SF_DIR.rstrip("/"))
+    out = os.path.join(CACHE_DIR, f"docs_scaled_{name}_x{factor}")
+    marker = os.path.join(out, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        scaled = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" rep"),
+                         F.col("rep").cast("string")),
+            )
+            .drop("rep")
+        )
+        scaled.write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+    return out
+
+
+def scaling_worker(cpus: int, op: str | None = None) -> None:
     from docling_serve_spark.session import get_spark
 
     spark = get_spark(
@@ -192,6 +224,23 @@ def scaling_worker(cpus: int) -> None:
         shuffle_partitions=cpus,
         files_max_partition_bytes=BENCH_SPLIT_BYTES,
     )
+    if op is not None:
+        # operator-scaling leg: time a catalog query (shuffle-bearing
+        # ops included) at this parallelism over the pre-built scaled
+        # documents corpus — same warm-up + min-of-2 discipline as
+        # the extract leg
+        from docling_serve_spark.queries import QUERIES
+
+        sf_dir = _ensure_scaled_docs(spark)  # cache hit: orchestrator built it
+        _force(QUERIES[op](spark, sf_dir))  # warm-up (workers + JIT)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(QUERIES[op](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        print(json.dumps({"cpus": cpus, "sec": best, "op": op}))
+        spark.stop()
+        return
     path = _ensure_corpus(spark, SCALING_DOCS)
     # SYMMETRIC protocol: identical rep count at every parallelism
     # level, min-of-reps within the worker. Two reps because the
@@ -246,10 +295,55 @@ def main() -> None:
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--sf1-extract", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--op", default=None,
+                    help="with --scaling-worker / --op-scaling: time "
+                         "this catalog query instead of extraction")
+    ap.add_argument("--op-scaling", default=None, metavar="QUERY",
+                    help="run the interleaved N->4N protocol on a "
+                         "catalog operator (e.g. dedup_minhash) and "
+                         "print one JSON line")
     args = ap.parse_args()
 
     if args.scaling_worker:
-        scaling_worker(args.cpus)
+        scaling_worker(args.cpus, op=args.op)
+        return
+    if args.op_scaling:
+        # pre-build the scaled corpus at full parallelism so the
+        # pinned workers only read it
+        from docling_serve_spark.session import get_spark as _gs
+
+        _sp = _gs(app_name="bench-op-scale-prep", master=f"local[{CPUS}]")
+        _ensure_scaled_docs(_sp)
+        _sp.stop()
+        time.sleep(10)  # host settle before measured runs
+        lows, highs = 4, 16
+        results: dict[int, float] = {}
+
+        def run_op_worker(cpus: int) -> float:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scaling-worker", "--cpus", str(cpus),
+                   "--op", args.op_scaling]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [l for l in out.stdout.strip().splitlines()
+                    if l.startswith("{")][-1]
+            return json.loads(line)["sec"]
+
+        for _ in range(2):  # interleaved, symmetric (see BENCH.md)
+            for cpus in (lows, highs):
+                t = run_op_worker(cpus)
+                results[cpus] = min(results.get(cpus, float("inf")), t)
+        eff = (results[lows] / results[highs]) * (lows / highs)
+        print(json.dumps({
+            "metric": f"{args.op_scaling} scaling efficiency",
+            "op": args.op_scaling, "cpus_low": lows, "cpus_high": highs,
+            "t_low_sec": round(results[lows], 3),
+            "t_high_sec": round(results[highs], 3),
+            "efficiency": round(eff, 3), "sf": os.path.basename(SF_DIR),
+        }))
         return
     if args.sf1_extract:
         sf1_extract()

@@ -290,7 +290,10 @@ def upsert(
         return {"touched_chunks": [], "n_updates": 0,
                 "n_replaced": 0, "n_new": 0}
     data = os.path.join(out_dir, "data")
-    old = spark.read.parquet(data).filter(F.col("chunk").isin(touched))
+    if os.path.isdir(data):
+        old = spark.read.parquet(data).filter(F.col("chunk").isin(touched))
+    else:  # bootstrap: first merge into an empty warehouse
+        old = upd.limit(0)
     n_old = old.count()
     survivors = old.join(
         upd.select("url").distinct(), "url", "left_anti"
@@ -309,6 +312,7 @@ def upsert(
         .parquet(data)
     )
     counters = _wave_counters(spark, out_dir, touched)
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     for chunk in touched:
         with open(_manifest_path(out_dir, chunk), "w") as f:
             json.dump({"chunk": chunk, **counters[chunk]}, f)

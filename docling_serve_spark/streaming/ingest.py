@@ -162,3 +162,38 @@ def dedup_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def run_upsert_stream(
+    results: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_chunks: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous-recrawl sink: each micro-batch of re-extracted rows
+    is MERGED into the committed warehouse by url (``warehouse.upsert``
+    via ``foreachBatch``) instead of appended — the streaming form of
+    the X26→X34 recrawl loop, so the warehouse always holds exactly
+    one (latest) row per url.
+
+    Exactly-once composition: the streaming checkpoint makes batch
+    replay idempotent BECAUSE the upsert itself is idempotent (same
+    batch merged twice yields the same warehouse state) — the same
+    argument Iceberg makes for foreachBatch MERGE sinks. Each batch
+    touches only the hash-chunk partitions containing its urls."""
+    from docling_serve_spark.sources import warehouse
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.isEmpty():
+            batch = batch.dropDuplicates(["url"]).localCheckpoint(eager=True)
+            warehouse.upsert(batch.sparkSession, out_dir, batch, n_chunks)
+
+    writer = (
+        results.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

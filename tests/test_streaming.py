@@ -237,3 +237,56 @@ def test_mixture_gates_stream_equals_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, gates(batch).collect()))
     assert got == want and len(got) == 80
+
+
+def test_stream_upsert_merges_recrawl(spark, tmp_path):
+    """foreachBatch upsert sink: a recrawl micro-batch replaces its
+    urls in the committed warehouse (one row per url afterwards), and
+    a checkpoint replay is a no-op."""
+    from docling_serve_spark.sources.warehouse import (
+        read_results,
+        run_checkpointed,
+    )
+    from docling_serve_spark.streaming.ingest import run_upsert_stream
+
+    out = str(tmp_path / "wh")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    n = 40
+    run_checkpointed(spark, build_pages_df(spark, n, partitions=4), out,
+                     n_chunks=4)
+    committed = read_results(spark, out)
+    row_schema = committed.drop("chunk").schema
+
+    changed = (
+        committed.orderBy("url").limit(5).drop("chunk")
+        .withColumn("extracted_text", F.lit("RECRAWLED"))
+    )
+    fresh = (
+        committed.orderBy(F.col("url").desc()).limit(2).drop("chunk")
+        .withColumn("url", F.concat(F.col("url"), F.lit("?v=2")))
+    )
+    changed.unionByName(fresh).localCheckpoint(eager=True).coalesce(
+        1
+    ).write.parquet(os.path.join(landing, "batch1"))
+
+    stream = spark.readStream.schema(row_schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(landing)
+    run_upsert_stream(stream, out, ckpt, n_chunks=4).awaitTermination()
+
+    after = read_results(spark, out)
+    assert after.count() == n + 2
+    assert after.select("url").distinct().count() == n + 2
+    assert (
+        after.filter(F.col("extracted_text") == "RECRAWLED").count() == 5
+    )
+
+    # replay: same checkpoint, no new files -> warehouse unchanged
+    stream2 = spark.readStream.schema(row_schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(landing)
+    run_upsert_stream(stream2, out, ckpt, n_chunks=4).awaitTermination()
+    assert read_results(spark, out).count() == n + 2
