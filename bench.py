@@ -97,9 +97,11 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
+    "ann_lsh_multitable",
     "ann_ivf",
     "ann_ivf_refined",
     "ann_recall",
+    "ann_recall_multitable",
     "centroid_similarity",
     "media_metadata",
     "media_resize",

@@ -148,6 +148,96 @@ def ann_topk_lsh(
     )
 
 
+def _table_seed(seed: int, table: int) -> int:
+    """Per-table hyperplane seed: tables draw disjoint plane families."""
+    return seed + 101 * table
+
+
+def _multitable_probes(
+    qbucket: Column, table: int, n_planes: int, multiprobe: bool
+) -> Column:
+    """Probe list for one table's query bucket: the exact bucket plus
+    (optionally) every Hamming-distance-1 flip."""
+    if not multiprobe:
+        return F.array(qbucket)
+    return F.array(
+        qbucket, *[qbucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+
+
+def ann_topk_lsh_multitable(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Amplified LSH ANN: ``n_tables`` independent hash tables (the
+    classic Indyk-Motwani OR-amplification; Gionis/Indyk/Motwani VLDB
+    1999), each with its own seeded hyperplane family. A candidate is
+    probed if it collides with the query in ANY table, so the miss
+    probability drops from (1 - p^b) to (1 - p^b)^L — this is the
+    recall lever single-table multi-probe (Lv et al. VLDB 2007) alone
+    cannot reach; here the two compose (Hamming-1 probes per table).
+
+    Spark shape: the corpus side computes all L buckets in the scan
+    and posexplodes to (table, bucket) rows — a narrow L-times map,
+    no shuffle; the query side broadcasts L*(n_planes+1) probe rows
+    and the join is a hashed equi-join on (table, bucket). A candidate
+    colliding in several tables is deduplicated by a groupBy on vec_id
+    over the (tiny) candidate set. At 10^12 scale the index is written
+    as L bucket-partitioned tables and probing is L*(n_planes+1)
+    partition-pruned scans."""
+    seeds = [_table_seed(seed, t) for t in range(n_tables)]
+    buckets = F.array(
+        *[lsh_bucket(F.col(vec_col), n_planes=n_planes, seed=s) for s in seeds]
+    )
+    wb = embeddings.select(
+        "vec_id",
+        vec_col,
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+    qrow = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _normalized(F.col(vec_col)).alias("qn"),
+        *[
+            lsh_bucket(F.col(vec_col), n_planes=n_planes, seed=s).alias(f"qb{t}")
+            for t, s in enumerate(seeds)
+        ],
+    )
+    probes = qrow.select(
+        "qn",
+        F.posexplode(
+            F.array(
+                *[
+                    _multitable_probes(F.col(f"qb{t}"), t, n_planes, multiprobe)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("qtbl", "plist"),
+    ).select("qn", "qtbl", F.explode("plist").alias("qbucket"))
+    return (
+        wb.join(
+            F.broadcast(probes),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket")),
+            "inner",
+        )
+        .filter(F.col("vec_id") != query_vec_id)
+        .groupBy(F.col("vec_id").cast("bigint").alias("vec_id"))
+        .agg(
+            F.round(
+                F.max(_dot(F.col(vec_col), F.col("qn")) / _norm(F.col(vec_col))),
+                6,
+            ).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_neardup(
     embeddings: DataFrame,
     threshold: float = 0.35,
@@ -405,6 +495,8 @@ def ann_recall(
     k: int = 10,
     vec_col: str = "embedding",
     n_planes: int = 6,
+    n_tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Recall@k evaluation harness: multi-probe LSH top-k vs exact
     cosine top-k for the first ``n_queries`` stored vectors, in one
@@ -415,11 +507,20 @@ def ann_recall(
     bounded — Q queries — while the corpus side is the full table:
     exact side is a Q-row broadcast against one corpus scan + one
     windowed top-k; approx side probes Q*(n_planes+1) buckets).
+
+    ``n_tables > 1`` certifies the amplified multi-table index
+    (``ann_topk_lsh_multitable``): the approx side probes every
+    table's Hamming-1 neighborhood and candidates colliding in
+    several tables are deduplicated before the top-k window.
     """
+    seeds = [_table_seed(seed, t) for t in range(n_tables)]
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         _normalized(F.col(vec_col)).alias("qn"),
-        lsh_bucket(F.col(vec_col), n_planes=n_planes).alias("qbucket"),
+        *[
+            lsh_bucket(F.col(vec_col), n_planes=n_planes, seed=s).alias(f"qb{t}")
+            for t, s in enumerate(seeds)
+        ],
     )
 
     def _topk(candidates: DataFrame) -> DataFrame:
@@ -445,25 +546,38 @@ def ann_recall(
     probes = queries.select(
         "qid",
         "qn",
-        F.explode(
+        F.posexplode(
             F.array(
-                F.col("qbucket"),
                 *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(n_planes)
-                ],
+                    _multitable_probes(F.col(f"qb{t}"), t, n_planes, True)
+                    for t in range(n_tables)
+                ]
             )
-        ).alias("probe"),
-    )
-    with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes)
+        ).alias("qtbl", "plist"),
+    ).select("qid", "qn", "qtbl", F.explode("plist").alias("probe"))
+    with_bucket = embeddings.select(
+        "vec_id",
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket(F.col(vec_col), n_planes=n_planes, seed=s)
+                    for s in seeds
+                ]
+            )
+        ).alias("tbl", "bucket"),
     )
     approx = _topk(
         with_bucket.join(
-            F.broadcast(probes), F.col("bucket") == F.col("probe"), "inner"
+            F.broadcast(probes),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("probe")),
+            "inner",
         )
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", scored)
+        .groupBy("qid", "vec_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
     hits = exact.join(approx, ["qid", "vec_id"], "inner")

@@ -1702,13 +1702,13 @@ def _plane_sql(dim: int, seed: int, plane: int) -> str:
     return "[" + ", ".join(repr(v) for v in vals) + "]"
 
 
-def _bucket_sql(vec: str, n_planes: int) -> str:
+def _bucket_sql(vec: str, n_planes: int, seed: int = 42) -> str:
     """SQL expression for the random-hyperplane bucket of ``vec``."""
     terms = []
     for p in range(n_planes):
         dot = (
             "list_sum(list_transform(generate_series(1, 64), "
-            f"k -> CAST({vec}[k] AS DOUBLE) * ({_plane_sql(64, 42, p)}::DOUBLE[])[k]))"
+            f"k -> CAST({vec}[k] AS DOUBLE) * ({_plane_sql(64, seed, p)}::DOUBLE[])[k]))"
         )
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
@@ -1801,6 +1801,110 @@ ORACLE_ANN_RECALL = (
     "FROM (SELECT DISTINCT qid FROM qs) qs LEFT JOIN hits ON qs.qid = hits.qid"
 )
 
+
+
+_MT_SEEDS = [similarity._table_seed(42, t) for t in range(4)]
+
+
+def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amplified LSH ANN: 4 independent hash tables (Gionis/Indyk/
+    Motwani VLDB 1999 OR-amplification) composed with Hamming-1
+    multi-probe per table — the recall lever a single table cannot
+    reach (a neighbor is missed only if it misses in ALL tables).
+    Corpus side posexplodes its 4 bucket ids (narrow map, no shuffle);
+    probe side is a broadcast of 4*(6+1) rows."""
+    return similarity.ann_topk_lsh_multitable(
+        _t(spark, sf_dir, "embeddings"), 3, 10, n_planes=6, n_tables=4
+    )
+
+
+def _mt_bucket_cols(alias: str = "") -> str:
+    pre = f"{alias}." if alias else ""
+    return ", ".join(
+        f"{_bucket_sql(pre + 'embedding', 6, seed=s)} AS b{t}"
+        for t, s in enumerate(_MT_SEEDS)
+    )
+
+
+def _mt_probe_union(src: str, qb: str = "qb") -> str:
+    """UNION ALL of per-table probe lists (exact bucket + Hamming-1)."""
+    parts = []
+    for t in range(len(_MT_SEEDS)):
+        parts.append(
+            f"SELECT qid, qvec, {t} AS tbl, "
+            f"unnest(list_prepend({qb}{t}, list_transform("
+            f"generate_series(0, 5), i -> xor({qb}{t}, (1 << i))))) AS probe "
+            f"FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_MT_TBL_CASE = (
+    "(CASE q.tbl WHEN 0 THEN e.b0 WHEN 1 THEN e.b1 "
+    "WHEN 2 THEN e.b2 ELSE e.b3 END)"
+)
+
+ORACLE_ANN_LSH_MULTITABLE = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    + _mt_bucket_cols()
+    + " FROM embeddings), "
+    "q AS (SELECT 3 AS qid, embedding AS qvec, "
+    + ", ".join(f"b{t} AS qb{t}" for t in range(4))
+    + " FROM b WHERE vec_id = 3), "
+    "p AS (" + _mt_probe_union("q") + "), "
+    "s AS (SELECT e.vec_id, max(round("
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    ", 6)) AS c "
+    "FROM b e JOIN p q ON " + _MT_TBL_CASE + " = q.probe "
+    "WHERE e.vec_id <> q.qid GROUP BY e.vec_id) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, c AS cos_sim FROM s "
+    "ORDER BY c DESC, vec_id LIMIT 10"
+)
+
+
+def q_ann_recall_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 4-table amplified index vs exact cosine over
+    the same 16 queries as `ann_recall` — certifies the recall lift
+    the amplification buys (BENCH.md records both numbers)."""
+    return similarity.ann_recall(
+        _t(spark, sf_dir, "embeddings"), n_queries=16, k=10, n_planes=6,
+        n_tables=4,
+    )
+
+
+ORACLE_ANN_RECALL_MULTITABLE = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    + _mt_bucket_cols()
+    + " FROM embeddings), "
+    "qs AS (SELECT vec_id AS qid, embedding AS qvec, "
+    + ", ".join(f"b{t} AS qb{t}" for t in range(4))
+    + " FROM b WHERE vec_id < 16), "
+    "exact AS (SELECT qid, vec_id FROM ("
+    "SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid "
+    "ORDER BY round(" + _RECALL_COS + ", 6) DESC, e.vec_id) AS rn "
+    "FROM embeddings e, qs q WHERE e.vec_id <> q.qid) WHERE rn <= 10), "
+    "p AS (" + _mt_probe_union("qs") + "), "
+    "ac AS (SELECT q.qid, e.vec_id, max(round("
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    ", 6)) AS c "
+    "FROM b e JOIN p q ON " + _MT_TBL_CASE + " = q.probe "
+    "WHERE e.vec_id <> q.qid GROUP BY q.qid, e.vec_id), "
+    "approx AS (SELECT qid, vec_id FROM ("
+    "SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
+    "ORDER BY c DESC, vec_id) AS rn FROM ac) WHERE rn <= 10), "
+    "hits AS (SELECT exact.qid, count(*) AS n_hits FROM exact "
+    "JOIN approx USING (qid, vec_id) GROUP BY exact.qid) "
+    "SELECT CAST(qs.qid AS BIGINT) AS query_id, "
+    "CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits, "
+    "round(coalesce(hits.n_hits, 0) / 10.0, 6) AS recall "
+    "FROM (SELECT DISTINCT qid FROM qs) qs LEFT JOIN hits ON qs.qid = hits.qid"
+)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2559,9 +2663,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_lsh_multitable": q_ann_lsh_multitable,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_refined": q_ann_ivf_refined,
     "ann_recall": q_ann_recall,
+    "ann_recall_multitable": q_ann_recall_multitable,
     "centroid_similarity": q_centroid_similarity,
     "size_guard_routing": q_size_guard_routing,
     "base64_roundtrip": q_base64_roundtrip,
@@ -2626,9 +2732,11 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": _dedup_lsh_oracle(),
     "ann_lsh": ORACLE_ANN_LSH,
     "ann_lsh_multiprobe": ORACLE_ANN_LSH_MULTIPROBE,
+    "ann_lsh_multitable": ORACLE_ANN_LSH_MULTITABLE,
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_ivf_refined": ORACLE_ANN_IVF_REFINED,
     "ann_recall": ORACLE_ANN_RECALL,
+    "ann_recall_multitable": ORACLE_ANN_RECALL_MULTITABLE,
     "centroid_similarity": ORACLE_CENTROID,
     "markdown_downgrade": ORACLE_MD_DOWNGRADE,
     "page_sampling": ORACLE_PAGE_SAMPLING,

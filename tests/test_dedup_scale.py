@@ -105,6 +105,75 @@ def test_multiprobe_recovers_hamming1_neighbor(spark):
     assert multi[0] == true_nn    # and it is the top hit
 
 
+def test_multitable_recovers_beyond_hamming1(spark):
+    """OR-amplification across independent hash tables (Gionis/Indyk/
+    Motwani VLDB 1999): vec_id=1's exact-NN sits THREE hyperplane signs
+    away in table 0 — invisible even to Hamming-1 multi-probe on that
+    table — but within Hamming-1 of tables 2 and 3, so the 4-table
+    index recovers it. Premise re-verified so the test self-invalidates
+    if the corpus or the seeded planes ever change."""
+    from pyspark.sql import functions as F
+
+    from docling_serve_spark.operators.similarity import (
+        _table_seed,
+        ann_topk_lsh,
+        ann_topk_lsh_multitable,
+        brute_force_topk,
+        lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qid = 1
+    true_nn = brute_force_topk(emb, qid, 1).collect()[0]["vec_id"]
+    buckets = {
+        r["vec_id"]: [r[f"b{t}"] for t in range(4)]
+        for r in emb.filter(F.col("vec_id").isin(qid, true_nn))
+        .select(
+            "vec_id",
+            *[
+                lsh_bucket(
+                    F.col("embedding"), n_planes=6, seed=_table_seed(42, t)
+                ).alias(f"b{t}")
+                for t in range(4)
+            ],
+        )
+        .collect()
+    }
+    hds = [bin(buckets[qid][t] ^ buckets[true_nn][t]).count("1") for t in range(4)]
+    assert hds[0] > 1, f"premise broken: table-0 distance {hds[0]}"
+    assert min(hds[1:]) <= 1, f"premise broken: no table within 1 ({hds})"
+
+    single_mp = [
+        r["vec_id"]
+        for r in ann_topk_lsh(emb, qid, 10, multiprobe=True).collect()
+    ]
+    multi = [
+        r["vec_id"]
+        for r in ann_topk_lsh_multitable(emb, qid, 10, n_tables=4).collect()
+    ]
+    assert true_nn not in single_mp  # beyond one table's multiprobe reach
+    assert true_nn in multi          # recovered by table amplification
+    assert multi[0] == true_nn       # and it is the top hit
+
+
+def test_multitable_recall_dominates_single_table(spark):
+    """The recall harness certifies the amplification lift: 4-table
+    mean recall@10 strictly dominates single-table on the same 16
+    queries, and per-query recall never drops (a candidate set that is
+    a superset can only gain exact-top-k hits)."""
+    from docling_serve_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r1 = {r["query_id"]: r["recall"] for r in ann_recall(emb, 16).collect()}
+    r4 = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall(emb, 16, n_tables=4).collect()
+    }
+    assert set(r1) == set(r4) and len(r1) == 16
+    assert all(r4[q] >= r1[q] for q in r1)
+    assert sum(r4.values()) > sum(r1.values())
+
+
 def test_ivf_probes_only_two_lists_and_finds_neighbors(spark):
     """IVF ANN scans nprobe lists, never the corpus; with nprobe=2 of
     8 lists it must still recover most of the true top-k (the corpus

@@ -62,6 +62,16 @@ def test_ann_bruteforce_broadcasts_query_vector(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ann_multitable_probes_ride_broadcast_side(spark):
+    """The 4-table amplified probe is a hashed equi-join on
+    (table, bucket) with the L*(planes+1) probe rows broadcast — never
+    a cartesian product, and the corpus side stays a single scan."""
+    plan = _plan(spark, QUERIES["ann_lsh_multitable"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_no_python_row_udfs_anywhere(spark):
     """Every catalog query must stay JVM-side or Arrow-batched: the
     plan may contain ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas,
