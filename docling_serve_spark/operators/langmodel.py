@@ -19,7 +19,7 @@ join for safety. Trigram extraction is a JVM-side
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _MICRO = 1000000
 
@@ -85,6 +85,14 @@ def charlm_score(docs: DataFrame, ref: DataFrame,
     tri_counts, prefix_counts, vocab = train_char_lm(
         ref, text_col, id_col, max_chars
     )
+    return _score_against(docs, tri_counts, prefix_counts, vocab,
+                          text_col, id_col, max_chars)
+
+
+def _score_against(docs: DataFrame, tri_counts: DataFrame,
+                   prefix_counts: DataFrame, vocab: DataFrame,
+                   text_col: str, id_col: str,
+                   max_chars: int | None) -> DataFrame:
     # pre-aggregate (doc, tri) BEFORE the model join: the join input
     # shrinks from one row per character to one row per distinct
     # trigram per doc (~5-20x), and the per-trigram micro-nat value is
@@ -120,5 +128,49 @@ def charlm_score(docs: DataFrame, ref: DataFrame,
                 / (F.col("n_trigrams") * F.lit(_MICRO)),
                 6,
             ).alias("avg_logprob"),
+        )
+    )
+
+
+def perplexity_buckets(docs: DataFrame, ref: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       lang_col: str = "lang",
+                       max_chars: int | None = None) -> DataFrame:
+    """(doc_id, lang, avg_logprob, bucket) — CCNet's head/middle/tail
+    split (Wenzek et al., LREC 2020 §4.4): within each language, rank
+    documents by LM score and cut into terciles; 'head' is the most
+    trusted-corpus-like third, and the published recipe trains on
+    head(+middle) while dropping tail.
+
+    Bucket rule is integer-exact so both engines cut identically:
+    r = row_number ordered by (avg_logprob DESC, doc_id), n = docs in
+    the language; head iff 3r <= n, middle iff 3r <= 2n, else tail
+    (ties inside the rounded score are broken by doc_id).
+
+    Scale shape: the sort is PER LANGUAGE (window partition), so skew
+    is bounded by the largest language, and only (id, lang, score)
+    rows move — never text. At 10^12 docs replace the exact tercile
+    with sampled boundary estimation + a broadcast classify join
+    (CCNet itself derives thresholds from a sample); the exact window
+    form here is what the oracle can certify."""
+    scored = charlm_score(docs, ref, text_col, id_col, max_chars)
+    langs = docs.select(F.col(id_col), F.col(lang_col))
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col)
+    )
+    n = Window.partitionBy(lang_col)
+    return (
+        scored.join(langs, id_col)
+        .withColumn("__r", F.row_number().over(w).cast("bigint"))
+        .withColumn("__n", F.count("*").over(n).cast("bigint"))
+        .select(
+            id_col,
+            lang_col,
+            "avg_logprob",
+            F.when(F.col("__r") * 3 <= F.col("__n"), F.lit("head"))
+            .when(F.col("__r") * 3 <= F.col("__n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
         )
     )

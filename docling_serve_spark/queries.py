@@ -1185,6 +1185,34 @@ ORACLE_CHARLM = (
 )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: per-language tercile by char-LM
+    score (same trusted slice as `charlm_score`); 'head' is the most
+    trusted-like third — the published recipe's training mix key."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    return langmodel.perplexity_buckets(docs, ref)
+
+
+_CHARLM_SCORED = ORACLE_CHARLM[: ORACLE_CHARLM.index("SELECT doc_id, CAST(count(*)")] + (
+    ", per_doc AS (SELECT doc_id, "
+    "round(sum(micro) / (count(*) * 1000000), 6) AS avg_logprob "
+    "FROM scored GROUP BY doc_id) "
+)
+
+ORACLE_PERPLEXITY_BUCKETS = (
+    _CHARLM_SCORED
+    + "SELECT doc_id, lang, avg_logprob, "
+    "CASE WHEN 3 * r <= n THEN 'head' "
+    "WHEN 3 * r <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket "
+    "FROM (SELECT p.doc_id, d.lang, p.avg_logprob, "
+    "row_number() OVER (PARTITION BY d.lang "
+    "ORDER BY p.avg_logprob DESC, p.doc_id) AS r, "
+    "count(*) OVER (PARTITION BY d.lang) AS n "
+    "FROM per_doc p JOIN documents d USING (doc_id))"
+)
+
+
 def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host boilerplate line removal: a nav line on
     every page and a 'share this page' footer on ~2/3 of pages cross
@@ -2645,6 +2673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "host_top_terms": q_host_top_terms,
     "charlm_score": q_charlm_score,
+    "perplexity_buckets": q_perplexity_buckets,
     "boilerplate_scrub": q_boilerplate_scrub,
     "substring_spans": q_substring_spans,
     "pii_redact": q_pii_redact,
@@ -2717,6 +2746,7 @@ ORACLES: dict[str, str] = {
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "host_top_terms": ORACLE_HOST_TOP_TERMS,
     "charlm_score": ORACLE_CHARLM,
+    "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
     "boilerplate_scrub": ORACLE_BOILERPLATE,
     "substring_spans": ORACLE_SUBSTRING_SPANS,
     "pii_redact": ORACLE_PII,

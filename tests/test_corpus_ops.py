@@ -639,6 +639,51 @@ def test_charlm_score_prefers_in_distribution_text(spark):
     assert got[1] > got[2]  # in-distribution text scores closer to 0
 
 
+def test_perplexity_buckets_terciles_per_language(spark):
+    """CCNet head/middle/tail: per-language tercile sizes follow the
+    integer rule (|head| = floor(n/3)), every head score >= every tail
+    score within a language, and languages cut independently."""
+    from docling_serve_spark.operators import langmodel
+
+    ref = spark.createDataFrame(
+        [(i + 100, "the quick brown fox jumps over the lazy dog", "en")
+         for i in range(3)],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = [
+        # en: 7 docs with varying closeness to the reference
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown dog", "en"),
+        (3, "quick brown fox over dog", "en"),
+        (4, "lazy dog jumps over", "en"),
+        (5, "zz qq xx vv kk jj pp", "en"),
+        (6, "xqzj wvkp zzzz yyyy", "en"),
+        (7, "mmnn oopp qqrr ssdd", "en"),
+        # de: 4 docs, cut independently of en
+        (8, "the quick brown fox", "de"),
+        (9, "quick dog jumps", "de"),
+        (10, "zzz xxx yyy www", "de"),
+        (11, "qqq kkk jjj ppp", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = langmodel.perplexity_buckets(docs, ref).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    en = by_lang["en"]
+    # n=7: head = floor(7/3) = 2, middle = floor(14/3)-2 = 2, tail = 3
+    sizes = {b: sum(1 for r in en if r["bucket"] == b)
+             for b in ("head", "middle", "tail")}
+    assert sizes == {"head": 2, "middle": 2, "tail": 3}
+    assert min(
+        r["avg_logprob"] for r in en if r["bucket"] == "head"
+    ) >= max(r["avg_logprob"] for r in en if r["bucket"] == "tail")
+    # n=4: head=1, middle=1, tail=2 — independent of the en cut
+    de_sizes = {b: sum(1 for r in by_lang["de"] if r["bucket"] == b)
+                for b in ("head", "middle", "tail")}
+    assert de_sizes == {"head": 1, "middle": 1, "tail": 2}
+
+
 # ------------------------------------------------------------------ #
 # boilerplate_scrub
 # ------------------------------------------------------------------ #
