@@ -132,6 +132,107 @@ def _score_against(docs: DataFrame, tri_counts: DataFrame,
     )
 
 
+def _hashed_bigrams(docs: DataFrame, text_col: str, id_col: str,
+                    n_buckets: int) -> DataFrame:
+    """(id, bucket) — one row per word-bigram occurrence, feature-hashed
+    into ``n_buckets`` via the cross-engine md5 48-bit prefix hash.
+    Tokenization matches `host_top_terms`: lowercase, non-alpha splits."""
+    from docling_serve_spark.operators.sampling import md5_hash48
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) >= 1,
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                    lambda x, i: F.concat(
+                        x, F.lit(" "), F.element_at(F.col("__w"), i + 2)
+                    ),
+                )
+            ).alias("__bg"),
+        )
+        .select(
+            "__id",
+            F.pmod(md5_hash48(F.col("__bg")), F.lit(n_buckets)).alias("bucket"),
+        )
+    )
+
+
+def dsir_weights(docs: DataFrame, ref: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id",
+                 n_buckets: int = 8192) -> DataFrame:
+    """(doc_id, n_features, weight_micro, avg_weight) — DSIR-style
+    importance weights (Xie et al., NeurIPS 2023: Data Selection for
+    Language Models via Importance Resampling): bag-of-hashed-word-
+    bigram unigram models are fit on the TARGET slice and on the RAW
+    corpus; each document's log importance weight is the sum over its
+    hashed features of ln(p_target[b] / p_raw[b]). High weight = looks
+    like the target distribution relative to the crawl background —
+    the resampling step then feeds `domain_mix_sample` /
+    `token_budget_select`.
+
+    Same float discipline as `charlm_score`: each bucket's log-ratio is
+    quantized to micro-nats (floor(ln(pt/pr)·1e6) as bigint) so per-doc
+    sums are exact integers, engine-order-independent. Both models use
+    add-one smoothing over the ``n_buckets`` feature space.
+
+    Scale shape: feature extraction is a narrow explode (text never
+    shuffles — only 48-bit hashes); both models are bounded by
+    ``n_buckets`` rows, so the score join is AQE-broadcastable while
+    written as a plain join; per-doc reduction is one partial-agg
+    hash aggregation keyed on doc id."""
+    tgt = _hashed_bigrams(ref, text_col, id_col, n_buckets)
+    raw = _hashed_bigrams(docs, text_col, id_col, n_buckets)
+    tgt_counts = tgt.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c_t")
+    )
+    raw_counts = raw.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c_r")
+    )
+    tgt_total = tgt.agg(F.count("*").cast("bigint").alias("n_t"))
+    raw_total = raw.agg(F.count("*").cast("bigint").alias("n_r"))
+    doc_feats = raw.groupBy("__id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    joined = (
+        doc_feats.join(tgt_counts, "bucket", "left")
+        .join(raw_counts, "bucket", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+    )
+    log_ratio = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_t") + F.lit(n_buckets))
+    ) - F.log(
+        (F.coalesce(F.col("c_r"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_r") + F.lit(n_buckets))
+    )
+    micro = F.floor(log_ratio * F.lit(_MICRO)).cast("bigint")
+    return (
+        joined.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_features"),
+            F.sum(micro * F.col("cnt")).cast("bigint").alias("weight_micro"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            "weight_micro",
+            F.round(
+                F.col("weight_micro") / (F.col("n_features") * F.lit(_MICRO)),
+                6,
+            ).alias("avg_weight"),
+        )
+    )
+
+
 def perplexity_buckets(docs: DataFrame, ref: DataFrame,
                        text_col: str = "text",
                        id_col: str = "doc_id",

@@ -1213,6 +1213,46 @@ ORACLE_PERPLEXITY_BUCKETS = (
 )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. NeurIPS 2023): hashed
+    word-bigram log-ratio of a target-slice LM vs the raw-corpus LM,
+    micro-nat-exact per-doc sums; the data-selection score that feeds
+    the resampling ops."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    return langmodel.dsir_weights(docs, ref)
+
+
+ORACLE_DSIR = (
+    "WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+    "'[^a-z]+'), x -> length(x) >= 1) AS w FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg "
+    "FROM w WHERE len(w) >= 2), "
+    "hashed AS (SELECT doc_id, "
+    "(('0x' || substr(md5(bg), 1, 12))::BIGINT % 8192) AS bucket FROM bg), "
+    "tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM hashed "
+    "WHERE doc_id % 10 < 3 GROUP BY 1), "
+    "raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM hashed "
+    "GROUP BY 1), "
+    "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_t FROM hashed "
+    "WHERE doc_id % 10 < 3), "
+    "nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM hashed), "
+    "df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM hashed GROUP BY 1, 2), "
+    "s AS (SELECT doc_id, cnt, CAST(floor(("
+    "ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + 8192)) - "
+    "ln(CAST(coalesce(c_r, 0) + 1 AS DOUBLE) / (n_r + 8192))"
+    ") * 1000000) AS BIGINT) AS micro "
+    "FROM df LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket) "
+    "CROSS JOIN nt CROSS JOIN nr) "
+    "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features, "
+    "CAST(sum(micro * cnt) AS BIGINT) AS weight_micro, "
+    "round(sum(micro * cnt) / (sum(cnt) * 1000000), 6) AS avg_weight "
+    "FROM s GROUP BY doc_id"
+)
+
+
 def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-host boilerplate line removal: a nav line on
     every page and a 'share this page' footer on ~2/3 of pages cross
@@ -2674,6 +2714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_top_terms": q_host_top_terms,
     "charlm_score": q_charlm_score,
     "perplexity_buckets": q_perplexity_buckets,
+    "dsir_weights": q_dsir_weights,
     "boilerplate_scrub": q_boilerplate_scrub,
     "substring_spans": q_substring_spans,
     "pii_redact": q_pii_redact,
@@ -2747,6 +2788,7 @@ ORACLES: dict[str, str] = {
     "host_top_terms": ORACLE_HOST_TOP_TERMS,
     "charlm_score": ORACLE_CHARLM,
     "perplexity_buckets": ORACLE_PERPLEXITY_BUCKETS,
+    "dsir_weights": ORACLE_DSIR,
     "boilerplate_scrub": ORACLE_BOILERPLATE,
     "substring_spans": ORACLE_SUBSTRING_SPANS,
     "pii_redact": ORACLE_PII,

@@ -639,6 +639,31 @@ def test_charlm_score_prefers_in_distribution_text(spark):
     assert got[1] > got[2]  # in-distribution text scores closer to 0
 
 
+def test_dsir_weights_prefer_target_distribution(spark):
+    """DSIR log-ratio: a document sharing the target slice's bigrams
+    outweighs one made of background-only bigrams, and n_features
+    counts bigram occurrences (len(words)-1 per doc)."""
+    from docling_serve_spark.operators import langmodel
+
+    target = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, target) for i in range(4)] + [
+        (10, "the quick brown fox"),       # in-distribution
+        (11, "zz qq ww vv kk jj"),          # background-only
+        (12, "purple monkey dishwasher"),   # background-only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ref = docs.filter(F.col("doc_id") < 4)
+    got = {r["doc_id"]: r for r in langmodel.dsir_weights(docs, ref).collect()}
+    assert got[10]["n_features"] == 3  # 4 words -> 3 bigrams
+    assert got[10]["avg_weight"] > got[11]["avg_weight"]
+    assert got[10]["avg_weight"] > got[12]["avg_weight"]
+    # single-word docs have no bigram features and produce no row
+    one = spark.createDataFrame(
+        [(0, "word")], "doc_id bigint, text string"
+    )
+    assert langmodel.dsir_weights(one, one).count() == 0
+
+
 def test_perplexity_buckets_terciles_per_language(spark):
     """CCNet head/middle/tail: per-language tercile sizes follow the
     integer rule (|head| = floor(n/3)), every head score >= every tail
