@@ -1,0 +1,55 @@
+"""Partition-count invariance: the result of every shuffle-bearing
+operator must be a pure function of the DATA, not of the parallelism
+it ran at — the property that makes the N->4N scaling claim safe (a
+cluster resize or an AQE re-plan must never change answers).
+
+Each query runs twice in the same session at different
+`spark.sql.shuffle.partitions` (4 vs 13 — coprime so partition
+boundaries genuinely move) and must collect identical sorted rows.
+This would catch: order-dependent double accumulation (why micro-nat
+integer sums exist), window ties broken by physical row order instead
+of explicit keys, and driver loops sensitive to partition iteration
+order (kmeans/dup_components).
+"""
+
+import pytest
+
+from docling_serve_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Shuffle-bearing representatives of each operator family: float
+# aggregation (charlm/dsir), global prefix sums (token_budget),
+# windows with explicit tie keys (host_top_terms, perplexity_buckets,
+# pack_sequences), banded candidate joins (dedup_minhash), iterative
+# driver loops (dup_components), span merges (substring_spans).
+INVARIANCE_QUERIES = [
+    "charlm_score",
+    "dsir_weights",
+    "perplexity_buckets",
+    "host_top_terms",
+    "token_budget_select",
+    "pack_sequences",
+    "dedup_minhash",
+    "dup_components",
+    "substring_spans",
+    "ann_recall_multitable",
+]
+
+
+def _rows_at(spark, name, n_shuffle):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    try:
+        df = QUERIES[name](spark, SF_DIR)
+        return sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_result_is_invariant_to_shuffle_partitioning(spark, name):
+    a = _rows_at(spark, name, 4)
+    b = _rows_at(spark, name, 13)
+    assert len(a) > 0
+    assert a == b
