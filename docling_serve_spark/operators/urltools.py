@@ -86,6 +86,66 @@ def blocklist_filter(pages: DataFrame, blocklist: DataFrame,
     )
 
 
+def url_path(col: Column) -> Column:
+    """Path component of a canonical URL ('/' when absent)."""
+    p = F.regexp_replace(canonical_url(col), r"^[^/]*", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame,
+                  url_col: str = "url", key_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host, path, crawl_allowed, matched_rule,
+    matched_prefix) — robots.txt compliance pass (RFC 9309 / REP
+    longest-match): among the page's host's rules whose path prefix
+    matches, the LONGEST prefix wins; a length tie between allow and
+    disallow resolves to allow (the RFC's rule); a host with no
+    matching rule is allowed. ``rules`` is (host, rule∈{allow,
+    disallow}, path_prefix) — what a robots.txt fetch pass would emit,
+    one row per directive.
+
+    Plan shape at crawl scale: ONE equi-join on host (a host's
+    directive list is small — tens of rows — so the per-page candidate
+    fan-out is bounded), prefix test as a codegen'd startswith, winner
+    via one partition-local window over the candidate set. The rules
+    side is millions of rows at worst (hosts × directives) — AQE
+    broadcasts it when it fits, shuffles on host otherwise; pages
+    never move twice and text columns never enter the join."""
+    p = pages.select(
+        F.col(key_col),
+        url_host(F.col(url_col)).alias("host"),
+        url_path(F.col(url_col)).alias("path"),
+    )
+    cand = p.join(rules, "host").filter(
+        F.col("path").startswith(F.col("path_prefix"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.length("path_prefix").desc(),
+        F.when(F.col("rule") == "allow", 1).otherwise(0).desc(),
+        F.col("path_prefix").desc(),
+    )
+    winner = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key_col,
+            F.col("rule").alias("matched_rule"),
+            F.col("path_prefix").alias("matched_prefix"),
+        )
+    )
+    return p.join(winner, key_col, "left").select(
+        F.col(key_col).cast("bigint").alias("doc_id"),
+        "host",
+        "path",
+        (
+            F.col("matched_rule").isNull() | (F.col("matched_rule") == "allow")
+        ).alias("crawl_allowed"),
+        "matched_rule",
+        "matched_prefix",
+    )
+
+
 def host_stats(pages: DataFrame, url_col: str = "url",
                chars_col: str = "n_chars",
                lang_col: str = "lang") -> DataFrame:

@@ -987,6 +987,65 @@ ORACLE_URL_BLOCKLIST = (
 )
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance (RFC 9309 longest-match): hosts 0-3 carry
+    directives (disallow /private/, allow /private/pub/ — the
+    longer-allow-overrides case — and disallow /tmp), hosts 4-6 have
+    none; paths are synthesized so every branch fires, including the
+    allow-beats-disallow longest-match and the no-rule host."""
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/p"), i))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/pub/p"), i))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/public/p"), i))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/tmp/x"), i))
+        .otherwise(F.concat(F.lit("/p"), i))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"), h, F.lit(".com"), path).alias("url"),
+    )
+    rng = spark.range(4).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".com")).alias("host")
+    )
+    rules = (
+        rng.select("host", F.lit("disallow").alias("rule"),
+                   F.lit("/private/").alias("path_prefix"))
+        .unionByName(rng.select("host", F.lit("allow").alias("rule"),
+                                F.lit("/private/pub/").alias("path_prefix")))
+        .unionByName(rng.select("host", F.lit("disallow").alias("rule"),
+                                F.lit("/tmp").alias("path_prefix")))
+    )
+    return urltools.robots_filter(pages, rules)
+
+
+ORACLE_ROBOTS = (
+    "WITH pages AS (SELECT doc_id, "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host, "
+    "CASE WHEN doc_id % 5 = 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 5 = 1 THEN '/private/pub/p' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 5 = 2 THEN '/public/p' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 5 = 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR) "
+    "ELSE '/p' || CAST(doc_id AS VARCHAR) END AS path FROM documents), "
+    "rules AS (SELECT 'site' || CAST(i AS VARCHAR) || '.com' AS host, "
+    "r.rule, r.prefix FROM range(4) t(i), (VALUES "
+    "('disallow', '/private/'), ('allow', '/private/pub/'), "
+    "('disallow', '/tmp')) r(rule, prefix)), "
+    "m AS (SELECT p.doc_id, r.rule, r.prefix, row_number() OVER ("
+    "PARTITION BY p.doc_id ORDER BY length(r.prefix) DESC, "
+    "CASE r.rule WHEN 'allow' THEN 1 ELSE 0 END DESC, r.prefix DESC) AS rn "
+    "FROM pages p JOIN rules r ON p.host = r.host "
+    "AND starts_with(p.path, r.prefix)), "
+    "w AS (SELECT doc_id, rule, prefix FROM m WHERE rn = 1) "
+    "SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.host, p.path, "
+    "(w.rule IS NULL OR w.rule = 'allow') AS crawl_allowed, "
+    "w.rule AS matched_rule, w.prefix AS matched_prefix "
+    "FROM pages p LEFT JOIN w USING (doc_id)"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -2708,6 +2767,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_scrub": q_passage_scrub,
     "url_host_stats": q_url_host_stats,
     "url_blocklist": q_url_blocklist,
+    "robots_filter": q_robots_filter,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -2782,6 +2842,7 @@ ORACLES: dict[str, str] = {
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "url_host_stats": ORACLE_URL_HOST,
     "url_blocklist": ORACLE_URL_BLOCKLIST,
+    "robots_filter": ORACLE_ROBOTS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

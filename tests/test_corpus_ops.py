@@ -458,6 +458,40 @@ def test_blocklist_filter_exact_subdomain_and_tie(spark):
     assert not got[5]["blocked"]
 
 
+def test_robots_filter_longest_match_semantics(spark):
+    """RFC 9309 longest-match: longer allow overrides shorter disallow
+    and vice versa; an exact length tie resolves to allow; a host with
+    no matching rule (or no rules at all) is allowed."""
+    pages = spark.createDataFrame(
+        [Row(doc_id=1, url="https://www.s.com/private/x"),
+         Row(doc_id=2, url="https://s.com/private/pub/x"),
+         Row(doc_id=3, url="http://s.com/open/x"),
+         Row(doc_id=4, url="https://s.com/tie/x"),
+         Row(doc_id=5, url="https://other.com/private/x"),
+         Row(doc_id=6, url="https://s.com/allowed/secret/x")]
+    )
+    rules = spark.createDataFrame(
+        [("s.com", "disallow", "/private/"),
+         ("s.com", "allow", "/private/pub/"),
+         ("s.com", "allow", "/tie/"),
+         ("s.com", "disallow", "/tie/"),           # tie -> allow
+         ("s.com", "allow", "/allowed/"),
+         ("s.com", "disallow", "/allowed/secret/")],  # longer disallow wins
+        "host string, rule string, path_prefix string",
+    )
+    got = {r["doc_id"]: r for r in
+           urltools.robots_filter(pages, rules).collect()}
+    assert not got[1]["crawl_allowed"]
+    assert got[2]["crawl_allowed"]       # longer allow overrides
+    assert got[2]["matched_prefix"] == "/private/pub/"
+    assert got[3]["crawl_allowed"] and got[3]["matched_rule"] is None
+    assert got[4]["crawl_allowed"]       # tie resolves to allow
+    assert got[5]["crawl_allowed"]       # no rules for this host
+    assert not got[6]["crawl_allowed"]   # longer disallow wins
+    # canonicalization: www./scheme stripped before host keying
+    assert got[1]["host"] == "s.com" and got[1]["path"] == "/private/x"
+
+
 # ------------------------------------------------------------------ #
 # snapshot_diff
 # ------------------------------------------------------------------ #
