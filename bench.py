@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "split_assign",
     "host_top_terms",
     "charlm_score",
+    "perplexity_buckets",
+    "dsir_weights",
+    "robots_filter",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —
@@ -186,11 +189,14 @@ def _run_extraction(spark, path: str, warmup: bool = True, reps: int = 2) -> flo
 BENCH_SPLIT_BYTES = 2 * 1024 * 1024
 
 
-def _ensure_scaled_docs(spark, factor: int = 40) -> str:
+def _ensure_scaled_docs(spark, factor: int = 10) -> str:
     """A documents corpus big enough for the operator-scaling legs:
     sf0.1's documents table is 5k rows — a ~5 s op there is all fixed
     overhead (stage scheduling, codegen) and measures nothing about
-    engine scaling. Replicate it ``factor``× with per-replica doc_id
+    engine scaling. (40× was tried first: the 4-core dedup_minhash leg
+    alone ran ~35 min — too slow to interleave; 10× keeps the slow leg
+    in minutes while the work term still dominates fixed overhead.)
+    Replicate it ``factor``× with per-replica doc_id
     offsets AND a per-replica text salt token (no cross-replica exact
     dups, same shingle statistics), cached as a synthetic sf dir so
     catalog queries run on it unchanged."""
@@ -235,12 +241,12 @@ def scaling_worker(cpus: int, op: str | None = None) -> None:
 
         sf_dir = _ensure_scaled_docs(spark)  # cache hit: orchestrator built it
         _force(QUERIES[op](spark, sf_dir))  # warm-up (workers + JIT)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _force(QUERIES[op](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        print(json.dumps({"cpus": cpus, "sec": best, "op": op}))
+        # one timed pass per worker: the orchestrator's interleaved
+        # rounds supply the min-of-2 (the op legs are minutes long, so
+        # within-worker reps would double an already-long protocol)
+        t0 = time.time()
+        _force(QUERIES[op](spark, sf_dir))
+        print(json.dumps({"cpus": cpus, "sec": time.time() - t0, "op": op}))
         spark.stop()
         return
     path = _ensure_corpus(spark, SCALING_DOCS)

@@ -1,0 +1,90 @@
+"""Host-level web-graph centrality.
+
+Crawl pipelines rank hosts by link centrality to prioritize fetch
+frontiers and to weight quality signals (a host heavily linked by
+other hosts is worth more crawl budget than an orphan — the original
+PageRank use case, Page et al. 1999). This module computes PageRank
+over a HOST graph — hosts ≪ pages by many orders of magnitude, so the
+graph fits comfortably in a shuffle even at 10^12 pages: building the
+edge list is the expensive (but narrow + one-groupBy) part, the
+power iteration runs on the tiny host table.
+
+Float discipline (same as the micro-nat LMs): ranks live in NANO
+units (bigint, scale 1e9) and every step is floor-division with
+bounded denominators (out-degree, damping 17/20, node count) — each
+true quotient is a rational whose distance from any integer is far
+larger than double rounding error, so floor() is engine-exact and the
+iteration is bit-reproducible across Spark, DuckDB, and any
+partitioning (the sums are integer sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SCALE = 1_000_000_000  # nano-units
+_D_NUM, _D_DEN = 17, 20  # damping 0.85 as an exact rational
+
+
+def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(host, rank_nano, rank, out_degree, in_degree) — damped
+    PageRank power iteration over a distinct (src, dst) host edge
+    list, ``iterations`` rounds from the uniform start.
+
+    r_{k+1}(v) = (1-d)/n + d * Σ_{u→v} floor(r_k(u) / outdeg(u))
+    in nano-units with d = 17/20. Dangling mass is NOT redistributed
+    (every host that appears only as a dst keeps contributing nothing)
+    — acceptable for frontier ranking and what keeps every step a
+    single equi-join + integer aggregation.
+
+    Scale shape: one driver count() of the (tiny) host table; each
+    round is one hash equi-join on src + one partial-agg sum keyed on
+    dst — the host graph is millions of rows where the page table is
+    trillions, so even k rounds are noise next to the page scan that
+    built the edges. Deterministic: integer arithmetic throughout,
+    no partition-order dependence."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = nodes.count()
+    odeg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("odeg"))
+    base = (_SCALE * (_D_DEN - _D_NUM)) // (_D_DEN * n)
+    r = nodes.withColumn("r", F.lit(_SCALE // n).cast("bigint"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e["src"] == r["host"])
+            .join(odeg, "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.floor(F.col("r") / F.col("odeg")).cast("bigint").alias("c"),
+            )
+        )
+        s = contrib.groupBy("host").agg(F.sum("c").cast("bigint").alias("s"))
+        r = nodes.join(s, "host", "left").select(
+            "host",
+            (
+                F.lit(base)
+                + F.floor(
+                    F.lit(_D_NUM)
+                    * F.coalesce(F.col("s"), F.lit(0))
+                    / F.lit(_D_DEN)
+                )
+            ).cast("bigint").alias("r"),
+        )
+    ideg = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("bigint").alias("in_degree")
+    )
+    return (
+        r.join(odeg.withColumnRenamed("src", "host"), "host", "left")
+        .join(ideg, "host", "left")
+        .select(
+            "host",
+            F.col("r").alias("rank_nano"),
+            F.round(F.col("r") / F.lit(float(_SCALE)), 6).alias("rank"),
+            F.coalesce(F.col("odeg"), F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("bigint").alias("in_degree"),
+        )
+    )

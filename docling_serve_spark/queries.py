@@ -29,6 +29,7 @@ from docling_serve_spark.operators import (
     pii,
     textstats,
     urltools,
+    webgraph,
 )
 from docling_serve_spark import multimodal
 from docling_serve_spark.operators.extract_stage import run_extraction
@@ -1044,6 +1045,79 @@ ORACLE_ROBOTS = (
     "w.rule AS matched_rule, w.prefix AS matched_prefix "
     "FROM pages p LEFT JOIN w USING (doc_id)"
 )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (3 damped power-iteration rounds, nano-unit
+    integer-exact arithmetic): edges synthesized deterministically from
+    the documents table with a hub skew — 3/4 of links point at the
+    five hub hosts h0-h4, the rest spread by a rotating offset — so
+    the ranking genuinely differentiates (hubs rise, leaves fall);
+    self-loops are dropped inside the operator."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.floor(F.col("doc_id") / 25).cast("bigint")
+    dst = F.when(
+        q % 4 < 3,
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("h"),
+            (((F.col("doc_id") % 25) * 7 + q) % 25).cast("string"),
+        )
+    )
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string")).alias("src"),
+        dst.alias("dst"),
+    )
+    return webgraph.host_pagerank(edges, iterations=3)
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        "CASE WHEN (doc_id // 25) % 4 < 3 "
+        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+        "END AS dst FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT host FROM "
+        "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes)",
+        "odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg "
+        "FROM edges GROUP BY 1)",
+        "r0 AS (SELECT host, CAST(floor(1000000000.0 / cnt) AS BIGINT) AS r "
+        "FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT dst AS host, CAST(sum(CAST(floor("
+            f"CAST(r AS DOUBLE) / odeg) AS BIGINT)) AS BIGINT) AS s "
+            f"FROM edges JOIN r{i-1} ON edges.src = r{i-1}.host "
+            f"JOIN odeg USING (src) GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n2.host, "
+            f"CAST(floor(3000000000.0 / (20 * cnt)) AS BIGINT) + "
+            f"CAST(floor(17.0 * coalesce(s, 0) / 20) AS BIGINT) AS r "
+            f"FROM nodes n2 CROSS JOIN nn LEFT JOIN s{i} ON n2.host = s{i}.host)"
+        )
+    ctes.append(
+        "ideg AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_degree "
+        "FROM edges GROUP BY 1)"
+    )
+    last = f"r{iterations}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT {last}.host, r AS rank_nano, "
+        "round(r / 1000000000.0, 6) AS rank, "
+        "CAST(coalesce(odeg, 0) AS BIGINT) AS out_degree, "
+        "CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree "
+        f"FROM {last} LEFT JOIN odeg ON {last}.host = odeg.src "
+        f"LEFT JOIN ideg ON {last}.host = ideg.host"
+    )
+
+
+ORACLE_HOST_PAGERANK = _pagerank_oracle(3)
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2768,6 +2842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_host_stats": q_url_host_stats,
     "url_blocklist": q_url_blocklist,
     "robots_filter": q_robots_filter,
+    "host_pagerank": q_host_pagerank,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -2843,6 +2918,7 @@ ORACLES: dict[str, str] = {
     "url_host_stats": ORACLE_URL_HOST,
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "robots_filter": ORACLE_ROBOTS,
+    "host_pagerank": ORACLE_HOST_PAGERANK,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -458,6 +458,37 @@ def test_blocklist_filter_exact_subdomain_and_tie(spark):
     assert not got[5]["blocked"]
 
 
+def test_host_pagerank_hand_computed_and_dedup(spark):
+    """One damped round on A->B, A->C, B->C, C->A (hand-computed in
+    nano-units, including the floor-division steps); duplicate edges
+    and self-loops must not change the result."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"),
+         ("A", "B"),   # duplicate edge: deduped
+         ("B", "B")],  # self-loop: dropped
+        "src string, dst string",
+    )
+    got = {r["host"]: r for r in
+           webgraph.host_pagerank(edges, iterations=1).collect()}
+    # r0 = 10^9 // 3; base = 3*10^9 // 60 = 50_000_000
+    # s(A)=333333333 (from C/1), s(B)=166666666 (A/2),
+    # s(C)=166666666+333333333=499999999
+    assert got["A"]["rank_nano"] == 50_000_000 + (17 * 333333333) // 20
+    assert got["B"]["rank_nano"] == 50_000_000 + (17 * 166666666) // 20
+    assert got["C"]["rank_nano"] == 50_000_000 + (17 * 499999999) // 20
+    assert got["C"]["rank_nano"] > got["A"]["rank_nano"] > got["B"]["rank_nano"]
+    assert got["A"]["out_degree"] == 2 and got["C"]["in_degree"] == 2
+    # a pure sink (in-edges only) still gets base + damped mass
+    sink = spark.createDataFrame(
+        [("A", "B")], "src string, dst string"
+    )
+    got2 = {r["host"]: r for r in
+            webgraph.host_pagerank(sink, iterations=2).collect()}
+    assert got2["B"]["out_degree"] == 0 and got2["B"]["rank_nano"] > 0
+
+
 def test_robots_filter_longest_match_semantics(spark):
     """RFC 9309 longest-match: longer allow overrides shorter disallow
     and vice versa; an exact length tie resolves to allow; a host with
