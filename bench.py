@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "dsir_weights",
     "robots_filter",
+    "outlink_edges",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -26,6 +26,47 @@ _SCALE = 1_000_000_000  # nano-units
 _D_NUM, _D_DEN = 17, 20  # damping 0.85 as an exact rational
 
 
+def extract_outlinks(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links) — host-level outlink edges from
+    raw page bytes: absolute http(s) hrefs pulled with ONE codegen'd
+    ``regexp_extract_all`` over the decoded html (no Python, no DOM
+    build — a link pass over a crawl is orders cheaper than the text
+    pass, and webgraph pipelines run it standalone exactly like this),
+    targets canonicalized to hosts, same-host/relative/mailto targets
+    dropped, multiplicity kept as ``n_links``. Output feeds
+    ``host_pagerank``.
+
+    Scale shape: narrow map (decode + regexp + explode) then one
+    partial-agg groupBy on (src_host, dst_host) — html bytes never
+    shuffle, only host-pair strings. Decoding is the lossy
+    binary->string CAST, not ``F.decode``: Spark 4's decode THROWS
+    [MALFORMED_CHARACTER_CODING] on invalid UTF-8, and one mangled
+    crawl page must not kill the task; under the cast, hrefs in valid
+    regions still match and junk regions simply fail the regexp."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    html_str = F.col(html_col).cast("string")
+    links = pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                html_str, F.lit('(?i)href="(https?://[^"]+)"'), F.lit(1)
+            )
+        ).alias("target"),
+    )
+    return (
+        links.select(
+            "src_host", url_host(F.col("target")).alias("dst_host")
+        )
+        .filter(
+            (F.col("dst_host") != "") & (F.col("dst_host") != F.col("src_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+
+
 def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """(host, rank_nano, rank, out_degree, in_degree) — damped
     PageRank power iteration over a distinct (src, dst) host edge

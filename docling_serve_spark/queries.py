@@ -1072,14 +1072,19 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webgraph.host_pagerank(edges, iterations=3)
 
 
-def _pagerank_oracle(iterations: int = 3) -> str:
-    ctes = [
+def _pagerank_oracle(iterations: int = 3,
+                     edge_ctes: list[str] | None = None) -> str:
+    """Unrolled power-iteration SQL; ``edge_ctes`` must end with an
+    ``edges`` CTE of DISTINCT self-loop-free (src, dst) rows."""
+    ctes = list(edge_ctes) if edge_ctes is not None else [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
         "CASE WHEN (doc_id // 25) % 4 < 3 "
         "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
         "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
         "END AS dst FROM documents)",
         "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+    ]
+    ctes += [
         "nodes AS (SELECT DISTINCT host FROM "
         "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes)",
@@ -1118,6 +1123,90 @@ def _pagerank_oracle(iterations: int = 3) -> str:
 
 
 ORACLE_HOST_PAGERANK = _pagerank_oracle(3)
+
+
+def _outlink_pages(docs: DataFrame) -> DataFrame:
+    """Pages whose html carries every href class the extractor must
+    route: relative (dropped), absolute external (kept), absolute
+    cross-site for doc%3==0 (kept), mailto (dropped), absolute
+    self-host behind a www./scheme variant (dropped after
+    canonicalization), plus an uppercase HREF attribute."""
+    i = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    e = (F.col("doc_id") % 9).cast("string")
+    cross = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<a href="http://www.site'),
+            ((F.col("doc_id") + 1) % 7).cast("string"),
+            F.lit('.com/cross">y</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/local">x</a></nav><a HREF="https://ext'),
+        e,
+        F.lit('.net/a?x=1">t</a>'),
+        cross,
+        F.lit('<a href="mailto:a@b.c">m</a><a href="https://site'),
+        h,
+        F.lit('.com/self">s</a></body></html>'),
+    )
+    return docs.select(
+        F.concat(F.lit("https://www.site"), h, F.lit(".com/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_outlink_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level outlink extraction from raw page bytes: one codegen'd
+    regexp pass per page, canonicalized targets, same-host and
+    non-http targets dropped, multiplicity kept."""
+    return webgraph.extract_outlinks(_outlink_pages(_t(spark, sf_dir, "documents")))
+
+
+_OL_CANON_TGT = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower(target), '^https?://', ''), '[?#].*$', ''), '^www\\.', ''), '/$', '')"
+)
+
+_OL_CTES = [
+    "ol AS (SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS src_host, "
+    "'<html><body><nav><a href=\"/local\">x</a></nav><a HREF=\"https://ext' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '.net/a?x=1\">t</a>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"http://www.site' || "
+    "CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/cross\">y</a>' ELSE '' END || "
+    "'<a href=\"mailto:a@b.c\">m</a><a href=\"https://site' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com/self\">s</a></body></html>' AS html "
+    "FROM documents)",
+    "tgt AS (SELECT src_host, unnest(regexp_extract_all(html, "
+    "'(?i)href=\"(https?://[^\"]+)\"', 1)) AS target FROM ol)",
+    "dst AS (SELECT src_host, regexp_extract(" + _OL_CANON_TGT + ", "
+    "'^([^/]+)', 1) AS dst_host FROM tgt)",
+    "kept AS (SELECT src_host, dst_host FROM dst "
+    "WHERE dst_host <> '' AND dst_host <> src_host)",
+]
+
+ORACLE_OUTLINK_EDGES = (
+    "WITH " + ", ".join(_OL_CTES) + " "
+    "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links "
+    "FROM kept GROUP BY 1, 2"
+)
+
+
+def q_outlink_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition closing the webgraph loop: html bytes -> outlink
+    edges (X40) -> host PageRank (X39), all relational."""
+    edges = webgraph.extract_outlinks(
+        _outlink_pages(_t(spark, sf_dir, "documents"))
+    ).select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return webgraph.host_pagerank(edges, iterations=3)
+
+
+ORACLE_OUTLINK_PAGERANK = _pagerank_oracle(
+    3,
+    edge_ctes=_OL_CTES
+    + ["edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM kept)"],
+)
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2843,6 +2932,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_blocklist": q_url_blocklist,
     "robots_filter": q_robots_filter,
     "host_pagerank": q_host_pagerank,
+    "outlink_edges": q_outlink_edges,
+    "outlink_pagerank": q_outlink_pagerank,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -2919,6 +3010,8 @@ ORACLES: dict[str, str] = {
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "robots_filter": ORACLE_ROBOTS,
     "host_pagerank": ORACLE_HOST_PAGERANK,
+    "outlink_edges": ORACLE_OUTLINK_EDGES,
+    "outlink_pagerank": ORACLE_OUTLINK_PAGERANK,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -458,6 +458,29 @@ def test_blocklist_filter_exact_subdomain_and_tie(spark):
     assert not got[5]["blocked"]
 
 
+def test_extract_outlinks_routes_every_href_class(spark):
+    """Relative/mailto/self-host targets drop; absolute externals keep
+    multiplicity; uppercase HREF matches; malformed UTF-8 elsewhere in
+    the page doesn't kill the row."""
+    from docling_serve_spark.operators import webgraph
+
+    html = (
+        b'<a href="/rel">r</a>'
+        b'<a href="mailto:x@y.z">m</a>'
+        b'<a href="https://www.me.com/self">s</a>'
+        b'<a HREF="https://Ext.net/a">1</a>'
+        b'<a href="http://ext.net/b?q=1">2</a>'
+        b'<a href="https://other.org/">3</a>'
+        b"\xff\xfe junk bytes"
+    )
+    pages = spark.createDataFrame(
+        [("http://me.com/page", bytearray(html))], "url string, html binary"
+    )
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in webgraph.extract_outlinks(pages).collect()}
+    assert got == {("me.com", "ext.net"): 2, ("me.com", "other.org"): 1}
+
+
 def test_host_pagerank_hand_computed_and_dedup(spark):
     """One damped round on A->B, A->C, B->C, C->A (hand-computed in
     nano-units, including the floor-division steps); duplicate edges
