@@ -198,25 +198,33 @@ def _ensure_scaled_docs(spark, factor: int = 10) -> str:
     alone ran ~35 min — too slow to interleave; 10× keeps the slow leg
     in minutes while the work term still dominates fixed overhead.)
     Replicate it ``factor``× with per-replica doc_id
-    offsets AND a per-replica text salt token (no cross-replica exact
-    dups, same shingle statistics), cached as a synthetic sf dir so
-    catalog queries run on it unchanged."""
+    offsets AND a per-replica SUFFIX ON EVERY WORD (same lengths and
+    per-doc structure, but fully disjoint token/shingle sets across
+    replicas). Two cheaper variants were tried and are WRONG for
+    near-dup ops: a trailing salt token, and a per-replica word
+    rotation — MinHash is a SET operation, so both leave replicas
+    near-identical (rotation preserves all interior shingles), every
+    band bucket holds a factor-sized clique, and the measured time is
+    the synthetic clique pair blow-up (15x output rows), not engine
+    scaling. Cached as a synthetic sf dir so catalog queries run on it
+    unchanged."""
     from pyspark.sql import functions as F
 
     name = os.path.basename(SF_DIR.rstrip("/"))
-    out = os.path.join(CACHE_DIR, f"docs_scaled_{name}_x{factor}")
+    out = os.path.join(CACHE_DIR, f"docs_scaled_{name}_x{factor}_sfx")
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
         reps = spark.range(factor).withColumnRenamed("id", "rep")
+        rep_s = F.col("rep").cast("string")
+        salted = F.transform(
+            F.split(F.col("text"), " "),
+            lambda x: F.concat(x, F.lit("r"), rep_s),
+        )
         scaled = (
             docs.crossJoin(reps)
             .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
-            .withColumn(
-                "text",
-                F.concat(F.col("text"), F.lit(" rep"),
-                         F.col("rep").cast("string")),
-            )
+            .withColumn("text", F.array_join(salted, " "))
             .drop("rep")
         )
         scaled.write.mode("overwrite").parquet(
