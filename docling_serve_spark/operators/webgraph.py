@@ -67,6 +67,72 @@ def extract_outlinks(pages: DataFrame, url_col: str = "url",
     )
 
 
+def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html", k: int = 3) -> DataFrame:
+    """(dst_host, anchor, n_links, n_src_hosts, rank) — inbound
+    anchor-text aggregation: the top-``k`` normalized anchor strings
+    pointing at each external host. Anchor text is the classic
+    off-page relevance/quality signal (Brin & Page 1998 §2.2; used by
+    web-corpus pipelines to label and rank hosts the crawler has not
+    yet fetched), and for training data it supplies short human-written
+    descriptions of a target page.
+
+    Extraction is two codegen'd regexp passes, no DOM build: one
+    ``regexp_extract_all`` pulls whole ``<a href="http(s)…">text</a>``
+    tags (text anchors only — an anchor wrapping markup like ``<img>``
+    is skipped by construction), then per-tag group extracts split
+    href and anchor. Anchors are normalized (lowercase, whitespace
+    collapsed, trimmed); empty anchors, non-http(s) targets and
+    same-host links are dropped, multiplicity kept.
+
+    Scale shape: narrow map (cast + regexp + explode) so html bytes
+    never shuffle — only (dst_host, anchor) string pairs; one
+    partial-agg groupBy, then the top-k window partitioned by
+    dst_host. Ordering is integer-exact (n_links desc, anchor asc), so
+    the result is partitioning-independent. The same lossy
+    binary→string cast as `extract_outlinks` (Spark 4's F.decode
+    throws on invalid UTF-8; one mangled page must not kill a task)."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.urltools import url_host
+
+    html_str = F.col(html_col).cast("string")
+    tag_re = '(?i)<a[^>]*href="https?://[^"]*"[^>]*>[^<]*</a>'
+    tags = pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(tag_re), F.lit(0))
+        ).alias("tag"),
+    )
+    pairs = tags.select(
+        "src_host",
+        url_host(
+            F.regexp_extract(F.col("tag"), '(?i)href="(https?://[^"]*)"', 1)
+        ).alias("dst_host"),
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.regexp_extract(F.col("tag"), ">([^<]*)</a>", 1)),
+                r"\s+", " ",
+            )
+        ).alias("anchor"),
+    ).filter(
+        (F.col("dst_host") != "")
+        & (F.col("dst_host") != F.col("src_host"))
+        & (F.col("anchor") != "")
+    )
+    agg = pairs.groupBy("dst_host", "anchor").agg(
+        F.count("*").cast("bigint").alias("n_links"),
+        F.countDistinct("src_host").cast("bigint").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """(host, rank_nano, rank, out_degree, in_degree) — damped
     PageRank power iteration over a distinct (src, dst) host edge

@@ -1209,6 +1209,130 @@ ORACLE_OUTLINK_PAGERANK = _pagerank_oracle(
 )
 
 
+def _anchor_pages(docs: DataFrame) -> DataFrame:
+    """Pages exercising every anchor-extraction branch: a relative
+    link (dropped), an external text anchor whose wording varies by
+    doc (kept; double spaces + case + padding exercise normalization),
+    a cross-site anchor for doc%3==0 (kept), an image anchor (skipped
+    — markup inside <a> is not a text anchor), an empty anchor
+    (dropped), a mailto (dropped), and a same-host link (dropped)."""
+    i = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    e = (F.col("doc_id") % 9).cast("string")
+    label = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Read  More"))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("Article "), e))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" Click here "))
+        .otherwise(F.concat(F.lit("Ext "), e, F.lit(" HOMEPAGE")))
+    )
+    cross = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<a href="http://www.site'),
+            ((F.col("doc_id") + 1) % 7).cast("string"),
+            F.lit('.com/c"> Home Page </a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><body><a href="/rel">local</a><a HREF="https://ext'),
+        e, F.lit('.net/a?q=1">'), label, F.lit("</a>"),
+        cross,
+        F.lit('<a href="https://ext'), e,
+        F.lit('.net/img"><img src="i.png"></a><a href="https://ext'),
+        e, F.lit('.net/b"></a><a href="mailto:x@y.z">mail</a>'),
+        F.lit('<a href="https://site'), h,
+        F.lit('.com/self">self link</a></body></html>'),
+    )
+    return docs.select(
+        F.concat(F.lit("https://www.site"), h, F.lit(".com/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation (X41): top-3 normalized anchor
+    strings per external target host, from raw page bytes — two
+    codegen'd regexp passes, html never shuffles."""
+    return webgraph.extract_anchor_texts(
+        _anchor_pages(_t(spark, sf_dir, "documents")), k=3
+    )
+
+
+ORACLE_ANCHOR_TEXTS = (
+    "WITH ap AS (SELECT doc_id, "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS src_host, "
+    "'<html><body><a href=\"/rel\">local</a><a HREF=\"https://ext' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '.net/a?q=1\">' || "
+    "CASE WHEN doc_id % 4 = 0 THEN 'Read  More' "
+    "WHEN doc_id % 4 = 1 THEN 'Article ' || CAST(doc_id % 9 AS VARCHAR) "
+    "WHEN doc_id % 4 = 2 THEN ' Click here ' "
+    "ELSE 'Ext ' || CAST(doc_id % 9 AS VARCHAR) || ' HOMEPAGE' END || '</a>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"http://www.site' || "
+    "CAST((doc_id + 1) % 7 AS VARCHAR) || '.com/c\"> Home Page </a>' "
+    "ELSE '' END || "
+    "'<a href=\"https://ext' || CAST(doc_id % 9 AS VARCHAR) || "
+    "'.net/img\"><img src=\"i.png\"></a><a href=\"https://ext' || "
+    "CAST(doc_id % 9 AS VARCHAR) || '.net/b\"></a>"
+    "<a href=\"mailto:x@y.z\">mail</a><a href=\"https://site' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.com/self\">self link</a></body></html>'"
+    " AS html FROM documents), "
+    "tags AS (SELECT src_host, unnest(regexp_extract_all(html, "
+    "'(?i)<a[^>]*href=\"https?://[^\"]*\"[^>]*>[^<]*</a>', 0)) AS tag FROM ap), "
+    "pairs AS (SELECT src_host, regexp_extract(" + _OL_CANON_TGT.replace(
+        "lower(target)",
+        "lower(regexp_extract(tag, '(?i)href=\"(https?://[^\"]*)\"', 1))",
+    ) + ", '^([^/]+)', 1) AS dst_host, "
+    "trim(regexp_replace(lower(regexp_extract(tag, '>([^<]*)</a>', 1)), "
+    "'\\s+', ' ', 'g')) AS anchor FROM tags), "
+    "agg AS (SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links, "
+    "CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts FROM pairs "
+    "WHERE dst_host <> '' AND dst_host <> src_host AND anchor <> '' "
+    "GROUP BY 1, 2), "
+    "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY dst_host "
+    "ORDER BY n_links DESC, anchor ASC) AS INT) AS rank FROM agg) "
+    "SELECT dst_host, anchor, n_links, n_src_hosts, rank "
+    "FROM ranked WHERE rank <= 3"
+)
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 lexical retrieval (X42) for a fixed probe query —
+    integer-exact scoring (micro-nat idf, rational k1=6/5 b=3/4, int64
+    division), TakeOrdered top-k."""
+    from docling_serve_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+ORACLE_BM25 = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' ')) AS term FROM documents), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl "
+    "FROM toks GROUP BY 1), "
+    "totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(dl) AS BIGINT) AS total_len FROM dl), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks "
+    "WHERE term IN ('" + "', '".join(_BM25_TERMS) + "') GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "scored AS (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, total_len, "
+    "CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0) "
+    "AS BIGINT) AS idf_micro "
+    "FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) "
+    "CROSS JOIN totals), "
+    "contrib AS (SELECT doc_id, (idf_micro * tf * 44 * total_len) // "
+    "(20 * total_len * tf + 6 * total_len + 18 * dl * n_docs) AS c "
+    "FROM scored), "
+    "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro, "
+    "CAST(count(*) AS INT) AS n_terms_matched FROM contrib GROUP BY 1) "
+    "SELECT * FROM (SELECT doc_id, score_micro, n_terms_matched, "
+    "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) "
+    "AS rank FROM agg) WHERE rank <= 10"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -2934,6 +3058,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "outlink_edges": q_outlink_edges,
     "outlink_pagerank": q_outlink_pagerank,
+    "anchor_texts": q_anchor_texts,
+    "bm25_search": q_bm25_search,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3012,6 +3138,8 @@ ORACLES: dict[str, str] = {
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "outlink_edges": ORACLE_OUTLINK_EDGES,
     "outlink_pagerank": ORACLE_OUTLINK_PAGERANK,
+    "anchor_texts": ORACLE_ANCHOR_TEXTS,
+    "bm25_search": ORACLE_BM25,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

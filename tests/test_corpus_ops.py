@@ -481,6 +481,65 @@ def test_extract_outlinks_routes_every_href_class(spark):
     assert got == {("me.com", "ext.net"): 2, ("me.com", "other.org"): 1}
 
 
+def test_extract_anchor_texts_branches_and_topk(spark):
+    """Text anchors normalize (case/whitespace); image-wrapped, empty,
+    relative, mailto, and same-host anchors drop; top-k keeps the k
+    most-linked anchors per dst host with (n_links desc, anchor asc)
+    tie-break."""
+    from docling_serve_spark.operators import webgraph
+
+    html = (
+        b'<a href="/rel">local</a>'
+        b'<a href="mailto:x@y.z">mail</a>'
+        b'<a href="https://me.com/self">me</a>'
+        b'<a HREF="https://ext.net/a">Read   MORE</a>'
+        b'<a href="https://ext.net/b"> read more </a>'
+        b'<a href="https://ext.net/c">beta</a>'
+        b'<a href="https://ext.net/d">alpha</a>'
+        b'<a href="https://ext.net/e">gamma</a>'
+        b'<a href="https://ext.net/img"><img src="i.png"></a>'
+        b'<a href="https://ext.net/empty"></a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://me.com/page", bytearray(html))], "url string, html binary"
+    )
+    rows = webgraph.extract_anchor_texts(pages, k=3).collect()
+    got = {r["anchor"]: r for r in rows}
+    # 'read more' wins (2 links, case+whitespace folded); the single-
+    # link anchors tie and resolve alphabetically: alpha, beta kept,
+    # gamma dropped by k=3
+    assert set(got) == {"read more", "alpha", "beta"}
+    assert got["read more"]["n_links"] == 2
+    assert got["read more"]["rank"] == 1
+    assert got["alpha"]["rank"] == 2 and got["beta"]["rank"] == 3
+    assert all(r["dst_host"] == "ext.net" and r["n_src_hosts"] == 1
+               for r in rows)
+
+
+def test_bm25_topk_hand_computed(spark):
+    """Exact micro-nat BM25 scores on a 3-doc corpus, checked against
+    hand-evaluated integer arithmetic (idf_micro = round(1e6*ln(1.6))
+    = 470004; contribution = idf*tf*44L div (20Ltf + 6L + 18*dl*N))."""
+    from docling_serve_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"),
+         (3, "banana banana banana")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            bm25_topk(docs, ["apple", "banana"], k=3).collect()}
+    # d1: apple tf=2 dl=3 -> 330882816//530 = 624307;
+    #     banana tf=1     -> 165441408//370 = 447138
+    assert rows[1]["score_micro"] == 624307 + 447138
+    assert rows[1]["rank"] == 1 and rows[1]["n_terms_matched"] == 2
+    # d3: banana tf=3 dl=3 -> 496324224//690 = 719310
+    assert rows[3]["score_micro"] == 719310 and rows[3]["rank"] == 2
+    # d2: apple tf=1 dl=2 -> 165441408//316 = 523548
+    assert rows[2]["score_micro"] == 523548 and rows[2]["rank"] == 3
+    assert rows[2]["n_terms_matched"] == 1
+
+
 def test_host_pagerank_hand_computed_and_dedup(spark):
     """One damped round on A->B, A->C, B->C, C->A (hand-computed in
     nano-units, including the floor-division steps); duplicate edges

@@ -34,6 +34,8 @@ INVARIANCE_QUERIES = [
     "dup_components",
     "substring_spans",
     "ann_recall_multitable",
+    "anchor_texts",     # per-host top-k window tie keys
+    "bm25_search",      # micro-nat integer sums + global top-k
 ]
 
 

@@ -240,6 +240,26 @@ def test_charlm_and_boilerplate_no_cartesian(spark):
         assert plan.count("HashAggregate") >= 2, name
 
 
+def test_anchor_texts_no_cartesian_and_partial_agg(spark):
+    """Anchor aggregation must stay a narrow map + partial-agg groupBy
+    + per-host window: no cartesian, no Python, map-side partials."""
+    plan = _plan(spark, QUERIES["anchor_texts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bm25_topk_takeordered_and_broadcasts(spark):
+    """Global top-k must be TakeOrderedAndProject (never a global
+    sort of all candidates); the totals row and per-term df ride
+    broadcasts."""
+    plan = _plan(spark, QUERIES["bm25_search"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_host_top_terms_no_global_sort(spark):
     """Top-k per host is a windowed rank — a global Sort over the
     whole term table would be the wrong plan."""
