@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "robots_filter",
     "outlink_edges",
+    "anchor_texts",
+    "bm25_search",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —
@@ -190,13 +192,17 @@ def _run_extraction(spark, path: str, warmup: bool = True, reps: int = 2) -> flo
 BENCH_SPLIT_BYTES = 2 * 1024 * 1024
 
 
-def _ensure_scaled_docs(spark, factor: int = 10) -> str:
+def _ensure_scaled_docs(spark, factor: int = 60) -> str:
     """A documents corpus big enough for the operator-scaling legs:
     sf0.1's documents table is 5k rows — a ~5 s op there is all fixed
     overhead (stage scheduling, codegen) and measures nothing about
-    engine scaling. (40× was tried first: the 4-core dedup_minhash leg
-    alone ran ~35 min — too slow to interleave; 10× keeps the slow leg
-    in minutes while the work term still dominates fixed overhead.)
+    engine scaling. Factor 30 puts the 16-core dedup_minhash leg near
+    ~20 s, where the measured ~4.6 s/run fixed cost (job scheduling +
+    codegen + scan setup, solved from the two-leg system at 10×:
+    28.1 s @4 / 10.5 s @16) is <25% of the denominator. (An earlier
+    40× run took 35 min per 4-core leg — but that was the clique-
+    corpus artifact below, quadratic in factor; with disjoint replicas
+    the op is linear in factor.)
     Replicate it ``factor``× with per-replica doc_id
     offsets AND a per-replica SUFFIX ON EVERY WORD (same lengths and
     per-doc structure, but fully disjoint token/shingle sets across
@@ -207,11 +213,19 @@ def _ensure_scaled_docs(spark, factor: int = 10) -> str:
     band bucket holds a factor-sized clique, and the measured time is
     the synthetic clique pair blow-up (15x output rows), not engine
     scaling. Cached as a synthetic sf dir so catalog queries run on it
-    unchanged."""
+    unchanged.
+
+    Written as 64 files: the crossJoin inherits the source table's
+    partitioning (ONE partition for a small parquet), and a
+    single-file write means a single row group — parquet's split
+    unit — so every leg's scan+hash+partial-agg chain would run in
+    ONE task no matter the core count (measured: 46 s at 4 cores vs
+    48 s at 16, 'efficiency' 0.24 — pure serial artifact of the
+    corpus layout, not the operator)."""
     from pyspark.sql import functions as F
 
     name = os.path.basename(SF_DIR.rstrip("/"))
-    out = os.path.join(CACHE_DIR, f"docs_scaled_{name}_x{factor}_sfx")
+    out = os.path.join(CACHE_DIR, f"docs_scaled_{name}_x{factor}_sfx_p64")
     marker = os.path.join(out, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -227,6 +241,7 @@ def _ensure_scaled_docs(spark, factor: int = 10) -> str:
             .withColumn("text", F.array_join(salted, " "))
             .drop("rep")
         )
+        scaled = scaled.repartition(64, "doc_id")
         scaled.write.mode("overwrite").parquet(
             os.path.join(out, "documents.parquet")
         )
@@ -236,10 +251,17 @@ def _ensure_scaled_docs(spark, factor: int = 10) -> str:
 def scaling_worker(cpus: int, op: str | None = None) -> None:
     from docling_serve_spark.session import get_spark
 
+    # Heap scales WITH the core count (2 GB/core): a real N->4N
+    # executor resize holds memory per core constant, but a fixed-size
+    # heap gives the 16-thread leg a quarter of the per-core memory of
+    # the 4-thread leg — on allocation-heavy JVM ops (minhash builds
+    # tens of millions of shingle strings) the high leg then measures
+    # GC pressure, not engine scaling.
     spark = get_spark(
         app_name=f"bench-scale-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
         files_max_partition_bytes=BENCH_SPLIT_BYTES,
+        extra={"spark.driver.memory": f"{2 * cpus}g"},
     )
     if op is not None:
         # operator-scaling leg: time a catalog query (shuffle-bearing
