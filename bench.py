@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "outlink_edges",
     "anchor_texts",
     "bm25_search",
+    "frontier_select",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -1047,14 +1047,10 @@ ORACLE_ROBOTS = (
 )
 
 
-def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-graph PageRank (3 damped power-iteration rounds, nano-unit
-    integer-exact arithmetic): edges synthesized deterministically from
-    the documents table with a hub skew — 3/4 of links point at the
-    five hub hosts h0-h4, the rest spread by a rotating offset — so
-    the ranking genuinely differentiates (hubs rise, leaves fall);
-    self-loops are dropped inside the operator."""
-    docs = _t(spark, sf_dir, "documents")
+def _hub_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic hub-skewed host edges over hosts h0-h24: 3/4 of
+    links point at the five hub hosts h0-h4, the rest spread by a
+    rotating offset — so rankings genuinely differentiate."""
     q = F.floor(F.col("doc_id") / 25).cast("bigint")
     dst = F.when(
         q % 4 < 3,
@@ -1065,16 +1061,25 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (((F.col("doc_id") % 25) * 7 + q) % 25).cast("string"),
         )
     )
-    edges = docs.select(
+    return docs.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string")).alias("src"),
         dst.alias("dst"),
     )
-    return webgraph.host_pagerank(edges, iterations=3)
 
 
-def _pagerank_oracle(iterations: int = 3,
-                     edge_ctes: list[str] | None = None) -> str:
-    """Unrolled power-iteration SQL; ``edge_ctes`` must end with an
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (3 damped power-iteration rounds, nano-unit
+    integer-exact arithmetic) over the deterministic hub-skew edge
+    synthesis; self-loops are dropped inside the operator."""
+    return webgraph.host_pagerank(
+        _hub_edges(_t(spark, sf_dir, "documents")), iterations=3
+    )
+
+
+def _pagerank_ctes(iterations: int = 3,
+                   edge_ctes: list[str] | None = None) -> list[str]:
+    """Unrolled power-iteration CTE list, ending with
+    ``r{iterations}(host, r)``; ``edge_ctes`` must end with an
     ``edges`` CTE of DISTINCT self-loop-free (src, dst) rows."""
     ctes = list(edge_ctes) if edge_ctes is not None else [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
@@ -1106,6 +1111,14 @@ def _pagerank_oracle(iterations: int = 3,
             f"CAST(floor(17.0 * coalesce(s, 0) / 20) AS BIGINT) AS r "
             f"FROM nodes n2 CROSS JOIN nn LEFT JOIN s{i} ON n2.host = s{i}.host)"
         )
+    return ctes
+
+
+def _pagerank_oracle(iterations: int = 3,
+                     edge_ctes: list[str] | None = None) -> str:
+    """Full host_pagerank oracle: power-iteration CTEs + the final
+    (host, rank_nano, rank, out_degree, in_degree) projection."""
+    ctes = _pagerank_ctes(iterations, edge_ctes)
     ctes.append(
         "ideg AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_degree "
         "FROM edges GROUP BY 1)"
@@ -1330,6 +1343,62 @@ ORACLE_BM25 = (
     "SELECT * FROM (SELECT doc_id, score_micro, n_terms_matched, "
     "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) "
     "AS rank FROM agg) WHERE rank <= 10"
+)
+
+
+def q_frontier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier selection (X43): host PageRank (X39, real
+    composition over the hub-skew graph) × recrawl status × robots
+    verdict → the next 50-url batch, ≤2 urls/host. Candidates are
+    synthesized so every branch fires: `removed` and disallowed rows
+    excluded, doc_id%11==0 rows live on never-ranked `fresh*` hosts
+    (rank_nano=0 path), and per-host candidate counts exceed the cap."""
+    from docling_serve_spark.operators.frontier import frontier_select
+
+    docs = _t(spark, sf_dir, "documents")
+    ranks = webgraph.host_pagerank(_hub_edges(docs), iterations=3)
+    host = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("fresh"), (F.col("doc_id") % 3).cast("string")),
+    ).otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string")))
+    status = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("added"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("changed"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("unchanged"))
+        .otherwise(F.lit("removed"))
+    )
+    candidates = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        host.alias("host"),
+        status.alias("status"),
+        (F.col("doc_id") % 5 != 2).alias("crawl_allowed"),
+    )
+    return frontier_select(candidates, ranks, batch_size=50, per_host_cap=2)
+
+
+ORACLE_FRONTIER_SELECT = (
+    "WITH " + ", ".join(_pagerank_ctes(3)) + ", "
+    "cand AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 11 = 0 THEN 'fresh' || CAST(doc_id % 3 AS VARCHAR) "
+    "ELSE 'h' || CAST(doc_id % 25 AS VARCHAR) END AS host, "
+    "CASE doc_id % 4 WHEN 0 THEN 'added' WHEN 1 THEN 'changed' "
+    "WHEN 2 THEN 'unchanged' ELSE 'removed' END AS status, "
+    "doc_id % 5 <> 2 AS crawl_allowed FROM documents), "
+    "cu AS (SELECT 'https://' || host || '/p' || CAST(doc_id AS VARCHAR) "
+    "AS url, host, status, crawl_allowed FROM cand), "
+    "elig AS (SELECT url, cu.host, status, "
+    "CAST((CASE status WHEN 'added' THEN 4 WHEN 'changed' THEN 3 ELSE 1 END) "
+    "* (coalesce(r, 0) + 1) AS BIGINT) AS priority_nano "
+    "FROM cu LEFT JOIN r3 ON cu.host = r3.host "
+    "WHERE crawl_allowed AND status IN ('added', 'changed', 'unchanged')), "
+    "capped AS (SELECT *, CAST(row_number() OVER (PARTITION BY host "
+    "ORDER BY priority_nano DESC, url ASC) AS INT) AS host_pos FROM elig), "
+    "top AS (SELECT * FROM capped WHERE host_pos <= 2 "
+    "ORDER BY priority_nano DESC, url ASC LIMIT 50) "
+    "SELECT url, host, status, priority_nano, host_pos, "
+    "CAST(row_number() OVER (ORDER BY priority_nano DESC, url ASC) AS INT) "
+    "AS rank FROM top"
 )
 
 
@@ -3060,6 +3129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlink_pagerank": q_outlink_pagerank,
     "anchor_texts": q_anchor_texts,
     "bm25_search": q_bm25_search,
+    "frontier_select": q_frontier_select,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3140,6 +3210,7 @@ ORACLES: dict[str, str] = {
     "outlink_pagerank": ORACLE_OUTLINK_PAGERANK,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "bm25_search": ORACLE_BM25,
+    "frontier_select": ORACLE_FRONTIER_SELECT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -982,3 +982,44 @@ def test_canonical_select_longest_wins_ties_by_id(spark):
     # equal lengths -> smallest doc_id wins
     assert got[4]["is_canonical"] and not got[5]["is_canonical"]
     assert sum(r["is_canonical"] for r in got.values()) == 2
+
+
+# ------------------------------------------------------------------ #
+# frontier_select
+# ------------------------------------------------------------------ #
+
+def test_frontier_select_gates_caps_and_priority(spark):
+    """Robots-disallowed and `removed` candidates never enter the
+    batch; priority = status_weight x (rank_nano + 1) so a changed
+    page on an important host outranks an added page on a weak one;
+    an unranked host scores weight x 1; the per-host cap truncates;
+    the batch cut keeps the global top-N."""
+    from docling_serve_spark.operators.frontier import frontier_select
+
+    candidates = spark.createDataFrame(
+        [
+            ("https://big/p1", "big", "changed", True),    # 3*(1000+1)=3003
+            ("https://big/p2", "big", "added", True),      # 4*1001=4004
+            ("https://big/p3", "big", "unchanged", True),  # 1001 -> capped out
+            ("https://big/p4", "big", "added", False),     # disallowed
+            ("https://big/p5", "big", "removed", True),    # removed
+            ("https://small/p6", "small", "added", True),  # 4*(10+1)=44
+            ("https://never/p7", "never", "added", True),  # 4*(0+1)=4
+            ("https://never/p8", "never", "unchanged", True),  # 1 -> batch cut
+        ],
+        "url string, host string, status string, crawl_allowed boolean",
+    )
+    ranks = spark.createDataFrame(
+        [("big", 1000), ("small", 10)], "host string, rank_nano bigint"
+    )
+    rows = frontier_select(candidates, ranks, batch_size=4, per_host_cap=2)
+    got = {r["url"]: r for r in rows.collect()}
+    assert set(got) == {"https://big/p2", "https://big/p1",
+                        "https://small/p6", "https://never/p7"}
+    assert got["https://big/p2"]["priority_nano"] == 4004
+    assert got["https://big/p2"]["rank"] == 1
+    assert got["https://big/p1"]["priority_nano"] == 3003
+    assert got["https://small/p6"]["priority_nano"] == 44
+    assert got["https://never/p7"]["priority_nano"] == 4
+    assert got["https://never/p7"]["rank"] == 4
+    assert got["https://big/p1"]["host_pos"] == 2

@@ -36,6 +36,7 @@ INVARIANCE_QUERIES = [
     "ann_recall_multitable",
     "anchor_texts",     # per-host top-k window tie keys
     "bm25_search",      # micro-nat integer sums + global top-k
+    "frontier_select",  # priority ties + per-host cap + batch cut
 ]
 
 

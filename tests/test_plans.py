@@ -270,3 +270,15 @@ def test_host_top_terms_no_global_sort(spark):
         if line.strip().startswith("Sort ") or "+- Sort" in line:
             assert "global=false" not in line or True
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_frontier_select_takeordered_no_cartesian(spark):
+    """The batch cut must be TakeOrderedAndProject (never a global
+    sort); rank/candidate joins are equi-joins (broadcast at this
+    scale), no cartesian, no Python."""
+    plan = _plan(spark, QUERIES["frontier_select"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
