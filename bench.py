@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "anchor_texts",
     "bm25_search",
     "frontier_select",
+    "page_meta",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -1,0 +1,80 @@
+"""Page-level HTML metadata at scan speed: title, meta description,
+canonical URL, robots noindex, heading count.
+
+Crawl pipelines need indexing metadata for every fetched page long
+before (and independently of) main-content extraction: the canonical
+link collapses URL aliases ahead of dedup, `noindex` is a
+publisher-stated exclusion signal many corpora honor (and a quality
+prior), and title/description are the snippet fields retrieval and
+labeling passes read. Running the full DOM-building extraction UDF
+(`extract/html_extract.py`) for five header fields would pay the
+Python/Arrow round-trip per page; this operator instead stays
+entirely in WholeStageCodegen — a handful of regexp passes over the
+head of the document — so at 100 TB it is scan-bound, shuffle-free,
+and composable with any downstream groupBy.
+
+Attribute-order robustness: real pages write both
+``<meta name="description" content="...">`` and the reversed
+``<meta content="..." name="description">`` — each field tries the
+name-first pattern and falls back to the content-first one. The html
+column is a lossy binary→string cast (Spark 4's ``F.decode`` throws
+on invalid UTF-8; one mangled crawl page must not kill a task — same
+rule as `operators/webgraph.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _clean(col: Column) -> Column:
+    """Snippet normalization: collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _first_nonempty(a: Column, b: Column) -> Column:
+    return F.when(a != "", a).otherwise(b)
+
+
+def extract_page_meta(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(url, title, meta_description, canonical, noindex, n_h1) —
+    header metadata per page; absent fields are empty strings
+    (never null, so downstream filters need no three-valued logic),
+    ``noindex`` is a boolean, ``n_h1`` counts top-level heading tags
+    (a weak page-structure quality signal)."""
+    h = F.col(html_col).cast("string")
+    title = F.regexp_extract(h, "(?is)<title[^>]*>([^<]*)</title>", 1)
+    desc = _first_nonempty(
+        F.regexp_extract(
+            h, '(?is)<meta[^>]*name="description"[^>]*content="([^"]*)"', 1
+        ),
+        F.regexp_extract(
+            h, '(?is)<meta[^>]*content="([^"]*)"[^>]*name="description"', 1
+        ),
+    )
+    canonical = _first_nonempty(
+        F.regexp_extract(
+            h, '(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1
+        ),
+        F.regexp_extract(
+            h, '(?is)<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1
+        ),
+    )
+    robots = _first_nonempty(
+        F.regexp_extract(
+            h, '(?is)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1
+        ),
+        F.regexp_extract(
+            h, '(?is)<meta[^>]*content="([^"]*)"[^>]*name="robots"', 1
+        ),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        _clean(title).alias("title"),
+        _clean(desc).alias("meta_description"),
+        F.trim(canonical).alias("canonical"),
+        F.lower(robots).contains("noindex").alias("noindex"),
+        F.size(F.regexp_extract_all(h, F.lit("(?i)<h1[ >]"), F.lit(0)))
+        .cast("int").alias("n_h1"),
+    )

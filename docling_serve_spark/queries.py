@@ -1402,6 +1402,110 @@ ORACLE_FRONTIER_SELECT = (
 )
 
 
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (X44): title/description/canonical/
+    noindex/h1-count from raw page bytes, pure codegen — pages
+    synthesized so both attribute orders, the missing-field empties,
+    the case-folded noindex, and 0-3 h1 tags all occur."""
+    from docling_serve_spark.operators.pagemeta import extract_page_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    desc = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="Desc  for '),
+                 i, F.lit('">')),
+    ).otherwise(
+        F.concat(F.lit('<meta content="rev desc '), i,
+                 F.lit('" name="description">'))
+    )
+    canonical = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<link href="https://canon.site/p'), i,
+                        F.lit('" rel="canonical">')))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit('<link rel="canonical" href="https://canon.site/q'),
+                       i, F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    robots = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit('<meta content="INDEX, NOFOLLOW" name="robots">'))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<meta content="nofollow,NOINDEX" name="robots">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><TITLE> Page  "), i, F.lit(" title </TITLE>"),
+        desc, canonical, robots,
+        F.lit("</head><body>"),
+        F.repeat(F.lit("<h1>H</h1>"), (F.col("doc_id") % 4).cast("int")),
+        F.lit("<p>body</p></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_page_meta(pages)
+
+
+ORACLE_PAGE_META = (
+    "WITH pm AS (SELECT doc_id, "
+    "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' || "
+    "CAST(doc_id AS VARCHAR) AS url, "
+    "'<html><head><TITLE> Page  ' || CAST(doc_id AS VARCHAR) || ' title "
+    "</TITLE>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<meta name=\"description\" content=\"Desc  for ' || "
+    "CAST(doc_id AS VARCHAR) || '\">' "
+    "ELSE '<meta content=\"rev desc ' || CAST(doc_id AS VARCHAR) || "
+    "'\" name=\"description\">' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<link href=\"https://canon.site/p' || "
+    "CAST(doc_id AS VARCHAR) || '\" rel=\"canonical\">' "
+    "WHEN doc_id % 3 = 1 THEN '<link rel=\"canonical\" "
+    "href=\"https://canon.site/q' || CAST(doc_id AS VARCHAR) || '\">' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'<meta name=\"robots\" content=\"noindex, nofollow\">' "
+    "WHEN doc_id % 5 = 1 THEN "
+    "'<meta content=\"INDEX, NOFOLLOW\" name=\"robots\">' "
+    "WHEN doc_id % 5 = 2 THEN "
+    "'<meta content=\"nofollow,NOINDEX\" name=\"robots\">' ELSE '' END || "
+    "'</head><body>' || repeat('<h1>H</h1>', CAST(doc_id % 4 AS INT)) || "
+    "'<p>body</p></body></html>' AS html FROM documents), "
+    "x AS (SELECT url, "
+    "regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS t, "
+    "CASE WHEN regexp_extract(html, "
+    "'(?is)<meta[^>]*name=\"description\"[^>]*content=\"([^\"]*)\"', 1) <> '' "
+    "THEN regexp_extract(html, "
+    "'(?is)<meta[^>]*name=\"description\"[^>]*content=\"([^\"]*)\"', 1) "
+    "ELSE regexp_extract(html, "
+    "'(?is)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"description\"', 1) "
+    "END AS d, "
+    "CASE WHEN regexp_extract(html, "
+    "'(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"', 1) <> '' "
+    "THEN regexp_extract(html, "
+    "'(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"', 1) "
+    "ELSE regexp_extract(html, "
+    "'(?is)<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"', 1) END AS c, "
+    "CASE WHEN regexp_extract(html, "
+    "'(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1) <> '' "
+    "THEN regexp_extract(html, "
+    "'(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1) "
+    "ELSE regexp_extract(html, "
+    "'(?is)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"robots\"', 1) END AS r, "
+    "CAST(len(regexp_extract_all(html, '(?i)<h1[ >]')) AS INT) AS n_h1 "
+    "FROM pm) "
+    "SELECT url, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS title, "
+    "trim(regexp_replace(d, '\\s+', ' ', 'g')) AS meta_description, "
+    "trim(c) AS canonical, contains(lower(r), 'noindex') AS noindex, n_h1 "
+    "FROM x"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3130,6 +3234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_texts": q_anchor_texts,
     "bm25_search": q_bm25_search,
     "frontier_select": q_frontier_select,
+    "page_meta": q_page_meta,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3211,6 +3316,7 @@ ORACLES: dict[str, str] = {
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "bm25_search": ORACLE_BM25,
     "frontier_select": ORACLE_FRONTIER_SELECT,
+    "page_meta": ORACLE_PAGE_META,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1023,3 +1023,39 @@ def test_frontier_select_gates_caps_and_priority(spark):
     assert got["https://never/p7"]["priority_nano"] == 4
     assert got["https://never/p7"]["rank"] == 4
     assert got["https://big/p1"]["host_pos"] == 2
+
+
+# ------------------------------------------------------------------ #
+# page_meta
+# ------------------------------------------------------------------ #
+
+def test_extract_page_meta_orders_junk_and_empties(spark):
+    """Both attribute orders parse; missing fields come back as empty
+    strings (never null); binary junk html yields the empty row, not
+    a task failure; whitespace collapses; noindex is case-folded."""
+    from docling_serve_spark.operators.pagemeta import extract_page_meta
+
+    rows_in = [
+        ("u1", b'<head><title>A  Fine\n Page </title>'
+               b'<meta content="the desc" name="description">'
+               b'<link href="https://c/x" rel="canonical">'
+               b'<META CONTENT="NoIndex" NAME="robots">'
+               b'</head><h1>a</h1><h1 class="x">b</h1>'),
+        ("u2", b"<html><body>no head fields</body></html>"),
+        ("u3", b"\x00\xff\xfe garbage \x80 bytes"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows_in], "url string, html binary"
+    )
+    got = {r["url"]: r for r in extract_page_meta(pages).collect()}
+    r1 = got["u1"]
+    assert r1["title"] == "A Fine Page"
+    assert r1["meta_description"] == "the desc"
+    assert r1["canonical"] == "https://c/x"
+    assert r1["noindex"] is True
+    assert r1["n_h1"] == 2
+    for u in ("u2", "u3"):
+        r = got[u]
+        assert r["title"] == "" and r["meta_description"] == ""
+        assert r["canonical"] == "" and r["noindex"] is False
+        assert r["n_h1"] == 0

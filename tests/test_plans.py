@@ -282,3 +282,12 @@ def test_frontier_select_takeordered_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_page_meta_is_pure_narrow_map(spark):
+    """Header-metadata extraction must be scan-bound: zero exchanges,
+    zero Python, one codegen stage over the scan."""
+    plan = _plan(spark, QUERIES["page_meta"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan
