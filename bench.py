@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "frontier_select",
     "page_meta",
+    "url_templates",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -168,3 +168,48 @@ def host_stats(pages: DataFrame, url_col: str = "url",
             F.min("doc_id").cast("bigint").alias("first_doc_id"),
         )
     )
+
+
+def detect_url_templates(pages: DataFrame, url_col: str = "url",
+                         trap_threshold: int = 100) -> DataFrame:
+    """(host, path_template, n_urls, depth, sample_url, is_trap) —
+    URL-template explosion detection, the crawler-trap pass every
+    frontier needs (calendar pages, session-id paths, faceted-search
+    grids generate unbounded URL spaces under one path shape; Heritrix
+    and production crawlers cap or block such templates).
+
+    A url's template is its canonical path with every digit run
+    collapsed to ``N`` (``/2024/03/15/post7`` → ``/N/N/N/postN``), so
+    an infinite date crawl collapses to ONE (host, template) group
+    whose ``n_urls`` explodes while legitimate sections stay small.
+    ``is_trap`` uses a plain integer threshold on distinct urls —
+    deterministic, partitioning-independent. ``depth`` (path segment
+    count) and ``sample_url`` (lexicographic min — stable) let a
+    downstream policy whitelist shallow high-value templates.
+
+    Scale shape: template derivation is codegen'd regexp in the scan
+    stage; the only movement is ONE partial-agg groupBy keyed
+    (host, template) — cardinality ≪ urls by construction (that
+    collapse is the point). A pathological host whose every url is a
+    distinct template degrades to the url count, the same bound as
+    any per-url op."""
+    t = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        F.regexp_replace(url_path(F.col(url_col)), "[0-9]+", "N")
+        .alias("path_template"),
+        F.col(url_col).alias("u"),
+    )
+    return (
+        t.groupBy("host", "path_template")
+        .agg(
+            F.countDistinct("u").cast("bigint").alias("n_urls"),
+            F.min("u").alias("sample_url"),
+        )
+        .select(
+            "host", "path_template", "n_urls",
+            (F.size(F.split(F.col("path_template"), "/")) - 1)
+            .cast("int").alias("depth"),
+            "sample_url",
+            (F.col("n_urls") >= trap_threshold).alias("is_trap"),
+        )
+    )

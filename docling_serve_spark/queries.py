@@ -1506,6 +1506,60 @@ ORACLE_PAGE_META = (
 )
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (X45): urls synthesized over 5 hosts and
+    4 path shapes — a calendar space /cal/2024/M/D (digit collapse +
+    cross-doc url collisions exercise countDistinct), a static
+    /about/team (one distinct url), a small /post/0-2 section (multi-
+    url but below threshold), and an exploding /itemN/view space."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".com"))
+    path = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/cal/2024/"),
+                        ((F.col("doc_id") % 12) + 1).cast("string"),
+                        F.lit("/"),
+                        ((F.col("doc_id") % 28) + 1).cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/about/team"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/post/"), (F.col("doc_id") % 3).cast("string")))
+        .otherwise(F.concat(F.lit("/item"), i, F.lit("/view")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    return urltools.detect_url_templates(pages, trap_threshold=20)
+
+
+ORACLE_URL_TEMPLATES = (
+    "WITH pages AS (SELECT 'https://site' || CAST(doc_id % 5 AS VARCHAR) "
+    "|| '.com' || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/cal/2024/' || "
+    "CAST(doc_id % 12 + 1 AS VARCHAR) || '/' || "
+    "CAST(doc_id % 28 + 1 AS VARCHAR) "
+    "WHEN doc_id % 4 = 1 THEN '/about/team' "
+    "WHEN doc_id % 4 = 2 THEN '/post/' || CAST(doc_id % 3 AS VARCHAR) "
+    "ELSE '/item' || CAST(doc_id AS VARCHAR) || '/view' END AS url "
+    "FROM documents), "
+    "t AS (SELECT regexp_extract(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
+    "'[?#].*$', ''), '^www\\.', ''), '/$', ''), '^([^/]+)', 1) AS host, "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower(url), '^https?://', ''), '[?#].*$', ''), "
+    "'^www\\.', ''), '/$', ''), '^[^/]*', '') AS path, url FROM pages), "
+    "tt AS (SELECT host, regexp_replace(CASE WHEN path = '' THEN '/' "
+    "ELSE path END, '[0-9]+', 'N', 'g') AS path_template, url FROM t), "
+    "agg AS (SELECT host, path_template, "
+    "CAST(count(DISTINCT url) AS BIGINT) AS n_urls, "
+    "min(url) AS sample_url FROM tt GROUP BY 1, 2) "
+    "SELECT host, path_template, n_urls, "
+    "CAST(len(string_split(path_template, '/')) - 1 AS INT) AS depth, "
+    "sample_url, n_urls >= 20 AS is_trap FROM agg"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3235,6 +3289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "frontier_select": q_frontier_select,
     "page_meta": q_page_meta,
+    "url_templates": q_url_templates,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3317,6 +3372,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": ORACLE_BM25,
     "frontier_select": ORACLE_FRONTIER_SELECT,
     "page_meta": ORACLE_PAGE_META,
+    "url_templates": ORACLE_URL_TEMPLATES,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1059,3 +1059,33 @@ def test_extract_page_meta_orders_junk_and_empties(spark):
         assert r["title"] == "" and r["meta_description"] == ""
         assert r["canonical"] == "" and r["noindex"] is False
         assert r["n_h1"] == 0
+
+
+# ------------------------------------------------------------------ #
+# detect_url_templates
+# ------------------------------------------------------------------ #
+
+def test_detect_url_templates_collapse_distinct_and_trap(spark):
+    """Digit runs collapse to one template; duplicate urls count once;
+    the trap verdict is a distinct-url threshold; depth counts path
+    segments; sample_url is the lexicographic min."""
+    from docling_serve_spark.operators import urltools
+
+    urls = (
+        [f"https://trap.com/cal/2024/{m}/5" for m in range(1, 13)]
+        + ["https://trap.com/cal/2024/1/5"]          # dup url: counts once
+        + ["https://ok.com/about", "http://www.ok.com/about"]  # canon dup
+        + [f"https://ok.com/post/{i}" for i in range(3)]
+    )
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = urltools.detect_url_templates(pages, trap_threshold=10).collect()
+    got = {(r["host"], r["path_template"]): r for r in rows}
+    cal = got[("trap.com", "/cal/N/N/N")]
+    assert cal["n_urls"] == 12 and cal["is_trap"] and cal["depth"] == 4
+    assert cal["sample_url"] == "https://trap.com/cal/2024/1/5"
+    # http://www. and https:// variants canonicalize to one host, but
+    # the raw urls stay distinct
+    about = got[("ok.com", "/about")]
+    assert about["n_urls"] == 2 and not about["is_trap"]
+    assert got[("ok.com", "/post/N")]["n_urls"] == 3
+    assert not got[("ok.com", "/post/N")]["is_trap"]

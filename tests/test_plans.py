@@ -291,3 +291,16 @@ def test_page_meta_is_pure_narrow_map(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "codegen id" in plan
+
+
+def test_url_templates_single_groupby_no_python(spark):
+    """Template derivation must ride the scan stage; the only
+    exchange is the one (host, template) aggregation."""
+    plan = _plan(spark, QUERIES["url_templates"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4  # one exchange
+    # min(string) has no fixed-size buffer -> SortAggregate, but the
+    # partial phase must still run before the exchange
+    assert "partial_min" in plan
+    assert plan.count("Aggregate") >= 2
