@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "frontier_select",
     "page_meta",
     "url_templates",
+    "mirror_hosts",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

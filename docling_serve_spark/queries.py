@@ -1560,6 +1560,87 @@ ORACLE_URL_TEMPLATES = (
 )
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (X46) over a synthesized host/fingerprint
+    corpus: 8 base hosts with disjoint 20-fp spaces; mirror3.org fully
+    replicates site3 (flags); scraper.net copies 5 of site5's fps but
+    has ~62 of its own (pair reported, containment below 80% — not
+    flagged); 30 `e*` hosts share two ubiquitous fingerprints that the
+    df-cap must drop (without it: ~435 garbage pairs that would pass
+    min_shared AND the overlap rule)."""
+    from docling_serve_spark.operators.mirrors import detect_mirrors
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 8).cast("string")
+    s = (F.floor(F.col("doc_id") / 8) % 20).cast("string")
+    base_fp = F.concat(F.lit("fp"), m, F.lit("_"), s)
+    base = docs.select(
+        F.concat(F.lit("site"), m, F.lit(".com")).alias("host"),
+        base_fp.alias("fingerprint"),
+    )
+    mirror = docs.filter(F.col("doc_id") % 8 == 3).select(
+        F.lit("mirror3.org").alias("host"), base_fp.alias("fingerprint")
+    )
+    scraper_shared = docs.filter(
+        (F.col("doc_id") % 8 == 5) & (F.floor(F.col("doc_id") / 8) % 20 < 5)
+    ).select(F.lit("scraper.net").alias("host"), base_fp.alias("fingerprint"))
+    scraper_own = docs.filter(F.col("doc_id") % 8 == 6).select(
+        F.lit("scraper.net").alias("host"),
+        F.concat(F.lit("own_"), F.col("doc_id").cast("string"))
+        .alias("fingerprint"),
+    )
+    e_host = F.concat(F.lit("e"), (F.col("doc_id") % 30).cast("string"))
+    empties = (
+        docs.filter(F.col("doc_id") % 8 == 7)
+        .select(e_host.alias("host"), F.lit("EMPTY").alias("fingerprint"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 8 == 7)
+            .select(e_host.alias("host"), F.lit("E2").alias("fingerprint"))
+        )
+    )
+    pages = (
+        base.unionByName(mirror).unionByName(scraper_shared)
+        .unionByName(scraper_own).unionByName(empties)
+    )
+    return detect_mirrors(pages)
+
+
+ORACLE_MIRROR_HOSTS = (
+    "WITH base AS (SELECT 'site' || CAST(doc_id % 8 AS VARCHAR) || '.com' "
+    "AS host, 'fp' || CAST(doc_id % 8 AS VARCHAR) || '_' || "
+    "CAST((doc_id // 8) % 20 AS VARCHAR) AS fingerprint FROM documents), "
+    "mirror AS (SELECT 'mirror3.org' AS host, 'fp3_' || "
+    "CAST((doc_id // 8) % 20 AS VARCHAR) AS fingerprint FROM documents "
+    "WHERE doc_id % 8 = 3), "
+    "scsh AS (SELECT 'scraper.net' AS host, 'fp5_' || "
+    "CAST((doc_id // 8) % 20 AS VARCHAR) AS fingerprint FROM documents "
+    "WHERE doc_id % 8 = 5 AND (doc_id // 8) % 20 < 5), "
+    "scown AS (SELECT 'scraper.net' AS host, 'own_' || "
+    "CAST(doc_id AS VARCHAR) AS fingerprint FROM documents "
+    "WHERE doc_id % 8 = 6), "
+    "emp AS (SELECT 'e' || CAST(doc_id % 30 AS VARCHAR) AS host, f.fp AS "
+    "fingerprint FROM documents, (VALUES ('EMPTY'), ('E2')) f(fp) "
+    "WHERE doc_id % 8 = 7), "
+    "pages AS (SELECT * FROM base UNION ALL SELECT * FROM mirror "
+    "UNION ALL SELECT * FROM scsh UNION ALL SELECT * FROM scown "
+    "UNION ALL SELECT * FROM emp), "
+    "post AS (SELECT DISTINCT host, fingerprint FROM pages), "
+    "per_host AS (SELECT host, CAST(count(*) AS BIGINT) AS n_fp "
+    "FROM post GROUP BY 1), "
+    "hpf AS (SELECT fingerprint, count(*) AS n_hosts FROM post GROUP BY 1), "
+    "kept AS (SELECT host, post.fingerprint FROM post JOIN hpf "
+    "ON post.fingerprint = hpf.fingerprint WHERE n_hosts <= 16), "
+    "shared AS (SELECT a.host AS src, b.host AS dst, "
+    "CAST(count(*) AS BIGINT) AS n_shared "
+    "FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint "
+    "AND a.host < b.host GROUP BY 1, 2 HAVING count(*) >= 2) "
+    "SELECT src, dst, n_shared, na.n_fp AS n_src, nb.n_fp AS n_dst, "
+    "n_shared * 100 >= 80 * least(na.n_fp, nb.n_fp) AS is_mirror "
+    "FROM shared JOIN per_host na ON shared.src = na.host "
+    "JOIN per_host nb ON shared.dst = nb.host"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3290,6 +3371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_select": q_frontier_select,
     "page_meta": q_page_meta,
     "url_templates": q_url_templates,
+    "mirror_hosts": q_mirror_hosts,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3373,6 +3455,7 @@ ORACLES: dict[str, str] = {
     "frontier_select": ORACLE_FRONTIER_SELECT,
     "page_meta": ORACLE_PAGE_META,
     "url_templates": ORACLE_URL_TEMPLATES,
+    "mirror_hosts": ORACLE_MIRROR_HOSTS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1089,3 +1089,39 @@ def test_detect_url_templates_collapse_distinct_and_trap(spark):
     assert about["n_urls"] == 2 and not about["is_trap"]
     assert got[("ok.com", "/post/N")]["n_urls"] == 3
     assert not got[("ok.com", "/post/N")]["is_trap"]
+
+
+# ------------------------------------------------------------------ #
+# detect_mirrors
+# ------------------------------------------------------------------ #
+
+def test_detect_mirrors_containment_cap_and_min_shared(spark):
+    """Full replica flags; partial overlap below the containment
+    threshold reports but does not flag; a small host fully contained
+    in a big one flags; single-fp overlaps drop (min_shared); a
+    ubiquitous fingerprint past the df-cap creates no pairs."""
+    from docling_serve_spark.operators.mirrors import detect_mirrors
+
+    rows = []
+    rows += [("a.com", f"f{i}") for i in range(10)]
+    rows += [("a-mirror.net", f"f{i}") for i in range(10)]   # full replica
+    rows += [("big.org", f"f{i}") for i in range(5)]         # 5 shared
+    rows += [("big.org", f"g{i}") for i in range(45)]        # +45 own
+    rows += [("tiny.io", "f0"), ("tiny.io", "f1")]           # contained
+    rows += [("once.co", "f3"), ("once.co", "z9")]           # 1 shared
+    rows += [(f"junk{i}.x", "EMPTY") for i in range(20)]     # df-capped
+    rows += [(f"junk{i}.x", "E2") for i in range(20)]
+    pages = spark.createDataFrame(rows, "host string, fingerprint string")
+    got = {(r["src"], r["dst"]): r
+           for r in detect_mirrors(pages, max_hosts_per_fp=16).collect()}
+    full = got[("a-mirror.net", "a.com")]
+    assert full["n_shared"] == 10 and full["is_mirror"]
+    partial = got[("a.com", "big.org")]
+    assert partial["n_shared"] == 5 and not partial["is_mirror"]
+    contained = got[("a.com", "tiny.io")]
+    assert contained["n_shared"] == 2 and contained["is_mirror"]
+    assert ("a.com", "once.co") not in got          # min_shared
+    assert not any("junk" in s or "junk" in d for s, d in got)  # df-cap
+    # big.org<->a-mirror.net and big.org<->tiny.io share via f0-f4 too
+    assert got[("a-mirror.net", "big.org")]["n_shared"] == 5
+    assert got[("big.org", "tiny.io")]["is_mirror"]

@@ -37,6 +37,7 @@ INVARIANCE_QUERIES = [
     "anchor_texts",     # per-host top-k window tie keys
     "bm25_search",      # micro-nat integer sums + global top-k
     "frontier_select",  # priority ties + per-host cap + batch cut
+    "mirror_hosts",     # df-cap + pair emission via self-join
 ]
 
 

@@ -304,3 +304,12 @@ def test_url_templates_single_groupby_no_python(spark):
     # partial phase must still run before the exchange
     assert "partial_min" in plan
     assert plan.count("Aggregate") >= 2
+
+
+def test_mirror_hosts_equijoin_partial_agg(spark):
+    """The pair stage must be an equi-join on the fingerprint key
+    (never cartesian), with partial aggregation on (src, dst)."""
+    plan = _plan(spark, QUERIES["mirror_hosts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
