@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "page_meta",
     "url_templates",
     "mirror_hosts",
+    "link_farms",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -195,3 +195,54 @@ def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             F.coalesce(F.col("in_degree"), F.lit(0)).cast("bigint").alias("in_degree"),
         )
     )
+
+
+def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
+                          min_out_degree: int = 2) -> DataFrame:
+    """(host, out_degree, n_reciprocal, reciprocal_bp, is_farm) —
+    link-reciprocity per host over the distinct self-loop-free host
+    edge list. A dense mutual-linking neighborhood is the classic
+    link-farm / link-exchange signature (Fetterly, Manasse & Najork,
+    WebDB 2004; Gyöngyi & Garcia-Molina, AIRWeb 2005): organic links
+    are overwhelmingly one-directional, so a host whose out-links are
+    mostly reciprocated is selling or swapping links — a spam prior
+    for corpus weighting and a PageRank-gaming flag (X39's input can
+    be pruned by this verdict).
+
+    ``reciprocal_bp`` = floor(10^4 · n_reciprocal / out_degree) —
+    integer basis points, bit-reproducible; ``is_farm`` requires both
+    the ratio threshold and ``min_out_degree`` (a single mutual link
+    between two blogs is not a farm).
+
+    Scale shape: the reciprocity test is ONE self-equi-join of the
+    distinct edge list on the reversed key — (src,dst) = (dst,src) —
+    i.e. a hash join on a 2-string key, never a per-host neighborhood
+    materialization; both aggregations are partial-agg groupBys on
+    host. Edge list ≪ pages, same regime as host_pagerank."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    odeg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("out_degree"))
+    rev = e.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    recip = (
+        e.join(rev, ["src", "dst"])
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("n_reciprocal"))
+    )
+    return (
+        odeg.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            "out_degree",
+            F.coalesce(F.col("n_reciprocal"), F.lit(0)).cast("bigint")
+            .alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocal_bp",
+            F.floor(F.lit(10000) * F.col("n_reciprocal") / F.col("out_degree"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "is_farm",
+            (F.col("reciprocal_bp") >= farm_threshold_bp)
+            & (F.col("out_degree") >= min_out_degree),
+        )
+    )

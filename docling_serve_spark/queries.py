@@ -1641,6 +1641,63 @@ ORACLE_MIRROR_HOSTS = (
 )
 
 
+def q_link_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm detection (X47): a 5-host ring with BOTH directions
+    (100% reciprocity → farms), a 10-host one-directional ring (0%,
+    and out_degree 1 misses the min-degree gate), and a 6-host ring
+    whose reverse edges exist only for even doc_ids (partial
+    reciprocity exercising the basis-point floor)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def ring(prefix: str, n: int):
+        return (
+            F.concat(F.lit(prefix), (F.col("doc_id") % n).cast("string")),
+            F.concat(F.lit(prefix), ((F.col("doc_id") + 1) % n).cast("string")),
+        )
+
+    f_src, f_dst = ring("f", 5)
+    n_src, n_dst = ring("n", 10)
+    p_src, p_dst = ring("p", 6)
+    edges = (
+        docs.select(f_src.alias("src"), f_dst.alias("dst"))
+        .unionByName(docs.select(f_dst.alias("src"), f_src.alias("dst")))
+        .unionByName(docs.select(n_src.alias("src"), n_dst.alias("dst")))
+        .unionByName(docs.select(p_src.alias("src"), p_dst.alias("dst")))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(p_dst.alias("src"), p_src.alias("dst"))
+        )
+    )
+    return webgraph.reciprocal_link_stats(edges)
+
+
+ORACLE_LINK_FARMS = (
+    "WITH raw AS ("
+    "SELECT 'f' || CAST(doc_id % 5 AS VARCHAR) AS src, "
+    "'f' || CAST((doc_id + 1) % 5 AS VARCHAR) AS dst FROM documents "
+    "UNION ALL SELECT 'f' || CAST((doc_id + 1) % 5 AS VARCHAR), "
+    "'f' || CAST(doc_id % 5 AS VARCHAR) FROM documents "
+    "UNION ALL SELECT 'n' || CAST(doc_id % 10 AS VARCHAR), "
+    "'n' || CAST((doc_id + 1) % 10 AS VARCHAR) FROM documents "
+    "UNION ALL SELECT 'p' || CAST(doc_id % 6 AS VARCHAR), "
+    "'p' || CAST((doc_id + 1) % 6 AS VARCHAR) FROM documents "
+    "UNION ALL SELECT 'p' || CAST((doc_id + 1) % 6 AS VARCHAR), "
+    "'p' || CAST(doc_id % 6 AS VARCHAR) FROM documents WHERE doc_id % 2 = 0), "
+    "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), "
+    "odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_degree "
+    "FROM e GROUP BY 1), "
+    "recip AS (SELECT e.src, CAST(count(*) AS BIGINT) AS n_reciprocal "
+    "FROM e JOIN e r ON e.src = r.dst AND e.dst = r.src GROUP BY 1) "
+    "SELECT odeg.src AS host, out_degree, "
+    "CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal, "
+    "CAST(floor(10000.0 * coalesce(n_reciprocal, 0) / out_degree) AS BIGINT) "
+    "AS reciprocal_bp, "
+    "coalesce(n_reciprocal, 0) * 10000 >= 8000 * out_degree "
+    "AND out_degree >= 2 AS is_farm "
+    "FROM odeg LEFT JOIN recip ON odeg.src = recip.src"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3372,6 +3429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_meta": q_page_meta,
     "url_templates": q_url_templates,
     "mirror_hosts": q_mirror_hosts,
+    "link_farms": q_link_farms,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3456,6 +3514,7 @@ ORACLES: dict[str, str] = {
     "page_meta": ORACLE_PAGE_META,
     "url_templates": ORACLE_URL_TEMPLATES,
     "mirror_hosts": ORACLE_MIRROR_HOSTS,
+    "link_farms": ORACLE_LINK_FARMS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

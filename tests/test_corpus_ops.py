@@ -1125,3 +1125,33 @@ def test_detect_mirrors_containment_cap_and_min_shared(spark):
     # big.org<->a-mirror.net and big.org<->tiny.io share via f0-f4 too
     assert got[("a-mirror.net", "big.org")]["n_shared"] == 5
     assert got[("big.org", "tiny.io")]["is_mirror"]
+
+
+# ------------------------------------------------------------------ #
+# reciprocal_link_stats
+# ------------------------------------------------------------------ #
+
+def test_reciprocal_link_stats_hand_computed(spark):
+    """a<->b mutual pair (100% but out_degree 1: min-degree gate),
+    farm f0/f1/f2 fully mutual (is_farm), c with 1 of 3 reciprocated
+    (3333 bp), duplicate edges and self-loops ignored."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = [("a", "b"), ("b", "a"), ("a", "b"),          # dup edge
+             ("f0", "f1"), ("f1", "f0"), ("f0", "f2"), ("f2", "f0"),
+             ("f1", "f2"), ("f2", "f1"),
+             ("c", "f0"), ("c", "d"), ("c", "e"), ("f0", "c"),
+             ("e", "e")]                                   # self-loop
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r for r in
+           webgraph.reciprocal_link_stats(df).collect()}
+    assert got["a"]["out_degree"] == 1 and got["a"]["reciprocal_bp"] == 10000
+    assert got["a"]["is_farm"] is False                    # min degree
+    for f in ("f0", "f1", "f2"):
+        assert got[f]["is_farm"] is True
+        assert got[f]["n_reciprocal"] == got[f]["out_degree"]
+    assert got["f0"]["out_degree"] == 3                    # f1, f2, c
+    c = got["c"]
+    assert (c["out_degree"], c["n_reciprocal"], c["reciprocal_bp"]) == (3, 1, 3333)
+    assert c["is_farm"] is False
+    assert "e" not in got or got["e"]["out_degree"] == 0   # self-loop only

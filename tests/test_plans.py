@@ -313,3 +313,12 @@ def test_mirror_hosts_equijoin_partial_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_link_farms_hash_join_partial_agg(spark):
+    """Reciprocity must be one equi-join of the edge list on the
+    reversed key — no cartesian, no Python, partial aggs on host."""
+    plan = _plan(spark, QUERIES["link_farms"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
