@@ -102,3 +102,48 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert len(rows) == 40
     for url, status, text in rows:
         assert (status, text) == expected[url], url
+
+
+def test_webgraph_job_end_to_end(tmp_path, spark):
+    """`jobs/webgraph.py` over a synthesized pages table: edges /
+    ranks / farms / anchors parquet all land, the summary matches an
+    independent DuckDB read of the outputs, and the mutually-linked
+    pair flags as a farm."""
+    # two hosts linking to each other (farm pair) + a one-way link to
+    # a third; anchors vary
+    def page(url, links):
+        html = "".join(f'<a href="{u}">{t}</a>' for u, t in links)
+        return (url, bytearray(html.encode()))
+
+    rows = [
+        page("http://a.com/1", [("https://b.com/x", "to b"),
+                                ("https://c.com/y", "to c")]),
+        page("http://b.com/1", [("https://a.com/z", "to a")]),
+        page("http://c.com/1", []),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(inp)
+    out = str(tmp_path / "wg")
+
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "webgraph.py"),
+         "--input", inp, "--output", out],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_edges"] == 3          # a->b, a->c, b->a
+    assert summary["n_hosts"] == 3
+    assert summary["n_farm_hosts"] == 0     # out_degree: a=2, b=1 — gated
+    assert summary["n_anchor_rows"] == 3
+    farms = duckdb.sql(
+        f"SELECT host, n_reciprocal FROM read_parquet('{out}/farms/*.parquet') "
+        "ORDER BY host"
+    ).fetchall()
+    assert [(h, n) for h, n in farms] == [("a.com", 1), ("b.com", 1)]
+    anchors = duckdb.sql(
+        f"SELECT dst_host, anchor FROM read_parquet('{out}/anchors/*.parquet')"
+    ).fetchall()
+    assert ("b.com", "to b") in anchors and ("a.com", "to a") in anchors
