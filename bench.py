@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "url_templates",
     "mirror_hosts",
     "link_farms",
+    "mojibake_stats",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -91,3 +91,66 @@ def normalize_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (F.col("__nf.norm_text") != F.col(text_col)).alias("changed"),
         F.md5(F.col("__nf.norm_text")).alias("norm_fp"),
     )
+
+
+# --------------------------------------------------------------------- #
+# Mojibake (encoding-damage) detection
+# --------------------------------------------------------------------- #
+
+#: The classic UTF-8-bytes-decoded-as-Latin-1/cp1252 artifacts. A
+#: 2-byte UTF-8 sequence mis-decoded this way starts with \u00c3 or
+#: \u00c2 followed by another high-Latin-1 char (all accented Latin
+#: letters land here); 3-byte sequences (curly quotes, dashes) show as
+#: \u00e2\u20ac + one more char; a replacement char that was itself
+#: re-encoded shows as \u00ef\u00bf\u00bd. Clean text essentially
+#: never contains these adjacencies, which makes them high-precision
+#: signatures (the OSCAR and CCNet cleanups discuss exactly this
+#: damage class).
+MOJIBAKE_PATTERNS = {
+    "two_byte": "[\u00c3\u00c2][\u00a0-\u00ff]",
+    "three_byte": "\u00e2\u20ac.",
+    "replacement": "\u00ef\u00bf\u00bd|\ufffd",
+}
+
+
+def mojibake_stats(docs, text_col: str = "text", id_col: str = "doc_id",
+                   per_10k_threshold: int = 20):
+    """(doc_id, n_two_byte, n_three_byte, n_replacement, n_chars,
+    mojibake_per_10k, is_mojibake) — encoding-damage detection over
+    the corpus: counts of the three classic mis-decoding signatures,
+    a per-10k-chars integer rate, and a threshold verdict.
+
+    Double-decoded text (UTF-8 bytes read as Latin-1/cp1252 somewhere
+    in a crawl pipeline, then re-encoded) is a standard web-corpus
+    defect; a damaged document poisons token statistics and survives
+    exact dedup against its clean twin, so pipelines flag it before
+    any content pass. Detection only — repair requires a byte-level
+    round-trip (an Arrow UDF like `normalize_corpus`'s NFC stage) and
+    is a deliberate non-goal: at corpus scale damaged docs are dropped
+    or re-fetched, not patched.
+
+    Integer-exactness: rate = floor(10^4 * hits / chars); the verdict
+    hits * 10^4 >= threshold * chars is pure int64 arithmetic (empty
+    docs clamp the denominator to 1). Pure codegen narrow map —
+    regexp counts ride the scan stage, no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        for name, pat in MOJIBAKE_PATTERNS.items()
+    }
+    hits = counts["two_byte"] + counts["three_byte"] + counts["replacement"]
+    n_chars = F.greatest(F.length(t).cast("bigint"), F.lit(1))
+    return docs.select(
+        id_col,
+        counts["two_byte"].alias("n_two_byte"),
+        counts["three_byte"].alias("n_three_byte"),
+        counts["replacement"].alias("n_replacement"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.floor(F.lit(10000) * hits / n_chars).cast("bigint")
+        .alias("mojibake_per_10k"),
+        (hits * 10000 >= F.lit(per_10k_threshold) * n_chars)
+        .alias("is_mojibake"),
+    )

@@ -1698,6 +1698,51 @@ ORACLE_LINK_FARMS = (
 )
 
 
+def q_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detection (X48) over deterministically damaged text:
+    doc_id%10==0 docs get a repeated 3-artifact damage unit (one
+    2-byte, one 3-byte, one replacement signature per unit — flags),
+    doc_id%10==1 docs get a single replacement char (counts, flags
+    only when the doc is short), the rest stay clean ASCII."""
+    from docling_serve_spark.operators.normalize import mojibake_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    unit = "\u0020caf\u00c3\u00a9\u0020\u00e2\u20ac\u2122\u0020\u00ef\u00bf\u00bdx"
+    k = (F.lit(1) + F.floor(F.length("text") / 100)).cast("int")
+    damaged = (
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.repeat(F.lit(unit), k)))
+        .when(F.col("doc_id") % 10 == 1,
+              F.concat(F.col("text"), F.lit("\u0020\u00ef\u00bf\u00bd")))
+        .otherwise(F.col("text"))
+    )
+    return mojibake_stats(docs.select("doc_id", damaged.alias("text")))
+
+
+_MOJI_UNIT_SQL = "' caf\u00c3\u00a9 \u00e2\u20ac\u2122 \u00ef\u00bf\u00bdx'"
+
+ORACLE_MOJIBAKE = (
+    "WITH d AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 10 = 0 THEN text || repeat(" + _MOJI_UNIT_SQL + ", "
+    "CAST(1 + length(text) // 100 AS INT)) "
+    "WHEN doc_id % 10 = 1 THEN text || ' \u00ef\u00bf\u00bd' "
+    "ELSE text END AS text FROM documents), "
+    "c AS (SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, "
+    "'[\u00c3\u00c2][\u00a0-\u00ff]')) AS BIGINT) AS n_two_byte, "
+    "CAST(len(regexp_extract_all(text, '\u00e2\u20ac.')) AS BIGINT) "
+    "AS n_three_byte, "
+    "CAST(len(regexp_extract_all(text, "
+    "'\u00ef\u00bf\u00bd|\ufffd')) AS BIGINT) AS n_replacement, "
+    "CAST(length(text) AS BIGINT) AS n_chars FROM d) "
+    "SELECT doc_id, n_two_byte, n_three_byte, n_replacement, n_chars, "
+    "CAST(floor(10000.0 * (n_two_byte + n_three_byte + n_replacement) / "
+    "greatest(n_chars, 1)) AS BIGINT) AS mojibake_per_10k, "
+    "(n_two_byte + n_three_byte + n_replacement) * 10000 >= "
+    "20 * greatest(n_chars, 1) AS is_mojibake FROM c"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3430,6 +3475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_templates": q_url_templates,
     "mirror_hosts": q_mirror_hosts,
     "link_farms": q_link_farms,
+    "mojibake_stats": q_mojibake,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3515,6 +3561,7 @@ ORACLES: dict[str, str] = {
     "url_templates": ORACLE_URL_TEMPLATES,
     "mirror_hosts": ORACLE_MIRROR_HOSTS,
     "link_farms": ORACLE_LINK_FARMS,
+    "mojibake_stats": ORACLE_MOJIBAKE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

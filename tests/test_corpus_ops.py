@@ -1155,3 +1155,35 @@ def test_reciprocal_link_stats_hand_computed(spark):
     assert (c["out_degree"], c["n_reciprocal"], c["reciprocal_bp"]) == (3, 1, 3333)
     assert c["is_farm"] is False
     assert "e" not in got or got["e"]["out_degree"] == 0   # self-loop only
+
+
+
+# ------------------------------------------------------------------ #
+# mojibake_stats
+# ------------------------------------------------------------------ #
+
+def test_mojibake_stats_hand_computed(spark):
+    """Each signature class counts independently; the per-10k rate is
+    integer floor; empty docs clamp the denominator; clean text
+    (including legitimate accented Latin NOT preceded by \u00c3/\u00c2)
+    never flags."""
+    from docling_serve_spark.operators.normalize import mojibake_stats
+
+    damaged = "caf\u00c3\u00a9 don\u00e2\u20ac\u2122t \u00ef\u00bf\u00bd end"
+    clean = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve stra\u00dfe"
+    docs = spark.createDataFrame(
+        [(1, damaged), (2, clean), (3, ""), (4, "\ufffd")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in mojibake_stats(docs).collect()}
+    d = got[1]
+    assert (d["n_two_byte"], d["n_three_byte"], d["n_replacement"]) == (1, 1, 1)
+    assert d["n_chars"] == len(damaged)
+    assert d["mojibake_per_10k"] == 10000 * 3 // len(damaged)
+    assert d["is_mojibake"]
+    c = got[2]
+    assert (c["n_two_byte"], c["n_three_byte"], c["n_replacement"]) == (0, 0, 0)
+    assert not c["is_mojibake"]
+    assert got[3]["n_chars"] == 0 and not got[3]["is_mojibake"]
+    # a bare replacement char in a 1-char doc: rate 10000, flags
+    assert got[4]["n_replacement"] == 1 and got[4]["is_mojibake"]

@@ -322,3 +322,13 @@ def test_link_farms_hash_join_partial_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+
+def test_mojibake_stats_pure_narrow_map(spark):
+    """Encoding-damage detection must ride the scan: zero exchanges,
+    zero Python."""
+    plan = _plan(spark, QUERIES["mojibake_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan
