@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "mirror_hosts",
     "link_farms",
     "mojibake_stats",
+    "redirect_chains",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

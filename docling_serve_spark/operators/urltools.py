@@ -213,3 +213,53 @@ def detect_url_templates(pages: DataFrame, url_col: str = "url",
             (F.col("n_urls") >= trap_threshold).alias("is_trap"),
         )
     )
+
+
+def resolve_redirects(redirects: DataFrame, max_hops: int = 4) -> DataFrame:
+    """(src_url, final_url, n_hops, terminated) — bounded redirect-
+    chain resolution over one-hop (src_url, dst_url) records (what a
+    crawl's 3xx responses produce; CDX pipelines resolve these before
+    url dedup and frontier scheduling, and every production crawler
+    caps chain length — curl/browsers default to tens, crawlers to
+    ~5). ``terminated`` is False when the chain still has an outgoing
+    hop after ``max_hops`` (a loop or an over-long chain — the crawler
+    gives up either way, so loops need no path tracking).
+
+    Multiple outgoing hops for one src (dirty crawl data) collapse to
+    the lexicographically smallest target first, so resolution is
+    deterministic and each round's join is 1:1.
+
+    Scale shape: ``max_hops`` rounds of one hash equi-join each
+    (cur == src) over the redirect table — redirects ≪ pages, the
+    same small-table regime as host_pagerank; rows that already
+    stopped carry NULL joins and pass through. No text, no windows,
+    no global sort."""
+    r = redirects.groupBy(F.col("src_url").alias("s")).agg(
+        F.min("dst_url").alias("d")
+    )
+    out = r.select(
+        F.col("s").alias("src_url"),
+        F.col("d").alias("cur"),
+        F.lit(1).cast("int").alias("n_hops"),
+    )
+    for _ in range(max_hops - 1):
+        nxt = r.select(F.col("s").alias("cur"), F.col("d").alias("nxt"))
+        out = (
+            out.join(nxt, "cur", "left")
+            .select(
+                "src_url",
+                F.coalesce(F.col("nxt"), F.col("cur")).alias("cur"),
+                F.when(F.col("nxt").isNotNull(), F.col("n_hops") + 1)
+                .otherwise(F.col("n_hops")).cast("int").alias("n_hops"),
+            )
+        )
+    fin = r.select(F.col("s").alias("cur"), F.lit(True).alias("has_out"))
+    return (
+        out.join(fin, "cur", "left")
+        .select(
+            "src_url",
+            F.col("cur").alias("final_url"),
+            "n_hops",
+            F.col("has_out").isNull().alias("terminated"),
+        )
+    )

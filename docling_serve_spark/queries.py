@@ -1743,6 +1743,63 @@ ORACLE_MOJIBAKE = (
 )
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (X49), max_hops=3: one-hop records
+    (terminated), two-hop chains, a 2-cycle that exhausts the hop
+    budget (terminated=false), and a dirty src with two outgoing hops
+    (min target wins)."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+
+    def rows(cond, src_pre, dst_pre):
+        return docs.filter(cond).select(
+            F.concat(F.lit(src_pre), i).alias("src_url"),
+            F.concat(F.lit(dst_pre), i).alias("dst_url"),
+        )
+
+    m = F.col("doc_id") % 4
+    redirects = (
+        rows(m == 0, "a", "fin")
+        .unionByName(rows(m == 1, "b", "bb"))
+        .unionByName(rows(m == 1, "bb", "fin"))
+        .unionByName(rows(m == 2, "c", "cc"))
+        .unionByName(rows(m == 2, "cc", "c"))
+        .unionByName(rows(m == 3, "d", "z"))
+        .unionByName(rows(m == 3, "d", "at"))
+    )
+    return urltools.resolve_redirects(redirects, max_hops=3)
+
+
+ORACLE_REDIRECT_CHAINS = (
+    "WITH raw AS ("
+    "SELECT 'a' || CAST(doc_id AS VARCHAR) AS src_url, "
+    "'fin' || CAST(doc_id AS VARCHAR) AS dst_url FROM documents "
+    "WHERE doc_id % 4 = 0 "
+    "UNION ALL SELECT 'b' || CAST(doc_id AS VARCHAR), "
+    "'bb' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 4 = 1 "
+    "UNION ALL SELECT 'bb' || CAST(doc_id AS VARCHAR), "
+    "'fin' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 4 = 1 "
+    "UNION ALL SELECT 'c' || CAST(doc_id AS VARCHAR), "
+    "'cc' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 4 = 2 "
+    "UNION ALL SELECT 'cc' || CAST(doc_id AS VARCHAR), "
+    "'c' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 4 = 2 "
+    "UNION ALL SELECT 'd' || CAST(doc_id AS VARCHAR), "
+    "'z' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 4 = 3 "
+    "UNION ALL SELECT 'd' || CAST(doc_id AS VARCHAR), "
+    "'at' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 4 = 3), "
+    "rr AS (SELECT src_url AS s, min(dst_url) AS d FROM raw GROUP BY 1), "
+    "h1 AS (SELECT s AS src_url, d AS cur, 1 AS n_hops FROM rr), "
+    "h2 AS (SELECT src_url, coalesce(r.d, cur) AS cur, "
+    "CASE WHEN r.d IS NOT NULL THEN n_hops + 1 ELSE n_hops END AS n_hops "
+    "FROM h1 LEFT JOIN rr r ON h1.cur = r.s), "
+    "h3 AS (SELECT src_url, coalesce(r.d, cur) AS cur, "
+    "CASE WHEN r.d IS NOT NULL THEN n_hops + 1 ELSE n_hops END AS n_hops "
+    "FROM h2 LEFT JOIN rr r ON h2.cur = r.s) "
+    "SELECT src_url, cur AS final_url, CAST(n_hops AS INT) AS n_hops, "
+    "r.s IS NULL AS terminated FROM h3 LEFT JOIN rr r ON h3.cur = r.s"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3476,6 +3533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_hosts": q_mirror_hosts,
     "link_farms": q_link_farms,
     "mojibake_stats": q_mojibake,
+    "redirect_chains": q_redirect_chains,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3562,6 +3620,7 @@ ORACLES: dict[str, str] = {
     "mirror_hosts": ORACLE_MIRROR_HOSTS,
     "link_farms": ORACLE_LINK_FARMS,
     "mojibake_stats": ORACLE_MOJIBAKE,
+    "redirect_chains": ORACLE_REDIRECT_CHAINS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1187,3 +1187,31 @@ def test_mojibake_stats_hand_computed(spark):
     assert got[3]["n_chars"] == 0 and not got[3]["is_mojibake"]
     # a bare replacement char in a 1-char doc: rate 10000, flags
     assert got[4]["n_replacement"] == 1 and got[4]["is_mojibake"]
+
+
+# ------------------------------------------------------------------ #
+# resolve_redirects
+# ------------------------------------------------------------------ #
+
+def test_resolve_redirects_chains_loops_and_dirty_src(spark):
+    """Straight chains resolve with hop counts; a cycle exhausts the
+    budget and reports terminated=False; a src with two outgoing hops
+    deterministically takes the min target; over-long chains cap."""
+    from docling_serve_spark.operators import urltools
+
+    edges = [("a", "b"), ("b", "c"),            # 2-hop chain
+             ("x", "y"), ("y", "x"),            # 2-cycle
+             ("d", "q"), ("d", "m"),            # dirty: min 'm' wins
+             ("l1", "l2"), ("l2", "l3"), ("l3", "l4"), ("l4", "l5")]
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    got = {r["src_url"]: r for r in
+           urltools.resolve_redirects(df, max_hops=3).collect()}
+    assert got["a"]["final_url"] == "c" and got["a"]["n_hops"] == 2
+    assert got["a"]["terminated"] is True
+    assert got["x"]["n_hops"] == 3 and got["x"]["terminated"] is False
+    assert got["x"]["final_url"] == "y"         # x->y->x->y: 3 hops
+    assert got["d"]["final_url"] == "m" and got["d"]["n_hops"] == 1
+    # l1 walks 3 hops to l4, which still has an outgoing hop
+    assert got["l1"]["final_url"] == "l4" and got["l1"]["n_hops"] == 3
+    assert got["l1"]["terminated"] is False
+    assert got["l2"]["final_url"] == "l5" and got["l2"]["terminated"] is True

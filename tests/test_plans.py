@@ -332,3 +332,12 @@ def test_mojibake_stats_pure_narrow_map(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "codegen id" in plan
+
+
+def test_redirect_chains_equijoins_only(spark):
+    """Each hop round must be a hash equi-join on the cursor key —
+    no cartesian, no Python, no global sort."""
+    plan = _plan(spark, QUERIES["redirect_chains"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan
