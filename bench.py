@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "link_farms",
     "mojibake_stats",
     "redirect_chains",
+    "corpus_datasheet",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -249,3 +249,44 @@ def host_top_terms(pages: DataFrame, host_col: str = "host",
         "host", "term", "tf", "df", "tfidf",
         F.col("term_rank").cast("bigint").alias("term_rank"),
     )
+
+
+def corpus_datasheet(docs: DataFrame, lang_col: str = "lang",
+                     source_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """(lang, source, n_docs, n_tokens, n_chars, mean_tokens) — the
+    corpus composition report ("datasheet") at three grain levels in
+    ONE pass: per (lang, source), per lang, and the corpus total —
+    what a dataset card publishes (Gebru et al., "Datasheets for
+    Datasets", CACM 2021) and what mixture design (X20/X24) reads as
+    its input.
+
+    Implemented with ROLLUP, not three jobs: Spark expands the
+    grouping sets inside a single aggregation (one Expand + one
+    partial-agg exchange), so the corpus is scanned ONCE for all
+    grains. Rollup null keys are folded to the '<all>' marker
+    (the input columns are non-null by contract, so the marker is
+    unambiguous); mean_tokens = n_tokens div n_docs is integer
+    division — bit-reproducible."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(toks)
+        .cast("bigint").alias("toks"),
+        F.length(text_col).cast("bigint").alias("chars"),
+    )
+    return (
+        per_doc.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs", "n_tokens", "n_chars",
+            F.expr("n_tokens div n_docs").cast("bigint").alias("mean_tokens"),
+        )
+    )

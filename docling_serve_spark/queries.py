@@ -1800,6 +1800,28 @@ ORACLE_REDIRECT_CHAINS = (
 )
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition datasheet (X50): ROLLUP(lang, source) over
+    the documents table — per-pair, per-lang, and corpus-total rows
+    from one scan."""
+    return textstats.corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_CORPUS_DATASHEET = (
+    "WITH pd AS (SELECT lang, source, "
+    "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS toks, "
+    "CAST(length(text) AS BIGINT) AS chars FROM documents) "
+    "SELECT coalesce(lang, '<all>') AS lang, "
+    "coalesce(source, '<all>') AS source, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(toks) AS BIGINT) AS n_tokens, "
+    "CAST(sum(chars) AS BIGINT) AS n_chars, "
+    "CAST(sum(toks) // count(*) AS BIGINT) AS mean_tokens "
+    "FROM pd GROUP BY ROLLUP(lang, source)"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3534,6 +3556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_farms": q_link_farms,
     "mojibake_stats": q_mojibake,
     "redirect_chains": q_redirect_chains,
+    "corpus_datasheet": q_corpus_datasheet,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3621,6 +3644,7 @@ ORACLES: dict[str, str] = {
     "link_farms": ORACLE_LINK_FARMS,
     "mojibake_stats": ORACLE_MOJIBAKE,
     "redirect_chains": ORACLE_REDIRECT_CHAINS,
+    "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1215,3 +1215,31 @@ def test_resolve_redirects_chains_loops_and_dirty_src(spark):
     assert got["l1"]["final_url"] == "l4" and got["l1"]["n_hops"] == 3
     assert got["l1"]["terminated"] is False
     assert got["l2"]["final_url"] == "l5" and got["l2"]["terminated"] is True
+
+
+# ------------------------------------------------------------------ #
+# corpus_datasheet
+# ------------------------------------------------------------------ #
+
+def test_corpus_datasheet_rollup_grains(spark):
+    """One pass yields all three grains; the '<all>' marker rows sum
+    their children; empty docs count zero tokens; mean is integer."""
+    from docling_serve_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "d e", "en", "s1"),
+         (3, "f", "en", "s2"), (4, "", "de", "s1"),
+         (5, "g h i j", "de", "s1")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = {(r["lang"], r["source"]): r
+            for r in textstats.corpus_datasheet(docs).collect()}
+    assert rows[("en", "s1")]["n_docs"] == 2
+    assert rows[("en", "s1")]["n_tokens"] == 5
+    assert rows[("en", "s1")]["mean_tokens"] == 2      # 5 div 2
+    assert rows[("en", "<all>")]["n_tokens"] == 6
+    assert rows[("de", "<all>")]["n_docs"] == 2
+    assert rows[("de", "<all>")]["n_tokens"] == 4      # empty doc = 0
+    total = rows[("<all>", "<all>")]
+    assert total["n_docs"] == 5 and total["n_tokens"] == 10
+    assert len(rows) == 3 + 2 + 1                      # pairs+langs+total

@@ -341,3 +341,13 @@ def test_redirect_chains_equijoins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_corpus_datasheet_single_scan_expand(spark):
+    """ROLLUP must expand grouping sets inside one aggregation — one
+    scan, one Expand, partial aggs; never one job per grain."""
+    plan = _plan(spark, QUERIES["corpus_datasheet"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2   # formatted lists nodes twice
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
