@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "mojibake_stats",
     "redirect_chains",
     "corpus_datasheet",
+    "parked_pages",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -78,3 +78,61 @@ def extract_page_meta(pages: DataFrame, url_col: str = "url",
         F.size(F.regexp_extract_all(h, F.lit("(?i)<h1[ >]"), F.lit(0)))
         .cast("int").alias("n_h1"),
     )
+
+
+#: high-precision parked-lander phrases (the registrar boilerplate).
+PARKED_PHRASES = ("domain is for sale", "buy this domain",
+                  "domain may be for sale", "parked free",
+                  "domain parking", "this page is parked")
+
+
+def parked_page_stats(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html",
+                      density_threshold_bp: int = 6000,
+                      min_anchors: int = 5) -> DataFrame:
+    """(url, n_anchors, anchor_chars, visible_chars, link_density_bp,
+    has_parked_phrase, is_parked) — parked-domain / ad-lander
+    detection on raw page bytes. Registrar landers and ad farms are a
+    well-known crawl pollution class (RefinedWeb and C4 both exclude
+    them); their signature is text that is almost entirely link
+    anchors plus registrar boilerplate. Two signals, both codegen:
+
+    - link density: anchor-text chars over tag-stripped visible
+      chars, in integer basis points floor(10^4·a/v) — a parked
+      lander is nearly all links, article pages sit far below;
+      gated by a minimum anchor count so a one-link stub page
+      cannot flag.
+    - parked phrases: a case-folded alternation of registrar
+      boilerplate ("this domain is for sale", …) — high precision,
+      flags regardless of density.
+
+    Same lossy binary→string cast as the other html operators; pure
+    narrow map, zero shuffles (plan-asserted with page_meta)."""
+    h = F.col(html_col).cast("string")
+    anchors = F.regexp_extract_all(h, F.lit(">([^<]+)</a>"), F.lit(1))
+    anchor_chars = F.length(F.array_join(anchors, "")).cast("bigint")
+    visible = F.trim(
+        F.regexp_replace(F.regexp_replace(h, "<[^>]*>", " "), r"\s+", " ")
+    )
+    visible_chars = F.length(visible).cast("bigint")
+    phrase_re = "(?i)" + "|".join(p.replace(" ", r"\s+")
+                                  for p in PARKED_PHRASES)
+    density_bp = F.floor(
+        F.lit(10000) * anchor_chars
+        / F.greatest(visible_chars, F.lit(1))
+    ).cast("bigint")
+    n_anchors = F.size(anchors).cast("int")
+    has_phrase = F.regexp_count(h, F.lit(phrase_re)) > 0
+    return pages.select(
+        F.col(url_col).alias("url"),
+        n_anchors.alias("n_anchors"),
+        anchor_chars.alias("anchor_chars"),
+        visible_chars.alias("visible_chars"),
+        density_bp.alias("link_density_bp"),
+        has_phrase.alias("has_parked_phrase"),
+        (
+            has_phrase
+            | ((density_bp >= density_threshold_bp)
+               & (n_anchors >= min_anchors))
+        ).alias("is_parked"),
+    )

@@ -1822,6 +1822,88 @@ ORACLE_CORPUS_DATASHEET = (
 )
 
 
+def q_parked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parked-page detection (X51): a registrar lander (phrase flags
+    regardless of density), a link-farm page (6 anchors, ~all visible
+    text inside anchors — density flags), and an article (low density,
+    clean)."""
+    from docling_serve_spark.operators.pagemeta import parked_page_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    farm_links = F.concat(*[
+        F.concat(F.lit(f'<a href="http://f{k}.ad/'), i,
+                 F.lit(f'">sponsored link number {k}</a>'))
+        for k in range(6)
+    ])
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<html><body><h1>Welcome</h1><p>This Domain "
+                           "is for sale. Contact broker "), i,
+                     F.lit('.</p><a href="http://reg.example/buy">inquire'
+                           "</a></body></html>")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("<html><body><div>"), farm_links,
+                     F.lit("<p>ads</p></div></body></html>")),
+        )
+        .otherwise(
+            F.concat(F.lit("<html><body><p>"),
+                     F.repeat(F.concat(F.lit("article words "), i,
+                                       F.lit(" ")), 20),
+                     F.lit('</p><a href="http://x.example/n">more</a>'
+                           "</body></html>"))
+        )
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://p"), i, F.lit(".example/")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return parked_page_stats(pages)
+
+
+_PARKED_RE = ("(?i)domain\\s+is\\s+for\\s+sale|buy\\s+this\\s+domain|"
+              "domain\\s+may\\s+be\\s+for\\s+sale|parked\\s+free|"
+              "domain\\s+parking|this\\s+page\\s+is\\s+parked")
+
+ORACLE_PARKED_PAGES = (
+    "WITH pp AS (SELECT doc_id, 'https://p' || CAST(doc_id AS VARCHAR) || "
+    "'.example/' AS url, "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'<html><body><h1>Welcome</h1><p>This Domain is for sale. "
+    "Contact broker ' || CAST(doc_id AS VARCHAR) || "
+    "'.</p><a href=\"http://reg.example/buy\">inquire</a></body></html>' "
+    "WHEN doc_id % 3 = 1 THEN '<html><body><div>' || "
+    + " || ".join(
+        f"'<a href=\"http://f{k}.ad/' || CAST(doc_id AS VARCHAR) || "
+        f"'\">sponsored link number {k}</a>'"
+        for k in range(6)
+    )
+    + " || '<p>ads</p></div></body></html>' "
+    "ELSE '<html><body><p>' || repeat('article words ' || "
+    "CAST(doc_id AS VARCHAR) || ' ', 20) || "
+    "'</p><a href=\"http://x.example/n\">more</a></body></html>' END "
+    "AS html FROM documents), "
+    "x AS (SELECT url, html, "
+    "CAST(len(array_to_string(regexp_extract_all(html, '>([^<]+)</a>', 1), "
+    "'')) AS BIGINT) AS anchor_chars, "
+    "CAST(len(regexp_extract_all(html, '>([^<]+)</a>', 1)) AS INT) "
+    "AS n_anchors, "
+    "CAST(len(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', "
+    "'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS visible_chars FROM pp), "
+    "y AS (SELECT url, n_anchors, anchor_chars, visible_chars, "
+    "CAST(floor(10000.0 * anchor_chars / greatest(visible_chars, 1)) "
+    "AS BIGINT) AS link_density_bp, "
+    "len(regexp_extract_all(html, '" + _PARKED_RE + "')) > 0 "
+    "AS has_parked_phrase FROM x) "
+    "SELECT url, n_anchors, anchor_chars, visible_chars, link_density_bp, "
+    "has_parked_phrase, has_parked_phrase OR (link_density_bp >= 6000 "
+    "AND n_anchors >= 5) AS is_parked FROM y"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3557,6 +3639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mojibake_stats": q_mojibake,
     "redirect_chains": q_redirect_chains,
     "corpus_datasheet": q_corpus_datasheet,
+    "parked_pages": q_parked_pages,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3645,6 +3728,7 @@ ORACLES: dict[str, str] = {
     "mojibake_stats": ORACLE_MOJIBAKE,
     "redirect_chains": ORACLE_REDIRECT_CHAINS,
     "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
+    "parked_pages": ORACLE_PARKED_PAGES,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1243,3 +1243,41 @@ def test_corpus_datasheet_rollup_grains(spark):
     total = rows[("<all>", "<all>")]
     assert total["n_docs"] == 5 and total["n_tokens"] == 10
     assert len(rows) == 3 + 2 + 1                      # pairs+langs+total
+
+
+# ------------------------------------------------------------------ #
+# parked_page_stats
+# ------------------------------------------------------------------ #
+
+def test_parked_page_stats_signals(spark):
+    """Registrar phrase flags at any density (case/whitespace
+    tolerant); dense link farms flag only past the anchor-count gate;
+    articles stay clean; junk bytes yield a clean zero row."""
+    from docling_serve_spark.operators.pagemeta import parked_page_stats
+
+    farm = "<body>" + "".join(
+        f'<a href="u{k}">sponsored entry {k}</a>' for k in range(6)
+    ) + "<p>ad</p></body>"
+    tiny_farm = '<body><a href="u">all link text here</a></body>'
+    lander = "<body><p>this DOMAIN\n is   for SALE</p>lots of plain " \
+             "registrar prose making density low " * 3 + "</body>"
+    article = "<body><p>" + "prose word " * 50 + '</p><a href="n">next</a></body>'
+    pages = spark.createDataFrame(
+        [("farm", bytearray(farm.encode())),
+         ("tiny", bytearray(tiny_farm.encode())),
+         ("lander", bytearray(lander.encode())),
+         ("article", bytearray(article.encode())),
+         ("junk", bytearray(b"\xff\xfe\x00garbage"))],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in parked_page_stats(pages).collect()}
+    assert got["farm"]["is_parked"] and not got["farm"]["has_parked_phrase"]
+    assert got["farm"]["n_anchors"] == 6
+    # density 10000 but only one anchor: the min-anchor gate holds
+    assert got["tiny"]["link_density_bp"] == 10000
+    assert not got["tiny"]["is_parked"]
+    assert got["lander"]["has_parked_phrase"] and got["lander"]["is_parked"]
+    assert not got["article"]["is_parked"]
+    assert got["article"]["link_density_bp"] < 2000
+    j = got["junk"]
+    assert not j["is_parked"] and j["n_anchors"] == 0

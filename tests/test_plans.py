@@ -351,3 +351,11 @@ def test_corpus_datasheet_single_scan_expand(spark):
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_parked_pages_pure_narrow_map(spark):
+    """Parked detection must ride the scan like page_meta: zero
+    exchanges, zero Python."""
+    plan = _plan(spark, QUERIES["parked_pages"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
