@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "redirect_chains",
     "corpus_datasheet",
     "parked_pages",
+    "hreflang_alternates",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -136,3 +136,45 @@ def parked_page_stats(pages: DataFrame, url_col: str = "url",
                & (n_anchors >= min_anchors))
         ).alias("is_parked"),
     )
+
+
+def extract_hreflang(pages: DataFrame, url_col: str = "url",
+                     html_col: str = "html") -> DataFrame:
+    """(src_url, hreflang, alt_url) — the page's declared language
+    alternates, one row per ``<link rel="alternate" hreflang=..
+    href=..>``. Publisher-declared hreflang clusters are how
+    parallel-document candidates are mined from a general crawl
+    (ParaCrawl's placement pipeline starts exactly here): each triple
+    says "the same content exists at alt_url in language hreflang",
+    giving aligned-document pairs orders of magnitude cheaper than
+    content-based bitext mining.
+
+    Extraction is the two-pass tag regexp of `extract_anchor_texts`:
+    pull whole ``<link …>`` tags (codegen extract_all), keep those
+    declaring ``rel="alternate"`` AND an hreflang, then per-tag group
+    extracts — so attribute order never matters. hreflang values are
+    lowercased (BCP 47 is case-insensitive), empties and missing
+    hrefs drop, duplicates collapse. Narrow map + one distinct;
+    html never shuffles — only (url, lang, url) triples."""
+    h = F.col(html_col).cast("string")
+    tags = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(h, F.lit("(?i)<link[^>]*>"), F.lit(0))
+        ).alias("tag"),
+    ).filter(
+        F.lower(F.col("tag")).contains('rel="alternate"')
+        & F.lower(F.col("tag")).contains("hreflang=")
+    )
+    return (
+        tags.select(
+            "src_url",
+            F.lower(
+                F.regexp_extract(F.col("tag"), '(?i)hreflang="([^"]*)"', 1)
+            ).alias("hreflang"),
+            F.regexp_extract(F.col("tag"), '(?i)href="([^"]*)"', 1)
+            .alias("alt_url"),
+        )
+        .filter((F.col("hreflang") != "") & (F.col("alt_url") != ""))
+        .distinct()
+    )

@@ -1904,6 +1904,69 @@ ORACLE_PARKED_PAGES = (
 )
 
 
+def q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate mining (X52): even docs declare en/de
+    alternates (one tag attribute-reversed) plus an x-default and a
+    duplicated en tag (collapses); a stylesheet link and an
+    hreflang-less alternate are dropped; odd docs declare nothing."""
+    from docling_serve_spark.operators.pagemeta import extract_hreflang
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    links = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="EN" href="https://ex.org/en/'),
+            i, F.lit('">'),
+            F.lit('<link hreflang="de" href="https://ex.org/de/'), i,
+            F.lit('" rel="alternate">'),
+            F.lit('<link rel="alternate" hreflang="x-default" '
+                  'href="https://ex.org/'), i, F.lit('">'),
+            F.lit('<link rel="alternate" hreflang="en" href="https://ex.org/en/'),
+            i, F.lit('">'),
+            F.lit('<link rel="stylesheet" href="https://ex.org/s.css">'),
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'href="https://ex.org/feed">'),
+        ),
+    ).otherwise(F.lit('<link rel="stylesheet" href="https://ex.org/s.css">'))
+    html = F.concat(F.lit("<html><head>"), links,
+                    F.lit("</head><body>x</body></html>"))
+    pages = docs.select(
+        F.concat(F.lit("https://ex.org/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_hreflang(pages)
+
+
+ORACLE_HREFLANG = (
+    "WITH hp AS (SELECT doc_id, 'https://ex.org/p' || "
+    "CAST(doc_id AS VARCHAR) AS src_url, "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<link rel=\"alternate\" hreflang=\"EN\" href=\"https://ex.org/en/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">' || "
+    "'<link hreflang=\"de\" href=\"https://ex.org/de/' || "
+    "CAST(doc_id AS VARCHAR) || '\" rel=\"alternate\">' || "
+    "'<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://ex.org/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">' || "
+    "'<link rel=\"alternate\" hreflang=\"en\" href=\"https://ex.org/en/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">' || "
+    "'<link rel=\"stylesheet\" href=\"https://ex.org/s.css\">' || "
+    "'<link rel=\"alternate\" type=\"application/rss+xml\" "
+    "href=\"https://ex.org/feed\">' "
+    "ELSE '<link rel=\"stylesheet\" href=\"https://ex.org/s.css\">' END "
+    "AS html FROM documents), "
+    "tags AS (SELECT src_url, unnest(regexp_extract_all(html, "
+    "'(?i)<link[^>]*>')) AS tag FROM hp), "
+    "alt AS (SELECT src_url, "
+    "lower(regexp_extract(tag, '(?i)hreflang=\"([^\"]*)\"', 1)) AS hreflang, "
+    "regexp_extract(tag, '(?i)href=\"([^\"]*)\"', 1) AS alt_url FROM tags "
+    "WHERE contains(lower(tag), 'rel=\"alternate\"') "
+    "AND contains(lower(tag), 'hreflang=')) "
+    "SELECT DISTINCT src_url, hreflang, alt_url FROM alt "
+    "WHERE hreflang <> '' AND alt_url <> ''"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3640,6 +3703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redirect_chains": q_redirect_chains,
     "corpus_datasheet": q_corpus_datasheet,
     "parked_pages": q_parked_pages,
+    "hreflang_alternates": q_hreflang_alternates,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3729,6 +3793,7 @@ ORACLES: dict[str, str] = {
     "redirect_chains": ORACLE_REDIRECT_CHAINS,
     "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
     "parked_pages": ORACLE_PARKED_PAGES,
+    "hreflang_alternates": ORACLE_HREFLANG,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

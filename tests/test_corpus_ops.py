@@ -1281,3 +1281,30 @@ def test_parked_page_stats_signals(spark):
     assert got["article"]["link_density_bp"] < 2000
     j = got["junk"]
     assert not j["is_parked"] and j["n_anchors"] == 0
+
+
+# ------------------------------------------------------------------ #
+# extract_hreflang
+# ------------------------------------------------------------------ #
+
+def test_extract_hreflang_orders_dupes_and_drops(spark):
+    """Attribute order never matters; hreflang lowercases; duplicate
+    declarations collapse; stylesheet/rss links and hreflang-less or
+    href-less alternates drop; junk bytes yield nothing."""
+    from docling_serve_spark.operators.pagemeta import extract_hreflang
+
+    html = (
+        b'<link rel="alternate" hreflang="EN" href="https://e/en">'
+        b'<link href="https://e/de" hreflang="de" rel="alternate">'
+        b'<link rel="alternate" hreflang="en" href="https://e/en">'
+        b'<link rel="alternate" hreflang="fr">'
+        b'<link rel="alternate" href="https://e/feed">'
+        b'<link rel="stylesheet" href="https://e/s.css">'
+    )
+    pages = spark.createDataFrame(
+        [("p", bytearray(html)), ("junk", bytearray(b"\x00\xff<link"))],
+        "url string, html binary",
+    )
+    got = sorted((r["src_url"], r["hreflang"], r["alt_url"])
+                 for r in extract_hreflang(pages).collect())
+    assert got == [("p", "de", "https://e/de"), ("p", "en", "https://e/en")]

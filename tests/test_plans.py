@@ -359,3 +359,12 @@ def test_parked_pages_pure_narrow_map(spark):
     plan = _plan(spark, QUERIES["parked_pages"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hreflang_narrow_map_distinct_only(spark):
+    """Triple extraction must be a narrow map; the only exchange is
+    the distinct's aggregation — no Python, no cartesian."""
+    plan = _plan(spark, QUERIES["hreflang_alternates"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
