@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "corpus_datasheet",
     "parked_pages",
     "hreflang_alternates",
+    "fetch_schedule",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -72,3 +72,49 @@ def frontier_select(candidates: DataFrame, host_ranks: DataFrame,
     ).limit(batch_size)
     w_all = Window.orderBy(F.col("priority_nano").desc(), F.col("url").asc())
     return top.withColumn("rank", F.row_number().over(w_all).cast("int"))
+
+
+def schedule_fetches(batch: DataFrame, n_fetchers: int = 64,
+                     default_delay_ms: int = 1000,
+                     delays: DataFrame | None = None) -> DataFrame:
+    """(url, host, fetcher, fetch_seq, fetch_at_ms) — turn a selected
+    crawl batch (X43's output shape: url, host, and a priority order)
+    into an executable fetch schedule. Two politeness invariants every
+    crawler enforces (RFC 9309 crawl-delay; Heritrix's 'one queue per
+    host' design):
+
+    - ALL of a host's urls go to ONE fetcher — `fetcher` is the
+      48-bit md5 of the host mod ``n_fetchers`` (the deterministic
+      cross-engine string hash used for split_assign), so per-host
+      spacing can be enforced fetcher-locally with no coordination;
+    - within a host, urls are spaced ``delay_ms`` apart:
+      ``fetch_at_ms = fetch_seq * delay_ms`` with ``fetch_seq`` the
+      0-based per-host position in (priority desc, url) order —
+      pure integer arithmetic, bit-reproducible.
+
+    ``delays`` optionally overrides the per-host delay (host,
+    delay_ms) — what a robots.txt crawl-delay fetch pass emits; hosts
+    without a row use ``default_delay_ms``.
+
+    Scale shape: one left equi-join on host (delays ≪ batch,
+    AQE-broadcast), one per-host window over the already-selected
+    batch (bounded by X43's per-host cap), zero global sorts."""
+    from docling_serve_spark.operators.sampling import md5_hash48
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority_nano").desc(), F.col("url").asc()
+    )
+    b = batch.select("url", "host", "priority_nano")
+    if delays is not None:
+        b = b.join(delays.select("host", "delay_ms"), "host", "left")
+        delay = F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+    else:
+        delay = F.lit(default_delay_ms)
+    return b.select(
+        "url", "host",
+        F.pmod(md5_hash48(F.col("host")), F.lit(n_fetchers))
+        .cast("int").alias("fetcher"),
+        (F.row_number().over(w) - 1).cast("int").alias("fetch_seq"),
+        ((F.row_number().over(w) - 1) * delay).cast("bigint")
+        .alias("fetch_at_ms"),
+    )

@@ -1967,6 +1967,34 @@ ORACLE_HREFLANG = (
 )
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch scheduling (X53) composed on the REAL X43
+    batch: hosts h0/h1 carry a robots crawl-delay override (5 s), the
+    rest space at the 1 s default; 8 fetchers."""
+    from docling_serve_spark.operators.frontier import schedule_fetches
+
+    batch = q_frontier_select(spark, sf_dir)
+    delays = spark.createDataFrame(
+        [("h0", 5000), ("h1", 5000)], "host string, delay_ms bigint"
+    )
+    return schedule_fetches(batch, n_fetchers=8, delays=delays)
+
+
+ORACLE_FETCH_SCHEDULE = (
+    "WITH batch AS (" + ORACLE_FRONTIER_SELECT + "), "
+    "d(host, delay_ms) AS (VALUES ('h0', CAST(5000 AS BIGINT)), "
+    "('h1', CAST(5000 AS BIGINT))), "
+    "b AS (SELECT url, batch.host AS host, priority_nano, delay_ms "
+    "FROM batch LEFT JOIN d ON batch.host = d.host), "
+    "s AS (SELECT url, host, CAST(row_number() OVER (PARTITION BY host "
+    "ORDER BY priority_nano DESC, url ASC) - 1 AS INT) AS fetch_seq, "
+    "coalesce(delay_ms, 1000) AS dm FROM b) "
+    "SELECT url, host, "
+    "CAST(('0x' || substr(md5(host), 1, 12))::BIGINT % 8 AS INT) AS fetcher, "
+    "fetch_seq, CAST(fetch_seq * dm AS BIGINT) AS fetch_at_ms FROM s"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3704,6 +3732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_datasheet": q_corpus_datasheet,
     "parked_pages": q_parked_pages,
     "hreflang_alternates": q_hreflang_alternates,
+    "fetch_schedule": q_fetch_schedule,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3794,6 +3823,7 @@ ORACLES: dict[str, str] = {
     "corpus_datasheet": ORACLE_CORPUS_DATASHEET,
     "parked_pages": ORACLE_PARKED_PAGES,
     "hreflang_alternates": ORACLE_HREFLANG,
+    "fetch_schedule": ORACLE_FETCH_SCHEDULE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

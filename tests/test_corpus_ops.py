@@ -1308,3 +1308,33 @@ def test_extract_hreflang_orders_dupes_and_drops(spark):
     got = sorted((r["src_url"], r["hreflang"], r["alt_url"])
                  for r in extract_hreflang(pages).collect())
     assert got == [("p", "de", "https://e/de"), ("p", "en", "https://e/en")]
+
+
+# ------------------------------------------------------------------ #
+# schedule_fetches
+# ------------------------------------------------------------------ #
+
+def test_schedule_fetches_politeness_invariants(spark):
+    """All of a host's urls land on one fetcher; per-host spacing uses
+    the override delay when present, the default otherwise; sequence
+    follows (priority desc, url) order."""
+    from docling_serve_spark.operators.frontier import schedule_fetches
+
+    batch = spark.createDataFrame(
+        [("u1", "slow.com", 900), ("u2", "slow.com", 500),
+         ("u3", "slow.com", 500),                 # tie -> url order
+         ("u4", "fast.org", 100)],
+        "url string, host string, priority_nano bigint",
+    )
+    delays = spark.createDataFrame([("slow.com", 7000)],
+                                   "host string, delay_ms bigint")
+    rows = schedule_fetches(batch, n_fetchers=4, delays=delays).collect()
+    got = {r["url"]: r for r in rows}
+    assert [got[u]["fetch_seq"] for u in ("u1", "u2", "u3")] == [0, 1, 2]
+    assert got["u3"]["fetch_at_ms"] == 2 * 7000
+    assert got["u4"]["fetch_at_ms"] == 0
+    fetchers = {r["host"]: set() for r in rows}
+    for r in rows:
+        fetchers[r["host"]].add(r["fetcher"])
+    assert all(len(v) == 1 for v in fetchers.values())
+    assert all(0 <= r["fetcher"] < 4 for r in rows)

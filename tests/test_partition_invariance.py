@@ -38,6 +38,11 @@ INVARIANCE_QUERIES = [
     "bm25_search",      # micro-nat integer sums + global top-k
     "frontier_select",  # priority ties + per-host cap + batch cut
     "mirror_hosts",     # df-cap + pair emission via self-join
+    "url_templates",    # distinct-count threshold per group
+    "link_farms",       # reversed-key self-join counts
+    "redirect_chains",  # iterative hop joins
+    "corpus_datasheet", # rollup grains
+    "fetch_schedule",   # per-host windows over X43 output
 ]
 
 

@@ -368,3 +368,12 @@ def test_hreflang_narrow_map_distinct_only(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_fetch_schedule_no_global_sort(spark):
+    """Scheduling is a per-host window over the selected batch plus a
+    broadcastable delay join — no global sort beyond the upstream
+    batch cut, no Python."""
+    plan = _plan(spark, QUERIES["fetch_schedule"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
