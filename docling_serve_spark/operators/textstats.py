@@ -290,3 +290,68 @@ def corpus_datasheet(docs: DataFrame, lang_col: str = "lang",
             F.expr("n_tokens div n_docs").cast("bigint").alias("mean_tokens"),
         )
     )
+
+
+def line_repetition(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Within-document duplicate line / paragraph fractions — the
+    other half of the Gopher repetition family (Rae et al. 2021,
+    Table A1: "duplicate line fraction" 0.30, "duplicate paragraph
+    fraction" 0.30, and their character-fraction twins at 0.20);
+    ``ngram_repetition`` covers the n-gram rows of that table, this
+    covers the line/paragraph rows. Cross-document line dedup is
+    ``corpus.boilerplate_scrub``; this is the per-document signal
+    (pages that repeat their own nav/listing rows hundreds of times).
+
+    Conventions (Dolma's GopherAttributes): a duplicated line's
+    occurrences ALL count (cnt, not cnt-1); the character denominator
+    is the sum of line lengths (separators excluded) so both engines
+    count the same chars; paragraphs split on a blank line (LF LF).
+    All ratios are integer basis points via bigint `div` —
+    bit-reproducible across engines and partitionings.
+
+    Plan shape: two explode→two-level-aggregate branches (lines,
+    paragraphs) over a (id, text)-pruned projection, joined back on
+    the id — every aggregate is map-side combinable and the shuffle
+    key includes the line/paragraph hash, so one pathological page
+    cannot skew a partition at corpus scale."""
+
+    def _branch(sep: str, unit: str) -> DataFrame:
+        parts = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), sep)).alias("u"),
+        )
+        grp = parts.groupBy(id_col, "u").agg(F.count("*").alias("cnt"))
+        dup = F.col("cnt") > 1
+        chars = F.col("cnt") * F.length("u")
+        return grp.groupBy(id_col).agg(
+            F.sum("cnt").cast("bigint").alias(f"n_{unit}"),
+            F.sum(F.when(dup, F.col("cnt")).otherwise(0))
+            .cast("bigint").alias(f"dup_{unit}"),
+            F.sum(chars).cast("bigint").alias(f"{unit}_chars"),
+            F.sum(F.when(dup, chars).otherwise(0))
+            .cast("bigint").alias(f"dup_{unit}_chars"),
+        )
+
+    joined = _branch(r"\n", "lines").join(
+        _branch(r"\n\n", "paras"), id_col
+    )
+    bp = "(10000 * dup_{u}) div n_{u}"
+    cbp = "(10000 * dup_{u}_chars) div greatest({u}_chars, 1)"
+    return joined.select(
+        F.col(id_col).cast("bigint"),
+        "n_lines",
+        "n_paras",
+        F.expr(bp.format(u="lines")).cast("bigint").alias("dup_line_frac_bp"),
+        F.expr(cbp.format(u="lines")).cast("bigint")
+        .alias("dup_line_char_frac_bp"),
+        F.expr(bp.format(u="paras")).cast("bigint").alias("dup_para_frac_bp"),
+        F.expr(cbp.format(u="paras")).cast("bigint")
+        .alias("dup_para_char_frac_bp"),
+        F.expr(
+            "(10000 * dup_lines) div n_lines > 3000 "
+            "OR (10000 * dup_lines_chars) div greatest(lines_chars, 1) > 2000 "
+            "OR (10000 * dup_paras) div n_paras > 3000 "
+            "OR (10000 * dup_paras_chars) div greatest(paras_chars, 1) > 2000"
+        ).alias("is_repetitive"),
+    )

@@ -829,6 +829,72 @@ def _rep_ngram_oracle() -> str:
 ORACLE_REP_NGRAM = _rep_ngram_oracle()
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate line/paragraph fractions (X55): pages derive
+    a deterministic 3-paragraph layout — a repeated nav line on
+    doc_id%3==0, a duplicated body paragraph on doc_id%4==0, and the
+    blank line between paragraphs (which every doc duplicates, so
+    dup_line_frac is never zero — pinned by the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    l1 = F.lit("menu home products")
+    l2 = F.when(F.col("doc_id") % 3 == 0, l1).otherwise(
+        F.concat(F.lit("line "), i)
+    )
+    body = F.concat(F.lit("body: "), F.substring("text", 1, 50))
+    p3 = F.when(F.col("doc_id") % 4 == 0, body).otherwise(
+        F.concat(F.lit("closing "), i)
+    )
+    t = F.concat_ws("\n\n", F.concat_ws("\n", l1, l2), body, p3)
+    return textstats.line_repetition(docs.select("doc_id", t.alias("text")))
+
+
+_LINE_REP_T = (
+    "'menu home products' || chr(10) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN 'menu home products' "
+    "ELSE 'line ' || CAST(doc_id AS VARCHAR) END) || chr(10) || chr(10) || "
+    "'body: ' || substr(text, 1, 50) || chr(10) || chr(10) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN 'body: ' || substr(text, 1, 50) "
+    "ELSE 'closing ' || CAST(doc_id AS VARCHAR) END)"
+)
+
+ORACLE_LINE_REPETITION = (
+    f"WITH d AS (SELECT doc_id, {_LINE_REP_T} AS t FROM documents), "
+    "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM d), "
+    "lg AS (SELECT doc_id, u, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM lines GROUP BY 1, 2), "
+    "pl AS (SELECT doc_id, SUM(cnt) AS n_lines, "
+    "SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines, "
+    "SUM(cnt * length(u)) AS lines_chars, "
+    "SUM(CASE WHEN cnt > 1 THEN cnt * length(u) ELSE 0 END) "
+    "AS dup_lines_chars FROM lg GROUP BY 1), "
+    "paras AS (SELECT doc_id, "
+    "unnest(string_split(t, chr(10) || chr(10))) AS u FROM d), "
+    "pg AS (SELECT doc_id, u, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM paras GROUP BY 1, 2), "
+    "pp AS (SELECT doc_id, SUM(cnt) AS n_paras, "
+    "SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_paras, "
+    "SUM(cnt * length(u)) AS paras_chars, "
+    "SUM(CASE WHEN cnt > 1 THEN cnt * length(u) ELSE 0 END) "
+    "AS dup_paras_chars FROM pg GROUP BY 1) "
+    "SELECT CAST(pl.doc_id AS BIGINT) AS doc_id, "
+    "CAST(n_lines AS BIGINT) AS n_lines, "
+    "CAST(n_paras AS BIGINT) AS n_paras, "
+    "CAST((10000 * dup_lines) // n_lines AS BIGINT) AS dup_line_frac_bp, "
+    "CAST((10000 * dup_lines_chars) // greatest(lines_chars, 1) AS BIGINT) "
+    "AS dup_line_char_frac_bp, "
+    "CAST((10000 * dup_paras) // n_paras AS BIGINT) AS dup_para_frac_bp, "
+    "CAST((10000 * dup_paras_chars) // greatest(paras_chars, 1) AS BIGINT) "
+    "AS dup_para_char_frac_bp, "
+    "((10000 * dup_lines) // n_lines > 3000 "
+    "OR (10000 * dup_lines_chars) // greatest(lines_chars, 1) > 2000 "
+    "OR (10000 * dup_paras) // n_paras > 3000 "
+    "OR (10000 * dup_paras_chars) // greatest(paras_chars, 1) > 2000) "
+    "AS is_repetitive "
+    "FROM pl JOIN pp ON pl.doc_id = pp.doc_id"
+)
+
+
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level (8-token window) exact dedup across the corpus —
     the sub-document pass of C4/RefinedWeb-style pipelines."""
@@ -3748,6 +3814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "textstats": q_textstats,
     "rep_ngram_stats": q_rep_ngram_stats,
+    "line_repetition": q_line_repetition,
     "passage_dedup": q_passage_dedup,
     "passage_scrub": q_passage_scrub,
     "url_host_stats": q_url_host_stats,
@@ -3840,6 +3907,7 @@ ORACLES: dict[str, str] = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "textstats": ORACLE_TEXTSTATS,
     "rep_ngram_stats": ORACLE_REP_NGRAM,
+    "line_repetition": ORACLE_LINE_REPETITION,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
     "url_host_stats": ORACLE_URL_HOST,

@@ -1338,3 +1338,46 @@ def test_schedule_fetches_politeness_invariants(spark):
         fetchers[r["host"]].add(r["fetcher"])
     assert all(len(v) == 1 for v in fetchers.values())
     assert all(0 <= r["fetcher"] < 4 for r in rows)
+
+
+# ------------------------------------------------------------------ #
+# line_repetition (Gopher dup line / paragraph fractions)
+# ------------------------------------------------------------------ #
+
+def test_line_repetition_hand_computed(spark):
+    """Duplicated lines count ALL their occurrences (Dolma
+    convention); paragraph split is a blank line; char denominators
+    exclude the separators; a clean doc reports zeros."""
+    from docling_serve_spark.operators.textstats import line_repetition
+
+    # doc 1: lines = [aa, bb, aa, '', cc] -> dup 'aa' cnt 2 of 5 lines
+    #        paras = ['aa\nbb\naa', 'cc'] -> no dup para
+    rep = "aa\nbb\naa\n\ncc"
+    # doc 2: paras = [xx, xx, yy] -> dup para 2 of 3; lines include
+    #        two blank separators (dup) plus xx twice
+    para_rep = "xx\n\nxx\n\nyy"
+    clean = "one\ntwo\n\nthree"
+    docs = spark.createDataFrame(
+        [(1, rep), (2, para_rep), (3, clean)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in line_repetition(docs).collect()}
+
+    d = got[1]
+    assert (d["n_lines"], d["n_paras"]) == (5, 2)
+    assert d["dup_line_frac_bp"] == 10000 * 2 // 5       # 'aa' twice
+    assert d["dup_line_char_frac_bp"] == 10000 * 4 // 8  # 4 of 8 chars
+    assert d["dup_para_frac_bp"] == 0
+    assert d["is_repetitive"]                            # 4000 > 3000
+
+    p = got[2]
+    # lines = [xx, '', xx, '', yy]: xx twice + '' twice -> 4 of 5
+    assert (p["n_lines"], p["n_paras"]) == (5, 3)
+    assert p["dup_line_frac_bp"] == 10000 * 4 // 5
+    assert p["dup_para_frac_bp"] == 10000 * 2 // 3
+    assert p["dup_para_char_frac_bp"] == 10000 * 4 // 6
+    assert p["is_repetitive"]
+
+    c = got[3]
+    assert (c["n_lines"], c["n_paras"]) == (4, 2)
+    assert c["dup_line_frac_bp"] == 0 and c["dup_para_frac_bp"] == 0
+    assert not c["is_repetitive"]
