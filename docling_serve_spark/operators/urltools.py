@@ -263,3 +263,69 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 4) -> DataFrame:
             F.col("has_out").isNull().alias("terminated"),
         )
     )
+
+
+def surt_key(col: Column) -> Column:
+    """SURT-form urlkey (Sort-friendly URI Reordering Transform — the
+    key scheme of Internet Archive / Common Crawl CDX indexes, IIPC
+    CDXJ spec): lowercase, scheme and fragment dropped, leading
+    ``www.`` and default ports stripped, host labels REVERSED and
+    comma-joined so one host's pages sort contiguously (the property
+    range lookups and per-site extraction depend on), ``)`` between
+    host and path, query parameters sorted so param order never splits
+    one page into two keys.
+
+    ``https://WWW.news.Example.com:443/A/b?b=2&a=1#x`` →
+    ``com,example,news)/a/b?a=1&b=2``. Pure codegen regexp/array
+    chain — never leaves the scan stage."""
+    u = F.lower(col)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    host = F.regexp_extract(u, r"^([^/?]+)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(u, r"^[^/?]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    # a surviving non-default port stays AFTER the hostname
+    # (com,example:8080), not inside the reversed label list
+    port = F.regexp_extract(host, r"(:\d+)$", 1)
+    hostname = F.regexp_replace(host, r":\d+$", "")
+    revhost = F.concat(
+        F.array_join(F.reverse(F.split(hostname, r"\.")), ","), port
+    )
+    return F.concat(
+        revhost,
+        F.lit(")"),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+
+
+def cdx_index(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts", payload_col: str = "html",
+              mime: str = "text/html") -> DataFrame:
+    """(urlkey, ts14, url, mime, digest, length) — the CDX(J) capture
+    index every crawl archive ships beside its WARC/WET files (the
+    lookup structure wayback-style replay, per-site extraction, and
+    revisit-dedup all consume). Together with ``sources.warc`` (read)
+    and ``wet_records`` (write) this closes the archive-interop
+    surface: WARC in, WET + CDX out.
+
+    ``digest`` is hex SHA-256 of the raw payload bytes (the archival
+    role of CC's SHA-1/base32 digest with a stdlib-available codec —
+    revisit records dedup on digest equality, so any collision-safe
+    stable hash serves); ``length`` is payload octets; ``ts14`` the
+    WARC 14-digit timestamp. Zero shuffles — a narrow codegen map; a
+    CDX writer sorts by (urlkey, ts14) via range repartition +
+    sortWithinPartitions, the scalable total-sort shape."""
+    return pages.select(
+        surt_key(F.col(url_col)).alias("urlkey"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+        F.col(url_col).alias("url"),
+        F.lit(mime).alias("mime"),
+        F.sha2(F.col(payload_col), 256).alias("digest"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("length"),
+    )

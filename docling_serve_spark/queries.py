@@ -2097,6 +2097,65 @@ ORACLE_WET_EXPORT = (
 )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index generation (X56): urls synthesized with the
+    full SURT gauntlet — uppercase host, www., default :443 port,
+    unsorted query params, fragments — so the oracle pins every
+    canonicalization rule; digest/length over the UTF-8 payload
+    octets."""
+    from docling_serve_spark.operators.urltools import cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("https://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.com"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"), i,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-"), day, F.lit(" 12:34:56"))
+        ).alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+    )
+    return cdx_index(pages)
+
+
+ORACLE_CDX_INDEX = (
+    "WITH p AS (SELECT 'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.Example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) "
+    "|| '/Path/' || CAST(doc_id AS VARCHAR) "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url, "
+    "'202403' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+    "|| '123456' AS ts14, text FROM documents), "
+    "c AS (SELECT url, ts14, text, "
+    "regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
+    "'#.*$', '') AS u FROM p), "
+    "s AS (SELECT *, "
+    "regexp_replace(regexp_replace(regexp_extract(u, '^([^/?]+)', 1), "
+    "'^www\\.', ''), ':(80|443)$', '') AS host, "
+    "regexp_replace(u, '^[^/?]+', '') AS rest FROM c), "
+    "s2 AS (SELECT *, "
+    "CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/' "
+    "ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path, "
+    "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM s) "
+    "SELECT array_to_string(list_reverse(string_split("
+    "regexp_replace(host, ':[0-9]+$', ''), '.')), ',') "
+    "|| regexp_extract(host, '(:[0-9]+)$', 1) "
+    "|| ')' || path || (CASE WHEN query <> '' THEN '?' || "
+    "array_to_string(list_sort(string_split(query, '&')), '&') "
+    "ELSE '' END) AS urlkey, "
+    "ts14, url, 'text/html' AS mime, sha256(text) AS digest, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS length FROM s2"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3837,6 +3896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hreflang_alternates": q_hreflang_alternates,
     "fetch_schedule": q_fetch_schedule,
     "wet_export": q_wet_export,
+    "cdx_index": q_cdx_index,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3930,6 +3990,7 @@ ORACLES: dict[str, str] = {
     "hreflang_alternates": ORACLE_HREFLANG,
     "fetch_schedule": ORACLE_FETCH_SCHEDULE,
     "wet_export": ORACLE_WET_EXPORT,
+    "cdx_index": ORACLE_CDX_INDEX,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

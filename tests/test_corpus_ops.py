@@ -1381,3 +1381,46 @@ def test_line_repetition_hand_computed(spark):
     assert (c["n_lines"], c["n_paras"]) == (4, 2)
     assert c["dup_line_frac_bp"] == 0 and c["dup_para_frac_bp"] == 0
     assert not c["is_repetitive"]
+
+
+# ------------------------------------------------------------------ #
+# surt_key / cdx_index
+# ------------------------------------------------------------------ #
+
+def test_surt_key_hand_computed(spark):
+    """SURT rules: host reversed + comma-joined, www./default-port
+    strip, query sorted, fragment dropped, bare host gets '/'; a
+    non-default port survives."""
+    from pyspark.sql import functions as F
+    from docling_serve_spark.operators.urltools import surt_key
+
+    cases = [
+        ("https://WWW.news.Example.com:443/A/b?b=2&a=1#x",
+         "com,example,news)/a/b?a=1&b=2"),
+        ("http://example.com", "com,example)/"),
+        ("https://example.com:8080/p", "com,example:8080)/p"),
+        ("http://a.b.c/x?z=1", "c,b,a)/x?z=1"),
+        ("https://example.com/?", "com,example)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(surt_key(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_cdx_index_digest_and_length(spark):
+    """Digest is SHA-256 of the payload BYTES and length its octet
+    count — multi-byte payloads must not be counted in chars."""
+    import hashlib
+    from docling_serve_spark.operators.urltools import cdx_index
+
+    payload = "arabic محرك".encode("utf-8")
+    df = spark.createDataFrame(
+        [("https://e.com/p", "2024-01-02 03:04:05", payload)],
+        "url string, ts string, html binary",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    r = cdx_index(df).collect()[0]
+    assert r["urlkey"] == "com,e)/p"
+    assert r["ts14"] == "20240102030405"
+    assert r["digest"] == hashlib.sha256(payload).hexdigest()
+    assert r["length"] == len(payload)
+    assert r["mime"] == "text/html"
