@@ -43,6 +43,7 @@ INVARIANCE_QUERIES = [
     "redirect_chains",  # iterative hop joins
     "corpus_datasheet", # rollup grains
     "fetch_schedule",   # per-host windows over X43 output
+    "line_repetition",  # dup-line aggregates joined across branches
 ]
 
 

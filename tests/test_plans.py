@@ -377,3 +377,30 @@ def test_fetch_schedule_no_global_sort(spark):
     plan = _plan(spark, QUERIES["fetch_schedule"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_wet_export_pure_narrow_map(spark):
+    """WET serialization is a codegen concat riding the scan: zero
+    exchanges, zero Python."""
+    plan = _plan(spark, QUERIES["wet_export"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_cdx_index_pure_narrow_map(spark):
+    """SURT + digest + length all ride the scan: zero exchanges,
+    zero Python."""
+    plan = _plan(spark, QUERIES["cdx_index"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "codegen id" in plan
+
+
+def test_line_repetition_partial_aggs_no_python(spark):
+    """Two explode->aggregate branches: every aggregate map-side
+    combinable (partial HashAggregates), no cartesian, no Python."""
+    plan = _plan(spark, QUERIES["line_repetition"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4
