@@ -329,3 +329,84 @@ def cdx_index(pages: DataFrame, url_col: str = "url",
         F.sha2(F.col(payload_col), 256).alias("digest"),
         F.octet_length(F.col(payload_col)).cast("bigint").alias("length"),
     )
+
+
+def sitemap_urls(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """(loc_url, n_sitemaps, already_crawled) — URL discovery from
+    sitemap XML pages (sitemaps.org protocol; production crawlers
+    feed these into the frontier beside X40's outlink pass, and
+    sitemap-declared URLs are the publisher's own canonical list):
+    pages whose bytes carry a ``<urlset``/``<sitemapindex`` root emit
+    every ``<loc>`` entry; entries are trimmed, de-duplicated with the
+    declaring-sitemap count kept (a URL in many sitemaps is a strong
+    liveness prior), and anti-checked against the crawled URL set so
+    the frontier only ever sees genuinely new work.
+
+    Scale shape: narrow map (lossy binary→string cast — one mangled
+    page must not kill the task — root-marker filter, ONE codegen'd
+    ``regexp_extract_all``, explode) then one partial-agg groupBy on
+    the loc string and a LEFT ANTI-shaped membership join against the
+    distinct crawled set (hash equi-join on url; both sides are url
+    strings, never page bytes)."""
+    html_str = F.col(html_col).cast("string")
+    is_sitemap = html_str.rlike(r"<\s*(urlset|sitemapindex)[\s>]")
+    locs = (
+        pages.filter(is_sitemap)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    html_str, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), F.lit(1)
+                )
+            ).alias("loc_url")
+        )
+        .groupBy("loc_url")
+        .agg(F.count("*").cast("bigint").alias("n_sitemaps"))
+    )
+    crawled = pages.select(F.col(url_col).alias("loc_url")).distinct()
+    return locs.join(
+        crawled.withColumn("__c", F.lit(True)), "loc_url", "left"
+    ).select(
+        "loc_url",
+        "n_sitemaps",
+        F.coalesce(F.col("__c"), F.lit(False)).alias("already_crawled"),
+    )
+
+
+def revisit_stats(captures: DataFrame, urlkey_col: str = "urlkey",
+                  ts_col: str = "ts14",
+                  digest_col: str = "digest") -> DataFrame:
+    """(urlkey, n_captures, n_unique, n_revisits, revisit_rate_bp,
+    first_ts) — WARC revisit-record semantics over a CDX capture
+    index (ISO 28500 §6.7.2: a capture whose payload digest equals a
+    previous capture of the same URI is stored as a body-less
+    ``revisit`` record): per urlkey, how many captures exist, how many
+    distinct payloads, how many captures archive-dedup to a prior one,
+    and the first capture timestamp. The rate drives recrawl-interval
+    policy (X26's snapshot diff decides WHAT changed; this decides
+    HOW OFTEN a url is worth refetching) and storage-dedup accounting.
+
+    Scale shape: two stacked partial-agg groupBys — (urlkey, digest)
+    then urlkey — both map-side combinable, shuffle carries only key
+    strings and counts; the rate is bigint `div` basis points,
+    bit-reproducible."""
+    per_digest = captures.groupBy(
+        F.col(urlkey_col).alias("urlkey"), F.col(digest_col).alias("digest")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_caps"),
+        F.min(ts_col).alias("first_ts"),
+    )
+    per_key = per_digest.groupBy("urlkey").agg(
+        F.sum("n_caps").cast("bigint").alias("n_captures"),
+        F.count("*").cast("bigint").alias("n_unique"),
+        F.min("first_ts").alias("first_ts"),
+    )
+    return per_key.select(
+        "urlkey",
+        "n_captures",
+        "n_unique",
+        (F.col("n_captures") - F.col("n_unique")).alias("n_revisits"),
+        F.expr("(10000 * (n_captures - n_unique)) div n_captures")
+        .cast("bigint").alias("revisit_rate_bp"),
+        "first_ts",
+    )

@@ -2156,6 +2156,109 @@ ORACLE_CDX_INDEX = (
 )
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap URL discovery (X57): every 10th page is a sitemap
+    declaring a crawled neighbor (whitespace-padded <loc> pins the
+    trim), a never-crawled 'new' url, a +10 url (crawled only while
+    in range — the oracle decides from the same join), and a home url
+    shared by ALL sitemaps (pins the n_sitemaps count)."""
+    from docling_serve_spark.operators.urltools import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    sm = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc> https://c.example/p"),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit(" </loc></url><url><loc>https://c.example/new"),
+        i,
+        F.lit("</loc></url><url><loc>https://c.example/p"),
+        (F.col("doc_id") + 10).cast("string"),
+        F.lit("</loc></url><url><loc>https://c.example/home</loc></url>"
+              "</urlset>"),
+    )
+    page = F.concat(
+        F.lit("<html><body>"), F.substring("text", 1, 40),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://c.example/p"), i).alias("url"),
+        F.encode(
+            F.when(F.col("doc_id") % 10 == 0, sm).otherwise(page), "UTF-8"
+        ).alias("html"),
+    )
+    return sitemap_urls(pages)
+
+
+ORACLE_SITEMAP_URLS = (
+    "WITH pages AS (SELECT doc_id, "
+    "'https://c.example/p' || CAST(doc_id AS VARCHAR) AS url, "
+    "CASE WHEN doc_id % 10 = 0 THEN "
+    "'<?xml version=\"1.0\"?><urlset "
+    "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"
+    "<url><loc> https://c.example/p' || CAST(doc_id + 1 AS VARCHAR) || "
+    "' </loc></url><url><loc>https://c.example/new' || "
+    "CAST(doc_id AS VARCHAR) || "
+    "'</loc></url><url><loc>https://c.example/p' || "
+    "CAST(doc_id + 10 AS VARCHAR) || "
+    "'</loc></url><url><loc>https://c.example/home</loc></url></urlset>' "
+    "ELSE '<html><body>' || substr(text, 1, 40) || '</body></html>' END "
+    "AS html FROM documents), "
+    "l AS (SELECT unnest(regexp_extract_all(html, "
+    "'<loc>\\s*([^<]+?)\\s*</loc>', 1)) AS loc_url FROM pages "
+    "WHERE regexp_matches(html, '<\\s*(urlset|sitemapindex)[\\s>]')), "
+    "g AS (SELECT loc_url, CAST(count(*) AS BIGINT) AS n_sitemaps "
+    "FROM l GROUP BY 1), "
+    "c AS (SELECT DISTINCT url FROM pages) "
+    "SELECT g.loc_url, g.n_sitemaps, (c.url IS NOT NULL) "
+    "AS already_crawled FROM g LEFT JOIN c ON g.loc_url = c.url"
+)
+
+
+def q_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture revisit/dedup stats (X58): 50 urlkeys × ~10 captures
+    each; the payload digest cycles through ≤3 versions per key, so
+    most captures archive-dedup to a prior one; composes the REAL
+    X56 cdx_index output shape."""
+    from docling_serve_spark.operators.urltools import revisit_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    captures = docs.select(
+        F.concat(
+            F.lit("com,example)/p"), (F.col("doc_id") % 50).cast("string")
+        ).alias("urlkey"),
+        F.concat(F.lit("202403"), day, F.lit("123456")).alias("ts14"),
+        F.md5(
+            F.concat(
+                F.lit("v"), (F.col("doc_id") % 3).cast("string"),
+                F.lit("-"), (F.col("doc_id") % 50).cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return revisit_stats(captures)
+
+
+ORACLE_REVISIT_STATS = (
+    "WITH cap AS (SELECT "
+    "'com,example)/p' || CAST(doc_id % 50 AS VARCHAR) AS urlkey, "
+    "'202403' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+    "|| '123456' AS ts14, "
+    "md5('v' || CAST(doc_id % 3 AS VARCHAR) || '-' "
+    "|| CAST(doc_id % 50 AS VARCHAR)) AS digest FROM documents), "
+    "pd AS (SELECT urlkey, digest, CAST(count(*) AS BIGINT) AS n_caps, "
+    "min(ts14) AS first_ts FROM cap GROUP BY 1, 2), "
+    "pk AS (SELECT urlkey, SUM(n_caps) AS n_captures, "
+    "CAST(count(*) AS BIGINT) AS n_unique, min(first_ts) AS first_ts "
+    "FROM pd GROUP BY 1) "
+    "SELECT urlkey, CAST(n_captures AS BIGINT) AS n_captures, n_unique, "
+    "CAST(n_captures - n_unique AS BIGINT) AS n_revisits, "
+    "CAST((10000 * (n_captures - n_unique)) // n_captures AS BIGINT) "
+    "AS revisit_rate_bp, first_ts FROM pk"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3897,6 +4000,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fetch_schedule": q_fetch_schedule,
     "wet_export": q_wet_export,
     "cdx_index": q_cdx_index,
+    "sitemap_urls": q_sitemap_urls,
+    "revisit_stats": q_revisit_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -3991,6 +4096,8 @@ ORACLES: dict[str, str] = {
     "fetch_schedule": ORACLE_FETCH_SCHEDULE,
     "wet_export": ORACLE_WET_EXPORT,
     "cdx_index": ORACLE_CDX_INDEX,
+    "sitemap_urls": ORACLE_SITEMAP_URLS,
+    "revisit_stats": ORACLE_REVISIT_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

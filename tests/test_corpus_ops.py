@@ -1424,3 +1424,55 @@ def test_cdx_index_digest_and_length(spark):
     assert r["digest"] == hashlib.sha256(payload).hexdigest()
     assert r["length"] == len(payload)
     assert r["mime"] == "text/html"
+
+
+# ------------------------------------------------------------------ #
+# sitemap_urls / revisit_stats
+# ------------------------------------------------------------------ #
+
+def test_sitemap_urls_hand_computed(spark):
+    """<loc> entries trim their padding; non-sitemap pages emit
+    nothing; a sitemapindex root also counts; already_crawled comes
+    from the page url set; a url in two sitemaps counts both."""
+    from docling_serve_spark.operators.urltools import sitemap_urls
+
+    sm1 = (b'<?xml version="1.0"?><urlset xmlns="x">'
+           b"<url><loc> https://e.com/a </loc></url>"
+           b"<url><loc>https://e.com/new</loc></url></urlset>")
+    sm2 = (b'<sitemapindex xmlns="x">'
+           b"<sitemap><loc>https://e.com/new</loc></sitemap>"
+           b"</sitemapindex>")
+    page = b"<html><body>href loc nothing</body></html>"
+    pages = spark.createDataFrame(
+        [("https://e.com/a", page), ("https://e.com/sm1", sm1),
+         ("https://e.com/sm2", sm2)],
+        "url string, html binary",
+    )
+    got = {r["loc_url"]: r for r in sitemap_urls(pages).collect()}
+    assert set(got) == {"https://e.com/a", "https://e.com/new"}
+    a = got["https://e.com/a"]
+    assert a["n_sitemaps"] == 1 and a["already_crawled"]
+    n = got["https://e.com/new"]
+    assert n["n_sitemaps"] == 2 and not n["already_crawled"]
+
+
+def test_revisit_stats_hand_computed(spark):
+    """3 captures over 2 payloads -> 1 revisit at 3333 bp; an
+    all-unique key reports zero; first_ts is the earliest capture."""
+    from docling_serve_spark.operators.urltools import revisit_stats
+
+    rows = [
+        ("k1", "20240101000000", "d1"),
+        ("k1", "20240201000000", "d1"),
+        ("k1", "20240301000000", "d2"),
+        ("k2", "20240105000000", "da"),
+        ("k2", "20240106000000", "db"),
+    ]
+    caps = spark.createDataFrame(rows, "urlkey string, ts14 string, digest string")
+    got = {r["urlkey"]: r for r in revisit_stats(caps).collect()}
+    k1 = got["k1"]
+    assert (k1["n_captures"], k1["n_unique"], k1["n_revisits"]) == (3, 2, 1)
+    assert k1["revisit_rate_bp"] == 10000 * 1 // 3
+    assert k1["first_ts"] == "20240101000000"
+    k2 = got["k2"]
+    assert k2["n_revisits"] == 0 and k2["revisit_rate_bp"] == 0

@@ -44,6 +44,8 @@ INVARIANCE_QUERIES = [
     "corpus_datasheet", # rollup grains
     "fetch_schedule",   # per-host windows over X43 output
     "line_repetition",  # dup-line aggregates joined across branches
+    "sitemap_urls",     # groupBy + membership join
+    "revisit_stats",    # stacked two-level aggregation
 ]
 
 

@@ -404,3 +404,24 @@ def test_line_repetition_partial_aggs_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_sitemap_urls_no_python_no_cartesian(spark):
+    """Sitemap discovery: codegen regexp pass + partial-agg groupBy +
+    hash equi-join on the url string — page bytes never join."""
+    plan = _plan(spark, QUERIES["sitemap_urls"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_revisit_stats_stacked_partial_aggs(spark):
+    """Two stacked groupBys, both map-side combinable, no Python.
+    min(string) pins the engine to SortAggregate; the partial_min
+    markers prove each level still combines map-side before its
+    exchange."""
+    plan = _plan(spark, QUERIES["revisit_stats"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    # formatted explain names each node twice: 4 nodes = partial+final x2
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 8
+    assert "partial_min" in plan
