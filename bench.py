@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "parked_pages",
     "hreflang_alternates",
     "fetch_schedule",
+    "wet_export",
+    "cdx_index",
+    "sitemap_urls",
+    "revisit_stats",
+    "line_repetition",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —
