@@ -306,26 +306,39 @@ def surt_key(col: Column) -> Column:
 
 def cdx_index(pages: DataFrame, url_col: str = "url",
               ts_col: str = "warc_ts", payload_col: str = "html",
-              mime: str = "text/html") -> DataFrame:
-    """(urlkey, ts14, url, mime, digest, length) — the CDX(J) capture
-    index every crawl archive ships beside its WARC/WET files (the
-    lookup structure wayback-style replay, per-site extraction, and
-    revisit-dedup all consume). Together with ``sources.warc`` (read)
-    and ``wet_records`` (write) this closes the archive-interop
+              mime: str = "text/html", mime_col: str | None = None,
+              status_col: str | None = None) -> DataFrame:
+    """(urlkey, ts14, url, mime, status, digest, length) — the CDX(J)
+    capture index every crawl archive ships beside its WARC/WET files
+    (the lookup structure wayback-style replay, per-site extraction,
+    and revisit-dedup all consume). Together with ``sources.warc``
+    (read) and ``wet_records`` (write) this closes the archive-interop
     surface: WARC in, WET + CDX out.
 
     ``digest`` is hex SHA-256 of the raw payload bytes (the archival
     role of CC's SHA-1/base32 digest with a stdlib-available codec —
     revisit records dedup on digest equality, so any collision-safe
     stable hash serves); ``length`` is payload octets; ``ts14`` the
-    WARC 14-digit timestamp. Zero shuffles — a narrow codegen map; a
-    CDX writer sorts by (urlkey, ts14) via range repartition +
-    sortWithinPartitions, the scalable total-sort shape."""
+    WARC 14-digit timestamp. Over a ``read_warc_captures`` scan pass
+    ``mime_col``/``status_col`` to index the REAL HTTP capture
+    metadata; over a pages table (which drops the HTTP layer) the
+    literal ``mime`` and status 200 stand in. Zero shuffles — a
+    narrow codegen map; a CDX writer sorts by (urlkey, ts14) via
+    range repartition + sortWithinPartitions, the scalable
+    total-sort shape."""
+    mime_expr = (
+        F.col(mime_col) if mime_col is not None else F.lit(mime)
+    )
+    status_expr = (
+        F.col(status_col).cast("int") if status_col is not None
+        else F.lit(200)
+    )
     return pages.select(
         surt_key(F.col(url_col)).alias("urlkey"),
         F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
         F.col(url_col).alias("url"),
-        F.lit(mime).alias("mime"),
+        mime_expr.alias("mime"),
+        status_expr.alias("status"),
         F.sha2(F.col(payload_col), 256).alias("digest"),
         F.octet_length(F.col(payload_col)).cast("bigint").alias("length"),
     )

@@ -2122,19 +2122,24 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("2024-03-"), day, F.lit(" 12:34:56"))
         ).alias("warc_ts"),
         F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.when(F.col("doc_id") % 20 == 0, F.lit(404))
+        .otherwise(F.lit(200)).alias("http_status"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("application/pdf"))
+        .otherwise(F.lit("text/html")).alias("mime"),
     )
-    return cdx_index(pages)
+    return cdx_index(pages, mime_col="mime", status_col="http_status")
 
 
 ORACLE_CDX_INDEX = (
-    "WITH p AS (SELECT 'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) "
+    "WITH p AS (SELECT doc_id, "
+    "'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) "
     "|| '.Example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) "
     "|| '/Path/' || CAST(doc_id AS VARCHAR) "
     "|| (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END) "
     "|| (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url, "
     "'202403' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
     "|| '123456' AS ts14, text FROM documents), "
-    "c AS (SELECT url, ts14, text, "
+    "c AS (SELECT doc_id, url, ts14, text, "
     "regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
     "'#.*$', '') AS u FROM p), "
     "s AS (SELECT *, "
@@ -2151,7 +2156,11 @@ ORACLE_CDX_INDEX = (
     "|| ')' || path || (CASE WHEN query <> '' THEN '?' || "
     "array_to_string(list_sort(string_split(query, '&')), '&') "
     "ELSE '' END) AS urlkey, "
-    "ts14, url, 'text/html' AS mime, sha256(text) AS digest, "
+    "ts14, url, "
+    "(CASE WHEN doc_id % 6 = 0 THEN 'application/pdf' "
+    "ELSE 'text/html' END) AS mime, "
+    "CAST(CASE WHEN doc_id % 20 = 0 THEN 404 ELSE 200 END AS INT) "
+    "AS status, sha256(text) AS digest, "
     "CAST(octet_length(encode(text)) AS BIGINT) AS length FROM s2"
 )
 

@@ -76,10 +76,25 @@ def _parse_warc_stream(buf: bytes) -> Iterator[dict]:
         except ValueError:
             ts = None
         payload = bytes(view[body_start:body_end])
-        # strip the HTTP response header block if present
+        # strip the HTTP response header block if present, keeping the
+        # status line and Content-Type for the CDX capture index (the
+        # two HTTP-level fields CDX records carry)
+        status = 0
+        mime = ""
         if payload.startswith(b"HTTP/"):
             he = payload.find(b"\r\n\r\n")
             if he != -1:
+                http_head = payload[:he].decode("latin-1", errors="replace")
+                http_lines = http_head.split("\r\n")
+                parts = http_lines[0].split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for hl in http_lines[1:]:
+                    if hl.lower().startswith("content-type:"):
+                        # drop parameters (charset=...) — CDX keeps
+                        # the bare media type
+                        mime = hl.split(":", 1)[1].split(";")[0].strip()
+                        break
                 payload = payload[he + 4 :]
         if url and payload:
             yield {
@@ -88,6 +103,8 @@ def _parse_warc_stream(buf: bytes) -> Iterator[dict]:
                 "html": payload,
                 "text": "",
                 "lang": "",
+                "http_status": status,
+                "mime": mime,
             }
 
 
@@ -136,6 +153,40 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         .select("content")
     )
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+CAPTURES_SCHEMA = (
+    "url string, warc_ts timestamp, http_status int, mime string, "
+    "html binary"
+)
+
+
+def read_warc_captures(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WARC files -> captures DataFrame with the HTTP-level fields
+    CDX records carry (status line + bare Content-Type media type),
+    which the pages contract drops. Feed this to
+    ``operators.urltools.cdx_index(status_col=..., mime_col=...)`` to
+    index a crawl with real capture metadata. Same one-file-per-task
+    scan shape as ``read_warc``."""
+
+    def parse(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_bytes(bytes(content)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "http_status", "mime", "html"],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("content")
+    )
+    return files.mapInPandas(parse, schema=CAPTURES_SCHEMA)
 
 
 def write_warc(path: str, records: list[tuple[str, bytes]],

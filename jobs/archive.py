@@ -80,7 +80,7 @@ def main() -> None:
             " ",
             F.col("urlkey"),
             F.col("ts14"),
-            F.to_json(F.struct("url", "mime", "digest", "length")),
+            F.to_json(F.struct("url", "mime", "status", "digest", "length")),
         ).alias("value")
     )
     cdx_lines.write.mode("overwrite").text(os.path.join(args.output, "cdx"))

@@ -1424,6 +1424,7 @@ def test_cdx_index_digest_and_length(spark):
     assert r["digest"] == hashlib.sha256(payload).hexdigest()
     assert r["length"] == len(payload)
     assert r["mime"] == "text/html"
+    assert r["status"] == 200
 
 
 # ------------------------------------------------------------------ #

@@ -136,3 +136,46 @@ def test_wet_records_roundtrip_through_warc_reader(spark):
         assert f"WARC-Target-URI: {u}\r\n" in text
     assert "WARC-Date: 2024-01-02T03:04:05Z" in text
     assert _parse_warc_stream  # reader stays importable beside writer
+
+
+def test_read_warc_captures_http_status_and_mime(tmp_path, spark):
+    """The captures reader keeps the HTTP status line and the BARE
+    Content-Type media type (charset params dropped); a header-less
+    payload reports status 0 / empty mime."""
+    def rec(url, http_body):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(http_body)}\r\n\r\n".encode()
+            + http_body + b"\r\n\r\n"
+        )
+
+    ok = (b"HTTP/1.1 200 OK\r\n"
+          b"Content-Type: text/html; charset=UTF-8\r\n\r\n<html>a</html>")
+    nf = (b"HTTP/1.1 404 Not Found\r\n"
+          b"Content-Type: application/pdf\r\n\r\n%PDF-gone")
+    raw = b"<html>no http block</html>"
+    p = str(tmp_path / "caps.warc")
+    with open(p, "wb") as f:
+        f.write(rec("https://e.com/ok", ok) + rec("https://e.com/nf", nf)
+                + rec("https://e.com/raw", raw))
+
+    from docling_serve_spark.sources.warc import read_warc_captures
+
+    got = {r["url"]: r for r in read_warc_captures(spark, p).collect()}
+    assert got["https://e.com/ok"]["http_status"] == 200
+    assert got["https://e.com/ok"]["mime"] == "text/html"
+    assert bytes(got["https://e.com/ok"]["html"]) == b"<html>a</html>"
+    assert got["https://e.com/nf"]["http_status"] == 404
+    assert got["https://e.com/nf"]["mime"] == "application/pdf"
+    assert got["https://e.com/raw"]["http_status"] == 0
+    assert got["https://e.com/raw"]["mime"] == ""
+    # composes with cdx_index: real capture metadata flows through
+    from docling_serve_spark.operators.urltools import cdx_index
+    idx = {r["url"]: r for r in cdx_index(
+        read_warc_captures(spark, p),
+        mime_col="mime", status_col="http_status",
+    ).collect()}
+    assert idx["https://e.com/nf"]["status"] == 404
+    assert idx["https://e.com/nf"]["mime"] == "application/pdf"
