@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "sitemap_urls",
     "revisit_stats",
     "line_repetition",
+    "c4_clean",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

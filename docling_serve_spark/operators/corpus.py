@@ -163,3 +163,83 @@ def boilerplate_scrub(pages: DataFrame, host_col: str = "host",
         )
         .select(id_col, "clean_text", "n_lines_kept", "n_lines_dropped")
     )
+
+
+#: C4's line-drop phrases (Raffel et al., JMLR 2020 §2.2: the
+#: boilerplate-policy line filter) — matched case-insensitively.
+C4_POLICY_RE = "cookie policy|privacy policy|terms of use|uses cookies"
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id",
+             bad_words: tuple[str, ...] = ()) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al., "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", JMLR
+    2020 §2.2) — the OTHER canonical line-level cleanup beside CCNet's
+    per-host dedup (``boilerplate_scrub``). Line rules: keep only
+    lines that end in terminal punctuation ``.!?"``, carry ≥ 5 words,
+    and mention neither ``javascript`` nor a cookie/privacy/terms
+    policy phrase. Page rules: flag (for dropping) pages containing
+    ``lorem ipsum``, a ``{`` (code), or any caller-supplied bad-word
+    list entry, and pages whose CLEANED text has < 3 sentences.
+
+    Emits (doc_id, clean_text, n_lines_kept, n_lines_dropped,
+    has_lorem_ipsum, has_brace, has_bad_word, n_sentences, keep_page).
+
+    Shuffle budget: one posexplode → one groupBy(doc_id) reassembly
+    (``sort_array`` over (pos, line) pairs — per-document state, no
+    global sort) joined with a narrow page-flag projection; every
+    predicate is codegen'd, no Python anywhere."""
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    line = F.col("__line")
+    keep_line = (
+        F.rtrim(line).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(line), r"\s+")) >= 5)
+        & ~F.lower(line).contains("javascript")
+        & ~F.lower(line).rlike(C4_POLICY_RE)
+    )
+    kept = F.when(keep_line, F.struct("__pos", "__line"))
+    agg = lines.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(kept).cast("bigint").alias("n_lines_kept"),
+        (F.count("*") - F.count(kept)).cast("bigint").alias("n_lines_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["__line"]
+            ),
+        ).alias("clean_text"),
+    )
+    low = F.lower(F.col(text_col))
+    bad = (
+        low.rlike("|".join(bad_words)) if bad_words else F.lit(False)
+    )
+    flags = docs.select(
+        F.col(id_col),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        bad.alias("has_bad_word"),
+    )
+    n_sent = F.regexp_count(F.col("clean_text"), F.lit("[.!?]")).cast("bigint")
+    return (
+        agg.join(flags, id_col)
+        .withColumn("n_sentences", n_sent)
+        .select(
+            F.col(id_col).cast("bigint"),
+            "clean_text",
+            "n_lines_kept",
+            "n_lines_dropped",
+            "has_lorem_ipsum",
+            "has_brace",
+            "has_bad_word",
+            "n_sentences",
+            (
+                (F.col("n_sentences") >= 3)
+                & ~F.col("has_lorem_ipsum")
+                & ~F.col("has_brace")
+                & ~F.col("has_bad_word")
+            ).alias("keep_page"),
+        )
+    )

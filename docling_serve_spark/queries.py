@@ -2268,6 +2268,87 @@ ORACLE_REVISIT_STATS = (
 )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (X59): a 5-line page exercising every
+    rule — a kept sentence, a too-short line, a javascript line, a
+    policy line on doc_id%5, a lorem-ipsum page flag on %7, a brace
+    line on %11, and a bad-word page flag on %9; docs hitting the %5
+    branch lose a sentence and fall under the 3-sentence page gate."""
+    docs = _t(spark, sf_dir, "documents")
+    l1 = F.concat(F.substring("text", 1, 60), F.lit(" end of sentence."))
+    l2 = F.lit("too short.")
+    l3 = F.lit("please enable javascript to continue viewing.")
+    l4 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("we use cookies per our cookie policy terms."),
+    ).otherwise(
+        F.concat(F.substring("text", 61, 60), F.lit(" tail words here too?"))
+    )
+    l5 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit("lorem ipsum dolor sit amet filler text here."),
+    ).otherwise(F.lit("closing sentence with many words right here."))
+    l6 = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.lit("this line contains fooprofanity and ends properly."),
+    ).otherwise(F.lit("a perfectly ordinary final line of prose."))
+    l7 = F.when(F.col("doc_id") % 11 == 0, F.lit("function() { code }"))
+    t = F.concat_ws("\n", l1, l2, l3, l4, l5, l6, l7)
+    return corpus.c4_clean(
+        docs.select("doc_id", t.alias("text")),
+        bad_words=("fooprofanity",),
+    )
+
+
+_C4_T = (
+    "substr(text, 1, 60) || ' end of sentence.' || chr(10) || "
+    "'too short.' || chr(10) || "
+    "'please enable javascript to continue viewing.' || chr(10) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'we use cookies per our cookie policy terms.' "
+    "ELSE substr(text, 61, 60) || ' tail words here too?' END) || chr(10) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN "
+    "'lorem ipsum dolor sit amet filler text here.' "
+    "ELSE 'closing sentence with many words right here.' END) || chr(10) || "
+    "(CASE WHEN doc_id % 9 = 0 THEN "
+    "'this line contains fooprofanity and ends properly.' "
+    "ELSE 'a perfectly ordinary final line of prose.' END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function() { code }' "
+    "ELSE '' END)"
+)
+
+ORACLE_C4_CLEAN = (
+    f"WITH d AS (SELECT doc_id, {_C4_T} AS t FROM documents), "
+    "lines AS (SELECT doc_id, u AS pos, ls[CAST(u AS INT)] AS line "
+    "FROM (SELECT doc_id, string_split(t, chr(10)) AS ls, "
+    "unnest(range(1, len(string_split(t, chr(10))) + 1)) AS u FROM d)), "
+    "v AS (SELECT doc_id, pos, line, "
+    "(regexp_matches(rtrim(line), '[.!?\"]$') "
+    "AND len(regexp_split_to_array(trim(line), '\\s+')) >= 5 "
+    "AND NOT contains(lower(line), 'javascript') "
+    "AND NOT regexp_matches(lower(line), "
+    "'cookie policy|privacy policy|terms of use|uses cookies')) AS keep "
+    "FROM lines), "
+    "agg AS (SELECT doc_id, "
+    "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) "
+    "ORDER BY pos), '') AS clean_text, "
+    "CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_lines_kept, "
+    "CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT) "
+    "AS n_lines_dropped FROM v GROUP BY 1), "
+    "f AS (SELECT doc_id, contains(lower(t), 'lorem ipsum') "
+    "AS has_lorem_ipsum, contains(t, '{') AS has_brace, "
+    "regexp_matches(lower(t), 'fooprofanity') AS has_bad_word FROM d), "
+    "j AS (SELECT agg.doc_id, clean_text, n_lines_kept, n_lines_dropped, "
+    "has_lorem_ipsum, has_brace, has_bad_word, "
+    "CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS BIGINT) "
+    "AS n_sentences FROM agg JOIN f ON agg.doc_id = f.doc_id) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text, n_lines_kept, "
+    "n_lines_dropped, has_lorem_ipsum, has_brace, has_bad_word, "
+    "n_sentences, (n_sentences >= 3 AND NOT has_lorem_ipsum "
+    "AND NOT has_brace AND NOT has_bad_word) AS keep_page FROM j"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4011,6 +4092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_index": q_cdx_index,
     "sitemap_urls": q_sitemap_urls,
     "revisit_stats": q_revisit_stats,
+    "c4_clean": q_c4_clean,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4107,6 +4189,7 @@ ORACLES: dict[str, str] = {
     "cdx_index": ORACLE_CDX_INDEX,
     "sitemap_urls": ORACLE_SITEMAP_URLS,
     "revisit_stats": ORACLE_REVISIT_STATS,
+    "c4_clean": ORACLE_C4_CLEAN,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

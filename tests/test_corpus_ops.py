@@ -1477,3 +1477,51 @@ def test_revisit_stats_hand_computed(spark):
     assert k1["first_ts"] == "20240101000000"
     k2 = got["k2"]
     assert k2["n_revisits"] == 0 and k2["revisit_rate_bp"] == 0
+
+
+# ------------------------------------------------------------------ #
+# c4_clean (C4 line-level cleaning pass)
+# ------------------------------------------------------------------ #
+
+def test_c4_clean_hand_computed(spark):
+    """Every C4 rule on a hand-built page: terminal-punctuation and
+    5-word line gates, javascript/policy drops, lorem-ipsum / brace /
+    bad-word page flags, and the 3-sentence page gate on CLEANED
+    text."""
+    from docling_serve_spark.operators.corpus import c4_clean
+
+    good = "this is a perfectly fine sentence with many words."
+    page1 = "\n".join([
+        good,
+        "short line.",                                   # <5 words
+        "no terminal punctuation here at all",           # no punct
+        "please enable javascript to view this page.",   # js
+        "we updated our privacy policy as of today.",    # policy
+        'he said "five words or more suffice."',         # kept (quote end)
+        "another quite acceptable closing sentence here.",  # kept
+    ])
+    page2 = good + "\nlorem ipsum dolor sit amet etc etc."      # flag
+    page3 = good + "\nvar x = { nested: 1 };"                   # brace
+    page4 = good + "\nthis mentions darnheck and stops there."  # bad word
+    docs = spark.createDataFrame(
+        [(1, page1), (2, page2), (3, page3), (4, page4)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           c4_clean(docs, bad_words=("darnheck",)).collect()}
+
+    p1 = got[1]
+    assert p1["n_lines_kept"] == 3 and p1["n_lines_dropped"] == 4
+    assert p1["clean_text"].splitlines() == [
+        good,
+        'he said "five words or more suffice."',
+        "another quite acceptable closing sentence here.",
+    ]
+    assert p1["n_sentences"] == 3 and p1["keep_page"]
+
+    assert got[2]["has_lorem_ipsum"] and not got[2]["keep_page"]
+    assert got[3]["has_brace"] and not got[3]["keep_page"]
+    assert got[4]["has_bad_word"] and not got[4]["keep_page"]
+    # page 4's bad-word line ends in '.' so it is KEPT as a line —
+    # the bad-word rule is a page-level drop, exactly as in C4
+    assert got[4]["n_lines_kept"] == 2

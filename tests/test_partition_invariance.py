@@ -46,6 +46,7 @@ INVARIANCE_QUERIES = [
     "line_repetition",  # dup-line aggregates joined across branches
     "sitemap_urls",     # groupBy + membership join
     "revisit_stats",    # stacked two-level aggregation
+    "c4_clean",         # posexplode + ordered reassembly + flag join
 ]
 
 
