@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "revisit_stats",
     "line_repetition",
     "c4_clean",
+    "gopher_quality",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -355,3 +355,109 @@ def line_repetition(docs: DataFrame, text_col: str = "text",
             "OR (10000 * dup_paras_chars) div greatest(paras_chars, 1) > 2000"
         ).alias("is_repetitive"),
     )
+
+
+#: Gopher's stop-word gate list (Rae et al. 2021, Table A1: a doc
+#: must contain >= 2 of these to survive).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 50,
+                   max_words: int = 100_000) -> DataFrame:
+    """Gopher's document-level quality rules (Rae et al. 2021, Table
+    A1 — the gate set Dolma/DataTrove/FineWeb reimplement verbatim;
+    the repetition rows of that table are ``ngram_repetition`` /
+    ``line_repetition``, these are the shape rules):
+
+      - word count within [min_words, max_words]
+      - mean word length within [3, 10] chars
+      - hash or ellipsis symbol-to-word ratio ≤ 0.1
+      - ≤ 90% of lines starting with a bullet
+      - ≤ 30% of lines ending with an ellipsis
+      - ≥ 80% of words containing an alphabetic character
+      - ≥ 2 of the 8 Gopher stop words
+
+    Every rule is integer cross-multiplied (``10·n_hash ≤ n_words``,
+    not a float ratio) so the verdict is bit-reproducible across
+    engines and partitionings. ``reason`` is the FIRST failing rule
+    in the table's order; ``keep`` when none fails.
+
+    Scale shape: a pure zero-shuffle narrow map — line and word
+    statistics come from array higher-order functions
+    (``filter``/``size``) over the split arrays, never an explode, so
+    the whole gate rides the scan in one codegen stage."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(words))
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    n_hash = F.regexp_count(t, F.lit("#"))
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\."))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•‣▪]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"\.\.\.$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    sw = "|".join(GOPHER_STOP_WORDS)
+    n_stop = F.size(
+        F.filter(
+            words,
+            lambda w: F.lower(w).rlike(rf"^({sw})$"),
+        )
+    )
+    m = docs.select(
+        F.col(id_col).cast("bigint"),
+        n_words.cast("bigint").alias("n_words"),
+        word_chars.cast("bigint").alias("word_chars"),
+        n_hash.cast("bigint").alias("n_hash"),
+        n_ellipsis.cast("bigint").alias("n_ellipsis"),
+        n_lines.cast("bigint").alias("n_lines"),
+        bullet_lines.cast("bigint").alias("bullet_lines"),
+        ellipsis_lines.cast("bigint").alias("ellipsis_lines"),
+        alpha_words.cast("bigint").alias("alpha_words"),
+        n_stop.cast("bigint").alias("n_stop_words"),
+    )
+    reason = (
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            F.lit("word_count"),
+        )
+        .when(
+            (F.col("word_chars") < 3 * F.col("n_words"))
+            | (F.col("word_chars") > 10 * F.col("n_words")),
+            F.lit("mean_word_length"),
+        )
+        .when(
+            (10 * F.col("n_hash") > F.col("n_words"))
+            | (10 * F.col("n_ellipsis") > F.col("n_words")),
+            F.lit("symbol_ratio"),
+        )
+        .when(
+            10 * F.col("bullet_lines") > 9 * F.col("n_lines"),
+            F.lit("bullet_lines"),
+        )
+        .when(
+            10 * F.col("ellipsis_lines") > 3 * F.col("n_lines"),
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            5 * F.col("alpha_words") < 4 * F.col("n_words"),
+            F.lit("alpha_words"),
+        )
+        .when(F.col("n_stop_words") < 2, F.lit("stop_words"))
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        "alpha_words",
+        "n_stop_words",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )

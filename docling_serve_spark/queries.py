@@ -2349,6 +2349,86 @@ ORACLE_C4_CLEAN = (
 )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape gates (X60): moduli branches plant one
+    violation each — a too-short doc, an all-bullet doc, an
+    ellipsis-line doc, a hash-spam doc, a numeric doc, a
+    no-stop-words doc — and the rest run the real corpus text
+    through all seven rules."""
+    from docling_serve_spark.operators.textstats import gopher_quality
+
+    d = F.col("doc_id")
+    t = (
+        F.when(d % 13 == 0, F.lit("tiny words only here"))
+        .when(d % 17 == 0,
+              F.repeat(F.lit("• listed item entry four five six\n"), 12))
+        .when(d % 19 == 0,
+              F.repeat(F.lit("waiting to see more of this soon...\n"), 12))
+        .when(d % 23 == 0,
+              F.repeat(F.lit("# wording thereof andsuch "), 25))
+        .when(d % 29 == 0,
+              F.repeat(F.lit("12345 67890 999 the of "), 25))
+        .when(d % 31 == 0,
+              F.repeat(F.lit("zebra quokka wombat numbat dingo "), 12))
+        .otherwise(F.col("text"))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", t.alias("text"))
+    return gopher_quality(docs)
+
+
+_GOPHER_T = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'tiny words only here' "
+    "WHEN doc_id % 17 = 0 THEN "
+    "repeat('• listed item entry four five six' || chr(10), 12) "
+    "WHEN doc_id % 19 = 0 THEN "
+    "repeat('waiting to see more of this soon...' || chr(10), 12) "
+    "WHEN doc_id % 23 = 0 THEN repeat('# wording thereof andsuch ', 25) "
+    "WHEN doc_id % 29 = 0 THEN repeat('12345 67890 999 the of ', 25) "
+    "WHEN doc_id % 31 = 0 THEN "
+    "repeat('zebra quokka wombat numbat dingo ', 12) "
+    "ELSE text END"
+)
+
+ORACLE_GOPHER_QUALITY = (
+    f"WITH d AS (SELECT doc_id, {_GOPHER_T} AS t FROM documents), "
+    "m AS (SELECT doc_id, "
+    "CASE WHEN trim(t) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_words, "
+    "CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) "
+    "AS word_chars, "
+    "CAST(len(regexp_extract_all(t, '#')) AS BIGINT) AS n_hash, "
+    "CAST(len(regexp_extract_all(t, '\\.\\.\\.')) AS BIGINT) "
+    "AS n_ellipsis, "
+    "CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines, "
+    "CAST(len(list_filter(string_split(t, chr(10)), "
+    "l -> regexp_matches(trim(l), '^[-*•‣▪]'))) AS BIGINT) "
+    "AS bullet_lines, "
+    "CAST(len(list_filter(string_split(t, chr(10)), "
+    "l -> regexp_matches(rtrim(l), '\\.\\.\\.$'))) AS BIGINT) "
+    "AS ellipsis_lines, "
+    "CAST(len(list_filter(regexp_split_to_array(trim(t), '\\s+'), "
+    "w -> regexp_matches(w, '\\p{L}'))) AS BIGINT) AS alpha_words, "
+    "CAST(len(list_filter(regexp_split_to_array(trim(t), '\\s+'), "
+    "w -> regexp_matches(lower(w), "
+    "'^(the|be|to|of|and|that|have|with)$'))) AS BIGINT) "
+    "AS n_stop_words FROM d), "
+    "v AS (SELECT *, "
+    "CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count' "
+    "WHEN word_chars < 3 * n_words OR word_chars > 10 * n_words "
+    "THEN 'mean_word_length' "
+    "WHEN 10 * n_hash > n_words OR 10 * n_ellipsis > n_words "
+    "THEN 'symbol_ratio' "
+    "WHEN 10 * bullet_lines > 9 * n_lines THEN 'bullet_lines' "
+    "WHEN 10 * ellipsis_lines > 3 * n_lines THEN 'ellipsis_lines' "
+    "WHEN 5 * alpha_words < 4 * n_words THEN 'alpha_words' "
+    "WHEN n_stop_words < 2 THEN 'stop_words' "
+    "ELSE 'keep' END AS reason FROM m) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(n_words AS BIGINT) AS n_words, n_lines, alpha_words, "
+    "n_stop_words, reason, (reason = 'keep') AS keep FROM v"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4093,6 +4173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urls": q_sitemap_urls,
     "revisit_stats": q_revisit_stats,
     "c4_clean": q_c4_clean,
+    "gopher_quality": q_gopher_quality,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4190,6 +4271,7 @@ ORACLES: dict[str, str] = {
     "sitemap_urls": ORACLE_SITEMAP_URLS,
     "revisit_stats": ORACLE_REVISIT_STATS,
     "c4_clean": ORACLE_C4_CLEAN,
+    "gopher_quality": ORACLE_GOPHER_QUALITY,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

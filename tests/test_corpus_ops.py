@@ -1525,3 +1525,37 @@ def test_c4_clean_hand_computed(spark):
     # page 4's bad-word line ends in '.' so it is KEPT as a line —
     # the bad-word rule is a page-level drop, exactly as in C4
     assert got[4]["n_lines_kept"] == 2
+
+
+# ------------------------------------------------------------------ #
+# gopher_quality (document-shape rules)
+# ------------------------------------------------------------------ #
+
+def test_gopher_quality_hand_computed(spark):
+    """One violation per rule, in the table's precedence order; a
+    plain prose doc keeps."""
+    from docling_serve_spark.operators.textstats import gopher_quality
+
+    prose = ("the quick brown fox jumps over the lazy dog and that "
+             "sentence has to be long enough with plenty of ordinary "
+             "words to clear the fifty word floor so we simply keep "
+             "adding more text until the counter is comfortably past "
+             "it with room to spare for everyone involved here today")
+    bullets = "• one two three four five six\n" * 12
+    hashy = "# wording thereof andsuch " * 25
+    numeric = "12345 67890 999 the of " * 25
+    nostop = "zebra quokka wombat numbat dingo " * 12
+    docs = spark.createDataFrame(
+        [(1, prose), (2, "too short"), (3, bullets), (4, hashy),
+         (5, numeric), (6, nostop), (7, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert got[1]["keep"] and got[1]["reason"] == "keep"
+    assert got[1]["n_words"] == len(prose.split())
+    assert got[2]["reason"] == "word_count"
+    assert got[3]["reason"] == "bullet_lines"
+    assert got[4]["reason"] == "symbol_ratio"
+    assert got[5]["reason"] == "alpha_words"
+    assert got[6]["reason"] == "stop_words"
+    assert got[7]["reason"] == "word_count" and got[7]["n_words"] == 0

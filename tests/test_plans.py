@@ -425,3 +425,12 @@ def test_revisit_stats_stacked_partial_aggs(spark):
     # formatted explain names each node twice: 4 nodes = partial+final x2
     assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 8
     assert "partial_min" in plan
+
+
+def test_gopher_quality_zero_shuffle_narrow_map(spark):
+    """All seven shape rules ride the scan via array higher-order
+    functions — zero exchanges, zero Python, no explode."""
+    plan = _plan(spark, QUERIES["gopher_quality"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan   # no explode
