@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "line_repetition",
     "c4_clean",
     "gopher_quality",
+    "wat_export",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -2429,6 +2429,72 @@ ORACLE_GOPHER_QUALITY = (
 )
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata-record export (X61): page titles carry a literal
+    double quote AND a backslash (pinning the JSON escaping), link
+    counts vary 0-3 per page, and the digest is over the raw page
+    bytes — the full sidecar triple (WET X54, CDX X56, WAT) now
+    round-trips through oracles."""
+    from docling_serve_spark.sources.warc import wat_records
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    day = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    html = F.concat(
+        F.lit('<html><head><title>Doc "'), i, F.lit('" \\ page</title>'),
+        F.lit("</head><body>"),
+        F.expr(
+            "repeat('<a href=\"https://out.example/x\">l</a>', "
+            "CAST(doc_id % 4 AS INT))"
+        ),
+        F.substring("text", 1, 50),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://w.example/p"), i).alias("url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-03-"), day, F.lit(" 12:34:56"))
+        ).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return wat_records(pages)
+
+
+ORACLE_WAT_EXPORT = (
+    "WITH p AS (SELECT doc_id, "
+    "'https://w.example/p' || CAST(doc_id AS VARCHAR) AS url, "
+    "'2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+    "|| 'T12:34:56Z' AS d, "
+    "'<html><head><title>Doc \"' || CAST(doc_id AS VARCHAR) || "
+    "'\" \\ page</title></head><body>' || "
+    "repeat('<a href=\"https://out.example/x\">l</a>', "
+    "CAST(doc_id % 4 AS INT)) || substr(text, 1, 50) || "
+    "'</body></html>' AS html FROM documents), "
+    "m AS (SELECT doc_id, url, d, html, "
+    "trim(regexp_replace(regexp_extract(html, "
+    "'(?is)<title[^>]*>([^<]*)</title>', 1), '\\s+', ' ', 'g')) AS title, "
+    "CAST(len(regexp_extract_all(html, '(?i)href=\"https?://')) AS BIGINT) "
+    "AS n_links FROM p), "
+    "j AS (SELECT *, '{\"url\":\"' || "
+    "regexp_replace(regexp_replace(url, '\\\\', '\\\\\\\\', 'g'), "
+    "'\"', '\\\\\"', 'g') || "
+    "'\",\"title\":\"' || "
+    "regexp_replace(regexp_replace(title, '\\\\', '\\\\\\\\', 'g'), "
+    "'\"', '\\\\\"', 'g') || "
+    "'\",\"n_links\":' || CAST(n_links AS VARCHAR) || "
+    "',\"digest\":\"' || sha256(html) || '\"}' AS payload FROM m) "
+    "SELECT url, 'WARC/1.0' || chr(13) || chr(10) || "
+    "'WARC-Type: metadata' || chr(13) || chr(10) || "
+    "'WARC-Target-URI: ' || url || chr(13) || chr(10) || "
+    "'WARC-Date: ' || d || chr(13) || chr(10) || "
+    "'Content-Type: application/json' || chr(13) || chr(10) || "
+    "'Content-Length: ' || "
+    "CAST(octet_length(encode(payload)) AS VARCHAR) || "
+    "chr(13) || chr(10) || chr(13) || chr(10) || payload || "
+    "chr(13) || chr(10) || chr(13) || chr(10) AS wat_record FROM j"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4174,6 +4240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revisit_stats": q_revisit_stats,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
+    "wat_export": q_wat_export,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4272,6 +4339,7 @@ ORACLES: dict[str, str] = {
     "revisit_stats": ORACLE_REVISIT_STATS,
     "c4_clean": ORACLE_C4_CLEAN,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
+    "wat_export": ORACLE_WAT_EXPORT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

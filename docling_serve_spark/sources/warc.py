@@ -248,3 +248,63 @@ def wet_records(results: DataFrame, url_col: str = "url",
     )
     return results.select(F.col(url_col).alias("url"),
                           rec.alias("wet_record"))
+
+
+def _json_escape(col):
+    """Minimal JSON string escaping with identical regexp semantics
+    on both engines: backslash first, then the double quote. (Crawl
+    titles are whitespace-collapsed upstream, so the control-char
+    escapes JSON also demands cannot occur here by construction.)"""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\\"'
+    )
+
+
+def wat_records(pages: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts",
+                html_col: str = "html") -> DataFrame:
+    """(url, wat_record) — WAT-style metadata records, completing the
+    Common-Crawl sidecar triple this module now covers end to end:
+    WARC (read), WET (extracted text, ``wet_records``), WAT (capture
+    metadata, this). Each record is an ISO 28500 ``metadata`` record
+    whose JSON payload carries the fields CC's WAT files lead with —
+    the page title and the outgoing-link count — plus the payload
+    digest that keys revisit dedup (X58).
+
+    The JSON is built by CONCAT with a fixed key order and minimal
+    escaping, not an engine JSON serializer, so the bytes are
+    engine-independent (the oracle pins them); Content-Length is
+    UTF-8 octets of the payload, exactly as in ``wet_records``.
+    Title/link extraction is the same codegen'd regexp family as
+    ``operators.pagemeta`` — the whole record is a zero-shuffle
+    narrow map over the page scan."""
+    h = F.col(html_col).cast("string")
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_extract(h, "(?is)<title[^>]*>([^<]*)</title>", 1),
+            r"\s+", " ",
+        )
+    )
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit('(?i)href="https?://'), F.lit(0))
+    ).cast("bigint")
+    payload = F.concat(
+        F.lit('{"url":"'), _json_escape(F.col(url_col)),
+        F.lit('","title":"'), _json_escape(title),
+        F.lit('","n_links":'), n_links.cast("string"),
+        F.lit(',"digest":"'), F.sha2(F.col(html_col), 256),
+        F.lit('"}'),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+        F.octet_length(F.encode(payload, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    return pages.select(F.col(url_col).alias("url"),
+                        rec.alias("wat_record"))

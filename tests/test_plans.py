@@ -434,3 +434,11 @@ def test_gopher_quality_zero_shuffle_narrow_map(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "Generate" not in plan   # no explode
+
+
+def test_wat_export_pure_narrow_map(spark):
+    """WAT metadata serialization rides the scan: zero exchanges,
+    zero Python."""
+    plan = _plan(spark, QUERIES["wat_export"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

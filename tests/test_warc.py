@@ -179,3 +179,30 @@ def test_read_warc_captures_http_status_and_mime(tmp_path, spark):
     ).collect()}
     assert idx["https://e.com/nf"]["status"] == 404
     assert idx["https://e.com/nf"]["mime"] == "application/pdf"
+
+
+def test_wat_records_json_escaping_and_framing(spark):
+    """The hand-built JSON payload must parse with a real JSON
+    parser even when the title carries quotes and backslashes, and
+    Content-Length must equal the payload's UTF-8 octets."""
+    import hashlib
+    import json as _json
+    from docling_serve_spark.sources.warc import wat_records
+
+    html = ('<html><head><title> A "quoted" \\ title </title></head>'
+            '<body><a href="https://x.example/a">x</a>'
+            '<a href="/rel">skip</a>arabic محرك</body></html>').encode()
+    df = spark.createDataFrame(
+        [("https://e.com/p", "2024-01-02 03:04:05", bytearray(html))],
+        "url string, ts string, html binary",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    rec = wat_records(df).collect()[0]["wat_record"]
+    head, _, rest = rec.partition("\r\n\r\n")
+    payload = rest[: rest.index("\r\n\r\n")]
+    meta = _json.loads(payload)
+    assert meta["title"] == 'A "quoted" \\ title'
+    assert meta["n_links"] == 1            # relative href not counted
+    assert meta["digest"] == hashlib.sha256(html).hexdigest()
+    assert f"Content-Length: {len(payload.encode('utf-8'))}" in head
+    assert "WARC-Type: metadata" in head
+    assert "Content-Type: application/json" in head
