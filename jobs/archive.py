@@ -85,6 +85,15 @@ def main() -> None:
     )
     cdx_lines.write.mode("overwrite").text(os.path.join(args.output, "cdx"))
 
+    # WAT: capture metadata (title, link count, digest) — the third
+    # sidecar; rides its own pass over the page scan, still zero
+    # shuffles
+    from docling_serve_spark.sources.warc import wat_records
+
+    wat_records(pages).select("wat_record").write.mode("overwrite").text(
+        os.path.join(args.output, "wat")
+    )
+
     # extraction: single-pass stage, committed to parquet before any
     # downstream serialization reads it
     results_path = os.path.join(args.output, "results")
@@ -115,6 +124,9 @@ def main() -> None:
         # so match the leading version line by prefix
         "n_wet_records": spark.read.text(
             os.path.join(args.output, "wet")
+        ).filter(F.col("value").startswith("WARC/1.0")).count(),
+        "n_wat_records": spark.read.text(
+            os.path.join(args.output, "wat")
         ).filter(F.col("value").startswith("WARC/1.0")).count(),
         "status_counts": counts,
     }

@@ -187,6 +187,7 @@ def test_archive_job_end_to_end(tmp_path, spark):
     assert summary["n_pages"] == 3 and summary["n_captures"] == 3
     assert summary["status_counts"]["success"] == 2
     assert summary["n_wet_records"] == 2
+    assert summary["n_wat_records"] == 3   # metadata for every capture
 
     cdx = []
     cdx_dir = os.path.join(out, "cdx")
