@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "c4_clean",
     "gopher_quality",
     "wat_export",
+    "temporal_split",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -237,3 +237,54 @@ def split_assign(pages: DataFrame, url_col: str = "url",
         bucket.alias("split_bucket"),
         split.alias("split"),
     )
+
+
+def temporal_split(pages: DataFrame, cutoff: str,
+                   url_col: str = "url",
+                   ts_col: str = "warc_ts") -> DataFrame:
+    """(url, host, host_split, split) — time-based train/eval split
+    with host-level leakage quarantine: train on the past, evaluate
+    on the future (the temporal-decontamination discipline: an eval
+    set crawled AFTER the training cutoff cannot have leaked into
+    training data, the guard benchmark builders apply on top of
+    n-gram decontamination, X14).
+
+    ``split_assign`` guards SPATIAL leakage (a host never straddles
+    splits); this guards TEMPORAL leakage the strict way: a host
+    whose captures span the cutoff is ``spanning`` and quarantined
+    from BOTH sides — its pre-cutoff pages are near-duplicates of its
+    post-cutoff pages often enough (templated sites) that putting
+    either side in eval leaks the other. Hosts entirely before the
+    cutoff are ``train``, entirely after are ``eval``; every page
+    inherits its host's verdict.
+
+    Scale shape: one partial-agg groupBy(host) computing (min_ts,
+    max_ts) — two timestamps per host cross the shuffle, never pages
+    — then one equi-join back (hosts ≪ pages; AQE broadcasts when it
+    fits). Deterministic: the verdict is a pure function of the
+    host's capture-time envelope."""
+    from docling_serve_spark.operators import urltools
+
+    cut = F.to_timestamp(F.lit(cutoff))
+    host = urltools.url_host(F.col(url_col))
+    withh = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("__ts"),
+        host.alias("host"),
+    )
+    envelope = withh.groupBy("host").agg(
+        F.min("__ts").alias("__min_ts"), F.max("__ts").alias("__max_ts")
+    )
+    host_split = (
+        F.when(F.col("__max_ts") < cut, F.lit("train"))
+        .when(F.col("__min_ts") >= cut, F.lit("eval"))
+        .otherwise(F.lit("spanning"))
+    )
+    verdict = envelope.select("host", host_split.alias("host_split"))
+    return withh.join(verdict, "host").select(
+        "url",
+        "host",
+        "host_split",
+        F.when(F.col("host_split") == "spanning", F.lit("quarantine"))
+        .otherwise(F.col("host_split")).alias("split"),
+    )

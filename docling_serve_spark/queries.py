@@ -2495,6 +2495,53 @@ ORACLE_WAT_EXPORT = (
 )
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal split with host quarantine (X62): 40 hosts — the
+    first 10 crawled entirely before the 2024-04 cutoff (train), the
+    next 10 entirely after (eval), the rest with captures on both
+    sides (spanning → quarantine)."""
+    from docling_serve_spark.operators.sampling import temporal_split
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 40
+    m = (
+        F.when(h < 10, 1 + F.col("doc_id") % 3)
+        .when(h < 20, 5 + F.col("doc_id") % 2)
+        .otherwise(1 + F.col("doc_id") % 6)
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"), h.cast("string"), F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-0"), m.cast("string"), F.lit("-15 00:00:00"))
+        ).alias("warc_ts"),
+    )
+    return temporal_split(pages, "2024-04-01 00:00:00")
+
+
+ORACLE_TEMPORAL_SPLIT = (
+    "WITH p AS (SELECT doc_id, "
+    "'https://site' || CAST(doc_id % 40 AS VARCHAR) || '.example/p' "
+    "|| CAST(doc_id AS VARCHAR) AS url, "
+    "'site' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host, "
+    "CAST('2024-0' || CAST(CASE WHEN doc_id % 40 < 10 "
+    "THEN 1 + doc_id % 3 WHEN doc_id % 40 < 20 THEN 5 + doc_id % 2 "
+    "ELSE 1 + doc_id % 6 END AS VARCHAR) || '-15 00:00:00' "
+    "AS TIMESTAMP) AS ts FROM documents), "
+    "env AS (SELECT host, min(ts) AS mn, max(ts) AS mx "
+    "FROM p GROUP BY 1), "
+    "v AS (SELECT host, CASE WHEN mx < TIMESTAMP '2024-04-01 00:00:00' "
+    "THEN 'train' WHEN mn >= TIMESTAMP '2024-04-01 00:00:00' "
+    "THEN 'eval' ELSE 'spanning' END AS host_split FROM env) "
+    "SELECT url, p.host, host_split, "
+    "CASE WHEN host_split = 'spanning' THEN 'quarantine' "
+    "ELSE host_split END AS split "
+    "FROM p JOIN v ON p.host = v.host"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4241,6 +4288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "wat_export": q_wat_export,
+    "temporal_split": q_temporal_split,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4340,6 +4388,7 @@ ORACLES: dict[str, str] = {
     "c4_clean": ORACLE_C4_CLEAN,
     "gopher_quality": ORACLE_GOPHER_QUALITY,
     "wat_export": ORACLE_WAT_EXPORT,
+    "temporal_split": ORACLE_TEMPORAL_SPLIT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1559,3 +1559,35 @@ def test_gopher_quality_hand_computed(spark):
     assert got[5]["reason"] == "alpha_words"
     assert got[6]["reason"] == "stop_words"
     assert got[7]["reason"] == "word_count" and got[7]["n_words"] == 0
+
+
+# ------------------------------------------------------------------ #
+# temporal_split (time-based split, host quarantine)
+# ------------------------------------------------------------------ #
+
+def test_temporal_split_hand_computed(spark):
+    """A host wholly before the cutoff is train, wholly after is
+    eval, straddling is quarantined from BOTH sides; a capture AT
+    the cutoff counts as after (>= boundary)."""
+    from docling_serve_spark.operators.sampling import temporal_split
+
+    rows = [
+        ("https://old.example/a", "2024-01-01 00:00:00"),
+        ("https://old.example/b", "2024-03-31 23:59:59"),
+        ("https://new.example/a", "2024-04-01 00:00:00"),   # boundary
+        ("https://new.example/b", "2024-06-01 00:00:00"),
+        ("https://span.example/a", "2024-02-01 00:00:00"),
+        ("https://span.example/b", "2024-05-01 00:00:00"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, ts string").selectExpr(
+        "url", "CAST(ts AS TIMESTAMP) AS warc_ts"
+    )
+    got = {r["url"]: r for r in
+           temporal_split(pages, "2024-04-01 00:00:00").collect()}
+    assert got["https://old.example/a"]["split"] == "train"
+    assert got["https://old.example/b"]["split"] == "train"
+    assert got["https://new.example/a"]["split"] == "eval"
+    assert got["https://new.example/b"]["split"] == "eval"
+    for u in ("https://span.example/a", "https://span.example/b"):
+        assert got[u]["host_split"] == "spanning"
+        assert got[u]["split"] == "quarantine"

@@ -47,6 +47,7 @@ INVARIANCE_QUERIES = [
     "sitemap_urls",     # groupBy + membership join
     "revisit_stats",    # stacked two-level aggregation
     "c4_clean",         # posexplode + ordered reassembly + flag join
+    "temporal_split",   # host envelope agg + verdict join
 ]
 
 
