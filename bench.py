@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "wat_export",
     "temporal_split",
+    "bitext_scores",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -2542,6 +2542,78 @@ ORACLE_TEMPORAL_SPLIT = (
 )
 
 
+def q_bitext_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate scoring (X63): three pair regimes — a real
+    'translation' sharing all numerals, a truncated pair breaking
+    the length band, a different-numbers pair scoring 0 — plus a
+    numeral-free pair (%15) passing the numeral test vacuously."""
+    from docling_serve_spark.operators.bitext import bitext_align_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    base_a = F.substring("text", 1, 120)
+    a = F.when(F.col("doc_id") % 15 == 0, base_a).otherwise(
+        F.concat(base_a, F.lit(" on 2024-03-15 price 42"))
+    )
+    b = (
+        F.when(F.col("doc_id") % 15 == 0,
+               F.concat(F.lit("traduction "), F.substring("text", 10, 110)))
+        .when(F.col("doc_id") % 3 == 0,
+              F.concat(F.lit("traduction "), F.substring("text", 10, 110),
+                       F.lit(" le 15 03 2024 prix 42")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.substring("text", 1, 30), F.lit(" short 99")))
+        .otherwise(
+            F.concat(F.lit("different numbers "),
+                     F.substring("text", 5, 115),
+                     F.lit(" on 2023-01-01 price 7"))
+        )
+    )
+    pairs = docs.select(
+        F.concat(F.lit("https://en.example/p"), i).alias("url_a"),
+        F.concat(F.lit("https://fr.example/p"), i).alias("url_b"),
+        a.alias("text_a"),
+        b.alias("text_b"),
+    )
+    return bitext_align_scores(pairs)
+
+
+_BITEXT_NUMS = (
+    "list_sort(list_distinct(regexp_extract_all({t}, '[0-9]+')))"
+)
+
+ORACLE_BITEXT = (
+    "WITH p AS (SELECT doc_id, "
+    "'https://en.example/p' || CAST(doc_id AS VARCHAR) AS url_a, "
+    "'https://fr.example/p' || CAST(doc_id AS VARCHAR) AS url_b, "
+    "(CASE WHEN doc_id % 15 = 0 THEN substr(text, 1, 120) "
+    "ELSE substr(text, 1, 120) || ' on 2024-03-15 price 42' END) "
+    "AS text_a, "
+    "(CASE WHEN doc_id % 15 = 0 THEN "
+    "'traduction ' || substr(text, 10, 110) "
+    "WHEN doc_id % 3 = 0 THEN 'traduction ' || substr(text, 10, 110) "
+    "|| ' le 15 03 2024 prix 42' "
+    "WHEN doc_id % 3 = 1 THEN substr(text, 1, 30) || ' short 99' "
+    "ELSE 'different numbers ' || substr(text, 5, 115) "
+    "|| ' on 2023-01-01 price 7' END) AS text_b FROM documents), "
+    "m AS (SELECT url_a, url_b, "
+    "CAST(length(text_a) AS BIGINT) AS len_a, "
+    "CAST(length(text_b) AS BIGINT) AS len_b, "
+    f"{_BITEXT_NUMS.format(t='text_a')} AS na, "
+    f"{_BITEXT_NUMS.format(t='text_b')} AS nb FROM p), "
+    "s AS (SELECT *, (len_a <= 2 * len_b AND len_b <= 2 * len_a) "
+    "AS len_ok, "
+    "CAST(len(na) AS BIGINT) AS n_nums_a, "
+    "CAST(len(nb) AS BIGINT) AS n_nums_b, "
+    "CASE WHEN len(list_distinct(list_concat(na, nb))) = 0 THEN 10000 "
+    "ELSE (10000 * len(list_intersect(na, nb))) "
+    "// len(list_distinct(list_concat(na, nb))) END AS jacc FROM m) "
+    "SELECT url_a, url_b, len_a, len_b, len_ok, n_nums_a, n_nums_b, "
+    "CAST(jacc AS BIGINT) AS num_jaccard_bp, "
+    "(len_ok AND jacc >= 5000) AS plausible FROM s"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4289,6 +4361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "wat_export": q_wat_export,
     "temporal_split": q_temporal_split,
+    "bitext_scores": q_bitext_scores,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4389,6 +4462,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality": ORACLE_GOPHER_QUALITY,
     "wat_export": ORACLE_WAT_EXPORT,
     "temporal_split": ORACLE_TEMPORAL_SPLIT,
+    "bitext_scores": ORACLE_BITEXT,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1591,3 +1591,34 @@ def test_temporal_split_hand_computed(spark):
     for u in ("https://span.example/a", "https://span.example/b"):
         assert got[u]["host_split"] == "spanning"
         assert got[u]["split"] == "quarantine"
+
+
+# ------------------------------------------------------------------ #
+# bitext_align_scores
+# ------------------------------------------------------------------ #
+
+def test_bitext_align_scores_hand_computed(spark):
+    """Shared numerals score full Jaccard, disjoint score 0, a 2x+
+    length gap breaks the band, and numeral-free pairs pass the
+    numeral test vacuously."""
+    from docling_serve_spark.operators.bitext import bitext_align_scores
+
+    rows = [
+        ("p1", "meeting on 2024-03-15 room 42 confirmed ok",
+               "réunion le 15 03 2024 salle 42 confirmée oui"),
+        ("p2", "totals were 17 and 99 this year",
+               "les totaux étaient 12 et 34 cette année"),
+        ("p3", "a" * 100 + " 7", "b" * 30 + " 7"),
+        ("p4", "no digits here at all", "aucun chiffre ici du tout"),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pid string, text_a string, text_b string"
+    )
+    got = {r["pid"]: r for r in bitext_align_scores(pairs).collect()}
+    assert got["p1"]["num_jaccard_bp"] == 10000   # {2024,03,15,42} both
+    assert got["p1"]["plausible"]
+    assert got["p2"]["num_jaccard_bp"] == 0 and not got["p2"]["plausible"]
+    assert not got["p3"]["len_ok"] and not got["p3"]["plausible"]
+    assert got["p4"]["num_jaccard_bp"] == 10000   # vacuous
+    assert got["p4"]["plausible"]
+    assert got["p4"]["n_nums_a"] == 0
