@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "wat_export",
     "temporal_split",
     "bitext_scores",
+    "shard_manifest",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -288,3 +288,33 @@ def temporal_split(pages: DataFrame, cutoff: str,
         F.when(F.col("host_split") == "spanning", F.lit("quarantine"))
         .otherwise(F.col("host_split")).alias("split"),
     )
+
+
+def shard_manifest(packed: DataFrame) -> DataFrame:
+    """(shard, n_docs, n_tokens, n_bins, min_doc_id, max_doc_id,
+    fingerprint) — the delivery manifest over ``pack_sequences``
+    output: what a training data loader reads to (a) size its
+    per-shard work, (b) verify a shard's integrity after transfer,
+    and (c) detect a partial/duplicated shard before a run trains on
+    it (the manifest role WebDataset/MDS index files play).
+
+    ``fingerprint`` is an ORDER-INDEPENDENT content hash: the sum of
+    each doc's md5-48 reduced mod 10^6 — partition- and shuffle-
+    order-invariant by commutativity, and bounded (10^12 docs × 10^6
+    < 2^63) so the bigint sum can never overflow on either engine
+    (DuckDB sums BIGINT into HUGEINT, Spark wraps — staying far from
+    the boundary keeps them identical). One partial-agg groupBy on
+    the already-small packed projection; rows never carry text."""
+    fp_term = F.pmod(md5_hash48(F.col("doc_id").cast("string")),
+                     F.lit(1_000_000))
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.max("bin_id") + 1).cast("bigint").alias("n_bins"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            F.sum(fp_term).cast("bigint").alias("fingerprint"),
+        )
+    )

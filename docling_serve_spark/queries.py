@@ -2614,6 +2614,28 @@ ORACLE_BITEXT = (
 )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-shard manifest (X64) over the REAL pack_sequences
+    output — doc/token/bin counts, id envelope, and an
+    order-independent integrity fingerprint per shard."""
+    from docling_serve_spark.operators.sampling import shard_manifest
+
+    return shard_manifest(q_pack_sequences(spark, sf_dir))
+
+
+ORACLE_SHARD_MANIFEST_TMPL = (
+    "WITH pk AS ({pack}) "
+    "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+    "CAST(max(bin_id) + 1 AS BIGINT) AS n_bins, "
+    "CAST(min(doc_id) AS BIGINT) AS min_doc_id, "
+    "CAST(max(doc_id) AS BIGINT) AS max_doc_id, "
+    "CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))"
+    "::BIGINT % 1000000) AS BIGINT) AS fingerprint "
+    "FROM pk GROUP BY shard"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -3255,6 +3277,7 @@ def _pack_oracle(seq_len: int = 512, n_shards: int = 16) -> str:
 
 
 ORACLE_PACK = _pack_oracle()
+ORACLE_SHARD_MANIFEST = ORACLE_SHARD_MANIFEST_TMPL.format(pack=ORACLE_PACK)
 
 
 def _mix_inputs(spark: SparkSession, sf_dir: str):
@@ -4362,6 +4385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wat_export": q_wat_export,
     "temporal_split": q_temporal_split,
     "bitext_scores": q_bitext_scores,
+    "shard_manifest": q_shard_manifest,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4463,6 +4487,7 @@ ORACLES: dict[str, str] = {
     "wat_export": ORACLE_WAT_EXPORT,
     "temporal_split": ORACLE_TEMPORAL_SPLIT,
     "bitext_scores": ORACLE_BITEXT,
+    "shard_manifest": ORACLE_SHARD_MANIFEST,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1622,3 +1622,34 @@ def test_bitext_align_scores_hand_computed(spark):
     assert got["p4"]["num_jaccard_bp"] == 10000   # vacuous
     assert got["p4"]["plausible"]
     assert got["p4"]["n_nums_a"] == 0
+
+
+# ------------------------------------------------------------------ #
+# shard_manifest
+# ------------------------------------------------------------------ #
+
+def test_shard_manifest_hand_computed(spark):
+    """Counts/envelope per shard; the fingerprint is order-
+    independent (same rows shuffled -> same fp) and changes when a
+    doc is dropped (the integrity role)."""
+    from docling_serve_spark.operators.sampling import shard_manifest
+
+    rows = [
+        (0, 0, 100, 0, 0), (2, 0, 50, 0, 100), (4, 0, 30, 1, 22),
+        (1, 1, 10, 0, 0),
+    ]
+    schema = "doc_id bigint, shard bigint, n_tokens bigint, " \
+             "bin_id bigint, offset_in_bin bigint"
+    packed = spark.createDataFrame(rows, schema)
+    got = {r["shard"]: r for r in shard_manifest(packed).collect()}
+    s0 = got[0]
+    assert (s0["n_docs"], s0["n_tokens"], s0["n_bins"]) == (3, 180, 2)
+    assert (s0["min_doc_id"], s0["max_doc_id"]) == (0, 4)
+
+    shuffled = spark.createDataFrame(list(reversed(rows)), schema)
+    got2 = {r["shard"]: r for r in shard_manifest(shuffled).collect()}
+    assert got2[0]["fingerprint"] == s0["fingerprint"]
+
+    dropped = spark.createDataFrame(rows[1:], schema)
+    got3 = {r["shard"]: r for r in shard_manifest(dropped).collect()}
+    assert got3[0]["fingerprint"] != s0["fingerprint"]

@@ -48,6 +48,7 @@ INVARIANCE_QUERIES = [
     "revisit_stats",    # stacked two-level aggregation
     "c4_clean",         # posexplode + ordered reassembly + flag join
     "temporal_split",   # host envelope agg + verdict join
+    "shard_manifest",   # order-independent fingerprint sum
 ]
 
 
