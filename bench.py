@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "temporal_split",
     "bitext_scores",
     "shard_manifest",
+    "lang_mismatch",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -461,3 +461,41 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+def lang_mismatch(docs: DataFrame, text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, n_detectable, n_mismatch, mismatch_bp) —
+    declared-vs-detected language audit: crawl metadata (HTTP headers,
+    `<html lang>`, CDX) is wrong often enough that CCNet/OSCAR discard
+    it and re-detect; this op quantifies the disagreement per declared
+    language so a pipeline can decide whether a source's labels are
+    trustworthy or must be re-detected wholesale.
+
+    A mismatch is counted only when the detector is CONFIDENT
+    (``lang_id_heuristic`` returned a known language) — undetectable
+    docs (too short, no stopword signal) inflate neither side.
+    ``mismatch_bp`` is bigint-div basis points over the detectable
+    subset. One codegen detection pass + one partial-agg groupBy on
+    the (low-cardinality) declared language — text never shuffles."""
+    per = docs.select(
+        F.col(lang_col).alias("lang"),
+        lang_id_heuristic(F.col(text_col)).alias("detected"),
+    )
+    known = F.col("detected") != "unknown"
+    mism = known & (F.col("detected") != F.col("lang"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(known, 1).otherwise(0))
+            .cast("bigint").alias("n_detectable"),
+            F.sum(F.when(mism, 1).otherwise(0))
+            .cast("bigint").alias("n_mismatch"),
+        )
+        .select(
+            "lang", "n_docs", "n_detectable", "n_mismatch",
+            F.expr("(10000 * n_mismatch) div greatest(n_detectable, 1)")
+            .cast("bigint").alias("mismatch_bp"),
+        )
+    )

@@ -802,6 +802,51 @@ def _textstats_oracle() -> str:
 ORACLE_TEXTSTATS = _textstats_oracle()
 
 
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit (X65) over the raw
+    documents table — declared labels vs the stopword/Arabic-range
+    heuristic, rolled up per declared language."""
+    return textstats.lang_mismatch(_t(spark, sf_dir, "documents"))
+
+
+def _lang_mismatch_oracle() -> str:
+    sw = {
+        "en": "the|and|of|to|over",
+        "fr": "le|la|et|les|des",
+        "es": "el|la|los|de|sobre",
+        "de": "der|die|und|das|uber",
+    }
+    hits = ", ".join(
+        f"length(regexp_extract_all(lower(text), '\\b({p})\\b')) AS h_{lang}"
+        for lang, p in sw.items()
+    )
+    return (
+        f"WITH b AS (SELECT lang, text, {hits}, "
+        "length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) "
+        "AS ar_cnt FROM documents), "
+        "l AS (SELECT lang, "
+        "CASE WHEN ar_cnt * 2 > length(text) THEN 'ar' ELSE "
+        "CASE WHEN h_de > (CASE WHEN h_es > (CASE WHEN h_fr > h_en "
+        "THEN h_fr ELSE h_en END) THEN h_es ELSE (CASE WHEN h_fr > h_en "
+        "THEN h_fr ELSE h_en END) END) THEN 'de' "
+        "WHEN h_es > (CASE WHEN h_fr > h_en THEN h_fr ELSE h_en END) "
+        "THEN 'es' WHEN h_fr > h_en THEN 'fr' "
+        "WHEN h_en > 0 THEN 'en' ELSE 'unknown' END END AS detected "
+        "FROM b), "
+        "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN detected <> 'unknown' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_detectable, "
+        "CAST(sum(CASE WHEN detected <> 'unknown' AND detected <> lang "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch FROM l GROUP BY 1) "
+        "SELECT lang, n_docs, n_detectable, n_mismatch, "
+        "CAST((10000 * n_mismatch) // greatest(n_detectable, 1) AS BIGINT) "
+        "AS mismatch_bp FROM g"
+    )
+
+
+ORACLE_LANG_MISMATCH = _lang_mismatch_oracle()
+
+
 def q_rep_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (top/dup 2-gram occurrence
     fractions + repetitive flag) per document."""
@@ -4386,6 +4431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_split": q_temporal_split,
     "bitext_scores": q_bitext_scores,
     "shard_manifest": q_shard_manifest,
+    "lang_mismatch": q_lang_mismatch,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4488,6 +4534,7 @@ ORACLES: dict[str, str] = {
     "temporal_split": ORACLE_TEMPORAL_SPLIT,
     "bitext_scores": ORACLE_BITEXT,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
+    "lang_mismatch": ORACLE_LANG_MISMATCH,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -1653,3 +1653,31 @@ def test_shard_manifest_hand_computed(spark):
     dropped = spark.createDataFrame(rows[1:], schema)
     got3 = {r["shard"]: r for r in shard_manifest(dropped).collect()}
     assert got3[0]["fingerprint"] != s0["fingerprint"]
+
+
+# ------------------------------------------------------------------ #
+# lang_mismatch (declared-vs-detected audit)
+# ------------------------------------------------------------------ #
+
+def test_lang_mismatch_hand_computed(spark):
+    """Confident disagreement counts, undetectable docs inflate
+    neither side, Arabic-range detection overrides stopwords."""
+    from docling_serve_spark.operators.textstats import lang_mismatch
+
+    rows = [
+        ("en", "the cat and the dog of the house"),      # en == en
+        ("fr", "the cat and the dog of the house"),      # en != fr
+        ("fr", "le chat et la maison des gens"),         # fr == fr
+        ("de", "zzz qqq xxx"),                           # undetectable
+        ("en", "محرك البحث عن المستندات الكبيرة جدا"),   # ar != en
+    ]
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in lang_mismatch(docs).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["n_detectable"], en["n_mismatch"]) == (2, 2, 1)
+    assert en["mismatch_bp"] == 5000
+    fr = got["fr"]
+    assert (fr["n_detectable"], fr["n_mismatch"]) == (2, 1)
+    de = got["de"]
+    assert (de["n_detectable"], de["n_mismatch"]) == (0, 0)
+    assert de["mismatch_bp"] == 0

@@ -49,6 +49,7 @@ INVARIANCE_QUERIES = [
     "c4_clean",         # posexplode + ordered reassembly + flag join
     "temporal_split",   # host envelope agg + verdict join
     "shard_manifest",   # order-independent fingerprint sum
+    "lang_mismatch",    # detection pass + per-lang rollup
 ]
 
 
