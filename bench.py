@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "bitext_scores",
     "shard_manifest",
     "lang_mismatch",
+    "robots_sitemaps",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

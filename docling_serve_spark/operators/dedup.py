@@ -757,3 +757,33 @@ def canonical_select(components: DataFrame, docs: DataFrame,
         "n_chars",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+def dup_cluster_stats(components: DataFrame) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, n_removable) — the dedup
+    REPORT over ``dup_components`` output: the cluster-size histogram
+    every dedup run publishes (how much of the corpus is duplicated,
+    at what multiplicity, and how many docs canonical-selection will
+    remove — ``(size-1)`` per cluster). The histogram shape is also
+    the skew early-warning: a single giant component means a
+    boilerplate/template artifact leaked through shingling, not real
+    duplication.
+
+    Two stacked partial-agg groupBys (component → size, size →
+    histogram); only (component, count) pairs cross the first
+    shuffle and the second input is already tiny."""
+    sz = components.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint").alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint").alias("n_removable"),
+        )
+    )

@@ -423,3 +423,29 @@ def revisit_stats(captures: DataFrame, urlkey_col: str = "urlkey",
         .cast("bigint").alias("revisit_rate_bp"),
         "first_ts",
     )
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) — Sitemap directive extraction from
+    robots.txt bodies (RFC 9309 §2.3: a NON-group line, valid
+    anywhere in the file, case-insensitive key, absolute URL value) —
+    the discovery step that feeds X57's sitemap fetch/parse pass;
+    together: robots.txt → sitemap URLs → fetch → ``sitemap_urls`` →
+    frontier. Duplicate declarations collapse.
+
+    One codegen multiline regexp + explode + distinct — robots bodies
+    are tiny (RFC caps parse at 500 KiB) and hosts ≪ pages, so even
+    the distinct is a small shuffle of (host, url) strings."""
+    locs = F.regexp_extract_all(
+        F.col(txt_col),
+        F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"),
+        F.lit(1),
+    )
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.explode(locs).alias("sitemap_url"),
+        )
+        .distinct()
+    )

@@ -654,6 +654,35 @@ ORACLE_DUP_COMPONENTS = (
 )
 
 
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report (X67): cluster-size histogram over the REAL
+    dup_components output (MinHash pairs → connected components →
+    size → histogram)."""
+    from docling_serve_spark.operators.dedup import dup_cluster_stats
+
+    pairs = dedup.minhash_candidate_pairs(_docs_with_dups(spark, sf_dir))
+    return dup_cluster_stats(dedup.dup_components(pairs))
+
+
+def _dup_cluster_oracle() -> str:
+    i = ORACLE_DUP_COMPONENTS.rindex("SELECT CAST(src")
+    head, final = ORACLE_DUP_COMPONENTS[:i], ORACLE_DUP_COMPONENTS[i:]
+    return (
+        head
+        + ", comp AS ("
+        + final
+        + "), sz AS (SELECT component, CAST(count(*) AS BIGINT) "
+        + "AS cluster_size FROM comp GROUP BY 1) "
+        + "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        + "CAST(cluster_size * count(*) AS BIGINT) AS n_docs, "
+        + "CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable "
+        + "FROM sz GROUP BY 1"
+    )
+
+
+ORACLE_DUP_CLUSTER_STATS = _dup_cluster_oracle()
+
+
 def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical doc per dup cluster: MinHash candidate pairs →
     connected components → keep the longest member of each component
@@ -2681,6 +2710,51 @@ ORACLE_SHARD_MANIFEST_TMPL = (
 )
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap directive extraction (X66): 30 hosts' robots.txt
+    bodies — mixed-case keys, leading whitespace, a duplicate
+    declaration that must collapse, and every 3rd host declaring
+    none."""
+    from docling_serve_spark.operators.urltools import robots_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 30).cast("string")
+    body = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("User-agent: *\nDisallow: /private\n"),
+    ).otherwise(
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\nSitemap: https://h"),
+            h, F.lit(".example/sitemap.xml\n  sitemap: https://h"),
+            h, F.lit(".example/news.xml\nSITEMAP: https://h"),
+            h, F.lit(".example/sitemap.xml\n"),
+        )
+    )
+    robots = docs.select(
+        F.concat(F.lit("h"), h, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    ).distinct()
+    return robots_sitemaps(robots)
+
+
+ORACLE_ROBOTS_SITEMAPS = (
+    "WITH r AS (SELECT DISTINCT "
+    "'h' || CAST(doc_id % 30 AS VARCHAR) || '.example' AS host, "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) "
+    "ELSE 'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10) || "
+    "'Sitemap: https://h' || CAST(doc_id % 30 AS VARCHAR) "
+    "|| '.example/sitemap.xml' || chr(10) || "
+    "'  sitemap: https://h' || CAST(doc_id % 30 AS VARCHAR) "
+    "|| '.example/news.xml' || chr(10) || "
+    "'SITEMAP: https://h' || CAST(doc_id % 30 AS VARCHAR) "
+    "|| '.example/sitemap.xml' || chr(10) END AS robots_txt "
+    "FROM documents) "
+    "SELECT DISTINCT host, unnest(regexp_extract_all(robots_txt, "
+    "'(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)', 1)) AS sitemap_url FROM r"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4432,6 +4506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_scores": q_bitext_scores,
     "shard_manifest": q_shard_manifest,
     "lang_mismatch": q_lang_mismatch,
+    "robots_sitemaps": q_robots_sitemaps,
+    "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
     "split_assign": q_split_assign,
@@ -4535,6 +4611,8 @@ ORACLES: dict[str, str] = {
     "bitext_scores": ORACLE_BITEXT,
     "shard_manifest": ORACLE_SHARD_MANIFEST,
     "lang_mismatch": ORACLE_LANG_MISMATCH,
+    "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
+    "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,
     "split_assign": ORACLE_SPLIT_ASSIGN,

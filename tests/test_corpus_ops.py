@@ -1681,3 +1681,41 @@ def test_lang_mismatch_hand_computed(spark):
     de = got["de"]
     assert (de["n_detectable"], de["n_mismatch"]) == (0, 0)
     assert de["mismatch_bp"] == 0
+
+
+# ------------------------------------------------------------------ #
+# robots_sitemaps / dup_cluster_stats
+# ------------------------------------------------------------------ #
+
+def test_robots_sitemaps_hand_computed(spark):
+    """Case-insensitive key, leading whitespace, duplicates collapse,
+    'sitemap' mentioned mid-line does NOT match (anchored ^)."""
+    from docling_serve_spark.operators.urltools import robots_sitemaps
+
+    body = ("User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.com/s1.xml\n"
+            "  SITEMAP: https://a.com/s2.xml\n"
+            "sitemap: https://a.com/s1.xml\n"
+            "# our sitemap: https://a.com/not-this.xml is documented\n")
+    r = spark.createDataFrame(
+        [("a.com", body), ("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    got = {(x["host"], x["sitemap_url"]) for x in robots_sitemaps(r).collect()}
+    assert got == {("a.com", "https://a.com/s1.xml"),
+                   ("a.com", "https://a.com/s2.xml")}
+
+
+def test_dup_cluster_stats_hand_computed(spark):
+    """Histogram over component sizes; n_removable = size-1 per
+    cluster."""
+    from docling_serve_spark.operators.dedup import dup_cluster_stats
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id bigint, component bigint",
+    )
+    got = {r["cluster_size"]: r for r in dup_cluster_stats(comps).collect()}
+    assert got[3]["n_clusters"] == 1 and got[3]["n_removable"] == 2
+    assert got[2]["n_clusters"] == 2
+    assert got[2]["n_docs"] == 4 and got[2]["n_removable"] == 2

@@ -50,6 +50,8 @@ INVARIANCE_QUERIES = [
     "temporal_split",   # host envelope agg + verdict join
     "shard_manifest",   # order-independent fingerprint sum
     "lang_mismatch",    # detection pass + per-lang rollup
+    "robots_sitemaps",  # multiline regexp + distinct
+    "dup_cluster_stats",# histogram over iterative components
 ]
 
 
