@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "lang_mismatch",
     "robots_sitemaps",
+    "chunk_documents",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

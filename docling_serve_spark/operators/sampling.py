@@ -318,3 +318,62 @@ def shard_manifest(packed: DataFrame) -> DataFrame:
             F.sum(fp_term).cast("bigint").alias("fingerprint"),
         )
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_id, n_chunk_tokens, chunk_text) — fixed-size
+    token-window chunking with overlap, the retrieval-side ingestion
+    step (RAG indexes and X42's BM25 both consume passages, not whole
+    documents; overlap keeps answers that straddle a boundary findable
+    from at least one chunk — the standard sliding-window layout).
+    ``pack_sequences`` is the training-side counterpart (concat-and-
+    chunk, no overlap); this one never merges documents.
+
+    Whitespace tokens; stride = chunk_tokens − overlap; the FINAL
+    window is emitted only when it adds new tokens (a doc shorter
+    than one chunk yields exactly one). All codegen: split once,
+    window starts via ``sequence``, each chunk a ``slice`` +
+    ``array_join`` — the only row growth is the posexplode, ~1/stride
+    per token, and text shuffles only if the caller repartitions."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    # window k covers tokens [k*stride+1, k*stride+chunk]; emit the
+    # smallest m with (m-1)*stride + chunk >= n so the final window is
+    # never pure overlap: m = floor((n-chunk-1)/stride) + 2 for
+    # n > chunk, 1 for 0 < n <= chunk, 0 for empty docs
+    n_starts = F.when(
+        n <= chunk_tokens, F.when(n > 0, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(
+        F.floor((n - chunk_tokens - 1) / F.lit(stride)) + 2
+    )
+    # guard: sequence(0, -1) DESCENDS in Spark — empty docs need an
+    # explicit empty array, not a degenerate sequence
+    starts = F.when(
+        n_starts > 0, F.sequence(F.lit(0), n_starts.cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda k: F.struct(
+            k.alias("k"),
+            F.slice(
+                toks, k * stride + 1, F.lit(chunk_tokens)
+            ).alias("w"),
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col).cast("bigint"),
+        F.explode(chunks).alias("c"),
+    )
+    return ex.select(
+        id_col,
+        F.col("c.k").cast("bigint").alias("chunk_id"),
+        F.size("c.w").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("c.w", " ").alias("chunk_text"),
+    )

@@ -2755,6 +2755,36 @@ ORACLE_ROBOTS_SITEMAPS = (
 )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval chunking (X68): 32-token windows, 8-token overlap
+    over the raw corpus — the final window is never pure overlap
+    (the count formula is exactly what the oracle re-derives)."""
+    from docling_serve_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = (
+    "WITH t AS (SELECT doc_id, "
+    "regexp_split_to_array(trim(text), '\\s+') AS ws, "
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n "
+    "FROM documents), "
+    "s AS (SELECT doc_id, ws, n, "
+    "CASE WHEN n = 0 THEN 0 WHEN n <= 32 THEN 1 "
+    "ELSE (n - 33) // 24 + 2 END AS m FROM t), "
+    "k AS (SELECT doc_id, ws, n, unnest(range(0, m)) AS k FROM s) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(k AS BIGINT) AS chunk_id, "
+    "CAST(len(ws[CAST(k * 24 + 1 AS INT):"
+    "CAST(least(k * 24 + 32, n) AS INT)]) AS BIGINT) AS n_chunk_tokens, "
+    "array_to_string(ws[CAST(k * 24 + 1 AS INT):"
+    "CAST(least(k * 24 + 32, n) AS INT)], ' ') AS chunk_text FROM k"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4507,6 +4537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "lang_mismatch": q_lang_mismatch,
     "robots_sitemaps": q_robots_sitemaps,
+    "chunk_documents": q_chunk_documents,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4612,6 +4643,7 @@ ORACLES: dict[str, str] = {
     "shard_manifest": ORACLE_SHARD_MANIFEST,
     "lang_mismatch": ORACLE_LANG_MISMATCH,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

@@ -1719,3 +1719,40 @@ def test_dup_cluster_stats_hand_computed(spark):
     assert got[3]["n_clusters"] == 1 and got[3]["n_removable"] == 2
     assert got[2]["n_clusters"] == 2
     assert got[2]["n_docs"] == 4 and got[2]["n_removable"] == 2
+
+
+# ------------------------------------------------------------------ #
+# chunk_documents (retrieval windows with overlap)
+# ------------------------------------------------------------------ #
+
+def test_chunk_documents_hand_computed(spark):
+    """Window/overlap arithmetic: exact coverage with no pure-overlap
+    final window; short docs yield one chunk; empty docs none;
+    adjacent chunks share exactly `overlap` tokens."""
+    from docling_serve_spark.operators.sampling import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # n=100, chunk=64, stride=48 -> 2 windows: [0:64], [48:100]
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1)}
+    c0, c1 = rows[(1, 0)], rows[(1, 1)]
+    assert c0["n_chunk_tokens"] == 64 and c1["n_chunk_tokens"] == 52
+    assert c0["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert c1["chunk_text"].split()[0] == "w48"
+    assert c1["chunk_text"].split()[-1] == "w99"
+    # overlap: last 16 of c0 == first 16 of c1
+    assert c0["chunk_text"].split()[-16:] == c1["chunk_text"].split()[:16]
+    assert rows[(2, 0)]["n_chunk_tokens"] == 3
+    assert not [k for k in rows if k[0] == 3]
+    # exactly-covered boundary: n = chunk + stride emits 2, not 3
+    docs2 = spark.createDataFrame(
+        [(9, " ".join(f"x{i}" for i in range(112)))],
+        "doc_id bigint, text string",
+    )
+    out2 = chunk_documents(docs2, chunk_tokens=64, overlap=16).collect()
+    assert len(out2) == 2

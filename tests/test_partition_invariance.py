@@ -52,6 +52,7 @@ INVARIANCE_QUERIES = [
     "lang_mismatch",    # detection pass + per-lang rollup
     "robots_sitemaps",  # multiline regexp + distinct
     "dup_cluster_stats",# histogram over iterative components
+    "chunk_documents",  # sequence/slice explode
 ]
 
 
