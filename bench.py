@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "lang_mismatch",
     "robots_sitemaps",
     "chunk_documents",
+    "vocab_topk",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -499,3 +499,39 @@ def lang_mismatch(docs: DataFrame, text_col: str = "text",
             .cast("bigint").alias("mismatch_bp"),
         )
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 1000, min_count: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """(rank, word, n_occurrences, n_docs) — corpus word-frequency
+    table, the step every tokenizer training run starts from (BPE/
+    WordPiece/Unigram all consume a word-count table — Sennrich et
+    al. ACL 2016 §3 trains BPE from exactly this; SentencePiece's
+    trainer builds it first): lowercase whitespace words, occurrence
+    and document frequencies, rare tail cut at ``min_count``, top-k
+    by (count desc, word asc) — the tie-break makes the table
+    bit-identical across engines and partitionings.
+
+    Scale shape: explode once, ONE partial-agg groupBy(word) carrying
+    (count, partial distinct-doc) — the classic wordcount, map-side
+    combined so the shuffle is vocabulary-sized, not token-sized;
+    top-k via TakeOrderedAndProject (window over a rank-k cut), never
+    a global sort of the vocabulary."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    ).filter(F.col("n_occurrences") >= min_count)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "word", "n_occurrences", "n_docs")
+    )

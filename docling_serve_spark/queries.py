@@ -2785,6 +2785,28 @@ ORACLE_CHUNK_DOCUMENTS = (
 )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction (X69): top-200 corpus words by
+    occurrence count with deterministic (count desc, word asc)
+    tie-break — the word table BPE training consumes."""
+    from docling_serve_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=200, min_count=2)
+
+
+ORACLE_VOCAB_TOPK = (
+    "WITH w AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+    "FROM documents), "
+    "c AS (SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+    "FROM w WHERE word <> '' GROUP BY 1 HAVING count(*) >= 2), "
+    "r AS (SELECT *, CAST(row_number() OVER "
+    "(ORDER BY n_occurrences DESC, word ASC) AS BIGINT) AS rank FROM c) "
+    "SELECT rank, word, n_occurrences, n_docs FROM r WHERE rank <= 200"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4538,6 +4560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_mismatch": q_lang_mismatch,
     "robots_sitemaps": q_robots_sitemaps,
     "chunk_documents": q_chunk_documents,
+    "vocab_topk": q_vocab_topk,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4644,6 +4667,7 @@ ORACLES: dict[str, str] = {
     "lang_mismatch": ORACLE_LANG_MISMATCH,
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

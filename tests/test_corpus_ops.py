@@ -1756,3 +1756,27 @@ def test_chunk_documents_hand_computed(spark):
     )
     out2 = chunk_documents(docs2, chunk_tokens=64, overlap=16).collect()
     assert len(out2) == 2
+
+
+# ------------------------------------------------------------------ #
+# vocab_topk (tokenizer word table)
+# ------------------------------------------------------------------ #
+
+def test_vocab_topk_hand_computed(spark):
+    """Counts, doc frequencies, min_count cut, and the deterministic
+    (count desc, word asc) tie-break."""
+    from docling_serve_spark.operators.textstats import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "banana apple banana"),
+         (3, "cherry date")],
+        "doc_id bigint, text string",
+    )
+    rows = vocab_topk(docs, k=3, min_count=2).collect()
+    assert [(r["rank"], r["word"], r["n_occurrences"], r["n_docs"])
+            for r in rows] == [
+        (1, "apple", 3, 2),      # tie 3-3 broken by word asc
+        (2, "banana", 3, 2),
+        (3, "cherry", 2, 2),
+    ]                            # 'date' cut by min_count

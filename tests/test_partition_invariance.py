@@ -53,6 +53,7 @@ INVARIANCE_QUERIES = [
     "robots_sitemaps",  # multiline regexp + distinct
     "dup_cluster_stats",# histogram over iterative components
     "chunk_documents",  # sequence/slice explode
+    "vocab_topk",       # wordcount + global rank tie-break
 ]
 
 
