@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "robots_sitemaps",
     "chunk_documents",
     "vocab_topk",
+    "robots_delays",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

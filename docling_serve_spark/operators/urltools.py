@@ -449,3 +449,46 @@ def robots_sitemaps(robots: DataFrame, host_col: str = "host",
         )
         .distinct()
     )
+
+
+def robots_crawl_delays(robots: DataFrame, host_col: str = "host",
+                        txt_col: str = "robots_txt",
+                        cap_ms: int = 60_000) -> DataFrame:
+    """(host, delay_ms) — Crawl-delay extraction from robots.txt
+    bodies: the producer for ``frontier.schedule_fetches``'s
+    ``delays`` override (together with X66's Sitemap pass this
+    completes the robots.txt consumption surface: filter rules X38,
+    sitemaps X66, delays here). Crawl-delay is a de-facto extension
+    (not in RFC 9309 but honored by Yandex/Bing and emitted by a
+    large fraction of real robots files); the value is SECONDS,
+    integer or decimal — parsed to integer milliseconds without
+    floats (seconds·1000 + zero-padded fraction prefix) so both
+    engines agree digit-for-digit.
+
+    A file with several directives (one per user-agent group) yields
+    the MOST CONSERVATIVE (max) delay — this pass is agent-agnostic;
+    values are capped at ``cap_ms`` (hostile 'Crawl-delay: 86400'
+    files would otherwise park a fetcher for a day). One codegen
+    multiline regexp + partial-agg max per host."""
+    m = F.regexp_extract_all(
+        F.col(txt_col),
+        F.lit(r"(?im)^[ \t]*crawl-delay:[ \t]*(\d+(?:\.\d+)?)"),
+        F.lit(1),
+    )
+    vals = robots.select(
+        F.col(host_col).alias("host"), F.explode(m).alias("v")
+    )
+    secs = F.regexp_extract(F.col("v"), r"^(\d+)", 1).cast("bigint")
+    fraw = F.regexp_extract(F.col("v"), r"\.(\d+)$", 1)
+    # rpad BEFORE the empty test would turn '' into '000'
+    frac_ms = F.when(fraw == "", F.lit(0)).otherwise(
+        F.substring(F.rpad(fraw, 3, "0"), 1, 3).cast("bigint")
+    )
+    return (
+        vals.select(
+            "host",
+            F.least(secs * 1000 + frac_ms, F.lit(cap_ms)).alias("ms"),
+        )
+        .groupBy("host")
+        .agg(F.max("ms").cast("bigint").alias("delay_ms"))
+    )

@@ -2807,6 +2807,60 @@ ORACLE_VOCAB_TOPK = (
 )
 
 
+def q_robots_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction (X70): integer, decimal (sub-second),
+    multi-group (max wins), hostile-huge (capped), and absent
+    directives across 25 synthesized robots files."""
+    from docling_serve_spark.operators.urltools import robots_crawl_delays
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 25).cast("string")
+    body = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("User-agent: *\nAllow: /\n"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit("User-agent: *\nCrawl-delay: 2\n"
+                  "User-agent: slowbot\ncrawl-delay: 10\n"),
+        )
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("User-agent: *\nCrawl-delay: 0.5\n"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit("User-agent: *\nCRAWL-DELAY: 86400\n"))
+        .otherwise(F.lit("User-agent: *\n  crawl-delay: 1.25\n"))
+    )
+    robots = docs.select(
+        F.concat(F.lit("d"), h, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    ).distinct()
+    return robots_crawl_delays(robots)
+
+
+ORACLE_ROBOTS_DELAYS = (
+    "WITH r AS (SELECT DISTINCT "
+    "'d' || CAST(doc_id % 25 AS VARCHAR) || '.example' AS host, "
+    "CASE doc_id % 5 "
+    "WHEN 0 THEN 'User-agent: *' || chr(10) || 'Allow: /' || chr(10) "
+    "WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2' "
+    "|| chr(10) || 'User-agent: slowbot' || chr(10) "
+    "|| 'crawl-delay: 10' || chr(10) "
+    "WHEN 2 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5' "
+    "|| chr(10) "
+    "WHEN 3 THEN 'User-agent: *' || chr(10) || 'CRAWL-DELAY: 86400' "
+    "|| chr(10) "
+    "ELSE 'User-agent: *' || chr(10) || '  crawl-delay: 1.25' "
+    "|| chr(10) END AS robots_txt FROM documents), "
+    "v AS (SELECT host, unnest(regexp_extract_all(robots_txt, "
+    "'(?im)^[ \\t]*crawl-delay:[ \\t]*([0-9]+(?:\\.[0-9]+)?)', 1)) "
+    "AS val FROM r), "
+    "ms AS (SELECT host, least(CAST(regexp_extract(val, '^([0-9]+)', 1) "
+    "AS BIGINT) * 1000 + (CASE WHEN regexp_extract(val, "
+    "'\\.([0-9]+)$', 1) = '' THEN 0 ELSE CAST(substr(rpad("
+    "regexp_extract(val, '\\.([0-9]+)$', 1), 3, '0'), 1, 3) "
+    "AS BIGINT) END), 60000) AS m FROM v) "
+    "SELECT host, CAST(max(m) AS BIGINT) AS delay_ms FROM ms GROUP BY 1"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4561,6 +4615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_sitemaps": q_robots_sitemaps,
     "chunk_documents": q_chunk_documents,
     "vocab_topk": q_vocab_topk,
+    "robots_delays": q_robots_delays,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4668,6 +4723,7 @@ ORACLES: dict[str, str] = {
     "robots_sitemaps": ORACLE_ROBOTS_SITEMAPS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
+    "robots_delays": ORACLE_ROBOTS_DELAYS,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

@@ -1780,3 +1780,28 @@ def test_vocab_topk_hand_computed(spark):
         (2, "banana", 3, 2),
         (3, "cherry", 2, 2),
     ]                            # 'date' cut by min_count
+
+
+# ------------------------------------------------------------------ #
+# robots_crawl_delays
+# ------------------------------------------------------------------ #
+
+def test_robots_crawl_delays_hand_computed(spark):
+    """Decimal seconds parse to exact ms without floats, several
+    directives take the max, hostile values cap, delay-less hosts
+    are absent; composes into schedule_fetches as the delays table."""
+    from docling_serve_spark.operators.urltools import robots_crawl_delays
+
+    rows = [
+        ("a.com", "User-agent: *\nCrawl-delay: 2\n"
+                  "User-agent: x\ncrawl-delay: 0.5\n"),
+        ("b.com", "User-agent: *\nCrawl-delay: 1.25\n"),
+        ("c.com", "User-agent: *\nCRAWL-DELAY: 86400\n"),
+        ("d.com", "User-agent: *\nDisallow: /\n"),
+        ("e.com", "User-agent: *\ncrawl-delay: 0.5399\n"),
+    ]
+    r = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {x["host"]: x["delay_ms"]
+           for x in robots_crawl_delays(r).collect()}
+    assert got == {"a.com": 2000, "b.com": 1250,
+                   "c.com": 60000, "e.com": 539}

@@ -54,6 +54,7 @@ INVARIANCE_QUERIES = [
     "dup_cluster_stats",# histogram over iterative components
     "chunk_documents",  # sequence/slice explode
     "vocab_topk",       # wordcount + global rank tie-break
+    "robots_delays",    # max-agg per host over extracted values
 ]
 
 
