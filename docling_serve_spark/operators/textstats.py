@@ -529,9 +529,16 @@ def vocab_topk(docs: DataFrame, k: int = 1000, min_count: int = 2,
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     ).filter(F.col("n_occurrences") >= min_count)
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k heaps, merged on the driver) — a web-scale vocabulary is
+    # billions of words, and a full sort of it just to keep k rows is
+    # the classic de-optimization; the rank window then runs over the
+    # k-row result only
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("word").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "word", "n_occurrences", "n_docs")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "word", "n_occurrences", "n_docs",
     )

@@ -364,15 +364,22 @@ def sitemap_urls(pages: DataFrame, url_col: str = "url",
     strings, never page bytes)."""
     html_str = F.col(html_col).cast("string")
     is_sitemap = html_str.rlike(r"<\s*(urlset|sitemapindex)[\s>]")
+    exploded = pages.filter(is_sitemap).select(
+        F.explode(
+            F.regexp_extract_all(
+                html_str, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), F.lit(1)
+            )
+        ).alias("loc_url")
+    )
+    # sitemap XML escapes URL metacharacters — query-param URLs carry
+    # &amp; in the wild; decode the five XML entities (amp LAST so
+    # '&amp;lt;' decodes to the literal '&lt;' it encodes)
+    loc = F.col("loc_url")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
     locs = (
-        pages.filter(is_sitemap)
-        .select(
-            F.explode(
-                F.regexp_extract_all(
-                    html_str, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), F.lit(1)
-                )
-            ).alias("loc_url")
-        )
+        exploded.select(loc.alias("loc_url"))
         .groupBy("loc_url")
         .agg(F.count("*").cast("bigint").alias("n_sitemaps"))
     )

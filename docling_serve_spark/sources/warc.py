@@ -279,9 +279,15 @@ def wat_records(pages: DataFrame, url_col: str = "url",
     ``operators.pagemeta`` — the whole record is a zero-shuffle
     narrow map over the page scan."""
     h = F.col(html_col).cast("string")
+    # strip C0 controls BEFORE the whitespace fold: raw crawl titles
+    # can carry them, and a bare control char inside a JSON string is
+    # invalid JSON (the escaping below only covers \ and ")
     title = F.trim(
         F.regexp_replace(
-            F.regexp_extract(h, "(?is)<title[^>]*>([^<]*)</title>", 1),
+            F.regexp_replace(
+                F.regexp_extract(h, "(?is)<title[^>]*>([^<]*)</title>", 1),
+                r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "",
+            ),
             r"\s+", " ",
         )
     )

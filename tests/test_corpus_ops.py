@@ -1805,3 +1805,20 @@ def test_robots_crawl_delays_hand_computed(spark):
            for x in robots_crawl_delays(r).collect()}
     assert got == {"a.com": 2000, "b.com": 1250,
                    "c.com": 60000, "e.com": 539}
+
+
+def test_sitemap_urls_decodes_xml_entities(spark):
+    """Query-param URLs arrive as &amp;-escaped in sitemap XML; the
+    decoded URL must match the crawled set."""
+    from docling_serve_spark.operators.urltools import sitemap_urls
+
+    sm = (b'<urlset xmlns="x"><url>'
+          b"<loc>https://e.com/p?a=1&amp;b=2</loc></url></urlset>")
+    pages = spark.createDataFrame(
+        [("https://e.com/p?a=1&b=2", b"<html>x</html>"),
+         ("https://e.com/sm", sm)],
+        "url string, html binary",
+    )
+    got = {r["loc_url"]: r for r in sitemap_urls(pages).collect()}
+    assert set(got) == {"https://e.com/p?a=1&b=2"}
+    assert got["https://e.com/p?a=1&b=2"]["already_crawled"]

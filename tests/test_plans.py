@@ -442,3 +442,11 @@ def test_wat_export_pure_narrow_map(spark):
     plan = _plan(spark, QUERIES["wat_export"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_topk_uses_takeordered_not_global_sort(spark):
+    """A web-scale vocabulary must never be fully sorted to keep k
+    rows: the top-k cut must compile to TakeOrderedAndProject."""
+    plan = _plan(spark, QUERIES["vocab_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

@@ -206,3 +206,19 @@ def test_wat_records_json_escaping_and_framing(spark):
     assert f"Content-Length: {len(payload.encode('utf-8'))}" in head
     assert "WARC-Type: metadata" in head
     assert "Content-Type: application/json" in head
+
+
+def test_wat_title_control_chars_stay_valid_json(spark):
+    """A crawl title carrying a C0 control char must still produce a
+    parseable JSON payload."""
+    import json as _json
+    from docling_serve_spark.sources.warc import wat_records
+
+    html = b"<html><head><title>bad\x07title\x00here</title></head></html>"
+    df = spark.createDataFrame(
+        [("https://e.com/p", "2024-01-02 03:04:05", bytearray(html))],
+        "url string, ts string, html binary",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    rec = wat_records(df).collect()[0]["wat_record"]
+    payload = rec.split("\r\n\r\n")[1]
+    assert _json.loads(payload)["title"] == "badtitlehere"
