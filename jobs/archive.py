@@ -69,8 +69,18 @@ def main() -> None:
 
     # CDX: narrow map over the page scan, then the scalable total
     # sort (range exchange + in-partition sort, never a single-task
-    # global sort), one CDXJ line per capture
-    cdx = cdx_index(pages)
+    # global sort), one CDXJ line per capture. Raw WARC input keeps
+    # its HTTP layer: index the REAL status/mime via the captures
+    # reader; a pages table (which drops HTTP) gets the literals.
+    if args.input and args.input.startswith("warc:"):
+        from docling_serve_spark.sources.warc import read_warc_captures
+
+        cdx = cdx_index(
+            read_warc_captures(spark, args.input[len("warc:"):]),
+            mime_col="mime", status_col="http_status",
+        )
+    else:
+        cdx = cdx_index(pages)
     if args.cdx_partitions:
         cdx = cdx.repartitionByRange(args.cdx_partitions, "urlkey", "ts14")
     else:

@@ -212,3 +212,35 @@ def test_archive_job_end_to_end(tmp_path, spark):
     assert wet.count("WARC/1.0\r") == 2
     assert "WARC-Target-URI: https://a.example/y\r" in wet
     assert "alpha page body" in wet and "junk" not in wet
+
+
+def test_archive_job_warc_input_real_capture_metadata(tmp_path, spark):
+    """With raw WARC input the CDX index carries the REAL HTTP
+    status/mime from the capture, not the pages-table literals."""
+    from docling_serve_spark.sources.warc import write_warc
+
+    warc = str(tmp_path / "in.warc.gz")
+    write_warc(warc, [("https://a.example/x",
+                       b"<html><body><p>warc page body</p></body></html>")])
+    out = str(tmp_path / "arw")
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "archive.py"),
+         "--input", f"warc:{warc}", "--output", out,
+         "--cdx-partitions", "1"],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_pages"] == 1 and summary["n_captures"] == 1
+    cdx_dir = os.path.join(out, "cdx")
+    line = "".join(
+        open(os.path.join(cdx_dir, f)).read()
+        for f in sorted(os.listdir(cdx_dir)) if f.startswith("part-")
+    ).strip()
+    rec = json.loads(line.split(" ", 2)[2])
+    assert rec["status"] == 200 and rec["mime"] == "text/html"
+    assert rec["length"] == len(
+        b"<html><body><p>warc page body</p></body></html>"
+    )
