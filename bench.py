@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "vocab_topk",
     "robots_delays",
+    "collocations",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -542,3 +542,74 @@ def vocab_topk(docs: DataFrame, k: int = 1000, min_count: int = 2,
         F.row_number().over(w).cast("bigint").alias("rank"),
         "word", "n_occurrences", "n_docs",
     )
+
+
+def collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
+                 delta: int = 5, text_col: str = "text") -> DataFrame:
+    """(rank, bigram, n_bigram, n_first, n_second, score_bp) — phrase
+    mining by the word2vec phrase score (Mikolov et al., NeurIPS 2013
+    §4: ``score(wi,wj) = (count(wi wj) − δ) · N / (count(wi)·count(wj))``,
+    the count-based PMI variant with a discount δ that kills rare-pair
+    flukes) — the pass that decides which token pairs become single
+    vocabulary units ("new_york") before tokenizer/embedding training.
+
+    The score is computed ENTIRELY in integers (numerator cross-
+    multiplied into basis points, bigint ``div``) — no logarithm, so
+    the ranking is bit-identical across engines; ties break on the
+    bigram string. Top-k via orderBy+limit (TakeOrderedAndProject),
+    never a full sort of the bigram table.
+
+    Scale shape: one explode for unigrams, one sequence/slice pass
+    for adjacent pairs, two map-side-combined groupBys, then two
+    broadcast-sized joins of the top bigrams against the unigram
+    table (bigrams surviving ``min_count`` ≪ tokens)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w").alias("n")).collect()[0]["n"]
+    grams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (n_tok - 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n_bigram"))
+        .filter(F.col("n_bigram") >= min_count)
+    )
+    parts = big.select(
+        "bigram", "n_bigram",
+        F.split("bigram", " ")[0].alias("w1"),
+        F.split("bigram", " ")[1].alias("w2"),
+    )
+    j = (
+        parts.join(uni.select(F.col("w").alias("w1"),
+                              F.col("n_w").alias("n_first")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("n_w").alias("n_second")), "w2")
+    )
+    scored = j.select(
+        "bigram", "n_bigram", "n_first", "n_second",
+        F.expr(
+            f"(10000 * (n_bigram - {delta}) * {total}) div "
+            "(n_first * n_second)"
+        ).cast("bigint").alias("score_bp"),
+    ).filter(F.col("score_bp") > 0)
+    top = scored.orderBy(
+        F.col("score_bp").desc(), F.col("bigram").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_bp").desc(), F.col("bigram").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "bigram", "n_bigram", "n_first", "n_second", "score_bp",
+    )

@@ -2861,6 +2861,44 @@ ORACLE_ROBOTS_DELAYS = (
 )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining (X71): top-100 bigram collocations by the
+    integer word2vec phrase score over the raw corpus."""
+    from docling_serve_spark.operators.textstats import collocations
+
+    return collocations(
+        _t(spark, sf_dir, "documents"), k=100, min_count=5, delta=5
+    )
+
+
+ORACLE_COLLOCATIONS = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') AS ws "
+    "FROM documents), "
+    "u AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM "
+    "(SELECT unnest(ws) AS w FROM toks) WHERE w <> '' GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM u), "
+    "b AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_bigram FROM "
+    "(SELECT array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') "
+    "AS bigram FROM (SELECT ws, unnest(range(1, len(ws))) AS i "
+    "FROM toks)) GROUP BY 1 HAVING count(*) >= 5), "
+    "p AS (SELECT bigram, n_bigram, "
+    "string_split(bigram, ' ')[1] AS w1, "
+    "string_split(bigram, ' ')[2] AS w2 FROM b), "
+    "j AS (SELECT p.bigram, p.n_bigram, u1.n_w AS n_first, "
+    "u2.n_w AS n_second, tot.n FROM p "
+    "JOIN u u1 ON p.w1 = u1.w JOIN u u2 ON p.w2 = u2.w CROSS JOIN tot), "
+    "s AS (SELECT bigram, n_bigram, n_first, n_second, "
+    "CAST((10000 * (n_bigram - 5) * n) // (n_first * n_second) "
+    "AS BIGINT) AS score_bp FROM j), "
+    "t AS (SELECT * FROM s WHERE score_bp > 0 "
+    "ORDER BY score_bp DESC, bigram ASC LIMIT 100) "
+    "SELECT CAST(row_number() OVER (ORDER BY score_bp DESC, bigram ASC) "
+    "AS BIGINT) AS rank, bigram, n_bigram, n_first, n_second, score_bp "
+    "FROM t"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4616,6 +4654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "vocab_topk": q_vocab_topk,
     "robots_delays": q_robots_delays,
+    "collocations": q_collocations,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4724,6 +4763,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "robots_delays": ORACLE_ROBOTS_DELAYS,
+    "collocations": ORACLE_COLLOCATIONS,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

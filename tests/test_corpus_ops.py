@@ -1822,3 +1822,29 @@ def test_sitemap_urls_decodes_xml_entities(spark):
     got = {r["loc_url"]: r for r in sitemap_urls(pages).collect()}
     assert set(got) == {"https://e.com/p?a=1&b=2"}
     assert got["https://e.com/p?a=1&b=2"]["already_crawled"]
+
+
+# ------------------------------------------------------------------ #
+# collocations (phrase mining)
+# ------------------------------------------------------------------ #
+
+def test_collocations_hand_computed(spark):
+    """The discounted phrase score promotes a fixed pair over a
+    frequent-but-independent pair; sub-min_count pairs are cut."""
+    from docling_serve_spark.operators.textstats import collocations
+
+    # 'new york' always adjacent (6x); 'the cat' adjacent 6x but both
+    # words frequent elsewhere
+    doc = ("new york " * 6 + "the cat " * 6
+           + "the dog the bird the fish cat dog bird fish ")
+    docs = spark.createDataFrame([(1, doc)], "doc_id bigint, text string")
+    rows = collocations(docs, k=10, min_count=5, delta=2).collect()
+    got = {r["bigram"]: r for r in rows}
+    assert "new york" in got
+    ny, tc = got["new york"], got.get("the cat")
+    assert ny["n_bigram"] == 6 and ny["n_first"] == 6 and ny["n_second"] == 6
+    n_total = len(doc.split())
+    assert ny["score_bp"] == (10000 * (6 - 2) * n_total) // (6 * 6)
+    assert rows[0]["bigram"] == "new york" and rows[0]["rank"] == 1
+    if tc is not None:    # 'the'x9, 'cat'x7 -> much lower score
+        assert tc["score_bp"] < ny["score_bp"]

@@ -55,6 +55,7 @@ INVARIANCE_QUERIES = [
     "chunk_documents",  # sequence/slice explode
     "vocab_topk",       # wordcount + global rank tie-break
     "robots_delays",    # max-agg per host over extracted values
+    "collocations",     # two-level counts + score joins + top-k
 ]
 
 
