@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "vocab_topk",
     "robots_delays",
     "collocations",
+    "source_scorecard",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

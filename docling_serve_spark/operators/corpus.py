@@ -243,3 +243,57 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
             ).alias("keep_page"),
         )
     )
+
+
+def source_scorecard(docs: DataFrame, verdicts: DataFrame,
+                     source_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens, n_dup_docs, dup_rate_bp, n_keep,
+    keep_rate_bp) — the per-source acquisition scorecard: when a
+    corpus mixes feeds (crawl segments, data vendors, dumps), the
+    keep/duplication profile PER SOURCE is what decides renewals and
+    mixture weights (the per-source quality tables the C4/RefinedWeb/
+    Dolma papers publish). Composes two already-oracle-proven
+    operators rather than re-deriving: within-source exact-dup
+    counting on the shared ``norm_text`` md5 key and the
+    ``corpus_filter_chain`` keep verdict (passed in as ``verdicts``:
+    (doc_id, keep)).
+
+    A doc is a duplicate when its normalized fingerprint occurs more
+    than once WITHIN its source (vendor accountability — cross-source
+    overlap is X1/X10's job). All rates bigint-div basis points.
+    Shape: one (source, fp) partial-agg groupBy, one doc_id equi-join
+    with the verdicts, one final partial-agg on source — fingerprints
+    and flags shuffle, never text."""
+    from docling_serve_spark.operators.dedup import norm_text
+    from docling_serve_spark.operators.textstats import token_count
+
+    per_doc = docs.select(
+        F.col("doc_id"),
+        F.col(source_col).alias("source"),
+        F.md5(norm_text(F.col(text_col))).alias("fp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    fp_counts = per_doc.groupBy("source", "fp").agg(
+        F.count("*").cast("bigint").alias("fp_cnt")
+    )
+    j = (
+        per_doc.join(fp_counts, ["source", "fp"])
+        .join(verdicts.select("doc_id", "keep"), "doc_id")
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("fp_cnt") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_dup_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint").alias("n_keep"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_tokens", "n_dup_docs",
+        F.expr("(10000 * n_dup_docs) div n_docs").cast("bigint")
+        .alias("dup_rate_bp"),
+        "n_keep",
+        F.expr("(10000 * n_keep) div n_docs").cast("bigint")
+        .alias("keep_rate_bp"),
+    )

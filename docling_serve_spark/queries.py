@@ -3577,6 +3577,64 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mixture_funnel(*_mix_inputs(spark, sf_dir))
 
 
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source acquisition scorecard (X72): sources re-derived so
+    doc pairs (8k+6, 8k+7) share a source AND an exact normalized
+    body (within-source dups, also too short to survive the filter
+    chain — the dup and keep columns must disagree for the oracle to
+    pin both)."""
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 8 >= 6,
+        F.concat(F.lit("shared dup body "),
+                 F.expr("doc_id div 8").cast("string")),
+    ).otherwise(F.col("text"))
+    src2 = F.concat(F.lit("src"),
+                    F.expr("(doc_id div 2) % 4").cast("string"))
+    d2 = docs.select(
+        "doc_id", text2.alias("text"), src2.alias("source")
+    )
+    verdicts = textstats.corpus_filter_chain(d2)
+    return corpus.source_scorecard(d2, verdicts)
+
+
+def _source_scorecard_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    swap = lambda sql: sql.replace("FROM documents", "FROM corpus")  # noqa: E731
+    toks = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    return (
+        "WITH corpus AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 8 >= 6 THEN 'shared dup body ' || "
+        "CAST(doc_id // 8 AS VARCHAR) ELSE text END AS text, "
+        "'src' || CAST((doc_id // 2) % 4 AS VARCHAR) AS source "
+        "FROM documents), "
+        f"fc AS ({swap(ORACLE_FILTER_CHAIN)}), "
+        f"pd AS (SELECT doc_id, source, md5({norm}) AS fp, "
+        f"CAST({toks} AS BIGINT) AS n_tokens FROM corpus), "
+        "fpc AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS fp_cnt "
+        "FROM pd GROUP BY 1, 2), "
+        "j AS (SELECT pd.source, pd.n_tokens, fpc.fp_cnt, fc.keep "
+        "FROM pd JOIN fpc ON pd.source = fpc.source AND pd.fp = fpc.fp "
+        "JOIN fc ON pd.doc_id = fc.doc_id), "
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN fp_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_docs, "
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_keep FROM j GROUP BY 1) "
+        "SELECT source, n_docs, n_tokens, n_dup_docs, "
+        "CAST((10000 * n_dup_docs) // n_docs AS BIGINT) AS dup_rate_bp, "
+        "n_keep, CAST((10000 * n_keep) // n_docs AS BIGINT) "
+        "AS keep_rate_bp FROM a"
+    )
+
+
+ORACLE_SOURCE_SCORECARD = _source_scorecard_oracle()
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-mixture construction end to end: all four
     gates, then 512-token sequence packing of the survivors — the
@@ -4655,6 +4713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "robots_delays": q_robots_delays,
     "collocations": q_collocations,
+    "source_scorecard": q_source_scorecard,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4764,6 +4823,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "robots_delays": ORACLE_ROBOTS_DELAYS,
     "collocations": ORACLE_COLLOCATIONS,
+    "source_scorecard": ORACLE_SOURCE_SCORECARD,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

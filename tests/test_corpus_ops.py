@@ -1848,3 +1848,34 @@ def test_collocations_hand_computed(spark):
     assert rows[0]["bigram"] == "new york" and rows[0]["rank"] == 1
     if tc is not None:    # 'the'x9, 'cat'x7 -> much lower score
         assert tc["score_bp"] < ny["score_bp"]
+
+
+# ------------------------------------------------------------------ #
+# source_scorecard
+# ------------------------------------------------------------------ #
+
+def test_source_scorecard_hand_computed(spark):
+    """Within-source dup counting (same fp in ANOTHER source doesn't
+    count), keep rate from the verdicts join, bigint-div rates."""
+    from docling_serve_spark.operators.corpus import source_scorecard
+
+    docs = spark.createDataFrame(
+        [(1, "same body text here", "a"),
+         (2, "same body text here", "a"),      # dup within a
+         (3, "unique text one two", "a"),
+         (4, "same body text here", "b"),      # same fp, other source
+         (5, "other vendor content", "b")],
+        "doc_id bigint, text string, source string",
+    )
+    verdicts = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, True), (5, True)],
+        "doc_id bigint, keep boolean",
+    )
+    got = {r["source"]: r for r in
+           source_scorecard(docs, verdicts).collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["n_dup_docs"], a["n_keep"]) == (3, 2, 2)
+    assert a["dup_rate_bp"] == 10000 * 2 // 3
+    assert a["keep_rate_bp"] == 10000 * 2 // 3
+    b = got["b"]
+    assert b["n_dup_docs"] == 0 and b["keep_rate_bp"] == 10000

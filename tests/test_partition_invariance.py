@@ -56,6 +56,7 @@ INVARIANCE_QUERIES = [
     "vocab_topk",       # wordcount + global rank tie-break
     "robots_delays",    # max-agg per host over extracted values
     "collocations",     # two-level counts + score joins + top-k
+    "source_scorecard", # fp-count join + verdict join + rollup
 ]
 
 
