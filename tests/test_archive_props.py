@@ -122,3 +122,70 @@ def test_wet_records_length_based_parse(spark, texts):
         n = int(m.group(1))
         assert rest[:n].decode("utf-8") == t
         assert rest[n:] == b"\r\n\r\n"
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"),
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_wat_payload_json_roundtrip(spark, titles):
+    """For arbitrary (non-control) unicode titles — quotes,
+    backslashes, CJK, emoji — the hand-built WAT payload parses under
+    a strict JSON parser and round-trips the whitespace-folded
+    title."""
+    from docling_serve_spark.sources.warc import wat_records
+
+    rows = [
+        (f"https://e.com/p{i}", "2024-01-02 03:04:05",
+         f"<html><head><title>{'' if t is None else t}</title></head>"
+         f"</html>".encode("utf-8", "surrogatepass"))
+        for i, t in enumerate(titles)
+        if "<" not in t and ">" not in t
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(u, ts, bytearray(h)) for u, ts, h in rows],
+        "url string, ts string, html binary",
+    ).selectExpr("url", "CAST(ts AS TIMESTAMP) AS warc_ts", "html")
+    got = {r["url"]: r["wat_record"] for r in wat_records(df).collect()}
+    for i, ((url, _, _), t) in enumerate(
+        zip(rows, [t for t in titles if "<" not in t and ">" not in t])
+    ):
+        payload = got[url].split("\r\n\r\n")[1]
+        meta = json.loads(payload)
+        # Java \s is ASCII-only (NBSP et al. are TEXT there, not
+        # whitespace) and Spark trim strips only ' '
+        folded = re.sub(r"[ \t\n\x0b\f\r]+", " ", t).strip(" ")
+        assert meta["title"] == folded
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=120),
+    st.integers(min_value=0, max_value=99999),
+)
+def test_crawl_delay_decimal_parse_exact(spark, secs, frac):
+    """Decimal crawl-delays parse to exact milliseconds (truncated to
+    ms precision, capped at 60 s) — checked against Python decimal
+    arithmetic. One Spark job per example over a single row."""
+    from docling_serve_spark.operators.urltools import robots_crawl_delays
+
+    val = f"{secs}.{frac}" if frac else str(secs)
+    body = f"User-agent: *\nCrawl-delay: {val}\n"
+    df = spark.createDataFrame(
+        [("h.com", body)], "host string, robots_txt string"
+    )
+    got = robots_crawl_delays(df).collect()[0]["delay_ms"]
+    fs = str(frac) if frac else ""
+    want_ms = secs * 1000 + int((fs + "000")[:3] if fs else 0)
+    assert got == min(want_ms, 60000)
