@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "robots_delays",
     "collocations",
     "source_scorecard",
+    "host_health",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -178,3 +178,43 @@ def extract_hreflang(pages: DataFrame, url_col: str = "url",
         .filter((F.col("hreflang") != "") & (F.col("alt_url") != ""))
         .distinct()
     )
+
+
+def host_health(pages: DataFrame, url_col: str = "url",
+                html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_noindex, noindex_bp, n_parked, parked_bp,
+    mean_h1_x100) — the per-host publication-health rollup a crawl
+    operator reads before spending recrawl budget on a site: a host
+    that is mostly ``noindex`` (publisher opted out) or mostly parked
+    (registrar lander) is dropped at the HOST grain, not page by page
+    — the same grain RefinedWeb applies its URL/host exclusions at.
+
+    Composes this module's two already-oracle-proven per-page passes
+    (X44 metadata, X51 parked detection) and rolls up on the
+    canonical host: one codegen scan pass computing both signal sets,
+    one partial-agg groupBy(host) — page bytes never shuffle, rates
+    are bigint-div basis points, mean_h1 is kept as an integer
+    centi-count (×100) so the column never carries a float."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    meta = extract_page_meta(pages, url_col=url_col, html_col=html_col)
+    parked = parked_page_stats(pages, url_col=url_col, html_col=html_col)
+    j = meta.join(parked.select("url", "is_parked"), "url")
+    agg = j.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.when(F.col("noindex"), 1).otherwise(0))
+        .cast("bigint").alias("n_noindex"),
+        F.sum(F.when(F.col("is_parked"), 1).otherwise(0))
+        .cast("bigint").alias("n_parked"),
+        F.sum("n_h1").cast("bigint").alias("h1_total"),
+    )
+    return agg.select(
+        "host", "n_pages", "n_noindex",
+        F.expr("(10000 * n_noindex) div n_pages").cast("bigint")
+        .alias("noindex_bp"),
+        "n_parked",
+        F.expr("(10000 * n_parked) div n_pages").cast("bigint")
+        .alias("parked_bp"),
+        F.expr("(100 * h1_total) div n_pages").cast("bigint")
+        .alias("mean_h1_x100"),
+    )

@@ -2899,6 +2899,56 @@ ORACLE_COLLOCATIONS = (
 )
 
 
+def q_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-health rollup (X73): 9 hosts; every 4th page noindex,
+    every 7th a parked lander (phrase signal — pages carry no anchors
+    so the density gate can't fire), h1 count cycles 0-2. The
+    per-page extraction is the already-oracle-proven X44/X51 pair, so
+    the oracle re-derives the flags from the synthesis rule and pins
+    the ROLLUP arithmetic."""
+    from docling_serve_spark.operators.pagemeta import host_health
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>p"), i, F.lit("</title>"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('<meta name="robots" content="noindex">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.repeat(F.lit("<h1>H</h1>"), (F.col("doc_id") % 3).cast("int")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("<p>This domain is for sale. Inquire today.</p>"))
+        .otherwise(F.concat(F.lit("<p>body "), F.substring("text", 1, 40),
+                            F.lit("</p>"))),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".com/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return host_health(pages)
+
+
+ORACLE_HOST_HEALTH = (
+    "WITH p AS (SELECT doc_id, "
+    "'site' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS host, "
+    "CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+    "AS noindex, "
+    "CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+    "AS parked, "
+    "CAST(doc_id % 3 AS BIGINT) AS n_h1 FROM documents) "
+    "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(noindex) AS BIGINT) AS n_noindex, "
+    "CAST((10000 * sum(noindex)) // count(*) AS BIGINT) AS noindex_bp, "
+    "CAST(sum(parked) AS BIGINT) AS n_parked, "
+    "CAST((10000 * sum(parked)) // count(*) AS BIGINT) AS parked_bp, "
+    "CAST((100 * sum(n_h1)) // count(*) AS BIGINT) AS mean_h1_x100 "
+    "FROM p GROUP BY 1"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4714,6 +4764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_delays": q_robots_delays,
     "collocations": q_collocations,
     "source_scorecard": q_source_scorecard,
+    "host_health": q_host_health,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4824,6 +4875,7 @@ ORACLES: dict[str, str] = {
     "robots_delays": ORACLE_ROBOTS_DELAYS,
     "collocations": ORACLE_COLLOCATIONS,
     "source_scorecard": ORACLE_SOURCE_SCORECARD,
+    "host_health": ORACLE_HOST_HEALTH,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

@@ -1879,3 +1879,37 @@ def test_source_scorecard_hand_computed(spark):
     assert a["keep_rate_bp"] == 10000 * 2 // 3
     b = got["b"]
     assert b["n_dup_docs"] == 0 and b["keep_rate_bp"] == 10000
+
+
+# ------------------------------------------------------------------ #
+# host_health
+# ------------------------------------------------------------------ #
+
+def test_host_health_hand_computed(spark):
+    """Rollup of the real X44/X51 extractors per host: noindex and
+    parked rates in bp, mean h1 as an integer centi-count."""
+    from docling_serve_spark.operators.pagemeta import host_health
+
+    def page(url, noindex=False, parked=False, h1=0):
+        html = ("<html><head><title>t</title>"
+                + ('<meta name="robots" content="noindex">' if noindex else "")
+                + "</head><body>" + "<h1>H</h1>" * h1
+                + ("<p>this domain is for sale</p>" if parked
+                   else "<p>regular body content</p>")
+                + "</body></html>")
+        return (url, bytearray(html.encode()))
+
+    pages = spark.createDataFrame(
+        [page("https://a.com/1", noindex=True, h1=2),
+         page("https://a.com/2", parked=True, h1=1),
+         page("https://a.com/3"),
+         page("https://b.com/1")],
+        "url string, html binary",
+    )
+    got = {r["host"]: r for r in host_health(pages).collect()}
+    a = got["a.com"]
+    assert (a["n_pages"], a["n_noindex"], a["n_parked"]) == (3, 1, 1)
+    assert a["noindex_bp"] == 10000 // 3 and a["parked_bp"] == 10000 // 3
+    assert a["mean_h1_x100"] == 100 * 3 // 3
+    b = got["b.com"]
+    assert b["noindex_bp"] == 0 and b["parked_bp"] == 0

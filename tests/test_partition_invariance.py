@@ -57,6 +57,7 @@ INVARIANCE_QUERIES = [
     "robots_delays",    # max-agg per host over extracted values
     "collocations",     # two-level counts + score joins + top-k
     "source_scorecard", # fp-count join + verdict join + rollup
+    "host_health",      # per-page signal join + host rollup
 ]
 
 
