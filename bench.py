@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "collocations",
     "source_scorecard",
     "host_health",
+    "title_dedup",
+    "rep_ngram3_stats",
     "boilerplate_scrub",
     # substring_spans excluded: the stride-1 rolling-window pass is
     # O(corpus tokens) by design (Lee et al. ExactSubstr semantics) —

@@ -218,3 +218,47 @@ def host_health(pages: DataFrame, url_col: str = "url",
         F.expr("(100 * h1_total) div n_pages").cast("bigint")
         .alias("mean_h1_x100"),
     )
+
+
+def title_dup_candidates(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(url, title_fp, group_size, rep_url, is_candidate) —
+    metadata-only duplicate candidates by normalized-title
+    fingerprint: the dedup pass an operator can run from the INDEX
+    alone (CDX + titles), before fetching or extracting any body —
+    title collisions are how wayback-style archives and SEO audits
+    shortlist duplicate clusters cheaply. Body-level confirmation is
+    X2/X4's job; this is the recall-oriented shortlist.
+
+    Empty/missing titles are NEVER candidates (every untitled page
+    would otherwise collide into one giant pseudo-cluster — the
+    ubiquitous-key trap, same class as X46's df-cap). ``rep_url`` is
+    the lexicographic minimum of the group (deterministic
+    representative). One codegen title pass + one partial-agg
+    groupBy on the 32-hex fingerprint + one equi-join back — page
+    bytes never shuffle."""
+    from docling_serve_spark.operators.dedup import norm_text
+
+    meta = extract_page_meta(pages, url_col=url_col, html_col=html_col)
+    t = norm_text(F.col("title"))
+    per = meta.select(
+        "url",
+        F.md5(t).alias("title_fp"),
+        (t == "").alias("__empty"),
+    )
+    groups = (
+        per.filter(~F.col("__empty"))
+        .groupBy("title_fp")
+        .agg(
+            F.count("*").cast("bigint").alias("group_size"),
+            F.min("url").alias("rep_url"),
+        )
+    )
+    return per.join(groups, "title_fp", "left").select(
+        "url",
+        "title_fp",
+        F.coalesce(F.col("group_size"), F.lit(0)).cast("bigint")
+        .alias("group_size"),
+        "rep_url",
+        (F.coalesce(F.col("group_size"), F.lit(0)) >= 2).alias("is_candidate"),
+    )

@@ -903,6 +903,35 @@ def _rep_ngram_oracle() -> str:
 ORACLE_REP_NGRAM = _rep_ngram_oracle()
 
 
+def q_rep_ngram3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-gram leg of Gopher Table A1 (X74): same operator at k=3
+    — the table thresholds each n in {2,3,4}; the catalog pins two of
+    the family so the k-generalization is oracle-proven, not assumed."""
+    return textstats.ngram_repetition(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _rep_ngram3_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"WITH t AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS toks "
+        "FROM documents), "
+        "g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram "
+        "FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) "
+        "WHERE len(toks) >= 3), "
+        "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2), "
+        "a AS (SELECT doc_id, sum(cnt) AS n_grams, max(cnt) AS top_cnt, "
+        "sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt FROM c GROUP BY 1) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "round(top_cnt * 1.0 / n_grams, 6) AS top_ngram_frac, "
+        "round(dup_cnt * 1.0 / n_grams, 6) AS dup_ngram_frac, "
+        "(top_cnt * 5 > n_grams OR dup_cnt * 5 > n_grams * 3) AS repetitive "
+        "FROM a"
+    )
+
+
+ORACLE_REP_NGRAM3 = _rep_ngram3_oracle()
+
+
 def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate line/paragraph fractions (X55): pages derive
     a deterministic 3-paragraph layout — a repeated nav line on
@@ -2949,6 +2978,50 @@ ORACLE_HOST_HEALTH = (
 )
 
 
+def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only dup shortlist (X75): even doc_ids share a title
+    within each div-5 bucket (clusters of 2-3), odd ids are unique,
+    every 11th page has NO title (must never cluster)."""
+    from docling_serve_spark.operators.pagemeta import title_dup_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    title = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(""))
+        .when(F.col("doc_id") % 2 == 0,
+              F.concat(F.lit("<title>Shared Title "),
+                       F.expr("doc_id div 5").cast("string"),
+                       F.lit("</title>")))
+        .otherwise(F.concat(F.lit("<title>Unique "), i,
+                            F.lit("</title>")))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title, F.lit("</head><body>p</body></html>")
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://t.example/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return title_dup_candidates(pages)
+
+
+ORACLE_TITLE_DEDUP = (
+    "WITH p AS (SELECT doc_id, "
+    "'https://t.example/p' || CAST(doc_id AS VARCHAR) AS url, "
+    "CASE WHEN doc_id % 11 = 0 THEN '' "
+    "WHEN doc_id % 2 = 0 THEN "
+    "'shared title ' || CAST(doc_id // 5 AS VARCHAR) "
+    "ELSE 'unique ' || CAST(doc_id AS VARCHAR) END AS t FROM documents), "
+    "per AS (SELECT url, md5(t) AS title_fp, t = '' AS e FROM p), "
+    "g AS (SELECT title_fp, CAST(count(*) AS BIGINT) AS group_size, "
+    "min(url) AS rep_url FROM per WHERE NOT e GROUP BY 1) "
+    "SELECT per.url, per.title_fp, "
+    "CAST(coalesce(g.group_size, 0) AS BIGINT) AS group_size, "
+    "g.rep_url, coalesce(g.group_size, 0) >= 2 AS is_candidate "
+    "FROM per LEFT JOIN g ON per.title_fp = g.title_fp"
+)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl snapshot diff: two crawl snapshots derived
     deterministically from the documents table (old = doc_id%10 != 9,
@@ -4725,6 +4798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "textstats": q_textstats,
     "rep_ngram_stats": q_rep_ngram_stats,
+    "rep_ngram3_stats": q_rep_ngram3_stats,
     "line_repetition": q_line_repetition,
     "passage_dedup": q_passage_dedup,
     "passage_scrub": q_passage_scrub,
@@ -4765,6 +4839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations": q_collocations,
     "source_scorecard": q_source_scorecard,
     "host_health": q_host_health,
+    "title_dedup": q_title_dedup,
     "dup_cluster_stats": q_dup_cluster_stats,
     "snapshot_diff": q_snapshot_diff,
     "text_normalize": q_text_normalize,
@@ -4836,6 +4911,7 @@ ORACLES: dict[str, str] = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "textstats": ORACLE_TEXTSTATS,
     "rep_ngram_stats": ORACLE_REP_NGRAM,
+    "rep_ngram3_stats": ORACLE_REP_NGRAM3,
     "line_repetition": ORACLE_LINE_REPETITION,
     "passage_dedup": ORACLE_PASSAGE_DEDUP,
     "passage_scrub": ORACLE_PASSAGE_SCRUB,
@@ -4876,6 +4952,7 @@ ORACLES: dict[str, str] = {
     "collocations": ORACLE_COLLOCATIONS,
     "source_scorecard": ORACLE_SOURCE_SCORECARD,
     "host_health": ORACLE_HOST_HEALTH,
+    "title_dedup": ORACLE_TITLE_DEDUP,
     "dup_cluster_stats": ORACLE_DUP_CLUSTER_STATS,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "text_normalize": ORACLE_TEXT_NORMALIZE,

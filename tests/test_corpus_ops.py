@@ -1913,3 +1913,36 @@ def test_host_health_hand_computed(spark):
     assert a["mean_h1_x100"] == 100 * 3 // 3
     b = got["b.com"]
     assert b["noindex_bp"] == 0 and b["parked_bp"] == 0
+
+
+# ------------------------------------------------------------------ #
+# title_dup_candidates
+# ------------------------------------------------------------------ #
+
+def test_title_dup_candidates_hand_computed(spark):
+    """Normalized (case/whitespace-folded) titles cluster; empty and
+    missing titles never do; rep_url is the lexicographic min."""
+    from docling_serve_spark.operators.pagemeta import title_dup_candidates
+
+    def page(url, title_html):
+        return (url, bytearray(
+            f"<html><head>{title_html}</head><body>x</body></html>".encode()
+        ))
+
+    pages = spark.createDataFrame(
+        [page("https://e.com/a", "<title>Hello  World</title>"),
+         page("https://e.com/b", "<title>hello world</title>"),
+         page("https://e.com/c", "<title>Other</title>"),
+         page("https://e.com/d", "<title></title>"),
+         page("https://e.com/e", "")],
+        "url string, html binary",
+    )
+    got = {r["url"]: r for r in title_dup_candidates(pages).collect()}
+    a, b = got["https://e.com/a"], got["https://e.com/b"]
+    assert a["title_fp"] == b["title_fp"]          # case/ws-folded
+    assert a["is_candidate"] and b["is_candidate"]
+    assert a["group_size"] == 2
+    assert a["rep_url"] == "https://e.com/a"
+    assert not got["https://e.com/c"]["is_candidate"]
+    for u in ("https://e.com/d", "https://e.com/e"):
+        assert got[u]["group_size"] == 0 and not got[u]["is_candidate"]

@@ -58,6 +58,8 @@ INVARIANCE_QUERIES = [
     "collocations",     # two-level counts + score joins + top-k
     "source_scorecard", # fp-count join + verdict join + rollup
     "host_health",      # per-page signal join + host rollup
+    "title_dedup",      # fp groupBy + membership join
+    "rep_ngram3_stats", # k=3 gram aggregation
 ]
 
 
