@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "top_order_per_customer",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_recall",
     "incremental_dedup",
     "dedup_simhash",
     "simhash_neardup",

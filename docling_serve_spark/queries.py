@@ -489,6 +489,72 @@ def _minhash_bands_ctes(src: str, p: str) -> str:
     )
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash recall harness (X76) — the dedup twin of ann_recall:
+    every doc gets a NEAR duplicate (every 10th word mutated, ~0.5-0.6
+    shingle Jaccard — inside the band construction's sensitive zone,
+    unlike the verbatim copies the dedup queries use), ground truth is
+    the construction itself, and the output is the honest recall of
+    the 4-band/2-row LSH at that similarity. One aggregate row —
+    n_truth, n_matched, recall_bp."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(i % 10 == 0, F.concat(w, F.lit("x")))
+            .otherwise(w),
+        ),
+        " ",
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+                    mut.alias("text"))
+    )
+    cands = dedup.minhash_candidate_pairs(corpus)
+    truth = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + _DUP_SHIFT).alias("doc_b"),
+    )
+    matched = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    return truth.agg(
+        F.count("*").cast("bigint").alias("n_truth")
+    ).crossJoin(
+        matched.agg(F.count("*").cast("bigint").alias("n_matched"))
+    ).select(
+        "n_truth", "n_matched",
+        F.expr("(10000 * n_matched) div n_truth").cast("bigint")
+        .alias("recall_bp"),
+    )
+
+
+def _dedup_recall_oracle() -> str:
+    mut_union = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, array_to_string("
+        "[CASE WHEN (i - 1) % 10 = 0 THEN ws[i] || 'x' ELSE ws[i] END "
+        "FOR i IN range(1, len(ws) + 1)], ' ') AS text "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents))"
+    )
+    return (
+        f"WITH {_minhash_bands_ctes(mut_union + ' u', 'r')}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM rbands a JOIN rbands b ON a.band_no = b.band_no "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        f"truth AS (SELECT doc_id AS doc_a, doc_id + {_DUP_SHIFT} "
+        "AS doc_b FROM documents), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM truth t "
+        "JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth) "
+        "SELECT n.n_truth, m.n_matched, "
+        "CAST((10000 * m.n_matched) // n.n_truth AS BIGINT) AS recall_bp "
+        "FROM n, m"
+    )
+
+
+ORACLE_DEDUP_RECALL = _dedup_recall_oracle()
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-batch dedup: the NEW batch (even-sourced docs
     are verbatim recrawls of history, odd-sourced docs are genuinely
@@ -4789,6 +4855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_order_per_customer": q_top_order_per_customer,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_recall": q_dedup_recall,
     "incremental_dedup": q_incremental_dedup,
     "dedup_simhash": q_dedup_simhash,
     "simhash_neardup": q_simhash_neardup,
@@ -4902,6 +4969,7 @@ ORACLES: dict[str, str] = {
     "top_order_per_customer": ORACLE_TOP_ORDER,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "dedup_recall": ORACLE_DEDUP_RECALL,
     "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_neardup": ORACLE_SIMHASH_NEARDUP,

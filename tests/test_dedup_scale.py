@@ -310,3 +310,16 @@ def test_incremental_dup_flags_new_vs_history_only(spark):
     out = {r.doc_id: r.dup_of_history
            for r in dedup.incremental_dup_flags(new, hist).collect()}
     assert out == {101: True, 102: False, 103: False}
+
+
+def test_dedup_recall_premise_and_bounds(spark):
+    """The harness measures something real: recall is strictly
+    between 0 and 1 on mutated near-dups at sf0.001 (the mutation
+    puts pairs in the LSH-sensitive zone — verbatim copies would read
+    a vacuous 10000)."""
+    from docling_serve_spark.queries import QUERIES
+
+    r = QUERIES["dedup_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_truth"] > 0
+    assert 0 < r["recall_bp"] <= 10000
+    assert r["n_matched"] <= r["n_truth"]

@@ -31,6 +31,7 @@ INVARIANCE_QUERIES = [
     "token_budget_select",
     "pack_sequences",
     "dedup_minhash",
+    "dedup_recall",
     "dup_components",
     "substring_spans",
     "ann_recall_multitable",
