@@ -199,6 +199,34 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: external-busy fraction above which a timed section is considered
+#: contaminated by co-tenant load (0.125 = four of the 32 host cores
+#: busy with someone else's work while we sleep). BENCH_r03's official
+#: extract row was 2.2x inflated by exactly this failure mode.
+EXT_BUSY_THRESHOLD = 0.125
+
+
+def _host_load_sample(interval: float = 1.0) -> dict:
+    """Host-interference probe: 1-min loadavg plus the fraction of
+    host CPU busy while THIS process sleeps for ``interval`` — our
+    JVM is idle between jobs, so busy jiffies during the sleep are
+    external (co-tenant) load, which loadavg alone can't separate
+    from our own recent work. /proc/stat line 1: user nice system
+    idle iowait irq softirq steal."""
+    def snap():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+    t0, i0 = snap()
+    time.sleep(interval)
+    t1, i1 = snap()
+    total = max(t1 - t0, 1)
+    return {
+        "load_1m": round(os.getloadavg()[0], 2),
+        "ext_busy_frac": round(1.0 - (i1 - i0) / total, 3),
+    }
+
+
 def _run_extraction(spark, path: str, warmup: bool = True, reps: int = 2) -> float:
     """Timed extraction pass. The warm-up run (5% sample, untimed)
     spawns every Python worker and JITs the JVM hot paths first so the
@@ -229,10 +257,12 @@ def _ensure_scaled_docs(spark, factor: int = 60) -> str:
     """A documents corpus big enough for the operator-scaling legs:
     sf0.1's documents table is 5k rows — a ~5 s op there is all fixed
     overhead (stage scheduling, codegen) and measures nothing about
-    engine scaling. Factor 30 puts the 16-core dedup_minhash leg near
-    ~20 s, where the measured ~4.6 s/run fixed cost (job scheduling +
-    codegen + scan setup, solved from the two-leg system at 10×:
-    28.1 s @4 / 10.5 s @16) is <25% of the denominator. (An earlier
+    engine scaling. The shipped factor 60 (the cache-dir key) puts
+    the 16-core dedup_minhash leg near ~40 s, where the measured
+    ~4.6 s/run fixed cost (job scheduling + codegen + scan setup,
+    solved from the two-leg system at 10×: 28.1 s @4 / 10.5 s @16)
+    is ~10% of the denominator — comfortably inside the ≥40 s-leg
+    rule BENCH.md sets for op-scaling runs. (An earlier
     40× run took 35 min per 4-core leg — but that was the clique-
     corpus artifact below, quadratic in factor; with disjoint replicas
     the op is linear in factor.)
@@ -440,7 +470,29 @@ def main() -> None:
     pages = spark.read.parquet(corpus)
     n_docs = pages.count()
     n_bytes = pages.selectExpr("sum(length(html)) AS b").collect()[0]["b"]
+    load_pre = _host_load_sample()
     dt = _run_extraction(spark, corpus)
+    load_post = _host_load_sample(interval=0.5)
+    host_load = {"pre": load_pre, "post": load_post, "rerun": False}
+    if max(load_pre["ext_busy_frac"],
+           load_post["ext_busy_frac"]) > EXT_BUSY_THRESHOLD:
+        # co-tenant load overlapped the timed section: settle, probe
+        # again, re-run once, keep the faster pass. If the rerun's
+        # window is also busy, the row stays labeled contaminated so
+        # the official record is never silently noise-inflated.
+        time.sleep(20)
+        host_load["rerun"] = True
+        host_load["rerun_pre"] = _host_load_sample()
+        dt2 = _run_extraction(spark, corpus, warmup=False)
+        host_load["rerun_post"] = _host_load_sample(interval=0.5)
+        dt = min(dt, dt2)
+    best_pre = host_load.get("rerun_pre") or load_pre
+    best_post = host_load.get("rerun_post") or load_post
+    host_load["contaminated"] = bool(
+        min(max(load_pre["ext_busy_frac"], load_post["ext_busy_frac"]),
+            max(best_pre["ext_busy_frac"], best_post["ext_busy_frac"]))
+        > EXT_BUSY_THRESHOLD
+    )
     timings["extract"] = round(dt, 3)
     extract_stats = {
         "docs": n_docs,
@@ -448,12 +500,14 @@ def main() -> None:
         "sec": round(dt, 3),
         "docs_per_sec": round(n_docs / dt, 1),
         "mb_per_sec": round(n_bytes / 1e6 / dt, 2),
+        "host_load": host_load,
     }
 
     # min-of-2 per catalog query: single-shot timings in a long-lived
     # JVM carry GC/compile noise (one-off 10-15 s spikes observed on
     # pure-JVM 2 s queries); the min of two runs is the standard
     # noise-robust point estimate and is applied to EVERY query alike.
+    suite_load_pre = _host_load_sample()
     for name in BENCH_QUERIES:
         best = float("inf")
         for _ in range(2):
@@ -461,6 +515,7 @@ def main() -> None:
             _force(QUERIES[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    suite_load_post = _host_load_sample()
 
     scaling = None
     if not args.no_scaling:
@@ -504,8 +559,10 @@ def main() -> None:
         # high level by 35%) cannot cover all of either level's reps;
         # both levels get identical treatment, unconditionally.
         rounds = 2
+        load_probes = []
         for _ in range(rounds):
             for cpus in (lows, highs):
+                load_probes.append({"cpus": cpus, **_host_load_sample()})
                 t = run_worker(cpus)
                 results[cpus] = min(results.get(cpus, float("inf")), t)
         eff = (results[lows] / results[highs]) * (lows / highs)
@@ -517,6 +574,10 @@ def main() -> None:
             "t_low_sec": round(results[lows], 3),
             "t_high_sec": round(results[highs], 3),
             "efficiency": round(eff, 3),
+            "load_probes": load_probes,
+            "contaminated": any(
+                p["ext_busy_frac"] > EXT_BUSY_THRESHOLD for p in load_probes
+            ),
         }
 
     payload = {
@@ -526,6 +587,8 @@ def main() -> None:
         "queries": timings,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "extract": extract_stats,
+        "host_load": {"suite_pre": suite_load_pre,
+                      "suite_post": suite_load_post},
     }
     if scaling:
         payload["scaling"] = scaling

@@ -19,6 +19,8 @@ re-runs pick the same winner regardless of which subset is present.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from docling_serve_spark.operators.decontam import contamination_flags
@@ -213,8 +215,14 @@ def c4_clean(docs: DataFrame, text_col: str = "text",
         ).alias("clean_text"),
     )
     low = F.lower(F.col(text_col))
+    # Blocklist entries are LITERALS, not patterns — real bad-word
+    # lists carry ".", "(", "?" etc., which would silently change the
+    # match (or fail to compile) if interpolated raw into rlike.
+    # re.escape emits backslash-punctuation escapes, which Java regex
+    # (Spark) and RE2/DuckDB read identically.
     bad = (
-        low.rlike("|".join(bad_words)) if bad_words else F.lit(False)
+        low.rlike("|".join(re.escape(w) for w in bad_words))
+        if bad_words else F.lit(False)
     )
     flags = docs.select(
         F.col(id_col),

@@ -129,7 +129,8 @@ def mojibake_stats(docs, text_col: str = "text", id_col: str = "doc_id",
     is a deliberate non-goal: at corpus scale damaged docs are dropped
     or re-fetched, not patched.
 
-    Integer-exactness: rate = floor(10^4 * hits / chars); the verdict
+    Integer-exactness: rate = (10^4 * hits) div chars — bigint
+    integral division, exact past 2^53; the verdict
     hits * 10^4 >= threshold * chars is pure int64 arithmetic (empty
     docs clamp the denominator to 1). Pure codegen narrow map —
     regexp counts ride the scan stage, no shuffle, no Python."""
@@ -141,16 +142,22 @@ def mojibake_stats(docs, text_col: str = "text", id_col: str = "doc_id",
         .cast("bigint")
         for name, pat in MOJIBAKE_PATTERNS.items()
     }
-    hits = counts["two_byte"] + counts["three_byte"] + counts["replacement"]
-    n_chars = F.greatest(F.length(t).cast("bigint"), F.lit(1))
-    return docs.select(
+    base = docs.select(
         id_col,
         counts["two_byte"].alias("n_two_byte"),
         counts["three_byte"].alias("n_three_byte"),
         counts["replacement"].alias("n_replacement"),
         F.length(t).cast("bigint").alias("n_chars"),
-        F.floor(F.lit(10000) * hits / n_chars).cast("bigint")
-        .alias("mojibake_per_10k"),
-        (hits * 10000 >= F.lit(per_10k_threshold) * n_chars)
+    )
+    hits = (F.col("n_two_byte") + F.col("n_three_byte")
+            + F.col("n_replacement"))
+    return base.select(
+        id_col, "n_two_byte", "n_three_byte", "n_replacement", "n_chars",
+        F.expr(
+            "((n_two_byte + n_three_byte + n_replacement) * 10000) "
+            "div greatest(n_chars, 1)"
+        ).cast("bigint").alias("mojibake_per_10k"),
+        (hits * 10000 >= F.lit(per_10k_threshold)
+         * F.greatest(F.col("n_chars"), F.lit(1)))
         .alias("is_mojibake"),
     )

@@ -32,8 +32,29 @@ def _clean(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, r"\s+", " "))
 
 
-def _first_nonempty(a: Column, b: Column) -> Column:
-    return F.when(a != "", a).otherwise(b)
+def _first_nonempty(*cols: Column) -> Column:
+    """First column with a non-empty value (all-empty → last col)."""
+    expr = cols[-1]
+    for c in reversed(cols[:-1]):
+        expr = F.when(c != "", c).otherwise(expr)
+    return expr
+
+
+def _attr_pair(h: Column, tag: str, key_attr: str, key_val: str,
+               val_attr: str) -> Column:
+    """Extract ``val_attr``'s value from the ``tag`` element whose
+    ``key_attr`` equals ``key_val`` — both attribute orders, double-
+    OR single-quoted values (real HTML uses both; unquoted attribute
+    values remain a documented recall limit). Double-quoted patterns
+    take priority so a value containing an apostrophe is never
+    truncated at it."""
+    pats = []
+    for q in ('"', "'"):
+        key = f'{key_attr}=["\']{key_val}["\']'
+        val = f"{val_attr}={q}([^{q}]*){q}"
+        pats.append(f"(?is)<{tag}[^>]*{key}[^>]*{val}")
+        pats.append(f"(?is)<{tag}[^>]*{val}[^>]*{key}")
+    return _first_nonempty(*[F.regexp_extract(h, p, 1) for p in pats])
 
 
 def extract_page_meta(pages: DataFrame, url_col: str = "url",
@@ -42,33 +63,15 @@ def extract_page_meta(pages: DataFrame, url_col: str = "url",
     header metadata per page; absent fields are empty strings
     (never null, so downstream filters need no three-valued logic),
     ``noindex`` is a boolean, ``n_h1`` counts top-level heading tags
-    (a weak page-structure quality signal)."""
+    (a weak page-structure quality signal). Attributes are matched in
+    either order and with double- or single-quoted values (noindex is
+    a publisher opt-out — under-matching it over-collects); unquoted
+    attribute values are a documented recall limit."""
     h = F.col(html_col).cast("string")
     title = F.regexp_extract(h, "(?is)<title[^>]*>([^<]*)</title>", 1)
-    desc = _first_nonempty(
-        F.regexp_extract(
-            h, '(?is)<meta[^>]*name="description"[^>]*content="([^"]*)"', 1
-        ),
-        F.regexp_extract(
-            h, '(?is)<meta[^>]*content="([^"]*)"[^>]*name="description"', 1
-        ),
-    )
-    canonical = _first_nonempty(
-        F.regexp_extract(
-            h, '(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1
-        ),
-        F.regexp_extract(
-            h, '(?is)<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1
-        ),
-    )
-    robots = _first_nonempty(
-        F.regexp_extract(
-            h, '(?is)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1
-        ),
-        F.regexp_extract(
-            h, '(?is)<meta[^>]*content="([^"]*)"[^>]*name="robots"', 1
-        ),
-    )
+    desc = _attr_pair(h, "meta", "name", "description", "content")
+    canonical = _attr_pair(h, "link", "rel", "canonical", "href")
+    robots = _attr_pair(h, "meta", "name", "robots", "content")
     return pages.select(
         F.col(url_col).alias("url"),
         _clean(title).alias("title"),
@@ -117,23 +120,28 @@ def parked_page_stats(pages: DataFrame, url_col: str = "url",
     visible_chars = F.length(visible).cast("bigint")
     phrase_re = "(?i)" + "|".join(p.replace(" ", r"\s+")
                                   for p in PARKED_PHRASES)
-    density_bp = F.floor(
-        F.lit(10000) * anchor_chars
-        / F.greatest(visible_chars, F.lit(1))
-    ).cast("bigint")
     n_anchors = F.size(anchors).cast("int")
     has_phrase = F.regexp_count(h, F.lit(phrase_re)) > 0
-    return pages.select(
+    base = pages.select(
         F.col(url_col).alias("url"),
         n_anchors.alias("n_anchors"),
         anchor_chars.alias("anchor_chars"),
         visible_chars.alias("visible_chars"),
-        density_bp.alias("link_density_bp"),
         has_phrase.alias("has_parked_phrase"),
+    )
+    # bigint `div`, never double floor — the rate stays exact past
+    # 2^53 and both engines share one integer semantics.
+    density_bp = F.expr(
+        "(10000 * anchor_chars) div greatest(visible_chars, 1)"
+    ).cast("bigint")
+    return base.select(
+        "url", "n_anchors", "anchor_chars", "visible_chars",
+        density_bp.alias("link_density_bp"),
+        "has_parked_phrase",
         (
-            has_phrase
+            F.col("has_parked_phrase")
             | ((density_bp >= density_threshold_bp)
-               & (n_anchors >= min_anchors))
+               & (F.col("n_anchors") >= min_anchors))
         ).alias("is_parked"),
     )
 

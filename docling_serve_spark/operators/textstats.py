@@ -553,11 +553,20 @@ def collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
     flukes) — the pass that decides which token pairs become single
     vocabulary units ("new_york") before tokenizer/embedding training.
 
-    The score is computed ENTIRELY in integers (numerator cross-
-    multiplied into basis points, bigint ``div``) — no logarithm, so
-    the ranking is bit-identical across engines; ties break on the
-    bigram string. Top-k via orderBy+limit (TakeOrderedAndProject),
-    never a full sort of the bigram table.
+    The score is computed ENTIRELY in fixed-point integers (numerator
+    cross-multiplied into basis points, integral ``div``) — no
+    logarithm, so the ranking is bit-identical across engines; ties
+    break on the bigram string. Top-k via orderBy+limit
+    (TakeOrderedAndProject), never a full sort of the bigram table.
+
+    Headroom: intermediates run in DECIMAL(38,0) (DuckDB promotes
+    BIGINT·BIGINT to HUGEINT; int64 would wrap at web scale — the
+    numerator ``10^4·n_bigram·total`` passes 2^63 near 10^9·10^9
+    token counts). DECIMAL(38,0) keeps the arithmetic exact while
+    ``10^4·n_bigram·total < 10^38``, i.e. up to ~10^17 total tokens —
+    three decades past the 10^14-token regime of current corpora.
+    Beyond that Spark yields NULL (dropped by the ``score_bp > 0``
+    filter) rather than a silently wrapped ranking.
 
     Scale shape: one explode for unigrams, one sequence/slice pass
     for adjacent pairs, two map-side-combined groupBys, then two
@@ -601,8 +610,9 @@ def collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
     scored = j.select(
         "bigram", "n_bigram", "n_first", "n_second",
         F.expr(
-            f"(10000 * (n_bigram - {delta}) * {total}) div "
-            "(n_first * n_second)"
+            f"(CAST(10000 AS DECIMAL(38,0)) * (n_bigram - {delta}) "
+            f"* {total}) div "
+            "(CAST(n_first AS DECIMAL(38,0)) * n_second)"
         ).cast("bigint").alias("score_bp"),
     ).filter(F.col("score_bp") > 0)
     top = scored.orderBy(

@@ -237,8 +237,7 @@ def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
         )
         .withColumn(
             "reciprocal_bp",
-            F.floor(F.lit(10000) * F.col("n_reciprocal") / F.col("out_degree"))
-            .cast("bigint"),
+            F.expr("(10000 * n_reciprocal) div out_degree").cast("bigint"),
         )
         .withColumn(
             "is_farm",

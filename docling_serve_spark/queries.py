@@ -1640,19 +1640,33 @@ ORACLE_FRONTIER_SELECT = (
 def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-metadata extraction (X44): title/description/canonical/
     noindex/h1-count from raw page bytes, pure codegen — pages
-    synthesized so both attribute orders, the missing-field empties,
-    the case-folded noindex, and 0-3 h1 tags all occur."""
+    synthesized so both attribute orders, double- AND single-quoted
+    attribute values, the missing-field empties, the case-folded
+    noindex, and 0-3 h1 tags all occur."""
     from docling_serve_spark.operators.pagemeta import extract_page_meta
 
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
-    desc = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(F.lit('<meta name="description" content="Desc  for '),
-                 i, F.lit('">')),
-    ).otherwise(
-        F.concat(F.lit('<meta content="rev desc '), i,
-                 F.lit('" name="description">'))
+    desc = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit('<meta name="description" content="Desc  for '),
+                     i, F.lit('">')),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit('<meta content="rev desc '), i,
+                     F.lit('" name="description">')),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("<meta name='description' content='sq desc "),
+                     i, F.lit("'>")),
+        )
+        .otherwise(
+            F.concat(F.lit("<meta content='sq rev "), i,
+                     F.lit("' name='description'>"))
+        )
     )
     canonical = (
         F.when(F.col("doc_id") % 3 == 0,
@@ -1670,6 +1684,8 @@ def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.lit('<meta content="INDEX, NOFOLLOW" name="robots">'))
         .when(F.col("doc_id") % 5 == 2,
               F.lit('<meta content="nofollow,NOINDEX" name="robots">'))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit("<meta name='robots' content='NOINDEX'>"))
         .otherwise(F.lit(""))
     )
     html = F.concat(
@@ -1687,17 +1703,41 @@ def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_meta(pages)
 
 
+def _attr_pair_sql(tag: str, key_attr: str, key_val: str,
+                   val_attr: str) -> str:
+    """DuckDB twin of ``pagemeta._attr_pair``: the same four patterns
+    in the same priority (double-quoted first, both attribute
+    orders), as a COALESCE(NULLIF(...)) chain."""
+    pats = []
+    for q in ('"', "'"):
+        key = f'{key_attr}=["\']{key_val}["\']'
+        val = f"{val_attr}={q}([^{q}]*){q}"
+        pats.append(f"(?is)<{tag}[^>]*{key}[^>]*{val}")
+        pats.append(f"(?is)<{tag}[^>]*{val}[^>]*{key}")
+    parts = ", ".join(
+        "NULLIF(regexp_extract(html, '" + p.replace("'", "''") + "', 1), '')"
+        for p in pats
+    )
+    return f"COALESCE({parts}, '')"
+
+
 ORACLE_PAGE_META = (
     "WITH pm AS (SELECT doc_id, "
     "'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' || "
     "CAST(doc_id AS VARCHAR) AS url, "
     "'<html><head><TITLE> Page  ' || CAST(doc_id AS VARCHAR) || ' title "
     "</TITLE>' || "
-    "CASE WHEN doc_id % 2 = 0 THEN "
+    "CASE WHEN doc_id % 4 = 0 THEN "
     "'<meta name=\"description\" content=\"Desc  for ' || "
     "CAST(doc_id AS VARCHAR) || '\">' "
-    "ELSE '<meta content=\"rev desc ' || CAST(doc_id AS VARCHAR) || "
-    "'\" name=\"description\">' END || "
+    "WHEN doc_id % 4 = 1 THEN "
+    "'<meta content=\"rev desc ' || CAST(doc_id AS VARCHAR) || "
+    "'\" name=\"description\">' "
+    "WHEN doc_id % 4 = 2 THEN "
+    "'<meta name=''description'' content=''sq desc ' || "
+    "CAST(doc_id AS VARCHAR) || '''>' "
+    "ELSE '<meta content=''sq rev ' || CAST(doc_id AS VARCHAR) || "
+    "''' name=''description''>' END || "
     "CASE WHEN doc_id % 3 = 0 THEN '<link href=\"https://canon.site/p' || "
     "CAST(doc_id AS VARCHAR) || '\" rel=\"canonical\">' "
     "WHEN doc_id % 3 = 1 THEN '<link rel=\"canonical\" "
@@ -1708,30 +1748,16 @@ ORACLE_PAGE_META = (
     "WHEN doc_id % 5 = 1 THEN "
     "'<meta content=\"INDEX, NOFOLLOW\" name=\"robots\">' "
     "WHEN doc_id % 5 = 2 THEN "
-    "'<meta content=\"nofollow,NOINDEX\" name=\"robots\">' ELSE '' END || "
+    "'<meta content=\"nofollow,NOINDEX\" name=\"robots\">' "
+    "WHEN doc_id % 5 = 3 THEN "
+    "'<meta name=''robots'' content=''NOINDEX''>' ELSE '' END || "
     "'</head><body>' || repeat('<h1>H</h1>', CAST(doc_id % 4 AS INT)) || "
     "'<p>body</p></body></html>' AS html FROM documents), "
     "x AS (SELECT url, "
     "regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS t, "
-    "CASE WHEN regexp_extract(html, "
-    "'(?is)<meta[^>]*name=\"description\"[^>]*content=\"([^\"]*)\"', 1) <> '' "
-    "THEN regexp_extract(html, "
-    "'(?is)<meta[^>]*name=\"description\"[^>]*content=\"([^\"]*)\"', 1) "
-    "ELSE regexp_extract(html, "
-    "'(?is)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"description\"', 1) "
-    "END AS d, "
-    "CASE WHEN regexp_extract(html, "
-    "'(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"', 1) <> '' "
-    "THEN regexp_extract(html, "
-    "'(?is)<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"', 1) "
-    "ELSE regexp_extract(html, "
-    "'(?is)<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"', 1) END AS c, "
-    "CASE WHEN regexp_extract(html, "
-    "'(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1) <> '' "
-    "THEN regexp_extract(html, "
-    "'(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1) "
-    "ELSE regexp_extract(html, "
-    "'(?is)<meta[^>]*content=\"([^\"]*)\"[^>]*name=\"robots\"', 1) END AS r, "
+    + _attr_pair_sql("meta", "name", "description", "content") + " AS d, "
+    + _attr_pair_sql("link", "rel", "canonical", "href") + " AS c, "
+    + _attr_pair_sql("meta", "name", "robots", "content") + " AS r, "
     "CAST(len(regexp_extract_all(html, '(?i)<h1[ >]')) AS INT) AS n_h1 "
     "FROM pm) "
     "SELECT url, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS title, "
@@ -4841,6 +4867,61 @@ def _oracle_pipeline_pdf_modes() -> str:
 # ----------------------------------------------------------------- #
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Insertion order is the driver's correctness-sampling order (the per-round
+    # gate checks a prefix of this dict). Round-4 reorder: the 43 queries that
+    # had never received an official driver CORRECTNESS row (r1-r3 sampled the
+    # old prefix), then the composed pipelines and the stalest r2-green rows,
+    # then everything already proven green in r2/r3.
+    "revisit_stats": q_revisit_stats,
+    "c4_clean": q_c4_clean,
+    "gopher_quality": q_gopher_quality,
+    "wat_export": q_wat_export,
+    "temporal_split": q_temporal_split,
+    "bitext_scores": q_bitext_scores,
+    "shard_manifest": q_shard_manifest,
+    "lang_mismatch": q_lang_mismatch,
+    "robots_sitemaps": q_robots_sitemaps,
+    "chunk_documents": q_chunk_documents,
+    "vocab_topk": q_vocab_topk,
+    "robots_delays": q_robots_delays,
+    "collocations": q_collocations,
+    "source_scorecard": q_source_scorecard,
+    "host_health": q_host_health,
+    "title_dedup": q_title_dedup,
+    "dup_cluster_stats": q_dup_cluster_stats,
+    "snapshot_diff": q_snapshot_diff,
+    "text_normalize": q_text_normalize,
+    "split_assign": q_split_assign,
+    "host_top_terms": q_host_top_terms,
+    "charlm_score": q_charlm_score,
+    "perplexity_buckets": q_perplexity_buckets,
+    "dsir_weights": q_dsir_weights,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "substring_spans": q_substring_spans,
+    "pii_redact": q_pii_redact,
+    "corpus_filter_chain": q_corpus_filter_chain,
+    "decontam_flags": q_decontam_flags,
+    "domain_mix_sample": q_domain_mix_sample,
+    "host_quota": q_host_quota,
+    "token_budget_select": q_token_budget_select,
+    "pack_sequences": q_pack_sequences,
+    "corpus_funnel": q_corpus_funnel,
+    "corpus_mixture": q_corpus_mixture,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_lsh_multitable": q_ann_lsh_multitable,
+    "ann_ivf": q_ann_ivf,
+    "ann_ivf_refined": q_ann_ivf_refined,
+    "ann_recall": q_ann_recall,
+    "ann_recall_multitable": q_ann_recall_multitable,
+    "first_seen_dedup": q_first_seen_dedup,
+    "pipeline_pdf_modes": q_pipeline_pdf_modes,
+    "pipeline_extract": q_pipeline_extract,
+    "pipeline_metrics": q_pipeline_metrics,
+    "media_audio_features": q_media_audio_features,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "quality_scoring": q_quality_scoring,
     "ocr_mode_dispatch": q_ocr_mode_dispatch,
     "ai_vision_dispatch": q_ai_vision_dispatch,
@@ -4891,67 +4972,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wet_export": q_wet_export,
     "cdx_index": q_cdx_index,
     "sitemap_urls": q_sitemap_urls,
-    "revisit_stats": q_revisit_stats,
-    "c4_clean": q_c4_clean,
-    "gopher_quality": q_gopher_quality,
-    "wat_export": q_wat_export,
-    "temporal_split": q_temporal_split,
-    "bitext_scores": q_bitext_scores,
-    "shard_manifest": q_shard_manifest,
-    "lang_mismatch": q_lang_mismatch,
-    "robots_sitemaps": q_robots_sitemaps,
-    "chunk_documents": q_chunk_documents,
-    "vocab_topk": q_vocab_topk,
-    "robots_delays": q_robots_delays,
-    "collocations": q_collocations,
-    "source_scorecard": q_source_scorecard,
-    "host_health": q_host_health,
-    "title_dedup": q_title_dedup,
-    "dup_cluster_stats": q_dup_cluster_stats,
-    "snapshot_diff": q_snapshot_diff,
-    "text_normalize": q_text_normalize,
-    "split_assign": q_split_assign,
-    "host_top_terms": q_host_top_terms,
-    "charlm_score": q_charlm_score,
-    "perplexity_buckets": q_perplexity_buckets,
-    "dsir_weights": q_dsir_weights,
-    "boilerplate_scrub": q_boilerplate_scrub,
-    "substring_spans": q_substring_spans,
-    "pii_redact": q_pii_redact,
-    "corpus_filter_chain": q_corpus_filter_chain,
-    "decontam_flags": q_decontam_flags,
-    "domain_mix_sample": q_domain_mix_sample,
-    "host_quota": q_host_quota,
-    "token_budget_select": q_token_budget_select,
-    "pack_sequences": q_pack_sequences,
-    "corpus_funnel": q_corpus_funnel,
-    "corpus_mixture": q_corpus_mixture,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "markdown_downgrade": q_markdown_downgrade,
     "page_sampling": q_page_sampling,
-    "ann_bruteforce": q_ann_bruteforce,
-    "ann_lsh": q_ann_lsh,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-    "ann_lsh_multitable": q_ann_lsh_multitable,
-    "ann_ivf": q_ann_ivf,
-    "ann_ivf_refined": q_ann_ivf_refined,
-    "ann_recall": q_ann_recall,
-    "ann_recall_multitable": q_ann_recall_multitable,
     "centroid_similarity": q_centroid_similarity,
     "size_guard_routing": q_size_guard_routing,
     "base64_roundtrip": q_base64_roundtrip,
     "line_mirror": q_line_mirror,
     "event_windows": q_event_windows,
-    "first_seen_dedup": q_first_seen_dedup,
     "sessionize": q_sessionize,
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
-    "media_audio_features": q_media_audio_features,
-    "pipeline_extract": q_pipeline_extract,
-    "pipeline_metrics": q_pipeline_metrics,
-    "pipeline_pdf_modes": q_pipeline_pdf_modes,
 }
 
 ORACLES: dict[str, str] = {
