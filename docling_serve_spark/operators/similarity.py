@@ -354,15 +354,20 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
 def ivf_centroids(
     embeddings: DataFrame, k: int = 8, vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse centroids: the K vectors with the
-    smallest vec_ids (IVF-flat per Johnson/Douze/Jégou, faiss 2017,
-    with seeded sampling standing in for the k-means refinement —
-    refinement changes recall, not the partition/probe shape the
-    engine is responsible for). K rows collect to the driver; at
-    10^12 scale K ~ sqrt(n) still broadcasts as literals."""
+    """Deterministic coarse centroids: a seeded hash-sample — the K
+    vectors with the smallest ``md5(vec_id)`` (IVF-flat per
+    Johnson/Douze/Jégou, faiss 2017, with seeded sampling standing in
+    for full k-means training; ``kmeans_refine`` adds Lloyd rounds).
+    md5 ordering is unbiased under ANY vec_id distribution — the
+    earlier smallest-K-vec_ids rule was distribution-blind: correlated
+    low ids (one crawl source) seeded all centroids inside one region.
+    md5 is engine-portable (DuckDB's md5(VARCHAR) is the same hex
+    string), so oracles reproduce the sample exactly. K rows collect
+    to the driver; at 10^12 scale K ~ sqrt(n) still broadcasts as
+    literals."""
     rows = (
         embeddings.select("vec_id", vec_col)
-        .orderBy("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
         .collect()
     )
@@ -370,26 +375,34 @@ def ivf_centroids(
 
 
 def _best_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Index (0..K-1) of the max-cosine centroid, as a chain of
-    codegen'd comparisons over centroid literals. The similarity uses
-    the same arithmetic graph as the DuckDB oracle —
-    dot / (|v| * |c|) with |c| a driver-precomputed double — so
-    argmax ties resolve identically on both engines (first index
-    wins: the comparison is strict)."""
+    """Index (0..K-1) of the max-cosine centroid, computed over ONE
+    literal K x dim centroid matrix: a zip_with produces the K
+    similarities, then argmax = array_position(array_max) - 1. The
+    per-element similarity is the same arithmetic graph as the DuckDB
+    oracle — dot / (|v| * |c|) with |c| a driver-precomputed double —
+    and array_position returns the FIRST occurrence, so argmax ties
+    resolve identically to the oracle's (s DESC, idx) row_number.
+
+    The earlier formulation chained nested when()s whose expression
+    tree doubled per centroid (O(2^K) subtree copies — ~9 s of fixed
+    plan/codegen cost at K=8 across the assign/refine/probe jobs);
+    this one is O(K) and compiles in milliseconds."""
     import math
 
-    sims = []
-    for _cid, vals in cents:
-        nrm = math.sqrt(sum(v * v for v in vals)) or 1.0
-        lit = F.array(*[F.lit(v) for v in vals])
-        sims.append(_dot(vec, lit) / (_norm(vec) * F.lit(nrm)))
-    best_i: Column = F.lit(0)
-    best_s: Column = sims[0]
-    for i in range(1, len(sims)):
-        cond = sims[i] > best_s
-        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-        best_s = F.when(cond, sims[i]).otherwise(best_s)
-    return best_i.cast("int")
+    cmat = F.array(*[
+        F.array(*[F.lit(v) for v in vals]) for _cid, vals in cents
+    ])
+    cnorms = F.array(*[
+        F.lit(math.sqrt(sum(v * v for v in vals)) or 1.0)
+        for _cid, vals in cents
+    ])
+    # per-element vn keeps the divisor graph identical to the oracle's
+    # dot/(|v|*|c|) doubles — argmax over a monotonic rescale is NOT
+    # bit-safe under FP rounding, so no hoisting
+    sims = F.zip_with(
+        cmat, cnorms, lambda c, n: _dot(vec, c) / (_norm(vec) * n)
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def kmeans_refine(

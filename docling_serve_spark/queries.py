@@ -4178,10 +4178,13 @@ _COS_SQL = (
 )
 
 ORACLE_ANN_IVF = (
-    # centroids = the 8 lowest vec_ids (same deterministic rule the
-    # engine uses); assignment = argmax cosine with first-index tie
-    "WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, "
-    "embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8), "
+    # centroids = seeded hash-sample, the 8 smallest md5(vec_id) (the
+    # same engine-portable rule ivf_centroids uses); assignment =
+    # argmax cosine with first-index tie
+    "WITH cents AS (SELECT row_number() OVER "
+    "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, "
+    "embedding AS cvec FROM embeddings "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
     "sims AS (SELECT e.vec_id, e.embedding, c.idx, "
     + _COS_SQL.format(a="e.embedding", b="c.cvec")
     + " AS s FROM embeddings e CROSS JOIN cents c), "
@@ -4210,12 +4213,14 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ANN_IVF_REFINED = (
-    # seed centroids = 8 lowest vec_ids; one Lloyd round: argmax-cosine
-    # assignment, per-dimension avg rounded to 6 decimals, empty
-    # clusters keep their seed; then the standard IVF probe (query 5)
-    "WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, "
+    # seed centroids = 8 smallest md5(vec_id) (ivf_centroids' seeded
+    # hash-sample); one Lloyd round: argmax-cosine assignment,
+    # per-dimension avg rounded to 6 decimals, empty clusters keep
+    # their seed; then the standard IVF probe (query 5)
+    "WITH cents0 AS (SELECT row_number() OVER "
+    "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
-    "FROM embeddings ORDER BY vec_id LIMIT 8), "
+    "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
     "sims0 AS (SELECT e.vec_id, e.embedding, c.idx, "
     + _COS_SQL.format(a="e.embedding", b="c.cvec")
     + " AS s FROM embeddings e CROSS JOIN cents0 c), "
