@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "fetch_schedule",
     "wet_export",
     "cdx_index",
+    "warc_cdx_pipeline",
     "sitemap_urls",
     "revisit_stats",
     "line_repetition",

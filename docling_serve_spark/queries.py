@@ -2360,6 +2360,131 @@ ORACLE_CDX_INDEX = (
 )
 
 
+def _warc_fixture_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir, cached in /tmp) a sharded gzipped-WARC
+    fixture from the documents table: one gzip member per response
+    record (the Common Crawl layout), 8 shard files so the binaryFile
+    scan parallelizes the way a real crawl read does. Every field is
+    a deterministic function of doc_id, so the DuckDB oracle
+    re-derives the expected index from the documents table while the
+    Spark side must parse the actual WARC/HTTP bytes."""
+    import gzip as _gzip
+    import os as _os
+    import tempfile as _tmp
+
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    out_dir = _os.path.join(
+        _tmp.gettempdir(), f"docling_warc_fixture_{base}_{len(ids)}_v1"
+    )
+    if _os.path.isdir(out_dir) and len(
+        [f for f in _os.listdir(out_dir) if f.endswith(".warc.gz")]
+    ) == 8:
+        return out_dir
+
+    shards: list[list[bytes]] = [[] for _ in range(8)]
+    for doc_id, text in sorted(zip(ids, texts)):
+        url = (
+            f"https://WWW.Site{doc_id % 7}.Example.com"
+            + (":443" if doc_id % 5 == 0 else "")
+            + f"/Path/{doc_id}"
+            + ("?b=2&a=1" if doc_id % 3 == 0 else "")
+            + ("#frag" if doc_id % 4 == 0 else "")
+        )
+        if doc_id % 20 == 0:
+            status_line = "HTTP/1.1 404 Not Found"
+        elif doc_id % 11 == 0:
+            status_line = "HTTP/1.1 301 Moved Permanently"
+        else:
+            status_line = "HTTP/1.1 200 OK"
+        ctype = ("application/pdf" if doc_id % 6 == 0
+                 else "text/html; charset=UTF-8")
+        body = text.encode("utf-8")
+        http = (
+            f"{status_line}\r\nServer: nginx\r\n"
+            f"Content-Type: {ctype}\r\n\r\n"
+        ).encode("latin-1") + body
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: 2024-03-{doc_id % 28 + 1:02d}T12:34:56Z\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n" + http + b"\r\n\r\n"
+        )
+        shards[doc_id % 8].append(_gzip.compress(rec, mtime=0))
+
+    tmp_dir = out_dir + ".building"
+    _os.makedirs(tmp_dir, exist_ok=True)
+    for i, members in enumerate(shards):
+        with open(_os.path.join(tmp_dir, f"shard-{i}.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+    try:
+        _os.replace(tmp_dir, out_dir)
+    except OSError:  # lost a build race: the other builder's copy wins
+        import shutil as _sh
+        _sh.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def q_warc_cdx_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive loop end-to-end (SURVEY X56 + the ``jobs/archive.py``
+    surface): real gzipped WARC shards (built deterministically from
+    the documents table) -> ``read_warc_captures`` (the production
+    binaryFile + mapInPandas reader: gzip members, WARC framing,
+    Content-Length octets, HTTP status line + bare Content-Type) ->
+    ``cdx_index`` over the REAL capture metadata. The oracle
+    re-derives every field from the synthesis rule, so any parser
+    drift — status, mime parameter strip, payload boundary, timestamp
+    — breaks the hash."""
+    from docling_serve_spark.operators.urltools import cdx_index
+    from docling_serve_spark.sources.warc import read_warc_captures
+
+    caps = read_warc_captures(spark, _warc_fixture_dir(sf_dir) + "/*.warc.gz")
+    return cdx_index(caps, mime_col="mime", status_col="http_status")
+
+
+ORACLE_WARC_CDX = (
+    "WITH p AS (SELECT doc_id, "
+    "'https://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.Example.com' || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) "
+    "|| '/Path/' || CAST(doc_id AS VARCHAR) "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url, "
+    "'202403' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+    "|| '123456' AS ts14, text FROM documents WHERE text <> ''), "
+    "c AS (SELECT doc_id, url, ts14, text, "
+    "regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
+    "'#.*$', '') AS u FROM p), "
+    "s AS (SELECT *, "
+    "regexp_replace(regexp_replace(regexp_extract(u, '^([^/?]+)', 1), "
+    "'^www\\.', ''), ':(80|443)$', '') AS host, "
+    "regexp_replace(u, '^[^/?]+', '') AS rest FROM c), "
+    "s2 AS (SELECT *, "
+    "CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/' "
+    "ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path, "
+    "regexp_extract(rest, '\\?(.*)$', 1) AS query FROM s) "
+    "SELECT array_to_string(list_reverse(string_split("
+    "regexp_replace(host, ':[0-9]+$', ''), '.')), ',') "
+    "|| regexp_extract(host, '(:[0-9]+)$', 1) "
+    "|| ')' || path || (CASE WHEN query <> '' THEN '?' || "
+    "array_to_string(list_sort(string_split(query, '&')), '&') "
+    "ELSE '' END) AS urlkey, "
+    "ts14, url, "
+    "(CASE WHEN doc_id % 6 = 0 THEN 'application/pdf' "
+    "ELSE 'text/html' END) AS mime, "
+    "CAST(CASE WHEN doc_id % 20 = 0 THEN 404 "
+    "WHEN doc_id % 11 = 0 THEN 301 ELSE 200 END AS INT) AS status, "
+    "sha256(text) AS digest, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS length FROM s2"
+)
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap URL discovery (X57): every 10th page is a sitemap
     declaring a crawled neighbor (whitespace-padded <loc> pins the
@@ -4920,6 +5045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_multitable": q_ann_recall_multitable,
     "first_seen_dedup": q_first_seen_dedup,
     "pipeline_pdf_modes": q_pipeline_pdf_modes,
+    "warc_cdx_pipeline": q_warc_cdx_pipeline,
     "pipeline_extract": q_pipeline_extract,
     "pipeline_metrics": q_pipeline_metrics,
     "media_audio_features": q_media_audio_features,
@@ -5040,6 +5166,7 @@ ORACLES: dict[str, str] = {
     "fetch_schedule": ORACLE_FETCH_SCHEDULE,
     "wet_export": ORACLE_WET_EXPORT,
     "cdx_index": ORACLE_CDX_INDEX,
+    "warc_cdx_pipeline": ORACLE_WARC_CDX,
     "sitemap_urls": ORACLE_SITEMAP_URLS,
     "revisit_stats": ORACLE_REVISIT_STATS,
     "c4_clean": ORACLE_C4_CLEAN,
