@@ -1216,6 +1216,12 @@ _RANGE_RE = re.compile(
     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
 )
 _TOUNI_RE = re.compile(r"/ToUnicode\s+(\d+)\s+0\s+R")
+#: Type0 /Encoding names with a fixed 2-byte code space (ISO 32000
+#: §9.7.5.2 predefined CMaps): Identity-H/V plus the UCS2/UTF16
+#: national-registry families (UniJIS-UCS2-H, UniGB-UTF16-V, ...).
+_T0_2B_ENC_RE = re.compile(
+    r"/Encoding\s*/(?:Identity-[HV]|Uni[A-Za-z0-9]+-(?:UCS2|UTF16)[A-Za-z0-9-]*-[HV])"
+)
 _RESOURCES_REF_RE = re.compile(r"/Resources\s+(\d+)\s+0\s+R")
 _FONT_DICT_RE = re.compile(r"/Font\s*<<(.*?)>>", re.DOTALL)
 _FONT_REF_RE = re.compile(r"/Font\s+(\d+)\s+0\s+R")
@@ -1392,6 +1398,22 @@ def _page_fonts(
                 enc = _font_encoding_map(objects, body)
                 if enc:
                     cache[ref_i] = _FontMap(1, enc)
+            if "/Type0" in body and _T0_2B_ENC_RE.search(body):
+                # composite (CID-keyed) font under a fixed-2-byte
+                # encoding CMap (ISO 32000 §9.7.6.2: Identity-H/V and
+                # the UCS2/UTF16 predefined CMaps): the CODE width is
+                # governed by the ENCODING CMap, not by whatever
+                # codespacerange the ToUnicode stream declares —
+                # subsetters routinely write <00><FF> there, which
+                # would split every 2-byte CID into two garbage bytes.
+                fm_ = cache[ref_i]
+                if fm_ is not None and fm_.width != 2:
+                    cache[ref_i] = _FontMap(2, fm_.map)
+                elif fm_ is None:
+                    # Identity-coded CIDs with no ToUnicode are glyph
+                    # ids, not characters — emit nothing rather than
+                    # latin-1 mojibake from raw CID bytes
+                    cache[ref_i] = _FontMap(2, {})
         if cache[ref_i] is not None:
             fonts[name] = cache[ref_i]
     return fonts

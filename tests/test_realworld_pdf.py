@@ -743,3 +743,86 @@ def test_tj_offsets_produce_word_spaces():
     assert "Standard Operating Procedures (SOP) Manual" in r.extracted_text
     assert "Table of Contents" in r.extracted_text
     assert "TableofContents" not in r.extracted_text
+
+
+# --------------- Type0 / CID composite fonts (ISO 32000 §9.7) ------ #
+
+def _type0_pdf() -> bytes:
+    """Synthetic CJK/Arabic composite-font fixture per ISO 32000 §9.7:
+    a /Type0 font under /Identity-H with a CIDFontType2 descendant and
+    a 2-byte ToUnicode CMap (bfchar incl. a surrogate-pair target,
+    bfrange); a second Type0 with NO ToUnicode (its Identity CIDs are
+    glyph ids — must emit nothing, never latin-1 mojibake); a third
+    whose ToUnicode lies about its codespace (<00><FF>) — the encoding
+    CMap, not the ToUnicode header, governs the 2-byte code width."""
+    tou = (b"/CIDInit /ProcSet findresource begin\n"
+           b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+           b"4 beginbfchar\n"
+           b"<0001> <65E5>\n<0002> <672C>\n<0003> <8A9E>\n"
+           b"<0008> <D842DFB7>\n"
+           b"endbfchar\n"
+           b"1 beginbfrange\n<0004> <0005> <0633>\nendbfrange\n"
+           b"endcmap end end")
+    tou_bad_cs = (b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+                  b"1 beginbfchar\n<0001> <03A7>\nendbfchar\nendcmap")
+    content = (b"BT /F1 14 Tf 1 0 0 1 72 700 Tm <000100020003> Tj "
+               b"1 0 0 1 72 680 Tm [<0004> -200 <0005>] TJ "
+               b"1 0 0 1 72 660 Tm <0008> Tj ET "
+               b"BT /F2 12 Tf 1 0 0 1 72 640 Tm <00060007> Tj ET "
+               b"BT /F3 12 Tf 1 0 0 1 72 620 Tm <0001> Tj ET")
+    plain = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R /F2 8 0 R /F3 9 0 R >> >> >>"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /TestCJK "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+            b"/ToUnicode 7 0 R >>"),
+        6: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCJK "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /DW 1000 /W [1 [600 600 600]] >>"),
+        8: (b"<< /Type /Font /Subtype /Type0 /BaseFont /NoToUni "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] >>"),
+        9: (b"<< /Type /Font /Subtype /Type0 /BaseFont /BadCodespace "
+            b"/Encoding /Identity-H /DescendantFonts [6 0 R] "
+            b"/ToUnicode 10 0 R >>"),
+    }
+    streams = {4: content, 7: tou, 10: tou_bad_cs}
+    out = [b"%PDF-1.5\n"]
+    for n in sorted(plain | streams):
+        if n in plain:
+            out.append(b"%d 0 obj\n%s\nendobj\n" % (n, plain[n]))
+        else:
+            s = streams[n]
+            out.append(
+                b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+                % (n, len(s), s)
+            )
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_type0_identity_h_cjk_and_arabic():
+    text = _extract_one(_type0_pdf())
+    assert "日本語" in text            # 2-byte bfchar codes
+    assert "س ش" in text              # bfrange + TJ gap -> word space
+    assert "\U00020BB7" in text       # surrogate-pair ToUnicode target
+
+
+def test_type0_without_tounicode_emits_nothing():
+    text = _extract_one(_type0_pdf())
+    # F2's <00060007> CIDs have no unicode mapping: nothing may leak
+    assert "\x06" not in text and "\x07" not in text
+
+
+def test_type0_encoding_overrides_tounicode_codespace():
+    text = _extract_one(_type0_pdf())
+    # F3's ToUnicode claims 1-byte codes; Identity-H forces 2-byte, so
+    # <0001> is ONE code -> U+03A7, never two split bytes
+    assert "Χ" in text
+
+
+def test_type0_full_pipeline_success():
+    r = extract_document(_type0_pdf(), name="type0.pdf")
+    assert r.status == "success"
+    assert "日本語" in r.extracted_text
