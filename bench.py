@@ -392,11 +392,68 @@ def sf1_extract() -> None:
     spark.stop()
 
 
+#: the shuffle-bearing operators whose 100 TB claims get a measured
+#: second decade (sf0.1 -> 10x documents at fixed local[CPUS]):
+#: banded-LSH dedup, Manku probe-table dedup, link extraction +
+#: bigint PageRank power iteration, the composed 4-gate mixture, and
+#: the char-LM scoring pass.
+SF1_OPS = ["dedup_minhash", "simhash_neardup", "outlink_pagerank",
+           "corpus_mixture", "charlm_score"]
+
+
+def sf1_ops() -> None:
+    """Data-scaling decade for the heavy catalog operators: each op is
+    timed (min-of-2, after a warm-up pass) at sf0.1's 5k documents and
+    at a 10x replica corpus with fully disjoint token sets (see
+    _ensure_scaled_docs for why replicas must not be near-dups), both
+    at local[CPUS]. ``linearity`` = t_10x / (10 * t_1x): 1.0 is
+    perfectly linear work growth; values well under 1 mean the sf0.1
+    row is mostly fixed cost (stage scheduling + codegen), which the
+    bigger corpus amortizes — the regime a 100 TB run lives in.
+    Values over ~1.2 would flag super-linear work (a quadratic pair
+    blow-up or a spill cliff)."""
+    from docling_serve_spark.queries import QUERIES
+    from docling_serve_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-sf1-ops", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS,
+                      files_max_partition_bytes=BENCH_SPLIT_BYTES)
+    big_dir = _ensure_scaled_docs(spark, factor=10)
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    load_pre = _host_load_sample()
+    rows = {}
+    for op in SF1_OPS:
+        _force(QUERIES[op](spark, SF_DIR))  # warm-up: workers + JIT
+        t1 = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(QUERIES[op](spark, SF_DIR))
+            t1 = min(t1, time.time() - t0)
+        t10 = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(QUERIES[op](spark, big_dir))
+            t10 = min(t10, time.time() - t0)
+        rows[op] = {
+            "t_sf01_sec": round(t1, 3),
+            "t_10x_sec": round(t10, 3),
+            "linearity": round(t10 / (10 * t1), 3),
+        }
+    print(json.dumps({
+        "metric": "operator data-scaling decade (sf0.1 vs 10x docs)",
+        "cpus": CPUS, "ops": rows,
+        "host_load": {"pre": load_pre, "post": _host_load_sample()},
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-scaling", action="store_true")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--sf1-extract", action="store_true")
+    ap.add_argument("--sf1-ops", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--op", default=None,
                     help="with --scaling-worker / --op-scaling: time "
@@ -450,6 +507,9 @@ def main() -> None:
         return
     if args.sf1_extract:
         sf1_extract()
+        return
+    if args.sf1_ops:
+        sf1_ops()
         return
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
