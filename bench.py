@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "host_quota",
     "token_budget_select",
     "pack_sequences",
+    "trustrank",
+    "host_vocab_kmv",
+    "winnow_fingerprints",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -787,3 +787,79 @@ def dup_cluster_stats(components: DataFrame) -> DataFrame:
             .cast("bigint").alias("n_removable"),
         )
     )
+
+
+#: winnowing key packing: key = h32 * 2^31 + (2^31 - 1 - pos). A plain
+#: integer MIN then implements (hash asc, position DESC) — the
+#: rightmost-minimum tie rule — in one window aggregate on any engine.
+#: 32 + 31 = 63 bits: exact int64, no wraparound for pos < 2^31.
+_WIN_POS_SPAN = 1 << 31
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, fp) — winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003 — the MOSS scheme): hash every word
+    k-gram, slide a window of ``w`` consecutive hashes, select each
+    window's minimum with the RIGHTMOST-minimum tie rule, and collapse
+    repeated selections across overlapping windows. The guarantee the
+    sampling schemes it replaced lack: any shared run of ≥ w+k-1
+    tokens between two documents yields at least one IDENTICAL
+    fingerprint in both — so a fingerprint equi-join finds partial
+    (passage-level) overlap that whole-document MinHash dilutes away.
+
+    The tie rule rides one integer MIN: key = h32·2^31 + (2^31-1-pos)
+    minimizes by (hash asc, pos desc) — bit-identical across engines,
+    no struct comparators. Documents with fewer than ``w`` k-grams get
+    one window over all of them (their single rightmost-min), so every
+    non-trivial document carries ≥ 1 fingerprint.
+
+    Scale shape: explode to (doc, pos, hash) — the same row count the
+    shingle pass of MinHash pays — then ONE partition-local window
+    (partitionBy doc, orderBy pos: rows of one document, never a
+    global sort) and a distinct on the selected triples; output is
+    ~2/(w+1) of the gram count (the paper's expected density)."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= k,
+        F.transform(
+            F.sequence(F.lit(1), (n_tok - k + 1).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(grams).alias("__pos", "__gram"),
+    ).select(
+        "__id",
+        "__pos",
+        (
+            F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10)
+            .cast("bigint") * F.lit(_WIN_POS_SPAN)
+            + (F.lit(_WIN_POS_SPAN - 1) - F.col("__pos"))
+        ).cast("bigint").alias("__key"),
+    )
+    win = (
+        Window.partitionBy("__id").orderBy("__pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    m = Window.partitionBy("__id")
+    sel = (
+        rows.withColumn("__wmin", F.min("__key").over(win))
+        .withColumn("__m", F.count("*").over(m))
+        .filter(F.col("__pos") <= F.greatest(F.col("__m") - w, F.lit(0)))
+    )
+    return (
+        sel.select(
+            F.col("__id").cast("bigint").alias(id_col),
+            (F.lit(_WIN_POS_SPAN - 1) - F.col("__wmin") % _WIN_POS_SPAN)
+            .cast("bigint").alias("pos"),
+            F.expr(f"__wmin div {_WIN_POS_SPAN}").cast("bigint").alias("fp"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,87 @@
+"""Bounded-size cardinality sketches for corpus statistics.
+
+A 100 TB corpus team constantly asks "how many distinct X per Y" —
+distinct tokens per host (vocabulary growth), distinct urls per
+domain, distinct shingles per source — where the exact answer is a
+giant shuffle of the distinct values themselves. A K-Minimum-Values
+synopsis (Bar-Yossef et al., RANDOM 2002; Beyer, Haas, Reinwald,
+Sismanis & Gemulla, "On Synopses for Distinct-Value Estimation Under
+Multiset Operations", SIGMOD 2007) keeps only the k smallest hash
+values per group and estimates n ≈ (k-1)/h_(k) for uniform hashes on
+[0,1); unlike HyperLogLog it is exact below k, mergeable by taking
+the k smallest of a union, and — built on a DETERMINISTIC hash —
+bit-reproducible across engines and partitionings (the property every
+oracle in this repo rides; probabilistic-register sketches are not).
+
+Reference anchor: the reference counts corpus-level distincts
+driver-side (docling_serve/datamodel/results.py aggregates per-batch
+counters); at crawl scale the synopsis replaces the exact pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from docling_serve_spark.operators.sampling import md5_hash48
+
+#: hash domain: md5_hash48 is uniform on [0, 2^48)
+_KMV_DOMAIN = 1 << 48
+
+
+def kmv_distinct(items: DataFrame, group_col: str, item_col: str,
+                 k: int = 32) -> DataFrame:
+    """(group, n_kept, kth_hash, est_distinct) — KMV distinct-count
+    synopsis per group over STRING items.
+
+    est = ((k-1) << 48) div h_(k) when the group carries ≥ k distinct
+    items (the Beyer et al. unbiased estimator in pure int64 —
+    (k-1)·2^48 ≤ 2^54 for k ≤ 64, six decades of headroom), else the
+    kept count is already exact and ``kth_hash`` is NULL. 48-bit
+    collisions merge two distinct items into one hash slot
+    (n·2^-48 relative bias — invisible below 10^12 distincts).
+
+    Scale shape: one distinct on (group, item) — the same shuffle any
+    exact count pays ONCE — then a per-group rank over hash values and
+    a k-row-per-group aggregate; the synopsis (k bigints per group) is
+    what ships to the driver/warehouse, and two crawls' synopses merge
+    by re-ranking their union, never re-reading pages."""
+    hashed = (
+        items.select(F.col(group_col).alias("grp"),
+                     F.col(item_col).alias("it"))
+        .where(F.col("it").isNotNull())
+        .distinct()
+        .select("grp", md5_hash48(F.col("it")).alias("h"))
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    kept = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = kept.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").cast("bigint").alias("max_h"),
+    )
+    full = F.col("n_kept") >= k
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        F.when(full, F.col("max_h")).cast("bigint").alias("kth_hash"),
+        F.when(
+            full,
+            F.expr(f"CAST({(k - 1) * _KMV_DOMAIN} AS BIGINT) "
+                   "div greatest(max_h, 1)"),
+        ).otherwise(F.col("n_kept")).cast("bigint").alias("est_distinct"),
+    )
+
+
+def host_vocab_sketch(docs: DataFrame, text_col: str = "text",
+                      host_col: str = "host", k: int = 32) -> DataFrame:
+    """Per-host distinct-token estimate: tokenize, explode, KMV. The
+    vocabulary-growth signal source teams track per host (template
+    farms have tiny vocabularies at huge page counts)."""
+    toks = docs.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    return kmv_distinct(toks, "host", "tok", k=k)

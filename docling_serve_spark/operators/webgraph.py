@@ -197,6 +197,73 @@ def host_pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
 
 
+def trustrank(edges: DataFrame, seeds: list[str],
+              iterations: int = 3) -> DataFrame:
+    """(host, trust_nano, trust, is_seed) — TrustRank (Gyöngyi,
+    Garcia-Molina & Pedersen, "Combating Web Spam with TrustRank",
+    VLDB 2004): a power iteration identical to ``host_pagerank``
+    except the teleport mass lands ONLY on a hand-vetted seed set, so
+    trust decays with link distance from the seeds and link-farm
+    neighborhoods (which inflate vanilla PageRank) receive almost
+    none. Corpus pipelines weight sources by trust and flag
+    high-PageRank/low-trust hosts as spam (the paper's "spam mass").
+
+    Same NANO-bigint arithmetic as host_pagerank (d = 17/20 exact
+    rational, floor division everywhere) so results are
+    bit-reproducible across engines and partitionings:
+
+      r_0(v)    = SCALE // |seeds| if v ∈ seeds else 0
+      r_{k+1}(v)= [v ∈ seeds] * (SCALE*(20-17)) // (20*|seeds|)
+                  + floor(17 * Σ_{u→v} floor(r_k(u)/outdeg(u)) / 20)
+
+    Scale shape: identical to host_pagerank — the seed set is a
+    literal isin() filter (thousands of hosts at most, Open Directory
+    scale in the paper), each round one equi-join + one partial-agg
+    sum on the host-grain graph."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n_seeds = max(len(seeds), 1)
+    is_seed = F.col("host").isin(list(seeds))
+    odeg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("odeg"))
+    seed_base = (_SCALE * (_D_DEN - _D_NUM)) // (_D_DEN * n_seeds)
+    r = nodes.withColumn(
+        "r",
+        F.when(is_seed, F.lit(_SCALE // n_seeds)).otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e["src"] == r["host"])
+            .join(odeg, "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.floor(F.col("r") / F.col("odeg")).cast("bigint").alias("c"),
+            )
+        )
+        s = contrib.groupBy("host").agg(F.sum("c").cast("bigint").alias("s"))
+        r = nodes.join(s, "host", "left").select(
+            "host",
+            (
+                F.when(is_seed, F.lit(seed_base)).otherwise(F.lit(0))
+                + F.floor(
+                    F.lit(_D_NUM)
+                    * F.coalesce(F.col("s"), F.lit(0))
+                    / F.lit(_D_DEN)
+                )
+            ).cast("bigint").alias("r"),
+        )
+    return r.select(
+        "host",
+        F.col("r").alias("trust_nano"),
+        F.round(F.col("r") / F.lit(float(_SCALE)), 6).alias("trust"),
+        is_seed.alias("is_seed"),
+    )
+
+
 def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
                           min_out_degree: int = 2) -> DataFrame:
     """(host, out_degree, n_reciprocal, reciprocal_bp, is_farm) —

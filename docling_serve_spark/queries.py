@@ -1373,6 +1373,139 @@ def _pagerank_oracle(iterations: int = 3,
 ORACLE_HOST_PAGERANK = _pagerank_oracle(3)
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (X77): seed-personalized PageRank over the same
+    hub-skew edge synthesis as X39, seeds {h0, h1} — h0/h1 are hub
+    targets (three quarters of docs link into h0-h4), so trust
+    propagates through the hubs while far periphery hosts get ~0;
+    vanilla PageRank ranks the same hubs WITHOUT distinguishing
+    seed-reachable from spam-reachable mass."""
+    return webgraph.trustrank(
+        _hub_edges(_t(spark, sf_dir, "documents")),
+        seeds=["h0", "h1"], iterations=3,
+    )
+
+
+def _trustrank_oracle(iterations: int = 3) -> str:
+    """Unrolled TrustRank CTEs: the X39 power iteration with teleport
+    mass confined to the seed set (uniform start over seeds, per-round
+    seed-only base term)."""
+    in_seeds = "IN ('h0', 'h1')"
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        "CASE WHEN (doc_id // 25) % 4 < 3 "
+        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+        "END AS dst FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT host FROM "
+        "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
+        "odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg "
+        "FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT host, CASE WHEN host {in_seeds} "
+        "THEN CAST(floor(1000000000.0 / 2) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT dst AS host, CAST(sum(CAST(floor("
+            f"CAST(r AS DOUBLE) / odeg) AS BIGINT)) AS BIGINT) AS s "
+            f"FROM edges JOIN r{i-1} ON edges.src = r{i-1}.host "
+            f"JOIN odeg USING (src) GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n2.host, "
+            f"(CASE WHEN n2.host {in_seeds} "
+            f"THEN CAST(floor(3000000000.0 / (20 * 2)) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END) + "
+            f"CAST(floor(17.0 * coalesce(s, 0) / 20) AS BIGINT) AS r "
+            f"FROM nodes n2 LEFT JOIN s{i} ON n2.host = s{i}.host)"
+        )
+    last = f"r{iterations}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT host, r AS trust_nano, "
+        "round(r / 1000000000.0, 6) AS trust, "
+        f"host {in_seeds} AS is_seed FROM {last}"
+    )
+
+
+ORACLE_TRUSTRANK = _trustrank_oracle(3)
+
+
+def q_host_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count synopsis (X78): per-host distinct-token
+    estimates at k=16. Every 13th doc becomes a SINGLETON host with a
+    two-token stub page, pinning the exact-below-k branch (n_kept 2,
+    kth_hash NULL) beside the estimator branch the big hosts take."""
+    from docling_serve_spark.operators.sketches import host_vocab_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    synth = docs.select(
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.lit("tiny"), i))
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".com"))).alias("host"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("stub page"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return host_vocab_sketch(synth, k=16)
+
+
+ORACLE_HOST_VOCAB_KMV = (
+    "WITH d AS (SELECT "
+    "CASE WHEN doc_id % 13 = 0 THEN 'tiny' || CAST(doc_id AS VARCHAR) "
+    "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.com' END AS host, "
+    "CASE WHEN doc_id % 13 = 0 THEN 'stub page' "
+    "ELSE lower(trim(text)) END AS t FROM documents), "
+    "tok AS (SELECT DISTINCT host, unnest(regexp_split_to_array(t, "
+    "'\\s+')) AS tok FROM d), "
+    "hh AS (SELECT host, "
+    "CAST(('0x' || substr(md5(tok), 1, 12))::UBIGINT AS BIGINT) AS h "
+    "FROM tok WHERE tok <> ''), "
+    "r AS (SELECT host, h, row_number() OVER "
+    "(PARTITION BY host ORDER BY h) AS rn FROM hh), "
+    "a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_kept, "
+    "CAST(max(h) AS BIGINT) AS max_h FROM r WHERE rn <= 16 GROUP BY 1) "
+    "SELECT host, n_kept, "
+    "CASE WHEN n_kept >= 16 THEN max_h END AS kth_hash, "
+    "CAST(CASE WHEN n_kept >= 16 THEN "
+    f"{15 * (1 << 48)} // greatest(max_h, 1) "
+    "ELSE n_kept END AS BIGINT) AS est_distinct FROM a"
+)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (X79, the MOSS scheme) over the raw
+    documents table: 3-gram hashes, window 4, rightmost-min tie rule
+    — the oracle re-runs the identical packed-key window algebra in
+    SQL, so selection, tie-breaking, dedup across overlapping windows,
+    and the short-document single-window path all hash-match."""
+    from docling_serve_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+ORACLE_WINNOW = (
+    "WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), "
+    "'\\s+') AS ws FROM documents), "
+    "g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, "
+    "array_to_string(ws[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram "
+    "FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i "
+    "FROM d WHERE len(ws) >= 3)), "
+    "h AS (SELECT doc_id, pos, "
+    "CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT AS BIGINT) "
+    "* 2147483648 + (2147483647 - pos) AS key FROM g), "
+    "wm AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin, "
+    "count(*) OVER (PARTITION BY doc_id) AS m FROM h) "
+    "SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(2147483647 - (wmin % 2147483648) AS BIGINT) AS pos, "
+    "CAST(wmin // 2147483648 AS BIGINT) AS fp "
+    "FROM wm WHERE pos <= greatest(m - 4, 0)"
+)
+
+
 def _outlink_pages(docs: DataFrame) -> DataFrame:
     """Pages whose html carries every href class the extractor must
     route: relative (dropped), absolute external (kept), absolute
@@ -5053,6 +5186,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    # new in round 4 (behind the 50-entry driver window on purpose —
+    # the window is reserved for the never-driver-checked backlog;
+    # front-load these next round)
+    "trustrank": q_trustrank,
+    "host_vocab_kmv": q_host_vocab_kmv,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "quality_scoring": q_quality_scoring,
     "ocr_mode_dispatch": q_ocr_mode_dispatch,
     "ai_vision_dispatch": q_ai_vision_dispatch,
@@ -5149,6 +5288,9 @@ ORACLES: dict[str, str] = {
     "url_blocklist": ORACLE_URL_BLOCKLIST,
     "robots_filter": ORACLE_ROBOTS,
     "host_pagerank": ORACLE_HOST_PAGERANK,
+    "trustrank": ORACLE_TRUSTRANK,
+    "host_vocab_kmv": ORACLE_HOST_VOCAB_KMV,
+    "winnow_fingerprints": ORACLE_WINNOW,
     "outlink_edges": ORACLE_OUTLINK_EDGES,
     "outlink_pagerank": ORACLE_OUTLINK_PAGERANK,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,

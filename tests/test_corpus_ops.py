@@ -1946,3 +1946,82 @@ def test_title_dup_candidates_hand_computed(spark):
     assert not got["https://e.com/c"]["is_candidate"]
     for u in ("https://e.com/d", "https://e.com/e"):
         assert got[u]["group_size"] == 0 and not got[u]["is_candidate"]
+
+
+def test_trustrank_seed_decay_and_spam_blindness(spark):
+    """TrustRank property (Gyöngyi et al. 2004): trust flows only from
+    the seed set — a high-in-degree host unreachable from the seeds
+    gets ZERO trust (where PageRank would reward it). One damped round
+    hand-computed in nano-units."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        [("S", "A"), ("A", "B"),
+         ("X", "P"), ("Y", "P"), ("Z", "P")],  # spam cluster, seed-unreachable
+        "src string, dst string",
+    )
+    got = {r["host"]: r for r in
+           webgraph.trustrank(edges, seeds=["S"], iterations=1).collect()}
+    # r0: S=10^9, rest 0. Round 1: seed base = 3*10^9 // 20 = 150e6;
+    # A receives floor(17 * 10^9 / 20); everything else 0.
+    assert got["S"]["trust_nano"] == 150_000_000 and got["S"]["is_seed"]
+    assert got["A"]["trust_nano"] == 850_000_000
+    assert got["B"]["trust_nano"] == 0
+    assert got["P"]["trust_nano"] == 0 and not got["P"]["is_seed"]
+    # PageRank, blind to seeds, ranks the spam target highest
+    pr = {r["host"]: r["rank_nano"] for r in
+          webgraph.host_pagerank(edges, iterations=1).collect()}
+    assert pr["P"] == max(pr.values())
+    # trust keeps decaying with distance once it propagates
+    got3 = {r["host"]: r["trust_nano"] for r in
+            webgraph.trustrank(edges, seeds=["S"], iterations=3).collect()}
+    assert got3["S"] > 0 and got3["A"] > got3["B"] > 0
+    assert got3["P"] == 0
+
+
+def test_kmv_exact_below_k_and_estimate_accuracy(spark):
+    from docling_serve_spark.operators.sketches import kmv_distinct
+
+    rows = ([Row(g="big", it=f"tok{i}") for i in range(500)]
+            + [Row(g="small", it=w) for w in ("a", "b", "c")]
+            + [Row(g="small", it="a")])  # duplicate: distinct first
+    items = spark.createDataFrame(rows)
+    got = {r["g"]: r for r in
+           kmv_distinct(items, "g", "it", k=32).collect()}
+    s = got["small"]
+    assert s["n_kept"] == 3 and s["kth_hash"] is None
+    assert s["est_distinct"] == 3  # exact below k
+    b = got["big"]
+    assert b["n_kept"] == 32 and b["kth_hash"] is not None
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 18%; generous 35% band
+    assert 325 <= b["est_distinct"] <= 675, b["est_distinct"]
+
+
+def test_winnowing_guarantee_tie_rule_and_short_docs(spark):
+    """The SIGMOD-03 guarantee: a shared token run of length
+    >= w + k - 1 (here 6) yields at least one identical fingerprint in
+    both documents. Plus the rightmost-min tie rule on a repeated-gram
+    document and the single-window path for short documents."""
+    from docling_serve_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="aa bb cc dd ee ff gg hh"),
+        Row(doc_id=2, text="zz cc dd ee ff gg hh xx"),   # shares 6-run
+        Row(doc_id=3, text="a a a a a a"),               # all grams tie
+        Row(doc_id=4, text="p q r s"),                   # 2 grams < w
+        Row(doc_id=5, text="x y"),                       # no 3-gram at all
+    ])
+    out = winnow_fingerprints(docs, k=3, w=4)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    fps1 = {fp for _, fp in by_doc[1]}
+    fps2 = {fp for _, fp in by_doc[2]}
+    assert fps1 & fps2, "shared >= w+k-1 run must share a fingerprint"
+    # doc 3: 4 identical gram hashes, one window (m - w = 0) -> the
+    # RIGHTMOST position wins the tie
+    assert by_doc[3] == [(3, by_doc[3][0][1])]
+    # doc 4: fewer grams than the window -> exactly one fingerprint,
+    # the rightmost of the tie-free pair's minimum
+    assert len(by_doc[4]) == 1
+    assert 5 not in by_doc  # shorter than one k-gram: no fingerprints

@@ -61,6 +61,9 @@ INVARIANCE_QUERIES = [
     "host_health",      # per-page signal join + host rollup
     "title_dedup",      # fp groupBy + membership join
     "rep_ngram3_stats", # k=3 gram aggregation
+    "trustrank",        # seed-personalized power iteration
+    "host_vocab_kmv",   # per-group k-smallest-hash rank
+    "winnow_fingerprints",  # packed-key window min + distinct
 ]
 
 
