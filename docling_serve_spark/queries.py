@@ -5130,11 +5130,11 @@ def _oracle_pipeline_pdf_modes() -> str:
 # ----------------------------------------------------------------- #
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Insertion order is the driver's correctness-sampling order (the per-round
-    # gate checks a prefix of this dict). Round-4 reorder: the 43 queries that
-    # had never received an official driver CORRECTNESS row (r1-r3 sampled the
-    # old prefix), then the composed pipelines and the stalest r2-green rows,
-    # then everything already proven green in r2/r3.
+    # Insertion order is the driver's correctness-sampling order (the
+    # per-round gate checks a prefix of this dict). The first 50 entries
+    # are exactly the queries with no official green driver row: the 43
+    # never-sampled from rounds 1-3, the new round-4 operators, and the
+    # three r1 oracle-shape failures fixed in r2 but never re-sampled.
     "revisit_stats": q_revisit_stats,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
@@ -5182,16 +5182,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_extract": q_pipeline_extract,
     "pipeline_metrics": q_pipeline_metrics,
     "media_audio_features": q_media_audio_features,
+    "trustrank": q_trustrank,
+    "host_vocab_kmv": q_host_vocab_kmv,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
-    # new in round 4 (behind the 50-entry driver window on purpose —
-    # the window is reserved for the never-driver-checked backlog;
-    # front-load these next round)
-    "trustrank": q_trustrank,
-    "host_vocab_kmv": q_host_vocab_kmv,
-    "winnow_fingerprints": q_winnow_fingerprints,
     "quality_scoring": q_quality_scoring,
     "ocr_mode_dispatch": q_ocr_mode_dispatch,
     "ai_vision_dispatch": q_ai_vision_dispatch,
