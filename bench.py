@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "pack_sequences",
     "trustrank",
+    "spam_mass",
     "host_vocab_kmv",
     "winnow_fingerprints",
     "ann_bruteforce",

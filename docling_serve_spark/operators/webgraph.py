@@ -264,6 +264,40 @@ def trustrank(edges: DataFrame, seeds: list[str],
     )
 
 
+def spam_mass(edges: DataFrame, seeds: list[str], iterations: int = 3,
+              threshold_bp: int = 9000) -> DataFrame:
+    """(host, rank_nano, trust_nano, spam_mass_bp, is_spam) — relative
+    spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, "Link Spam
+    Detection Based on Mass Estimation", VLDB 2006): the fraction of a
+    host's PageRank NOT explainable by trusted sources,
+    ``(rank - trust) / rank``. Hosts whose rank is almost entirely
+    spam-sourced (mass ≥ threshold) are the link-spam verdicts corpus
+    pipelines subtract before domain-mix sampling.
+
+    Pure composition of the two proven power iterations over ONE
+    shared edge list; the ratio is integer basis points via bigint
+    ``div`` (rank_nano ≤ 10^9 ⇒ 10^4·rank fits int64 with six decades
+    of headroom). Trust can exceed rank on seed hosts (teleport mass
+    concentrates on |seeds| instead of n) — mass clamps at 0, per the
+    paper's max(0, ·)."""
+    pr = host_pagerank(edges, iterations=iterations).select(
+        "host", "rank_nano"
+    )
+    tr = trustrank(edges, seeds, iterations=iterations).select(
+        "host", "trust_nano"
+    )
+    j = pr.join(tr, "host")
+    mass = F.expr(
+        "(10000 * greatest(rank_nano - trust_nano, 0)) "
+        "div greatest(rank_nano, 1)"
+    ).cast("bigint")
+    return j.select(
+        "host", "rank_nano", "trust_nano",
+        mass.alias("spam_mass_bp"),
+        (mass >= threshold_bp).alias("is_spam"),
+    )
+
+
 def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
                           min_out_degree: int = 2) -> DataFrame:
     """(host, out_degree, n_reciprocal, reciprocal_bp, is_farm) —

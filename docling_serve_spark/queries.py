@@ -1433,6 +1433,57 @@ def _trustrank_oracle(iterations: int = 3) -> str:
 ORACLE_TRUSTRANK = _trustrank_oracle(3)
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (X80, Gyöngyi et al. VLDB 2006): the X39
+    PageRank and X77 TrustRank iterations composed over one edge
+    list; mass = basis points of rank not explainable by the seeds."""
+    return webgraph.spam_mass(
+        _hub_edges(_t(spark, sf_dir, "documents")),
+        seeds=["h0", "h1"], iterations=3,
+    )
+
+
+def _spam_mass_oracle(iterations: int = 3) -> str:
+    """PageRank CTEs (r0..rN) + trust CTEs under disjoint names
+    (t0..tN/u1..uN) sharing the same edges/nodes/odeg, then the
+    integer basis-point mass."""
+    in_seeds = "IN ('h0', 'h1')"
+    ctes = _pagerank_ctes(iterations)
+    ctes.append(
+        f"t0 AS (SELECT host, CASE WHEN host {in_seeds} "
+        "THEN CAST(floor(1000000000.0 / 2) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END AS r FROM nodes)"
+    )
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"u{i} AS (SELECT dst AS host, CAST(sum(CAST(floor("
+            f"CAST(r AS DOUBLE) / odeg) AS BIGINT)) AS BIGINT) AS s "
+            f"FROM edges JOIN t{i-1} ON edges.src = t{i-1}.host "
+            f"JOIN odeg USING (src) GROUP BY 1)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT n2.host, "
+            f"(CASE WHEN n2.host {in_seeds} "
+            f"THEN CAST(floor(3000000000.0 / (20 * 2)) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END) + "
+            f"CAST(floor(17.0 * coalesce(s, 0) / 20) AS BIGINT) AS r "
+            f"FROM nodes n2 LEFT JOIN u{i} ON n2.host = u{i}.host)"
+        )
+    n = iterations
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT host, rank_nano, trust_nano, spam_mass_bp, "
+        "spam_mass_bp >= 9000 AS is_spam FROM ("
+        f"SELECT r{n}.host, r{n}.r AS rank_nano, t{n}.r AS trust_nano, "
+        f"CAST((10000 * greatest(r{n}.r - t{n}.r, 0)) "
+        f"// greatest(r{n}.r, 1) AS BIGINT) AS spam_mass_bp "
+        f"FROM r{n} JOIN t{n} ON r{n}.host = t{n}.host) z"
+    )
+
+
+ORACLE_SPAM_MASS = _spam_mass_oracle(3)
+
+
 def q_host_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count synopsis (X78): per-host distinct-token
     estimates at k=16. Every 13th doc becomes a SINGLETON host with a
@@ -5181,10 +5232,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_cdx_pipeline": q_warc_cdx_pipeline,
     "pipeline_extract": q_pipeline_extract,
     "pipeline_metrics": q_pipeline_metrics,
-    "media_audio_features": q_media_audio_features,
     "trustrank": q_trustrank,
     "host_vocab_kmv": q_host_vocab_kmv,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "spam_mass": q_spam_mass,
+    "media_audio_features": q_media_audio_features,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "dedup_embedding": q_dedup_embedding,
@@ -5286,6 +5338,7 @@ ORACLES: dict[str, str] = {
     "robots_filter": ORACLE_ROBOTS,
     "host_pagerank": ORACLE_HOST_PAGERANK,
     "trustrank": ORACLE_TRUSTRANK,
+    "spam_mass": ORACLE_SPAM_MASS,
     "host_vocab_kmv": ORACLE_HOST_VOCAB_KMV,
     "winnow_fingerprints": ORACLE_WINNOW,
     "outlink_edges": ORACLE_OUTLINK_EDGES,

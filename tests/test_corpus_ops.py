@@ -2025,3 +2025,23 @@ def test_winnowing_guarantee_tie_rule_and_short_docs(spark):
     # the rightmost of the tie-free pair's minimum
     assert len(by_doc[4]) == 1
     assert 5 not in by_doc  # shorter than one k-gram: no fingerprints
+
+
+def test_spam_mass_flags_seed_unreachable_rank(spark):
+    """VLDB-06 property: the spam cluster's target collects PageRank
+    but zero trust -> spam_mass_bp = 10000 and is_spam; the seed and
+    its trust-fed neighbors stay below threshold; mass clamps at 0
+    where trust exceeds rank (teleport concentrates on the seed)."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        [("S", "A"), ("A", "B"),
+         ("X", "P"), ("Y", "P"), ("Z", "P")],
+        "src string, dst string",
+    )
+    got = {r["host"]: r for r in
+           webgraph.spam_mass(edges, seeds=["S"], iterations=2).collect()}
+    assert got["P"]["spam_mass_bp"] == 10000 and got["P"]["is_spam"]
+    assert got["S"]["spam_mass_bp"] == 0 and not got["S"]["is_spam"]
+    assert got["A"]["spam_mass_bp"] == 0  # trust > rank: clamped
+    assert not got["B"]["is_spam"]

@@ -62,6 +62,7 @@ INVARIANCE_QUERIES = [
     "title_dedup",      # fp groupBy + membership join
     "rep_ngram3_stats", # k=3 gram aggregation
     "trustrank",        # seed-personalized power iteration
+    "spam_mass",        # two power iterations + ratio join
     "host_vocab_kmv",   # per-group k-smallest-hash rank
     "winnow_fingerprints",  # packed-key window min + distinct
 ]
