@@ -450,3 +450,36 @@ def test_vocab_topk_uses_takeordered_not_global_sort(spark):
     plan = _plan(spark, QUERIES["vocab_topk"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_trustrank_no_cartesian_partial_aggs(spark):
+    """The seed-personalized power iteration must stay equi-join +
+    map-side-combined aggregation per round — identical plan class to
+    host_pagerank (no cartesian expansion from the seed literals)."""
+    plan = _plan(spark, QUERIES["trustrank"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_spam_mass_no_cartesian(spark):
+    plan = _plan(spark, QUERIES["spam_mass"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_sketch_distinct_is_partial_and_rank_is_windowed(spark):
+    """The synopsis pays ONE distinct (partial + final HashAggregate)
+    and ONE per-group rank; nothing cartesian, no global sort."""
+    plan = _plan(spark, QUERIES["host_vocab_kmv"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "Sort [h" not in plan.replace("local", "")  # no global sort node on hash alone
+
+
+def test_winnow_window_is_partition_local(spark):
+    """The selection window must partition by document — an
+    unpartitioned window would funnel the whole corpus through one
+    task (Spark even warns 'No Partition Defined')."""
+    plan = _plan(spark, QUERIES["winnow_fingerprints"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(__id" in plan
