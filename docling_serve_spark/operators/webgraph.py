@@ -353,6 +353,83 @@ def spam_mass(edges: DataFrame, seeds: list[str], iterations: int = 3,
     )
 
 
+def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """(host, hub_nano, auth_nano, hub, auth) — HITS hubs & authorities
+    (Kleinberg, "Authoritative Sources in a Hyperlinked Environment",
+    JACM 1999) over the distinct self-loop-free host edge list.
+    Authorities are hosts pointed at by good hubs; hubs are hosts
+    pointing at good authorities — the complementary centrality to
+    PageRank that crawl pipelines use to find *directories/portals*
+    (hubs) worth deep-crawling and to separate linked-to authority
+    content from the link-page scaffolding around it.
+
+    Integer discipline: scores live in NANO units. Each half-round is
+      h_raw(u) = Σ_{u→v} a(v)   then   h = (SCALE·h_raw) div max(h_raw)
+      a_raw(v) = Σ_{u→v} h(u)   then   a = (SCALE·a_raw) div max(a_raw)
+    from the uniform start a_0 = SCALE. Max-normalization replaces the
+    usual L2 norm (a square root is not engine-exact); the fixed point
+    is the same principal eigenvector direction, and every step is
+    integer sum + integer floor-division, so results are
+    bit-reproducible across Spark, DuckDB, and any partitioning.
+    The SCALE·h_raw product runs in DECIMAL(38,0) (DuckDB promotes
+    BIGINT·BIGINT to HUGEINT; Spark would wrap): h_raw ≤ 10^9·indeg,
+    so int64 would overflow past indeg ≈ 9 — decimal is exact to
+    h_raw < 10^29, far beyond any real in-degree.
+
+    Scale shape: same regime as ``host_pagerank`` — the host graph is
+    millions of rows where the page table is trillions. Each
+    half-round is one hash equi-join + one partial-agg sum; the
+    normalizer is a ONE-ROW max broadcast back with a crossJoin
+    (never a window over the node table)."""
+    if iterations < 1:
+        raise ValueError("hits() needs at least one iteration")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    norm = F.expr(
+        "CAST((CAST(1000000000 AS DECIMAL(38,0)) * raw) "
+        "div greatest(m, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+    )
+
+    def _half(score: DataFrame, key: str, out: str) -> DataFrame:
+        # key = 'dst' sums a(v) over out-links into hub scores keyed
+        # on src; key = 'src' sums h(u) over in-links into authority
+        # scores keyed on dst.
+        other = "src" if key == "dst" else "dst"
+        raw = (
+            e.join(score, e[key] == score["host"])
+            .groupBy(F.col(other).alias("host"))
+            .agg(F.sum("s").cast("decimal(38,0)").alias("raw"))
+        )
+        m = raw.agg(F.max("raw").alias("m"))
+        return (
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "host",
+                F.coalesce(norm, F.lit(0)).cast("bigint").alias(out),
+            )
+        )
+
+    a = nodes.withColumn("a", F.lit(_SCALE).cast("bigint"))
+    for _ in range(iterations):
+        h = _half(a.select("host", F.col("a").alias("s")), "dst", "h")
+        a = _half(h.select("host", F.col("h").alias("s")), "src", "a")
+    return (
+        h.join(a, "host")
+        .select(
+            "host",
+            F.col("h").alias("hub_nano"),
+            F.col("a").alias("auth_nano"),
+            F.round(F.col("h") / F.lit(float(_SCALE)), 6).alias("hub"),
+            F.round(F.col("a") / F.lit(float(_SCALE)), 6).alias("auth"),
+        )
+    )
+
+
 def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
                           min_out_degree: int = 2) -> DataFrame:
     """(host, out_degree, n_reciprocal, reciprocal_bp, is_farm) —

@@ -1484,6 +1484,63 @@ def _spam_mass_oracle(iterations: int = 3) -> str:
 ORACLE_SPAM_MASS = _spam_mass_oracle(3)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (X81, Kleinberg JACM 1999): two
+    max-normalized integer power half-rounds over the hub-skew edge
+    synthesis. The h0-h4 hub targets should surface as authorities;
+    the periphery hosts that link into them as hubs — the
+    complementary signal to X39's PageRank over the same graph."""
+    return webgraph.hits(
+        _hub_edges(_t(spark, sf_dir, "documents")), iterations=2
+    )
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    """Unrolled HITS CTEs: from the uniform authority start, each
+    half-round is one join+sum then a one-row max normalizer —
+    ``score = (SCALE * raw) // max(raw)`` (DuckDB promotes the
+    product to HUGEINT; the Spark side runs it in DECIMAL(38,0))."""
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        "CASE WHEN (doc_id // 25) % 4 < 3 "
+        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+        "END AS dst FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT host FROM "
+        "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
+        "a0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS s FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"h{i}r AS (SELECT src AS host, sum(s) AS raw FROM edges "
+            f"JOIN a{i-1} ON edges.dst = a{i-1}.host GROUP BY 1)",
+            f"h{i}m AS (SELECT max(raw) AS m FROM h{i}r)",
+            f"h{i} AS (SELECT n.host, CAST(coalesce("
+            f"(1000000000 * raw) // greatest(m, 1), 0) AS BIGINT) AS s "
+            f"FROM nodes n CROSS JOIN h{i}m "
+            f"LEFT JOIN h{i}r ON n.host = h{i}r.host)",
+            f"a{i}r AS (SELECT dst AS host, sum(s) AS raw FROM edges "
+            f"JOIN h{i} ON edges.src = h{i}.host GROUP BY 1)",
+            f"a{i}m AS (SELECT max(raw) AS m FROM a{i}r)",
+            f"a{i} AS (SELECT n.host, CAST(coalesce("
+            f"(1000000000 * raw) // greatest(m, 1), 0) AS BIGINT) AS s "
+            f"FROM nodes n CROSS JOIN a{i}m "
+            f"LEFT JOIN a{i}r ON n.host = a{i}r.host)",
+        ]
+    n = iterations
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT h{n}.host, h{n}.s AS hub_nano, a{n}.s AS auth_nano, "
+        f"round(h{n}.s / 1000000000.0, 6) AS hub, "
+        f"round(a{n}.s / 1000000000.0, 6) AS auth "
+        f"FROM h{n} JOIN a{n} ON h{n}.host = a{n}.host"
+    )
+
+
+ORACLE_HITS = _hits_oracle(2)
+
+
 def q_host_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count synopsis (X78): per-host distinct-token
     estimates at k=16. Every 13th doc becomes a SINGLETON host with a
@@ -5302,6 +5359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    "hits_scores": q_hits_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -5423,4 +5481,5 @@ ORACLES: dict[str, str] = {
     "pipeline_extract": _oracle_pipeline_extract(),
     "pipeline_metrics": _oracle_pipeline_metrics(),
     "pipeline_pdf_modes": _oracle_pipeline_pdf_modes(),
+    "hits_scores": ORACLE_HITS,
 }

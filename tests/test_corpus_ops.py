@@ -1979,6 +1979,37 @@ def test_trustrank_seed_decay_and_spam_blindness(spark):
     assert got3["P"] == 0
 
 
+def test_hits_hand_computed_hub_authority_split(spark):
+    """HITS property (Kleinberg 1999): a pure directory page that only
+    points at well-cited targets is a top HUB with zero authority; the
+    targets are top AUTHORITIES with zero hub score. One iteration
+    hand-computed in max-normalized nano-units."""
+    from docling_serve_spark.operators import webgraph
+
+    # D is a directory linking both authorities; C cites only one.
+    edges = spark.createDataFrame(
+        [("D", "A1"), ("D", "A2"), ("C", "A1")],
+        "src string, dst string",
+    )
+    got = {r["host"]: r for r in
+           webgraph.hits(edges, iterations=1).collect()}
+    # a0 = 1e9 each. h_raw: D=2e9, C=1e9 -> max 2e9 -> D=1e9, C=5e8.
+    assert got["D"]["hub_nano"] == 1_000_000_000
+    assert got["C"]["hub_nano"] == 500_000_000
+    # a_raw: A1 = h(D)+h(C) = 1.5e9, A2 = 1e9 -> max 1.5e9
+    assert got["A1"]["auth_nano"] == 1_000_000_000
+    assert got["A2"]["auth_nano"] == (1_000_000_000 * 10**9) // 1_500_000_000
+    # pure sources/sinks get zero on the other axis
+    assert got["A1"]["hub_nano"] == 0 and got["A2"]["hub_nano"] == 0
+    assert got["D"]["auth_nano"] == 0 and got["C"]["auth_nano"] == 0
+    # more rounds keep the split and stay deterministic
+    got3 = {r["host"]: r for r in
+            webgraph.hits(edges, iterations=3).collect()}
+    assert got3["D"]["hub_nano"] == 1_000_000_000
+    assert got3["A1"]["auth_nano"] == 1_000_000_000
+    assert got3["A1"]["auth_nano"] > got3["A2"]["auth_nano"] > 0
+
+
 def test_kmv_exact_below_k_and_estimate_accuracy(spark):
     from docling_serve_spark.operators.sketches import kmv_distinct
 

@@ -65,6 +65,7 @@ INVARIANCE_QUERIES = [
     "spam_mass",        # two power iterations + ratio join
     "host_vocab_kmv",   # per-group k-smallest-hash rank
     "winnow_fingerprints",  # packed-key window min + distinct
+    "hits_scores",      # max-normalized dual power iteration
 ]
 
 
