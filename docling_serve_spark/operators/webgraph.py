@@ -430,6 +430,67 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     )
 
 
+def cocitation_similarity(edges: DataFrame, min_common: int = 2,
+                          max_out_degree: int = 1000) -> DataFrame:
+    """(host_a, host_b, n_common, indeg_a, indeg_b, jaccard_bp) —
+    co-citation similarity between hosts: how many sources link to
+    BOTH (Small 1973; the related-page/trawling signal of Kumar,
+    Raghavan, Rajagopalan & Tomkins, WWW 1999). Two hosts co-cited by
+    many independent sources are topically related even when neither
+    links the other — corpus pipelines use it to expand seed lists
+    ("find hosts like these") and to group mirrors/affiliates that
+    X46's content fingerprints miss because their text differs.
+
+    ``jaccard_bp = floor(10^4 · |in(a)∩in(b)| / |in(a)∪in(b)|)`` over
+    the DF-CAPPED graph: sources with out-degree > ``max_out_degree``
+    are dropped BEFORE the pair join — one mega-directory linking 10^5
+    hosts would otherwise emit 10^10 pairs, and (as with df-capped
+    postings in X46) a link from a page that links everyone carries no
+    topical signal. In-degrees come from the same capped edge set, so
+    numerator and denominator count the same universe and the ratio is
+    exact on that graph.
+
+    Scale shape: out-degree cap first (one partial-agg groupBy + one
+    semi-join), then ONE self-equi-join of the capped edge list on
+    src with ``dst_a < dst_b`` (each co-citing source emits at most
+    C(cap,2) pairs — bounded per row, never hosts²), one partial-agg
+    groupBy on the pair, and two joins against the (tiny, host-grain)
+    in-degree table. All-integer output, bit-reproducible."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    kept_src = (
+        e.groupBy("src").agg(F.count("*").alias("odeg"))
+        .filter(F.col("odeg") <= max_out_degree)
+        .select("src")
+    )
+    k = e.join(kept_src, "src")
+    a = k.select("src", F.col("dst").alias("host_a"))
+    b = k.select("src", F.col("dst").alias("host_b"))
+    common = (
+        a.join(b, "src")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    ideg = k.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").cast("bigint").alias("indeg")
+    )
+    return (
+        common
+        .join(ideg.select(F.col("host").alias("host_a"),
+                          F.col("indeg").alias("indeg_a")), "host_a")
+        .join(ideg.select(F.col("host").alias("host_b"),
+                          F.col("indeg").alias("indeg_b")), "host_b")
+        .select(
+            "host_a", "host_b", "n_common", "indeg_a", "indeg_b",
+            F.expr(
+                "(10000 * n_common) div "
+                "(indeg_a + indeg_b - n_common)"
+            ).cast("bigint").alias("jaccard_bp"),
+        )
+    )
+
+
 def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
                           min_out_degree: int = 2) -> DataFrame:
     """(host, out_degree, n_reciprocal, reciprocal_bp, is_farm) —

@@ -1541,6 +1541,42 @@ def _hits_oracle(iterations: int = 2) -> str:
 ORACLE_HITS = _hits_oracle(2)
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation host similarity (X82): common-in-linker counts and
+    integer Jaccard over the df-capped hub-skew graph. Cap 5 drops the
+    higher-out-degree half of the sources (the synthesis yields
+    out-degrees 4-6), pinning the df-cap branch; min_common 2 prunes
+    single-source coincidences."""
+    return webgraph.cocitation_similarity(
+        _hub_edges(_t(spark, sf_dir, "documents")),
+        min_common=2, max_out_degree=5,
+    )
+
+
+ORACLE_COCITATION = """
+WITH raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
+  CASE WHEN (doc_id // 25) % 4 < 3
+  THEN 'h' || CAST(doc_id % 5 AS VARCHAR)
+  ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR)
+  END AS dst FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+kept AS (SELECT src, dst FROM edges WHERE src IN
+  (SELECT src FROM edges GROUP BY src HAVING count(*) <= 5)),
+common AS (SELECT a.dst AS host_a, b.dst AS host_b,
+  CAST(count(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+ideg AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS indeg
+  FROM kept GROUP BY 1)
+SELECT host_a, host_b, n_common, ia.indeg AS indeg_a,
+  ib.indeg AS indeg_b,
+  CAST((10000 * n_common) // (ia.indeg + ib.indeg - n_common)
+       AS BIGINT) AS jaccard_bp
+FROM common JOIN ideg ia ON common.host_a = ia.host
+JOIN ideg ib ON common.host_b = ib.host
+"""
+
+
 def q_host_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count synopsis (X78): per-host distinct-token
     estimates at k=16. Every 13th doc becomes a SINGLETON host with a
@@ -5360,6 +5396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "hits_scores": q_hits_scores,
+    "cocitation_similar": q_cocitation,
 }
 
 ORACLES: dict[str, str] = {
@@ -5482,4 +5519,5 @@ ORACLES: dict[str, str] = {
     "pipeline_metrics": _oracle_pipeline_metrics(),
     "pipeline_pdf_modes": _oracle_pipeline_pdf_modes(),
     "hits_scores": ORACLE_HITS,
+    "cocitation_similar": ORACLE_COCITATION,
 }

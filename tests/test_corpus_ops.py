@@ -2010,6 +2010,35 @@ def test_hits_hand_computed_hub_authority_split(spark):
     assert got3["A1"]["auth_nano"] > got3["A2"]["auth_nano"] > 0
 
 
+def test_cocitation_hand_computed_and_df_cap(spark):
+    """Co-citation (X82): pair counts, integer Jaccard, and the
+    out-degree df-cap that removes mega-directory sources from BOTH
+    the numerator and the in-degree denominator."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        # s1, s2 both cite A and B; s2 also cites C; mega cites all.
+        [("s1", "A"), ("s1", "B"),
+         ("s2", "A"), ("s2", "B"), ("s2", "C"),
+         ("mega", "A"), ("mega", "B"), ("mega", "C"), ("mega", "D")],
+        "src string, dst string",
+    )
+    got = {(r["host_a"], r["host_b"]): r for r in
+           webgraph.cocitation_similarity(
+               edges, min_common=2, max_out_degree=3).collect()}
+    # mega (odeg 4 > cap 3) is dropped: in(A)=in(B)={s1,s2}, in(C)={s2}
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert r["n_common"] == 2 and r["indeg_a"] == 2 and r["indeg_b"] == 2
+    assert r["jaccard_bp"] == 10000  # identical in-link sets
+    # without the cap, mega adds a third common source and C/D pair up
+    uncapped = {(r["host_a"], r["host_b"]): r["n_common"] for r in
+                webgraph.cocitation_similarity(
+                    edges, min_common=2, max_out_degree=100).collect()}
+    assert uncapped[("A", "B")] == 3
+    assert uncapped[("A", "C")] == 2 and uncapped[("B", "C")] == 2
+
+
 def test_kmv_exact_below_k_and_estimate_accuracy(spark):
     from docling_serve_spark.operators.sketches import kmv_distinct
 

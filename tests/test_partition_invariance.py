@@ -66,6 +66,7 @@ INVARIANCE_QUERIES = [
     "host_vocab_kmv",   # per-group k-smallest-hash rank
     "winnow_fingerprints",  # packed-key window min + distinct
     "hits_scores",      # max-normalized dual power iteration
+    "cocitation_similar",  # df-capped pair self-join + degree joins
 ]
 
 
