@@ -610,3 +610,154 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+# ----------------------------------------------------------------- #
+# Product quantization (PQ) — compressed-domain ANN
+# ----------------------------------------------------------------- #
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_codewords: int = 16,
+    n_subspaces: int = 8,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """``books[m][j]`` = codeword ``j`` of subspace ``m`` — the PQ
+    codebook of Jégou, Douze & Schmid, "Product Quantization for
+    Nearest Neighbor Search" (TPAMI 2011): the vector space is split
+    into ``n_subspaces`` contiguous blocks and each block gets its own
+    small codebook, so a D-dim float vector compresses to
+    ``n_subspaces`` small integers (here 64 floats -> 8 codes, a 32x
+    compression) while distances remain computable from the codes
+    alone. Codewords are the sub-vectors of a seeded hash-sample of
+    rows (the ``n_codewords`` smallest ``md5(vec_id)`` — the same
+    engine-portable unbiased rule as ``ivf_centroids``; k-means-
+    trained codebooks drop in via the ``books`` argument downstream).
+    K rows collect to the driver and ship as literals."""
+    rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_codewords)
+        .collect()
+    )
+    seeds = [[float(v) for v in r[vec_col]] for r in rows]
+    dim = len(seeds[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    d = dim // n_subspaces
+    return [
+        [s[m * d:(m + 1) * d] for s in seeds] for m in range(n_subspaces)
+    ]
+
+
+def _pq_code(vec: Column, book: list[list[float]], m: int, d: int) -> Column:
+    """Code (0..K-1) of subspace ``m``: argmin squared-L2 distance to
+    the literal K x d codeword matrix, first-index tie — the same
+    O(K) array_position(array_min) shape as ``_best_centroid`` and
+    termwise the same arithmetic graph as the DuckDB oracle
+    ((CAST AS DOUBLE - literal)² summed left-to-right)."""
+    sub = F.slice(vec, m * d + 1, d)
+    cmat = F.array(*[
+        F.array(*[F.lit(v) for v in cw]) for cw in book
+    ])
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                sub, c,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes) — PQ-encode every vector: one narrow codegen'd
+    pass, zero shuffles; at scale the codes table (a few bytes per
+    vector) is what gets stored and scanned, never the floats."""
+    n_subspaces = len(books)
+    d = len(books[0][0])
+    codes = F.array(*[
+        _pq_code(F.col(vec_col), books[m], m, d) for m in range(n_subspaces)
+    ])
+    return embeddings.select(
+        F.col("vec_id").cast("bigint"), codes.alias("codes")
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_codewords: int = 16,
+    n_subspaces: int = 8,
+    vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(vec_id, adc_dist) — PQ asymmetric-distance (ADC) top-k (Jégou
+    et al. 2011 §III): the query stays a float vector, the corpus is
+    scanned in CODE space. The driver precomputes the M x K table of
+    squared-L2 distances from each query sub-vector to every codeword;
+    a candidate's approximate distance is then M literal-table lookups
+    summed — no float vector is ever read at query time.
+
+    Scale shape: the scan side touches only (vec_id, codes) — with
+    stored codes this is a ~32x smaller scan than exact search, the
+    whole point of PQ — then one TakeOrderedAndProject top-k. The
+    distance table is a literal broadcast (M*K doubles). Smallest
+    distance first; ties break on vec_id. Deterministic: the ADC sum
+    runs m = 0..M-1 left-to-right in both engines, and the table
+    entries are plain double arithmetic both driver- and SQL-side."""
+    import math  # noqa: F401  (parity with sibling ANN paths)
+
+    if books is None:
+        books = pq_codebooks(embeddings, n_codewords, n_subspaces, vec_col)
+    n_subspaces = len(books)
+    d = len(books[0][0])
+    qrow = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(vec_col)
+        .collect()
+    )
+    if not qrow:
+        return embeddings.limit(0).select(
+            F.col("vec_id").cast("bigint"), F.lit(0.0).alias("adc_dist")
+        )
+    qvec = [float(v) for v in qrow[0][vec_col]]
+    dtable = [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qvec[m * d:(m + 1) * d], cw)
+            )
+            for cw in books[m]
+        ]
+        for m in range(n_subspaces)
+    ]
+    dtlit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in dtable
+    ])
+    codes = F.array(*[
+        _pq_code(F.col(vec_col), books[m], m, d) for m in range(n_subspaces)
+    ])
+    adc = F.aggregate(
+        F.zip_with(codes, dtlit, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.round(adc, 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -4652,6 +4652,39 @@ ORACLE_ANN_IVF_REFINED = (
 )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (X83, Jégou/Douze/Schmid TPAMI
+    2011): 64-dim floats quantized to 8 sub-space codes from seeded
+    16-codeword codebooks; query 7 scanned in code space via a
+    driver-literal distance table. The compressed-domain third scale
+    path alongside LSH and IVF."""
+    return similarity.ann_topk_pq(
+        _t(spark, sf_dir, "embeddings"), 7, 10,
+        n_codewords=16, n_subspaces=8,
+    )
+
+
+ORACLE_ANN_PQ = """
+WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+seeds AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+  embedding FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+cw AS (SELECT m, j, list_transform(generate_series(m*8+1, m*8+8),
+  i -> CAST(embedding[i] AS DOUBLE)) AS c FROM seeds, ms),
+sub AS (SELECT vec_id, m, list_transform(generate_series(m*8+1, m*8+8),
+  i -> CAST(embedding[i] AS DOUBLE)) AS v FROM embeddings, ms),
+dall AS (SELECT vec_id, m, j, list_sum(list_transform(generate_series(1, 8),
+  i -> (v[i] - c[i]) * (v[i] - c[i]))) AS dist FROM sub JOIN cw USING (m)),
+codes AS (SELECT vec_id, m, j AS code FROM (SELECT vec_id, m, j,
+  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn FROM dall) WHERE rn = 1),
+dq AS (SELECT m, j, dist FROM dall WHERE vec_id = 7),
+terms AS (SELECT c.vec_id, c.m, dq.dist FROM codes c JOIN dq ON c.m = dq.m AND c.code = dq.j),
+adc AS (SELECT vec_id, round(list_sum(list(dist ORDER BY m)), 6) AS adc_dist
+  FROM terms GROUP BY vec_id)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_dist FROM adc
+WHERE vec_id <> 7 ORDER BY adc_dist, vec_id LIMIT 10
+"""
+
+
 def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
 
@@ -5397,6 +5430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "hits_scores": q_hits_scores,
     "cocitation_similar": q_cocitation,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLES: dict[str, str] = {
@@ -5520,4 +5554,5 @@ ORACLES: dict[str, str] = {
     "pipeline_pdf_modes": _oracle_pipeline_pdf_modes(),
     "hits_scores": ORACLE_HITS,
     "cocitation_similar": ORACLE_COCITATION,
+    "ann_pq": ORACLE_ANN_PQ,
 }
