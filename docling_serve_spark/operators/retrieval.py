@@ -90,3 +90,70 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
     top = agg.orderBy(F.col("score_micro").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def phrase_topk(docs: DataFrame, phrase_terms: Sequence[str], k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_matches, rank) — exact-phrase search via POSITIONAL
+    postings (the phrase-query evaluation of every inverted-index
+    engine; Manning/Raghavan/Schütze, IIR 2008 §2.4): documents where
+    ``phrase_terms`` occur as consecutive tokens, ranked by occurrence
+    count. Pipelines use it where bag-of-words BM25 is too loose —
+    exact-quote decontamination probes, boilerplate-phrase audits,
+    attribution checks.
+
+    Evaluation: a position list per (doc, term) — built from ONE
+    posexplode whose ``isin`` filter on the phrase's terms runs AT the
+    explode, so only candidate postings survive (a handful of terms ≈
+    zero rows at corpus scale) — then ``len(phrase)-1`` equi-joins on
+    doc_id (inner: a doc missing any term cannot match) and one
+    codegen'd array pass counting start positions ``p`` where every
+    slot ``i`` has ``p+i`` in its position list. No text moves after
+    the explode; position lists are sorted for determinism; top-k is
+    TakeOrderedAndProject with (n_matches DESC, doc_id ASC) ties.
+    Duplicate terms in the phrase reuse the same posting list, and
+    overlapping matches count separately ("a a a" matches "a a"
+    twice) — the standard positional-intersection semantics."""
+    from functools import reduce
+
+    terms = [str(t) for t in phrase_terms]
+    if len(terms) < 2:
+        raise ValueError("phrase_topk needs at least two terms")
+    toks = docs.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    posting = (
+        toks.filter(F.col("term").isin(sorted(set(terms))))
+        .groupBy(id_col, "term")
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+    cur = posting.filter(F.col("term") == terms[0]).select(
+        id_col, F.col("positions").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        cur = cur.join(
+            posting.filter(F.col("term") == t).select(
+                id_col, F.col("positions").alias(f"p{i}")
+            ),
+            id_col,
+        )
+    n_matches = F.size(
+        F.filter(
+            F.col("p0"),
+            lambda p: reduce(
+                lambda a, b: a & b,
+                [
+                    F.array_contains(F.col(f"p{i}"), p + F.lit(i))
+                    for i in range(1, len(terms))
+                ],
+            ),
+        )
+    ).cast("bigint")
+    agg = cur.select(id_col, n_matches.alias("n_matches")).filter(
+        F.col("n_matches") > 0
+    )
+    top = agg.orderBy(
+        F.col("n_matches").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

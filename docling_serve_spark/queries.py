@@ -1858,6 +1858,41 @@ ORACLE_BM25 = (
 )
 
 
+_PHRASE = ("big", "order", "scan")
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase positional-postings search (X84): documents
+    containing the 3-token phrase as consecutive tokens, ranked by
+    occurrence count — the exact-quote complement to X42's
+    bag-of-words BM25."""
+    from docling_serve_spark.operators.retrieval import phrase_topk
+
+    return phrase_topk(_t(spark, sf_dir, "documents"), _PHRASE, k=10)
+
+
+ORACLE_PHRASE = (
+    "WITH toks0 AS (SELECT doc_id, string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' ') AS t FROM documents), "
+    "flat AS (SELECT doc_id, unnest(t) AS term, "
+    "unnest(generate_series(1, len(t))) - 1 AS pos FROM toks0), "
+    "p AS (SELECT doc_id, term, list_sort(list(pos)) AS positions "
+    "FROM flat WHERE term IN ('" + "', '".join(sorted(set(_PHRASE)))
+    + "') GROUP BY 1, 2), "
+    "j AS (SELECT a.doc_id, a.positions AS p0, b.positions AS p1, "
+    "c.positions AS p2 FROM p a "
+    f"JOIN p b ON a.doc_id = b.doc_id AND b.term = '{_PHRASE[1]}' "
+    f"JOIN p c ON a.doc_id = c.doc_id AND c.term = '{_PHRASE[2]}' "
+    f"WHERE a.term = '{_PHRASE[0]}'), "
+    "m AS (SELECT doc_id, CAST(len(list_filter(p0, x -> "
+    "list_contains(p1, x + 1) AND list_contains(p2, x + 2))) AS BIGINT) "
+    "AS n_matches FROM j) "
+    "SELECT * FROM (SELECT doc_id, n_matches, "
+    "CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS INT) "
+    "AS rank FROM m WHERE n_matches > 0) WHERE rank <= 10"
+)
+
+
 def q_frontier_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier selection (X43): host PageRank (X39, real
     composition over the hub-skew graph) × recrawl status × robots
@@ -5431,6 +5466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "cocitation_similar": q_cocitation,
     "ann_pq": q_ann_pq,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -5555,4 +5591,5 @@ ORACLES: dict[str, str] = {
     "hits_scores": ORACLE_HITS,
     "cocitation_similar": ORACLE_COCITATION,
     "ann_pq": ORACLE_ANN_PQ,
+    "phrase_search": ORACLE_PHRASE,
 }

@@ -2105,3 +2105,27 @@ def test_spam_mass_flags_seed_unreachable_rank(spark):
     assert got["S"]["spam_mass_bp"] == 0 and not got["S"]["is_spam"]
     assert got["A"]["spam_mass_bp"] == 0  # trust > rank: clamped
     assert not got["B"]["is_spam"]
+
+
+def test_phrase_search_positional_semantics(spark):
+    """Phrase search (X84): consecutive-token matches only, overlap
+    counts separately, duplicate phrase terms reuse one posting list,
+    docs missing any term are dropped by the inner joins."""
+    from docling_serve_spark.operators.retrieval import phrase_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox saw the quick fox jump"),
+         (2, "quick the fox"),            # terms present, wrong order
+         (3, "the quick brown fox"),      # interrupted phrase
+         (4, "THE  Quick\tfox"),          # normalization: case + ws
+         (5, "a a a a")],                 # overlapping duplicate terms
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           phrase_topk(docs, ("the", "quick", "fox"), k=10).collect()}
+    assert set(got) == {1, 4}
+    assert got[1]["n_matches"] == 2 and got[1]["rank"] == 1
+    assert got[4]["n_matches"] == 1 and got[4]["rank"] == 2
+    dup = {r["doc_id"]: r["n_matches"] for r in
+           phrase_topk(docs, ("a", "a"), k=10).collect()}
+    assert dup == {5: 3}  # "a a" in "a a a a": positions 0,1,2
