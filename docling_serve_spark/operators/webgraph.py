@@ -539,3 +539,87 @@ def reciprocal_link_stats(edges: DataFrame, farm_threshold_bp: int = 8000,
             & (F.col("out_degree") >= min_out_degree),
         )
     )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """(host, degree, n_triangles, clustering_bp) — per-host triangle
+    counts and local clustering coefficient over the UNDIRECTED host
+    graph (direction dropped; a link either way is an affinity).
+    Dense triangle neighborhoods separate organic communities from
+    link farms (X47's reciprocity is the 2-cycle special case;
+    triangles are the 3-cycle signal — Fetterly et al., WebDB 2004),
+    and the coefficient feeds host-quality priors.
+
+    ``clustering_bp = floor(10^4 · 2·T(v) / (deg(v)·(deg(v)−1)))``
+    (Watts & Strogatz 1998), integer basis points, 0 for degree < 2.
+
+    Scale shape — the degree-ordered orientation of Suri &
+    Vassilvitskii ("Counting Triangles and the Curse of the Last
+    Reducer", WWW 2011): orient every canonical edge from its
+    lower-(degree, host) endpoint to the higher one, build wedges by
+    self-joining the oriented list on the source, and close each
+    wedge with ONE more equi-join. Each triangle is found exactly
+    once, and a degree-d hub generates wedges only from edges where
+    it is the LOWER endpoint — O(m^1.5) total work instead of
+    Σ deg² — so the web's mega-hubs cannot create a last-reducer
+    straggler. Integer arithmetic throughout; bit-reproducible."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    canon = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    deg = (
+        canon.select(F.col("u").alias("host"))
+        .union(canon.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    withdeg = (
+        canon
+        .join(deg.select(F.col("host").alias("u"),
+                         F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("host").alias("v"),
+                         F.col("degree").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"),
+                         F.col("db").alias("dx"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"),
+                         F.col("db").alias("dy"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    triangles = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select("a", "x", "y")
+    tri_per_host = (
+        triangles.select(
+            F.explode(F.array("a", "x", "y")).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_per_host, "host", "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(10000 * 2 * coalesce(n_triangles, 0)) div "
+                    "(degree * (degree - 1))"
+                ),
+            ).otherwise(F.lit(0)).cast("bigint").alias("clustering_bp"),
+        )
+    )

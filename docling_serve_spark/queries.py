@@ -1541,6 +1541,48 @@ def _hits_oracle(iterations: int = 2) -> str:
 ORACLE_HITS = _hits_oracle(2)
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts + clustering coefficient (X85) over
+    the undirected form of the hub-skew graph, via degree-ordered
+    wedge closure (each triangle found exactly once)."""
+    return webgraph.triangle_stats(
+        _hub_edges(_t(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_TRIANGLES = """
+WITH raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
+  CASE WHEN (doc_id // 25) % 4 < 3
+  THEN 'h' || CAST(doc_id % 5 AS VARCHAR)
+  ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR)
+  END AS dst FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM edges),
+deg AS (SELECT host, CAST(count(*) AS BIGINT) AS degree FROM
+  (SELECT u AS host FROM canon UNION ALL SELECT v FROM canon) GROUP BY 1),
+wd AS (SELECT u, v, du.degree AS du, dv.degree AS dv FROM canon
+  JOIN deg du ON canon.u = du.host JOIN deg dv ON canon.v = dv.host),
+oriented AS (SELECT
+  CASE WHEN (du < dv) OR (du = dv AND u < v) THEN u ELSE v END AS a,
+  CASE WHEN (du < dv) OR (du = dv AND u < v) THEN v ELSE u END AS b,
+  CASE WHEN (du < dv) OR (du = dv AND u < v) THEN dv ELSE du END AS db FROM wd),
+wedges AS (SELECT o1.a, o1.b AS x, o2.b AS y FROM oriented o1
+  JOIN oriented o2 ON o1.a = o2.a
+  WHERE (o1.db < o2.db) OR (o1.db = o2.db AND o1.b < o2.b)),
+tri AS (SELECT w.a, w.x, w.y FROM wedges w
+  JOIN oriented o ON w.x = o.a AND w.y = o.b),
+tph AS (SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM
+  (SELECT a AS host FROM tri UNION ALL SELECT x FROM tri
+   UNION ALL SELECT y FROM tri) GROUP BY 1)
+SELECT deg.host, degree,
+  CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+  CAST(CASE WHEN degree >= 2
+    THEN (10000 * 2 * coalesce(n_triangles, 0)) // (degree * (degree - 1))
+    ELSE 0 END AS BIGINT) AS clustering_bp
+FROM deg LEFT JOIN tph ON deg.host = tph.host
+"""
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation host similarity (X82): common-in-linker counts and
     integer Jaccard over the df-capped hub-skew graph. Cap 5 drops the
@@ -5467,6 +5509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cocitation_similar": q_cocitation,
     "ann_pq": q_ann_pq,
     "phrase_search": q_phrase_search,
+    "triangle_stats": q_triangle_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -5592,4 +5635,5 @@ ORACLES: dict[str, str] = {
     "cocitation_similar": ORACLE_COCITATION,
     "ann_pq": ORACLE_ANN_PQ,
     "phrase_search": ORACLE_PHRASE,
+    "triangle_stats": ORACLE_TRIANGLES,
 }

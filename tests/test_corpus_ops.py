@@ -2129,3 +2129,26 @@ def test_phrase_search_positional_semantics(spark):
     dup = {r["doc_id"]: r["n_matches"] for r in
            phrase_topk(docs, ("a", "a"), k=10).collect()}
     assert dup == {5: 3}  # "a a" in "a a a a": positions 0,1,2
+
+
+def test_triangle_stats_hand_computed(spark):
+    """Triangles (X85) on K3 + pendant: A-B-C triangle, D hangs off C.
+    Degrees A2 B2 C3 D1; one triangle touching A, B, C; clustering
+    10000 for A/B, floor(2/(3*2)*1e4)=3333 for C, 0 for the pendant.
+    Direction and duplicate edges must not matter."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        # mixed directions + a duplicate reverse edge
+        [("A", "B"), ("C", "B"), ("C", "A"), ("A", "C"), ("C", "D")],
+        "src string, dst string",
+    )
+    got = {r["host"]: r for r in webgraph.triangle_stats(edges).collect()}
+    assert {h: g["degree"] for h, g in got.items()} == {
+        "A": 2, "B": 2, "C": 3, "D": 1}
+    assert {h: g["n_triangles"] for h, g in got.items()} == {
+        "A": 1, "B": 1, "C": 1, "D": 0}
+    assert got["A"]["clustering_bp"] == 10000
+    assert got["B"]["clustering_bp"] == 10000
+    assert got["C"]["clustering_bp"] == 3333
+    assert got["D"]["clustering_bp"] == 0

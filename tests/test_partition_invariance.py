@@ -67,6 +67,8 @@ INVARIANCE_QUERIES = [
     "winnow_fingerprints",  # packed-key window min + distinct
     "hits_scores",      # max-normalized dual power iteration
     "cocitation_similar",  # df-capped pair self-join + degree joins
+    "triangle_stats",   # degree-ordered wedge closure
+    "phrase_search",    # posting joins + positional array pass
 ]
 
 
