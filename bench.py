@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "spam_mass",
     "host_vocab_kmv",
     "winnow_fingerprints",
+    "hits_scores",
+    "cocitation_similar",
+    "triangle_stats",
+    "phrase_search",
+    "ann_pq",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

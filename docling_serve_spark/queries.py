@@ -1583,24 +1583,39 @@ FROM deg LEFT JOIN tph ON deg.host = tph.host
 """
 
 
+def _cocit_edges(docs: DataFrame) -> DataFrame:
+    """Edge synthesis with SF-INDEPENDENT per-source fan-out: source
+    ``s{i}`` (i = doc_id % 50) cites only dsts from its own budget of
+    ``2 + i % 7`` distinct targets, so out-degrees stay in [2, 8] at
+    every scale factor and a df-cap of 5 always splits the sources
+    (the hub-skew `_hub_edges` synthesis grows out-degree with the
+    doc count, which would starve the capped query at sf >= 0.1)."""
+    i = F.col("doc_id") % 50
+    fan = F.lit(2) + (i % 7)
+    dst = (i * 3 + F.expr("doc_id div 50") % fan) % 30
+    return docs.select(
+        F.concat(F.lit("s"), i.cast("string")).alias("src"),
+        F.concat(F.lit("h"), dst.cast("string")).alias("dst"),
+    )
+
+
 def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation host similarity (X82): common-in-linker counts and
-    integer Jaccard over the df-capped hub-skew graph. Cap 5 drops the
-    higher-out-degree half of the sources (the synthesis yields
-    out-degrees 4-6), pinning the df-cap branch; min_common 2 prunes
-    single-source coincidences."""
+    integer Jaccard over a df-capped graph whose per-source fan-out
+    (2-8 distinct targets) is scale-independent — cap 5 always drops
+    the high-fan sources, pinning the df-cap branch; min_common 2
+    prunes single-source coincidences."""
     return webgraph.cocitation_similarity(
-        _hub_edges(_t(spark, sf_dir, "documents")),
+        _cocit_edges(_t(spark, sf_dir, "documents")),
         min_common=2, max_out_degree=5,
     )
 
 
 ORACLE_COCITATION = """
-WITH raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src,
-  CASE WHEN (doc_id // 25) % 4 < 3
-  THEN 'h' || CAST(doc_id % 5 AS VARCHAR)
-  ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR)
-  END AS dst FROM documents),
+WITH raw AS (SELECT 's' || CAST(doc_id % 50 AS VARCHAR) AS src,
+  'h' || CAST(((doc_id % 50) * 3
+    + (doc_id // 50) % (2 + (doc_id % 50) % 7)) % 30 AS VARCHAR) AS dst
+  FROM documents),
 edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
 kept AS (SELECT src, dst FROM edges WHERE src IN
   (SELECT src FROM edges GROUP BY src HAVING count(*) <= 5)),
