@@ -85,3 +85,81 @@ def host_vocab_sketch(docs: DataFrame, text_col: str = "text",
         ).alias("tok"),
     ).where(F.col("tok") != "")
     return kmv_distinct(toks, "host", "tok", k=k)
+
+
+# ----------------------------------------------------------------- #
+# Bloom filter — the crawler's seen-URL membership structure
+# ----------------------------------------------------------------- #
+
+def _bloom_positions(col, m_bits: int, k: int) -> list:
+    """k bit positions from disjoint 40-bit md5 hex slices (mod m).
+    md5's 32 hex chars give three independent 10-char slices — k ≤ 3.
+    Same engine-portable hash family as md5_hash48."""
+    if not 1 <= k <= 3:
+        raise ValueError("k must be 1..3 (three disjoint md5 slices)")
+    return [
+        (F.conv(F.substring(F.md5(col), 1 + 10 * j, 10), 16, 10)
+         .cast("bigint") % m_bits)
+        for j in range(k)
+    ]
+
+
+def bloom_build(items: DataFrame, item_col: str = "url",
+                m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """(word_idx, word) — the set words of an m-bit Bloom filter over
+    the items (Bloom, CACM 1970): the frontier's seen-URL test, the
+    structure that answers "have we ever fetched this?" in O(k) bit
+    probes without shipping the url strings anywhere. False positives
+    at rate ≈ (1 − e^(−k·n/m))^k, NEVER false negatives — a crawl may
+    skip a few never-seen urls, it will never refetch a seen one.
+
+    Words are 63-bit (word_idx = bit div 63, mask = 1 << (bit mod 63))
+    so no mask ever touches the int64 sign bit — DuckDB raises on
+    1::BIGINT << 63 where Spark would wrap, and the positive-only
+    domain sidesteps the divergence. Build is one narrow explode +
+    ONE bit_or groupBy on word_idx — the filter materializes as at
+    most m/63 bigint rows (a 2^30-bit filter ≈ 17 M rows ≈ 136 MB,
+    broadcastable), and two crawls' filters merge by bit_or-ing their
+    word tables. Deterministic md5 slices ⇒ bit-reproducible."""
+    pos = _bloom_positions(F.col(item_col), m_bits, k)
+    bits = items.select(
+        F.explode(F.array(*pos)).alias("bit")
+    )
+    return (
+        bits.select(
+            F.expr("bit div 63").cast("bigint").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").cast("bigint").alias("word"))
+    )
+
+
+def bloom_probe(words: DataFrame, candidates: DataFrame,
+                item_col: str = "url", m_bits: int = 1 << 16,
+                k: int = 3) -> DataFrame:
+    """(item, maybe_seen) — membership probes against a built filter:
+    ``maybe_seen`` is true iff ALL k bits are set (false ⇒ definitely
+    never inserted; true ⇒ seen, up to the filter's false-positive
+    rate). One narrow explode of the candidates' (word_idx, mask)
+    pairs, one equi-join against the (tiny, broadcastable) word
+    table, one bool_and groupBy per item."""
+    pos = _bloom_positions(F.col(item_col), m_bits, k)
+    cand = candidates.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.array(*pos)).alias("bit"),
+    ).select(
+        "item",
+        F.expr("bit div 63").cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))")
+        .alias("mask"),
+    )
+    probed = cand.join(F.broadcast(words), "word_idx", "left").select(
+        "item",
+        (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))
+         == F.col("mask")).alias("bit_set"),
+    )
+    return probed.groupBy("item").agg(
+        F.bool_and("bit_set").alias("maybe_seen")
+    )

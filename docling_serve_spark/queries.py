@@ -1676,6 +1676,70 @@ ORACLE_HOST_VOCAB_KMV = (
 )
 
 
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-URL membership (X86): build a 2^20-bit
+    filter over every synthesized corpus url, probe a mix of seen
+    urls (every 97th — must ALL read true: no false negatives) and
+    never-seen urls (every 89th, fresh host — true only at the
+    filter's false-positive rate)."""
+    from docling_serve_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/p"), F.col("doc_id").cast("string"),
+    )
+    seen = docs.select(url.alias("url"))
+    cand = docs.filter(F.col("doc_id") % 97 == 0).select(
+        url.alias("url")
+    ).union(
+        docs.filter(F.col("doc_id") % 89 == 0).select(
+            F.concat(F.lit("https://new.example/p"),
+                     F.col("doc_id").cast("string")).alias("url")
+        )
+    )
+    return bloom_probe(bloom_build(seen, m_bits=1 << 20, k=3), cand,
+                       m_bits=1 << 20, k=3)
+
+
+_BLOOM_URL_SQL = (
+    "'https://s' || CAST(doc_id % 50 AS VARCHAR) || '.example/p' "
+    "|| CAST(doc_id AS VARCHAR)"
+)
+
+
+def _bloom_bits_sql(col: str) -> str:
+    slices = ", ".join(
+        f"CAST(('0x' || substr(md5({col}), {1 + 10 * j}, 10))::UBIGINT "
+        f"AS BIGINT) % 1048576"
+        for j in range(3)
+    )
+    return f"unnest([{slices}])"
+
+
+ORACLE_BLOOM = (
+    "WITH seen AS (SELECT " + _BLOOM_URL_SQL + " AS url FROM documents), "
+    "sbits AS (SELECT " + _bloom_bits_sql("url") + " AS bit FROM seen), "
+    "words AS (SELECT bit // 63 AS word_idx, "
+    "bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS word "
+    "FROM sbits GROUP BY 1), "
+    "cand AS (SELECT " + _BLOOM_URL_SQL + " AS item FROM documents "
+    "WHERE doc_id % 97 = 0 "
+    "UNION ALL SELECT 'https://new.example/p' || CAST(doc_id AS VARCHAR) "
+    "FROM documents WHERE doc_id % 89 = 0), "
+    "cbits AS (SELECT item, " + _bloom_bits_sql("item")
+    + " AS bit FROM cand), "
+    "probed AS (SELECT item, "
+    "(COALESCE(word, 0) & (CAST(1 AS BIGINT) << CAST(bit % 63 AS INT))) "
+    "= (CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS bit_set "
+    "FROM cbits LEFT JOIN words ON cbits.bit // 63 = words.word_idx) "
+    "SELECT item, bool_and(bit_set) AS maybe_seen FROM probed GROUP BY 1"
+)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (X79, the MOSS scheme) over the raw
     documents table: 3-gram hashes, window 4, rightmost-min tie rule
@@ -5525,6 +5589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq": q_ann_pq,
     "phrase_search": q_phrase_search,
     "triangle_stats": q_triangle_stats,
+    "bloom_seen_urls": q_bloom_seen,
 }
 
 ORACLES: dict[str, str] = {
@@ -5651,4 +5716,5 @@ ORACLES: dict[str, str] = {
     "ann_pq": ORACLE_ANN_PQ,
     "phrase_search": ORACLE_PHRASE,
     "triangle_stats": ORACLE_TRIANGLES,
+    "bloom_seen_urls": ORACLE_BLOOM,
 }

@@ -2152,3 +2152,43 @@ def test_triangle_stats_hand_computed(spark):
     assert got["B"]["clustering_bp"] == 10000
     assert got["C"]["clustering_bp"] == 3333
     assert got["D"]["clustering_bp"] == 0
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """Bloom filter (X86): every inserted item probes true (the
+    structural guarantee a crawler relies on — never refetch a seen
+    url), never-inserted items read true only at the designed
+    false-positive rate, and two filters merged by bit_or equal the
+    filter of the union (the multi-crawl merge path)."""
+    from pyspark.sql import functions as F
+
+    from docling_serve_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m = 1 << 14
+    a = spark.range(0, 300).select(
+        F.concat(F.lit("https://a.example/"), F.col("id")).alias("url"))
+    b = spark.range(300, 600).select(
+        F.concat(F.lit("https://b.example/"), F.col("id")).alias("url"))
+    fresh = spark.range(0, 500).select(
+        F.concat(F.lit("https://never.example/"), F.col("id")).alias("url"))
+
+    words = bloom_build(a.union(b), m_bits=m, k=3)
+    seen = bloom_probe(words, a.union(b), m_bits=m, k=3).collect()
+    assert len(seen) == 600 and all(r["maybe_seen"] for r in seen)
+
+    probes = bloom_probe(words, fresh, m_bits=m, k=3).collect()
+    fp = sum(1 for r in probes if r["maybe_seen"])
+    # k=3, n=600, m=16384: (1-e^(-3*600/16384))^3 ~ 0.1%; allow 10x
+    assert fp <= 5, fp
+
+    merged = (
+        bloom_build(a, m_bits=m, k=3)
+        .union(bloom_build(b, m_bits=m, k=3))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").cast("bigint").alias("word"))
+    )
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, words.collect())))

@@ -69,6 +69,7 @@ INVARIANCE_QUERIES = [
     "cocitation_similar",  # df-capped pair self-join + degree joins
     "triangle_stats",   # degree-ordered wedge closure
     "phrase_search",    # posting joins + positional array pass
+    "bloom_seen_urls",  # bit_or word agg + probe join + bool_and
 ]
 
 
