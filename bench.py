@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "triangle_stats",
     "phrase_search",
     "ann_pq",
+    "bloom_seen_urls",
+    "cms_token_freq",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -163,3 +163,90 @@ def bloom_probe(words: DataFrame, candidates: DataFrame,
     return probed.groupBy("item").agg(
         F.bool_and("bit_set").alias("maybe_seen")
     )
+
+
+# ----------------------------------------------------------------- #
+# Count-min sketch — bounded-memory frequency estimation
+# ----------------------------------------------------------------- #
+
+def cms_build(items: DataFrame, item_col: str, d: int = 3,
+              w: int = 1 << 12) -> DataFrame:
+    """(row, idx, cnt) — a d×w count-min sketch (Cormode &
+    Muthukrishnan, J. Algorithms 2005) over the items: the frequency
+    twin of the KMV cardinality synopsis. Token/url/host frequency
+    questions ("how often does this phrase template appear?") answer
+    from d·w counters instead of a full-vocabulary groupBy whose tail
+    is billions of hapax rows; the estimate ``min_r cnt[r][h_r(x)]``
+    NEVER underestimates (every true occurrence landed in every row),
+    overestimates only by collision mass ≤ 2·N/w with prob ≥ 1−2^−d.
+
+    Row hashes are the engine-portable md5 slices: row r uses hex
+    chars [1+10r, 10+10r) of ``md5(item || '#r')`` — salting the
+    INPUT keeps rows independent even though md5 is one function.
+    Build is one explode to (row, idx) + ONE partial-agg groupBy
+    (≤ d·w result rows — broadcastable); two sketches merge by
+    summing counters. Deterministic ⇒ bit-reproducible."""
+    if not 1 <= d <= 3:
+        raise ValueError("d must be 1..3 (three disjoint md5 slices)")
+    cells = items.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.col(item_col),
+                                               F.lit(f"#{r}"))),
+                                1 + 10 * r, 10,
+                            ),
+                            16, 10,
+                        ).cast("bigint") % w
+                    ).alias("idx"),
+                )
+                for r in range(d)
+            ])
+        ).alias("cell")
+    )
+    return (
+        cells.select("cell.row", "cell.idx")
+        .groupBy("row", "idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame,
+                 item_col: str, d: int = 3, w: int = 1 << 12) -> DataFrame:
+    """(item, est_count) — point queries against a built sketch:
+    the min over the d row counters (0 if any cell is empty — an item
+    with a zero cell was never inserted). One explode of the probes'
+    (row, idx) cells, one broadcast join, one min groupBy."""
+    cells = probes.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.col(item_col),
+                                               F.lit(f"#{r}"))),
+                                1 + 10 * r, 10,
+                            ),
+                            16, 10,
+                        ).cast("bigint") % w
+                    ).alias("idx"),
+                )
+                for r in range(d)
+            ])
+        ).alias("cell"),
+    ).select("item", "cell.row", "cell.idx")
+    return (
+        cells.join(F.broadcast(sketch), ["row", "idx"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint")
+            .alias("est_count")
+        )
+    )

@@ -1740,6 +1740,67 @@ ORACLE_BLOOM = (
 )
 
 
+_CMS_PROBES = ("order", "data", "window", "spark", "zzz-absent")
+
+
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (X87): token frequencies from a
+    3×4096-counter sketch next to the exact counts for a fixed probe
+    set (frequent, mid, and absent tokens) — est ≥ exact always, the
+    one-sided CMS guarantee."""
+    from docling_serve_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(dedup.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    sketch = cms_build(toks, "tok", d=3, w=4096)
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "item string"
+    )
+    est = cms_estimate(sketch, probes, "item", d=3, w=4096)
+    exact = (
+        toks.filter(F.col("tok").isin(list(_CMS_PROBES)))
+        .groupBy(F.col("tok").alias("item"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return est.join(exact, "item", "left").select(
+        "item", "est_count",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("exact_count"),
+    )
+
+
+_CMS_HASH_SQL = (
+    "CAST(('0x' || substr(md5({v} || '#' || CAST(r AS VARCHAR)), "
+    "1 + 10 * r, 10))::UBIGINT AS BIGINT) % 4096"
+)
+
+ORACLE_CMS = (
+    "WITH t AS (SELECT unnest(string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' ')) AS tok FROM documents), "
+    "tt AS (SELECT tok FROM t WHERE tok <> ''), "
+    "rows3 AS (SELECT unnest([0, 1, 2]) AS r), "
+    "cells AS (SELECT r, " + _CMS_HASH_SQL.format(v="tok")
+    + " AS idx FROM tt, rows3), "
+    "sk AS (SELECT r, idx, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM cells GROUP BY 1, 2), "
+    "probes AS (SELECT unnest(['" + "', '".join(_CMS_PROBES)
+    + "']) AS item), "
+    "pc AS (SELECT item, r, " + _CMS_HASH_SQL.format(v="item")
+    + " AS idx FROM probes, rows3), "
+    "est AS (SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) "
+    "AS est_count FROM pc LEFT JOIN sk USING (r, idx) GROUP BY 1), "
+    "ex AS (SELECT tok AS item, CAST(count(*) AS BIGINT) AS c FROM tt "
+    "WHERE tok IN ('" + "', '".join(_CMS_PROBES) + "') GROUP BY 1) "
+    "SELECT est.item, est_count, CAST(coalesce(c, 0) AS BIGINT) "
+    "AS exact_count FROM est LEFT JOIN ex ON est.item = ex.item"
+)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (X79, the MOSS scheme) over the raw
     documents table: 3-gram hashes, window 4, rightmost-min tie rule
@@ -5590,6 +5651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "triangle_stats": q_triangle_stats,
     "bloom_seen_urls": q_bloom_seen,
+    "cms_token_freq": q_cms_token_freq,
 }
 
 ORACLES: dict[str, str] = {
@@ -5717,4 +5779,5 @@ ORACLES: dict[str, str] = {
     "phrase_search": ORACLE_PHRASE,
     "triangle_stats": ORACLE_TRIANGLES,
     "bloom_seen_urls": ORACLE_BLOOM,
+    "cms_token_freq": ORACLE_CMS,
 }

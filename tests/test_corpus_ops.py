@@ -2192,3 +2192,49 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     )
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, words.collect())))
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """Count-min sketch (X87): est >= exact for every probed item
+    (each true occurrence lands in every row), error bounded by the
+    collision mass, and two sketches merged by summing counters equal
+    the sketch of the union."""
+    from pyspark.sql import functions as F
+
+    from docling_serve_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    w = 256
+    # zipf-ish: item i appears 600 // (i + 1) times, 40 distinct items
+    items = spark.range(0, 40).select(
+        F.col("id").alias("i"),
+        F.expr("explode(array_repeat(concat('tok', id), "
+               "CAST(600 / (id + 1) AS INT)))").alias("item"),
+    ).select("item")
+    n_total = items.count()
+    sketch = cms_build(items, "item", d=3, w=w)
+    probes = spark.range(0, 45).select(  # 40 present + 5 absent
+        F.concat(F.lit("tok"), F.col("id")).alias("item"))
+    est = {r["item"]: r["est_count"] for r in
+           cms_estimate(sketch, probes, "item", d=3, w=w).collect()}
+    exact = {r["item"]: r["c"] for r in
+             items.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    for i in range(45):
+        t = f"tok{i}"
+        true = exact.get(t, 0)
+        assert est[t] >= true, t                     # one-sided
+        assert est[t] - true <= 5 * n_total // w, t  # bounded error
+
+    # merge identity over a disjoint split of the multiset
+    a = items.where(F.abs(F.hash("item")) % 2 == 0)
+    b = items.where(F.abs(F.hash("item")) % 2 == 1)
+    merged = (
+        cms_build(a, "item", d=3, w=w)
+        .union(cms_build(b, "item", d=3, w=w))
+        .groupBy("row", "idx")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, sketch.collect())))

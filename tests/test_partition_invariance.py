@@ -70,6 +70,7 @@ INVARIANCE_QUERIES = [
     "triangle_stats",   # degree-ordered wedge closure
     "phrase_search",    # posting joins + positional array pass
     "bloom_seen_urls",  # bit_or word agg + probe join + bool_and
+    "cms_token_freq",   # counter groupBy + min-over-rows probe
 ]
 
 
