@@ -197,3 +197,94 @@ def run_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_bloom_novelty_stream(
+    pages: DataFrame,
+    novel_dir: str,
+    bloom_dir: str,
+    checkpoint_dir: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous frontier-novelty sink: each micro-batch probes a
+    PERSISTENT Bloom word table (X86) for its urls, appends only the
+    never-seen rows to ``novel_dir``, and commits an updated filter —
+    the streaming form of the crawler's "is this url new?" gate, with
+    the filter (≤ m/63 bigint rows) carrying the whole history instead
+    of an ever-growing seen-url table or per-url operator state
+    (``dedup_stream`` holds state per URL; this holds m bits TOTAL, so
+    a 10^12-url history fits in one broadcastable table).
+
+    Exactly-once composition: the filter snapshot is written to
+    ``bloom_dir/v={batch_id}`` — a REPLAYED batch rewrites the same
+    version from the same inputs (bit_or is idempotent), and the probe
+    reads the latest committed version, so duplicates are possible
+    only for the single batch that crashed between its novel-append
+    and its filter-commit (novel-first ordering: a crash can re-emit a
+    batch's novels, never lose one — the right trade for a frontier;
+    downstream X1 absorbs re-emits). Bloom false positives (rate
+    (1−e^(−kn/m))^k) drop a novel url as seen — size ``m_bits`` to the
+    crawl horizon; false negatives never happen."""
+    from docling_serve_spark.operators.sketches import bloom_build, bloom_probe
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        urls = batch.select("url").distinct()
+        fs_versions = _bloom_versions(spark, bloom_dir)
+        prior = [v for v in fs_versions if v < batch_id]
+        if prior:
+            words = spark.read.parquet(f"{bloom_dir}/v={max(prior)}")
+        else:
+            words = spark.createDataFrame(
+                [], "word_idx bigint, word bigint"
+            )
+        novel = (
+            bloom_probe(words, urls, m_bits=m_bits, k=k)
+            .filter(~F.col("maybe_seen"))
+            .select(F.col("item").alias("url"))
+        )
+        batch.join(novel, "url", "semi").write.mode("append").parquet(
+            novel_dir
+        )
+        new_words = (
+            words.union(bloom_build(urls, m_bits=m_bits, k=k))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(word)").cast("bigint").alias("word"))
+        )
+        new_words.coalesce(1).write.mode("overwrite").parquet(
+            f"{bloom_dir}/v={batch_id}"
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _bloom_versions(spark: SparkSession, bloom_dir: str) -> list[int]:
+    """Committed filter versions (v={batch_id} subdirs), via the
+    JVM Hadoop FS so the sink works on any supported filesystem."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(bloom_dir)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return out

@@ -290,3 +290,55 @@ def test_stream_upsert_merges_recrawl(spark, tmp_path):
     ).parquet(landing)
     run_upsert_stream(stream2, out, ckpt, n_chunks=4).awaitTermination()
     assert read_results(spark, out).count() == n + 2
+
+
+def test_bloom_novelty_stream_filters_history(spark, tmp_path):
+    """Bloom-novelty sink (X88): urls seen in ANY earlier micro-batch
+    or earlier drain are suppressed from the novel output; history
+    lives in the committed filter snapshots (m bits total), not in
+    per-url operator state. Restart picks up the latest snapshot."""
+    from docling_serve_spark.streaming.ingest import (
+        run_bloom_novelty_stream,
+        stream_pages,
+    )
+
+    landing = str(tmp_path / "landing")
+    novel = str(tmp_path / "novel")
+    bloom = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = build_pages_df(spark, 40)
+    first.write.parquet(landing)
+    q = run_bloom_novelty_stream(
+        stream_pages(spark, landing), novel, bloom, ckpt)
+    _await(q)
+    out1 = spark.read.parquet(novel)
+    assert out1.count() == 40
+    assert sorted(r["url"] for r in out1.select("url").collect()) == sorted(
+        r["url"] for r in first.select("url").collect())
+
+    # second drain: all 40 recrawls + 40 new urls -> only the new pass
+    hundred = build_pages_df(spark, 80)
+    recrawl = hundred.join(first.select("url"), "url").select(
+        "url", "warc_ts", "html", "text", "lang")
+    new = hundred.join(first.select("url"), "url", "left_anti")
+    assert new.count() == 40
+    recrawl.unionByName(new).write.mode("append").parquet(landing)
+    q = run_bloom_novelty_stream(
+        stream_pages(spark, landing), novel, bloom, ckpt)
+    _await(q)
+    out2 = spark.read.parquet(novel)
+    assert out2.count() == 80
+    assert out2.select("url").distinct().count() == 80
+
+    # filter snapshots committed per batch, versions monotone
+    import os
+    versions = sorted(d for d in os.listdir(bloom) if d.startswith("v="))
+    assert len(versions) >= 2
+
+    # third drain with ONLY recrawls -> nothing new appended
+    recrawl.write.mode("append").parquet(landing)
+    q = run_bloom_novelty_stream(
+        stream_pages(spark, landing), novel, bloom, ckpt)
+    _await(q)
+    assert spark.read.parquet(novel).count() == 80
