@@ -383,11 +383,18 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
     (never a window over the node table)."""
     if iterations < 1:
         raise ValueError("hits() needs at least one iteration")
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # materialize the (tiny, host-grain) edge and node tables once —
+    # the lazy plan would otherwise re-derive the distinct edge list
+    # from the page scan in EVERY half-round join (4 rescans at
+    # iterations=2; same localCheckpoint discipline as dup_components)
+    e = (
+        edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+        .distinct().localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
-        .distinct()
+        .distinct().localCheckpoint(eager=True)
     )
     norm = F.expr(
         "CAST((CAST(1000000000 AS DECIMAL(38,0)) * raw) "
