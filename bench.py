@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "ann_pq",
     "bloom_seen_urls",
     "cms_token_freq",
+    "seed_distance",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -1634,6 +1634,67 @@ JOIN ideg ib ON common.host_b = ib.host
 """
 
 
+def q_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS seed distance (X89): hop radius from seed c0 over a
+    synthesis with REAL distance spread — even doc_ids build the
+    chain c0->c1->...->c40 (hops 1..max_hops then beyond-bound), odd
+    doc_ids a 4-cycle island x0->x1->x2->x3->x0 no chain host links
+    into — pinning all three outcomes: exact hop levels, the
+    beyond-max_hops cutoff, and the unreachable (-1) branch."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    even = i % 2 == 0
+    j = F.floor(i / 2) % 40  # chain position, covers every residue
+    edges = docs.select(
+        F.when(even, F.concat(F.lit("c"), j.cast("string")))
+        .otherwise(F.concat(F.lit("x"), (i % 4).cast("string")))
+        .alias("src"),
+        F.when(even, F.concat(F.lit("c"), (j + 1).cast("string")))
+        .otherwise(
+            F.concat(F.lit("x"), (((i % 4) + 1) % 4).cast("string"))
+        ).alias("dst"),
+    )
+    return webgraph.seed_distance(edges, seeds=["c0"], max_hops=6)
+
+
+def _seed_distance_oracle(max_hops: int = 6) -> str:
+    """Level-synchronous BFS as chained CTEs: frontier f_i = targets
+    of hosts labelled i-1, d_i fills still-NULL labels with i."""
+    ctes = [
+        "raw AS (SELECT "
+        "CASE WHEN doc_id % 2 = 0 "
+        "THEN 'c' || CAST((doc_id // 2) % 40 AS VARCHAR) "
+        "ELSE 'x' || CAST(doc_id % 4 AS VARCHAR) END AS src, "
+        "CASE WHEN doc_id % 2 = 0 "
+        "THEN 'c' || CAST((doc_id // 2) % 40 + 1 AS VARCHAR) "
+        "ELSE 'x' || CAST((doc_id % 4 + 1) % 4 AS VARCHAR) END AS dst "
+        "FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT host FROM "
+        "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
+        "d0 AS (SELECT host, CASE WHEN host IN ('c0') THEN 0 END AS d "
+        "FROM nodes)",
+    ]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"f{i} AS (SELECT DISTINCT e.dst AS host FROM edges e "
+            f"JOIN d{i-1} p ON e.src = p.host WHERE p.d = {i-1})"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT p.host, COALESCE(p.d, "
+            f"CASE WHEN f.host IS NOT NULL THEN {i} END) AS d "
+            f"FROM d{i-1} p LEFT JOIN f{i} f ON p.host = f.host)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT host, CAST(COALESCE(d, -1) AS BIGINT) AS seed_hops, "
+        f"d IS NOT NULL AS reachable FROM d{max_hops}"
+    )
+
+
+ORACLE_SEED_DISTANCE = _seed_distance_oracle(6)
+
+
 def q_host_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count synopsis (X78): per-host distinct-token
     estimates at k=16. Every 13th doc becomes a SINGLETON host with a
@@ -5652,6 +5713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_stats": q_triangle_stats,
     "bloom_seen_urls": q_bloom_seen,
     "cms_token_freq": q_cms_token_freq,
+    "seed_distance": q_seed_distance,
 }
 
 ORACLES: dict[str, str] = {
@@ -5780,4 +5842,5 @@ ORACLES: dict[str, str] = {
     "triangle_stats": ORACLE_TRIANGLES,
     "bloom_seen_urls": ORACLE_BLOOM,
     "cms_token_freq": ORACLE_CMS,
+    "seed_distance": ORACLE_SEED_DISTANCE,
 }

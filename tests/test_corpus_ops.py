@@ -2238,3 +2238,31 @@ def test_cms_never_underestimates_and_merges(spark):
     )
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, sketch.collect())))
+
+
+def test_seed_distance_bfs_levels_and_unreachable(spark):
+    """BFS seed distance (X89): exact hop levels on a chain with a
+    shortcut (min over paths, not path order), the max_hops cutoff,
+    and -1 for a component the seeds cannot reach."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        [("S", "A"), ("A", "B"), ("B", "C"), ("C", "D"),
+         ("S", "B"),            # shortcut: B is 1 hop, not 2
+         ("D", "S"),            # back edge: cycle must not relabel S
+         ("X", "Y"), ("Y", "X")],  # island, seed-unreachable
+        "src string, dst string",
+    )
+    got = {r["host"]: r for r in
+           webgraph.seed_distance(edges, seeds=["S"], max_hops=2).collect()}
+    assert got["S"]["seed_hops"] == 0 and got["S"]["reachable"]
+    assert got["A"]["seed_hops"] == 1
+    assert got["B"]["seed_hops"] == 1          # shortcut wins over S->A->B
+    assert got["C"]["seed_hops"] == 2
+    assert got["D"]["seed_hops"] == -1         # beyond max_hops bound
+    assert not got["D"]["reachable"]
+    assert got["X"]["seed_hops"] == -1 and got["Y"]["seed_hops"] == -1
+    # widening the bound resolves D at its true depth
+    far = {r["host"]: r["seed_hops"] for r in
+           webgraph.seed_distance(edges, seeds=["S"], max_hops=4).collect()}
+    assert far["D"] == 3 and far["X"] == -1
