@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "bloom_seen_urls",
     "cms_token_freq",
     "seed_distance",
+    "recrawl_priority",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

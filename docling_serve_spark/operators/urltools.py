@@ -499,3 +499,73 @@ def robots_crawl_delays(robots: DataFrame, host_col: str = "host",
         .groupBy("host")
         .agg(F.max("ms").cast("bigint").alias("delay_ms"))
     )
+
+
+def recrawl_priority(captures: DataFrame, asof_date: str,
+                     urlkey_col: str = "urlkey", ts_col: str = "ts14",
+                     digest_col: str = "digest") -> DataFrame:
+    """(urlkey, n_captures, n_changes, change_rate_bp, last_ts,
+    age_days, priority) — change-rate-driven recrawl scheduling (Cho
+    & Garcia-Molina, "Effective page refresh policies for Web
+    crawlers", TODS 2003): estimate each URL's change frequency from
+    its capture history and rank refresh candidates by estimated
+    staleness. X58's revisit_stats answers "how much storage do
+    revisits dedup away"; this answers the crawler's next question —
+    WHICH urls to spend today's fetch budget on.
+
+      change_rate_bp = 10000 · n_changes div (n_captures − 1)
+                       (the naive X/n estimator over observed
+                        intervals; NULL when only one capture exists
+                        — no interval observed)
+      priority       = coalesce(change_rate_bp, 10000) · age_days
+                       (never-re-observed urls get the optimistic
+                        rate — unknown pages must not starve)
+
+    A change is a capture whose payload digest differs from the
+    previous capture of the same urlkey, ordered by (ts, digest) —
+    the digest tie-break makes the lag deterministic under capture
+    collisions. Ages are whole DAYS from the capture date to
+    ``asof_date`` (date arithmetic only — no epoch seconds, so no
+    engine/session timezone can perturb the integers).
+
+    Scale shape: one per-urlkey window (partition-local sort over a
+    url's handful of captures) + one partial-agg groupBy; only keys,
+    14-char timestamps, and digests shuffle. All arithmetic is
+    bigint; bit-reproducible."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("urlkey").orderBy("ts", "digest")
+    seq = captures.select(
+        F.col(urlkey_col).alias("urlkey"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+    ).withColumn("prev_digest", F.lag("digest").over(w))
+    per_key = seq.groupBy("urlkey").agg(
+        F.count("*").cast("bigint").alias("n_captures"),
+        F.sum(
+            F.when(
+                F.col("prev_digest").isNotNull()
+                & (F.col("digest") != F.col("prev_digest")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_changes"),
+        F.max("ts").alias("last_ts"),
+    )
+    rate = F.when(
+        F.col("n_captures") > 1,
+        F.expr("(10000 * n_changes) div (n_captures - 1)"),
+    ).cast("bigint")
+    aged = per_key.select(
+        "urlkey", "n_captures", "n_changes",
+        rate.alias("change_rate_bp"),
+        "last_ts",
+        F.datediff(
+            F.lit(asof_date).cast("date"),
+            F.to_date(F.substring("last_ts", 1, 8), "yyyyMMdd"),
+        ).cast("bigint").alias("age_days"),
+    )
+    return aged.select(
+        "*",
+        (F.coalesce(F.col("change_rate_bp"), F.lit(10000))
+         * F.col("age_days")).cast("bigint").alias("priority"),
+    )

@@ -3143,6 +3143,66 @@ ORACLE_REVISIT_STATS = (
 )
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate recrawl scheduling (X90): 50 urlkeys whose payload
+    digest rotates every (key%4+1)-th capture — four distinct true
+    change rates (10000/5000/3333/2500 bp) — plus unique single-
+    capture keys on every 97th doc pinning the NULL-rate optimistic-
+    priority branch; staleness aged to a fixed as-of date."""
+    from docling_serve_spark.operators.urltools import recrawl_priority
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    key = i % 50
+    seq = F.floor(i / 50).cast("bigint")
+    single = i % 97 == 0
+    period = (key % 4) + 1
+    version = F.floor(seq / period).cast("bigint")
+    captures = docs.select(
+        F.when(single, F.concat(F.lit("com,single)/q"), i.cast("string")))
+        .otherwise(F.concat(F.lit("com,example)/p"), key.cast("string")))
+        .alias("urlkey"),
+        F.concat(
+            F.lit("202402"),
+            F.lpad(((seq % 27) + 1).cast("string"), 2, "0"),
+            F.lit("000000"),
+        ).alias("ts14"),
+        F.md5(
+            F.concat(F.lit("v"), version.cast("string"), F.lit("-"),
+                     key.cast("string"))
+        ).alias("digest"),
+    )
+    return recrawl_priority(captures, asof_date="2024-03-05")
+
+
+ORACLE_RECRAWL_PRIORITY = (
+    "WITH cap AS (SELECT "
+    "CASE WHEN doc_id % 97 = 0 "
+    "THEN 'com,single)/q' || CAST(doc_id AS VARCHAR) "
+    "ELSE 'com,example)/p' || CAST(doc_id % 50 AS VARCHAR) END AS urlkey, "
+    "'202402' || lpad(CAST((doc_id // 50) % 27 + 1 AS VARCHAR), 2, '0') "
+    "|| '000000' AS ts, "
+    "md5('v' || CAST((doc_id // 50) // (doc_id % 50 % 4 + 1) AS VARCHAR) "
+    "|| '-' || CAST(doc_id % 50 AS VARCHAR)) AS digest FROM documents), "
+    "seq AS (SELECT urlkey, ts, digest, lag(digest) OVER "
+    "(PARTITION BY urlkey ORDER BY ts, digest) AS prev_digest FROM cap), "
+    "pk AS (SELECT urlkey, CAST(count(*) AS BIGINT) AS n_captures, "
+    "CAST(sum(CASE WHEN prev_digest IS NOT NULL "
+    "AND digest <> prev_digest THEN 1 ELSE 0 END) AS BIGINT) AS n_changes, "
+    "max(ts) AS last_ts FROM seq GROUP BY 1), "
+    "aged AS (SELECT urlkey, n_captures, n_changes, "
+    "CASE WHEN n_captures > 1 "
+    "THEN (10000 * n_changes) // (n_captures - 1) END AS change_rate_bp, "
+    "last_ts, CAST(date_diff('day', "
+    "strptime(substr(last_ts, 1, 8), '%Y%m%d')::DATE, "
+    "DATE '2024-03-05') AS BIGINT) AS age_days FROM pk) "
+    "SELECT urlkey, n_captures, n_changes, "
+    "CAST(change_rate_bp AS BIGINT) AS change_rate_bp, last_ts, age_days, "
+    "CAST(coalesce(change_rate_bp, 10000) * age_days AS BIGINT) AS priority "
+    "FROM aged"
+)
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (X59): a 5-line page exercising every
     rule — a kept sentence, a too-short line, a javascript line, a
@@ -5714,6 +5774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_seen_urls": q_bloom_seen,
     "cms_token_freq": q_cms_token_freq,
     "seed_distance": q_seed_distance,
+    "recrawl_priority": q_recrawl_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -5843,4 +5904,5 @@ ORACLES: dict[str, str] = {
     "bloom_seen_urls": ORACLE_BLOOM,
     "cms_token_freq": ORACLE_CMS,
     "seed_distance": ORACLE_SEED_DISTANCE,
+    "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
 }

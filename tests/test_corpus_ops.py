@@ -2266,3 +2266,36 @@ def test_seed_distance_bfs_levels_and_unreachable(spark):
     far = {r["host"]: r["seed_hops"] for r in
            webgraph.seed_distance(edges, seeds=["S"], max_hops=4).collect()}
     assert far["D"] == 3 and far["X"] == -1
+
+
+def test_recrawl_priority_hand_computed(spark):
+    """Recrawl priority (X90): hand-checked change-rate estimation —
+    a url changing every capture (10000 bp), one never changing
+    (0 bp), a single-capture url (NULL rate, optimistic priority),
+    and whole-day staleness arithmetic."""
+    from docling_serve_spark.operators.urltools import recrawl_priority
+
+    caps = spark.createDataFrame(
+        [
+            ("hot", "20240201000000", "d1"),
+            ("hot", "20240202000000", "d2"),
+            ("hot", "20240203000000", "d3"),
+            ("cold", "20240201000000", "s"),
+            ("cold", "20240210000000", "s"),
+            ("once", "20240215000000", "z"),
+        ],
+        "urlkey string, ts14 string, digest string",
+    )
+    got = {r["urlkey"]: r for r in
+           recrawl_priority(caps, asof_date="2024-03-01").collect()}
+    hot = got["hot"]
+    assert hot["n_captures"] == 3 and hot["n_changes"] == 2
+    assert hot["change_rate_bp"] == 10000
+    assert hot["age_days"] == 27  # 2024-02-03 -> 2024-03-01
+    assert hot["priority"] == 10000 * 27
+    cold = got["cold"]
+    assert cold["n_changes"] == 0 and cold["change_rate_bp"] == 0
+    assert cold["priority"] == 0
+    once = got["once"]
+    assert once["n_captures"] == 1 and once["change_rate_bp"] is None
+    assert once["age_days"] == 15 and once["priority"] == 10000 * 15
