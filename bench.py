@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "cms_token_freq",
     "seed_distance",
     "recrawl_priority",
+    "length_outliers",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

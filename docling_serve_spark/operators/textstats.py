@@ -623,3 +623,102 @@ def collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
         F.row_number().over(w).cast("bigint").alias("rank"),
         "bigram", "n_bigram", "n_first", "n_second", "score_bp",
     )
+
+
+def length_outliers(docs: DataFrame, group_col: str = "lang",
+                    len_col: str = "n_chars",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, grp, n, q1_x4, q3_x4, lo_fence_x4, hi_fence_x4,
+    is_outlier) — per-group Tukey-fence length outliers (Tukey, EDA
+    1977: flag values outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]), the
+    robust alternative to the fixed length cut-offs in C4/Gopher
+    (X11/X60): a fence ADAPTS per language/source, so a threshold
+    tuned on English prose does not over-prune CJK or code-heavy
+    groups.
+
+    Exactness: quartiles are the standard linear interpolation at
+    index p·(n−1) — carried in QUARTER units (×4), where the
+    interpolation fraction ∈ {0,¼,½,¾} makes every quartile an exact
+    integer; fences are bigint floor-division off the x4 quartiles.
+    No doubles anywhere, bit-reproducible (and equal to
+    quantile_cont·4 in any ANSI engine).
+
+    Scale shape: this does NOT buffer each group's values into an
+    exact-percentile aggregate (which holds all values per group in
+    executor memory — a non-starter for billion-doc languages).
+    Quartiles come from the LENGTH HISTOGRAM: one (grp, len)
+    partial-agg groupBy — cardinality bounded by distinct lengths,
+    not docs — a per-grp cumulative window over those few thousand
+    rows, a 4-rank lookup join, and one broadcastable fence table
+    joined back to the doc stream. Every shuffle carries counts, not
+    documents."""
+    from pyspark.sql import Window
+
+    lens = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.col(len_col).cast("bigint").alias("n"),
+    )
+    hist = lens.groupBy("grp", "n").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("grp").orderBy("n")
+    hist = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = hist.groupBy("grp").agg(
+        F.max("cum").cast("bigint").alias("total")
+    )
+    ranks = totals.select(
+        "grp", "total",
+        F.expr("(1 * (total - 1)) div 4").alias("i1"),
+        F.expr("(1 * (total - 1)) % 4").alias("f1"),
+        F.expr("(3 * (total - 1)) div 4").alias("i3"),
+        F.expr("(3 * (total - 1)) % 4").alias("f3"),
+    )
+    need = ranks.select(
+        "grp", "f1", "f3",
+        F.explode(
+            F.array(
+                F.struct(F.lit("q1a").alias("which"),
+                         F.col("i1").alias("r")),
+                F.struct(F.lit("q1b").alias("which"),
+                         F.least(F.col("i1") + 1,
+                                 F.col("total") - 1).alias("r")),
+                F.struct(F.lit("q3a").alias("which"),
+                         F.col("i3").alias("r")),
+                F.struct(F.lit("q3b").alias("which"),
+                         F.least(F.col("i3") + 1,
+                                 F.col("total") - 1).alias("r")),
+            )
+        ).alias("x"),
+    ).select("grp", "f1", "f3", F.col("x.which").alias("which"),
+             F.col("x.r").alias("r"))
+    # value at 0-based rank r: the histogram row covering r
+    vals = need.join(hist, "grp").where(
+        (F.col("cum") - F.col("cnt") <= F.col("r"))
+        & (F.col("r") < F.col("cum"))
+    ).select("grp", "which", "f1", "f3", F.col("n").alias("v"))
+    q = vals.groupBy("grp", "f1", "f3").agg(
+        F.max(F.when(F.col("which") == "q1a", F.col("v"))).alias("q1a"),
+        F.max(F.when(F.col("which") == "q1b", F.col("v"))).alias("q1b"),
+        F.max(F.when(F.col("which") == "q3a", F.col("v"))).alias("q3a"),
+        F.max(F.when(F.col("which") == "q3b", F.col("v"))).alias("q3b"),
+    )
+    fences = q.select(
+        "grp",
+        (F.col("q1a") * (4 - F.col("f1"))
+         + F.col("q1b") * F.col("f1")).cast("bigint").alias("q1_x4"),
+        (F.col("q3a") * (4 - F.col("f3"))
+         + F.col("q3b") * F.col("f3")).cast("bigint").alias("q3_x4"),
+    ).select(
+        "grp", "q1_x4", "q3_x4",
+        F.expr("q1_x4 - (3 * (q3_x4 - q1_x4)) div 2")
+        .cast("bigint").alias("lo_fence_x4"),
+        F.expr("q3_x4 + (3 * (q3_x4 - q1_x4)) div 2")
+        .cast("bigint").alias("hi_fence_x4"),
+    )
+    return lens.join(F.broadcast(fences), "grp").select(
+        "doc_id", "grp", "n", "q1_x4", "q3_x4",
+        "lo_fence_x4", "hi_fence_x4",
+        ((4 * F.col("n") < F.col("lo_fence_x4"))
+         | (4 * F.col("n") > F.col("hi_fence_x4"))).alias("is_outlier"),
+    )

@@ -3203,6 +3203,44 @@ ORACLE_RECRAWL_PRIORITY = (
 )
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length outliers (X91): per-lang quartiles from a
+    controlled uniform length band (100..149 → Q1/Q3 interpolate on
+    quarter fractions), with every 41st doc inflated to 500 (above
+    the upper fence) and every 43rd truncated to 10 (below the lower
+    fence) — both tails pinned, plus the interior kept mass."""
+    from docling_serve_spark.operators.textstats import length_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n = (
+        F.when(i % 41 == 0, F.lit(500))
+        .when(i % 43 == 0, F.lit(10))
+        .otherwise(100 + (i % 50))
+    )
+    synth = docs.select("doc_id", "lang", n.cast("bigint").alias("n_chars"))
+    return length_outliers(synth)
+
+
+ORACLE_LENGTH_OUTLIERS = (
+    "WITH d AS (SELECT doc_id, lang AS grp, CAST("
+    "CASE WHEN doc_id % 41 = 0 THEN 500 "
+    "WHEN doc_id % 43 = 0 THEN 10 "
+    "ELSE 100 + doc_id % 50 END AS BIGINT) AS n FROM documents), "
+    "f AS (SELECT grp, "
+    "CAST(round(quantile_cont(n, 0.25) * 4) AS BIGINT) AS q1_x4, "
+    "CAST(round(quantile_cont(n, 0.75) * 4) AS BIGINT) AS q3_x4 "
+    "FROM d GROUP BY 1), "
+    "ff AS (SELECT grp, q1_x4, q3_x4, "
+    "CAST(q1_x4 - (3 * (q3_x4 - q1_x4)) // 2 AS BIGINT) AS lo_fence_x4, "
+    "CAST(q3_x4 + (3 * (q3_x4 - q1_x4)) // 2 AS BIGINT) AS hi_fence_x4 "
+    "FROM f) "
+    "SELECT doc_id, d.grp, n, q1_x4, q3_x4, lo_fence_x4, hi_fence_x4, "
+    "(4 * n < lo_fence_x4 OR 4 * n > hi_fence_x4) AS is_outlier "
+    "FROM d JOIN ff ON d.grp = ff.grp"
+)
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level cleaning (X59): a 5-line page exercising every
     rule — a kept sentence, a too-short line, a javascript line, a
@@ -5775,6 +5813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_freq": q_cms_token_freq,
     "seed_distance": q_seed_distance,
     "recrawl_priority": q_recrawl_priority,
+    "length_outliers": q_length_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5905,4 +5944,5 @@ ORACLES: dict[str, str] = {
     "cms_token_freq": ORACLE_CMS,
     "seed_distance": ORACLE_SEED_DISTANCE,
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
+    "length_outliers": ORACLE_LENGTH_OUTLIERS,
 }

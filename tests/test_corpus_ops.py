@@ -2299,3 +2299,30 @@ def test_recrawl_priority_hand_computed(spark):
     once = got["once"]
     assert once["n_captures"] == 1 and once["change_rate_bp"] is None
     assert once["age_days"] == 15 and once["priority"] == 10000 * 15
+
+
+def test_length_outliers_hand_computed_quartiles(spark):
+    """Length outliers (X91): x4 quartiles equal 4·quantile_cont on a
+    hand-set group — values [1..9] plus outlier 1000: Q1=3, Q3=7.5
+    (x4: 12 and 30), fences [12-27, 30+27] = [-15, 57] x4 → only 1000
+    flagged; a singleton group degenerates to zero-width fences."""
+    from docling_serve_spark.operators.textstats import length_outliers
+
+    rows = [(i, "a", v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                               1000])]
+    rows.append((99, "b", 42))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, "
+                                       "n_chars bigint")
+    got = {(r["grp"], r["doc_id"]): r
+           for r in length_outliers(docs).collect()}
+    a = got[("a", 0)]
+    # n=10: Q1 index 2.25 -> 3+(4-3)*0.25 = 3.25 -> x4 13;
+    # Q3 index 6.75 -> 7+(8-7)*0.75 = 7.75 -> x4 31
+    assert a["q1_x4"] == 13 and a["q3_x4"] == 31
+    assert a["lo_fence_x4"] == 13 - (3 * 18) // 2
+    assert a["hi_fence_x4"] == 31 + (3 * 18) // 2
+    flagged = {k[1] for k, r in got.items() if r["is_outlier"]}
+    assert flagged == {9}  # only the 1000-char doc
+    b = got[("b", 99)]
+    assert b["q1_x4"] == 42 * 4 and b["q3_x4"] == 42 * 4
+    assert not b["is_outlier"]
