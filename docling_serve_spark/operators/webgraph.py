@@ -412,6 +412,13 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .agg(F.sum("s").cast("decimal(38,0)").alias("raw"))
         )
         m = raw.agg(F.max("raw").alias("m"))
+        # localCheckpoint per half-round: the next half references
+        # this result in BOTH its contribution join and (via the max
+        # normalizer) its aggregate, so a lazy plan doubles the
+        # upstream subtree every half-round — ~2^(2·iterations) plan
+        # growth, all compile/schedule overhead. The score table is
+        # host-grain (tiny); truncating lineage each half keeps every
+        # round one join + one agg + one one-row broadcast.
         return (
             nodes.join(raw, "host", "left")
             .crossJoin(F.broadcast(m))
@@ -419,6 +426,7 @@ def hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
                 "host",
                 F.coalesce(norm, F.lit(0)).cast("bigint").alias(out),
             )
+            .localCheckpoint(eager=True)
         )
 
     a = nodes.withColumn("a", F.lit(_SCALE).cast("bigint"))
@@ -678,9 +686,13 @@ def seed_distance(edges: DataFrame, seeds: list[str],
             .distinct()
             .withColumn("nd", F.lit(i).cast("int"))
         )
+        # localCheckpoint per level: round i+1 references `dist` twice
+        # (the frontier filter AND the left-join base), so a lazy plan
+        # doubles the upstream subtree every round — 2^max_hops plan
+        # growth in compile/schedule overhead on a host-grain table.
         dist = dist.join(reached, "host", "left").select(
             "host", F.coalesce(F.col("d"), F.col("nd")).alias("d")
-        )
+        ).localCheckpoint(eager=True)
     return dist.select(
         "host",
         F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("seed_hops"),
