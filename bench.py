@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "seed_distance",
     "recrawl_priority",
     "length_outliers",
+    "degree_distribution",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

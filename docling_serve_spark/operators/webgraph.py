@@ -698,3 +698,52 @@ def seed_distance(edges: DataFrame, seeds: list[str],
         F.coalesce(F.col("d"), F.lit(-1)).cast("bigint").alias("seed_hops"),
         F.col("d").isNotNull().alias("reachable"),
     )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(direction, bin, bin_lo, bin_hi, n_hosts, total_degree) —
+    log2-binned in/out-degree histogram of the host graph, the
+    power-law audit of Broder et al., "Graph structure in the web"
+    (WWW 2000): healthy crawl graphs show straight log-log degree
+    lines; a bump in the high-degree out-bins is a directory/spam-farm
+    signature, a truncated in-tail means the crawl frontier never
+    reached the long tail. Run per crawl as a one-row-per-bin
+    datasheet entry beside X50.
+
+    ``bin`` is the integer bit-length of the degree (bin b covers
+    degrees [2^(b−1), 2^b − 1]) — computed as ``length(bin(deg))``,
+    pure integer, identical in any engine; no log() doubles anywhere.
+
+    Scale shape: two partial-agg groupBys on the distinct edge list
+    (per-endpoint degree), then one tiny (direction, bin) rollup —
+    shuffles carry host strings and counts only; output is ≤ 64 rows
+    per direction regardless of corpus size."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    degs = (
+        e.groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .withColumn("direction", F.lit("out"))
+        .union(
+            e.groupBy(F.col("dst").alias("host"))
+            .agg(F.count("*").cast("bigint").alias("deg"))
+            .withColumn("direction", F.lit("in"))
+        )
+    )
+    binned = degs.withColumn(
+        "bin", F.expr("length(bin(deg))").cast("bigint")
+    )
+    return (
+        binned.groupBy("direction", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.sum("deg").cast("bigint").alias("total_degree"),
+        )
+        .select(
+            "direction", "bin",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")
+            .alias("bin_lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - 1")
+            .alias("bin_hi"),
+            "n_hosts", "total_degree",
+        )
+    )

@@ -1695,6 +1695,39 @@ def _seed_distance_oracle(max_hops: int = 6) -> str:
 ORACLE_SEED_DISTANCE = _seed_distance_oracle(6)
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram (X92): the hub-skew synthesis
+    puts the five hub hosts' in-degrees several bins above the
+    periphery — a deliberately non-straight log-log line whose
+    high-bin mass the audit is built to surface."""
+    return webgraph.degree_distribution(
+        _hub_edges(_t(spark, sf_dir, "documents"))
+    )
+
+
+ORACLE_DEGREE_DISTRIBUTION = (
+    "WITH raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+    "CASE WHEN (doc_id // 25) % 4 < 3 "
+    "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+    "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+    "END AS dst FROM documents), "
+    "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst), "
+    "degs AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS deg, "
+    "'out' AS direction FROM edges GROUP BY 1 "
+    "UNION ALL "
+    "SELECT dst AS host, CAST(count(*) AS BIGINT) AS deg, "
+    "'in' AS direction FROM edges GROUP BY 1), "
+    "b AS (SELECT direction, "
+    "CAST(length(printf('%b', deg)) AS BIGINT) AS bin, deg FROM degs) "
+    "SELECT direction, bin, "
+    "CAST(1 << (bin - 1) AS BIGINT) AS bin_lo, "
+    "CAST((1 << bin) - 1 AS BIGINT) AS bin_hi, "
+    "CAST(count(*) AS BIGINT) AS n_hosts, "
+    "CAST(sum(deg) AS BIGINT) AS total_degree "
+    "FROM b GROUP BY 1, 2"
+)
+
+
 def q_host_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count synopsis (X78): per-host distinct-token
     estimates at k=16. Every 13th doc becomes a SINGLETON host with a
@@ -5814,6 +5847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seed_distance": q_seed_distance,
     "recrawl_priority": q_recrawl_priority,
     "length_outliers": q_length_outliers,
+    "degree_distribution": q_degree_distribution,
 }
 
 ORACLES: dict[str, str] = {
@@ -5945,4 +5979,5 @@ ORACLES: dict[str, str] = {
     "seed_distance": ORACLE_SEED_DISTANCE,
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "length_outliers": ORACLE_LENGTH_OUTLIERS,
+    "degree_distribution": ORACLE_DEGREE_DISTRIBUTION,
 }

@@ -2326,3 +2326,30 @@ def test_length_outliers_hand_computed_quartiles(spark):
     b = got[("b", 99)]
     assert b["q1_x4"] == 42 * 4 and b["q3_x4"] == 42 * 4
     assert not b["is_outlier"]
+
+
+def test_degree_distribution_bins_hand_computed(spark):
+    """Degree histogram (X92): bit-length binning — a degree-1 host
+    lands in bin 1 [1,1], degree-3 in bin 2 [2,3], degree-5 in bin 3
+    [4,7]; in/out tallied separately over the distinct edge list."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        # hub has out-degree 5; t1..t5 in-degree 1; b out-degree 3
+        [("hub", f"t{i}") for i in range(1, 6)]
+        + [("b", "t1"), ("b", "t2"), ("b", "t3"),
+           ("b", "t1")],  # duplicate edge must not double-count
+        "src string, dst string",
+    )
+    got = {(r["direction"], r["bin"]): r
+           for r in webgraph.degree_distribution(edges).collect()}
+    out3 = got[("out", 3)]  # hub, degree 5
+    assert out3["bin_lo"] == 4 and out3["bin_hi"] == 7
+    assert out3["n_hosts"] == 1 and out3["total_degree"] == 5
+    out2 = got[("out", 2)]  # b, degree 3
+    assert out2["n_hosts"] == 1 and out2["total_degree"] == 3
+    in1 = got[("in", 1)]   # t4,t5 have in-degree 1
+    assert in1["bin_lo"] == 1 and in1["bin_hi"] == 1
+    assert in1["n_hosts"] == 2
+    in2 = got[("in", 2)]   # t1,t2,t3 have in-degree 2 (hub + b)
+    assert in2["n_hosts"] == 3 and in2["total_degree"] == 6
