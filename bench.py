@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "recrawl_priority",
     "length_outliers",
     "degree_distribution",
+    "dedup_precision",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

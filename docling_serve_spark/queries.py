@@ -555,6 +555,78 @@ def _dedup_recall_oracle() -> str:
 ORACLE_DEDUP_RECALL = _dedup_recall_oracle()
 
 
+def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash precision harness (X93) — the complement of X76's
+    recall: over the same mutated-near-dup corpus, verify EVERY LSH
+    candidate pair against exact shingle Jaccard and report what
+    fraction clears 5000 bp — the false-positive budget an operator
+    commits to when trusting bucket collisions as dup verdicts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(i % 10 == 0, F.concat(w, F.lit("x")))
+            .otherwise(w),
+        ),
+        " ",
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+                    mut.alias("text"))
+    )
+    v = dedup.verify_candidates(corpus)
+    return v.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard_bp") >= 5000, 1).otherwise(0))
+        .cast("bigint").alias("n_true"),
+    ).select(
+        "n_candidates", "n_true",
+        F.expr("(10000 * n_true) div greatest(n_candidates, 1)")
+        .cast("bigint").alias("precision_bp"),
+    )
+
+
+def _dedup_precision_oracle() -> str:
+    mut_union = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, array_to_string("
+        "[CASE WHEN (i - 1) % 10 = 0 THEN ws[i] || 'x' ELSE ws[i] END "
+        "FOR i IN range(1, len(ws) + 1)], ' ') AS text "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents))"
+    )
+    return (
+        f"WITH {_minhash_bands_ctes(mut_union + ' u', 'r')}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM rbands a JOIN rbands b ON a.band_no = b.band_no "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        "dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s "
+        "FROM rsh), "
+        "szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+        "FROM dsh GROUP BY 1), "
+        "inter AS (SELECT c.doc_a, c.doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter FROM cand c "
+        "JOIN dsh sa ON sa.doc_id = c.doc_a "
+        "JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s "
+        "GROUP BY 1, 2), "
+        "v AS (SELECT c.doc_a, c.doc_b, "
+        "(10000 * coalesce(i.n_inter, 0)) // "
+        "(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)) AS jbp "
+        "FROM cand c LEFT JOIN inter i "
+        "ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b "
+        "JOIN szs na ON na.doc_id = c.doc_a "
+        "JOIN szs nb ON nb.doc_id = c.doc_b) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_candidates, "
+        "CAST(sum(CASE WHEN jbp >= 5000 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_true, "
+        "CAST((10000 * sum(CASE WHEN jbp >= 5000 THEN 1 ELSE 0 END)) // "
+        "greatest(count(*), 1) AS BIGINT) AS precision_bp FROM v"
+    )
+
+
+ORACLE_DEDUP_PRECISION = _dedup_precision_oracle()
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-batch dedup: the NEW batch (even-sourced docs
     are verbatim recrawls of history, odd-sourced docs are genuinely
@@ -5848,6 +5920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_priority": q_recrawl_priority,
     "length_outliers": q_length_outliers,
     "degree_distribution": q_degree_distribution,
+    "dedup_precision": q_dedup_precision,
 }
 
 ORACLES: dict[str, str] = {
@@ -5980,4 +6053,5 @@ ORACLES: dict[str, str] = {
     "recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "length_outliers": ORACLE_LENGTH_OUTLIERS,
     "degree_distribution": ORACLE_DEGREE_DISTRIBUTION,
+    "dedup_precision": ORACLE_DEDUP_PRECISION,
 }

@@ -395,3 +395,27 @@ def test_pq_codes_match_reconstruction_and_adc_orders_sanely(spark):
         assert hits >= 1, q
         total += hits
     assert total >= 5  # measured 7 on this fixture
+
+
+def test_verify_candidates_exact_jaccard(spark):
+    """Candidate verification (X93): a verbatim copy verifies at
+    10000 bp with n_inter == n_a == n_b; unrelated docs never become
+    candidates, so the verify table stays LSH-bounded."""
+    from docling_serve_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.verify_candidates(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert (1, 2) in got
+    pair = got[(1, 2)]
+    assert pair["jaccard_bp"] == 10000
+    assert pair["n_inter"] == pair["n_a"] == pair["n_b"] == 6  # 8 toks, k=3
+    # doc 3 shares no shingles -> no band collision -> no row
+    assert all(3 not in k for k in got)
