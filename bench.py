@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "length_outliers",
     "degree_distribution",
     "dedup_precision",
+    "host_churn",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

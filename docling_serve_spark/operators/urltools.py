@@ -569,3 +569,59 @@ def recrawl_priority(captures: DataFrame, asof_date: str,
         (F.coalesce(F.col("change_rate_bp"), F.lit(10000))
          * F.col("age_days")).cast("bigint").alias("priority"),
     )
+
+
+def host_churn(diff: DataFrame, url_col: str = "url",
+               status_col: str = "status") -> DataFrame:
+    """(host, n_old, n_new, n_added, n_removed, n_changed,
+    n_unchanged, birth_rate_bp, death_rate_bp, churn_bp) — per-host
+    page birth/death/change rates from an X26 snapshot-diff table
+    (Ntoulas, Cho & Olston, "What's new on the web? The evolution of
+    the web from a search engine perspective", WWW 2004: ~8%/week new
+    pages, ~80% of change concentrated in a small host subset).
+    Recrawl budgeting reads this, not per-url diffs: a host with
+    churn ~0 drops to monthly refresh, a high-birth host gets
+    frontier budget for DISCOVERY (new urls) rather than refresh.
+
+      birth_rate_bp = 10000 · added   div new-snapshot size
+      death_rate_bp = 10000 · removed div old-snapshot size
+      churn_bp      = 10000 · (added+removed+changed) div union size
+
+    Scale shape: one codegen host extraction + ONE partial-agg
+    groupBy(host) of conditional counts — the diff table (already the
+    minimum two-snapshot movement) never re-shuffles more than host
+    strings and six counters; rates are bigint div basis points."""
+    counts = (
+        diff.select(
+            url_host(F.col(url_col)).alias("host"),
+            F.col(status_col).alias("st"),
+        )
+        .groupBy("host")
+        .agg(
+            *[
+                F.sum(F.when(F.col("st") == s, 1).otherwise(0))
+                .cast("bigint").alias(f"n_{s}")
+                for s in ("added", "removed", "changed", "unchanged")
+            ]
+        )
+    )
+    return counts.select(
+        "host",
+        (F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged"))
+        .alias("n_old"),
+        (F.col("n_added") + F.col("n_changed") + F.col("n_unchanged"))
+        .alias("n_new"),
+        "n_added", "n_removed", "n_changed", "n_unchanged",
+        F.expr(
+            "(10000 * n_added) div greatest(n_added + n_changed + "
+            "n_unchanged, 1)"
+        ).cast("bigint").alias("birth_rate_bp"),
+        F.expr(
+            "(10000 * n_removed) div greatest(n_removed + n_changed + "
+            "n_unchanged, 1)"
+        ).cast("bigint").alias("death_rate_bp"),
+        F.expr(
+            "(10000 * (n_added + n_removed + n_changed)) div "
+            "greatest(n_added + n_removed + n_changed + n_unchanged, 1)"
+        ).cast("bigint").alias("churn_bp"),
+    )

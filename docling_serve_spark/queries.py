@@ -4031,6 +4031,66 @@ ORACLE_SNAPSHOT_DIFF = (
 )
 
 
+def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host churn rollup (X94): the X26 snapshot-diff synthesis
+    re-keyed to host-bearing urls (20 hosts × pages), composed through
+    the REAL snapshot_diff then rolled to per-host birth/death/churn
+    basis points — every status lands on every host by construction."""
+    from docling_serve_spark.operators.urltools import host_churn
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/p"), F.col("doc_id").cast("string"),
+    )
+    old = docs.filter(F.col("doc_id") % 10 != 9).select(
+        url.alias("url"), F.md5(F.col("text")).alias("fingerprint")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % 10 != 0).select(
+        url.alias("url"), F.md5(new_text).alias("fingerprint")
+    )
+    return host_churn(relational.snapshot_diff(old, new))
+
+
+ORACLE_HOST_CHURN = (
+    "WITH old AS (SELECT doc_id, "
+    "'s' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, "
+    "md5(text) AS fp FROM documents WHERE doc_id % 10 <> 9), "
+    "new AS (SELECT doc_id, "
+    "'s' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, "
+    "md5(CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END) "
+    "AS fp FROM documents WHERE doc_id % 10 <> 0), "
+    "d AS (SELECT COALESCE(old.host, new.host) AS host, "
+    "CASE WHEN old.fp IS NULL THEN 'added' "
+    "WHEN new.fp IS NULL THEN 'removed' "
+    "WHEN old.fp <> new.fp THEN 'changed' "
+    "ELSE 'unchanged' END AS st "
+    "FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id), "
+    "c AS (SELECT host, "
+    "CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_added, "
+    "CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_removed, "
+    "CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_changed, "
+    "CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_unchanged FROM d GROUP BY 1) "
+    "SELECT host, n_removed + n_changed + n_unchanged AS n_old, "
+    "n_added + n_changed + n_unchanged AS n_new, "
+    "n_added, n_removed, n_changed, n_unchanged, "
+    "CAST((10000 * n_added) // greatest(n_added + n_changed + "
+    "n_unchanged, 1) AS BIGINT) AS birth_rate_bp, "
+    "CAST((10000 * n_removed) // greatest(n_removed + n_changed + "
+    "n_unchanged, 1) AS BIGINT) AS death_rate_bp, "
+    "CAST((10000 * (n_added + n_removed + n_changed)) // "
+    "greatest(n_added + n_removed + n_changed + n_unchanged, 1) "
+    "AS BIGINT) AS churn_bp FROM c"
+)
+
+
 # deterministic "messy unicode" prefixes keyed on doc_id % 4, shared
 # verbatim by the Spark query and the DuckDB oracle: precomposed
 # accents + double space, combining marks (NFD forms NFC must
@@ -5921,6 +5981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_outliers": q_length_outliers,
     "degree_distribution": q_degree_distribution,
     "dedup_precision": q_dedup_precision,
+    "host_churn": q_host_churn,
 }
 
 ORACLES: dict[str, str] = {
@@ -6054,4 +6115,5 @@ ORACLES: dict[str, str] = {
     "length_outliers": ORACLE_LENGTH_OUTLIERS,
     "degree_distribution": ORACLE_DEGREE_DISTRIBUTION,
     "dedup_precision": ORACLE_DEDUP_PRECISION,
+    "host_churn": ORACLE_HOST_CHURN,
 }

@@ -2353,3 +2353,33 @@ def test_degree_distribution_bins_hand_computed(spark):
     assert in1["n_hosts"] == 2
     in2 = got[("in", 2)]   # t1,t2,t3 have in-degree 2 (hub + b)
     assert in2["n_hosts"] == 3 and in2["total_degree"] == 6
+
+
+def test_host_churn_hand_computed(spark):
+    """Host churn (X94): one host with every status, one fully
+    stable host — birth/death/churn bp checked by hand."""
+    from docling_serve_spark.operators.relational import snapshot_diff
+    from docling_serve_spark.operators.urltools import host_churn
+
+    old = spark.createDataFrame(
+        [("https://a.example/1", "f1"), ("https://a.example/2", "f2"),
+         ("https://a.example/3", "f3"), ("https://b.example/1", "g1")],
+        "url string, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        # /1 unchanged, /2 changed, /3 removed, /4 added
+        [("https://a.example/1", "f1"), ("https://a.example/2", "X"),
+         ("https://a.example/4", "f4"), ("https://b.example/1", "g1")],
+        "url string, fingerprint string",
+    )
+    got = {r["host"]: r
+           for r in host_churn(snapshot_diff(old, new)).collect()}
+    a = got["a.example"]
+    assert (a["n_old"], a["n_new"]) == (3, 3)
+    assert (a["n_added"], a["n_removed"], a["n_changed"],
+            a["n_unchanged"]) == (1, 1, 1, 1)
+    assert a["birth_rate_bp"] == 10000 // 3
+    assert a["death_rate_bp"] == 10000 // 3
+    assert a["churn_bp"] == (10000 * 3) // 4
+    b = got["b.example"]
+    assert b["churn_bp"] == 0 and b["birth_rate_bp"] == 0
