@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "degree_distribution",
     "dedup_precision",
     "host_churn",
+    "politeness_audit",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -118,3 +118,61 @@ def schedule_fetches(batch: DataFrame, n_fetchers: int = 64,
         ((F.row_number().over(w) - 1) * delay).cast("bigint")
         .alias("fetch_at_ms"),
     )
+
+
+def politeness_audit(fetches: DataFrame, delays: DataFrame,
+                     host_col: str = "host", ts_col: str = "ts_ms",
+                     delay_col: str = "delay_ms",
+                     default_delay_ms: int = 1000) -> DataFrame:
+    """(host, n_fetches, min_gap_ms, delay_ms, n_violations,
+    violation_bp) — post-hoc compliance audit of a fetch log against
+    per-host crawl-delay policy (RFC 9309 + the de-facto Crawl-delay
+    directive X70 extracts): a violation is a consecutive same-host
+    fetch gap shorter than the host's declared delay. Crawl operators
+    run exactly this before/after fetcher changes — a polite-by-
+    construction scheduler (X53) still violates in practice through
+    retries, redirects and multi-fetcher races, and sustained
+    violations get a crawler blocked at the CDN tier.
+
+    Hosts absent from the delay table audit against
+    ``default_delay_ms``. Gaps order by (ts, ts-tiebreak on nothing
+    else needed — equal timestamps produce a 0 gap, which is counted
+    as a violation for any positive delay, deterministically).
+
+    Scale shape: one per-host window (partition-local sort of that
+    host's fetch times) + one partial-agg groupBy + one host
+    equi-join against the tiny delay table (AQE-broadcast); only
+    (host, ts) pairs shuffle. Integer ms and bigint-div bp."""
+    w = Window.partitionBy("host").orderBy("ts")
+    d = delays.select(
+        F.col(host_col).alias("host"),
+        F.col(delay_col).cast("bigint").alias("delay_ms"),
+    )
+    gaps = (
+        fetches.select(
+            F.col(host_col).alias("host"), F.col(ts_col).alias("ts")
+        )
+        .join(d, "host", "left")
+        .withColumn(
+            "delay_ms",
+            F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+            .cast("bigint"),
+        )
+        .withColumn("gap_ms", F.col("ts") - F.lag("ts").over(w))
+    )
+    return gaps.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_fetches"),
+        F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+        F.min("delay_ms").alias("delay_ms"),  # constant per host
+        F.sum(
+            F.when(
+                F.col("gap_ms").isNotNull()
+                & (F.col("gap_ms") < F.col("delay_ms")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_violations"),
+    ).select(
+        "host", "n_fetches", "min_gap_ms", "delay_ms", "n_violations",
+        F.expr("(10000 * n_violations) div greatest(n_fetches - 1, 1)")
+        .cast("bigint").alias("violation_bp"),
+    )

@@ -4031,6 +4031,52 @@ ORACLE_SNAPSHOT_DIFF = (
 )
 
 
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay compliance audit (X95): 10 hosts with strictly
+    increasing jittered fetch times (consecutive gaps 400 or 1300 ms
+    by construction), audited against a 5-row delay table (200..1000
+    ms) with the other 5 hosts on the 1000 ms default — pinning
+    never-violates (delay ≤ 400), violates-on-short-gaps, and the
+    default-delay branch in one run."""
+    from docling_serve_spark.operators.frontier import politeness_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    host = F.concat(F.lit("h"), (i % 10).cast("string"))
+    seq = F.floor(i / 10).cast("bigint")
+    ts = 1000 * seq + 300 * ((seq + (i % 10)) % 3)
+    fetches = docs.select(host.alias("host"), ts.alias("ts_ms"))
+    delays = spark.createDataFrame(
+        [("h0", 200), ("h1", 400), ("h2", 600), ("h3", 800),
+         ("h4", 1000)],
+        "host string, delay_ms bigint",
+    )
+    return politeness_audit(fetches, delays)
+
+
+ORACLE_POLITENESS_AUDIT = (
+    "WITH f AS (SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host, "
+    "1000 * (doc_id // 10) "
+    "+ 300 * (((doc_id // 10) + doc_id % 10) % 3) AS ts FROM documents), "
+    "d AS (SELECT * FROM (VALUES ('h0', 200), ('h1', 400), ('h2', 600), "
+    "('h3', 800), ('h4', 1000)) t(host, delay_ms)), "
+    "j AS (SELECT f.host, ts, "
+    "CAST(coalesce(d.delay_ms, 1000) AS BIGINT) AS delay_ms "
+    "FROM f LEFT JOIN d ON f.host = d.host), "
+    "g AS (SELECT host, delay_ms, ts - lag(ts) OVER "
+    "(PARTITION BY host ORDER BY ts) AS gap_ms FROM j) "
+    "SELECT host, CAST(count(*) AS BIGINT) AS n_fetches, "
+    "CAST(min(gap_ms) AS BIGINT) AS min_gap_ms, "
+    "CAST(min(delay_ms) AS BIGINT) AS delay_ms, "
+    "CAST(sum(CASE WHEN gap_ms IS NOT NULL AND gap_ms < delay_ms "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, "
+    "CAST((10000 * sum(CASE WHEN gap_ms IS NOT NULL "
+    "AND gap_ms < delay_ms THEN 1 ELSE 0 END)) // "
+    "greatest(count(*) - 1, 1) AS BIGINT) AS violation_bp "
+    "FROM g GROUP BY 1"
+)
+
+
 def q_host_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host churn rollup (X94): the X26 snapshot-diff synthesis
     re-keyed to host-bearing urls (20 hosts × pages), composed through
@@ -5982,6 +6028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_distribution": q_degree_distribution,
     "dedup_precision": q_dedup_precision,
     "host_churn": q_host_churn,
+    "politeness_audit": q_politeness_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -6116,4 +6163,5 @@ ORACLES: dict[str, str] = {
     "degree_distribution": ORACLE_DEGREE_DISTRIBUTION,
     "dedup_precision": ORACLE_DEDUP_PRECISION,
     "host_churn": ORACLE_HOST_CHURN,
+    "politeness_audit": ORACLE_POLITENESS_AUDIT,
 }

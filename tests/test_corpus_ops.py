@@ -2383,3 +2383,29 @@ def test_host_churn_hand_computed(spark):
     assert a["churn_bp"] == (10000 * 3) // 4
     b = got["b.example"]
     assert b["churn_bp"] == 0 and b["birth_rate_bp"] == 0
+
+
+def test_politeness_audit_hand_computed(spark):
+    """Politeness audit (X95): gap arithmetic, the equal-timestamp
+    0-gap violation, the default-delay branch, and a single-fetch
+    host with NULL min gap and zero violations."""
+    from docling_serve_spark.operators.frontier import politeness_audit
+
+    fetches = spark.createDataFrame(
+        [("a", 0), ("a", 500), ("a", 2000), ("a", 2000),  # gaps 500,1500,0
+         ("b", 0), ("b", 900),                            # gap 900, no delay row
+         ("c", 0)],
+        "host string, ts_ms bigint",
+    )
+    delays = spark.createDataFrame([("a", 1000)],
+                                   "host string, delay_ms bigint")
+    got = {r["host"]: r for r in politeness_audit(fetches, delays).collect()}
+    a = got["a"]
+    assert a["n_fetches"] == 4 and a["min_gap_ms"] == 0
+    assert a["n_violations"] == 2  # 500 and 0 both < 1000
+    assert a["violation_bp"] == (10000 * 2) // 3
+    b = got["b"]
+    assert b["delay_ms"] == 1000 and b["n_violations"] == 1  # default delay
+    c = got["c"]
+    assert c["min_gap_ms"] is None and c["n_violations"] == 0
+    assert c["violation_bp"] == 0
