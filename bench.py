@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "dedup_precision",
     "host_churn",
     "politeness_audit",
+    "sitemap_coverage",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

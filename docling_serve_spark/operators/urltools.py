@@ -625,3 +625,49 @@ def host_churn(diff: DataFrame, url_col: str = "url",
             "greatest(n_added + n_removed + n_changed + n_unchanged, 1)"
         ).cast("bigint").alias("churn_bp"),
     )
+
+
+def sitemap_coverage(declared: DataFrame, crawled: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """(host, n_declared, n_crawled, n_both, n_gap, n_orphan,
+    coverage_bp, orphan_bp) — per-host reconciliation of
+    sitemap-declared urls against what the crawl actually fetched
+    (Schonfeld & Shivakumar, "Sitemaps: Above and Beyond the Crawl of
+    Duty", WWW 2009: sitemaps and discovery crawling each see urls the
+    other misses). ``coverage_bp`` (fetched share of the declared set)
+    tells the crawl team which hosts' sitemaps they are wasting —
+    X57/X66 discovered the urls, nobody fetched them; ``orphan_bp``
+    (fetched urls the sitemap never declared) bounds how much of a
+    host would VANISH if the crawler trusted sitemaps alone.
+
+    Scale shape: per-side url distinct (partial-agg), ONE full-outer
+    equi-join on url — the minimum movement for a two-set
+    reconciliation, same shape as X26 — then one partial-agg host
+    rollup of three conditional counters; url strings are the widest
+    shuffle. Integer bigint-div bp."""
+    d = declared.select(F.col(url_col).alias("u")).distinct().select(
+        "u", url_host(F.col("u")).alias("host"), F.lit(1).alias("dec")
+    )
+    c = crawled.select(F.col(url_col).alias("u")).distinct().select(
+        "u", url_host(F.col("u")).alias("host"), F.lit(1).alias("crw")
+    )
+    both = d.join(c, ["u", "host"], "full_outer")
+    agg = both.groupBy("host").agg(
+        F.sum(F.coalesce(F.col("dec"), F.lit(0))).cast("bigint")
+        .alias("n_declared"),
+        F.sum(F.coalesce(F.col("crw"), F.lit(0))).cast("bigint")
+        .alias("n_crawled"),
+        F.sum(
+            F.when(F.col("dec").isNotNull() & F.col("crw").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_both"),
+    )
+    return agg.select(
+        "host", "n_declared", "n_crawled", "n_both",
+        (F.col("n_declared") - F.col("n_both")).alias("n_gap"),
+        (F.col("n_crawled") - F.col("n_both")).alias("n_orphan"),
+        F.expr("(10000 * n_both) div greatest(n_declared, 1)")
+        .cast("bigint").alias("coverage_bp"),
+        F.expr("(10000 * (n_crawled - n_both)) div greatest(n_crawled, 1)")
+        .cast("bigint").alias("orphan_bp"),
+    )

@@ -4031,6 +4031,47 @@ ORACLE_SNAPSHOT_DIFF = (
 )
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl reconciliation (X96): 10 hosts; the sitemap
+    declares 4/5 of urls (doc_id%5 != 4), the crawl fetched 2/3
+    (doc_id%3 != 0) — overlap, sitemap gaps, and crawl orphans all
+    non-empty on every host by CRT."""
+    from docling_serve_spark.operators.urltools import sitemap_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example/p"), F.col("doc_id").cast("string"),
+    )
+    declared = docs.filter(F.col("doc_id") % 5 != 4).select(url.alias("url"))
+    crawled = docs.filter(F.col("doc_id") % 3 != 0).select(url.alias("url"))
+    return sitemap_coverage(declared, crawled)
+
+
+ORACLE_SITEMAP_COVERAGE = (
+    "WITH d AS (SELECT DISTINCT "
+    "'s' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host, "
+    "doc_id AS u FROM documents WHERE doc_id % 5 <> 4), "
+    "c AS (SELECT DISTINCT "
+    "'s' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host, "
+    "doc_id AS u FROM documents WHERE doc_id % 3 <> 0), "
+    "j AS (SELECT COALESCE(d.host, c.host) AS host, "
+    "d.u IS NOT NULL AS dec, c.u IS NOT NULL AS crw "
+    "FROM d FULL OUTER JOIN c ON d.u = c.u), "
+    "a AS (SELECT host, "
+    "CAST(sum(CASE WHEN dec THEN 1 ELSE 0 END) AS BIGINT) AS n_declared, "
+    "CAST(sum(CASE WHEN crw THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled, "
+    "CAST(sum(CASE WHEN dec AND crw THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_both FROM j GROUP BY 1) "
+    "SELECT host, n_declared, n_crawled, n_both, "
+    "n_declared - n_both AS n_gap, n_crawled - n_both AS n_orphan, "
+    "CAST((10000 * n_both) // greatest(n_declared, 1) AS BIGINT) "
+    "AS coverage_bp, "
+    "CAST((10000 * (n_crawled - n_both)) // greatest(n_crawled, 1) "
+    "AS BIGINT) AS orphan_bp FROM a"
+)
+
+
 def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay compliance audit (X95): 10 hosts with strictly
     increasing jittered fetch times (consecutive gaps 400 or 1300 ms
@@ -6029,6 +6070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_precision": q_dedup_precision,
     "host_churn": q_host_churn,
     "politeness_audit": q_politeness_audit,
+    "sitemap_coverage": q_sitemap_coverage,
 }
 
 ORACLES: dict[str, str] = {
@@ -6164,4 +6206,5 @@ ORACLES: dict[str, str] = {
     "dedup_precision": ORACLE_DEDUP_PRECISION,
     "host_churn": ORACLE_HOST_CHURN,
     "politeness_audit": ORACLE_POLITENESS_AUDIT,
+    "sitemap_coverage": ORACLE_SITEMAP_COVERAGE,
 }

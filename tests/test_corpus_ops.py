@@ -2409,3 +2409,33 @@ def test_politeness_audit_hand_computed(spark):
     c = got["c"]
     assert c["min_gap_ms"] is None and c["n_violations"] == 0
     assert c["violation_bp"] == 0
+
+
+def test_sitemap_coverage_hand_computed(spark):
+    """Sitemap coverage (X96): declared∩crawled arithmetic by hand,
+    duplicate declarations collapse, a declared-only host reads 0
+    coverage and a crawled-only host reads full orphan rate."""
+    from docling_serve_spark.operators.urltools import sitemap_coverage
+
+    declared = spark.createDataFrame(
+        [("https://a.example/1",), ("https://a.example/1",),  # dup collapses
+         ("https://a.example/2",), ("https://a.example/3",),
+         ("https://gap.example/1",)],
+        "url string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.example/1",), ("https://a.example/2",),
+         ("https://a.example/9",),  # orphan
+         ("https://orphan.example/1",)],
+        "url string",
+    )
+    got = {r["host"]: r
+           for r in sitemap_coverage(declared, crawled).collect()}
+    a = got["a.example"]
+    assert (a["n_declared"], a["n_crawled"], a["n_both"]) == (3, 3, 2)
+    assert a["n_gap"] == 1 and a["n_orphan"] == 1
+    assert a["coverage_bp"] == (10000 * 2) // 3
+    assert a["orphan_bp"] == 10000 // 3
+    assert got["gap.example"]["coverage_bp"] == 0
+    assert got["orphan.example"]["orphan_bp"] == 10000
+    assert got["orphan.example"]["n_declared"] == 0
