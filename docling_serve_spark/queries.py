@@ -4032,15 +4032,16 @@ ORACLE_SNAPSHOT_DIFF = (
 
 
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sitemap-vs-crawl reconciliation (X96): 10 hosts; the sitemap
-    declares 4/5 of urls (doc_id%5 != 4), the crawl fetched 2/3
-    (doc_id%3 != 0) — overlap, sitemap gaps, and crawl orphans all
-    non-empty on every host by CRT."""
+    """Sitemap-vs-crawl reconciliation (X96): 7 hosts (modulus
+    coprime with both filters); the sitemap declares 4/5 of urls
+    (doc_id%5 != 4), the crawl fetched 2/3 (doc_id%3 != 0) — overlap,
+    sitemap gaps, and crawl orphans all non-empty on every host by
+    CRT."""
     from docling_serve_spark.operators.urltools import sitemap_coverage
 
     docs = _t(spark, sf_dir, "documents")
     url = F.concat(
-        F.lit("https://s"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
         F.lit(".example/p"), F.col("doc_id").cast("string"),
     )
     declared = docs.filter(F.col("doc_id") % 5 != 4).select(url.alias("url"))
@@ -4050,10 +4051,10 @@ def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SITEMAP_COVERAGE = (
     "WITH d AS (SELECT DISTINCT "
-    "'s' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host, "
+    "'s' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host, "
     "doc_id AS u FROM documents WHERE doc_id % 5 <> 4), "
     "c AS (SELECT DISTINCT "
-    "'s' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host, "
+    "'s' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host, "
     "doc_id AS u FROM documents WHERE doc_id % 3 <> 0), "
     "j AS (SELECT COALESCE(d.host, c.host) AS host, "
     "d.u IS NOT NULL AS dec, c.u IS NOT NULL AS crw "
