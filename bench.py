@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "host_churn",
     "politeness_audit",
     "sitemap_coverage",
+    "url_param_stats",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -671,3 +671,69 @@ def sitemap_coverage(declared: DataFrame, crawled: DataFrame,
         F.expr("(10000 * (n_crawled - n_both)) div greatest(n_crawled, 1)")
         .cast("bigint").alias("orphan_bp"),
     )
+
+
+_TRACKING_KEY_RE = (
+    "^(utm_[a-z]+|gclid|fbclid|msclkid|yclid|ref|referrer|sessionid|"
+    "sid|phpsessid|jsessionid)$"
+)
+
+
+def url_param_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, n_urls, n_with_query, n_tracking, query_share_bp,
+    tracking_share_bp, n_distinct_params) — per-host query-parameter
+    audit: how much of a host's URL space is parameterized, how much
+    of THAT is pure tracking decoration (utm_*/gclid/session ids),
+    and how wide the parameter vocabulary runs. This quantifies the
+    DUST mass ("Do Not Crawl in the DUST: different URLs with similar
+    text", Bar-Yossef, Keidar & Schonfeld, WWW 2007) that
+    ``canonical_url`` collapses: a host with tracking_share ~10000 bp
+    is pure alias load (safe to canonicalize hard), while a host with
+    many distinct NON-tracking params (X45's trap signature) needs
+    per-template rules before its urls are deduped away.
+
+    Scale shape: one codegen pass (regexp query-string extract +
+    array ops, no explode for the flags) + one partial-agg host
+    groupBy; the distinct-param count explodes ONLY urls that have a
+    query string, into (host, key) pairs — strings far smaller than
+    urls — for a second partial-agg groupBy. Integer bigint-div bp."""
+    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    keys = F.transform(
+        F.filter(F.split(q, "&"), lambda kv: kv != ""),
+        lambda kv: F.lower(F.regexp_extract(kv, "^([^=]+)", 1)),
+    )
+    has_tracking = F.exists(
+        keys, lambda k: k.rlike(_TRACKING_KEY_RE)
+    )
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        (q != "").alias("has_q"),
+        has_tracking.alias("has_t"),
+        keys.alias("keys"),
+    )
+    agg = base.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(F.when(F.col("has_q"), 1).otherwise(0)).cast("bigint")
+        .alias("n_with_query"),
+        F.sum(F.when(F.col("has_t"), 1).otherwise(0)).cast("bigint")
+        .alias("n_tracking"),
+    )
+    distinct_params = (
+        base.where(F.col("has_q"))
+        .select("host", F.explode("keys").alias("k"))
+        .where(F.col("k") != "")
+        .groupBy("host")
+        .agg(F.countDistinct("k").cast("bigint").alias("n_distinct_params"))
+    )
+    return (
+        agg.join(distinct_params, "host", "left")
+        .select(
+            "host", "n_urls", "n_with_query", "n_tracking",
+            F.expr("(10000 * n_with_query) div n_urls").cast("bigint")
+            .alias("query_share_bp"),
+            F.expr("(10000 * n_tracking) div n_urls").cast("bigint")
+            .alias("tracking_share_bp"),
+            F.coalesce(F.col("n_distinct_params"), F.lit(0)).cast("bigint")
+            .alias("n_distinct_params"),
+        )
+    )

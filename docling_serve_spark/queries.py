@@ -4031,6 +4031,58 @@ ORACLE_SNAPSHOT_DIFF = (
 )
 
 
+def q_url_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL query-parameter audit (X97): 5 hosts (coprime with the
+    %4 query-type cycle) × four url shapes — bare, pure-tracking
+    (utm_*), functional params (page/sort), and mixed (id + gclid) —
+    parsed back out of full url strings by the real operator."""
+    from docling_serve_spark.operators.urltools import url_param_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    qstr = (
+        F.when(i % 4 == 1, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(i % 4 == 2, F.lit("?page=2&sort=asc"))
+        .when(i % 4 == 3, F.lit("?id=5&gclid=abc"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://s"), (i % 5).cast("string"),
+        F.lit(".example/p"), i.cast("string"), qstr,
+    )
+    return url_param_stats(docs.select(url.alias("url")))
+
+
+ORACLE_URL_PARAM_STATS = (
+    "WITH u AS (SELECT "
+    "'s' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host, "
+    "CASE doc_id % 4 WHEN 1 THEN 'utm_source=feed&utm_medium=rss' "
+    "WHEN 2 THEN 'page=2&sort=asc' "
+    "WHEN 3 THEN 'id=5&gclid=abc' ELSE '' END AS q FROM documents), "
+    "k AS (SELECT host, q <> '' AS has_q, "
+    "list_transform(list_filter(string_split(q, '&'), x -> x <> ''), "
+    "kv -> lower(regexp_extract(kv, '^([^=]+)', 1))) AS keys FROM u), "
+    "f AS (SELECT host, has_q, len(list_filter(keys, x -> "
+    "regexp_matches(x, '^(utm_[a-z]+|gclid|fbclid|msclkid|yclid|ref|"
+    "referrer|sessionid|sid|phpsessid|jsessionid)$'))) > 0 AS has_t, "
+    "keys FROM k), "
+    "a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls, "
+    "CAST(sum(CASE WHEN has_q THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_with_query, "
+    "CAST(sum(CASE WHEN has_t THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_tracking FROM f GROUP BY 1), "
+    "p AS (SELECT host, CAST(count(DISTINCT kk) AS BIGINT) "
+    "AS n_distinct_params FROM (SELECT host, unnest(keys) AS kk "
+    "FROM f WHERE has_q) z WHERE kk <> '' GROUP BY 1) "
+    "SELECT a.host, n_urls, n_with_query, n_tracking, "
+    "CAST((10000 * n_with_query) // n_urls AS BIGINT) AS query_share_bp, "
+    "CAST((10000 * n_tracking) // n_urls AS BIGINT) AS tracking_share_bp, "
+    "CAST(coalesce(p.n_distinct_params, 0) AS BIGINT) "
+    "AS n_distinct_params "
+    "FROM a LEFT JOIN p ON a.host = p.host"
+)
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-vs-crawl reconciliation (X96): 7 hosts (modulus
     coprime with both filters); the sitemap declares 4/5 of urls
@@ -6072,6 +6124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_churn": q_host_churn,
     "politeness_audit": q_politeness_audit,
     "sitemap_coverage": q_sitemap_coverage,
+    "url_param_stats": q_url_param_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -6208,4 +6261,5 @@ ORACLES: dict[str, str] = {
     "host_churn": ORACLE_HOST_CHURN,
     "politeness_audit": ORACLE_POLITENESS_AUDIT,
     "sitemap_coverage": ORACLE_SITEMAP_COVERAGE,
+    "url_param_stats": ORACLE_URL_PARAM_STATS,
 }

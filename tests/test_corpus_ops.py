@@ -2439,3 +2439,29 @@ def test_sitemap_coverage_hand_computed(spark):
     assert got["gap.example"]["coverage_bp"] == 0
     assert got["orphan.example"]["orphan_bp"] == 10000
     assert got["orphan.example"]["n_declared"] == 0
+
+
+def test_url_param_stats_hand_computed(spark):
+    """URL param audit (X97): tracking detection is exact-key (a
+    'reference' param must NOT match 'ref'), fragments are excluded
+    from the query string, bare '&&' separators are dropped."""
+    from docling_serve_spark.operators.urltools import url_param_stats
+
+    pages = spark.createDataFrame(
+        [("https://a.example/x",),
+         ("https://a.example/y?utm_source=z",),
+         ("https://a.example/z?reference=book&page=2",),  # NOT tracking
+         ("https://a.example/w?a=1&&b=2#frag=no",),
+         ("https://b.example/only?gclid=tag",)],
+        "url string",
+    )
+    got = {r["host"]: r for r in url_param_stats(pages).collect()}
+    a = got["a.example"]
+    assert a["n_urls"] == 4 and a["n_with_query"] == 3
+    assert a["n_tracking"] == 1  # only utm_source; 'reference' is exact-miss
+    assert a["query_share_bp"] == 7500
+    assert a["tracking_share_bp"] == 2500
+    # params: utm_source, reference, page, a, b  (frag excluded)
+    assert a["n_distinct_params"] == 5
+    b = got["b.example"]
+    assert b["tracking_share_bp"] == 10000 and b["n_distinct_params"] == 1
