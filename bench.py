@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "politeness_audit",
     "sitemap_coverage",
     "url_param_stats",
+    "source_overlap",
+    "split_leakage",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

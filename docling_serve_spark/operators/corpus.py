@@ -305,3 +305,70 @@ def source_scorecard(docs: DataFrame, verdicts: DataFrame,
         F.expr("(10000 * n_keep) div n_docs").cast("bigint")
         .alias("keep_rate_bp"),
     )
+
+
+def group_overlap(docs: DataFrame, label_col: str,
+                  text_col: str = "text") -> DataFrame:
+    """(label_a, label_b, n_shared, n_a, n_b, overlap_bp) — exact
+    duplicate-content overlap between every pair of document groups,
+    by normalized-text fingerprint ("What's In My Big Data?", Elazar
+    et al., ICLR 2024 measures exactly this cross-corpus duplication;
+    Dolma/RedPajama publish the per-source variant). Two first-class
+    uses in one operator: ``label = source`` gives the cross-feed
+    contamination matrix X72's within-source scorecard deliberately
+    excludes; ``label = split`` audits train/eval LEAKAGE — any
+    fingerprint straddling train and test is an eval answer sitting
+    in the training set.
+
+    ``overlap_bp = 10000 · n_shared div min(n_a, n_b)`` — containment
+    of the smaller group, the form that flags a small eval split
+    drowning in train-set copies even when the train side is huge.
+
+    Scale shape: one (label, fp) distinct partial-agg, then per-fp
+    sorted label SETS explode to label pairs — bounded by
+    C(#labels, 2) per fingerprint, and #labels (sources/splits) is
+    tiny, so a boilerplate fp shared by every group emits a constant
+    number of pairs, never a quadratic doc join; one final pair
+    groupBy. Only 16-byte fingerprints and short labels shuffle."""
+    fps = docs.select(
+        F.col(label_col).alias("label"),
+        F.md5(norm_text(F.col(text_col))).alias("fp"),
+    ).distinct()
+    sizes = fps.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_fps")
+    )
+    per_fp = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set("label")).alias("labels")
+    ).where(F.size("labels") >= 2)
+    pairs = per_fp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("labels"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("labels"), i + 2,
+                            F.size("labels") - i - 1
+                        ),
+                        lambda b: F.struct(a.alias("label_a"),
+                                           b.alias("label_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.label_a", "p.label_b")
+    shared = pairs.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("bigint").alias("n_shared")
+    )
+    return (
+        shared
+        .join(sizes.select(F.col("label").alias("label_a"),
+                           F.col("n_fps").alias("n_a")), "label_a")
+        .join(sizes.select(F.col("label").alias("label_b"),
+                           F.col("n_fps").alias("n_b")), "label_b")
+        .select(
+            "label_a", "label_b", "n_shared", "n_a", "n_b",
+            F.expr("(10000 * n_shared) div least(n_a, n_b)")
+            .cast("bigint").alias("overlap_bp"),
+        )
+    )

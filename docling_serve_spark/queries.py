@@ -4031,6 +4031,108 @@ ORACLE_SNAPSHOT_DIFF = (
 )
 
 
+def _overlap_tail_sql() -> str:
+    """Shared oracle tail: from a ``fps(label, fp)`` CTE to the
+    (label_a, label_b, n_shared, n_a, n_b, overlap_bp) matrix."""
+    return (
+        "sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_fps "
+        "FROM fps GROUP BY 1), "
+        "pairs AS (SELECT a.label AS label_a, b.label AS label_b "
+        "FROM fps a JOIN fps b ON a.fp = b.fp AND a.label < b.label), "
+        "shared AS (SELECT label_a, label_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared FROM pairs GROUP BY 1, 2) "
+        "SELECT label_a, label_b, n_shared, sa.n_fps AS n_a, "
+        "sb.n_fps AS n_b, "
+        "CAST((10000 * n_shared) // least(sa.n_fps, sb.n_fps) AS BIGINT) "
+        "AS overlap_bp FROM shared "
+        "JOIN sizes sa ON shared.label_a = sa.label "
+        "JOIN sizes sb ON shared.label_b = sb.label"
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (X98): 4 sources; every 5th
+    doc carries one of 3 shared boilerplate texts, so all 6 source
+    pairs share exactly those fingerprints while each source keeps
+    its own unique mass."""
+    from docling_serve_spark.operators.corpus import group_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+        .alias("label"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("shared boilerplate "),
+                     (F.col("doc_id") % 3).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return group_overlap(synth, label_col="label")
+
+
+def _source_overlap_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        "WITH d AS (SELECT 's' || CAST(doc_id % 4 AS VARCHAR) AS label, "
+        "CASE WHEN doc_id % 5 = 0 "
+        "THEN 'shared boilerplate ' || CAST(doc_id % 3 AS VARCHAR) "
+        "ELSE text END AS text FROM documents), "
+        f"fps AS (SELECT DISTINCT label, md5({norm}) AS fp FROM d), "
+        + _overlap_tail_sql()
+    )
+
+
+ORACLE_SOURCE_OVERLAP = _source_overlap_oracle()
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit (X99): the X28 host-hash split
+    composed into the X98 overlap matrix — every 7th doc carries one
+    of 5 'leaky eval snippet' texts that appear on many hosts, so
+    identical content straddles train/val/test by construction and
+    the audit must surface it."""
+    from docling_serve_spark.operators.corpus import group_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/p"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("leaky eval snippet "),
+                     (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    assigned = sampling.split_assign(pages, test_bp=1500, val_bp=1500)
+    return group_overlap(assigned, label_col="split")
+
+
+def _split_leakage_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    bucket = (
+        "(('0x' || substr(md5(host || '/split-v1'), 1, 12))::BIGINT "
+        "% 10000)"
+    )
+    return (
+        "WITH u AS (SELECT "
+        "'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host, "
+        "CASE WHEN doc_id % 7 = 0 "
+        "THEN 'leaky eval snippet ' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE text END AS text FROM documents), "
+        f"s AS (SELECT text, CASE WHEN {bucket} < 1500 THEN 'test' "
+        f"WHEN {bucket} < 3000 THEN 'val' ELSE 'train' END AS label "
+        "FROM u), "
+        f"fps AS (SELECT DISTINCT label, md5({norm}) AS fp FROM s), "
+        + _overlap_tail_sql()
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = _split_leakage_oracle()
+
+
 def q_url_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL query-parameter audit (X97): 5 hosts (coprime with the
     %4 query-type cycle) × four url shapes — bare, pure-tracking
@@ -6125,6 +6227,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_audit": q_politeness_audit,
     "sitemap_coverage": q_sitemap_coverage,
     "url_param_stats": q_url_param_stats,
+    "source_overlap": q_source_overlap,
+    "split_leakage": q_split_leakage,
 }
 
 ORACLES: dict[str, str] = {
@@ -6262,4 +6366,6 @@ ORACLES: dict[str, str] = {
     "politeness_audit": ORACLE_POLITENESS_AUDIT,
     "sitemap_coverage": ORACLE_SITEMAP_COVERAGE,
     "url_param_stats": ORACLE_URL_PARAM_STATS,
+    "source_overlap": ORACLE_SOURCE_OVERLAP,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
 }

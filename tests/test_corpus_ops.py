@@ -2465,3 +2465,33 @@ def test_url_param_stats_hand_computed(spark):
     assert a["n_distinct_params"] == 5
     b = got["b.example"]
     assert b["tracking_share_bp"] == 10000 and b["n_distinct_params"] == 1
+
+
+def test_group_overlap_hand_computed(spark):
+    """Group overlap (X98/X99): containment-of-smaller arithmetic,
+    whitespace-normalized fingerprints, a 3-group shared fp emitting
+    all three pairs, and disjoint groups emitting no row."""
+    from docling_serve_spark.operators.corpus import group_overlap
+
+    docs = spark.createDataFrame(
+        [
+            ("train", "the shared   text"),   # normalizes equal
+            ("train", "train only one"),
+            ("train", "train only two"),
+            ("val",   "The Shared text"),
+            ("test",  "the shared text "),
+            ("test",  "test only"),
+            ("lone",  "nothing shared here"),
+        ],
+        "label string, text string",
+    )
+    rows = group_overlap(docs, label_col="label").collect()
+    got = {(r["label_a"], r["label_b"]): r for r in rows}
+    assert set(got) == {("test", "train"), ("train", "val"),
+                        ("test", "val")}
+    tv = got[("train", "val")]
+    assert tv["n_shared"] == 1 and tv["n_a"] == 3 and tv["n_b"] == 1
+    assert tv["overlap_bp"] == 10000  # val fully contained in train
+    tt = got[("test", "train")]
+    assert tt["overlap_bp"] == 5000  # 1 of min(2, 3)
+    assert all("lone" not in k for k in got)
