@@ -483,3 +483,36 @@ def test_winnow_window_is_partition_local(spark):
     plan = _plan(spark, QUERIES["winnow_fingerprints"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(__id" in plan
+
+
+def test_bucketed_snapshot_join_needs_no_exchange(spark, tmp_path):
+    """The X26 scale claim, asserted on a real plan: when both
+    snapshots are stored bucketed+sorted by url, the full-outer diff
+    join runs with ZERO Exchange operators — the 100 TB recrawl diff
+    never reshuffles either snapshot. (Unbucketed parquet, by
+    contrast, must exchange both sides.)"""
+    from docling_serve_spark.operators.relational import snapshot_diff
+
+    df = spark.range(200).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.md5(F.col("id").cast("string")).alias("fingerprint"),
+    )
+    spark.sql("DROP TABLE IF EXISTS snap_old_b")
+    spark.sql("DROP TABLE IF EXISTS snap_new_b")
+    loc_o = str(tmp_path / "snap_old_b")
+    loc_n = str(tmp_path / "snap_new_b")
+    (df.write.bucketBy(8, "url").sortBy("url").format("parquet")
+       .option("path", loc_o).saveAsTable("snap_old_b"))
+    (df.write.bucketBy(8, "url").sortBy("url").format("parquet")
+       .option("path", loc_n).saveAsTable("snap_new_b"))
+    try:
+        diff = snapshot_diff(spark.table("snap_old_b"),
+                             spark.table("snap_new_b"))
+        plan = _plan(spark, diff)
+        assert "SortMergeJoin FullOuter" in plan
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        assert diff.where(F.col("status") != "unchanged").count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_old_b")
+        spark.sql("DROP TABLE IF EXISTS snap_new_b")
