@@ -924,3 +924,122 @@ def verify_candidates(docs: DataFrame, text_col: str = "text",
             ).cast("bigint").alias("jaccard_bp"),
         )
     )
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      threshold_bp: int = 8000,
+                      max_df_frac: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_tok_a, n_tok_b, containment_bp) —
+    token-set CONTAINMENT pairs: c(A,B) = |A∩B| / min(|A|,|B|)
+    (Broder, "On the resemblance and containment of documents",
+    SEQUENCES 1997 §2). Jaccard misses the syndication shape a crawl
+    is full of — a wire story republished inside a much longer page
+    scores J ≈ |A|/|B| → 0 as the host page grows, while its
+    containment stays ≈ 1. This is the operator that catches quoted /
+    wrapped / excerpt-expanded duplication that symmetric measures
+    structurally cannot.
+
+    Same document-frequency cap as ``jaccard_pairs`` (stopwords — the
+    quadratic-blowup keys — dropped before sizes and intersections,
+    identically on both engines). NO length-ratio pruning: containment
+    is deliberately ratio-free (a 50-token excerpt inside a 5,000-token
+    page is the signal, not a prunable mismatch), so the pair join is
+    bounded only by the df-cap — which is exactly the bound that
+    matters, since post-cap df is what multiplies pairs.
+
+    Integer-exact: containment_bp = (10000*|A∩B|) div min(|A|,|B|)
+    in pure bigint arithmetic (n_inter ≤ min ≤ n_docs·max_tok, so the
+    numerator stays ≤ 10^4·2^40 « 2^63 at any realistic doc size).
+
+    Reference anchor: the reference dedups nothing (docling_serve/
+    datamodel/requests.py processes each upload independently); this
+    is corpus-level machinery the Spark engine adds."""
+    n_docs = docs.select("doc_id").distinct().count()
+    max_df = max(2, math.floor(max_df_frac * n_docs))
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    keep_toks = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("tok")
+    )
+    toks = toks.join(keep_toks, "tok")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    sized = toks.join(sizes, "doc_id")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_inter"),
+            F.first(F.col("a.n_tok")).cast("bigint").alias("n_tok_a"),
+            F.first(F.col("b.n_tok")).cast("bigint").alias("n_tok_b"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "containment_bp",
+            F.expr("(10000 * n_inter) div least(n_tok_a, n_tok_b)")
+            .cast("bigint"),
+        )
+        .filter(F.col("containment_bp") >= threshold_bp)
+        .select("doc_a", "doc_b", "n_inter", "n_tok_a", "n_tok_b",
+                "containment_bp")
+    )
+
+
+def dedup_cascade(docs: DataFrame, text_col: str = "text",
+                  containment_bp: int = 8000) -> DataFrame:
+    """(doc_id, stage) — per-document verdict from a two-stage dedup
+    funnel: 'exact' (a byte-identical normalized twin with a smaller
+    doc_id exists), then 'containment' (among exact-survivors, a
+    qualifying ``containment_pairs`` partner with a smaller doc_id
+    exists), else 'kept'. The cascade order every production pipeline
+    runs (cheap → expensive; e.g. Penedo et al., "The RefinedWeb
+    Dataset", NeurIPS 2023 §3 runs exact-substring after fuzzy — the
+    marginal-yield-per-stage accounting this operator emits is how
+    those cuts get justified): each stage sees ONLY the previous
+    stage's survivors, so the expensive pair join runs on the reduced
+    set, and the stage attribution tells the corpus team what each
+    layer buys.
+
+    Scale shape: stage 1 is one md5 groupBy (map-side combinable)
+    re-joined on the hash key; stage 2 is the df-capped containment
+    join over survivors only; the final assembly is two hash
+    anti/semi joins on doc_id. Nothing is ever all-pairs."""
+    hashed = docs.select(
+        "doc_id", F.md5(norm_text(F.col(text_col))).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    exact_dups = (
+        hashed.join(keepers, "content_hash")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(exact_dups, "doc_id", "left_anti")
+    cont_dups = (
+        containment_pairs(survivors, text_col, threshold_bp=containment_bp)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.select("doc_id").join(
+        exact_dups.withColumn("s1", F.lit(True)), "doc_id", "left"
+    ).join(
+        cont_dups.withColumn("s2", F.lit(True)), "doc_id", "left"
+    ).select(
+        F.col("doc_id").cast("bigint"),
+        F.when(F.col("s1"), F.lit("exact"))
+        .when(F.col("s2"), F.lit("containment"))
+        .otherwise(F.lit("kept")).alias("stage"),
+    )

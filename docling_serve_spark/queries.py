@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools as _functools
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from docling_serve_spark.operators import (
     analysis,
@@ -918,6 +918,166 @@ ORACLE_JACCARD = (
     "round(n_inter * 1.0 / (n_tok_a + n_tok_b - n_inter), 6) AS jaccard "
     "FROM inter "
     "WHERE n_inter * 1.0 / (n_tok_a + n_tok_b - n_inter) >= 0.5"
+)
+
+
+def _salted_tokens_col() -> Column:
+    """Per-doc salted token array: every word suffixed with _doc_id so
+    cross-doc vocabulary is disjoint by construction (the synthetic
+    documents table shares a ~31-word vocabulary, which the 50%
+    df-cap would otherwise drop wholesale)."""
+    return F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.concat(w, F.lit("_"), F.col("doc_id").cast("string")),
+    )
+
+
+_SALTED_WS_SQL = "[w || '_' || doc_id FOR w IN string_split(text, ' ')]"
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication-shaped corpus for X100: per-doc salted host pages
+    plus 12-token excerpts carrying 6 excerpt-only noise tokens. The
+    excerpt's Jaccard vs its host is ~0.2 (invisible to symmetric
+    dedup) while containment_bp = 10000*k div (k+6) for k distinct
+    shared tokens — straddling the 6000 bar per-doc, so the threshold
+    and the bigint div are both genuinely exercised."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    salted = _salted_tokens_col()
+    hosts = docs.select("doc_id", F.array_join(salted, " ").alias("text"))
+    noise = F.array(*[
+        F.concat(F.lit(f"x{j}_"), F.col("doc_id").cast("string"))
+        for j in range(6)
+    ])
+    # Build text BEFORE shifting the id: Spark's lateral-column-alias
+    # resolution would otherwise bind the salt's doc_id reference to
+    # the shifted alias in the same select.
+    excerpts = docs.select(
+        F.col("doc_id").alias("orig_id"),
+        F.array_join(F.concat(F.slice(salted, 1, 12), noise), " ")
+        .alias("text"),
+    ).select((F.col("orig_id") + _DUP_SHIFT).alias("doc_id"), "text")
+    return dedup.containment_pairs(
+        hosts.unionByName(excerpts), threshold_bp=6000
+    )
+
+
+_CONTAINMENT_UNION_SQL = (
+    "(SELECT doc_id, array_to_string(" + _SALTED_WS_SQL + ", ' ') AS text "
+    "FROM documents WHERE doc_id % 5 = 0 "
+    "UNION ALL "
+    f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, array_to_string("
+    "list_concat(list_slice(" + _SALTED_WS_SQL + ", 1, 12), "
+    "['x0_' || doc_id, 'x1_' || doc_id, 'x2_' || doc_id, "
+    "'x3_' || doc_id, 'x4_' || doc_id, 'x5_' || doc_id]), ' ') AS text "
+    "FROM documents WHERE doc_id % 5 = 0)"
+)
+
+
+def _containment_body_sql(corpus_sql: str, threshold_bp: int) -> str:
+    """CTE chain mirroring dedup.containment_pairs over ``corpus_sql``:
+    distinct tokens, 50% df-cap with the max(2, floor) floor, pair
+    intersection on a.doc_id < b.doc_id, and the pure-bigint
+    (10000*n_inter) div min(sizes) score."""
+    return (
+        "d AS (SELECT doc_id, " + dedup.NORM_SQL.format(t="text")
+        + f" AS t FROM {corpus_sql} u), "
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d), "
+        "tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) "
+        "AS tk FROM d), "
+        "tok1 AS (SELECT doc_id, tk FROM tok WHERE tk <> ''), "
+        "keep AS (SELECT tk FROM tok1, nd GROUP BY tk, n_docs "
+        "HAVING count(*) <= greatest(2, CAST(floor(0.5 * n_docs) AS BIGINT))), "
+        "tok2 AS (SELECT doc_id, t.tk FROM tok1 t JOIN keep k ON t.tk = k.tk), "
+        "sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok2 GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter, "
+        "CAST(any_value(sa.n_tok) AS BIGINT) AS n_tok_a, "
+        "CAST(any_value(sb.n_tok) AS BIGINT) AS n_tok_b "
+        "FROM tok2 a JOIN sizes sa ON a.doc_id = sa.doc_id "
+        "JOIN tok2 b ON a.tk = b.tk AND a.doc_id < b.doc_id "
+        "JOIN sizes sb ON b.doc_id = sb.doc_id "
+        "GROUP BY 1, 2), "
+        "cont AS (SELECT CAST(doc_a AS BIGINT) AS doc_a, "
+        "CAST(doc_b AS BIGINT) AS doc_b, n_inter, n_tok_a, n_tok_b, "
+        "CAST((10000 * n_inter) // least(n_tok_a, n_tok_b) AS BIGINT) "
+        "AS containment_bp FROM inter "
+        f"WHERE (10000 * n_inter) // least(n_tok_a, n_tok_b) "
+        f">= {threshold_bp})"
+    )
+
+
+ORACLE_CONTAINMENT = (
+    "WITH " + _containment_body_sql(_CONTAINMENT_UNION_SQL, 6000)
+    + " SELECT doc_a, doc_b, n_inter, n_tok_a, n_tok_b, containment_bp "
+    "FROM cont"
+)
+
+
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-layer corpus for X101: salted originals, byte-twin exact
+    copies (+1·shift), and wrapper pages embedding the original plus
+    boilerplate (+2·shift). Exercises both stages AND the
+    survivor-gating: the byte-twin is also a perfect containment
+    partner, so only stage ordering yields the 'exact' verdict."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    salted_text = F.array_join(_salted_tokens_col(), " ")
+    hosts = docs.select("doc_id", salted_text.alias("text"))
+    # text first, id shift second — see the lateral-alias note in
+    # q_containment_pairs
+    exacts = docs.select(
+        F.col("doc_id").alias("orig_id"), salted_text.alias("text")
+    ).select((F.col("orig_id") + _DUP_SHIFT).alias("doc_id"), "text")
+    boiler = F.concat_ws(
+        " ", *[F.concat(F.lit(f"syn{j}_"), F.col("doc_id").cast("string"))
+               for j in range(4)]
+    )
+    wrappers = docs.select(
+        F.col("doc_id").alias("orig_id"),
+        F.concat_ws(" ", salted_text, boiler).alias("text"),
+    ).select((F.col("orig_id") + 2 * _DUP_SHIFT).alias("doc_id"), "text")
+    corpus = hosts.unionByName(exacts).unionByName(wrappers)
+    return dedup.dedup_cascade(corpus, containment_bp=8000)
+
+
+_CASCADE_UNION_SQL = (
+    "(SELECT doc_id, array_to_string(" + _SALTED_WS_SQL + ", ' ') AS text "
+    "FROM documents WHERE doc_id % 5 = 0 "
+    "UNION ALL "
+    f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, array_to_string("
+    + _SALTED_WS_SQL + ", ' ') AS text "
+    "FROM documents WHERE doc_id % 5 = 0 "
+    "UNION ALL "
+    f"SELECT doc_id + {2 * _DUP_SHIFT} AS doc_id, array_to_string("
+    + _SALTED_WS_SQL + ", ' ') || ' ' || 'syn0_' || doc_id || ' syn1_' || "
+    "doc_id || ' syn2_' || doc_id || ' syn3_' || doc_id AS text "
+    "FROM documents WHERE doc_id % 5 = 0)"
+)
+
+
+ORACLE_DEDUP_CASCADE = (
+    f"WITH corpus AS (SELECT * FROM {_CASCADE_UNION_SQL} c), "
+    "h AS (SELECT doc_id, md5(" + dedup.NORM_SQL.format(t="text")
+    + ") AS ch FROM corpus), "
+    "k AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY 1), "
+    "ex AS (SELECT h.doc_id FROM h JOIN k ON h.ch = k.ch "
+    "WHERE h.doc_id <> k.keep_id), "
+    "surv AS (SELECT * FROM corpus WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM ex)), "
+    + _containment_body_sql("surv", 8000)
+    + ", cdup AS (SELECT DISTINCT doc_b AS doc_id FROM cont) "
+    "SELECT CAST(c.doc_id AS BIGINT) AS doc_id, "
+    "CASE WHEN c.doc_id IN (SELECT doc_id FROM ex) THEN 'exact' "
+    "WHEN c.doc_id IN (SELECT doc_id FROM cdup) THEN 'containment' "
+    "ELSE 'kept' END AS stage FROM corpus c"
 )
 
 
@@ -6229,6 +6389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_param_stats": q_url_param_stats,
     "source_overlap": q_source_overlap,
     "split_leakage": q_split_leakage,
+    "containment_pairs": q_containment_pairs,
+    "dedup_cascade": q_dedup_cascade,
 }
 
 ORACLES: dict[str, str] = {
@@ -6368,4 +6530,6 @@ ORACLES: dict[str, str] = {
     "url_param_stats": ORACLE_URL_PARAM_STATS,
     "source_overlap": ORACLE_SOURCE_OVERLAP,
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "containment_pairs": ORACLE_CONTAINMENT,
+    "dedup_cascade": ORACLE_DEDUP_CASCADE,
 }

@@ -419,3 +419,70 @@ def test_verify_candidates_exact_jaccard(spark):
     assert pair["n_inter"] == pair["n_a"] == pair["n_b"] == 6  # 8 toks, k=3
     # doc 3 shares no shingles -> no band collision -> no row
     assert all(3 not in k for k in got)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """X100: a short wire excerpt inside a long host page is the
+    syndication shape — Jaccard ~0.25 (invisible at the 0.5 bar)
+    while containment is exactly 10000."""
+    host = "wire story alpha beta gamma " + " ".join(
+        f"menu{i}" for i in range(15)
+    )
+    docs = spark.createDataFrame(
+        [(1, "wire story alpha beta gamma"),
+         (2, host),
+         (3, "totally unrelated page body here")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment_bp"]
+           for r in dedup.containment_pairs(docs, threshold_bp=8000).collect()}
+    assert got == {(1, 2): 10000}
+    # the symmetric measure structurally cannot see this pair
+    jac = {(r.doc_a, r.doc_b)
+           for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) not in jac
+
+
+def test_containment_threshold_and_integer_arithmetic(spark):
+    # excerpt: 4 shared + 2 own tokens -> 10000*4 div 6 = 6666
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta own1 own2"),
+         (2, "alpha beta gamma delta " + " ".join(f"p{i}" for i in range(10)))],
+        "doc_id bigint, text string",
+    )
+    rows = dedup.containment_pairs(docs, threshold_bp=6000).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["containment_bp"]) == (1, 2, 6666)
+    assert (r["n_inter"], r["n_tok_a"], r["n_tok_b"]) == (4, 6, 14)
+    # one notch above the realized bp -> filtered
+    assert dedup.containment_pairs(docs, threshold_bp=6667).count() == 0
+
+
+def test_cascade_stage_attribution(spark):
+    """Original kept; byte-twin flagged 'exact'; wrapper that embeds
+    the original flagged 'containment'; stranger kept."""
+    base = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base),
+         (3, base + " footer subscribe menu imprint"),
+         (4, " ".join(f"z{i}" for i in range(12)))],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["stage"]
+           for r in dedup.dedup_cascade(docs).collect()}
+    assert got == {1: "kept", 2: "exact", 3: "containment", 4: "kept"}
+
+
+def test_cascade_exact_wins_and_gates_stage_two(spark):
+    # a byte-twin is ALSO a perfect containment partner; the cascade
+    # must attribute it to the cheaper stage and never re-judge it
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["stage"]
+           for r in dedup.dedup_cascade(docs).collect()}
+    assert got == {1: "kept", 2: "exact"}
