@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "url_param_stats",
     "source_overlap",
     "split_leakage",
+    "containment_pairs",
+    "dedup_cascade",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
