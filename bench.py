@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "containment_pairs",
     "dedup_cascade",
+    "decontam_fuzzy",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

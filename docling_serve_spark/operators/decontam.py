@@ -76,3 +76,82 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
             .alias("contaminated"),
         )
     )
+
+
+def contamination_ratio(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text",
+                        bench_text_col: str = "text",
+                        bench_id_col: str = "bench_id",
+                        k: int = 3,
+                        threshold_bp: int = 5000) -> DataFrame:
+    """(doc_id, n_bench_hits, max_containment_bp, contaminated) —
+    FUZZY decontamination: per (document, benchmark entry), the share
+    of the entry's distinct word k-grams present in the document,
+    in basis points. This is the fractional-overlap semantic the
+    production reports use (GPT-4 system card appendix C and PaLM §5
+    both define an eval example as contaminated when a *fraction* of
+    its n-grams appears in training data, not on a single hit), and it
+    is deliberately tolerant where ``contamination_flags`` is brittle:
+    a single edited word in a leaked 8-token question kills every
+    6-gram (exact pass: clean) but only k of its 3-grams (this pass:
+    ~50% containment, flagged at the default threshold).
+
+    Directional by design: the denominator is the BENCHMARK entry's
+    gram count, never min(sizes) — the question is "how much of this
+    eval item leaked", and a 5,000-token document containing a whole
+    8-token question is 100% leakage, not 0.4%.
+
+    Scale shape (same argument as ``contamination_flags``): the
+    benchmark side is bounded, so its gram set and gram counts are
+    broadcast; the corpus side is one explode over the scan, the gram
+    probe is a map-side broadcast hash join, and the only shuffles are
+    the (doc_id, bench_id) hit count and the per-doc rollup — both
+    map-side combined, both bounded by actual hits rather than corpus
+    size. Integer-exact: (10000 * n_inter) div n_bench_grams in pure
+    bigint (n_inter <= n_bench_grams <= entry length).
+
+    Reference anchor: the reference converts documents one at a time
+    (docling_serve/datamodel/requests.py) and has no corpus-hygiene
+    tier; this extends the engine's X19 exact pass."""
+    from docling_serve_spark.operators.dedup import word_shingles
+
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(word_shingles(F.col(bench_text_col), k)).alias("gram"),
+    ).distinct()
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count("*").cast("bigint").alias("n_bench_grams")
+    )
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    pair = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    scored = pair.join(F.broadcast(bench_sizes), "bench_id").select(
+        "doc_id", "bench_id",
+        F.expr("(10000 * n_inter) div n_bench_grams")
+        .cast("bigint").alias("containment_bp"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("containment_bp") >= threshold_bp, 1).otherwise(0)
+        ).cast("bigint").alias("n_bench_hits"),
+        F.max("containment_bp").cast("bigint").alias("max_containment_bp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.coalesce(F.col("n_bench_hits"), F.lit(0)).cast("bigint")
+            .alias("n_bench_hits"),
+            F.coalesce(F.col("max_containment_bp"), F.lit(0)).cast("bigint")
+            .alias("max_containment_bp"),
+            (F.coalesce(F.col("n_bench_hits"), F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )

@@ -4966,6 +4966,66 @@ def _decontam_oracle(k: int = 6) -> str:
 ORACLE_DECONTAM = _decontam_oracle()
 
 
+def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (X102): every 17th document contributes
+    an 8-token mid-document snippet as a benchmark entry; each corpus
+    doc is scored by the share of each entry's distinct 3-grams it
+    contains. The snippet's source doc scores 10000 bp; the shared
+    ~31-word vocabulary makes partial cross-doc collisions common, so
+    the 5000 bp threshold is exercised on both sides."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 5, 8))
+        .alias("text"),
+    )
+    return decontam.contamination_ratio(docs, bench, threshold_bp=5000)
+
+
+def _decontam_fuzzy_oracle(k: int = 3, threshold_bp: int = 5000) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    # mirrors word_shingles: distinct k-grams of the normalized text,
+    # end-clamped, degenerate whole-text gram when len < k
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, "
+        f"greatest(len(toks) - {k - 1}, 1)), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))"
+    )
+    return (
+        "WITH bsrc AS (SELECT doc_id AS bench_id, "
+        "array_to_string(list_slice(string_split(text, ' '), 5, 12), ' ') "
+        "AS text FROM documents WHERE doc_id % 17 = 3), "
+        f"bt AS (SELECT bench_id, regexp_split_to_array({norm}, ' ') "
+        "AS toks FROM bsrc), "
+        f"bg AS (SELECT bench_id, unnest({grams}) AS gram FROM bt), "
+        "bs AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench_grams "
+        "FROM bg GROUP BY 1), "
+        f"dt AS (SELECT doc_id, regexp_split_to_array({norm}, ' ') "
+        "AS toks FROM documents), "
+        f"dg AS (SELECT doc_id, unnest({grams}) AS gram FROM dt), "
+        "pair AS (SELECT d.doc_id, b.bench_id, "
+        "CAST(count(*) AS BIGINT) AS n_inter "
+        "FROM dg d JOIN bg b ON d.gram = b.gram GROUP BY 1, 2), "
+        "sc AS (SELECT doc_id, p.bench_id, "
+        "(10000 * n_inter) // n_bench_grams AS bp "
+        "FROM pair p JOIN bs ON p.bench_id = bs.bench_id), "
+        "pd AS (SELECT doc_id, "
+        f"CAST(sum(CASE WHEN bp >= {threshold_bp} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_bench_hits, "
+        "CAST(max(bp) AS BIGINT) AS max_containment_bp "
+        "FROM sc GROUP BY 1) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(pd.n_bench_hits, 0) AS BIGINT) AS n_bench_hits, "
+        "CAST(COALESCE(pd.max_containment_bp, 0) AS BIGINT) "
+        "AS max_containment_bp, "
+        "COALESCE(pd.n_bench_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"
+    )
+
+
+ORACLE_DECONTAM_FUZZY = _decontam_fuzzy_oracle()
+
+
 # mixture spec for the domain-mix query: 20 synthetic hosts, rates
 # stepping 0..950000 ppm, every fourth host deliberately absent from
 # the spec (allow-list semantics: absent -> drop)
@@ -6391,6 +6451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "containment_pairs": q_containment_pairs,
     "dedup_cascade": q_dedup_cascade,
+    "decontam_fuzzy": q_decontam_fuzzy,
 }
 
 ORACLES: dict[str, str] = {
@@ -6532,4 +6593,5 @@ ORACLES: dict[str, str] = {
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "containment_pairs": ORACLE_CONTAINMENT,
     "dedup_cascade": ORACLE_DEDUP_CASCADE,
+    "decontam_fuzzy": ORACLE_DECONTAM_FUZZY,
 }

@@ -230,6 +230,51 @@ def test_decontam_counts_each_occurrence(spark):
     assert r["n_gram_hits"] == 2  # the 6-gram appears twice
 
 
+def test_contamination_ratio_catches_edited_leak(spark):
+    """X102: one edited word kills every 6-gram (exact pass: clean)
+    but only half the 3-grams — the fuzzy ratio still flags it."""
+    question = "which color is the sky at noon today"
+    edited = "which color is the sea at noon today"
+    docs = _docs(
+        spark,
+        [
+            (1, f"intro words then {edited} plus closing remarks"),
+            (2, f"filler sentence containing {question} verbatim inside"),
+            (3, "entirely unrelated maritime law document zz yy xx"),
+        ],
+    )
+    bench = spark.createDataFrame([Row(bench_id=10, text=question)])
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.contamination_flags(docs, bench, k=6).collect()
+    }
+    assert exact == {1: False, 2: True, 3: False}
+    got = {
+        r["doc_id"]: r
+        for r in decontam.contamination_ratio(
+            docs, bench, threshold_bp=5000
+        ).collect()
+    }
+    # edited leak: 3 of 6 bench 3-grams survive -> exactly 5000 bp
+    assert got[1]["max_containment_bp"] == 5000
+    assert got[1]["contaminated"] is True and got[1]["n_bench_hits"] == 1
+    # verbatim leak: full containment
+    assert got[2]["max_containment_bp"] == 10000
+    assert got[3]["contaminated"] is False
+    assert got[3]["max_containment_bp"] == 0
+
+
+def test_contamination_ratio_denominator_is_bench_side(spark):
+    # a long document wholly containing a short entry is 100% leakage
+    # of that entry, never diluted by the document's own size
+    entry = "alpha beta gamma delta"
+    long_doc = entry + " " + " ".join(f"pad{i}" for i in range(60))
+    docs = _docs(spark, [(1, long_doc)])
+    bench = spark.createDataFrame([Row(bench_id=1, text=entry)])
+    [r] = decontam.contamination_ratio(docs, bench).collect()
+    assert r["max_containment_bp"] == 10000 and r["n_bench_hits"] == 1
+
+
 # ------------------------------------------------------------------ #
 # domain-mix sampling / sequence packing
 # ------------------------------------------------------------------ #
