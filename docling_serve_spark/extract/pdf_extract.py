@@ -111,15 +111,50 @@ def _unescape(s: str) -> str:
 class _FontMap:
     """Glyph-code -> unicode mapping from a font's /ToUnicode CMap
     (PDF 32000-1:2008 §9.10.3). ``width`` is the code byte width from
-    the codespace range (1 for simple fonts, 2 for CID/Type0)."""
+    the first codespace range (1 for simple fonts, 2 for CID/Type0).
+    ``ranges`` is set ONLY when the codespace declares MIXED byte
+    widths (e.g. the Shift-JIS-shaped 90ms-RKSJ family: <00><80>
+    one-byte plus <8140><FCFC> two-byte): decoding then walks the
+    string code-by-code, matching the shortest declared width whose
+    range contains the next bytes — the Adobe CMap spec's lookup
+    algorithm, which a fixed-width split would garble into byte
+    halves."""
 
-    __slots__ = ("width", "map")
+    __slots__ = ("width", "map", "ranges", "_widths")
 
-    def __init__(self, width: int, mapping: dict[int, str]):
+    def __init__(self, width: int, mapping: dict[int, str],
+                 ranges: tuple[tuple[int, int, int], ...] | None = None):
         self.width = width
         self.map = mapping
+        self.ranges = ranges
+        self._widths = (
+            sorted({w for w, _, _ in ranges}) if ranges else None
+        )
 
     def decode(self, raw: str) -> str:
+        if self.ranges:
+            out = []
+            i, length = 0, len(raw)
+            while i < length:
+                for n in self._widths:
+                    if i + n > length:
+                        continue
+                    code = 0
+                    for j in range(i, i + n):
+                        code = (code << 8) | ord(raw[j])
+                    if any(lo <= code <= hi
+                           for w, lo, hi in self.ranges if w == n):
+                        out.append(
+                            self.map.get(code, raw[i] if n == 1 else "")
+                        )
+                        i += n
+                        break
+                else:
+                    # bytes outside every declared range: consume the
+                    # shortest code width and emit nothing (spec's
+                    # error recovery), never loop forever
+                    i += self._widths[0]
+            return "".join(out)
         if self.width == 1:
             return "".join(self.map.get(ord(c), c) for c in raw)
         out = []
@@ -1208,7 +1243,9 @@ def _decode_stream(head: str, stream: str) -> str:
     return raw.decode("latin-1")
 
 
-_CSR_RE = re.compile(r"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+_CSR_BLOCK_RE = re.compile(
+    r"begincodespacerange(.*?)endcodespacerange", re.DOTALL
+)
 _BFCHAR_RE = re.compile(r"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(r"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEX2_RE = re.compile(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
@@ -1237,9 +1274,15 @@ def _utf16be(hx: str) -> str:
 
 def _parse_cmap(cmap: str) -> _FontMap:
     """ToUnicode CMap -> _FontMap (bfchar pairs + bfrange runs; dst
-    values are UTF-16BE, possibly multi-unit — ligatures etc.)."""
-    csr = _CSR_RE.search(cmap)
-    width = max(1, len(csr.group(1)) // 2) if csr else 1
+    values are UTF-16BE, possibly multi-unit — ligatures etc.). All
+    codespacerange pairs are parsed; mixed byte widths produce a
+    variable-width map (ISO 32000 §9.7.6.2 + Adobe CMap spec §7.2)."""
+    ranges: list[tuple[int, int, int]] = []
+    for block in _CSR_BLOCK_RE.findall(cmap):
+        for lo, hi in _HEX2_RE.findall(block):
+            ranges.append((max(1, len(lo) // 2), int(lo, 16), int(hi, 16)))
+    width = ranges[0][0] if ranges else 1
+    mixed = len({w for w, _, _ in ranges}) > 1
     mapping: dict[int, str] = {}
     for block in _BFCHAR_RE.findall(cmap):
         for src, dst in _HEX2_RE.findall(block):
@@ -1266,7 +1309,7 @@ def _parse_cmap(cmap: str) -> _FontMap:
                     # matching _utf16be's errors='ignore' policy
                     ch = "" if 0xD800 <= v <= 0xDFFF or v > 0x10FFFF else chr(v)
                     mapping[lo_i + k] = prefix + ch
-    return _FontMap(width, mapping)
+    return _FontMap(width, mapping, tuple(ranges) if mixed else None)
 
 
 _ENC_NAME_RE = re.compile(r"/Encoding\s*/([A-Za-z]+)")
@@ -1407,7 +1450,7 @@ def _page_fonts(
                 # subsetters routinely write <00><FF> there, which
                 # would split every 2-byte CID into two garbage bytes.
                 fm_ = cache[ref_i]
-                if fm_ is not None and fm_.width != 2:
+                if fm_ is not None and (fm_.width != 2 or fm_.ranges):
                     cache[ref_i] = _FontMap(2, fm_.map)
                 elif fm_ is None:
                     # Identity-coded CIDs with no ToUnicode are glyph

@@ -826,3 +826,95 @@ def test_type0_full_pipeline_success():
     r = extract_document(_type0_pdf(), name="type0.pdf")
     assert r.status == "success"
     assert "日本語" in r.extracted_text
+
+
+# ------- mixed-width codespace ranges (Adobe CMap spec §7.2) -------- #
+
+_RKSJ_CMAP = """
+/CIDInit /ProcSet findresource begin
+2 begincodespacerange
+<00> <80>
+<8140> <FCFC>
+endcodespacerange
+3 beginbfchar
+<41> <0041>
+<8140> <3000>
+<8160> <301C>
+endbfchar
+endcmap
+"""
+
+
+def test_cmap_mixed_width_codespace_decodes_variably():
+    """Shift-JIS-shaped codespace: 1-byte ASCII codes interleaved with
+    2-byte codes starting at 0x81 — a fixed-width split garbles both."""
+    fm = _parse_cmap(_RKSJ_CMAP)
+    assert fm.ranges is not None and fm._widths == [1, 2]
+    # A <8140> A <8160> : widths 1,2,1,2
+    assert fm.decode("\x41\x81\x40\x41\x81\x60") == "A　A〜"
+    # unmapped 1-byte code inside the range passes through raw
+    assert fm.decode("\x42") == "\x42"
+    # unmapped 2-byte code inside the range emits nothing
+    assert fm.decode("\x82\x50") == ""
+    # bytes outside every range (0x81 at end, no second byte) skip
+    assert fm.decode("\x41\xff") == "A"
+
+
+def test_cmap_single_width_multi_range_stays_fixed():
+    fm = _parse_cmap(
+        "2 begincodespacerange <00> <3F> <40> <FF> endcodespacerange "
+        "1 beginbfchar <41> <0058> endbfchar"
+    )
+    assert fm.ranges is None and fm.width == 1
+    assert fm.decode("\x41") == "X"
+
+
+def _rksj_type0_pdf() -> bytes:
+    """Type0 font under a non-Identity encoding whose ToUnicode
+    declares a mixed 1/2-byte codespace (the 90ms-RKSJ shape): the
+    hex string mixes 1-byte and 2-byte codes in one run."""
+    tou = (b"/CIDInit /ProcSet findresource begin\n"
+           b"2 begincodespacerange\n<00> <80>\n<8140> <FCFC>\n"
+           b"endcodespacerange\n"
+           b"4 beginbfchar\n"
+           b"<48> <0048>\n<69> <0069>\n<8140> <3042>\n<8141> <3044>\n"
+           b"endbfchar\nendcmap end end")
+    content = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <48698140814148> Tj ET"
+    plain = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>"),
+        5: (b"<< /Type /Font /Subtype /Type0 /BaseFont /TestRKSJ "
+            b"/Encoding /90ms-RKSJ-H /DescendantFonts [6 0 R] "
+            b"/ToUnicode 7 0 R >>"),
+        6: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestRKSJ "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Japan1) "
+            b"/Supplement 6 >> /DW 1000 >>"),
+    }
+    streams = {4: content, 7: tou}
+    out = [b"%PDF-1.5\n"]
+    for n in sorted(plain | streams):
+        if n in plain:
+            out.append(b"%d 0 obj\n%s\nendobj\n" % (n, plain[n]))
+        else:
+            s = streams[n]
+            out.append(
+                b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+                % (n, len(s), s)
+            )
+    out.append(b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    return b"".join(out)
+
+
+def test_type0_rksj_mixed_width_end_to_end():
+    text = _extract_one(_rksj_type0_pdf())
+    assert "HiあいH" in text
+
+
+def test_type0_identity_still_forces_fixed_two_byte():
+    # the Identity-H override must strip variable ranges too: a lying
+    # mixed-width ToUnicode under Identity-H decodes fixed-2-byte
+    fm = _parse_cmap(_RKSJ_CMAP)
+    forced = _FontMap(2, fm.map)
+    assert forced.decode("\x81\x40") == "　"
