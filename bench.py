@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "containment_pairs",
     "dedup_cascade",
     "decontam_fuzzy",
+    "token_fertility",
+    "batch_drift",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -372,3 +372,74 @@ def group_overlap(docs: DataFrame, label_col: str,
             .cast("bigint").alias("overlap_bp"),
         )
     )
+
+
+def batch_drift(batch_a: DataFrame, batch_b: DataFrame,
+                text_col: str = "text") -> DataFrame:
+    """(bin, bin_lo, bin_hi, n_a, n_b, p_a_bp, p_b_bp, drift_bp,
+    tv_total_bp) — ingest-drift monitor: the log2-binned document-
+    length distribution of two crawl batches side by side, the per-bin
+    share delta, and the total-variation distance between the two
+    distributions. This is the between-snapshot check a continuously-
+    fed corpus runs before mixing a new batch in (the PSI/TV drift
+    gates every production feature store ships): a new crawl whose
+    length profile jumps — boilerplate regression upstream, a parser
+    change truncating pages, one giant host flooding the batch —
+    shows up as TV mass in specific bins BEFORE it pollutes training
+    mixes. TV distance (½·Σ|p_a − p_b|) is used instead of PSI
+    because it needs no logarithms: the whole audit is bigint
+    arithmetic on floor-rounded basis points, bit-identical across
+    engines, while PSI's ln() would tie the result to one engine's
+    libm rounding.
+
+    Binning matches the X92 degree audit: ``length(bin(n))`` = bit
+    length, bin b covering lengths [2^(b−1), 2^b − 1]; empty docs
+    clamp to bin 1. ≤ 64 bins exist regardless of corpus size.
+
+    Scale shape: each batch is one scan + one partial-agg groupBy on
+    the bin key (≤ 64 groups); the join, the one-row totals
+    broadcast, and the unbounded window all run over ≤ 64 rows.
+    Nothing downstream of the two histogram aggs is proportional to
+    corpus size."""
+    from pyspark.sql import Window
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.expr(
+                    f"CAST(length(bin(greatest(length({text_col}), 1))) "
+                    "AS BIGINT)"
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias(name))
+        )
+
+    j = (
+        hist(batch_a, "n_a")
+        .join(hist(batch_b, "n_b"), "bin", "full")
+        .fillna(0, ["n_a", "n_b"])
+    )
+    totals = j.agg(
+        F.sum("n_a").cast("bigint").alias("t_a"),
+        F.sum("n_b").cast("bigint").alias("t_b"),
+    )
+    scored = j.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")
+        .alias("bin_lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - 1")
+        .alias("bin_hi"),
+        "n_a", "n_b",
+        F.expr("(10000 * n_a) div greatest(t_a, 1)")
+        .cast("bigint").alias("p_a_bp"),
+        F.expr("(10000 * n_b) div greatest(t_b, 1)")
+        .cast("bigint").alias("p_b_bp"),
+    ).withColumn(
+        "drift_bp", F.abs(F.col("p_a_bp") - F.col("p_b_bp")).cast("bigint")
+    )
+    w = Window.partitionBy()
+    return scored.withColumn(
+        "tv_total_bp",
+        (F.sum("drift_bp").over(w) / 2).cast("bigint"),
+    )

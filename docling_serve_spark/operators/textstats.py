@@ -722,3 +722,57 @@ def length_outliers(docs: DataFrame, group_col: str = "lang",
         ((4 * F.col("n") < F.col("lo_fence_x4"))
          | (4 * F.col("n") > F.col("hi_fence_x4"))).alias("is_outlier"),
     )
+
+
+def token_fertility(docs: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """(lang, n_docs, n_chars, n_tokens, n_pieces, fertility_bp,
+    chars_per_piece_bp) — per-language tokenizer fertility: subword
+    pieces per whitespace word in basis points, plus characters per
+    piece. Fertility is the standard multilingual tokenizer-equity
+    metric (Ács 2019 "Exploring BERT's vocabulary"; the NLLB and
+    XLM-R reports both publish it): a language whose fertility is 2-3x
+    English pays that multiple in sequence length, compute, and
+    effective context for the same content — the number that drives
+    vocabulary sizing and per-language sampling temperature when the
+    corpus mix is decided.
+
+    Uses the engine's BPE-ish pre-tokenization (``BPE_PIECE_RE``,
+    RE2/Java-common) so the audit is engine-portable and cheap; it
+    approximates trained-tokenizer counts well enough for the
+    RELATIVE cross-language comparison the metric exists for.
+
+    Scale shape: one scan, all counting inside whole-stage codegen,
+    ONE partial-agg groupBy on the (tiny-cardinality) lang key — the
+    shuffle carries a handful of longs per language per task.
+    Integer-exact: (10000 * n_pieces) div n_tokens in bigint;
+    intermediates stay below 2^63 while any language's total pieces
+    stay under ~9.2e14 (≈ 900 T pieces — two decades above a 100 TB
+    corpus), the same headroom discipline as retrieval.py documents.
+
+    Reference anchor: the reference exposes no corpus accounting
+    (per-upload conversion only, docling_serve/app.py); this is
+    engine-added budgeting machinery."""
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.length(c).cast("bigint").alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_pieces"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "lang", "n_docs", "n_chars", "n_tokens", "n_pieces",
+            F.expr("(10000 * n_pieces) div greatest(n_tokens, 1)")
+            .cast("bigint").alias("fertility_bp"),
+            F.expr("(10000 * n_chars) div greatest(n_pieces, 1)")
+            .cast("bigint").alias("chars_per_piece_bp"),
+        )
+    )

@@ -5026,6 +5026,78 @@ def _decontam_fuzzy_oracle(k: int = 3, threshold_bp: int = 5000) -> str:
 ORACLE_DECONTAM_FUZZY = _decontam_fuzzy_oracle()
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (X103) over the documents
+    table's real lang column."""
+    return textstats.token_fertility(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_FERTILITY = (
+    "WITH b AS (SELECT lang, "
+    "CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) "
+    "AS n_tokens, "
+    "CAST(length(regexp_extract_all(text, "
+    "'\\p{L}+|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_pieces "
+    "FROM documents), "
+    "g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+    "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+    "CAST(sum(n_pieces) AS BIGINT) AS n_pieces FROM b GROUP BY 1) "
+    "SELECT lang, n_docs, n_chars, n_tokens, n_pieces, "
+    "CAST((10000 * n_pieces) // greatest(n_tokens, 1) AS BIGINT) "
+    "AS fertility_bp, "
+    "CAST((10000 * n_chars) // greatest(n_pieces, 1) AS BIGINT) "
+    "AS chars_per_piece_bp FROM g"
+)
+
+
+def q_batch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift monitor (X104): even-id docs stand in for the
+    incumbent corpus, odd-id docs (with every 3rd doc's text doubled,
+    shifting it up a length bin) for the incoming batch — so the
+    per-bin deltas and the TV total are all nonzero."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return corpus.batch_drift(a, b)
+
+
+ORACLE_BATCH_DRIFT = (
+    "WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0), "
+    "bsrc AS (SELECT CASE WHEN doc_id % 3 = 0 "
+    "THEN text || ' ' || text ELSE text END AS text "
+    "FROM documents WHERE doc_id % 2 = 1), "
+    "ha AS (SELECT CAST(length(printf('%b', greatest(length(text), 1))) "
+    "AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY 1), "
+    "hb AS (SELECT CAST(length(printf('%b', greatest(length(text), 1))) "
+    "AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_b "
+    "FROM bsrc GROUP BY 1), "
+    "j AS (SELECT COALESCE(ha.bin, hb.bin) AS bin, "
+    "COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b "
+    "FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin), "
+    "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, "
+    "CAST(sum(n_b) AS BIGINT) AS t_b FROM j), "
+    "s AS (SELECT bin, "
+    "CAST(1 << (bin - 1) AS BIGINT) AS bin_lo, "
+    "CAST((1 << bin) - 1 AS BIGINT) AS bin_hi, "
+    "n_a, n_b, "
+    "CAST((10000 * n_a) // greatest(t_a, 1) AS BIGINT) AS p_a_bp, "
+    "CAST((10000 * n_b) // greatest(t_b, 1) AS BIGINT) AS p_b_bp "
+    "FROM j, t) "
+    "SELECT bin, bin_lo, bin_hi, n_a, n_b, p_a_bp, p_b_bp, "
+    "CAST(abs(p_a_bp - p_b_bp) AS BIGINT) AS drift_bp, "
+    "CAST(sum(abs(p_a_bp - p_b_bp)) OVER () // 2 AS BIGINT) "
+    "AS tv_total_bp FROM s"
+)
+
+
 # mixture spec for the domain-mix query: 20 synthetic hosts, rates
 # stepping 0..950000 ppm, every fourth host deliberately absent from
 # the spec (allow-list semantics: absent -> drop)
@@ -6452,6 +6524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "dedup_cascade": q_dedup_cascade,
     "decontam_fuzzy": q_decontam_fuzzy,
+    "token_fertility": q_token_fertility,
+    "batch_drift": q_batch_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -6594,4 +6668,6 @@ ORACLES: dict[str, str] = {
     "containment_pairs": ORACLE_CONTAINMENT,
     "dedup_cascade": ORACLE_DEDUP_CASCADE,
     "decontam_fuzzy": ORACLE_DECONTAM_FUZZY,
+    "token_fertility": ORACLE_TOKEN_FERTILITY,
+    "batch_drift": ORACLE_BATCH_DRIFT,
 }

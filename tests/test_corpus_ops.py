@@ -2540,3 +2540,55 @@ def test_group_overlap_hand_computed(spark):
     tt = got[("test", "train")]
     assert tt["overlap_bp"] == 5000  # 1 of min(2, 3)
     assert all("lone" not in k for k in got)
+
+
+# ------------------------------------------------------------------ #
+# tokenizer fertility / batch drift (X103-X104)
+# ------------------------------------------------------------------ #
+
+def test_token_fertility_counts_and_ratio(spark):
+    from docling_serve_spark.operators.textstats import token_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"),          # 2 words, 2 pieces
+         (2, "a,b c;d", "xx"),              # 2 words, 6 pieces
+         (3, "", "empty")],                 # blank: all zeros
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in token_fertility(docs).collect()}
+    assert got["en"]["fertility_bp"] == 10000
+    assert got["en"]["n_tokens"] == 2 and got["en"]["n_pieces"] == 2
+    assert got["xx"]["fertility_bp"] == 30000      # 6 pieces / 2 words
+    assert got["empty"]["n_tokens"] == 0
+    assert got["empty"]["fertility_bp"] == 0       # div-by-zero guarded
+
+
+def test_batch_drift_tv_distance(spark):
+    from docling_serve_spark.operators.corpus import batch_drift
+
+    # bin 3 = lengths 4-7, bin 4 = lengths 8-15
+    a = spark.createDataFrame(
+        [(i, "aaaa") for i in range(4)], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa"), (3, "aaaaaaaa"), (4, "aaaaaaaa")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["bin"]: r for r in batch_drift(a, b).collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3]["p_a_bp"] == 10000 and rows[3]["p_b_bp"] == 5000
+    assert rows[4]["n_a"] == 0 and rows[4]["p_b_bp"] == 5000
+    assert rows[3]["bin_lo"] == 4 and rows[3]["bin_hi"] == 7
+    # TV = (5000 + 5000) / 2, identical on every row
+    assert all(r["tv_total_bp"] == 5000 for r in rows.values())
+
+
+def test_batch_drift_identical_batches_zero(spark):
+    from docling_serve_spark.operators.corpus import batch_drift
+
+    a = spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(8)], "doc_id bigint, text string"
+    )
+    rows = batch_drift(a, a).collect()
+    assert rows and all(r["drift_bp"] == 0 for r in rows)
+    assert all(r["tv_total_bp"] == 0 for r in rows)
