@@ -244,3 +244,52 @@ def test_archive_job_warc_input_real_capture_metadata(tmp_path, spark):
     assert rec["length"] == len(
         b"<html><body><p>warc page body</p></body></html>"
     )
+
+
+def test_hygiene_job_end_to_end(tmp_path, spark):
+    """`jobs/hygiene.py`: dedup cascade + fuzzy decontam + drift
+    reports all land; summary matches independent DuckDB reads."""
+    base = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, base),
+        (2, base),                                    # exact dup
+        (3, base + " footer menu imprint subscribe"), # wrapper
+        (4, " ".join(f"z{i}" for i in range(12))),    # unique
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(10, " ".join(f"w{i}" for i in range(5)))],
+        "bench_id bigint, text string",
+    ).write.parquet(bench)
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(1, "xx")], "doc_id bigint, text string"
+    ).write.parquet(ref)
+    out = str(tmp_path / "hyg")
+
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "hygiene.py"),
+         "--input", inp, "--output", out,
+         "--benchmark", bench, "--reference", ref],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == 4
+    assert summary["n_exact_dups"] == 1
+    assert summary["n_containment_dups"] == 1
+    assert summary["n_kept"] == 2
+    # docs 1-3 contain the 5-token bench prefix's 3-grams verbatim
+    assert summary["n_contaminated"] == 3
+    assert summary["tv_total_bp"] == 10000  # disjoint length bins
+    stages = duckdb.sql(
+        f"SELECT doc_id, stage FROM read_parquet('{out}/dedup/*.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    assert stages == [(1, "kept"), (2, "exact"),
+                      (3, "containment"), (4, "kept")]
