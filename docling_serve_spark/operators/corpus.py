@@ -420,25 +420,33 @@ def batch_drift(batch_a: DataFrame, batch_b: DataFrame,
         .join(hist(batch_b, "n_b"), "bin", "full")
         .fillna(0, ["n_a", "n_b"])
     )
-    totals = j.agg(
-        F.sum("n_a").cast("bigint").alias("t_a"),
-        F.sum("n_b").cast("bigint").alias("t_b"),
-    )
-    scored = j.crossJoin(F.broadcast(totals)).select(
-        "bin",
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")
-        .alias("bin_lo"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - 1")
-        .alias("bin_hi"),
-        "n_a", "n_b",
-        F.expr("(10000 * n_a) div greatest(t_a, 1)")
-        .cast("bigint").alias("p_a_bp"),
-        F.expr("(10000 * n_b) div greatest(t_b, 1)")
-        .cast("bigint").alias("p_b_bp"),
-    ).withColumn(
-        "drift_bp", F.abs(F.col("p_a_bp") - F.col("p_b_bp")).cast("bigint")
-    )
+    # totals via the SAME single-partition window the TV sum needs —
+    # an agg+crossJoin here would reference the histogram subtree
+    # twice, and a lazy plan re-executes the referenced subtree: the
+    # input would be scanned 4x instead of 2x (the hits_scores /
+    # seed_distance failure class measured in BENCH.md). All windows
+    # share one partitioning, so they cost ONE exchange of <= 64 rows.
     w = Window.partitionBy()
+    scored = (
+        j.withColumn("t_a", F.sum("n_a").over(w))
+        .withColumn("t_b", F.sum("n_b").over(w))
+        .select(
+            "bin",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)")
+            .alias("bin_lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - 1")
+            .alias("bin_hi"),
+            "n_a", "n_b",
+            F.expr("(10000 * n_a) div greatest(t_a, 1)")
+            .cast("bigint").alias("p_a_bp"),
+            F.expr("(10000 * n_b) div greatest(t_b, 1)")
+            .cast("bigint").alias("p_b_bp"),
+        )
+        .withColumn(
+            "drift_bp",
+            F.abs(F.col("p_a_bp") - F.col("p_b_bp")).cast("bigint"),
+        )
+    )
     return scored.withColumn(
         "tv_total_bp",
         (F.sum("drift_bp").over(w) / 2).cast("bigint"),

@@ -516,3 +516,46 @@ def test_bucketed_snapshot_join_needs_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS snap_old_b")
         spark.sql("DROP TABLE IF EXISTS snap_new_b")
+
+def _tree(plan: str) -> str:
+    """The operator-tree section of a formatted explain (each operator
+    also reappears once in the detail section below, which would double
+    every count)."""
+    return plan.split("\n\n", 1)[0]
+
+
+def test_decontam_fuzzy_broadcasts_benchmark_side(spark):
+    """X102: the bounded benchmark gram set and gram counts must reach
+    the corpus side as broadcasts — the corpus never shuffles raw
+    grams."""
+    tree = _tree(_plan(spark, QUERIES["decontam_fuzzy"](spark, SF_DIR)))
+    assert tree.count("BroadcastHashJoin") >= 2
+    # the only shuffle join allowed is the final LeftOuter verdict
+    # backfill on doc_id (both sides corpus-sized — correct at scale);
+    # a SortMergeJoin on the gram probe would mean the corpus shuffled
+    # raw grams
+    assert tree.count("SortMergeJoin") <= 1
+    assert "SortMergeJoin Inner" not in tree
+
+
+def test_token_fertility_single_aggregation_pass(spark):
+    """X103: one scan, one partial+final hash aggregate pair on the
+    lang key — no joins, no windows, nothing else."""
+    tree = _tree(_plan(spark, QUERIES["token_fertility"](spark, SF_DIR)))
+    assert tree.count("HashAggregate") == 2      # partial + final
+    assert "Join" not in tree and "Window" not in tree
+    assert tree.count("Exchange") == 1           # the lang rollup only
+
+
+def test_batch_drift_scans_each_batch_exactly_once(spark):
+    """X104: each batch contributes ONE map-side-combined histogram
+    scan — the totals come from the same single-partition window as
+    the TV sum, never from an agg+crossJoin that would re-execute the
+    histogram subtree (4 scans instead of 2). The only join is the
+    full-outer bin alignment over <=64 rows."""
+    tree = _tree(_plan(spark, QUERIES["batch_drift"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 2
+    assert tree.count("HashAggregate") >= 4      # partial+final x2
+    assert "Window" in tree
+    assert tree.count("SortMergeJoin") <= 1      # bin alignment only
+    assert "BroadcastNestedLoopJoin" not in tree
