@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "decontam_fuzzy",
     "token_fertility",
     "batch_drift",
+    "dust_rules",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -737,3 +737,99 @@ def url_param_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             .alias("n_distinct_params"),
         )
     )
+
+
+def dust_rules(pages: DataFrame, url_col: str = "url",
+               text_col: str = "text", max_group: int = 8,
+               min_support: int = 3) -> DataFrame:
+    """(rule_from, rule_to, n_pairs, n_hosts) — DUST rule mining
+    (Bar-Yossef, Keidar & Schonfeld, "Do not crawl in the DUST:
+    different URLs with similar text", WWW 2007): from pairs of URLs
+    on the SAME host carrying the SAME content fingerprint, derive the
+    substring-substitution rule that maps one path to the other
+    (longest common prefix and suffix stripped; the differing middles
+    are the rule), then keep rules whose support clears
+    ``min_support`` pairs. Mined rules ('index.html' ↔ '',
+    '?session=…' ↔ '', '/amp' ↔ '') are what a crawler feeds its URL
+    normalizer so the NEXT crawl never fetches the alias at all —
+    X16's canonical_url hardcodes the universal rules; this learns the
+    host-specific ones from evidence.
+
+    Scale shape: fingerprints group per (host, fp) — never cross-host;
+    each group is capped at ``max_group`` URLs by a partition-local
+    row_number before the self-join, so a pathological host/fp group
+    (a 10^6-alias session trap) contributes at most
+    C(max_group, 2) = 28 pairs instead of 5·10^11. Rule derivation is
+    pure codegen string arithmetic (no UDFs); the final rollup is one
+    partial-agged groupBy on the (tiny) rule key.
+
+    Query strings are kept in the path on purpose — parameter aliases
+    ARE dust — and the empty-side guard keeps Spark's descending
+    ``sequence(1, 0)`` from fabricating positions.
+
+    Reference anchor: none — the reference fetches what it is handed
+    (docling_serve/app.py source union); alias suppression is
+    crawl-side machinery the engine adds."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.dedup import norm_text
+
+    u = F.lower(F.regexp_replace(F.col(url_col), r"^https?://", ""))
+    base = pages.select(
+        F.regexp_extract(u, r"^([^/]+)", 1).alias("host"),
+        F.regexp_replace(u, r"^[^/]*", "").alias("path"),
+        F.md5(norm_text(F.col(text_col))).alias("fp"),
+    ).distinct()
+    w = Window.partitionBy("host", "fp").orderBy("path")
+    capped = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_group)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.host") == F.col("b.host"))
+        & (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.path") < F.col("b.path")),
+    ).select(
+        F.col("a.host").alias("host"),
+        F.col("a.path").alias("pa"),
+        F.col("b.path").alias("pb"),
+    )
+    lcp = (
+        "CASE WHEN least(length(pa), length(pb)) = 0 THEN 0 "
+        "ELSE coalesce(get(filter(sequence(1, least(length(pa), length(pb))), "
+        "i -> substr(pa, i, 1) <> substr(pb, i, 1)), 0) - 1, "
+        "least(length(pa), length(pb))) END"
+    )
+    lcs = (
+        "CASE WHEN least(length(pa), length(pb)) = 0 THEN 0 "
+        "ELSE coalesce(get(filter(sequence(1, least(length(pa), length(pb))), "
+        "i -> substr(reverse(pa), i, 1) <> substr(reverse(pb), i, 1)), 0) - 1, "
+        "least(length(pa), length(pb))) END"
+    )
+    mids = pairs.select(
+        "host",
+        F.expr(f"({lcp})").alias("lcp"),
+        F.expr(f"({lcs})").alias("lcs_raw"),
+        "pa", "pb",
+    ).select(
+        "host", "pa", "pb", "lcp",
+        F.expr("least(lcs_raw, length(pa) - lcp, length(pb) - lcp)")
+        .alias("lcs"),
+    ).select(
+        "host",
+        F.expr("substr(pa, lcp + 1, length(pa) - lcp - lcs)")
+        .alias("rule_from"),
+        F.expr("substr(pb, lcp + 1, length(pb) - lcp - lcs)")
+        .alias("rule_to"),
+    )
+    return (
+        mids.groupBy("rule_from", "rule_to")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        )
+        .filter(F.col("n_pairs") >= min_support)
+    )

@@ -5026,6 +5026,90 @@ def _decontam_fuzzy_oracle(k: int = 3, threshold_bp: int = 5000) -> str:
 ORACLE_DECONTAM_FUZZY = _decontam_fuzzy_oracle()
 
 
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (X105): every 4th document is served at three
+    aliases — /pN/, /pN/index.html, and /pN/index.html?session=abc —
+    across 20 hosts; the rest are single-URL pages. Three generalized
+    rewrite rules must come out (each with ~125 supporting pairs),
+    never path-specific ones."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    stem = F.concat(F.lit("http://"), host, F.lit("/p"),
+                    F.col("doc_id").cast("string"))
+    aliased = docs.filter(F.col("doc_id") % 4 == 0)
+    pages = (
+        aliased.select(F.concat(stem, F.lit("/")).alias("url"), "text")
+        .unionByName(aliased.select(
+            F.concat(stem, F.lit("/index.html")).alias("url"), "text"))
+        .unionByName(aliased.select(
+            F.concat(stem, F.lit("/index.html?session=abc")).alias("url"),
+            "text"))
+        .unionByName(docs.filter(F.col("doc_id") % 4 != 0).select(
+            F.concat(F.lit("http://"), host, F.lit("/q"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            "text"))
+    )
+    return urltools.dust_rules(pages, min_support=3)
+
+
+def _dust_rules_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    lcp = (
+        "CASE WHEN least(length(pa), length(pb)) = 0 THEN 0 "
+        "ELSE coalesce(list_filter(generate_series(1, "
+        "least(length(pa), length(pb))), "
+        "i -> substr(pa, i, 1) <> substr(pb, i, 1))[1] - 1, "
+        "least(length(pa), length(pb))) END"
+    )
+    lcs = (
+        "CASE WHEN least(length(pa), length(pb)) = 0 THEN 0 "
+        "ELSE coalesce(list_filter(generate_series(1, "
+        "least(length(pa), length(pb))), "
+        "i -> substr(reverse(pa), i, 1) <> substr(reverse(pb), i, 1))[1] - 1, "
+        "least(length(pa), length(pb))) END"
+    )
+    return (
+        "WITH pages AS ("
+        "SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR) "
+        "|| '.example.com/p' || CAST(doc_id AS VARCHAR) || '/' AS url, "
+        "text FROM documents WHERE doc_id % 4 = 0 "
+        "UNION ALL SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR) "
+        "|| '.example.com/p' || CAST(doc_id AS VARCHAR) "
+        "|| '/index.html' AS url, text FROM documents WHERE doc_id % 4 = 0 "
+        "UNION ALL SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR) "
+        "|| '.example.com/p' || CAST(doc_id AS VARCHAR) "
+        "|| '/index.html?session=abc' AS url, text "
+        "FROM documents WHERE doc_id % 4 = 0 "
+        "UNION ALL SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR) "
+        "|| '.example.com/q' || CAST(doc_id AS VARCHAR) AS url, text "
+        "FROM documents WHERE doc_id % 4 <> 0), "
+        "lowered AS (SELECT lower(regexp_replace(url, '^https?://', '')) "
+        f"AS u, md5({norm}) AS fp FROM pages), "
+        "base AS (SELECT DISTINCT regexp_extract(u, '^([^/]+)', 1) AS host, "
+        "regexp_replace(u, '^[^/]*', '') AS path, fp FROM lowered), "
+        "capped AS (SELECT host, path, fp FROM (SELECT host, path, fp, "
+        "row_number() OVER (PARTITION BY host, fp ORDER BY path) AS rn "
+        "FROM base) WHERE rn <= 8), "
+        "pairs AS (SELECT a.host, a.path AS pa, b.path AS pb "
+        "FROM capped a JOIN capped b ON a.host = b.host AND a.fp = b.fp "
+        "AND a.path < b.path), "
+        f"m1 AS (SELECT host, pa, pb, {lcp} AS lcp, {lcs} AS lcs_raw "
+        "FROM pairs), "
+        "m2 AS (SELECT host, pa, pb, lcp, "
+        "least(lcs_raw, length(pa) - lcp, length(pb) - lcp) AS lcs FROM m1), "
+        "mids AS (SELECT host, "
+        "substr(pa, lcp + 1, length(pa) - lcp - lcs) AS rule_from, "
+        "substr(pb, lcp + 1, length(pb) - lcp - lcs) AS rule_to FROM m2) "
+        "SELECT rule_from, rule_to, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts "
+        "FROM mids GROUP BY 1, 2 HAVING count(*) >= 3"
+    )
+
+
+ORACLE_DUST_RULES = _dust_rules_oracle()
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (X103) over the documents
     table's real lang column."""
@@ -6526,6 +6610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_fuzzy": q_decontam_fuzzy,
     "token_fertility": q_token_fertility,
     "batch_drift": q_batch_drift,
+    "dust_rules": q_dust_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -6670,4 +6755,5 @@ ORACLES: dict[str, str] = {
     "decontam_fuzzy": ORACLE_DECONTAM_FUZZY,
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "batch_drift": ORACLE_BATCH_DRIFT,
+    "dust_rules": ORACLE_DUST_RULES,
 }

@@ -2592,3 +2592,50 @@ def test_batch_drift_identical_batches_zero(spark):
     rows = batch_drift(a, a).collect()
     assert rows and all(r["drift_bp"] == 0 for r in rows)
     assert all(r["tv_total_bp"] == 0 for r in rows)
+
+
+# ------------------------------------------------------------------ #
+# DUST rule mining (X105)
+# ------------------------------------------------------------------ #
+
+def test_dust_rules_mines_index_html_alias(spark):
+    """Three hosts each serving the same page at /pN/ and
+    /pN/index.html: one generalized rule ('' -> 'index.html') with
+    support 3, never three path-specific rules."""
+    rows = []
+    for h in range(3):
+        text = f"unique page body {h} with words"
+        rows.append((f"http://h{h}.com/p{h}/", text))
+        rows.append((f"http://h{h}.com/p{h}/index.html", text))
+    pages = spark.createDataFrame(rows, "url string, text string")
+    got = urltools.dust_rules(pages, min_support=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["rule_from"], r["rule_to"]) == ("", "index.html")
+    assert r["n_pairs"] == 3 and r["n_hosts"] == 3
+
+
+def test_dust_rules_support_threshold_and_cross_host_isolation(spark):
+    # same-content URLs on DIFFERENT hosts never pair; a one-off alias
+    # below min_support is dropped
+    pages = spark.createDataFrame(
+        [("http://a.com/x", "mirror body"),
+         ("http://b.com/x", "mirror body"),
+         ("http://c.com/y?utm=1", "c body"),
+         ("http://c.com/y", "c body")],
+        "url string, text string",
+    )
+    assert urltools.dust_rules(pages, min_support=2).count() == 0
+    got = urltools.dust_rules(pages, min_support=1).collect()
+    assert {(r["rule_from"], r["rule_to"]) for r in got} == {("", "?utm=1")}
+
+
+def test_dust_rules_group_cap_bounds_pairs(spark):
+    # a 10-alias trap group contributes C(4,2)=6 pairs at max_group=4
+    rows = [(f"http://t.com/s{i}", "trap body") for i in range(10)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    total = (
+        urltools.dust_rules(pages, max_group=4, min_support=1)
+        .agg(F.sum("n_pairs")).first()[0]
+    )
+    assert total == 6
