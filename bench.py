@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "token_fertility",
     "batch_drift",
     "dust_rules",
+    "canonical_trust",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -270,3 +270,76 @@ def title_dup_candidates(pages: DataFrame, url_col: str = "url",
         "rep_url",
         (F.coalesce(F.col("group_size"), F.lit(0)) >= 2).alias("is_candidate"),
     )
+
+
+def canonical_trust(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html",
+                    text_col: str = "text") -> DataFrame:
+    """(host, n_pages, n_with_canonical, n_self, n_agree, n_disagree,
+    n_dangling, trust_bp) — per-host audit of whether rel=canonical
+    declarations can be TRUSTED: a canonical pointing at a crawled
+    page with the same content fingerprint confirms the declaration
+    (agree); one pointing at different content is the spam/misconfig
+    signature search engines demote canonical trust for (disagree;
+    cf. Google's published guidance that conflicting canonicals are
+    treated as hints, not directives); one pointing at an uncrawled
+    URL is frontier debt (dangling). trust_bp =
+    (10000 · (n_self + n_agree)) div n_with_canonical is the score a
+    dedup tier consults before letting declared canonicals override
+    fingerprint clustering (X33 picks canonicals BY content; this
+    measures whether the host's own declarations would have agreed).
+
+    If several crawled URLs normalize to the same canonical target,
+    the lexicographically-smallest fingerprint stands for the target —
+    a deterministic tie rule, mirrored in the oracle.
+
+    Scale shape: metadata extraction and fingerprinting are one
+    codegen pass; the target probe is ONE equi-join on the normalized
+    canonical URL (never cross-host fan-out — the key is a full URL);
+    the rollup is one partial-agged groupBy on host. All counters
+    bigint, score by integer div."""
+    from docling_serve_spark.operators.dedup import norm_text
+    from docling_serve_spark.operators.urltools import canonical_url, url_host
+
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        F.md5(norm_text(F.col(text_col))).alias("fp"),
+    )
+    meta = extract_page_meta(pages, url_col, html_col).select(
+        "url", "canonical"
+    )
+    m = meta.join(base, "url").select(
+        url_host(F.col("url")).alias("host"),
+        canonical_url(F.col("url")).alias("u"),
+        F.when(F.col("canonical") == "", F.lit(""))
+        .otherwise(canonical_url(F.col("canonical"))).alias("cu"),
+        "fp",
+    )
+    targets = base.groupBy(
+        canonical_url(F.col("url")).alias("cu")
+    ).agg(F.min("fp").alias("target_fp"))
+    j = m.join(targets, "cu", "left")
+    has = F.col("cu") != ""
+    self_ = has & (F.col("cu") == F.col("u"))
+    cross = has & (F.col("cu") != F.col("u"))
+    agree = cross & (F.col("target_fp") == F.col("fp"))
+    disagree = cross & F.col("target_fp").isNotNull() \
+        & (F.col("target_fp") != F.col("fp"))
+    dangling = cross & F.col("target_fp").isNull()
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            one(has).alias("n_with_canonical"),
+            one(self_).alias("n_self"),
+            one(agree).alias("n_agree"),
+            one(disagree).alias("n_disagree"),
+            one(dangling).alias("n_dangling"),
+        )
+        .withColumn(
+            "trust_bp",
+            F.expr("(10000 * (n_self + n_agree)) "
+                   "div greatest(n_with_canonical, 1)").cast("bigint"),
+        )
+    )

@@ -5110,6 +5110,124 @@ def _dust_rules_oracle() -> str:
 ORACLE_DUST_RULES = _dust_rules_oracle()
 
 
+def q_canonical_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-trust audit (X106) over a planted corpus: every 3rd
+    doc is an alias page declaring a canonical (agree when even id,
+    disagree when odd, dangling when id%5==0) plus its crawled main
+    page; id%3==1 pages self-canonicalize; the rest carry no
+    declaration."""
+    from docling_serve_spark.operators.pagemeta import canonical_trust
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".com"))
+    stem = F.concat(F.lit("http://"), host)
+
+    def page(url_col, canon_col, text_col):
+        html = F.concat(
+            F.lit("<html><head>"),
+            F.when(canon_col == "", F.lit("")).otherwise(
+                F.concat(F.lit('<link rel="canonical" href="'), canon_col,
+                         F.lit('"/>'))
+            ),
+            F.lit("</head><body></body></html>"),
+        )
+        return F.struct(url_col.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"),
+                        text_col.alias("text"))
+
+    third = docs.filter(F.col("doc_id") % 3 == 0)
+    alt_target = F.when(F.col("doc_id") % 5 == 0,
+                        F.concat(stem, F.lit("/missing"), i)) \
+        .otherwise(F.concat(stem, F.lit("/main"), i))
+    alt_text = F.when(F.col("doc_id") % 2 == 0, F.col("text")) \
+        .otherwise(F.concat(F.col("text"), F.lit(" extra")))
+    alts = third.select(
+        page(F.concat(stem, F.lit("/alt"), i), alt_target, alt_text)
+        .alias("p"))
+    mains = third.select(
+        page(F.concat(stem, F.lit("/main"), i), F.lit(""), F.col("text"))
+        .alias("p"))
+    selfs = docs.filter(F.col("doc_id") % 3 == 1).select(
+        page(F.concat(stem, F.lit("/self"), i),
+             F.concat(stem, F.lit("/self"), i), F.col("text")).alias("p"))
+    plains = docs.filter(F.col("doc_id") % 3 == 2).select(
+        page(F.concat(stem, F.lit("/plain"), i), F.lit(""), F.col("text"))
+        .alias("p"))
+    pages = (
+        alts.unionByName(mains).unionByName(selfs).unionByName(plains)
+        .select("p.url", "p.html", "p.text")
+    )
+    return canonical_trust(pages)
+
+
+def _canonical_trust_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+
+    def canon(x: str) -> str:
+        return (
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            f"lower({x}), '^https?://', ''), '[?#].*$', ''), "
+            "'^www\\.', ''), '/$', '')"
+        )
+
+    link = _attr_pair_sql("link", "rel", "canonical", "href")
+    return (
+        "WITH stemd AS (SELECT doc_id, text, "
+        "'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS stem, "
+        "CAST(doc_id AS VARCHAR) AS i FROM documents), "
+        "pages AS ("
+        "SELECT stem || '/alt' || i AS url, "
+        "'<html><head><link rel=\"canonical\" href=\"' || "
+        "(CASE WHEN doc_id % 5 = 0 THEN stem || '/missing' || i "
+        "ELSE stem || '/main' || i END) || "
+        "'\"/></head><body></body></html>' AS html, "
+        "CASE WHEN doc_id % 2 = 0 THEN text ELSE text || ' extra' END "
+        "AS text FROM stemd WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT stem || '/main' || i, "
+        "'<html><head></head><body></body></html>', text "
+        "FROM stemd WHERE doc_id % 3 = 0 "
+        "UNION ALL SELECT stem || '/self' || i, "
+        "'<html><head><link rel=\"canonical\" href=\"' || stem || '/self' "
+        "|| i || '\"/></head><body></body></html>', text "
+        "FROM stemd WHERE doc_id % 3 = 1 "
+        "UNION ALL SELECT stem || '/plain' || i, "
+        "'<html><head></head><body></body></html>', text "
+        "FROM stemd WHERE doc_id % 3 = 2), "
+        f"base AS (SELECT url, md5({norm}) AS fp FROM pages), "
+        f"meta AS (SELECT url, trim({link}) AS canonical FROM pages), "
+        "m AS (SELECT regexp_extract(" + canon("m0.url")
+        + ", '^([^/]+)', 1) AS host, " + canon("m0.url") + " AS u, "
+        "CASE WHEN m0.canonical = '' THEN '' ELSE "
+        + canon("m0.canonical") + " END AS cu, b.fp "
+        "FROM meta m0 JOIN base b ON m0.url = b.url), "
+        "targets AS (SELECT " + canon("url")
+        + " AS cu, min(fp) AS target_fp FROM base GROUP BY 1), "
+        "j AS (SELECT m.host, m.u, m.cu, m.fp, t.target_fp "
+        "FROM m LEFT JOIN targets t ON m.cu = t.cu) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(sum(CASE WHEN cu <> '' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_with_canonical, "
+        "CAST(sum(CASE WHEN cu <> '' AND cu = u THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_self, "
+        "CAST(sum(CASE WHEN cu <> '' AND cu <> u AND target_fp = fp "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_agree, "
+        "CAST(sum(CASE WHEN cu <> '' AND cu <> u AND target_fp IS NOT NULL "
+        "AND target_fp <> fp THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree, "
+        "CAST(sum(CASE WHEN cu <> '' AND cu <> u AND target_fp IS NULL "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling, "
+        "CAST((10000 * (sum(CASE WHEN cu <> '' AND cu = u THEN 1 ELSE 0 END) "
+        "+ sum(CASE WHEN cu <> '' AND cu <> u AND target_fp = fp "
+        "THEN 1 ELSE 0 END))) // greatest(sum(CASE WHEN cu <> '' THEN 1 "
+        "ELSE 0 END), 1) AS BIGINT) AS trust_bp "
+        "FROM j GROUP BY 1"
+    )
+
+
+ORACLE_CANONICAL_TRUST = _canonical_trust_oracle()
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (X103) over the documents
     table's real lang column."""
@@ -6611,6 +6729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_fertility": q_token_fertility,
     "batch_drift": q_batch_drift,
     "dust_rules": q_dust_rules,
+    "canonical_trust": q_canonical_trust,
 }
 
 ORACLES: dict[str, str] = {
@@ -6756,4 +6875,5 @@ ORACLES: dict[str, str] = {
     "token_fertility": ORACLE_TOKEN_FERTILITY,
     "batch_drift": ORACLE_BATCH_DRIFT,
     "dust_rules": ORACLE_DUST_RULES,
+    "canonical_trust": ORACLE_CANONICAL_TRUST,
 }

@@ -2639,3 +2639,60 @@ def test_dust_rules_group_cap_bounds_pairs(spark):
         .agg(F.sum("n_pairs")).first()[0]
     )
     assert total == 6
+
+
+# ------------------------------------------------------------------ #
+# canonical trust audit (X106)
+# ------------------------------------------------------------------ #
+
+def _canon_page(url, canonical, text):
+    html = "<html><head>"
+    if canonical:
+        html += f'<link rel="canonical" href="{canonical}"/>'
+    html += f"</head><body>{text}</body></html>"
+    return (url, bytearray(html.encode()), text)
+
+
+def test_canonical_trust_verdict_classes(spark):
+    from docling_serve_spark.operators.pagemeta import canonical_trust
+
+    rows = [
+        # agree: alt declares main, same content
+        _canon_page("http://a.com/alt1", "http://a.com/main1", "body one"),
+        _canon_page("http://a.com/main1", "", "body one"),
+        # disagree: alt declares main, DIFFERENT content
+        _canon_page("http://a.com/alt2", "http://a.com/main2", "body two"),
+        _canon_page("http://a.com/main2", "", "other text"),
+        # self-canonical
+        _canon_page("http://a.com/self", "http://a.com/self", "self body"),
+        # dangling: target never crawled
+        _canon_page("http://a.com/alt3", "http://a.com/gone", "body three"),
+        # no canonical at all
+        _canon_page("http://a.com/plain", "", "plain body"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    )
+    [r] = canonical_trust(pages).collect()
+    assert r["host"] == "a.com" and r["n_pages"] == 7
+    assert r["n_with_canonical"] == 4
+    assert r["n_self"] == 1 and r["n_agree"] == 1
+    assert r["n_disagree"] == 1 and r["n_dangling"] == 1
+    assert r["trust_bp"] == 5000  # (1 self + 1 agree) / 4
+
+
+def test_canonical_trust_normalizes_declared_urls(spark):
+    from docling_serve_spark.operators.pagemeta import canonical_trust
+
+    # www/scheme/trailing-slash variants of the declared target must
+    # still resolve to the crawled page
+    rows = [
+        _canon_page("http://b.com/x", "HTTPS://www.b.com/y/", "same"),
+        _canon_page("http://b.com/y", "", "same"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    )
+    [r] = canonical_trust(pages).collect()
+    assert r["n_agree"] == 1 and r["n_dangling"] == 0
+    assert r["trust_bp"] == 10000
