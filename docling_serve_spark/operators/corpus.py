@@ -401,25 +401,39 @@ def batch_drift(batch_a: DataFrame, batch_b: DataFrame,
     broadcast, and the unbounded window all run over ≤ 64 rows.
     Nothing downstream of the two histogram aggs is proportional to
     corpus size."""
+    return drift_from_histograms(
+        length_histogram(batch_a, text_col).withColumnRenamed("n", "n_a"),
+        length_histogram(batch_b, text_col).withColumnRenamed("n", "n_b"),
+    )
+
+
+def length_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bin, n) — log2-binned document-length histogram (bit-length
+    bins, X92's integer mechanism; empty docs clamp to bin 1). One
+    partial-agged groupBy; ≤ 64 output rows at any corpus size. This
+    is the mergeable summary the drift tier persists: histograms of
+    disjoint batches ADD, so a cumulative reference needs one (bin,
+    sum) rollup, never a re-scan of history."""
+    return (
+        docs.select(
+            F.expr(
+                f"CAST(length(bin(greatest(length({text_col}), 1))) "
+                "AS BIGINT)"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def drift_from_histograms(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """``batch_drift``'s comparison stage over two pre-computed
+    (bin, n_a) / (bin, n_b) histograms — the form the streaming drift
+    monitor uses, where the reference side is a persisted cumulative
+    histogram rather than raw documents."""
     from pyspark.sql import Window
 
-    def hist(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(
-                F.expr(
-                    f"CAST(length(bin(greatest(length({text_col}), 1))) "
-                    "AS BIGINT)"
-                ).alias("bin")
-            )
-            .groupBy("bin")
-            .agg(F.count("*").cast("bigint").alias(name))
-        )
-
-    j = (
-        hist(batch_a, "n_a")
-        .join(hist(batch_b, "n_b"), "bin", "full")
-        .fillna(0, ["n_a", "n_b"])
-    )
+    j = ha.join(hb, "bin", "full").fillna(0, ["n_a", "n_b"])
     # totals via the SAME single-partition window the TV sum needs —
     # an agg+crossJoin here would reference the histogram subtree
     # twice, and a lazy plan re-executes the referenced subtree: the

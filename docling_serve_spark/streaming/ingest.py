@@ -288,3 +288,69 @@ def _bloom_versions(spark: SparkSession, bloom_dir: str) -> list[int]:
             except ValueError:
                 pass
     return out
+
+
+def run_drift_stream(
+    pages: DataFrame,
+    drift_dir: str,
+    hist_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ingest-drift monitor: each micro-batch's log2-length
+    histogram (X104's mergeable summary) is compared against the
+    CUMULATIVE histogram of every prior batch, one drift report
+    (per-bin deltas + TV total, tagged with the batch id) is appended
+    to ``drift_dir``, and the cumulative histogram is re-committed to
+    ``hist_dir/v={batch_id}`` — the streaming form of the batch_drift
+    gate, so a crawl feed whose length profile jumps is flagged the
+    micro-batch it happens, not at the next offline audit.
+
+    State is the ≤64-row histogram, NOT per-document operator state:
+    histograms of disjoint batches add, so the reference carries a
+    10^12-document history in 64 bigint rows (same bounded-state
+    argument as the X86 Bloom sink). Versioned-snapshot idempotence as
+    in ``run_bloom_novelty_stream``: a replayed batch recomputes the
+    same v={batch_id} snapshot from the same inputs; only the drift
+    append of the single crashed batch can duplicate, and its rows
+    carry the batch id so readers dedup by (batch_id, bin). The first
+    batch commits its histogram and emits no report (there is no
+    reference yet)."""
+    from docling_serve_spark.operators.corpus import (
+        drift_from_histograms,
+        length_histogram,
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        hb = length_histogram(batch, text_col).localCheckpoint(eager=True)
+        prior = [v for v in _bloom_versions(spark, hist_dir)
+                 if v < batch_id]
+        if prior:
+            ref = spark.read.parquet(f"{hist_dir}/v={max(prior)}")
+            report = drift_from_histograms(
+                ref.withColumnRenamed("n", "n_a"),
+                hb.withColumnRenamed("n", "n_b"),
+            ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            report.coalesce(1).write.mode("append").parquet(drift_dir)
+            cumulative = (
+                ref.unionByName(hb).groupBy("bin")
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            cumulative = hb
+        cumulative.coalesce(1).write.mode("overwrite").parquet(
+            f"{hist_dir}/v={batch_id}"
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

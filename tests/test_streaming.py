@@ -342,3 +342,53 @@ def test_bloom_novelty_stream_filters_history(spark, tmp_path):
         stream_pages(spark, landing), novel, bloom, ckpt)
     _await(q)
     assert spark.read.parquet(novel).count() == 80
+
+
+def test_drift_stream_flags_profile_jump(spark, tmp_path):
+    """Streaming drift monitor (X104 streaming form): the first drain
+    commits the reference histogram silently; a second drain with the
+    same length profile reports ~zero TV; a third drain of much longer
+    documents reports large TV mass — all against the CUMULATIVE
+    history, with one report row-set per batch id."""
+    import os
+
+    from docling_serve_spark.streaming.ingest import (
+        run_drift_stream,
+        stream_pages,
+    )
+
+    landing = str(tmp_path / "landing")
+    drift = str(tmp_path / "drift")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = build_pages_df(spark, 40)
+    first.write.parquet(landing)
+    q = run_drift_stream(stream_pages(spark, landing), drift, hist, ckpt)
+    _await(q)
+    # no reference yet: histogram committed, no report
+    assert not os.path.exists(drift)
+    assert any(d.startswith("v=") for d in os.listdir(hist))
+
+    # same profile again -> low TV
+    build_pages_df(spark, 40).write.mode("append").parquet(landing)
+    q = run_drift_stream(stream_pages(spark, landing), drift, hist, ckpt)
+    _await(q)
+    r1 = spark.read.parquet(drift)
+    tv_same = r1.select("tv_total_bp").first()["tv_total_bp"]
+    assert tv_same <= 1500
+
+    # radically longer docs -> large TV, new batch id
+    long_docs = build_pages_df(spark, 40).withColumn(
+        "text", F.expr("repeat(text, 40)")
+    )
+    long_docs.write.mode("append").parquet(landing)
+    q = run_drift_stream(stream_pages(spark, landing), drift, hist, ckpt)
+    _await(q)
+    r2 = spark.read.parquet(drift)
+    assert r2.select("batch_id").distinct().count() == 2
+    tv_jump = (
+        r2.groupBy("batch_id").agg(F.max("tv_total_bp").alias("tv"))
+        .agg(F.max("tv")).first()[0]
+    )
+    assert tv_jump >= 8000
