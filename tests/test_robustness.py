@@ -151,3 +151,24 @@ def test_fast_scanner_mutation_equivalence():
             for r in general
         ], mutant
     assert checked > 100
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 0xFFFF),
+                  st.integers(0, 0xFFFF)),
+        min_size=1, max_size=4,
+    ),
+    st.binary(max_size=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_fontmap_variable_decode_total_and_terminates(ranges, raw):
+    """Mixed-width CMap decoding must be total: any declared range set
+    (including hostile inverted/overlapping ones) over any byte string
+    decodes without raising and consumes the whole input."""
+    from docling_serve_spark.extract.pdf_extract import _FontMap
+
+    norm = tuple((w, min(lo, hi), max(lo, hi)) for w, lo, hi in ranges)
+    fm = _FontMap(norm[0][0], {0x41: "A"}, ranges=norm)
+    out = fm.decode(raw.decode("latin-1"))
+    assert isinstance(out, str)
