@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "batch_drift",
     "dust_rules",
     "canonical_trust",
+    "host_dup_stats",
+    "sampling_temperature",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -776,3 +776,92 @@ def token_fertility(docs: DataFrame, text_col: str = "text",
             .cast("bigint").alias("chars_per_piece_bp"),
         )
     )
+
+
+def host_dup_stats(pages: DataFrame, url_col: str = "url",
+                   text_col: str = "text") -> DataFrame:
+    """(host, n_pages, n_dup_pages, n_clusters, dup_bp) — per-host
+    exact-duplication pressure: how much of each host is verbatim
+    copies of itself. Template mills, calendar/session traps, and
+    mirror paths show up as hosts whose dup_bp dwarfs the corpus
+    norm — the number a crawl team uses to cut a host's budget (X23)
+    or tighten its template rules (X45) BEFORE global dedup pays to
+    re-discover the same copies every snapshot. Host-LOCAL by design:
+    cross-host duplication is X46/X98's job; this isolates the
+    within-host signal that host-level knobs can act on.
+
+    Scale shape: one codegen fingerprint pass, then two STACKED
+    partial aggs — (host, fp) sizes, host rollup — both map-side
+    combined; nothing ever pairs, the shuffle carries (host, fp)
+    counts. dup_bp = (10000 · n_dup_pages) div n_pages in bigint."""
+    from docling_serve_spark.operators.dedup import norm_text
+    from docling_serve_spark.operators.urltools import url_host
+
+    sizes = (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            F.md5(norm_text(F.col(text_col))).alias("fp"),
+        )
+        .groupBy("host", "fp")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        sizes.groupBy("host")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_pages"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("bigint").alias("n_dup_pages"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_clusters"),
+        )
+        .withColumn(
+            "dup_bp",
+            F.expr("(10000 * n_dup_pages) div greatest(n_pages, 1)")
+            .cast("bigint"),
+        )
+    )
+
+
+def sampling_temperature(docs: DataFrame, lang_col: str = "lang",
+                         text_col: str = "text",
+                         alpha: float = 0.3) -> DataFrame:
+    """(lang, n_pieces, p_raw, q_sampled, boost) — temperature-scaled
+    multilingual sampling weights: q_l = p_l^α / Σ_m p_m^α over the
+    per-language subword-piece mass (XLM-R §3.1, α=0.3; mBERT and
+    NLLB use the same exponentiated-smoothing form). ``boost`` =
+    q/p is the factor a language's documents are over- or
+    under-sampled relative to natural abundance — low-resource
+    languages get boost > 1, the head language < 1. Pairs with X103:
+    fertility says what a language COSTS per word, this says how often
+    the mixture should visit it.
+
+    The exponentiation is necessarily floating-point (the only
+    non-integer scoring op in the catalog besides jaccard's ratio);
+    outputs are rounded to 6 decimals, the repo's documented
+    double-comparison grain. Scale shape: one codegen counting pass,
+    ONE partial-agg groupBy on lang, then all arithmetic over the
+    handful of language rows via one single-partition window."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            bpe_token_count(F.col(text_col)).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("n_pieces"))
+    )
+    w = Window.partitionBy()
+    scored = (
+        counts.withColumn("total", F.sum("n_pieces").over(w))
+        .withColumn("p_raw", F.col("n_pieces") / F.col("total"))
+        .withColumn("p_alpha", F.pow(F.col("p_raw"), F.lit(alpha)))
+        .withColumn("z", F.sum("p_alpha").over(w))
+        .withColumn("q_sampled", F.col("p_alpha") / F.col("z"))
+    )
+    return scored.select(
+        "lang", "n_pieces",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round("q_sampled", 6).alias("q_sampled"),
+        F.round(F.col("q_sampled") / F.col("p_raw"), 6).alias("boost"),
+    )

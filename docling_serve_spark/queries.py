@@ -5110,6 +5110,73 @@ def _dust_rules_oracle() -> str:
 ORACLE_DUST_RULES = _dust_rules_oracle()
 
 
+def q_host_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host duplication pressure (X108): every 7th document is
+    served twice on its host (/pN and /copyN), so those hosts carry
+    measurable within-host dup mass; the rest are singletons."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("http://h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".com"))
+    pages = docs.select(
+        F.concat(host, F.lit("/p"), i).alias("url"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat(host, F.lit("/copy"), i).alias("url"), "text")
+    )
+    return textstats.host_dup_stats(pages)
+
+
+def _host_dup_oracle() -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    canon = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "lower(url), '^https?://', ''), '[?#].*$', ''), '^www\\.', ''), "
+        "'/$', '')"
+    )
+    return (
+        "WITH pages AS (SELECT 'http://h' || CAST(doc_id % 10 AS VARCHAR) "
+        "|| '.com/p' || CAST(doc_id AS VARCHAR) AS url, text FROM documents "
+        "UNION ALL SELECT 'http://h' || CAST(doc_id % 10 AS VARCHAR) "
+        "|| '.com/copy' || CAST(doc_id AS VARCHAR) AS url, text "
+        "FROM documents WHERE doc_id % 7 = 0), "
+        f"f AS (SELECT regexp_extract({canon}, '^([^/]+)', 1) AS host, "
+        f"md5({norm}) AS fp FROM pages), "
+        "sz AS (SELECT host, fp, CAST(count(*) AS BIGINT) AS n FROM f "
+        "GROUP BY 1, 2) "
+        "SELECT host, CAST(sum(n) AS BIGINT) AS n_pages, "
+        "CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) "
+        "AS n_dup_pages, "
+        "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_clusters, "
+        "CAST((10000 * sum(CASE WHEN n > 1 THEN n ELSE 0 END)) // "
+        "greatest(sum(n), 1) AS BIGINT) AS dup_bp FROM sz GROUP BY 1"
+    )
+
+
+ORACLE_HOST_DUP = _host_dup_oracle()
+
+
+def q_sampling_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R temperature sampling weights (X109) over the documents
+    table's real lang column at alpha=0.3."""
+    return textstats.sampling_temperature(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_SAMPLING_TEMPERATURE = (
+    "WITH c AS (SELECT lang, CAST(sum(length(regexp_extract_all(text, "
+    "'\\p{L}+|\\p{N}{1,3}|[^\\p{L}\\p{N}\\s]'))) AS BIGINT) AS n_pieces "
+    "FROM documents GROUP BY 1), "
+    "s AS (SELECT lang, n_pieces, sum(n_pieces) OVER () AS total FROM c), "
+    "s2 AS (SELECT lang, n_pieces, n_pieces * 1.0 / total AS p_raw, "
+    "pow(n_pieces * 1.0 / total, 0.3) AS pa FROM s), "
+    "s3 AS (SELECT lang, n_pieces, p_raw, pa, sum(pa) OVER () AS z FROM s2) "
+    "SELECT lang, n_pieces, round(p_raw, 6) AS p_raw, "
+    "round(pa / z, 6) AS q_sampled, "
+    "round((pa / z) / p_raw, 6) AS boost FROM s3"
+)
+
+
 def q_canonical_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-trust audit (X106) over a planted corpus: every 3rd
     doc is an alias page declaring a canonical (agree when even id,
@@ -6730,6 +6797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "batch_drift": q_batch_drift,
     "dust_rules": q_dust_rules,
     "canonical_trust": q_canonical_trust,
+    "host_dup_stats": q_host_dup_stats,
+    "sampling_temperature": q_sampling_temperature,
 }
 
 ORACLES: dict[str, str] = {
@@ -6876,4 +6945,6 @@ ORACLES: dict[str, str] = {
     "batch_drift": ORACLE_BATCH_DRIFT,
     "dust_rules": ORACLE_DUST_RULES,
     "canonical_trust": ORACLE_CANONICAL_TRUST,
+    "host_dup_stats": ORACLE_HOST_DUP,
+    "sampling_temperature": ORACLE_SAMPLING_TEMPERATURE,
 }

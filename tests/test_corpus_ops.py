@@ -2696,3 +2696,47 @@ def test_canonical_trust_normalizes_declared_urls(spark):
     [r] = canonical_trust(pages).collect()
     assert r["n_agree"] == 1 and r["n_dangling"] == 0
     assert r["trust_bp"] == 10000
+
+
+# ------------------------------------------------------------------ #
+# host dup pressure / sampling temperature (X108-X109)
+# ------------------------------------------------------------------ #
+
+def test_host_dup_stats_is_host_local(spark):
+    from docling_serve_spark.operators.textstats import host_dup_stats
+
+    pages = spark.createDataFrame(
+        [("http://mill.com/a", "template body"),
+         ("http://mill.com/b", "template body"),
+         ("http://mill.com/c", "template body"),
+         ("http://mill.com/d", "unique page"),
+         # the same template on ANOTHER host must not count here
+         ("http://clean.com/x", "template body"),
+         ("http://clean.com/y", "own content")],
+        "url string, text string",
+    )
+    got = {r["host"]: r for r in host_dup_stats(pages).collect()}
+    assert got["mill.com"]["n_pages"] == 4
+    assert got["mill.com"]["n_dup_pages"] == 3
+    assert got["mill.com"]["n_clusters"] == 1
+    assert got["mill.com"]["dup_bp"] == 7500
+    assert got["clean.com"]["n_dup_pages"] == 0
+    assert got["clean.com"]["dup_bp"] == 0
+
+
+def test_sampling_temperature_boosts_tail_language(spark):
+    from docling_serve_spark.operators.textstats import sampling_temperature
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 90, "en") for i in range(9)]
+        + [(100, "wort " * 90, "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in sampling_temperature(docs).collect()}
+    # natural shares 0.9 / 0.1; alpha=0.3 compresses toward uniform
+    assert abs(got["en"]["p_raw"] - 0.9) < 1e-6
+    assert got["de"]["q_sampled"] > got["de"]["p_raw"]     # boosted
+    assert got["en"]["q_sampled"] < got["en"]["p_raw"]     # damped
+    assert got["de"]["boost"] > 1.0 > got["en"]["boost"]
+    total_q = got["en"]["q_sampled"] + got["de"]["q_sampled"]
+    assert abs(total_q - 1.0) < 1e-5                        # normalized
