@@ -92,16 +92,45 @@ def url_path(col: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+#: regex metacharacters a robots path rule must have neutralized
+#: before '*' becomes '.*' ('*' itself deliberately excluded; '$' is
+#: stripped from the tail first — mid-rule '$' is a literal octet per
+#: RFC 9309 §2.2.3).
+_ROBOTS_META = ['.', '+', '?', '(', ')', '[', ']', '{', '}', '|', '^', '$']
+
+
+def robots_pattern_sql(col: str) -> str:
+    """SQL expression turning a robots path rule into an anchored
+    regex per RFC 9309 §2.2.3: '*' matches any octet sequence, a
+    TRAILING '$' anchors the end, everything else is literal. The
+    expression is engine-portable and used VERBATIM by both the Spark
+    operator and the DuckDB oracle — backslashes are spelled chr(92)
+    because the two engines disagree on string-literal escape
+    processing (Spark SQL processes backslash escapes, DuckDB does
+    not), which is the one way to write one string that builds the
+    same pattern in both."""
+    dollar = f"substr({col}, length({col}), 1) = '$'"
+    e = (f"(CASE WHEN {dollar} THEN substr({col}, 1, length({col}) - 1) "
+         f"ELSE {col} END)")
+    e = f"replace({e}, chr(92), chr(92) || chr(92))"
+    for ch in _ROBOTS_META:
+        e = f"replace({e}, '{ch}', chr(92) || '{ch}')"
+    e = f"replace({e}, '*', '.*')"
+    return f"'^' || {e} || CASE WHEN {dollar} THEN '$' ELSE '' END"
+
+
 def robots_filter(pages: DataFrame, rules: DataFrame,
                   url_col: str = "url", key_col: str = "doc_id") -> DataFrame:
     """(doc_id, host, path, crawl_allowed, matched_rule,
     matched_prefix) — robots.txt compliance pass (RFC 9309 / REP
-    longest-match): among the page's host's rules whose path prefix
-    matches, the LONGEST prefix wins; a length tie between allow and
-    disallow resolves to allow (the RFC's rule); a host with no
-    matching rule is allowed. ``rules`` is (host, rule∈{allow,
-    disallow}, path_prefix) — what a robots.txt fetch pass would emit,
-    one row per directive.
+    longest-match) with full §2.2.3 wildcard semantics: '*' in a rule
+    matches any octet sequence and a trailing '$' anchors the path
+    end; among the page's host's matching rules the LONGEST rule (raw
+    octets, wildcards counted — Google's documented most-specific
+    metric) wins; a length tie between allow and disallow resolves to
+    allow (the RFC's rule); a host with no matching rule is allowed.
+    ``rules`` is (host, rule∈{allow, disallow}, path_prefix) — what a
+    robots.txt fetch pass would emit, one row per directive.
 
     Plan shape at crawl scale: ONE equi-join on host (a host's
     directive list is small — tens of rows — so the per-page candidate
@@ -115,9 +144,12 @@ def robots_filter(pages: DataFrame, rules: DataFrame,
         url_host(F.col(url_col)).alias("host"),
         url_path(F.col(url_col)).alias("path"),
     )
-    cand = p.join(rules, "host").filter(
-        F.col("path").startswith(F.col("path_prefix"))
+    compiled = rules.withColumn(
+        "__pat", F.expr(robots_pattern_sql("path_prefix"))
     )
+    cand = p.join(compiled, "host").filter(
+        F.expr("path rlike __pat")
+    ).drop("__pat")
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(

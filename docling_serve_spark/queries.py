@@ -1485,6 +1485,12 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.lit("/private/pub/").alias("path_prefix")))
         .unionByName(rng.select("host", F.lit("disallow").alias("rule"),
                                 F.lit("/tmp").alias("path_prefix")))
+        # RFC 9309 §2.2.3 wildcard directives: '*' spans octets, '$'
+        # anchors the end — exercised against the same path population
+        .unionByName(rng.select("host", F.lit("disallow").alias("rule"),
+                                F.lit("/public/*9").alias("path_prefix")))
+        .unionByName(rng.select("host", F.lit("disallow").alias("rule"),
+                                F.lit("/p*0$").alias("path_prefix")))
     )
     return urltools.robots_filter(pages, rules)
 
@@ -1500,12 +1506,14 @@ ORACLE_ROBOTS = (
     "rules AS (SELECT 'site' || CAST(i AS VARCHAR) || '.com' AS host, "
     "r.rule, r.prefix FROM range(4) t(i), (VALUES "
     "('disallow', '/private/'), ('allow', '/private/pub/'), "
-    "('disallow', '/tmp')) r(rule, prefix)), "
+    "('disallow', '/tmp'), ('disallow', '/public/*9'), "
+    "('disallow', '/p*0$')) r(rule, prefix)), "
     "m AS (SELECT p.doc_id, r.rule, r.prefix, row_number() OVER ("
     "PARTITION BY p.doc_id ORDER BY length(r.prefix) DESC, "
     "CASE r.rule WHEN 'allow' THEN 1 ELSE 0 END DESC, r.prefix DESC) AS rn "
     "FROM pages p JOIN rules r ON p.host = r.host "
-    "AND starts_with(p.path, r.prefix)), "
+    "AND regexp_matches(p.path, "
+    + urltools.robots_pattern_sql("r.prefix") + ")), "
     "w AS (SELECT doc_id, rule, prefix FROM m WHERE rn = 1) "
     "SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.host, p.path, "
     "(w.rule IS NULL OR w.rule = 'allow') AS crawl_allowed, "

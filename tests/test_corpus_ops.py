@@ -650,6 +650,35 @@ def test_robots_filter_longest_match_semantics(spark):
     assert got[1]["host"] == "s.com" and got[1]["path"] == "/private/x"
 
 
+def test_robots_filter_rfc9309_wildcards(spark):
+    """§2.2.3: '*' spans any octets, trailing '$' anchors the end,
+    regex metacharacters in rules stay literal, and wildcard rules
+    compete on raw rule length."""
+    pages = spark.createDataFrame(
+        [Row(doc_id=1, url="https://s.com/a/download.pdf"),
+         Row(doc_id=2, url="https://s.com/a/download.pdf.html"),
+         Row(doc_id=3, url="https://s.com/cgi/x/session1"),
+         Row(doc_id=4, url="https://s.com/x.y"),
+         Row(doc_id=5, url="https://s.com/xAy"),
+         Row(doc_id=6, url="https://s.com/cgi/pub/session2")]
+    )
+    rules = spark.createDataFrame(
+        [("s.com", "disallow", "/*.pdf$"),
+         ("s.com", "disallow", "/cgi/*session"),
+         ("s.com", "allow", "/cgi/pub*session"),   # longer wildcard rule
+         ("s.com", "disallow", "/x.y")],
+        "host string, rule string, path_prefix string",
+    )
+    got = {r["doc_id"]: r for r in
+           urltools.robots_filter(pages, rules).collect()}
+    assert not got[1]["crawl_allowed"]            # $ anchors: .pdf end
+    assert got[2]["crawl_allowed"]                # .pdf.html not anchored
+    assert not got[3]["crawl_allowed"]            # * spans segments
+    assert got[6]["crawl_allowed"]                # longer allow wins
+    assert not got[4]["crawl_allowed"]            # '.' literal: /x.y hit
+    assert got[5]["crawl_allowed"]                # '.' not a regex dot
+
+
 # ------------------------------------------------------------------ #
 # snapshot_diff
 # ------------------------------------------------------------------ #
