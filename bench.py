@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "canonical_trust",
     "host_dup_stats",
     "sampling_temperature",
+    "hreflang_reciprocity",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -343,3 +343,59 @@ def canonical_trust(pages: DataFrame, url_col: str = "url",
                    "div greatest(n_with_canonical, 1)").cast("bigint"),
         )
     )
+
+
+def hreflang_reciprocity(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(src_url, n_declared, n_self, n_reciprocal, n_unreturned,
+    reciprocal_bp) — the hreflang RETURN-TAG audit: search engines
+    honor a declared alternate cluster only when the target page links
+    BACK (Google's documented "return links" requirement — clusters
+    without them are ignored), and ParaCrawl-style bitext mining that
+    trusts unreturned declarations inherits whatever the publisher
+    misconfigured. Per page: declared alternates (X52's triples),
+    self-references (recommended, trivially valid), cross alternates
+    confirmed by a reverse edge, and the unreturned remainder;
+    reciprocal_bp scores the cross edges only. Reciprocity is checked
+    on the URL pair — the return tag's language label may legitimately
+    differ, so hreflang values don't participate. Pages declaring
+    nothing emit no row (this audits declarations, not coverage).
+
+    Scale shape: one extraction pass (narrow map + distinct), ONE
+    self-equi-join on the (src, alt) URL pair — alternate clusters
+    are tiny and host-local in practice, and the join key is the full
+    URL pair so nothing fans out — then one partial-agg rollup per
+    page."""
+    edges = extract_hreflang(pages, url_col, html_col).select(
+        "src_url", "alt_url"
+    ).distinct()
+    cross = edges.filter(F.col("src_url") != F.col("alt_url"))
+    rev = cross.select(
+        F.col("alt_url").alias("src_url"),
+        F.col("src_url").alias("alt_url"),
+        F.lit(True).alias("returned"),
+    )
+    tagged = edges.join(rev, ["src_url", "alt_url"], "left").select(
+        "src_url",
+        (F.col("src_url") == F.col("alt_url")).alias("is_self"),
+        (F.col("returned").isNotNull()
+         & (F.col("src_url") != F.col("alt_url"))).alias("is_rec"),
+    )
+    return (
+        tagged.groupBy("src_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_declared"),
+            F.sum(F.when(F.col("is_self"), 1).otherwise(0))
+            .cast("bigint").alias("n_self"),
+            F.sum(F.when(F.col("is_rec"), 1).otherwise(0))
+            .cast("bigint").alias("n_reciprocal"),
+        )
+        .select(
+            "src_url", "n_declared", "n_self", "n_reciprocal",
+            (F.col("n_declared") - F.col("n_self") - F.col("n_reciprocal"))
+            .cast("bigint").alias("n_unreturned"),
+            F.expr("(10000 * n_reciprocal) "
+                   "div greatest(n_declared - n_self, 1)")
+            .cast("bigint").alias("reciprocal_bp"),
+        )
+    )

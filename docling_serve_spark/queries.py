@@ -5118,6 +5118,80 @@ def _dust_rules_oracle() -> str:
 ORACLE_DUST_RULES = _dust_rules_oracle()
 
 
+def q_hreflang_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-tag audit (X110): every 3rd doc yields an en page
+    declaring self + fr alternate; the fr page returns the link only
+    for even ids — so reciprocal, unreturned, and self classes all
+    appear."""
+    from docling_serve_spark.operators.pagemeta import hreflang_reciprocity
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    i = F.col("doc_id").cast("string")
+    en_html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="en" '
+              'href="https://ex.org/en/'), i, F.lit('">'),
+        F.lit('<link rel="alternate" hreflang="fr" href="https://ex.org/fr/'),
+        i, F.lit('"></head><body>x</body></html>'),
+    )
+    fr_html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit('<link rel="alternate" hreflang="en" '
+                              'href="https://ex.org/en/'), i, F.lit('">')))
+        .otherwise(F.lit('<link rel="stylesheet" href="https://ex.org/s.css">')),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.org/en/"), i).alias("url"),
+        F.encode(en_html, "UTF-8").alias("html"),
+    ).unionByName(docs.select(
+        F.concat(F.lit("https://ex.org/fr/"), i).alias("url"),
+        F.encode(fr_html, "UTF-8").alias("html"),
+    ))
+    return hreflang_reciprocity(pages)
+
+
+ORACLE_HREFLANG_RECIPROCITY = (
+    "WITH hp AS ("
+    "SELECT 'https://ex.org/en/' || CAST(doc_id AS VARCHAR) AS src_url, "
+    "'<link rel=\"alternate\" hreflang=\"en\" href=\"https://ex.org/en/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">' || "
+    "'<link rel=\"alternate\" hreflang=\"fr\" href=\"https://ex.org/fr/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">' AS html "
+    "FROM documents WHERE doc_id % 3 = 0 "
+    "UNION ALL SELECT 'https://ex.org/fr/' || CAST(doc_id AS VARCHAR), "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<link rel=\"alternate\" hreflang=\"en\" href=\"https://ex.org/en/' "
+    "|| CAST(doc_id AS VARCHAR) || '\">' "
+    "ELSE '<link rel=\"stylesheet\" href=\"https://ex.org/s.css\">' END "
+    "FROM documents WHERE doc_id % 3 = 0), "
+    "tags AS (SELECT src_url, unnest(regexp_extract_all(html, "
+    "'(?i)<link[^>]*>')) AS tag FROM hp), "
+    "alt AS (SELECT src_url, "
+    "lower(regexp_extract(tag, '(?i)hreflang=\"([^\"]*)\"', 1)) AS hreflang, "
+    "regexp_extract(tag, '(?i)href=\"([^\"]*)\"', 1) AS alt_url FROM tags "
+    "WHERE contains(lower(tag), 'rel=\"alternate\"') "
+    "AND contains(lower(tag), 'hreflang=')), "
+    "edges AS (SELECT DISTINCT src_url, alt_url FROM alt "
+    "WHERE hreflang <> '' AND alt_url <> ''), "
+    "crossed AS (SELECT src_url, alt_url FROM edges "
+    "WHERE src_url <> alt_url), "
+    "tagged AS (SELECT e.src_url, e.src_url = e.alt_url AS is_self, "
+    "(r.src_url IS NOT NULL AND e.src_url <> e.alt_url) AS is_rec "
+    "FROM edges e LEFT JOIN crossed r "
+    "ON e.src_url = r.alt_url AND e.alt_url = r.src_url) "
+    "SELECT src_url, CAST(count(*) AS BIGINT) AS n_declared, "
+    "CAST(sum(CASE WHEN is_self THEN 1 ELSE 0 END) AS BIGINT) AS n_self, "
+    "CAST(sum(CASE WHEN is_rec THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_reciprocal, "
+    "CAST(count(*) - sum(CASE WHEN is_self THEN 1 ELSE 0 END) "
+    "- sum(CASE WHEN is_rec THEN 1 ELSE 0 END) AS BIGINT) AS n_unreturned, "
+    "CAST((10000 * sum(CASE WHEN is_rec THEN 1 ELSE 0 END)) // "
+    "greatest(count(*) - sum(CASE WHEN is_self THEN 1 ELSE 0 END), 1) "
+    "AS BIGINT) AS reciprocal_bp FROM tagged GROUP BY 1"
+)
+
+
 def q_host_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host duplication pressure (X108): every 7th document is
     served twice on its host (/pN and /copyN), so those hosts carry
@@ -6807,6 +6881,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_trust": q_canonical_trust,
     "host_dup_stats": q_host_dup_stats,
     "sampling_temperature": q_sampling_temperature,
+    "hreflang_reciprocity": q_hreflang_reciprocity,
 }
 
 ORACLES: dict[str, str] = {
@@ -6955,4 +7030,5 @@ ORACLES: dict[str, str] = {
     "canonical_trust": ORACLE_CANONICAL_TRUST,
     "host_dup_stats": ORACLE_HOST_DUP,
     "sampling_temperature": ORACLE_SAMPLING_TEMPERATURE,
+    "hreflang_reciprocity": ORACLE_HREFLANG_RECIPROCITY,
 }

@@ -2769,3 +2769,56 @@ def test_sampling_temperature_boosts_tail_language(spark):
     assert got["de"]["boost"] > 1.0 > got["en"]["boost"]
     total_q = got["en"]["q_sampled"] + got["de"]["q_sampled"]
     assert abs(total_q - 1.0) < 1e-5                        # normalized
+
+
+# ------------------------------------------------------------------ #
+# hreflang reciprocity (X110)
+# ------------------------------------------------------------------ #
+
+def _hl_page(url, alternates):
+    html = "<html><head>" + "".join(
+        f'<link rel="alternate" hreflang="{lang}" href="{href}"/>'
+        for lang, href in alternates
+    ) + "</head><body>x</body></html>"
+    return (url, bytearray(html.encode()))
+
+
+def test_hreflang_reciprocity_return_tag_audit(spark):
+    from docling_serve_spark.operators.pagemeta import hreflang_reciprocity
+
+    rows = [
+        # en declares self + fr; fr returns -> reciprocal
+        _hl_page("https://s.com/en/1",
+                 [("en", "https://s.com/en/1"), ("fr", "https://s.com/fr/1")]),
+        _hl_page("https://s.com/fr/1", [("en", "https://s.com/en/1")]),
+        # en declares de; de never returns -> unreturned
+        _hl_page("https://s.com/en/2", [("de", "https://s.com/de/2")]),
+        _hl_page("https://s.com/de/2", []),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["src_url"]: r for r in hreflang_reciprocity(pages).collect()}
+    e1 = got["https://s.com/en/1"]
+    assert (e1["n_declared"], e1["n_self"], e1["n_reciprocal"],
+            e1["n_unreturned"]) == (2, 1, 1, 0)
+    assert e1["reciprocal_bp"] == 10000
+    f1 = got["https://s.com/fr/1"]
+    assert f1["n_reciprocal"] == 1 and f1["reciprocal_bp"] == 10000
+    e2 = got["https://s.com/en/2"]
+    assert (e2["n_reciprocal"], e2["n_unreturned"]) == (0, 1)
+    assert e2["reciprocal_bp"] == 0
+    # a page declaring nothing emits no row
+    assert "https://s.com/de/2" not in got
+
+
+def test_hreflang_reciprocity_ignores_language_label(spark):
+    from docling_serve_spark.operators.pagemeta import hreflang_reciprocity
+
+    # the return tag uses a different (even wrong) language label —
+    # reciprocity is a URL-pair property
+    rows = [
+        _hl_page("https://s.com/a", [("fr", "https://s.com/b")]),
+        _hl_page("https://s.com/b", [("x-default", "https://s.com/a")]),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["src_url"]: r for r in hreflang_reciprocity(pages).collect()}
+    assert all(r["reciprocal_bp"] == 10000 for r in got.values())
