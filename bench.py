@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "host_dup_stats",
     "sampling_temperature",
     "hreflang_reciprocity",
+    "sitemap_staleness",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -865,3 +865,90 @@ def dust_rules(pages: DataFrame, url_col: str = "url",
         )
         .filter(F.col("n_pairs") >= min_support)
     )
+
+
+def sitemap_staleness(sitemap_pages: DataFrame, crawled: DataFrame,
+                      url_col: str = "url", html_col: str = "html",
+                      crawl_url_col: str = "url",
+                      crawl_ts_col: str = "warc_ts") -> DataFrame:
+    """(host, n_declared, n_with_lastmod, n_uncrawled, n_stale,
+    n_fresh, stale_bp) — publisher-declared freshness vs the crawl
+    warehouse: parse ``<url><loc>…<lastmod>…`` entries from sitemap
+    XML bodies (sitemaps.org protocol) and classify every declared URL
+    against its latest crawl date — uncrawled (frontier debt the X57
+    discovery pass feeds), stale (the publisher says the page changed
+    AFTER we last fetched it — the highest-precision recrawl signal
+    there is, complementing X90's statistical change rates with the
+    site's own declaration), or fresh. stale_bp is the share of
+    lastmod-bearing crawled URLs needing a refetch, per host — the
+    number that reorders a recrawl budget.
+
+    A URL declared in several sitemaps keeps its most recent lastmod;
+    lastmod values are W3C datetimes, compared at day grain (the
+    protocol allows date-only values, and sub-day staleness is noise
+    at crawl cadence); unparseable ones count as absent. Scale shape:
+    narrow XML block explode (one codegen extract_all per page), one
+    partial-agg per loc, one partial-agg per crawled url, ONE
+    equi-join on the url string, one host rollup — page bytes never
+    shuffle."""
+    html_str = F.col(html_col).cast("string")
+    blocks = sitemap_pages.filter(
+        html_str.rlike(r"<\s*urlset[\s>]")
+    ).select(
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(r"(?is)<url\s*>.*?</url\s*>"),
+                                 F.lit(0))
+        ).alias("block")
+    )
+    entries = blocks.select(
+        F.trim(
+            F.regexp_extract(F.col("block"), r"(?is)<loc\s*>\s*([^<]*?)\s*</loc", 1)
+        ).alias("loc"),
+        F.regexp_extract(F.col("block"),
+                         r"(?is)<lastmod\s*>\s*([^<]*?)\s*</lastmod", 1)
+        .alias("lastmod_raw"),
+    ).filter(F.col("loc") != "").select(
+        "loc",
+        # try_cast: a malformed lastmod counts as absent, never fails
+        # the task (ANSI to_date throws on junk)
+        F.expr("try_cast(substr(lastmod_raw, 1, 10) AS date)")
+        .alias("lastmod"),
+    )
+    decl = entries.groupBy("loc").agg(F.max("lastmod").alias("lastmod"))
+    crawl = (
+        crawled.select(
+            F.col(crawl_url_col).alias("loc"),
+            F.to_date(F.col(crawl_ts_col)).alias("crawl_date"),
+        )
+        .groupBy("loc")
+        .agg(F.max("crawl_date").alias("crawl_date"))
+    )
+    j = decl.join(crawl, "loc", "left").select(
+        url_host(F.col("loc")).alias("host"),
+        "lastmod", "crawl_date",
+    )
+    uncrawled = F.col("crawl_date").isNull()
+    stale = (~uncrawled) & F.col("lastmod").isNotNull() \
+        & (F.col("crawl_date") < F.col("lastmod"))
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_declared"),
+            F.sum(F.when(F.col("lastmod").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_with_lastmod"),
+            F.sum(F.when(uncrawled, 1).otherwise(0))
+            .cast("bigint").alias("n_uncrawled"),
+            F.sum(F.when(stale, 1).otherwise(0))
+            .cast("bigint").alias("n_stale"),
+            F.sum(F.when(~uncrawled & ~stale, 1).otherwise(0))
+            .cast("bigint").alias("n_fresh"),
+            F.sum(F.when(F.col("lastmod").isNotNull() & ~uncrawled, 1)
+                  .otherwise(0)).cast("bigint").alias("__n_rate_base"),
+        )
+        .withColumn(
+            "stale_bp",
+            F.expr("(10000 * n_stale) div greatest(__n_rate_base, 1)")
+            .cast("bigint"),
+        )
+        .drop("__n_rate_base")
+    )

@@ -5118,6 +5118,87 @@ def _dust_rules_oracle() -> str:
 ORACLE_DUST_RULES = _dust_rules_oracle()
 
 
+def q_sitemap_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap lastmod staleness (X111): every 5th doc contributes a
+    single-entry sitemap across 8 hosts; lastmod spans 90 days from
+    2024-01-01 (absent when id%4==3), the crawl happened 2024-02-01 —
+    so stale / fresh / uncrawled / no-lastmod classes all appear."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    i = F.col("doc_id").cast("string")
+    loc = F.concat(F.lit("https://sm"), (F.col("doc_id") % 8).cast("string"),
+                   F.lit(".org/u"), i)
+    d = F.expr("CAST(date_add(DATE'2024-01-01', "
+               "CAST(doc_id % 90 AS INT)) AS STRING)")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), loc, F.lit("</loc>"),
+        F.when(F.col("doc_id") % 4 != 3,
+               F.concat(F.lit("<lastmod>"), d, F.lit("</lastmod>")))
+        .otherwise(F.lit("")),
+        F.lit("</url></urlset>"),
+    )
+    sitemaps = docs.select(
+        F.concat(loc, F.lit("/sitemap.xml")).alias("url"),
+        F.encode(xml, "UTF-8").alias("html"),
+    )
+    crawled = docs.filter(F.col("doc_id") % 3 != 0).select(
+        loc.alias("url"),
+        F.expr("TIMESTAMP'2024-02-01 12:00:00'").alias("warc_ts"),
+    )
+    return urltools.sitemap_staleness(sitemaps, crawled)
+
+
+def _sitemap_staleness_oracle() -> str:
+    canon = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "lower(d.loc), '^https?://', ''), '[?#].*$', ''), '^www\\.', ''), "
+        "'/$', '')"
+    )
+    return (
+        "WITH src AS (SELECT doc_id, 'https://sm' || "
+        "CAST(doc_id % 8 AS VARCHAR) || '.org/u' || "
+        "CAST(doc_id AS VARCHAR) AS loc, "
+        "CAST(DATE '2024-01-01' + CAST(doc_id % 90 AS INT) AS VARCHAR) "
+        "AS d FROM documents WHERE doc_id % 5 = 0), "
+        "xmls AS (SELECT '<urlset><url><loc>' || loc || '</loc>' || "
+        "CASE WHEN doc_id % 4 <> 3 THEN '<lastmod>' || d || '</lastmod>' "
+        "ELSE '' END || '</url></urlset>' AS html FROM src), "
+        "blocks AS (SELECT unnest(regexp_extract_all(html, "
+        "'(?is)<url\\s*>.*?</url\\s*>')) AS block FROM xmls "
+        "WHERE regexp_matches(html, '<\\s*urlset[\\s>]')), "
+        "entries AS (SELECT trim(regexp_extract(block, "
+        "'(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc', 1)) AS loc, "
+        "TRY_CAST(substr(regexp_extract(block, "
+        "'(?is)<lastmod\\s*>\\s*([^<]*?)\\s*</lastmod', 1), 1, 10) AS DATE) "
+        "AS lastmod FROM blocks), "
+        "decl AS (SELECT loc, max(lastmod) AS lastmod FROM entries "
+        "WHERE loc <> '' GROUP BY 1), "
+        "crawl AS (SELECT loc, max(crawl_date) AS crawl_date FROM ("
+        "SELECT loc, CAST(TIMESTAMP '2024-02-01 12:00:00' AS DATE) "
+        "AS crawl_date FROM src WHERE doc_id % 3 <> 0) GROUP BY 1), "
+        "j AS (SELECT regexp_extract(" + canon + ", '^([^/]+)', 1) AS host, "
+        "d.lastmod, c.crawl_date FROM decl d LEFT JOIN crawl c "
+        "ON d.loc = c.loc), "
+        "cls AS (SELECT host, lastmod, crawl_date, "
+        "crawl_date IS NULL AS uncrawled, "
+        "(crawl_date IS NOT NULL AND lastmod IS NOT NULL "
+        "AND crawl_date < lastmod) AS stale FROM j) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_declared, "
+        "CAST(sum(CASE WHEN lastmod IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_with_lastmod, "
+        "CAST(sum(CASE WHEN uncrawled THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_uncrawled, "
+        "CAST(sum(CASE WHEN stale THEN 1 ELSE 0 END) AS BIGINT) AS n_stale, "
+        "CAST(sum(CASE WHEN NOT uncrawled AND NOT stale THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_fresh, "
+        "CAST((10000 * sum(CASE WHEN stale THEN 1 ELSE 0 END)) // "
+        "greatest(sum(CASE WHEN lastmod IS NOT NULL AND NOT uncrawled "
+        "THEN 1 ELSE 0 END), 1) AS BIGINT) AS stale_bp FROM cls GROUP BY 1"
+    )
+
+
+ORACLE_SITEMAP_STALENESS = _sitemap_staleness_oracle()
+
+
 def q_hreflang_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Return-tag audit (X110): every 3rd doc yields an en page
     declaring self + fr alternate; the fr page returns the link only
@@ -6882,6 +6963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_dup_stats": q_host_dup_stats,
     "sampling_temperature": q_sampling_temperature,
     "hreflang_reciprocity": q_hreflang_reciprocity,
+    "sitemap_staleness": q_sitemap_staleness,
 }
 
 ORACLES: dict[str, str] = {
@@ -7031,4 +7113,5 @@ ORACLES: dict[str, str] = {
     "host_dup_stats": ORACLE_HOST_DUP,
     "sampling_temperature": ORACLE_SAMPLING_TEMPERATURE,
     "hreflang_reciprocity": ORACLE_HREFLANG_RECIPROCITY,
+    "sitemap_staleness": ORACLE_SITEMAP_STALENESS,
 }

@@ -2822,3 +2822,67 @@ def test_hreflang_reciprocity_ignores_language_label(spark):
     pages = spark.createDataFrame(rows, "url string, html binary")
     got = {r["src_url"]: r for r in hreflang_reciprocity(pages).collect()}
     assert all(r["reciprocal_bp"] == 10000 for r in got.values())
+
+
+# ------------------------------------------------------------------ #
+# sitemap lastmod staleness (X111)
+# ------------------------------------------------------------------ #
+
+def test_sitemap_staleness_classes(spark):
+    from datetime import datetime
+
+    from docling_serve_spark.operators.urltools import sitemap_staleness
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://s.com/fresh</loc>"
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><loc> https://s.com/stale </loc>"
+        "<lastmod>2024-03-15T08:00:00+00:00</lastmod></url>"
+        "<url><loc>https://s.com/nolastmod</loc></url>"
+        "<url><loc>https://s.com/uncrawled</loc>"
+        "<lastmod>2024-01-05</lastmod></url>"
+        "<url><loc>https://s.com/badmod</loc>"
+        "<lastmod>not-a-date</lastmod></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("https://s.com/sitemap.xml", bytearray(xml.encode()))],
+        "url string, html binary",
+    )
+    ts = datetime(2024, 2, 1, 12, 0)
+    crawled = spark.createDataFrame(
+        [("https://s.com/fresh", ts), ("https://s.com/stale", ts),
+         ("https://s.com/nolastmod", ts), ("https://s.com/badmod", ts)],
+        "url string, warc_ts timestamp",
+    )
+    [r] = sitemap_staleness(sitemaps, crawled).collect()
+    assert r["host"] == "s.com"
+    assert r["n_declared"] == 5
+    assert r["n_with_lastmod"] == 3          # bad date counts as absent
+    assert r["n_uncrawled"] == 1
+    assert r["n_stale"] == 1                 # lastmod 03-15 > crawl 02-01
+    assert r["n_fresh"] == 3                 # fresh + nolastmod + badmod
+    assert r["stale_bp"] == 5000             # 1 of (3 lastmod - 1 uncrawled)
+
+
+def test_sitemap_staleness_latest_declaration_wins(spark):
+    from datetime import datetime
+
+    from docling_serve_spark.operators.urltools import sitemap_staleness
+
+    xml1 = ("<urlset><url><loc>https://s.com/p</loc>"
+            "<lastmod>2024-01-01</lastmod></url></urlset>")
+    xml2 = ("<urlset><url><loc>https://s.com/p</loc>"
+            "<lastmod>2024-03-01</lastmod></url></urlset>")
+    sitemaps = spark.createDataFrame(
+        [("https://s.com/a.xml", bytearray(xml1.encode())),
+         ("https://s.com/b.xml", bytearray(xml2.encode()))],
+        "url string, html binary",
+    )
+    crawled = spark.createDataFrame(
+        [("https://s.com/p", datetime(2024, 2, 1))],
+        "url string, warc_ts timestamp",
+    )
+    [r] = sitemap_staleness(sitemaps, crawled).collect()
+    assert r["n_declared"] == 1 and r["n_stale"] == 1  # max lastmod wins
