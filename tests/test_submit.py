@@ -293,3 +293,62 @@ def test_hygiene_job_end_to_end(tmp_path, spark):
     ).fetchall()
     assert stages == [(1, "kept"), (2, "exact"),
                       (3, "containment"), (4, "kept")]
+
+
+def test_crawl_job_end_to_end(tmp_path, spark):
+    """`jobs/crawl.py`: diff -> robots -> pagerank -> frontier ->
+    schedule over two tiny snapshots; blocked and unchanged-downweight
+    behavior verified from the written schedule."""
+    def page(url, html, text):
+        return (url, bytearray(html.encode()), text)
+
+    link = '<a href="https://b.com/x">b</a>'
+    old_rows = [
+        page("http://a.com/keep", link, "same body"),
+        page("http://a.com/change", link, "old body"),
+    ]
+    new_rows = [
+        page("http://a.com/keep", link, "same body"),       # unchanged
+        page("http://a.com/change", link, "new body"),      # changed
+        page("http://a.com/fresh", link, "fresh body"),     # added
+        page("http://a.com/private/x", link, "secret"),     # robots-blocked
+        page("http://b.com/x", "", "b page"),               # added
+    ]
+    prev = str(tmp_path / "prev")
+    cur = str(tmp_path / "cur")
+    spark.createDataFrame(old_rows, "url string, html binary, text string") \
+        .write.parquet(prev)
+    spark.createDataFrame(new_rows, "url string, html binary, text string") \
+        .write.parquet(cur)
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("a.com", "disallow", "/private/*")],
+        "host string, rule string, path_prefix string",
+    ).write.parquet(robots)
+    out = str(tmp_path / "plan")
+
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "crawl.py"),
+         "--prev", prev, "--pages", cur, "--output", out,
+         "--robots", robots, "--n-fetchers", "4"],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_candidates"] == 5
+    assert summary["n_allowed"] == 4
+    assert summary["status_counts"] == {
+        "unchanged": 1, "changed": 1, "added": 3}
+    # blocked url never scheduled; all allowed ones are
+    rows = duckdb.sql(
+        f"SELECT url, host, fetcher, fetch_at_ms "
+        f"FROM read_parquet('{out}/schedule/*.parquet') ORDER BY url"
+    ).fetchall()
+    urls = [r[0] for r in rows]
+    assert "http://a.com/private/x" not in urls
+    assert len(urls) == 4
+    # same-host fetches are spaced, never simultaneous
+    a_times = sorted(r[3] for r in rows if r[1] == "a.com")
+    assert len(a_times) == len(set(a_times))
