@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "sampling_temperature",
     "hreflang_reciprocity",
     "sitemap_staleness",
+    "lang_quality_cut",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -865,3 +865,51 @@ def sampling_temperature(docs: DataFrame, lang_col: str = "lang",
         F.round("q_sampled", 6).alias("q_sampled"),
         F.round(F.col("q_sampled") / F.col("p_raw"), 6).alias("boost"),
     )
+
+
+def lang_quality_cut(docs: DataFrame, lang_col: str = "lang",
+                     text_col: str = "text",
+                     drop_bottom_bp: int = 2000) -> DataFrame:
+    """(doc_id, lang, score_bp, pct_bp, keep) — per-LANGUAGE calibrated
+    quality cut: rank every document within its language by an
+    integer quality score and drop each language's own bottom
+    ``drop_bottom_bp`` share. This is the FineWeb2 lesson (Penedo et
+    al. 2024: filters tuned on English over-filter most other
+    languages — thresholds must be calibrated per language): a fixed
+    global score cut silently deletes low-resource languages whose
+    score DISTRIBUTION sits lower, while a per-language percentile cut
+    removes each language's own worst tail and nothing else.
+
+    score_bp = (10000 · letter_chars) div chars — the letter-density
+    signal of the F3-F8 family in pure bigint; pct_bp is the exact
+    percentile position (10000·(rank−1)) div (n−1) under the
+    deterministic (score_bp, doc_id) order, so the verdict is
+    bit-reproducible and engine-portable (no double percentiles).
+
+    Scale shape: one codegen scoring pass, then per-language windows
+    (rank + count) — langs are few and huge, the same per-lang window
+    grain as X36 with the same documented 10^12 fallback (sampled
+    boundary cuts per language instead of exact ranks)."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    scored = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.expr(
+            f"(10000 * length(regexp_replace({text_col}, "
+            f"'[^\\\\p{{L}}]', ''))) div greatest(length({text_col}), 1)"
+        ).cast("bigint").alias("score_bp"),
+    )
+    w = Window.partitionBy("lang").orderBy("score_bp", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = scored.withColumn(
+        "__rk", F.row_number().over(w).cast("bigint")
+    ).withColumn("__n", F.count("*").over(wn).cast("bigint"))
+    return ranked.select(
+        "doc_id", "lang", "score_bp",
+        F.expr("(10000 * (__rk - 1)) div greatest(__n - 1, 1)")
+        .cast("bigint").alias("pct_bp"),
+        (F.expr("(10000 * (__rk - 1)) div greatest(__n - 1, 1)")
+         >= drop_bottom_bp).alias("keep"),
+    )

@@ -5118,6 +5118,27 @@ def _dust_rules_oracle() -> str:
 ORACLE_DUST_RULES = _dust_rules_oracle()
 
 
+def q_lang_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language calibrated quality cut (X112) over the documents
+    table's real lang column: drop each language's own bottom 20% by
+    letter-density score."""
+    return textstats.lang_quality_cut(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LANG_QUALITY_CUT = (
+    "WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+    "CAST((10000 * length(regexp_replace(text, '[^\\p{L}]', '', 'g'))) // "
+    "greatest(length(text), 1) AS BIGINT) AS score_bp FROM documents), "
+    "r AS (SELECT doc_id, lang, score_bp, "
+    "CAST(row_number() OVER (PARTITION BY lang "
+    "ORDER BY score_bp, doc_id) AS BIGINT) AS rk, "
+    "CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n FROM s) "
+    "SELECT doc_id, lang, score_bp, "
+    "CAST((10000 * (rk - 1)) // greatest(n - 1, 1) AS BIGINT) AS pct_bp, "
+    "(10000 * (rk - 1)) // greatest(n - 1, 1) >= 2000 AS keep FROM r"
+)
+
+
 def q_sitemap_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap lastmod staleness (X111): every 5th doc contributes a
     single-entry sitemap across 8 hosts; lastmod spans 90 days from
@@ -6964,6 +6985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sampling_temperature": q_sampling_temperature,
     "hreflang_reciprocity": q_hreflang_reciprocity,
     "sitemap_staleness": q_sitemap_staleness,
+    "lang_quality_cut": q_lang_quality_cut,
 }
 
 ORACLES: dict[str, str] = {
@@ -7114,4 +7136,5 @@ ORACLES: dict[str, str] = {
     "sampling_temperature": ORACLE_SAMPLING_TEMPERATURE,
     "hreflang_reciprocity": ORACLE_HREFLANG_RECIPROCITY,
     "sitemap_staleness": ORACLE_SITEMAP_STALENESS,
+    "lang_quality_cut": ORACLE_LANG_QUALITY_CUT,
 }

@@ -2886,3 +2886,45 @@ def test_sitemap_staleness_latest_declaration_wins(spark):
     )
     [r] = sitemap_staleness(sitemaps, crawled).collect()
     assert r["n_declared"] == 1 and r["n_stale"] == 1  # max lastmod wins
+
+
+# ------------------------------------------------------------------ #
+# per-language calibrated quality cut (X112)
+# ------------------------------------------------------------------ #
+
+def test_lang_quality_cut_is_per_language(spark):
+    from docling_serve_spark.operators.textstats import lang_quality_cut
+
+    # lang 'hi' scores all sit BELOW every 'en' score; a global cut
+    # would wipe 'hi' out, the calibrated cut drops each language's
+    # own bottom quarter only
+    rows = (
+        [(i, "cleanwords " * (i + 5), "en") for i in range(4)]
+        + [(10 + i, ("x " * (i + 1)) + "!!!! 1234 %%%", "hi")
+           for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           lang_quality_cut(docs, drop_bottom_bp=2500).collect()}
+    en_scores = [got[i]["score_bp"] for i in range(4)]
+    hi_scores = [got[10 + i]["score_bp"] for i in range(4)]
+    assert min(en_scores) > max(hi_scores)
+    # exactly one doc dropped per language (bottom quarter of 4)
+    for lang_ids in (range(4), range(10, 14)):
+        kept = [got[i]["keep"] for i in lang_ids]
+        assert kept.count(False) == 1
+    # the dropped one is that language's own worst
+    assert got[min(range(4), key=lambda i: (got[i]['score_bp'], i))]["keep"] is False
+
+
+def test_lang_quality_cut_percentiles_are_exact(spark):
+    from docling_serve_spark.operators.textstats import lang_quality_cut
+
+    docs = spark.createDataFrame(
+        [(i, "w" * (i + 1) + "." * (10 - i), "en") for i in range(5)],
+        "doc_id bigint, text string, lang string",
+    )
+    got = sorted(
+        (r["pct_bp"] for r in lang_quality_cut(docs).collect())
+    )
+    assert got == [0, 2500, 5000, 7500, 10000]
