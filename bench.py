@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "hreflang_reciprocity",
     "sitemap_staleness",
     "lang_quality_cut",
+    "entity_residue",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

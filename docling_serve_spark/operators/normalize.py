@@ -161,3 +161,49 @@ def mojibake_stats(docs, text_col: str = "text", id_col: str = "doc_id",
          * F.greatest(F.col("n_chars"), F.lit(1)))
         .alias("is_mojibake"),
     )
+
+
+#: unresolved HTML entity shapes in EXTRACTED text: named
+#: (&amp; &nbsp; …), decimal (&#39;) and hex (&#x27;) character
+#: references. Word-boundary-free on purpose — any occurrence in
+#: plain text is residue.
+ENTITY_RESIDUE_PATTERN = r"&(?:[A-Za-z][A-Za-z0-9]{1,30}|#[0-9]{1,7}|#[xX][0-9A-Fa-f]{1,6});"
+
+
+def entity_residue_stats(docs, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         per_10k_threshold: int = 10):
+    """(doc_id, n_entities, n_chars, residue_per_10k, has_residue) —
+    unresolved HTML-entity residue in EXTRACTED text: ``&amp;``,
+    ``&#39;``, ``&#x27;`` surviving into the text channel is the
+    classic broken-extractor signature (an entity-decode stage skipped
+    somewhere upstream — C4's cleaning and every readability library
+    decode entities, so residue means a pipeline regression, not page
+    content). The per-10k rate separates a stray literal ``&amp;`` in
+    prose (real pages legitimately discuss HTML) from systematic
+    residue; the mojibake audit (X48) covers byte-level damage, this
+    covers the markup-level twin. Rolled up per host the rate
+    pinpoints WHICH feed's extractor regressed.
+
+    Integer-exactness and plan shape match ``mojibake_stats``:
+    rate = (10^4 · hits) div chars in bigint, verdict
+    hits·10^4 >= threshold·chars, one codegen narrow map — regexp
+    counts ride the scan stage, no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    base = docs.select(
+        id_col,
+        F.size(F.regexp_extract_all(t, F.lit(ENTITY_RESIDUE_PATTERN),
+                                    F.lit(0)))
+        .cast("bigint").alias("n_entities"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )
+    return base.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        "n_entities", "n_chars",
+        F.expr("(10000 * n_entities) div greatest(n_chars, 1)")
+        .cast("bigint").alias("residue_per_10k"),
+        F.expr(f"n_entities * 10000 >= {per_10k_threshold} "
+               "* greatest(n_chars, 1)").alias("has_residue"),
+    )

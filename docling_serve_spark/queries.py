@@ -5118,6 +5118,35 @@ def _dust_rules_oracle() -> str:
 ORACLE_DUST_RULES = _dust_rules_oracle()
 
 
+def q_entity_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-entity residue audit (X113): every 6th doc gets two
+    unresolved entities appended (the broken-extractor signature);
+    the rest stay clean."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.col("text"), F.lit(" fish &amp; chips &#x27;")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return normalize.entity_residue_stats(docs)
+
+
+ORACLE_ENTITY_RESIDUE = (
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 "
+    "THEN text || ' fish &amp; chips &#x27;' ELSE text END AS text "
+    "FROM documents), "
+    "b AS (SELECT doc_id, CAST(length(regexp_extract_all(text, "
+    "'&(?:[A-Za-z][A-Za-z0-9]{1,30}|#[0-9]{1,7}|#[xX][0-9A-Fa-f]{1,6});')) "
+    "AS BIGINT) AS n_entities, "
+    "CAST(length(text) AS BIGINT) AS n_chars FROM d) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_entities, n_chars, "
+    "CAST((10000 * n_entities) // greatest(n_chars, 1) AS BIGINT) "
+    "AS residue_per_10k, "
+    "n_entities * 10000 >= 10 * greatest(n_chars, 1) AS has_residue "
+    "FROM b"
+)
+
+
 def q_lang_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language calibrated quality cut (X112) over the documents
     table's real lang column: drop each language's own bottom 20% by
@@ -6986,6 +7015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hreflang_reciprocity": q_hreflang_reciprocity,
     "sitemap_staleness": q_sitemap_staleness,
     "lang_quality_cut": q_lang_quality_cut,
+    "entity_residue": q_entity_residue,
 }
 
 ORACLES: dict[str, str] = {
@@ -7137,4 +7167,5 @@ ORACLES: dict[str, str] = {
     "hreflang_reciprocity": ORACLE_HREFLANG_RECIPROCITY,
     "sitemap_staleness": ORACLE_SITEMAP_STALENESS,
     "lang_quality_cut": ORACLE_LANG_QUALITY_CUT,
+    "entity_residue": ORACLE_ENTITY_RESIDUE,
 }

@@ -2928,3 +2928,24 @@ def test_lang_quality_cut_percentiles_are_exact(spark):
         (r["pct_bp"] for r in lang_quality_cut(docs).collect())
     )
     assert got == [0, 2500, 5000, 7500, 10000]
+
+
+# ------------------------------------------------------------------ #
+# HTML-entity residue (X113)
+# ------------------------------------------------------------------ #
+
+def test_entity_residue_detects_broken_extraction(spark):
+    from docling_serve_spark.operators.normalize import entity_residue_stats
+
+    docs = spark.createDataFrame(
+        [(1, "Fish &amp; Chips &#39;menu&#x27; here"),   # systematic
+         (2, "a page that mentions &amp; once " + "w" * 5000),  # prose
+         (3, "perfectly clean text with an & ampersand"),
+         (4, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in entity_residue_stats(docs).collect()}
+    assert got[1]["n_entities"] == 3 and got[1]["has_residue"] is True
+    assert got[2]["n_entities"] == 1 and got[2]["has_residue"] is False
+    assert got[3]["n_entities"] == 0      # bare & is not an entity
+    assert got[4]["n_entities"] == 0 and got[4]["has_residue"] is False
