@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "sitemap_staleness",
     "lang_quality_cut",
     "entity_residue",
+    "schedule_audit",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -176,3 +176,44 @@ def politeness_audit(fetches: DataFrame, delays: DataFrame,
         F.expr("(10000 * n_violations) div greatest(n_fetches - 1, 1)")
         .cast("bigint").alias("violation_bp"),
     )
+
+
+def schedule_audit(schedule: DataFrame) -> DataFrame:
+    """(fetcher, n_urls, n_hosts, makespan_ms, load_bp, imbalance_bp)
+    — capacity audit of an X53 fetch schedule: per-fetcher URL count,
+    host count, and makespan (the last fetch_at_ms — how long that
+    fetcher's queue runs), plus each fetcher's share of total work and
+    the spread between the busiest and idlest fetcher. This is the
+    other half of the politeness design: X53 guarantees a host never
+    exceeds its delay budget and X95 audits that guarantee, but host-
+    affinity hashing can still land several crawl-delay-heavy hosts on
+    ONE fetcher whose makespan then dominates the whole wave —
+    imbalance_bp is the number that says "add fetchers" (or "re-salt
+    the affinity hash") BEFORE the wave runs, not after it straggles.
+
+    Pure bigint: load_bp = (10000·n_urls) div total_urls;
+    imbalance_bp = (10000·(max_makespan − min_makespan)) div
+    max(makespan). Scale shape: one partial-agg groupBy on the fetcher
+    key (≤ n_fetchers groups), then single-partition windows over the
+    ≤ n_fetchers rows — nothing downstream of the rollup is
+    proportional to batch size."""
+    per = schedule.groupBy("fetcher").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.max("fetch_at_ms").cast("bigint").alias("makespan_ms"),
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("__total", F.sum("n_urls").over(w))
+        .withColumn("__max_ms", F.max("makespan_ms").over(w))
+        .withColumn("__min_ms", F.min("makespan_ms").over(w))
+        .select(
+            F.col("fetcher").cast("int").alias("fetcher"),
+            "n_urls", "n_hosts", "makespan_ms",
+            F.expr("(10000 * n_urls) div greatest(__total, 1)")
+            .cast("bigint").alias("load_bp"),
+            F.expr("(10000 * (__max_ms - __min_ms)) "
+                   "div greatest(__max_ms, 1)")
+            .cast("bigint").alias("imbalance_bp"),
+        )
+    )

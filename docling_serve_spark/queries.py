@@ -3084,6 +3084,31 @@ ORACLE_FETCH_SCHEDULE = (
 )
 
 
+def q_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch-schedule capacity audit (X114) composed on the REAL X53
+    schedule (which itself composes the real X43 batch)."""
+    from docling_serve_spark.operators.frontier import schedule_audit
+
+    return schedule_audit(q_fetch_schedule(spark, sf_dir))
+
+
+ORACLE_SCHEDULE_AUDIT = (
+    "WITH sched AS (" + ORACLE_FETCH_SCHEDULE + "), "
+    "per AS (SELECT fetcher, CAST(count(*) AS BIGINT) AS n_urls, "
+    "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+    "CAST(max(fetch_at_ms) AS BIGINT) AS makespan_ms "
+    "FROM sched GROUP BY 1), "
+    "t AS (SELECT *, sum(n_urls) OVER () AS total, "
+    "max(makespan_ms) OVER () AS max_ms, "
+    "min(makespan_ms) OVER () AS min_ms FROM per) "
+    "SELECT CAST(fetcher AS INT) AS fetcher, n_urls, n_hosts, "
+    "makespan_ms, "
+    "CAST((10000 * n_urls) // greatest(total, 1) AS BIGINT) AS load_bp, "
+    "CAST((10000 * (max_ms - min_ms)) // greatest(max_ms, 1) AS BIGINT) "
+    "AS imbalance_bp FROM t"
+)
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET-record export (X54): documents.text serialized as WARC/1.0
     conversion records with deterministic crawl dates; Content-Length
@@ -7016,6 +7041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_staleness": q_sitemap_staleness,
     "lang_quality_cut": q_lang_quality_cut,
     "entity_residue": q_entity_residue,
+    "schedule_audit": q_schedule_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7168,4 +7194,5 @@ ORACLES: dict[str, str] = {
     "sitemap_staleness": ORACLE_SITEMAP_STALENESS,
     "lang_quality_cut": ORACLE_LANG_QUALITY_CUT,
     "entity_residue": ORACLE_ENTITY_RESIDUE,
+    "schedule_audit": ORACLE_SCHEDULE_AUDIT,
 }

@@ -2949,3 +2949,38 @@ def test_entity_residue_detects_broken_extraction(spark):
     assert got[2]["n_entities"] == 1 and got[2]["has_residue"] is False
     assert got[3]["n_entities"] == 0      # bare & is not an entity
     assert got[4]["n_entities"] == 0 and got[4]["has_residue"] is False
+
+
+# ------------------------------------------------------------------ #
+# fetch-schedule capacity audit (X114)
+# ------------------------------------------------------------------ #
+
+def test_schedule_audit_flags_straggler_fetcher(spark):
+    from docling_serve_spark.operators.frontier import schedule_audit
+
+    sched = spark.createDataFrame(
+        [("u1", "slow.com", 0, 0, 0), ("u2", "slow.com", 0, 1, 5000),
+         ("u3", "slow.com", 0, 2, 10000),
+         ("u4", "fast.com", 1, 0, 0), ("u5", "other.com", 1, 0, 0)],
+        "url string, host string, fetcher int, fetch_seq int, "
+        "fetch_at_ms bigint",
+    )
+    got = {r["fetcher"]: r for r in schedule_audit(sched).collect()}
+    assert got[0]["n_urls"] == 3 and got[0]["n_hosts"] == 1
+    assert got[0]["makespan_ms"] == 10000
+    assert got[1]["n_hosts"] == 2 and got[1]["makespan_ms"] == 0
+    assert got[0]["load_bp"] == 6000 and got[1]["load_bp"] == 4000
+    # spread between busiest and idlest fetcher dominates the wave
+    assert all(r["imbalance_bp"] == 10000 for r in got.values())
+
+
+def test_schedule_audit_balanced_wave_zero_imbalance(spark):
+    from docling_serve_spark.operators.frontier import schedule_audit
+
+    sched = spark.createDataFrame(
+        [("a", "h1", 0, 0, 1000), ("b", "h2", 1, 0, 1000)],
+        "url string, host string, fetcher int, fetch_seq int, "
+        "fetch_at_ms bigint",
+    )
+    rows = schedule_audit(sched).collect()
+    assert all(r["imbalance_bp"] == 0 for r in rows)
