@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "lang_quality_cut",
     "entity_residue",
     "schedule_audit",
+    "media_phash_neardup",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

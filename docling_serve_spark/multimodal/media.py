@@ -268,3 +268,46 @@ def audio_features(media: DataFrame, window: int = 64) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "n_windows", "features"])
 
     return media.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def phash_codes(media: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id") -> DataFrame:
+    """(media_id, simhash_hi, simhash_lo) — 64-bit perceptual-hash
+    codes for the media table, as the two 32-bit words the banded-
+    Hamming machinery consumes. A REAL pHash (DCT over decoded luma,
+    Zauner 2010) needs the codec behind ``_decode_real``; offline the
+    code is the md5 of the raw payload bytes split into two words — a
+    deterministic stand-in that is exact-content-sensitive (byte-equal
+    blobs collide at Hamming 0) but NOT perceptually locality-
+    sensitive, the same documented boundary as the decode stubs. The
+    Spark-side contract — binary column in, bounded 64-bit code table
+    out, engine-portable md5 derivation — is the real, tested part;
+    swap the column expression for a Pandas-UDF DCT pHash when codecs
+    exist and nothing downstream changes."""
+    digest = F.md5(F.col(payload_col))
+    word = lambda pos: F.conv(  # noqa: E731
+        F.substring(digest, pos, 8), 16, 10).cast("bigint")
+    return media.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        word(1).alias("simhash_hi"),
+        word(9).alias("simhash_lo"),
+    )
+
+
+def media_phash_neardup(codes: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-duplicate media pairs within
+    Hamming distance ``k`` of their 64-bit perceptual hashes: the
+    image/video twin of SimHash text dedup (the standard production
+    design — near-identical images differ in a few pHash bits after
+    re-encode/resize/watermark, so corpus-scale image dedup is a
+    banded Hamming join over codes, never pixel comparison).
+    ``codes`` is (doc_id, simhash_hi, simhash_lo) — ``phash_codes``
+    output or any external pHash table.
+
+    Scale shape is X3's verbatim (the construction is SHARED —
+    ``dedup.hamming_neardup_pairs``): probes over the DISTINCT code
+    table, C(6, 6-k) block-combo tables, bit_count verification —
+    never all-pairs, and blobs never enter the join (codes only)."""
+    from docling_serve_spark.operators.dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(codes, k)

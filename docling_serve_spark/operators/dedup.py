@@ -412,7 +412,15 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     so no wide final distinct is needed.  The identical-signature
     grouping (`simhash_groups`) remains the cheap k=0 path.
     """
-    sigs = simhash_signatures(docs, text_col)
+    return hamming_neardup_pairs(simhash_signatures(docs, text_col), k)
+
+
+def hamming_neardup_pairs(sigs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) — the Manku probe-table machinery over
+    ANY (doc_id, simhash_hi, simhash_lo) 64-bit code table: SimHash
+    text fingerprints (X3) and perceptual media hashes (X115) share
+    the identical banded-Hamming join, so the construction lives once.
+    Same contract as documented on ``simhash_neardup_pairs``."""
     usig = sigs.select("simhash_hi", "simhash_lo").distinct()
     combos = _block_combos(k)
 

@@ -3084,6 +3084,56 @@ ORACLE_FETCH_SCHEDULE = (
 )
 
 
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (X115): every consecutive doc pair
+    shares an md5-derived 64-bit code with ONE low-word bit flipped on
+    the odd side — the re-encode twin shape — so each pair must come
+    back at Hamming 1 through the banded probe join (plus whatever
+    rare cross-group collisions the md5 codes produce, brute-verified
+    by the oracle)."""
+    from docling_serve_spark.multimodal.media import media_phash_neardup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    digest = F.md5(F.concat(F.lit("ph:"),
+                            F.expr("CAST(doc_id div 2 AS STRING)")))
+    hi = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(digest, 9, 8), 16, 10).cast("bigint")
+    codes = docs.select(
+        F.col("doc_id").cast("bigint"),
+        hi.alias("simhash_hi"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.expr(
+                "CAST(conv(substr(md5(concat('ph:', "
+                "CAST(doc_id div 2 AS STRING))), 9, 8), 16, 10) AS BIGINT) "
+                "^ shiftleft(CAST(1 AS BIGINT), "
+                "CAST((doc_id div 2) % 32 AS INT))"
+            ),
+        ).otherwise(lo).cast("bigint").alias("simhash_lo"),
+    )
+    return media_phash_neardup(codes, k=3)
+
+
+ORACLE_MEDIA_PHASH = (
+    "WITH c AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5('ph:' || CAST(doc_id // 2 AS VARCHAR)), "
+    "1, 8))::UBIGINT AS BIGINT) AS hi, "
+    "CASE WHEN doc_id % 2 = 1 THEN "
+    "xor(CAST(('0x' || substr(md5('ph:' || CAST(doc_id // 2 AS VARCHAR)), "
+    "9, 8))::UBIGINT AS BIGINT), "
+    "CAST(1 AS BIGINT) << CAST((doc_id // 2) % 32 AS INT)) "
+    "ELSE CAST(('0x' || substr(md5('ph:' || "
+    "CAST(doc_id // 2 AS VARCHAR)), 9, 8))::UBIGINT AS BIGINT) END AS lo "
+    "FROM documents) "
+    "SELECT CAST(a.doc_id AS BIGINT) AS doc_a, "
+    "CAST(b.doc_id AS BIGINT) AS doc_b, "
+    "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) "
+    "AS BIGINT) AS hamming "
+    "FROM c a JOIN c b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"
+)
+
+
 def q_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetch-schedule capacity audit (X114) composed on the REAL X53
     schedule (which itself composes the real X43 batch)."""
@@ -7042,6 +7092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_quality_cut": q_lang_quality_cut,
     "entity_residue": q_entity_residue,
     "schedule_audit": q_schedule_audit,
+    "media_phash_neardup": q_media_phash_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -7195,4 +7246,5 @@ ORACLES: dict[str, str] = {
     "lang_quality_cut": ORACLE_LANG_QUALITY_CUT,
     "entity_residue": ORACLE_ENTITY_RESIDUE,
     "schedule_audit": ORACLE_SCHEDULE_AUDIT,
+    "media_phash_neardup": ORACLE_MEDIA_PHASH,
 }

@@ -57,3 +57,46 @@ def test_audio_features_shape(spark):
     for r in feats:
         assert len(r.features) == r.n_windows
         assert all(0.0 <= v <= 1.0 for v in r.features)
+
+
+def test_media_phash_neardup_banded_hamming(spark):
+    """X115: planted 64-bit codes — a Hamming-1 re-encode pair and a
+    Hamming-0 byte-twin are found; a far code never pairs; blobs never
+    enter the join (codes-only input)."""
+    from docling_serve_spark.multimodal.media import media_phash_neardup
+
+    base_hi, base_lo = 0x12345678, 0x0ABCDEF0
+    codes = spark.createDataFrame(
+        [(1, base_hi, base_lo),
+         (2, base_hi, base_lo ^ 0x10),          # 1 bit: re-encode twin
+         (3, base_hi, base_lo),                 # byte-identical
+         (4, base_hi ^ 0xFFFF, base_lo ^ 0xFF)],  # 24 bits away
+        "doc_id bigint, simhash_hi bigint, simhash_lo bigint",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in media_phash_neardup(codes, k=3).collect()}
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 3)] == 0
+    assert all(4 not in pair for pair in got)
+
+
+def test_phash_codes_deterministic_and_exact_sensitive(spark):
+    from docling_serve_spark.multimodal.media import (
+        media_phash_neardup,
+        phash_codes,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"same-bytes")), (2, bytearray(b"same-bytes")),
+         (3, bytearray(b"other-bytes"))],
+        "media_id bigint, payload binary",
+    )
+    codes = phash_codes(media)
+    rows = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in codes.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32
+               for hi, lo in rows.values())
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in media_phash_neardup(codes, k=3).collect()}
+    assert pairs.get((1, 2)) == 0
