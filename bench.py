@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "entity_residue",
     "schedule_audit",
     "media_phash_neardup",
+    # component_split excluded: it runs the dup_components iterative
+    # chain (excluded above for the same reason); its non-iterative
+    # cost is one doc_id join + a narrow map
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

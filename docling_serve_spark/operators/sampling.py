@@ -377,3 +377,49 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
         F.size("c.w").cast("bigint").alias("n_chunk_tokens"),
         F.array_join("c.w", " ").alias("chunk_text"),
     )
+
+
+def component_split(docs: DataFrame, pairs: DataFrame,
+                    test_bp: int = 500, val_bp: int = 500,
+                    salt: str = "csplit-v1") -> DataFrame:
+    """(doc_id, anchor, split_bucket, split) — near-dup-SAFE split
+    assignment: every member of a dup component (connected components
+    over candidate pairs, X10) hashes the COMPONENT anchor instead of
+    itself, so a whole near-dup family lands in one split and the X99
+    train/eval leakage class is prevented rather than detected.
+    ``split_assign`` (X28) quarantines at host grain — but syndicated
+    near-dups CROSS hosts (the X100 wire-story shape), and a host
+    split happily puts the AP original in train and its republication
+    in test; content-grain quarantine is the missing other half.
+    Singleton documents hash their own id, so non-dup assignment is
+    exactly as uniform as X28's.
+
+    Deterministic and incremental: the anchor is the component's min
+    doc_id, the hash is the engine-portable 48-bit md5 — re-running
+    over a grown corpus moves a document only if its component gained
+    an older member (the unavoidable cost of content-grain safety,
+    worth stating: host-grain never moves, content-grain may).
+
+    Scale shape: components over the candidate-pair graph only (tiny
+    vs the corpus; X10's checkpointed min-label rounds), ONE left
+    equi-join on doc_id to attach anchors, then a pure narrow map."""
+    from docling_serve_spark.operators.dedup import dup_components
+
+    comps = dup_components(pairs)
+    anchor = F.coalesce(F.col("component"), F.col("doc_id")).cast("bigint")
+    bucket = F.pmod(
+        md5_hash48(F.concat(anchor.cast("string"), F.lit("/" + salt))),
+        F.lit(_BP),
+    )
+    return (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            anchor.alias("anchor"),
+            bucket.cast("bigint").alias("split_bucket"),
+            F.when(bucket < F.lit(test_bp), F.lit("test"))
+            .when(bucket < F.lit(test_bp + val_bp), F.lit("val"))
+            .otherwise(F.lit("train")).alias("split"),
+        )
+    )

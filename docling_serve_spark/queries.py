@@ -792,6 +792,41 @@ ORACLE_DUP_COMPONENTS = (
 )
 
 
+def q_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe split quarantine (X116) over the REAL minhash
+    component chain: every doc and its verbatim twin must land in one
+    split; singletons hash their own id."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_candidate_pairs(docs)
+    return sampling.component_split(docs, pairs)
+
+
+def _component_split_oracle() -> str:
+    i = ORACLE_DUP_COMPONENTS.rindex("SELECT CAST(src")
+    head, final = ORACLE_DUP_COMPONENTS[:i], ORACLE_DUP_COMPONENTS[i:]
+    bucket = (
+        "(('0x' || substr(md5(CAST(anchor AS VARCHAR) || '/csplit-v1'), "
+        "1, 12))::BIGINT % 10000)"
+    )
+    return (
+        head
+        + ", comp AS ("
+        + final
+        + "), dset AS (SELECT doc_id FROM " + _DUP_UNION_SQL + " u), "
+        + "j AS (SELECT dset.doc_id, "
+        + "CAST(coalesce(c.component, dset.doc_id) AS BIGINT) AS anchor "
+        + "FROM dset LEFT JOIN comp c ON dset.doc_id = c.doc_id) "
+        + "SELECT CAST(doc_id AS BIGINT) AS doc_id, anchor, "
+        + f"CAST({bucket} AS BIGINT) AS split_bucket, "
+        + f"CASE WHEN {bucket} < 500 THEN 'test' "
+        + f"WHEN {bucket} < 1000 THEN 'val' ELSE 'train' END AS split "
+        + "FROM j"
+    )
+
+
+ORACLE_COMPONENT_SPLIT = _component_split_oracle()
+
+
 def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup report (X67): cluster-size histogram over the REAL
     dup_components output (MinHash pairs → connected components →
@@ -7093,6 +7128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_residue": q_entity_residue,
     "schedule_audit": q_schedule_audit,
     "media_phash_neardup": q_media_phash_neardup,
+    "component_split": q_component_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -7247,4 +7283,5 @@ ORACLES: dict[str, str] = {
     "entity_residue": ORACLE_ENTITY_RESIDUE,
     "schedule_audit": ORACLE_SCHEDULE_AUDIT,
     "media_phash_neardup": ORACLE_MEDIA_PHASH,
+    "component_split": ORACLE_COMPONENT_SPLIT,
 }

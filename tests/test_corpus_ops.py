@@ -2984,3 +2984,45 @@ def test_schedule_audit_balanced_wave_zero_imbalance(spark):
     )
     rows = schedule_audit(sched).collect()
     assert all(r["imbalance_bp"] == 0 for r in rows)
+
+
+# ------------------------------------------------------------------ #
+# near-dup-safe split quarantine (X116)
+# ------------------------------------------------------------------ #
+
+def test_component_split_quarantines_dup_families(spark):
+    from docling_serve_spark.operators.sampling import component_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id bigint"
+    )
+    # 1-2-3 chained component (transitive), 5-6 pair, 4 and 7 single
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    got = {r["doc_id"]: r for r in
+           component_split(docs, pairs, test_bp=3000, val_bp=3000).collect()}
+    assert got[1]["anchor"] == got[2]["anchor"] == got[3]["anchor"] == 1
+    assert got[5]["anchor"] == got[6]["anchor"] == 5
+    assert got[4]["anchor"] == 4 and got[7]["anchor"] == 7
+    # the leakage guarantee: one split per component, whatever it is
+    assert got[1]["split"] == got[2]["split"] == got[3]["split"]
+    assert got[5]["split"] == got[6]["split"]
+    # members share the anchor's bucket exactly
+    assert got[2]["split_bucket"] == got[1]["split_bucket"]
+
+
+def test_component_split_singletons_match_anchor_hash(spark):
+    from docling_serve_spark.operators.sampling import (
+        component_split,
+        md5_hash48,
+    )
+
+    docs = spark.createDataFrame([(42,)], "doc_id bigint")
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    [r] = component_split(docs, pairs).collect()
+    expected = docs.select(
+        F.pmod(md5_hash48(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("/csplit-v1"))), F.lit(10000))
+    ).first()[0]
+    assert r["split_bucket"] == expected
