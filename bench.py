@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     # component_split excluded: it runs the dup_components iterative
     # chain (excluded above for the same reason); its non-iterative
     # cost is one doc_id join + a narrow map
+    "embedding_drift",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

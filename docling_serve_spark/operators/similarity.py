@@ -761,3 +761,65 @@ def ann_topk_pq(
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def embedding_drift(batch_a: DataFrame, batch_b: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """(dim, n_a, n_b, mean_milli_a, mean_milli_b, delta_milli,
+    l1_total_milli) — embedding-space drift between two batches:
+    per-dimension centroid positions and their deltas, plus the L1
+    centroid shift. The embedding-column companion of the X104 length
+    gate: an upstream embedding-model version bump, a normalization
+    change, or a topical shift in the crawl moves the centroid LONG
+    before downstream ANN recall visibly degrades — and every vector
+    store's index assumptions (IVF centroids, LSH planes, X6) age with
+    exactly this drift.
+
+    Integer-exact where float aggregation is not: each component is
+    quantized to milli-units (floor(1000·x) — float→double widening,
+    one multiply, one floor: identical IEEE steps in any engine)
+    BEFORE summing, so the per-dim mean is a bigint ``sum div n``.
+    Summing DOUBLES would be partition-order-dependent in the last
+    bits — the one nondeterminism class this catalog bans.
+
+    Scale shape: posexplode + ONE partial-agg groupBy on the (tiny)
+    dim key per batch, a dim-key join over ≤ dims rows, and a
+    single-partition window over those rows for the L1 total."""
+    def dim_means(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
+        return (
+            df.select(
+                F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .select(
+                "dim",
+                F.floor(F.col("x").cast("double") * 1000)
+                .cast("bigint").alias("milli"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.count("*").cast("bigint").alias(n_name),
+                F.expr("sum(milli) div count(*)").cast("bigint")
+                .alias(m_name),
+            )
+        )
+
+    j = dim_means(batch_a, "n_a", "mean_milli_a").join(
+        dim_means(batch_b, "n_b", "mean_milli_b"), "dim"
+    )
+    w = Window.partitionBy()
+    return (
+        j.withColumn(
+            "delta_milli",
+            F.abs(F.col("mean_milli_a") - F.col("mean_milli_b"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "l1_total_milli",
+            F.sum("delta_milli").over(w).cast("bigint"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "n_a", "n_b", "mean_milli_a", "mean_milli_b",
+            "delta_milli", "l1_total_milli",
+        )
+    )

@@ -3119,6 +3119,50 @@ ORACLE_FETCH_SCHEDULE = (
 )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift (X117): even vec_ids stand for the
+    incumbent index, odd vec_ids (with dimension 0 shifted by +0.25)
+    for the incoming batch — dim 0 must carry the drift mass."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return similarity.embedding_drift(a, b)
+
+
+ORACLE_EMBEDDING_DRIFT = (
+    "WITH a AS (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0), "
+    "bsrc AS (SELECT [CASE WHEN i = 1 THEN emb[i] + 0.25 ELSE emb[i] END "
+    "FOR i IN range(1, len(emb) + 1)] AS embedding "
+    "FROM (SELECT embedding AS emb FROM embeddings WHERE vec_id % 2 = 1)), "
+    "da AS (SELECT i - 1 AS dim, "
+    "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS milli "
+    "FROM a, LATERAL (SELECT unnest(generate_series(1, "
+    "len(embedding))) AS i) t), "
+    "db AS (SELECT i - 1 AS dim, "
+    "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS milli "
+    "FROM bsrc, LATERAL (SELECT unnest(generate_series(1, "
+    "len(embedding))) AS i) t), "
+    "ga AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_a, "
+    "CAST(sum(milli) // count(*) AS BIGINT) AS mean_milli_a "
+    "FROM da GROUP BY 1), "
+    "gb AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_b, "
+    "CAST(sum(milli) // count(*) AS BIGINT) AS mean_milli_b "
+    "FROM db GROUP BY 1), "
+    "j AS (SELECT ga.dim, n_a, n_b, mean_milli_a, mean_milli_b, "
+    "CAST(abs(mean_milli_a - mean_milli_b) AS BIGINT) AS delta_milli "
+    "FROM ga JOIN gb ON ga.dim = gb.dim) "
+    "SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b, mean_milli_a, "
+    "mean_milli_b, delta_milli, "
+    "CAST(sum(delta_milli) OVER () AS BIGINT) AS l1_total_milli FROM j"
+)
+
+
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media dedup (X115): every consecutive doc pair
     shares an md5-derived 64-bit code with ONE low-word bit flipped on
@@ -7129,6 +7173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schedule_audit": q_schedule_audit,
     "media_phash_neardup": q_media_phash_neardup,
     "component_split": q_component_split,
+    "embedding_drift": q_embedding_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -7284,4 +7329,5 @@ ORACLES: dict[str, str] = {
     "schedule_audit": ORACLE_SCHEDULE_AUDIT,
     "media_phash_neardup": ORACLE_MEDIA_PHASH,
     "component_split": ORACLE_COMPONENT_SPLIT,
+    "embedding_drift": ORACLE_EMBEDDING_DRIFT,
 }

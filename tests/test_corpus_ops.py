@@ -3026,3 +3026,37 @@ def test_component_split_singletons_match_anchor_hash(spark):
                                    F.lit("/csplit-v1"))), F.lit(10000))
     ).first()[0]
     assert r["split_bucket"] == expected
+
+
+# ------------------------------------------------------------------ #
+# embedding drift (X117)
+# ------------------------------------------------------------------ #
+
+def test_embedding_drift_detects_centroid_shift(spark):
+    from docling_serve_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, [0.3, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    # dim 0 shifted by +0.5, dim 1 unchanged
+    b = spark.createDataFrame(
+        [(3, [0.6, 0.0]), (4, [0.8, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    got = {r["dim"]: r for r in embedding_drift(a, b).collect()}
+    assert got[0]["mean_milli_a"] == 200 and got[0]["mean_milli_b"] == 700
+    assert got[0]["delta_milli"] == 500
+    assert got[1]["delta_milli"] == 0
+    assert all(r["l1_total_milli"] == 500 for r in got.values())
+    assert got[0]["n_a"] == 2 and got[0]["n_b"] == 2
+
+
+def test_embedding_drift_identical_batches_zero(spark):
+    from docling_serve_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [0.01 * i, -0.02 * i, 0.5]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    rows = embedding_drift(a, a).collect()
+    assert rows and all(r["delta_milli"] == 0 for r in rows)
+    assert all(r["l1_total_milli"] == 0 for r in rows)
