@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     # chain (excluded above for the same reason); its non-iterative
     # cost is one doc_id join + a narrow map
     "embedding_drift",
+    "mixed_script_stats",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

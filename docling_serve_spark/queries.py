@@ -5301,6 +5301,41 @@ ORACLE_ENTITY_RESIDUE = (
 )
 
 
+def q_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph detection (X118): every 9th doc gets one Latin word
+    poisoned with a Cyrillic а (the confusable-substitution shape);
+    every 7th gets CLEAN appended Cyrillic words (bilingual, must not
+    flag)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0,
+               F.concat(F.col("text"), F.lit(" pаypаl")))
+        .when(F.col("doc_id") % 7 == 0,
+              F.concat(F.col("text"), F.lit(" русский текст")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return normalize.mixed_script_stats(docs)
+
+
+ORACLE_MIXED_SCRIPT = (
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 "
+    "THEN text || ' pаypаl' WHEN doc_id % 7 = 0 "
+    "THEN text || ' русский текст' ELSE text END AS text "
+    "FROM documents) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) "
+    "AS BIGINT) AS n_latin, "
+    "CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) "
+    "AS BIGINT) AS n_cyrillic, "
+    "CAST(length(regexp_extract_all(text, "
+    "'[A-Za-z][^ \\t\\n]*[Ѐ-ӿ]|[Ѐ-ӿ][^ \\t\\n]*[A-Za-z]')) AS BIGINT) "
+    "AS n_mixed_tokens, "
+    "length(regexp_extract_all(text, "
+    "'[A-Za-z][^ \\t\\n]*[Ѐ-ӿ]|[Ѐ-ӿ][^ \\t\\n]*[A-Za-z]')) > 0 "
+    "AS is_suspect FROM d"
+)
+
+
 def q_lang_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language calibrated quality cut (X112) over the documents
     table's real lang column: drop each language's own bottom 20% by
@@ -7174,6 +7209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_neardup": q_media_phash_neardup,
     "component_split": q_component_split,
     "embedding_drift": q_embedding_drift,
+    "mixed_script_stats": q_mixed_script,
 }
 
 ORACLES: dict[str, str] = {
@@ -7330,4 +7366,5 @@ ORACLES: dict[str, str] = {
     "media_phash_neardup": ORACLE_MEDIA_PHASH,
     "component_split": ORACLE_COMPONENT_SPLIT,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
+    "mixed_script_stats": ORACLE_MIXED_SCRIPT,
 }

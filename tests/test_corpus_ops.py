@@ -3060,3 +3060,26 @@ def test_embedding_drift_identical_batches_zero(spark):
     rows = embedding_drift(a, a).collect()
     assert rows and all(r["delta_milli"] == 0 for r in rows)
     assert all(r["l1_total_milli"] == 0 for r in rows)
+
+
+# ------------------------------------------------------------------ #
+# mixed-script homoglyph detection (X118)
+# ------------------------------------------------------------------ #
+
+def test_mixed_script_flags_homoglyph_tokens(spark):
+    from docling_serve_spark.operators.normalize import mixed_script_stats
+
+    docs = spark.createDataFrame(
+        [(1, "click pаypаl login now"),        # Cyrillic а inside Latin word
+         (2, "чистый русский текст здесь"),    # pure Cyrillic: clean
+         (3, "english text then русский текст"),  # bilingual BETWEEN words
+         (4, "plain english only")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in mixed_script_stats(docs).collect()}
+    assert got[1]["is_suspect"] is True and got[1]["n_mixed_tokens"] >= 1
+    assert got[2]["is_suspect"] is False and got[2]["n_latin"] == 0
+    # bilingual prose switches scripts between words -> clean
+    assert got[3]["is_suspect"] is False
+    assert got[3]["n_latin"] > 0 and got[3]["n_cyrillic"] > 0
+    assert got[4]["n_cyrillic"] == 0 and got[4]["is_suspect"] is False
