@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     # cost is one doc_id join + a narrow map
     "embedding_drift",
     "mixed_script_stats",
+    "label_separation",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -823,3 +823,58 @@ def embedding_drift(batch_a: DataFrame, batch_b: DataFrame,
             "delta_milli", "l1_total_milli",
         )
     )
+
+
+def label_separation(embs: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(label_a, label_b, n_a, n_b, l1_milli) — pairwise L1 distances
+    between per-label embedding centroids: the separability audit run
+    on WEAK labels (topic tags, source buckets, classifier outputs)
+    before they steer mixture or filtering decisions — two labels
+    whose centroids nearly coincide carry no signal worth weighting,
+    and a label whose centroid sits far from all others is either a
+    real cluster or a collapsed/garbage bucket worth inspecting.
+
+    Same integer discipline as ``embedding_drift``: components
+    milli-quantized BEFORE summation, per-(label, dim) means as bigint
+    ``sum div n``, pair distance = Σ_dim |Δ| in bigint — engine-exact,
+    no float accumulation anywhere.
+
+    Scale shape: posexplode + ONE partial-agg groupBy on (label, dim);
+    everything after runs on the centroid table (labels × dims rows —
+    tiny by construction), including the label×label self-join, so
+    the quadratic step is over LABELS, never vectors."""
+    per_dim = (
+        embs.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select(
+            "label", "dim",
+            F.floor(F.col("x").cast("double") * 1000)
+            .cast("bigint").alias("milli"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("sum(milli) div count(*)").cast("bigint").alias("mean"),
+        )
+    )
+    a, b = per_dim.alias("a"), per_dim.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.first(F.col("a.n")).cast("bigint").alias("n_a"),
+            F.first(F.col("b.n")).cast("bigint").alias("n_b"),
+            F.sum(F.abs(F.col("a.mean") - F.col("b.mean")))
+            .cast("bigint").alias("l1_milli"),
+        )
+    )

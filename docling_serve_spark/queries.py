@@ -3163,6 +3163,29 @@ ORACLE_EMBEDDING_DRIFT = (
 )
 
 
+def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separation matrix (X119) over the embeddings table's
+    real label column."""
+    return similarity.label_separation(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_LABEL_SEPARATION = (
+    "WITH pd AS (SELECT label, i - 1 AS dim, "
+    "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS milli "
+    "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, "
+    "len(embedding))) AS i) t), "
+    "c AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(milli) // count(*) AS BIGINT) AS mean "
+    "FROM pd GROUP BY 1, 2) "
+    "SELECT a.label AS label_a, b.label AS label_b, "
+    "CAST(any_value(a.n) AS BIGINT) AS n_a, "
+    "CAST(any_value(b.n) AS BIGINT) AS n_b, "
+    "CAST(sum(abs(a.mean - b.mean)) AS BIGINT) AS l1_milli "
+    "FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label "
+    "GROUP BY 1, 2"
+)
+
+
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media dedup (X115): every consecutive doc pair
     shares an md5-derived 64-bit code with ONE low-word bit flipped on
@@ -7210,6 +7233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "component_split": q_component_split,
     "embedding_drift": q_embedding_drift,
     "mixed_script_stats": q_mixed_script,
+    "label_separation": q_label_separation,
 }
 
 ORACLES: dict[str, str] = {
@@ -7367,4 +7391,5 @@ ORACLES: dict[str, str] = {
     "component_split": ORACLE_COMPONENT_SPLIT,
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "mixed_script_stats": ORACLE_MIXED_SCRIPT,
+    "label_separation": ORACLE_LABEL_SEPARATION,
 }

@@ -3083,3 +3083,25 @@ def test_mixed_script_flags_homoglyph_tokens(spark):
     assert got[3]["is_suspect"] is False
     assert got[3]["n_latin"] > 0 and got[3]["n_cyrillic"] > 0
     assert got[4]["n_cyrillic"] == 0 and got[4]["is_suspect"] is False
+
+
+# ------------------------------------------------------------------ #
+# label separation matrix (X119)
+# ------------------------------------------------------------------ #
+
+def test_label_separation_orders_cluster_distances(spark):
+    from docling_serve_spark.operators.similarity import label_separation
+
+    embs = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (0, [0.2, 0.0]),     # centroid (100, 0) milli
+         (1, [0.1, 0.0]), (1, [0.3, 0.0]),     # centroid (200, 0): close
+         (2, [5.0, 5.0]), (2, [5.0, 5.0])],    # far cluster
+        "label int, embedding array<float>",
+    )
+    got = {(r["label_a"], r["label_b"]): r
+           for r in label_separation(embs).collect()}
+    assert got[(0, 1)]["l1_milli"] == 100          # confusable pair
+    assert got[(0, 2)]["l1_milli"] == 9900         # |0-5000|+|0-5000| - 100
+    assert got[(0, 2)]["l1_milli"] > got[(0, 1)]["l1_milli"]
+    assert got[(0, 1)]["n_a"] == 2 and got[(0, 1)]["n_b"] == 2
+    assert len(got) == 3                           # C(3,2) pairs
