@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "embedding_drift",
     "mixed_script_stats",
     "label_separation",
+    "url_date_profile",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -952,3 +952,58 @@ def sitemap_staleness(sitemap_pages: DataFrame, crawled: DataFrame,
         )
         .drop("__n_rate_base")
     )
+
+
+def url_date_profile(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, n_urls, n_dated, dated_bp, min_date, max_date) — corpus
+    freshness from URL paths alone: news/blog CMSes embed publication
+    dates as /YYYY/MM/DD/ path segments or YYYY-MM-DD slugs, and
+    mining them gives per-host publication-time coverage WITHOUT
+    lastmod (X111) or capture history (X90) — the freshness prior a
+    mixture builder uses to keep a news-heavy source from skewing the
+    corpus toward one news cycle, and the dating signal benchmark
+    builders use for temporal splits (X62) when fetch time lies (a
+    2024 crawl of a 2015 article is 2015 content).
+
+    Calendar-validated: candidate segments must match real
+    month/day ranges AND survive ``try_cast`` to DATE (so 2023-02-31
+    counts as undated — both engines validate the calendar
+    identically); the slash form wins when both appear. One codegen
+    regexp pass + one partial-agg host rollup; dated_bp =
+    (10000 · n_dated) div n_urls in bigint."""
+    u = F.col(url_col)
+    m1 = F.regexp_extract(
+        u,
+        r"/((?:19|20)\d{2}/(?:0[1-9]|1[0-2])/(?:0[1-9]|[12]\d|3[01]))(?:/|$)",
+        1,
+    )
+    m2 = F.regexp_extract(
+        u, r"((?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))", 1
+    )
+    ds = (
+        F.when(m1 != "", F.replace(m1, F.lit("/"), F.lit("-")))
+        .when(m2 != "", m2)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = pages.select(
+        url_host(u).alias("host"),
+        ds.alias("__ds"),
+    ).select(
+        "host", F.expr("try_cast(__ds AS date)").alias("d")
+    )
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.sum(F.when(F.col("d").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_dated"),
+            F.min("d").alias("min_date"),
+            F.max("d").alias("max_date"),
+        )
+        .select(
+            "host", "n_urls", "n_dated",
+            F.expr("(10000 * n_dated) div greatest(n_urls, 1)")
+            .cast("bigint").alias("dated_bp"),
+            "min_date", "max_date",
+        )
+    )

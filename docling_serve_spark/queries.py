@@ -5211,6 +5211,63 @@ def _decontam_fuzzy_oracle(k: int = 3, threshold_bp: int = 5000) -> str:
 ORACLE_DECONTAM_FUZZY = _decontam_fuzzy_oracle()
 
 
+def q_url_date_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-path date mining (X120): a third of docs carry CMS-style
+    /YYYY/MM/DD/ paths, a third YYYY-MM-DD slugs, a third no date —
+    across 8 hosts with dates spanning 2020-2024."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("http://n"), (F.col("doc_id") % 8).cast("string"),
+                    F.lit(".org"))
+    y = (F.lit(2020) + F.col("doc_id") % 5).cast("string")
+    mm = F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0")
+    dd = F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0")
+    url = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(host, F.lit("/news/"), y, F.lit("/"), mm,
+                        F.lit("/"), dd, F.lit("/s"), i))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(host, F.lit("/post-"), y, F.lit("-"), mm,
+                       F.lit("-"), dd, F.lit("-"), i))
+        .otherwise(F.concat(host, F.lit("/p"), i))
+    )
+    return urltools.url_date_profile(docs.select(url.alias("url")))
+
+
+ORACLE_URL_DATE_PROFILE = (
+    "WITH u AS (SELECT doc_id, "
+    "'http://n' || CAST(doc_id % 8 AS VARCHAR) || '.org' AS host0, "
+    "CAST(2020 + doc_id % 5 AS VARCHAR) AS y, "
+    "lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0') AS mm, "
+    "lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS dd "
+    "FROM documents), "
+    "pages AS (SELECT CASE WHEN doc_id % 3 = 0 THEN "
+    "host0 || '/news/' || y || '/' || mm || '/' || dd || '/s' "
+    "|| CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 3 = 1 THEN host0 || '/post-' || y || '-' || mm || '-' "
+    "|| dd || '-' || CAST(doc_id AS VARCHAR) "
+    "ELSE host0 || '/p' || CAST(doc_id AS VARCHAR) END AS url FROM u), "
+    "m AS (SELECT regexp_extract(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(lower(url), '^https?://', ''), "
+    "'[?#].*$', ''), '^www\\.', ''), '/$', ''), '^([^/]+)', 1) AS host, "
+    "regexp_extract(url, "
+    "'/((?:19|20)\\d{2}/(?:0[1-9]|1[0-2])/(?:0[1-9]|[12]\\d|3[01]))(?:/|$)', "
+    "1) AS m1, "
+    "regexp_extract(url, "
+    "'((?:19|20)\\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\\d|3[01]))', 1) "
+    "AS m2 FROM pages), "
+    "d AS (SELECT host, TRY_CAST(CASE WHEN m1 <> '' THEN "
+    "replace(m1, '/', '-') WHEN m2 <> '' THEN m2 ELSE NULL END AS DATE) "
+    "AS d FROM m) "
+    "SELECT host, CAST(count(*) AS BIGINT) AS n_urls, "
+    "CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dated, "
+    "CAST((10000 * sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END)) // "
+    "greatest(count(*), 1) AS BIGINT) AS dated_bp, "
+    "min(d) AS min_date, max(d) AS max_date FROM d GROUP BY 1"
+)
+
+
 def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DUST rule mining (X105): every 4th document is served at three
     aliases — /pN/, /pN/index.html, and /pN/index.html?session=abc —
@@ -7234,6 +7291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift": q_embedding_drift,
     "mixed_script_stats": q_mixed_script,
     "label_separation": q_label_separation,
+    "url_date_profile": q_url_date_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -7392,4 +7450,5 @@ ORACLES: dict[str, str] = {
     "embedding_drift": ORACLE_EMBEDDING_DRIFT,
     "mixed_script_stats": ORACLE_MIXED_SCRIPT,
     "label_separation": ORACLE_LABEL_SEPARATION,
+    "url_date_profile": ORACLE_URL_DATE_PROFILE,
 }

@@ -3105,3 +3105,25 @@ def test_label_separation_orders_cluster_distances(spark):
     assert got[(0, 2)]["l1_milli"] > got[(0, 1)]["l1_milli"]
     assert got[(0, 1)]["n_a"] == 2 and got[(0, 1)]["n_b"] == 2
     assert len(got) == 3                           # C(3,2) pairs
+
+
+# ------------------------------------------------------------------ #
+# URL-path date mining (X120)
+# ------------------------------------------------------------------ #
+
+def test_url_date_profile_mines_both_forms_and_validates(spark):
+    from docling_serve_spark.operators.urltools import url_date_profile
+
+    pages = spark.createDataFrame(
+        [("http://n.com/news/2023/07/15/story",),
+         ("http://n.com/post-2022-05-20-title",),
+         ("http://n.com/2023/13/40/not-a-date",),   # bad month/day
+         ("http://n.com/archive/2023-02-31-x",),    # regex-valid, calendar-invalid
+         ("http://n.com/plain/page",)],
+        "url string",
+    )
+    [r] = url_date_profile(pages).collect()
+    assert r["n_urls"] == 5 and r["n_dated"] == 2
+    assert r["dated_bp"] == 4000
+    assert str(r["min_date"]) == "2022-05-20"
+    assert str(r["max_date"]) == "2023-07-15"
