@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "mixed_script_stats",
     "label_separation",
     "url_date_profile",
+    "label_dispersion",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -878,3 +878,51 @@ def label_separation(embs: DataFrame, label_col: str = "label",
             .cast("bigint").alias("l1_milli"),
         )
     )
+
+
+def label_dispersion(embs: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """(label, n_vecs, mean_l1_milli, min_l1_milli, max_l1_milli) —
+    intra-label dispersion: each member's L1 distance to its OWN
+    label centroid, rolled up per label. The within-cluster half of
+    X119's between-cluster matrix — together they are the integer
+    analogue of a silhouette check: a label whose dispersion is ~0 is
+    a duplicate pile wearing a label, one whose dispersion rivals the
+    X119 inter-label distances is a garbage bucket, and only labels
+    with dispersion ≪ separation carry signal a mixture should weight.
+
+    Same milli-quantized bigint discipline as X117/X119 — no float
+    accumulation. Scale shape: posexplode + (label, dim) centroid
+    partial agg, ONE equi-join of member dims to centroids on the
+    (label, dim) key (centroids ≪ vectors, AQE-broadcast), a per-
+    vector partial agg, and a final per-label rollup — two shuffles
+    proportional to vectors×dims rows, nothing quadratic."""
+    milli = (
+        embs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select(
+            "vec_id", "label", "dim",
+            F.floor(F.col("x").cast("double") * 1000)
+            .cast("bigint").alias("milli"),
+        )
+    )
+    centroids = milli.groupBy("label", "dim").agg(
+        F.expr("sum(milli) div count(*)").cast("bigint").alias("mean")
+    )
+    per_vec = (
+        milli.join(centroids, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.abs(F.col("milli") - F.col("mean")))
+             .cast("bigint").alias("l1"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.expr("sum(l1) div count(*)").cast("bigint")
+        .alias("mean_l1_milli"),
+        F.min("l1").cast("bigint").alias("min_l1_milli"),
+        F.max("l1").cast("bigint").alias("max_l1_milli"),
+    )

@@ -3186,6 +3186,30 @@ ORACLE_LABEL_SEPARATION = (
 )
 
 
+def q_label_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-label dispersion (X121) over the embeddings table's real
+    label column."""
+    return similarity.label_dispersion(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_LABEL_DISPERSION = (
+    "WITH m AS (SELECT vec_id, label, i - 1 AS dim, "
+    "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS milli "
+    "FROM embeddings, LATERAL (SELECT unnest(generate_series(1, "
+    "len(embedding))) AS i) t), "
+    "c AS (SELECT label, dim, CAST(sum(milli) // count(*) AS BIGINT) "
+    "AS mean FROM m GROUP BY 1, 2), "
+    "pv AS (SELECT m.vec_id, m.label, "
+    "CAST(sum(abs(m.milli - c.mean)) AS BIGINT) AS l1 "
+    "FROM m JOIN c ON m.label = c.label AND m.dim = c.dim "
+    "GROUP BY 1, 2) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "CAST(sum(l1) // count(*) AS BIGINT) AS mean_l1_milli, "
+    "CAST(min(l1) AS BIGINT) AS min_l1_milli, "
+    "CAST(max(l1) AS BIGINT) AS max_l1_milli FROM pv GROUP BY 1"
+)
+
+
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media dedup (X115): every consecutive doc pair
     shares an md5-derived 64-bit code with ONE low-word bit flipped on
@@ -7292,6 +7316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixed_script_stats": q_mixed_script,
     "label_separation": q_label_separation,
     "url_date_profile": q_url_date_profile,
+    "label_dispersion": q_label_dispersion,
 }
 
 ORACLES: dict[str, str] = {
@@ -7451,4 +7476,5 @@ ORACLES: dict[str, str] = {
     "mixed_script_stats": ORACLE_MIXED_SCRIPT,
     "label_separation": ORACLE_LABEL_SEPARATION,
     "url_date_profile": ORACLE_URL_DATE_PROFILE,
+    "label_dispersion": ORACLE_LABEL_DISPERSION,
 }

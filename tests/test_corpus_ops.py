@@ -3127,3 +3127,23 @@ def test_url_date_profile_mines_both_forms_and_validates(spark):
     assert r["dated_bp"] == 4000
     assert str(r["min_date"]) == "2022-05-20"
     assert str(r["max_date"]) == "2023-07-15"
+
+
+# ------------------------------------------------------------------ #
+# intra-label dispersion (X121)
+# ------------------------------------------------------------------ #
+
+def test_label_dispersion_separates_pile_from_spread(spark):
+    from docling_serve_spark.operators.similarity import label_dispersion
+
+    embs = spark.createDataFrame(
+        [(1, 0, [0.5, 0.5]), (2, 0, [0.5, 0.5]),      # duplicate pile
+         (3, 1, [0.0, 0.0]), (4, 1, [1.0, 1.0])],     # spread cluster
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    got = {r["label"]: r for r in label_dispersion(embs).collect()}
+    assert got[0]["mean_l1_milli"] == 0
+    assert got[0]["min_l1_milli"] == got[0]["max_l1_milli"] == 0
+    # label 1 centroid (500, 500); each member is 500+500 away
+    assert got[1]["mean_l1_milli"] == 1000
+    assert got[1]["n_vecs"] == 2
