@@ -559,3 +559,27 @@ def test_batch_drift_scans_each_batch_exactly_once(spark):
     assert "Window" in tree
     assert tree.count("SortMergeJoin") <= 1      # bin alignment only
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_scan_stage_audits_have_zero_exchanges(spark):
+    """X113/X118: the residue and homoglyph audits are pure narrow
+    maps — regexp counts riding the scan stage, no shuffle at all."""
+    for name in ("entity_residue", "mixed_script_stats"):
+        tree = _tree(_plan(spark, QUERIES[name](spark, SF_DIR)))
+        assert "Exchange" not in tree, name
+        assert "Join" not in tree, name
+
+
+def test_embedding_drift_scans_each_batch_once(spark):
+    """X117: same single-scan-per-batch discipline as batch_drift —
+    totals ride the dim window, never an agg+crossJoin re-execution."""
+    tree = _tree(_plan(spark, QUERIES["embedding_drift"](spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_url_date_profile_single_rollup(spark):
+    """X120: one partial+final aggregate pair on the host key."""
+    tree = _tree(_plan(spark, QUERIES["url_date_profile"](spark, SF_DIR)))
+    assert tree.count("HashAggregate") == 2
+    assert "Join" not in tree and "Window" not in tree
