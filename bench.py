@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "label_separation",
     "url_date_profile",
     "label_dispersion",
+    "stopword_discovery",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

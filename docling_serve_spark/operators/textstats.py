@@ -913,3 +913,48 @@ def lang_quality_cut(docs: DataFrame, lang_col: str = "lang",
         (F.expr("(10000 * (__rk - 1)) div greatest(__n - 1, 1)")
          >= drop_bottom_bp).alias("keep"),
     )
+
+
+def stopword_discovery(docs: DataFrame, text_col: str = "text",
+                       df_threshold_bp: int = 5000,
+                       k: int = 200) -> DataFrame:
+    """(rank, token, df, df_bp) — corpus-derived stopword list: the
+    top-k tokens by document frequency among those appearing in at
+    least ``df_threshold_bp`` of documents. Fixed English stopword
+    lists do not transfer (a multilingual or domain corpus has its own
+    function words and boilerplate vocabulary), so production
+    pipelines LEARN the list from the corpus itself — this is the
+    artifact behind the X4/X100 df-caps made explicit and auditable:
+    what exactly got treated as a stopword, at what frequency, ranked.
+    Re-run per snapshot, the list's churn is itself a drift signal
+    (new boilerplate vocabulary = a template change upstream).
+
+    Scale shape: distinct-tokens-per-doc explode, ONE map-side-
+    combined groupBy on the token, threshold filter, then
+    TakeOrderedAndProject for the top-k cut (never a global sort) and
+    a rank window over the ≤k surviving rows. df_bp integer-exact."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.dedup import tokens
+
+    n_docs = docs.select("doc_id").distinct().count()
+    df_tbl = (
+        docs.select(
+            F.explode(F.array_distinct(tokens(F.col(text_col))))
+            .alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .withColumn(
+            "df_bp",
+            F.expr(f"(10000 * df) div {max(n_docs, 1)}").cast("bigint"),
+        )
+        .filter(F.col("df_bp") >= df_threshold_bp)
+    )
+    top = df_tbl.orderBy(F.col("df").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token", "df", "df_bp",
+    )

@@ -5801,6 +5801,30 @@ def _canonical_trust_oracle() -> str:
 ORACLE_CANONICAL_TRUST = _canonical_trust_oracle()
 
 
+def q_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived stopwords (X122) over the documents table (the
+    shared ~31-word synthetic vocabulary means most tokens clear the
+    50% df bar — the degenerate-corpus case the df-caps must handle)."""
+    return textstats.stopword_discovery(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_STOPWORD_DISCOVERY = (
+    "WITH nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents), "
+    "tok AS (SELECT doc_id, unnest(list_distinct(string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' '))) AS token "
+    "FROM documents), "
+    "dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok "
+    "WHERE token <> '' GROUP BY 1), "
+    "scored AS (SELECT token, df, "
+    "CAST((10000 * df) // greatest((SELECT n FROM nd), 1) AS BIGINT) "
+    "AS df_bp FROM dfx), "
+    "top AS (SELECT * FROM scored WHERE df_bp >= 5000 "
+    "ORDER BY df DESC, token ASC LIMIT 200) "
+    "SELECT CAST(row_number() OVER (ORDER BY df DESC, token ASC) "
+    "AS BIGINT) AS rank, token, df, df_bp FROM top"
+)
+
+
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (X103) over the documents
     table's real lang column."""
@@ -7317,6 +7341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_separation": q_label_separation,
     "url_date_profile": q_url_date_profile,
     "label_dispersion": q_label_dispersion,
+    "stopword_discovery": q_stopword_discovery,
 }
 
 ORACLES: dict[str, str] = {
@@ -7477,4 +7502,5 @@ ORACLES: dict[str, str] = {
     "label_separation": ORACLE_LABEL_SEPARATION,
     "url_date_profile": ORACLE_URL_DATE_PROFILE,
     "label_dispersion": ORACLE_LABEL_DISPERSION,
+    "stopword_discovery": ORACLE_STOPWORD_DISCOVERY,
 }

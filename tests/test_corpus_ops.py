@@ -3147,3 +3147,27 @@ def test_label_dispersion_separates_pile_from_spread(spark):
     # label 1 centroid (500, 500); each member is 500+500 away
     assert got[1]["mean_l1_milli"] == 1000
     assert got[1]["n_vecs"] == 2
+
+
+# ------------------------------------------------------------------ #
+# corpus-derived stopwords (X122)
+# ------------------------------------------------------------------ #
+
+def test_stopword_discovery_learns_corpus_function_words(spark):
+    from docling_serve_spark.operators.textstats import stopword_discovery
+
+    docs = spark.createDataFrame(
+        [(i, f"der artikel nummer w{i} hier") for i in range(10)]
+        + [(100, "der sonderfall")],
+        "doc_id bigint, text string",
+    )
+    got = {r["token"]: r for r in
+           stopword_discovery(docs, df_threshold_bp=5000).collect()}
+    # 'der' in 11/11 docs, the others in 10/11 — all above 50%
+    assert got["der"]["rank"] == 1 and got["der"]["df"] == 11
+    assert got["der"]["df_bp"] == 10000
+    assert set(got) == {"der", "artikel", "nummer", "hier"}
+    # per-doc distinct: repeated tokens inside one doc count once
+    assert got["artikel"]["df"] == 10
+    # unique w{i} tokens never clear the threshold
+    assert "w3" not in got
