@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "url_date_profile",
     "label_dispersion",
     "stopword_discovery",
+    "anchor_spam",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -747,3 +747,76 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
             "n_hosts", "total_degree",
         )
     )
+
+
+def anchor_spam_stats(pages: DataFrame, spam_terms: list[str],
+                      url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(dst_host, n_anchor_links, n_spam_links, n_spam_src_hosts,
+    spam_bp) — commercial anchor-text density per link TARGET: the
+    share of a host's inbound anchors hitting a commercial-spam term
+    list ('casino', 'viagra', payday-loan vocabulary...). Link-spam
+    campaigns buy/inject anchors with exactly these money terms
+    (the TrustRank-era signal: Gyöngyi & Garcia-Molina, "Web spam
+    taxonomy", AIRWeb 2005 — anchor-keyword stuffing is its own
+    category), so a host whose inbound anchor profile is
+    commercial-term-heavy while its own content is not is a paid-link
+    target — evidence that feeds the X80 spam-mass verdict from the
+    ANCHOR side rather than the graph-structure side. Terms are
+    re.escape'd into one word-bounded alternation (the c4_clean
+    blocklist discipline — metacharacters in a term must not change
+    match semantics).
+
+    Scale shape: the X41 anchor extraction (narrow map, html never
+    shuffles) + one flag regexp + ONE partial-agg groupBy on dst_host;
+    distinct spamming sources via the conditional countDistinct.
+    spam_bp = (10000 · n_spam) div n_links in bigint."""
+    import re as _re
+
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+    from docling_serve_spark.operators.urltools import url_host
+
+    html_str = F.col(html_col).cast("string")
+    tag_re = '(?i)<a[^>]*href="https?://[^"]*"[^>]*>[^<]*</a>'
+    tags = pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(tag_re), F.lit(0))
+        ).alias("tag"),
+    )
+    pairs = tags.select(
+        "src_host",
+        url_host(
+            F.regexp_extract(F.col("tag"), '(?i)href="(https?://[^"]*)"', 1)
+        ).alias("dst_host"),
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.regexp_extract(F.col("tag"), ">([^<]*)</a>", 1)),
+                r"\s+", " ",
+            )
+        ).alias("anchor"),
+    ).filter(
+        (F.col("dst_host") != "")
+        & (F.col("dst_host") != F.col("src_host"))
+        & (F.col("anchor") != "")
+    )
+    pat = "|".join(_re.escape(t.lower()) for t in spam_terms)
+    flagged = pairs.withColumn(
+        "is_spam", F.col("anchor").rlike(rf"\b({pat})\b")
+    )
+    return (
+        flagged.groupBy("dst_host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_anchor_links"),
+            F.sum(F.when(F.col("is_spam"), 1).otherwise(0))
+            .cast("bigint").alias("n_spam_links"),
+            F.countDistinct(
+                F.when(F.col("is_spam"), F.col("src_host"))
+            ).cast("bigint").alias("n_spam_src_hosts"),
+        )
+        .withColumn(
+            "spam_bp",
+            F.expr("(10000 * n_spam_links) div greatest(n_anchor_links, 1)")
+            .cast("bigint"),
+        )
+    )

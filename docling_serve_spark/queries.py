@@ -2371,6 +2371,64 @@ ORACLE_ANCHOR_TEXTS = (
 )
 
 
+def q_anchor_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-spam density (X123): every 4th page links with a money
+    anchor ('cheap casino chips'), the rest with editorial anchors,
+    across 5 target hosts — per-target spam share in basis points."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    anchor1 = F.when(F.col("doc_id") % 4 == 0, F.lit("cheap CASINO chips")) \
+        .otherwise(F.lit("read the article"))
+    html = F.concat(
+        F.lit('<a href="https://t'), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".net/x"), i, F.lit('">'), anchor1, F.lit("</a>"),
+        F.lit('<a href="https://t'),
+        ((F.col("doc_id") + 1) % 5).cast("string"),
+        F.lit(".net/y"), i, F.lit('">more info here</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".org/p"), i).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return webgraph.anchor_spam_stats(pages, ["casino", "viagra"])
+
+
+ORACLE_ANCHOR_SPAM = (
+    "WITH ap AS (SELECT doc_id, "
+    "'h' || CAST(doc_id % 10 AS VARCHAR) || '.org' AS src_host, "
+    "'<a href=\"https://t' || CAST(doc_id % 5 AS VARCHAR) || '.net/x' || "
+    "CAST(doc_id AS VARCHAR) || '\">' || "
+    "CASE WHEN doc_id % 4 = 0 THEN 'cheap CASINO chips' "
+    "ELSE 'read the article' END || '</a>' || "
+    "'<a href=\"https://t' || CAST((doc_id + 1) % 5 AS VARCHAR) || "
+    "'.net/y' || CAST(doc_id AS VARCHAR) || '\">more info here</a>' "
+    "AS html FROM documents), "
+    "tags AS (SELECT src_host, unnest(regexp_extract_all(html, "
+    "'(?i)<a[^>]*href=\"https?://[^\"]*\"[^>]*>[^<]*</a>', 0)) AS tag "
+    "FROM ap), "
+    "pairs AS (SELECT src_host, "
+    "regexp_extract(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(lower(regexp_extract(tag, "
+    "'(?i)href=\"(https?://[^\"]*)\"', 1)), '^https?://', ''), "
+    "'[?#].*$', ''), '^www\\.', ''), '/$', ''), '^([^/]+)', 1) "
+    "AS dst_host, "
+    "trim(regexp_replace(lower(regexp_extract(tag, '>([^<]*)</a>', 1)), "
+    "'\\s+', ' ', 'g')) AS anchor FROM tags), "
+    "kept AS (SELECT src_host, dst_host, anchor, "
+    "regexp_matches(anchor, '\\b(casino|viagra)\\b') AS is_spam "
+    "FROM pairs WHERE dst_host <> '' AND dst_host <> src_host "
+    "AND anchor <> '') "
+    "SELECT dst_host, CAST(count(*) AS BIGINT) AS n_anchor_links, "
+    "CAST(sum(CASE WHEN is_spam THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_spam_links, "
+    "CAST(count(DISTINCT CASE WHEN is_spam THEN src_host END) AS BIGINT) "
+    "AS n_spam_src_hosts, "
+    "CAST((10000 * sum(CASE WHEN is_spam THEN 1 ELSE 0 END)) // "
+    "greatest(count(*), 1) AS BIGINT) AS spam_bp FROM kept GROUP BY 1"
+)
+
+
 _BM25_TERMS = ("spark", "window", "merge")
 
 
@@ -7342,6 +7400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_date_profile": q_url_date_profile,
     "label_dispersion": q_label_dispersion,
     "stopword_discovery": q_stopword_discovery,
+    "anchor_spam": q_anchor_spam,
 }
 
 ORACLES: dict[str, str] = {
@@ -7503,4 +7562,5 @@ ORACLES: dict[str, str] = {
     "url_date_profile": ORACLE_URL_DATE_PROFILE,
     "label_dispersion": ORACLE_LABEL_DISPERSION,
     "stopword_discovery": ORACLE_STOPWORD_DISCOVERY,
+    "anchor_spam": ORACLE_ANCHOR_SPAM,
 }

@@ -3171,3 +3171,31 @@ def test_stopword_discovery_learns_corpus_function_words(spark):
     assert got["artikel"]["df"] == 10
     # unique w{i} tokens never clear the threshold
     assert "w3" not in got
+
+
+# ------------------------------------------------------------------ #
+# anchor-text spam density (X123)
+# ------------------------------------------------------------------ #
+
+def test_anchor_spam_stats_flags_money_anchors(spark):
+    from docling_serve_spark.operators.webgraph import anchor_spam_stats
+
+    def page(url, links):
+        html = "".join(f'<a href="{u}">{t}</a>' for u, t in links)
+        return (url, bytearray(html.encode()))
+
+    rows = [
+        page("http://a.com/1", [("https://victim.com/x", "best CASINO bonus"),
+                                ("https://victim.com/y", "online casino")]),
+        page("http://b.com/1", [("https://victim.com/z", "research paper"),
+                                ("https://clean.com/q", "useful article")]),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["dst_host"]: r for r in
+           anchor_spam_stats(pages, ["casino", "viagra"]).collect()}
+    v = got["victim.com"]
+    assert v["n_anchor_links"] == 3 and v["n_spam_links"] == 2
+    assert v["n_spam_src_hosts"] == 1          # both spam anchors from a.com
+    assert v["spam_bp"] == 6666
+    assert got["clean.com"]["n_spam_links"] == 0
+    assert got["clean.com"]["spam_bp"] == 0
