@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "label_dispersion",
     "stopword_discovery",
     "anchor_spam",
+    "packing_audit",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

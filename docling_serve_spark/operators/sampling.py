@@ -423,3 +423,51 @@ def component_split(docs: DataFrame, pairs: DataFrame,
             .otherwise(F.lit("train")).alias("split"),
         )
     )
+
+
+def packing_audit(packed: DataFrame, seq_len: int = 512) -> DataFrame:
+    """(shard, n_docs, total_tokens, n_bins, n_fragmented,
+    frag_bp, padding_tokens, padding_bp) — quality audit of an X21
+    concat-then-split packing: how many documents got SPLIT across
+    training-sequence boundaries (each fragment loses cross-boundary
+    attention — the truncation cost quantified by Ding et al., "Fewer
+    truncations improve language modeling", ICML 2024, which motivates
+    best-fit packing precisely by this number), and how much tail
+    padding each shard pays. frag_bp is the argument for moving to a
+    smarter packer; padding_bp the argument it isn't needed (concat-
+    then-split pads only the final bin per shard, so its padding is
+    already near-optimal — the trade is fragmentation, not padding).
+
+    Consumes X21's output columns, so the audit replays over any
+    committed packing manifest without re-reading text. One partial-
+    agged groupBy on shard; a doc is fragmented iff its token span
+    crosses a bin boundary — pure bigint arithmetic."""
+    end_bin = F.floor(
+        (F.col("bin_id") * seq_len + F.col("offset_in_bin")
+         + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / seq_len
+    ).cast("bigint")
+    frag = (F.col("n_tokens") > 0) & (end_bin > F.col("bin_id"))
+    per = packed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(frag, 1).otherwise(0)).cast("bigint")
+        .alias("n_fragmented"),
+    )
+    n_bins = F.expr(
+        f"(total_tokens + {seq_len} - 1) div {seq_len}"
+    ).cast("bigint")
+    return per.select(
+        F.col("shard").cast("bigint"),
+        "n_docs", "total_tokens",
+        n_bins.alias("n_bins"),
+        "n_fragmented",
+        F.expr("(10000 * n_fragmented) div greatest(n_docs, 1)")
+        .cast("bigint").alias("frag_bp"),
+        (n_bins * seq_len - F.col("total_tokens")).cast("bigint")
+        .alias("padding_tokens"),
+        F.expr(
+            f"(10000 * (((total_tokens + {seq_len} - 1) div {seq_len}) "
+            f"* {seq_len} - total_tokens)) div greatest("
+            f"((total_tokens + {seq_len} - 1) div {seq_len}) * {seq_len}, 1)"
+        ).cast("bigint").alias("padding_bp"),
+    )

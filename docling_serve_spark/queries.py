@@ -6092,6 +6092,35 @@ ORACLE_PACK = _pack_oracle()
 ORACLE_SHARD_MANIFEST = ORACLE_SHARD_MANIFEST_TMPL.format(pack=ORACLE_PACK)
 
 
+def q_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing fragmentation/padding audit (X124) over the REAL X21
+    packing of the documents table."""
+    return sampling.packing_audit(q_pack_sequences(spark, sf_dir),
+                                  seq_len=512)
+
+
+ORACLE_PACKING_AUDIT = (
+    "WITH packed AS (" + ORACLE_PACK + "), "
+    "f AS (SELECT shard, n_tokens, bin_id, "
+    "(bin_id * 512 + offset_in_bin + greatest(n_tokens, 1) - 1) // 512 "
+    "AS end_bin FROM packed), "
+    "per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(sum(CASE WHEN n_tokens > 0 AND end_bin > bin_id THEN 1 "
+    "ELSE 0 END) AS BIGINT) AS n_fragmented FROM f GROUP BY 1) "
+    "SELECT CAST(shard AS BIGINT) AS shard, n_docs, total_tokens, "
+    "CAST((total_tokens + 511) // 512 AS BIGINT) AS n_bins, "
+    "n_fragmented, "
+    "CAST((10000 * n_fragmented) // greatest(n_docs, 1) AS BIGINT) "
+    "AS frag_bp, "
+    "CAST(((total_tokens + 511) // 512) * 512 - total_tokens AS BIGINT) "
+    "AS padding_tokens, "
+    "CAST((10000 * (((total_tokens + 511) // 512) * 512 - total_tokens)) "
+    "// greatest(((total_tokens + 511) // 512) * 512, 1) AS BIGINT) "
+    "AS padding_bp FROM per"
+)
+
+
 def _mix_inputs(spark: SparkSession, sf_dir: str):
     """Shared inputs for the composed mixture pipeline. The corpus is
     salted so every gate provably bites: the dup-union doubles it
@@ -7401,6 +7430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_dispersion": q_label_dispersion,
     "stopword_discovery": q_stopword_discovery,
     "anchor_spam": q_anchor_spam,
+    "packing_audit": q_packing_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -7563,4 +7593,5 @@ ORACLES: dict[str, str] = {
     "label_dispersion": ORACLE_LABEL_DISPERSION,
     "stopword_discovery": ORACLE_STOPWORD_DISCOVERY,
     "anchor_spam": ORACLE_ANCHOR_SPAM,
+    "packing_audit": ORACLE_PACKING_AUDIT,
 }

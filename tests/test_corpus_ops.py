@@ -3199,3 +3199,29 @@ def test_anchor_spam_stats_flags_money_anchors(spark):
     assert v["spam_bp"] == 6666
     assert got["clean.com"]["n_spam_links"] == 0
     assert got["clean.com"]["spam_bp"] == 0
+
+
+# ------------------------------------------------------------------ #
+# packing fragmentation/padding audit (X124)
+# ------------------------------------------------------------------ #
+
+def test_packing_audit_counts_boundary_fragments(spark):
+    from docling_serve_spark.operators.sampling import (
+        pack_sequences,
+        packing_audit,
+    )
+
+    # shard 0: 3 docs of 40 tokens into seq_len 64 -> doc 2 spans the
+    # first boundary (starts at 40, ends at 79)
+    docs = spark.createDataFrame(
+        [(0, "w " * 40), (16, "w " * 40), (32, "w " * 40)],
+        "doc_id bigint, text string",
+    )
+    packed = pack_sequences(docs, seq_len=64, n_shards=16)
+    [r] = packing_audit(packed, seq_len=64).collect()
+    assert r["shard"] == 0 and r["n_docs"] == 3
+    assert r["total_tokens"] == 120 and r["n_bins"] == 2
+    # doc@40 spans 64; doc@80 ends at 119 inside bin 1 -> 1 fragment
+    assert r["n_fragmented"] == 1
+    assert r["frag_bp"] == 3333
+    assert r["padding_tokens"] == 8 and r["padding_bp"] == 625
