@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "stopword_discovery",
     "anchor_spam",
     "packing_audit",
+    "structured_data",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

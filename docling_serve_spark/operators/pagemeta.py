@@ -399,3 +399,69 @@ def hreflang_reciprocity(pages: DataFrame, url_col: str = "url",
             .cast("bigint").alias("reciprocal_bp"),
         )
     )
+
+
+def structured_data_stats(pages: DataFrame, url_col: str = "url",
+                          html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_jsonld, n_microdata, jsonld_bp, top_type,
+    top_type_n) — schema.org structured-data coverage per host:
+    JSON-LD blocks, microdata markers, and the host's dominant
+    declared @type. Structured data is a corpus ENRICHMENT source
+    (recipes, QA pairs, product/article metadata are mined from
+    exactly these blocks — schema.org adoption is why), so a mixture
+    builder wants to know which hosts carry machine-readable payloads
+    worth a dedicated extraction pass — and a host whose pages are
+    100% 'Product' is a shop, not prose, whatever its text quality
+    scores say.
+
+    Detection is containment + one @type regexp over the raw bytes
+    (no JSON parse — a 10^12-page audit pass must not pay per-page
+    json decoding for a coverage statistic; the dedicated extraction
+    pass that follows does the real parsing on the flagged subset).
+    Scale shape: narrow map, one host partial agg, one (host, type)
+    partial agg + per-host top-1 window over the tiny type table."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.col(html_col).cast("string")
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        F.lower(h).contains('type="application/ld+json"')
+        .alias("has_jsonld"),
+        F.lower(h).contains("itemscope").alias("has_microdata"),
+        F.regexp_extract_all(
+            h, F.lit(r'(?i)"@type"\s*:\s*"([^"]+)"'), F.lit(1)
+        ).alias("types"),
+    )
+    per_host = base.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.when(F.col("has_jsonld"), 1).otherwise(0))
+        .cast("bigint").alias("n_jsonld"),
+        F.sum(F.when(F.col("has_microdata"), 1).otherwise(0))
+        .cast("bigint").alias("n_microdata"),
+    ).withColumn(
+        "jsonld_bp",
+        F.expr("(10000 * n_jsonld) div greatest(n_pages, 1)")
+        .cast("bigint"),
+    )
+    type_counts = (
+        base.select("host", F.explode("types").alias("t"))
+        .groupBy("host", "t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("t").asc()
+    )
+    top = (
+        type_counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("host", F.col("t").alias("top_type"),
+                F.col("n").alias("top_type_n"))
+    )
+    return per_host.join(top, "host", "left").select(
+        "host", "n_pages", "n_jsonld", "n_microdata", "jsonld_bp",
+        F.coalesce(F.col("top_type"), F.lit("")).alias("top_type"),
+        F.coalesce(F.col("top_type_n"), F.lit(0)).cast("bigint")
+        .alias("top_type_n"),
+    )

@@ -5741,6 +5741,72 @@ ORACLE_SAMPLING_TEMPERATURE = (
 )
 
 
+def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-data coverage (X125): id%3==0 pages carry a JSON-LD
+    Product block (doubled for id%6==0), id%3==1 carry microdata plus
+    an Article JSON-LD, id%3==2 nothing — across 10 hosts."""
+    from docling_serve_spark.operators.pagemeta import structured_data_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    ld_product = F.lit('<script type="application/ld+json">'
+                       '{"@type": "Product"}</script>')
+    body = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(ld_product, ld_product))
+        .when(F.col("doc_id") % 3 == 0, ld_product)
+        .when(F.col("doc_id") % 3 == 1,
+              F.lit('<div itemscope></div>'
+                    '<script type="application/ld+json">'
+                    '{"@type" : "Article"}</script>'))
+        .otherwise(F.lit("<p>plain</p>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://sd"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".com/p"), i).alias("url"),
+        F.encode(F.concat(F.lit("<html>"), body, F.lit("</html>")),
+                 "UTF-8").alias("html"),
+    )
+    return structured_data_stats(pages)
+
+
+ORACLE_STRUCTURED_DATA = (
+    "WITH sp AS (SELECT doc_id, "
+    "'sd' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS host, "
+    "'<html>' || CASE WHEN doc_id % 6 = 0 THEN "
+    "repeat('<script type=\"application/ld+json\">"
+    "{\"@type\": \"Product\"}</script>', 2) "
+    "WHEN doc_id % 3 = 0 THEN "
+    "'<script type=\"application/ld+json\">"
+    "{\"@type\": \"Product\"}</script>' "
+    "WHEN doc_id % 3 = 1 THEN '<div itemscope></div>"
+    "<script type=\"application/ld+json\">{\"@type\" : \"Article\"}"
+    "</script>' ELSE '<p>plain</p>' END || '</html>' AS html "
+    "FROM documents), "
+    "b AS (SELECT host, "
+    "contains(lower(html), 'type=\"application/ld+json\"') AS has_jsonld, "
+    "contains(lower(html), 'itemscope') AS has_microdata, "
+    "regexp_extract_all(html, '(?i)\"@type\"\\s*:\\s*\"([^\"]+)\"', 1) "
+    "AS types FROM sp), "
+    "ph AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN has_jsonld THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_jsonld, "
+    "CAST(sum(CASE WHEN has_microdata THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_microdata FROM b GROUP BY 1), "
+    "tc AS (SELECT host, t, CAST(count(*) AS BIGINT) AS n "
+    "FROM (SELECT host, unnest(types) AS t FROM b) GROUP BY 1, 2), "
+    "top AS (SELECT host, t AS top_type, n AS top_type_n FROM ("
+    "SELECT host, t, n, row_number() OVER (PARTITION BY host "
+    "ORDER BY n DESC, t ASC) AS rn FROM tc) WHERE rn = 1) "
+    "SELECT ph.host, n_pages, n_jsonld, n_microdata, "
+    "CAST((10000 * n_jsonld) // greatest(n_pages, 1) AS BIGINT) "
+    "AS jsonld_bp, "
+    "coalesce(top.top_type, '') AS top_type, "
+    "CAST(coalesce(top.top_type_n, 0) AS BIGINT) AS top_type_n "
+    "FROM ph LEFT JOIN top ON ph.host = top.host"
+)
+
+
 def q_canonical_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-trust audit (X106) over a planted corpus: every 3rd
     doc is an alias page declaring a canonical (agree when even id,
@@ -7431,6 +7497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_discovery": q_stopword_discovery,
     "anchor_spam": q_anchor_spam,
     "packing_audit": q_packing_audit,
+    "structured_data": q_structured_data,
 }
 
 ORACLES: dict[str, str] = {
@@ -7594,4 +7661,5 @@ ORACLES: dict[str, str] = {
     "stopword_discovery": ORACLE_STOPWORD_DISCOVERY,
     "anchor_spam": ORACLE_ANCHOR_SPAM,
     "packing_audit": ORACLE_PACKING_AUDIT,
+    "structured_data": ORACLE_STRUCTURED_DATA,
 }

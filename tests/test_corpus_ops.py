@@ -3225,3 +3225,35 @@ def test_packing_audit_counts_boundary_fragments(spark):
     assert r["n_fragmented"] == 1
     assert r["frag_bp"] == 3333
     assert r["padding_tokens"] == 8 and r["padding_bp"] == 625
+
+
+# ------------------------------------------------------------------ #
+# structured-data coverage (X125)
+# ------------------------------------------------------------------ #
+
+def test_structured_data_stats_coverage_and_top_type(spark):
+    from docling_serve_spark.operators.pagemeta import structured_data_stats
+
+    def page(url, html):
+        return (url, bytearray(html.encode()))
+
+    ld = ('<script type="application/ld+json">'
+          '{"@type": "Product", "name": "x"}</script>')
+    rows = [
+        page("http://shop.com/1", f"<html>{ld}</html>"),
+        page("http://shop.com/2", f"<html>{ld}{ld}</html>"),
+        page("http://shop.com/3",
+             '<html><div itemscope itemtype="s"></div>'
+             '<script type="application/ld+json">'
+             '{"@type" : "Article"}</script></html>'),
+        page("http://plain.com/1", "<html><p>nothing</p></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["host"]: r for r in structured_data_stats(pages).collect()}
+    s = got["shop.com"]
+    assert s["n_pages"] == 3 and s["n_jsonld"] == 3
+    assert s["n_microdata"] == 1
+    assert s["jsonld_bp"] == 10000
+    assert s["top_type"] == "Product" and s["top_type_n"] == 3
+    p = got["plain.com"]
+    assert p["n_jsonld"] == 0 and p["top_type"] == "" and p["top_type_n"] == 0
