@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "anchor_spam",
     "packing_audit",
     "structured_data",
+    "invisible_chars",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -251,3 +251,51 @@ def mixed_script_stats(docs, text_col: str = "text",
         (F.size(F.regexp_extract_all(t, F.lit(MIXED_SCRIPT_TOKEN),
                                      F.lit(0))) > 0).alias("is_suspect"),
     )
+
+
+#: zero-width and invisible formatting codepoints: ZWSP/ZWNJ/ZWJ,
+#: word-joiner, BOM-as-ZWNBSP, soft hyphen, and the bidi embedding
+#: controls. Written as literal characters (same Java/RE2 portability
+#: argument as MIXED_SCRIPT_TOKEN).
+INVISIBLE_CHAR_CLASS = "[​‌‍⁠﻿­‪-‮]"
+
+
+def invisible_char_stats(docs, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         per_10k_threshold: int = 20):
+    """(doc_id, n_invisible, n_chars, invisible_per_10k, is_suspect)
+    — invisible-codepoint density: zero-width spaces/joiners, word
+    joiners, BOMs, soft hyphens, and bidi embedding controls in the
+    text channel. Legitimate uses exist (ZWJ in emoji/Indic scripts,
+    soft hyphens in typeset text), but DENSITY is the tell: SEO
+    cloaking and text watermarking interleave zero-width characters
+    through prose to evade exact/n-gram matching (the same evasion
+    budget as X118's homoglyphs, through the invisible channel), and
+    they silently corrupt tokenizer statistics either way — a ZWSP
+    inside a word splits it into two tokens no human sees. Completes
+    the character-pathology family: X48 byte damage, X113 markup
+    residue, X118 confusable scripts, this the invisible layer.
+
+    Same shape and integer discipline as the siblings: one codegen
+    narrow map, (10^4 · hits) div chars in bigint, verdict without
+    division."""
+    from pyspark.sql import functions as F
+
+    t = F.col(text_col)
+    hits = (
+        F.length(t) - F.length(F.regexp_replace(t, INVISIBLE_CHAR_CLASS, ""))
+    ).cast("bigint")
+    return docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        hits.alias("n_invisible"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        F.expr(
+            "(10000 * (length(text) - length(regexp_replace(text, "
+            f"'{INVISIBLE_CHAR_CLASS}', '')))) div greatest(length(text), 1)"
+        ).cast("bigint").alias("invisible_per_10k"),
+        F.expr(
+            "(length(text) - length(regexp_replace(text, "
+            f"'{INVISIBLE_CHAR_CLASS}', ''))) * 10000 "
+            f">= {per_10k_threshold} * greatest(length(text), 1)"
+        ).alias("is_suspect"),
+    )

@@ -5463,6 +5463,40 @@ ORACLE_ENTITY_RESIDUE = (
 )
 
 
+def q_invisible_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-codepoint audit (X126): every 8th doc gets zero-width
+    spaces interleaved through its first word (the cloaking shape);
+    every 11th gets one legitimate ZWJ."""
+    zwsp = "​"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat(F.lit(f"c{zwsp}l{zwsp}o{zwsp}a{zwsp}k "),
+                        F.col("text")))
+        .when(F.col("doc_id") % 11 == 0,
+              F.concat(F.col("text"), F.lit(" emoji‍joiner")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return normalize.invisible_char_stats(docs)
+
+
+ORACLE_INVISIBLE_CHARS = (
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 8 = 0 "
+    "THEN 'c​l​o​a​k ' || text "
+    "WHEN doc_id % 11 = 0 THEN text || ' emoji‍joiner' "
+    "ELSE text END AS text FROM documents), "
+    "b AS (SELECT doc_id, "
+    "CAST(length(text) - length(regexp_replace(text, "
+    "'" + normalize.INVISIBLE_CHAR_CLASS + "', '', 'g')) AS BIGINT) "
+    "AS n_invisible, CAST(length(text) AS BIGINT) AS n_chars FROM d) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_invisible, n_chars, "
+    "CAST((10000 * n_invisible) // greatest(n_chars, 1) AS BIGINT) "
+    "AS invisible_per_10k, "
+    "n_invisible * 10000 >= 20 * greatest(n_chars, 1) AS is_suspect "
+    "FROM b"
+)
+
+
 def q_mixed_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homoglyph detection (X118): every 9th doc gets one Latin word
     poisoned with a Cyrillic а (the confusable-substitution shape);
@@ -7498,6 +7532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_spam": q_anchor_spam,
     "packing_audit": q_packing_audit,
     "structured_data": q_structured_data,
+    "invisible_chars": q_invisible_chars,
 }
 
 ORACLES: dict[str, str] = {
@@ -7662,4 +7697,5 @@ ORACLES: dict[str, str] = {
     "anchor_spam": ORACLE_ANCHOR_SPAM,
     "packing_audit": ORACLE_PACKING_AUDIT,
     "structured_data": ORACLE_STRUCTURED_DATA,
+    "invisible_chars": ORACLE_INVISIBLE_CHARS,
 }

@@ -3257,3 +3257,23 @@ def test_structured_data_stats_coverage_and_top_type(spark):
     assert s["top_type"] == "Product" and s["top_type_n"] == 3
     p = got["plain.com"]
     assert p["n_jsonld"] == 0 and p["top_type"] == "" and p["top_type_n"] == 0
+
+
+# ------------------------------------------------------------------ #
+# invisible-character audit (X126)
+# ------------------------------------------------------------------ #
+
+def test_invisible_char_stats_density_verdict(spark):
+    from docling_serve_spark.operators.normalize import invisible_char_stats
+
+    zwsp = "​"
+    docs = spark.createDataFrame(
+        [(1, f"c{zwsp}l{zwsp}o{zwsp}a{zwsp}k{zwsp}e{zwsp}d"),  # watermarked
+         (2, "an emoji joiner ‍ once " + "w" * 5000),      # legit, sparse
+         (3, "perfectly plain text")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in invisible_char_stats(docs).collect()}
+    assert got[1]["n_invisible"] == 6 and got[1]["is_suspect"] is True
+    assert got[2]["n_invisible"] == 1 and got[2]["is_suspect"] is False
+    assert got[3]["n_invisible"] == 0 and got[3]["invisible_per_10k"] == 0
