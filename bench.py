@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "packing_audit",
     "structured_data",
     "invisible_chars",
+    "filter_agreement",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

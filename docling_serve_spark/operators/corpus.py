@@ -465,3 +465,46 @@ def drift_from_histograms(ha: DataFrame, hb: DataFrame) -> DataFrame:
         "tv_total_bp",
         (F.sum("drift_bp").over(w) / 2).cast("bigint"),
     )
+
+
+def filter_agreement(verdicts_a: DataFrame, verdicts_b: DataFrame,
+                     name_a: str = "a", name_b: str = "b") -> DataFrame:
+    """(gate_a, gate_b, n_docs, n_both_keep, n_both_drop, n_only_a,
+    n_only_b, keep_a_bp, keep_b_bp, agreement_bp) — the confusion
+    cross-tab between two (doc_id, keep) filter verdicts: the gate-
+    ablation measurement every filter-stack paper reports (FineWeb's
+    ablations are exactly this table per rule) — two gates that agree
+    on ~everything are redundant (drop the expensive one), gates that
+    disagree heavily define the calibration set a human should look
+    at, and the disagreement ROWS (n_only_a/n_only_b) are where each
+    gate's unique contribution lives.
+
+    Pure composition: ONE inner equi-join on doc_id, one global
+    aggregate; all rates integer basis points."""
+    a = verdicts_a.select("doc_id", F.col("keep").alias("keep_a"))
+    b = verdicts_b.select("doc_id", F.col("keep").alias("keep_b"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        a.join(b, "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            one(F.col("keep_a") & F.col("keep_b")).alias("n_both_keep"),
+            one(~F.col("keep_a") & ~F.col("keep_b")).alias("n_both_drop"),
+            one(F.col("keep_a") & ~F.col("keep_b")).alias("n_only_a"),
+            one(~F.col("keep_a") & F.col("keep_b")).alias("n_only_b"),
+        )
+        .select(
+            F.lit(name_a).alias("gate_a"),
+            F.lit(name_b).alias("gate_b"),
+            "n_docs", "n_both_keep", "n_both_drop", "n_only_a", "n_only_b",
+            F.expr("(10000 * (n_both_keep + n_only_a)) "
+                   "div greatest(n_docs, 1)").cast("bigint")
+            .alias("keep_a_bp"),
+            F.expr("(10000 * (n_both_keep + n_only_b)) "
+                   "div greatest(n_docs, 1)").cast("bigint")
+            .alias("keep_b_bp"),
+            F.expr("(10000 * (n_both_keep + n_both_drop)) "
+                   "div greatest(n_docs, 1)").cast("bigint")
+            .alias("agreement_bp"),
+        )
+    )

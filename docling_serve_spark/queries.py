@@ -5463,6 +5463,42 @@ ORACLE_ENTITY_RESIDUE = (
 )
 
 
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-ablation cross-tab (X127) between the two REAL quality
+    gates: Gopher shape rules vs the C4-style filter verdict."""
+    return corpus.filter_agreement(
+        q_gopher_quality(spark, sf_dir).select("doc_id", "keep"),
+        q_quality_filter(spark, sf_dir).select("doc_id", "keep"),
+        "gopher", "c4_filter",
+    )
+
+
+ORACLE_FILTER_AGREEMENT = (
+    "WITH ga AS (SELECT doc_id, keep AS keep_a FROM ("
+    + ORACLE_GOPHER_QUALITY + ") g), "
+    "qa AS (SELECT doc_id, keep AS keep_b FROM ("
+    + ORACLE_QUALITY_FILTER + ") q), "
+    "j AS (SELECT ga.doc_id, keep_a, keep_b FROM ga "
+    "JOIN qa ON ga.doc_id = qa.doc_id) "
+    "SELECT 'gopher' AS gate_a, 'c4_filter' AS gate_b, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_both_keep, "
+    "CAST(sum(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_both_drop, "
+    "CAST(sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_only_a, "
+    "CAST(sum(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_only_b, "
+    "CAST((10000 * sum(CASE WHEN keep_a THEN 1 ELSE 0 END)) // "
+    "greatest(count(*), 1) AS BIGINT) AS keep_a_bp, "
+    "CAST((10000 * sum(CASE WHEN keep_b THEN 1 ELSE 0 END)) // "
+    "greatest(count(*), 1) AS BIGINT) AS keep_b_bp, "
+    "CAST((10000 * sum(CASE WHEN keep_a = keep_b THEN 1 ELSE 0 END)) // "
+    "greatest(count(*), 1) AS BIGINT) AS agreement_bp FROM j"
+)
+
+
 def q_invisible_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invisible-codepoint audit (X126): every 8th doc gets zero-width
     spaces interleaved through its first word (the cloaking shape);
@@ -7533,6 +7569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_audit": q_packing_audit,
     "structured_data": q_structured_data,
     "invisible_chars": q_invisible_chars,
+    "filter_agreement": q_filter_agreement,
 }
 
 ORACLES: dict[str, str] = {
@@ -7698,4 +7735,5 @@ ORACLES: dict[str, str] = {
     "packing_audit": ORACLE_PACKING_AUDIT,
     "structured_data": ORACLE_STRUCTURED_DATA,
     "invisible_chars": ORACLE_INVISIBLE_CHARS,
+    "filter_agreement": ORACLE_FILTER_AGREEMENT,
 }

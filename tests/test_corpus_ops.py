@@ -3277,3 +3277,26 @@ def test_invisible_char_stats_density_verdict(spark):
     assert got[1]["n_invisible"] == 6 and got[1]["is_suspect"] is True
     assert got[2]["n_invisible"] == 1 and got[2]["is_suspect"] is False
     assert got[3]["n_invisible"] == 0 and got[3]["invisible_per_10k"] == 0
+
+
+# ------------------------------------------------------------------ #
+# filter-agreement cross-tab (X127)
+# ------------------------------------------------------------------ #
+
+def test_filter_agreement_confusion_counts(spark):
+    from docling_serve_spark.operators.corpus import filter_agreement
+
+    a = spark.createDataFrame(
+        [(1, True), (2, True), (3, False), (4, False)],
+        "doc_id bigint, keep boolean",
+    )
+    b = spark.createDataFrame(
+        [(1, True), (2, False), (3, False), (4, True)],
+        "doc_id bigint, keep boolean",
+    )
+    [r] = filter_agreement(a, b, "gopher", "c4").collect()
+    assert (r["gate_a"], r["gate_b"]) == ("gopher", "c4")
+    assert r["n_both_keep"] == 1 and r["n_both_drop"] == 1
+    assert r["n_only_a"] == 1 and r["n_only_b"] == 1
+    assert r["keep_a_bp"] == 5000 and r["keep_b_bp"] == 5000
+    assert r["agreement_bp"] == 5000
