@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "structured_data",
     "invisible_chars",
     "filter_agreement",
+    "link_rot",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

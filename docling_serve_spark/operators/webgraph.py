@@ -820,3 +820,56 @@ def anchor_spam_stats(pages: DataFrame, spam_terms: list[str],
             .cast("bigint"),
         )
     )
+
+
+def link_rot_stats(pages: DataFrame, crawled: DataFrame,
+                   url_col: str = "url", html_col: str = "html",
+                   crawl_url_col: str = "url") -> DataFrame:
+    """(src_host, n_outlinks, n_resolved, n_dangling, rot_bp) — how
+    much of each host's outbound link surface points OUTSIDE the
+    crawled corpus: per source host, absolute http(s) link targets
+    canonicalized and probed against the crawled URL set. High
+    dangling share is either frontier debt (the crawler never reached
+    what this host links to — X43 should prioritize it) or genuine
+    link rot (the classic web-decay measurement: Ntoulas, Cho & Olston
+    WWW 2004 found ~80% of links dead or changed within a year), and
+    for a training corpus it bounds how much of the citation/anchor
+    context (X41) can ever be resolved to actual documents.
+
+    Scale shape: X40's narrow href extraction (html bytes never
+    shuffle), the crawled side reduced to its DISTINCT canonical url
+    strings, ONE left semi-style equi-join on the full URL key, one
+    src_host partial agg. rot_bp = (10000 · n_dangling) div
+    n_outlinks, bigint."""
+    from docling_serve_spark.operators.urltools import canonical_url, url_host
+
+    html_str = F.col(html_col).cast("string")
+    links = pages.select(
+        url_host(F.col(url_col)).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                html_str, F.lit('(?i)href="(https?://[^"]*)"'), F.lit(1)
+            )
+        ).alias("target"),
+    ).select(
+        "src_host", canonical_url(F.col("target")).alias("curl")
+    ).filter(F.col("curl") != "")
+    known = crawled.select(
+        canonical_url(F.col(crawl_url_col)).alias("curl")
+    ).distinct().withColumn("__hit", F.lit(True))
+    probed = links.join(known, "curl", "left")
+    return (
+        probed.groupBy("src_host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_outlinks"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_resolved"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_dangling"),
+        )
+        .withColumn(
+            "rot_bp",
+            F.expr("(10000 * n_dangling) div greatest(n_outlinks, 1)")
+            .cast("bigint"),
+        )
+    )

@@ -2371,6 +2371,81 @@ ORACLE_ANCHOR_TEXTS = (
 )
 
 
+def q_link_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-rot audit (X128): each page links one in-corpus target
+    (the next doc's url), one dead target, and every 3rd page a
+    scheme/www VARIANT of an in-corpus url (must resolve through
+    canonicalization)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_docs = 5000  # modular next-link target space; mirrored in SQL
+    i = F.col("doc_id").cast("string")
+    nxt = ((F.col("doc_id") + 1) % n_docs).cast("string")
+    self_url = F.concat(F.lit("http://lr"), (F.col("doc_id") % 6).cast("string"),
+                        F.lit(".org/d"), i)
+    target1 = F.concat(F.lit("http://lr"),
+                       (((F.col("doc_id") + 1) % n_docs) % 6).cast("string"),
+                       F.lit(".org/d"), nxt)
+    target2 = F.concat(F.lit("http://dead.invalid/x"), i)
+    target3 = F.concat(F.lit("HTTPS://www.lr"),
+                       (((F.col("doc_id") + 1) % n_docs) % 6).cast("string"),
+                       F.lit(".org/d"), nxt, F.lit("/"))
+    html = F.concat(
+        F.lit('<a href="'), target1, F.lit('">n</a>'),
+        F.lit('<a href="'), target2, F.lit('">d</a>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<a href="'), target3, F.lit('">v</a>')))
+        .otherwise(F.lit("")),
+    )
+    pages = docs.select(self_url.alias("url"),
+                        F.encode(html, "UTF-8").alias("html"))
+    crawled = docs.select(self_url.alias("url"))
+    return webgraph.link_rot_stats(pages, crawled)
+
+
+def _link_rot_oracle(n_docs: int = 5000) -> str:
+    canon_t = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "lower(target), '^https?://', ''), '[?#].*$', ''), "
+        "'^www\\.', ''), '/$', '')"
+    )
+    canon_u = canon_t.replace("lower(target)", "lower(url)")
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "'http://lr' || CAST(doc_id % 6 AS VARCHAR) || '.org/d' || "
+        "CAST(doc_id AS VARCHAR) AS url, "
+        f"'http://lr' || CAST(((doc_id + 1) % {n_docs}) % 6 AS VARCHAR) "
+        f"|| '.org/d' || CAST((doc_id + 1) % {n_docs} AS VARCHAR) AS t1, "
+        "'http://dead.invalid/x' || CAST(doc_id AS VARCHAR) AS t2, "
+        f"'HTTPS://www.lr' || CAST(((doc_id + 1) % {n_docs}) % 6 AS VARCHAR) "
+        f"|| '.org/d' || CAST((doc_id + 1) % {n_docs} AS VARCHAR) || '/' "
+        "AS t3 FROM documents), "
+        "pages AS (SELECT url, '<a href=\"' || t1 || '\">n</a>' || "
+        "'<a href=\"' || t2 || '\">d</a>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"' || t3 || '\">v</a>' "
+        "ELSE '' END AS html FROM d), "
+        "links AS (SELECT "
+        "regexp_extract(" + canon_u + ", '^([^/]+)', 1) AS src_host, "
+        "unnest(regexp_extract_all(html, "
+        "'(?i)href=\"(https?://[^\"]*)\"', 1)) AS target FROM pages), "
+        f"cl AS (SELECT src_host, {canon_t} AS curl FROM links "
+        "WHERE target <> ''), "
+        "known AS (SELECT DISTINCT " + canon_u + " AS curl FROM d), "
+        "p AS (SELECT cl.src_host, cl.curl, "
+        "known.curl IS NOT NULL AS hit FROM cl "
+        "LEFT JOIN known ON cl.curl = known.curl) "
+        "SELECT src_host, CAST(count(*) AS BIGINT) AS n_outlinks, "
+        "CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_resolved, "
+        "CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dangling, "
+        "CAST((10000 * sum(CASE WHEN NOT hit THEN 1 ELSE 0 END)) // "
+        "greatest(count(*), 1) AS BIGINT) AS rot_bp FROM p GROUP BY 1"
+    )
+
+
+ORACLE_LINK_ROT = _link_rot_oracle()
+
+
 def q_anchor_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-spam density (X123): every 4th page links with a money
     anchor ('cheap casino chips'), the rest with editorial anchors,
@@ -7570,6 +7645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "structured_data": q_structured_data,
     "invisible_chars": q_invisible_chars,
     "filter_agreement": q_filter_agreement,
+    "link_rot": q_link_rot,
 }
 
 ORACLES: dict[str, str] = {
@@ -7736,4 +7812,5 @@ ORACLES: dict[str, str] = {
     "structured_data": ORACLE_STRUCTURED_DATA,
     "invisible_chars": ORACLE_INVISIBLE_CHARS,
     "filter_agreement": ORACLE_FILTER_AGREEMENT,
+    "link_rot": ORACLE_LINK_ROT,
 }

@@ -3300,3 +3300,33 @@ def test_filter_agreement_confusion_counts(spark):
     assert r["n_only_a"] == 1 and r["n_only_b"] == 1
     assert r["keep_a_bp"] == 5000 and r["keep_b_bp"] == 5000
     assert r["agreement_bp"] == 5000
+
+
+# ------------------------------------------------------------------ #
+# link-rot / frontier-debt audit (X128)
+# ------------------------------------------------------------------ #
+
+def test_link_rot_stats_resolution_shares(spark):
+    from docling_serve_spark.operators.webgraph import link_rot_stats
+
+    def page(url, hrefs):
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, bytearray(html.encode()))
+
+    pages = spark.createDataFrame(
+        [page("http://a.com/1",
+              ["https://b.com/x", "http://gone.com/y",
+               "HTTPS://www.b.com/x/"]),     # variant resolves too
+         page("http://c.com/1", ["https://b.com/x"])],
+        "url string, html binary",
+    )
+    crawled = spark.createDataFrame(
+        [("https://b.com/x",), ("http://a.com/1",), ("http://c.com/1",)],
+        "url string",
+    )
+    got = {r["src_host"]: r for r in
+           link_rot_stats(pages, crawled).collect()}
+    a = got["a.com"]
+    assert a["n_outlinks"] == 3 and a["n_resolved"] == 2
+    assert a["n_dangling"] == 1 and a["rot_bp"] == 3333
+    assert got["c.com"]["rot_bp"] == 0
