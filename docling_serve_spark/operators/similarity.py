@@ -926,3 +926,91 @@ def label_dispersion(embs: DataFrame, label_col: str = "label",
         F.min("l1").cast("bigint").alias("min_l1_milli"),
         F.max("l1").cast("bigint").alias("max_l1_milli"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id, cent_sim, keep) — SemDeDup (Abbas et al.,
+    arXiv:2303.09540, 2023): k-means-cluster the embedding space,
+    call within-cluster pairs with cosine >= threshold semantic
+    duplicates, and from each duplicate pair KEEP the member farther
+    from its centroid (the paper's low-centroid-similarity rule:
+    retained exemplars preserve cluster-edge diversity instead of
+    piling onto the mode). Complements X5's pairwise near-dup (which
+    catches re-encodings of the SAME text) — SemDeDup prunes
+    semantically redundant DIFFERENT texts, the web-scale redundancy
+    layer n-gram methods cannot see.
+
+    Determinism: centroids are the seeded md5 hash-sample refined by
+    one Lloyd round (ivf_centroids/kmeans_refine, 6-decimal fixed
+    point); assignment is first-index argmax; pair and centroid
+    cosines are rounded to the shared 6-decimal grid before ANY
+    comparison; the pair tie (equal centroid similarity) drops the
+    larger vec_id.
+
+    Scale shape (the paper's own): assignment is a narrow map over
+    centroid literals — no vector shuffles to be assigned; the only
+    quadratic work is INSIDE a cluster, and k grows with the corpus
+    (k ~ n/target_cluster_size, paper used 50k clusters at 1B scale)
+    so per-cluster pair counts stay bounded; one list_id shuffle for
+    the self-join, one distinct over drop ids, one final left join.
+    The assigned projection is localCheckpointed once: it feeds both
+    sides of the pair join plus the output, and recomputing the
+    argmax three times is pure waste (the containment_pairs lesson)."""
+    cents = kmeans_refine(
+        embeddings, ivf_centroids(embeddings, k, vec_col), n_iters, vec_col
+    )
+    import math
+
+    cmat = F.array(*[
+        F.array(*[F.lit(v) for v in vals]) for _cid, vals in cents
+    ])
+    cnorms = F.array(*[
+        F.lit(math.sqrt(sum(v * v for v in vals)) or 1.0)
+        for _cid, vals in cents
+    ])
+    vec = F.col(vec_col)
+    sims = F.zip_with(
+        cmat, cnorms, lambda c, n: _dot(vec, c) / (_norm(vec) * n)
+    )
+    assigned = (
+        embeddings.select(
+            "vec_id",
+            vec,
+            (F.array_position(sims, F.array_max(sims)) - 1)
+            .cast("int").alias("list_id"),
+            F.round(F.array_max(sims), 6).alias("cent_sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.list_id") == F.col("b.list_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).where(
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+        >= F.lit(threshold)
+    )
+    drops = pairs.select(
+        F.when(F.col("a.cent_sim") > F.col("b.cent_sim"), F.col("a.vec_id"))
+        .when(F.col("b.cent_sim") > F.col("a.cent_sim"), F.col("b.vec_id"))
+        .otherwise(F.greatest(F.col("a.vec_id"), F.col("b.vec_id")))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assigned.join(drops.withColumn("dropped", F.lit(True)),
+                      "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.col("list_id"),
+            F.col("cent_sim"),
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -6824,6 +6824,58 @@ ORACLE_ANN_IVF_REFINED = (
 )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 — SemDeDup (Abbas et al. 2023): k-means clusters over the
+    embeddings table, within-cluster pairs with cosine >= 0.4 marked
+    semantic duplicates, keep-the-farthest-from-centroid survivor
+    rule. The semantic redundancy layer n-gram dedup cannot see."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=8, threshold=0.4, n_iters=1
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = (
+    # same seeded-sample + one-Lloyd-round centroid chain as
+    # ORACLE_ANN_IVF_REFINED (6-decimal fixed point), then the
+    # SemDeDup pair rule inside each list
+    "WITH cents0 AS (SELECT row_number() OVER "
+    "(ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec "
+    "FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8), "
+    "sims0 AS (SELECT e.vec_id, e.embedding, c.idx, "
+    + _COS_SQL.format(a="e.embedding", b="c.cvec")
+    + " AS s FROM embeddings e CROSS JOIN cents0 c), "
+    "assign0 AS (SELECT vec_id, embedding, idx, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx) AS rn FROM sims0), "
+    "a0 AS (SELECT vec_id, embedding, idx AS list_id FROM assign0 WHERE rn = 1), "
+    "newc AS (SELECT list_id AS idx, "
+    "list(round(cval, 6) ORDER BY i) AS cvec FROM ("
+    "SELECT a.list_id, t.i, avg(CAST(a.embedding[t.i] AS DOUBLE)) AS cval "
+    "FROM a0 a, (SELECT unnest(generate_series(1, 64)) AS i) t "
+    "GROUP BY a.list_id, t.i) GROUP BY list_id), "
+    "cents1 AS (SELECT c.idx, COALESCE(n.cvec, c.cvec) AS cvec "
+    "FROM cents0 c LEFT JOIN newc n ON c.idx = n.idx), "
+    "sims1 AS (SELECT e.vec_id, e.embedding, c.idx, "
+    + _COS_SQL.format(a="e.embedding", b="c.cvec")
+    + " AS s FROM embeddings e CROSS JOIN cents1 c), "
+    "assign1 AS (SELECT vec_id, embedding, idx, s, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, idx) AS rn FROM sims1), "
+    "a AS (SELECT vec_id, embedding, idx AS list_id, round(s, 6) AS cent_sim "
+    "FROM assign1 WHERE rn = 1), "
+    "pa AS (SELECT x.vec_id AS va, y.vec_id AS vb, "
+    "x.cent_sim AS ca, y.cent_sim AS cb "
+    "FROM a x JOIN a y ON x.list_id = y.list_id AND x.vec_id < y.vec_id "
+    "WHERE round(" + _COS_SQL.format(a="x.embedding", b="y.embedding")
+    + ", 6) >= 0.4), "
+    "drops AS (SELECT DISTINCT CASE WHEN ca > cb THEN va "
+    "WHEN cb > ca THEN vb ELSE greatest(va, vb) END AS vec_id FROM pa) "
+    "SELECT CAST(a.vec_id AS BIGINT) AS vec_id, "
+    "CAST(a.list_id AS INT) AS list_id, a.cent_sim AS cent_sim, "
+    "d.vec_id IS NULL AS keep "
+    "FROM a LEFT JOIN drops d ON a.vec_id = d.vec_id ORDER BY a.vec_id"
+)
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance search (X83, Jégou/Douze/Schmid TPAMI
     2011): 64-dim floats quantized to 8 sub-space codes from seeded
@@ -7646,6 +7698,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "invisible_chars": q_invisible_chars,
     "filter_agreement": q_filter_agreement,
     "link_rot": q_link_rot,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -7813,4 +7866,5 @@ ORACLES: dict[str, str] = {
     "invisible_chars": ORACLE_INVISIBLE_CHARS,
     "filter_agreement": ORACLE_FILTER_AGREEMENT,
     "link_rot": ORACLE_LINK_ROT,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
 }

@@ -486,3 +486,32 @@ def test_cascade_exact_wins_and_gates_stage_two(spark):
     got = {r["doc_id"]: r["stage"]
            for r in dedup.dedup_cascade(docs).collect()}
     assert got == {1: "kept", 2: "exact"}
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    # k=1: one Lloyd round lands the centroid on the mean regardless
+    # of which seed the hash-sample picked, so the survivor rule is
+    # tested in isolation. v1/v2 are a semantic pair (cos ~0.987);
+    # v1 sits closer to the centroid, so SemDeDup drops v1 and keeps
+    # the cluster-edge exemplar v2. v3 pairs with nobody.
+    from docling_serve_spark.operators.similarity import semantic_dedup
+
+    embs = spark.createDataFrame(
+        [(1, [0.9, 0.44]), (2, [1.0, 0.3]), (3, [-0.5, 0.8])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(embs, k=1, threshold=0.95).collect()}
+    assert got == {1: False, 2: True, 3: True}
+
+
+def test_semantic_dedup_tie_drops_larger_vec_id(spark):
+    from docling_serve_spark.operators.similarity import semantic_dedup
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["keep"]
+           for r in semantic_dedup(embs, k=1, threshold=0.99).collect()}
+    assert got == {1: True, 2: False, 3: True}

@@ -583,3 +583,16 @@ def test_url_date_profile_single_rollup(spark):
     tree = _tree(_plan(spark, QUERIES["url_date_profile"](spark, SF_DIR)))
     assert tree.count("HashAggregate") == 2
     assert "Join" not in tree and "Window" not in tree
+
+
+def test_semantic_dedup_pair_join_is_equi_on_list_id(spark):
+    """X129: the only quadratic work is INSIDE a cluster — the pair
+    join must be an equi-join on list_id (cluster count grows with
+    the corpus, so per-cluster pair counts stay bounded), never a
+    cartesian over the whole table; assignment itself rides the scan
+    as a narrow map over centroid literals."""
+    tree = _tree(_plan(spark, QUERIES["semantic_dedup"](spark, SF_DIR)))
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) \
+        or ("BroadcastHashJoin" in tree)
