@@ -958,3 +958,61 @@ def stopword_discovery(docs: DataFrame, text_col: str = "text",
         F.row_number().over(w).cast("bigint").alias("rank"),
         "token", "df", "df_bp",
     )
+
+
+def bpe_pair_stats(docs: DataFrame, k: int = 100, min_count: int = 2,
+                   text_col: str = "text") -> DataFrame:
+    """(rank, pair, n_pairs, n_types) — the first BPE merge iteration
+    (Sennrich/Haddow/Birch ACL 2016 §3.2): adjacent-character pair
+    counts over the corpus, weighted by word frequency; the top pair
+    IS the first merge a BPE trainer would take, and re-running the
+    pass between merge rounds is the inner loop of tokenizer training.
+    Complements X69 (the word-count table BPE starts from) and X103
+    (fertility of a FINISHED tokenizer) with the training-side signal:
+    which symbol pairs the corpus itself wants fused.
+
+    Scale shape — the trick Sennrich's reference implementation uses,
+    distributed: pair extraction runs over DISTINCT WORD TYPES (the
+    vocabulary-sized word-count table, not the token stream), each
+    type exploded once and weighted by its corpus count, so a 10^11-
+    token corpus costs one wordcount shuffle plus a vocabulary-sized
+    pair pass. Characters come from substring over a sequence —
+    codegen higher-order functions, no Python tokenizer. One
+    groupBy(pair) partial agg, TakeOrderedAndProject top-k, rank
+    window over k rows only. n_pairs is bigint-exact (pair count ≤
+    token count ≪ 2^63); ties break on the pair string so the merge
+    choice is bit-identical across engines and partitionings."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    wc = (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+        # Spark's sequence(1, 0) DESCENDS instead of yielding empty,
+        # so 1-char words must be cut before the transform
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wc.select(
+        "word", "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n").cast("bigint").alias("n_pairs"),
+        F.countDistinct("word").cast("bigint").alias("n_types"),
+    )
+    top = agg.orderBy(F.col("n_pairs").desc(), F.col("pair").asc()).limit(k)
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "pair", "n_pairs", "n_types",
+    )

@@ -4313,6 +4313,35 @@ ORACLE_VOCAB_TOPK = (
 )
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 — first BPE merge iteration: adjacent-character pair
+    counts weighted by word frequency over the documents corpus,
+    top-100 merge candidates (Sennrich ACL 2016 §3.2)."""
+    from docling_serve_spark.operators.textstats import bpe_pair_stats
+
+    return bpe_pair_stats(_t(spark, sf_dir, "documents"), k=100,
+                          min_count=2)
+
+
+ORACLE_BPE_PAIRS = (
+    "WITH w AS (SELECT "
+    "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+    "FROM documents), "
+    "wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w "
+    "WHERE word <> '' GROUP BY 1 "
+    "HAVING count(*) >= 2 AND length(word) >= 2), "
+    "p AS (SELECT word, n, "
+    "unnest(list_transform(generate_series(1, length(word) - 1), "
+    "i -> substring(word, i, 2))) AS pair FROM wc), "
+    "agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_pairs, "
+    "CAST(count(DISTINCT word) AS BIGINT) AS n_types "
+    "FROM p GROUP BY 1), "
+    "top AS (SELECT * FROM agg ORDER BY n_pairs DESC, pair ASC LIMIT 100) "
+    "SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, pair ASC) "
+    "AS BIGINT) AS rank, pair, n_pairs, n_types FROM top"
+)
+
+
 def q_robots_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay extraction (X70): integer, decimal (sub-second),
     multi-group (max wins), hostile-huge (capped), and absent
@@ -7699,6 +7728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_agreement": q_filter_agreement,
     "link_rot": q_link_rot,
     "semantic_dedup": q_semantic_dedup,
+    "bpe_pairs": q_bpe_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -7867,4 +7897,5 @@ ORACLES: dict[str, str] = {
     "filter_agreement": ORACLE_FILTER_AGREEMENT,
     "link_rot": ORACLE_LINK_ROT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "bpe_pairs": ORACLE_BPE_PAIRS,
 }

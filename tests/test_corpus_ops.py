@@ -3330,3 +3330,35 @@ def test_link_rot_stats_resolution_shares(spark):
     assert a["n_outlinks"] == 3 and a["n_resolved"] == 2
     assert a["n_dangling"] == 1 and a["rot_bp"] == 3333
     assert got["c.com"]["rot_bp"] == 0
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    # "aaa" contains the pair "aa" TWICE per occurrence (Sennrich
+    # counts every adjacent position); 3 occurrences -> 6. "ab"
+    # occurs twice -> 2. Hapax "zq" dies at min_count; 1-char "a"
+    # contributes nothing.
+    from docling_serve_spark.operators.textstats import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab a zq"), (2, "aaa ab"), (3, "aaa a")],
+        "doc_id bigint, text string",
+    )
+    got = {r["pair"]: (r["n_pairs"], r["n_types"])
+           for r in bpe_pair_stats(docs, k=10, min_count=2).collect()}
+    assert got == {"aa": (6, 1), "ab": (2, 1)}
+
+
+def test_bpe_top_pair_is_first_merge(spark):
+    from docling_serve_spark.operators.textstats import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "lower lower lowest newer newer newer")],
+        "doc_id bigint, text string",
+    )
+    rows = bpe_pair_stats(docs, k=3, min_count=1).collect()
+    # "er" rides lower(2) + lowest? no — lowest has no "er"; newer
+    # has TWO "er"? "newer": ne-ew-we-er -> one "er". er total =
+    # 2 (lower) + 3 (newer) = 5; "ne"/"ew" = 3 each, "lo"/"ow" =
+    # 2+1 = 3 each, "we" = 2+1+3 = 6 -> top pair is "we"
+    assert rows[0]["pair"] == "we" and rows[0]["n_pairs"] == 6
+    assert rows[0]["rank"] == 1

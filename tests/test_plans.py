@@ -596,3 +596,12 @@ def test_semantic_dedup_pair_join_is_equi_on_list_id(spark):
     assert "CartesianProduct" not in tree
     assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) \
         or ("BroadcastHashJoin" in tree)
+
+
+def test_bpe_pairs_takeordered_and_two_aggs(spark):
+    """X130: wordcount shuffle + vocabulary-sized pair agg, top-k via
+    TakeOrderedAndProject — never a global sort of the pair table."""
+    tree = _tree(_plan(spark, QUERIES["bpe_pairs"](spark, SF_DIR)))
+    assert "TakeOrderedAndProject" in tree
+    assert "Join" not in tree
+    assert "CartesianProduct" not in tree
