@@ -508,3 +508,52 @@ def filter_agreement(verdicts_a: DataFrame, verdicts_b: DataFrame,
             .alias("agreement_bp"),
         )
     )
+
+
+def host_quality_prior(verdicts: DataFrame, pseudo_count: int = 20,
+                       host_col: str = "host",
+                       keep_col: str = "keep") -> DataFrame:
+    """(host, n_docs, n_keep, raw_bp, global_bp, prior_bp) —
+    empirical-Bayes host reputation: the per-host keep rate of a
+    quality gate shrunk toward the corpus rate with ``pseudo_count``
+    pseudo-observations (the beta-binomial posterior mean — the
+    smoothing every production crawl planner applies before trusting
+    a 3-document host; UGI/host-prior features in web-quality systems
+    per Bergsma/Van Durme-style host aggregation). A 2-doc host with
+    2 drops lands near the corpus rate, a 10k-doc host owns its own
+    rate — exactly the signal X43's frontier gates and X23's host
+    quotas should consume instead of raw small-sample rates.
+
+        prior_bp = (10^4·n_keep + m·global_bp) div (n_docs + m)
+
+    Integer-exact in bigints end-to-end: the corpus rate is first
+    collapsed to basis points, so the numerator stays ≤ 10^4·n_keep +
+    m·10^4 — headroom to n_keep ~ 9·10^14 per host, far past any real
+    host at the 10^12-doc regime (collocations' int64 lesson applied:
+    never multiply two corpus-scale counts).
+
+    Scale shape: ONE partial-agg groupBy(host); the grand total is a
+    second agg STACKED ON the same exchange (Spark's ReuseExchange
+    dedupes the identical shuffle subtree, so the input is scanned
+    once), collapsed to a one-row broadcast joined back host-side —
+    never a global window over the host table."""
+    m = int(pseudo_count)
+    per_host = verdicts.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col(keep_col), 1).otherwise(0))
+        .cast("bigint").alias("n_keep"),
+    )
+    totals = per_host.agg(
+        F.sum("n_docs").alias("g_docs"), F.sum("n_keep").alias("g_keep")
+    ).select(
+        F.expr("(10000 * g_keep) div greatest(g_docs, 1)")
+        .cast("bigint").alias("global_bp")
+    )
+    return per_host.crossJoin(F.broadcast(totals)).select(
+        "host", "n_docs", "n_keep",
+        F.expr("(10000 * n_keep) div greatest(n_docs, 1)")
+        .cast("bigint").alias("raw_bp"),
+        "global_bp",
+        F.expr(f"(10000 * n_keep + {m} * global_bp) div (n_docs + {m})")
+        .cast("bigint").alias("prior_bp"),
+    )

@@ -5603,6 +5603,49 @@ ORACLE_FILTER_AGREEMENT = (
 )
 
 
+def q_host_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 — empirical-Bayes host reputation over the REAL Gopher
+    gate verdicts (not a synthetic keep column): hosts synthesized
+    with the host_quota mega-host shape so shrinkage sees both a
+    10k-doc host that owns its rate and 50 small hosts that get
+    pulled toward the corpus rate."""
+    from docling_serve_spark.operators.corpus import host_quality_prior
+
+    g = q_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    v = g.select(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("mega.example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("host"),
+        "keep",
+    )
+    return host_quality_prior(v, pseudo_count=20).orderBy("host")
+
+
+ORACLE_HOST_QUALITY_PRIOR = (
+    "WITH g AS (SELECT doc_id, keep FROM ("
+    + ORACLE_GOPHER_QUALITY + ") gq), "
+    "v AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'mega.example.com' "
+    "ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' END "
+    "AS host, keep FROM g), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep "
+    "FROM v GROUP BY 1), "
+    "t AS (SELECT CAST((10000 * sum(n_keep)) // greatest(sum(n_docs), 1) "
+    "AS BIGINT) AS global_bp FROM per) "
+    "SELECT host, n_docs, n_keep, "
+    "CAST((10000 * n_keep) // greatest(n_docs, 1) AS BIGINT) AS raw_bp, "
+    "global_bp, "
+    "CAST((10000 * n_keep + 20 * global_bp) // (n_docs + 20) AS BIGINT) "
+    "AS prior_bp FROM per, t ORDER BY host"
+)
+
+
 def q_invisible_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invisible-codepoint audit (X126): every 8th doc gets zero-width
     spaces interleaved through its first word (the cloaking shape);
@@ -7729,6 +7772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_rot": q_link_rot,
     "semantic_dedup": q_semantic_dedup,
     "bpe_pairs": q_bpe_pairs,
+    "host_quality_prior": q_host_quality_prior,
 }
 
 ORACLES: dict[str, str] = {
@@ -7898,4 +7942,5 @@ ORACLES: dict[str, str] = {
     "link_rot": ORACLE_LINK_ROT,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "bpe_pairs": ORACLE_BPE_PAIRS,
+    "host_quality_prior": ORACLE_HOST_QUALITY_PRIOR,
 }

@@ -3362,3 +3362,37 @@ def test_bpe_top_pair_is_first_merge(spark):
     # 2+1 = 3 each, "we" = 2+1+3 = 6 -> top pair is "we"
     assert rows[0]["pair"] == "we" and rows[0]["n_pairs"] == 6
     assert rows[0]["rank"] == 1
+
+
+def test_host_prior_shrinks_small_hosts_not_large(spark):
+    # big host: 9000/10000 keeps; tiny host: 0/2 keeps. Global rate
+    # ~0.9 -> the tiny host's prior lands near the corpus rate while
+    # the big host keeps its own.
+    from docling_serve_spark.operators.corpus import host_quality_prior
+
+    v = spark.createDataFrame(
+        [("big.com", i < 9000) for i in range(10000)]
+        + [("tiny.com", False), ("tiny.com", False)],
+        "host string, keep boolean",
+    )
+    got = {r["host"]: r for r in host_quality_prior(v, pseudo_count=20).collect()}
+    big, tiny = got["big.com"], got["tiny.com"]
+    assert big["raw_bp"] == 9000
+    # global = 9000/10002 keeps -> 8998 bp
+    assert big["global_bp"] == 8998
+    # big barely moves: (10^4*9000 + 20*8998) div 10020 = 8999
+    assert big["prior_bp"] == 8999
+    assert tiny["raw_bp"] == 0
+    # tiny pulled to (0 + 20*8998) div 22 = 8180
+    assert tiny["prior_bp"] == 8180
+
+
+def test_host_prior_converges_to_raw_with_zero_pseudo(spark):
+    from docling_serve_spark.operators.corpus import host_quality_prior
+
+    v = spark.createDataFrame(
+        [("a.com", True), ("a.com", False), ("b.com", True)],
+        "host string, keep boolean",
+    )
+    rows = host_quality_prior(v, pseudo_count=0).collect()
+    assert all(r["prior_bp"] == r["raw_bp"] for r in rows)

@@ -605,3 +605,17 @@ def test_bpe_pairs_takeordered_and_two_aggs(spark):
     assert "TakeOrderedAndProject" in tree
     assert "Join" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_host_prior_reuses_exchange_single_input_pass(spark):
+    """X131: the grand-total branch must ride the SAME host shuffle
+    as the per-host branch (AQE ReusedExchange) — the verdicts input
+    is read once, and the total reaches hosts as a one-row broadcast,
+    never a global window over the host table."""
+    df = QUERIES["host_quality_prior"](spark, SF_DIR)
+    df.collect()  # AQE finalizes reuse only at execution
+    plan = _plan(spark, df)
+    final = plan.split("Final Plan")[1] if "Final Plan" in plan else plan
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final \
+        or "ShuffleQueryStage 0" in final
+    assert "Window" not in final
