@@ -7482,6 +7482,7 @@ def _expected_pipeline_rows() -> list[tuple]:
                 hashlib.md5(r.extracted_text.encode("utf-8")).hexdigest(),
                 len(data),
                 r.ocr_invoked,
+                len(r.extracted_text),
             )
         )
     return rows
@@ -7490,7 +7491,7 @@ def _expected_pipeline_rows() -> list[tuple]:
 def _oracle_pipeline_extract() -> str:
     vals = ", ".join(
         f"('{url}', '{status}', '{dt}', '{lang}', {ni}, {np_}, '{md5}')"
-        for url, status, dt, lang, ni, np_, md5, _, _ in _expected_pipeline_rows()
+        for url, status, dt, lang, ni, np_, md5, _, _, _ in _expected_pipeline_rows()
     )
     return (
         "SELECT url, status, doc_type, lang, "
@@ -7502,7 +7503,7 @@ def _oracle_pipeline_extract() -> str:
 
 def _oracle_pipeline_metrics() -> str:
     agg: dict[str, list[int]] = {}
-    for _, status, _, _, _, _, _, n_bytes, ocr in _expected_pipeline_rows():
+    for _, status, _, _, _, _, _, n_bytes, ocr, _ in _expected_pipeline_rows():
         a = agg.setdefault(status, [0, 0, 0])
         a[0] += 1
         a[1] += n_bytes
@@ -7516,6 +7517,69 @@ def _oracle_pipeline_metrics() -> str:
         "CAST(ocr_invocations AS BIGINT) AS ocr_invocations "
         "FROM (VALUES " + vals
         + ") AS t(status, num_docs, bytes_processed, ocr_invocations)"
+    )
+
+
+def q_extraction_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 — per-host extraction yield: text chars out per page byte
+    in, plus failure counts, over the REAL extraction pipeline (all
+    12 router branches). The boilerplate-strip efficiency audit a
+    continuous crawl watches per host: a host whose yield collapses
+    between snapshots changed its template (or turned into an ad
+    shell) — re-tune the extractor or down-weight the host; a host
+    with a high failure share is feeding the parser junk. One
+    mapInPandas extraction pass + ONE host partial agg; bp ratios in
+    bigints."""
+    pages = build_pages_df(spark, _PIPELINE_N, partitions=8)
+    res = run_extraction(pages)
+    return (
+        res.select(
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+            "status",
+            F.length("extracted_text").cast("bigint").alias("tc"),
+            F.col("n_bytes").cast("bigint").alias("nb"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("status") != "success", 1).otherwise(0))
+            .cast("bigint").alias("n_failures"),
+            F.sum("nb").cast("bigint").alias("n_bytes"),
+            F.sum("tc").cast("bigint").alias("n_text_chars"),
+        )
+        .select(
+            "host", "n_docs", "n_failures", "n_bytes", "n_text_chars",
+            F.expr("(10000 * n_text_chars) div greatest(n_bytes, 1)")
+            .cast("bigint").alias("yield_bp"),
+        )
+        .orderBy("host")
+    )
+
+
+def _oracle_extraction_yield() -> str:
+    agg: dict[str, list[int]] = {}
+    for url, status, *_rest in _expected_pipeline_rows():
+        n_bytes, _ocr, n_text = _rest[-3], _rest[-2], _rest[-1]
+        host = url.split("/")[2]
+        a = agg.setdefault(host, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(status != "success")
+        a[2] += n_bytes
+        a[3] += n_text
+    vals = ", ".join(
+        f"('{h}', {a[0]}, {a[1]}, {a[2]}, {a[3]}, "
+        f"{(10000 * a[3]) // max(a[2], 1)})"
+        for h, a in sorted(agg.items())
+    )
+    return (
+        "SELECT host, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_failures AS BIGINT) AS n_failures, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(n_text_chars AS BIGINT) AS n_text_chars, "
+        "CAST(yield_bp AS BIGINT) AS yield_bp "
+        "FROM (VALUES " + vals
+        + ") AS t(host, n_docs, n_failures, n_bytes, n_text_chars, "
+        "yield_bp) ORDER BY host"
     )
 
 
@@ -7773,6 +7837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "bpe_pairs": q_bpe_pairs,
     "host_quality_prior": q_host_quality_prior,
+    "extraction_yield": q_extraction_yield,
 }
 
 ORACLES: dict[str, str] = {
@@ -7943,4 +8008,5 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "bpe_pairs": ORACLE_BPE_PAIRS,
     "host_quality_prior": ORACLE_HOST_QUALITY_PRIOR,
+    "extraction_yield": _oracle_extraction_yield(),
 }
