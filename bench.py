@@ -37,7 +37,9 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
 _SF_PAGES = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 50000}
 
 # headline operator queries (jaccard_neardup excluded: the token
-# self-join is the O(n^2) teaching example; minhash is the scale path)
+# self-join is the O(n^2) teaching example; minhash is the scale path;
+# extraction_yield excluded: it re-runs the same 2000-page pipeline
+# the headline extract row already times)
 BENCH_QUERIES = [
     "quality_scoring",
     "ocr_mode_dispatch",
@@ -186,6 +188,9 @@ BENCH_QUERIES = [
     "invisible_chars",
     "filter_agreement",
     "link_rot",
+    "bpe_pairs",
+    "host_quality_prior",
+    "semantic_dedup",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

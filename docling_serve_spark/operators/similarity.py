@@ -981,7 +981,11 @@ def semantic_dedup(
     assigned = (
         embeddings.select(
             "vec_id",
-            vec,
+            # normalize once per row (linear stage) so the quadratic
+            # pair stage is a bare dot product — the
+            # embedding_neardup discipline; round(,6) absorbs the
+            # ~1e-15 gap vs the oracle's dot/(|a||b|) form
+            _normalized(vec).alias("vn"),
             (F.array_position(sims, F.array_max(sims)) - 1)
             .cast("int").alias("list_id"),
             F.round(F.array_max(sims), 6).alias("cent_sim"),
@@ -994,7 +998,7 @@ def semantic_dedup(
         (F.col(f"a.list_id") == F.col("b.list_id"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).where(
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+        F.round(_dot(F.col("a.vn"), F.col("b.vn")), 6)
         >= F.lit(threshold)
     )
     drops = pairs.select(
