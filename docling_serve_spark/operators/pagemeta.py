@@ -465,3 +465,66 @@ def structured_data_stats(pages: DataFrame, url_col: str = "url",
         F.coalesce(F.col("top_type_n"), F.lit(0)).cast("bigint")
         .alias("top_type_n"),
     )
+
+
+def render_required_stats(pages: DataFrame, url_col: str = "url",
+                          html_col: str = "html",
+                          min_text_chars: int = 200,
+                          script_share_bp: int = 7000) -> DataFrame:
+    """(host, n_pages, n_render_required, render_bp, script_share_bp)
+    — headless-browser budget planning: the share of a host's pages
+    whose content is NOT in the fetched bytes because it renders
+    client-side. A page is flagged when its server-side visible text
+    is tiny (< ``min_text_chars`` after script/tag stripping) AND it
+    either carries an empty SPA mount point (<div id="root"/app">,
+    the React/Vue shell shape) or is script-dominated (script bytes ≥
+    ``script_share_bp`` of the page). Crawl planners split the fetch
+    fleet on exactly this signal: plain-HTTP fetchers for static
+    hosts, the ~100× dearer rendering fetchers only where this audit
+    says the text lives in JS (Google's own crawler documents the
+    two-tier render queue).
+
+    Detection is two regexp strips + one contains over the raw bytes
+    — a coverage audit must not pay a JS engine per page; unclosed
+    <script> blocks deliberately fall through to the text side
+    (identical in both engines). Narrow map + ONE host partial agg;
+    rates in bigint basis points."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.col(html_col).cast("string")
+    stripped = F.regexp_replace(h, r"(?is)<script.*?</script>", "")
+    text = F.regexp_replace(stripped, r"(?s)<[^>]*>", "")
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        F.length(h).cast("bigint").alias("total_chars"),
+        (F.length(h) - F.length(stripped)).cast("bigint")
+        .alias("script_chars"),
+        F.length(F.trim(text)).cast("bigint").alias("text_chars"),
+        h.rlike(r'(?i)<div[^>]*id="(root|app)"[^>]*>\s*</div>')
+        .alias("spa_shell"),
+    )
+    required = (
+        F.col("spa_shell")
+        | (F.expr("(10000 * script_chars) div greatest(total_chars, 1)")
+           >= F.lit(int(script_share_bp)))
+    ) & (F.col("text_chars") < F.lit(int(min_text_chars)))
+    return (
+        base.select("host", "total_chars", "script_chars",
+                    required.alias("required"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum(F.when(F.col("required"), 1).otherwise(0))
+            .cast("bigint").alias("n_render_required"),
+            F.sum("total_chars").alias("t"),
+            F.sum("script_chars").alias("s"),
+        )
+        .select(
+            "host", "n_pages", "n_render_required",
+            F.expr("(10000 * n_render_required) div greatest(n_pages, 1)")
+            .cast("bigint").alias("render_bp"),
+            F.expr("(10000 * s) div greatest(t, 1)")
+            .cast("bigint").alias("script_share_bp"),
+        )
+        .orderBy("host")
+    )

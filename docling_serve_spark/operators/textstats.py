@@ -1016,3 +1016,51 @@ def bpe_pair_stats(docs: DataFrame, k: int = 100, min_count: int = 2,
         F.row_number().over(w).cast("bigint").alias("rank"),
         "pair", "n_pairs", "n_types",
     )
+
+
+def vocab_coverage(docs: DataFrame, lang_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """(lang, n_tokens, n_types, n_hapax, gt_unseen_bp, ttr_bp) —
+    Good-Turing coverage estimate per language: the probability mass
+    of UNSEEN vocabulary is estimated by the hapax share N1/N (Good,
+    Biometrika 1953 — the missing-mass estimator), i.e. how much new
+    vocabulary the next crawl increment would surface. The
+    keep-crawling signal mixture planning needs per language: a lang
+    whose unseen mass is still high is under-collected (more crawl
+    buys genuinely new content), one near zero has saturated and
+    further collection only adds duplicates-in-distribution. TTR
+    (type/token ratio) rides along as the classical lexical-diversity
+    check.
+
+    Scale shape: ONE (lang, word) partial-agg groupBy (map-side
+    combined — the shuffle is vocabulary-sized, not token-sized),
+    then ONE per-lang rollup of (tokens, types, hapax). Both rates
+    are integer basis points (bigint div): hapax and type counts are
+    ≤ token counts, so 10^4·count stays far under 2^63 at the
+    10^11-token regime."""
+    words = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("lang", "word").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        wc.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "lang", "n_tokens", "n_types", "n_hapax",
+            F.expr("(10000 * n_hapax) div greatest(n_tokens, 1)")
+            .cast("bigint").alias("gt_unseen_bp"),
+            F.expr("(10000 * n_types) div greatest(n_tokens, 1)")
+            .cast("bigint").alias("ttr_bp"),
+        )
+        .orderBy("lang")
+    )

@@ -4342,6 +4342,33 @@ ORACLE_BPE_PAIRS = (
 )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 — Good-Turing unseen-mass estimate per language over the
+    documents corpus: hapax share approximates the vocabulary mass
+    the next crawl increment would surface (Good 1953)."""
+    from docling_serve_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_COVERAGE = (
+    "WITH w AS (SELECT lang, "
+    "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word "
+    "FROM documents), "
+    "wc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM w "
+    "WHERE word <> '' GROUP BY 1, 2), "
+    "per AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_types, "
+    "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+    "FROM wc GROUP BY 1) "
+    "SELECT lang, n_tokens, n_types, n_hapax, "
+    "CAST((10000 * n_hapax) // greatest(n_tokens, 1) AS BIGINT) "
+    "AS gt_unseen_bp, "
+    "CAST((10000 * n_types) // greatest(n_tokens, 1) AS BIGINT) "
+    "AS ttr_bp FROM per ORDER BY lang"
+)
+
+
 def q_robots_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-delay extraction (X70): integer, decimal (sub-second),
     multi-group (max wins), hostile-huge (capped), and absent
@@ -5643,6 +5670,71 @@ ORACLE_HOST_QUALITY_PRIOR = (
     "global_bp, "
     "CAST((10000 * n_keep + 20 * global_bp) // (n_docs + 20) AS BIGINT) "
     "AS prior_bp FROM per, t ORDER BY host"
+)
+
+
+def q_render_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 — client-side-rendering audit across 7 hosts: id%4==0 is
+    an empty-SPA-shell page (mount div + script), id%4==1 is
+    script-heavy WITH real server-side text, id%4==2 plain article,
+    id%4==3 script-dominated with ~2 chars of text."""
+    from docling_serve_spark.operators.pagemeta import render_required_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id") % 4
+    body = (
+        F.when(i == 0, F.concat(
+            F.lit('<div id="root"></div><script>'),
+            F.expr("repeat('var x=1;', 50)"), F.lit("</script>")))
+        .when(i == 1, F.concat(
+            F.lit("<script>"), F.expr("repeat('var y=2;', 100)"),
+            F.lit("</script><p>"), F.col("text"), F.lit("</p>")))
+        .when(i == 2, F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<script>"), F.expr("repeat('zq=0;', 80)"),
+            F.lit("</script><p>hi</p>")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://rr"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit("<html><body>"), body,
+                          F.lit("</body></html>")), "UTF-8").alias("html"),
+    )
+    return render_required_stats(pages)
+
+
+ORACLE_RENDER_REQUIRED = (
+    "WITH sp AS (SELECT doc_id, "
+    "'rr' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host, "
+    "'<html><body>' || CASE "
+    "WHEN doc_id % 4 = 0 THEN '<div id=\"root\"></div><script>' || "
+    "repeat('var x=1;', 50) || '</script>' "
+    "WHEN doc_id % 4 = 1 THEN '<script>' || repeat('var y=2;', 100) || "
+    "'</script><p>' || text || '</p>' "
+    "WHEN doc_id % 4 = 2 THEN '<p>' || text || '</p>' "
+    "ELSE '<script>' || repeat('zq=0;', 80) || '</script><p>hi</p>' END "
+    "|| '</body></html>' AS h FROM documents), "
+    "m AS (SELECT host, CAST(length(h) AS BIGINT) AS total_chars, "
+    "CAST(length(h) - length(regexp_replace(h, "
+    "'(?is)<script.*?</script>', '', 'g')) AS BIGINT) AS script_chars, "
+    "CAST(length(trim(regexp_replace(regexp_replace(h, "
+    "'(?is)<script.*?</script>', '', 'g'), '(?s)<[^>]*>', '', 'g'), "
+    "' ')) AS BIGINT) AS text_chars, "
+    "regexp_matches(h, '(?i)<div[^>]*id=\"(root|app)\"[^>]*>\\s*</div>') "
+    "AS spa_shell FROM sp), "
+    "v AS (SELECT host, total_chars, script_chars, "
+    "(spa_shell OR (10000 * script_chars) // greatest(total_chars, 1) "
+    ">= 7000) AND text_chars < 200 AS required FROM m), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN required THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_render_required, sum(total_chars) AS t, sum(script_chars) AS s "
+    "FROM v GROUP BY 1) "
+    "SELECT host, n_pages, n_render_required, "
+    "CAST((10000 * n_render_required) // greatest(n_pages, 1) AS BIGINT) "
+    "AS render_bp, "
+    "CAST((10000 * s) // greatest(t, 1) AS BIGINT) AS script_share_bp "
+    "FROM per ORDER BY host"
 )
 
 
@@ -7838,6 +7930,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
     "host_quality_prior": q_host_quality_prior,
     "extraction_yield": q_extraction_yield,
+    "vocab_coverage": q_vocab_coverage,
+    "render_required": q_render_required,
 }
 
 ORACLES: dict[str, str] = {
@@ -8009,4 +8103,6 @@ ORACLES: dict[str, str] = {
     "bpe_pairs": ORACLE_BPE_PAIRS,
     "host_quality_prior": ORACLE_HOST_QUALITY_PRIOR,
     "extraction_yield": _oracle_extraction_yield(),
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+    "render_required": ORACLE_RENDER_REQUIRED,
 }

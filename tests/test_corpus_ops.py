@@ -3396,3 +3396,63 @@ def test_host_prior_converges_to_raw_with_zero_pseudo(spark):
     )
     rows = host_quality_prior(v, pseudo_count=0).collect()
     assert all(r["prior_bp"] == r["raw_bp"] for r in rows)
+
+
+def test_vocab_coverage_good_turing_hapax_mass(spark):
+    # en: tokens = [a a b c] -> 4 tokens, 3 types, 2 hapax ->
+    # unseen mass 5000 bp, TTR 7500 bp. fr: all-hapax -> 10000 bp.
+    from docling_serve_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "c", "en"), (3, "un deux", "fr")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in vocab_coverage(docs).collect()}
+    en = got["en"]
+    assert (en["n_tokens"], en["n_types"], en["n_hapax"]) == (4, 3, 2)
+    assert en["gt_unseen_bp"] == 5000 and en["ttr_bp"] == 7500
+    fr = got["fr"]
+    assert fr["gt_unseen_bp"] == 10000 and fr["ttr_bp"] == 10000
+
+
+def test_render_required_flags_spa_and_script_dominated(spark):
+    from docling_serve_spark.operators.pagemeta import render_required_stats
+
+    long_text = "word " * 100  # 500 chars of real server-side text
+    pages = spark.createDataFrame(
+        [
+            # SPA shell: empty mount + script, ~0 text -> required
+            ("http://a.com/1",
+             b'<html><div id="root"></div><script>var x;</script></html>'),
+            # script-heavy but text survives server-side -> NOT required
+            ("http://a.com/2",
+             ("<html><script>" + "j" * 2000 + "</script><p>"
+              + long_text + "</p></html>").encode()),
+            # script-dominated, tiny text -> required via share rule
+            ("http://b.com/3",
+             ("<html><script>" + "j" * 2000 + "</script><p>hi</p></html>")
+             .encode()),
+            # plain article -> NOT required
+            ("http://b.com/4",
+             ("<html><p>" + long_text + "</p></html>").encode()),
+        ],
+        "url string, html binary",
+    )
+    got = {r["host"]: r for r in render_required_stats(pages).collect()}
+    assert got["a.com"]["n_render_required"] == 1
+    assert got["a.com"]["n_pages"] == 2
+    assert got["b.com"]["n_render_required"] == 1
+    assert got["b.com"]["render_bp"] == 5000
+
+
+def test_render_required_unclosed_script_counts_as_text(spark):
+    # an unclosed <script> falls through the strip -> its body counts
+    # as text (documented tradeoff; identical in both engines)
+    from docling_serve_spark.operators.pagemeta import render_required_stats
+
+    pages = spark.createDataFrame(
+        [("http://c.com/1", ("<html><script>" + "z" * 500).encode())],
+        "url string, html binary",
+    )
+    r = render_required_stats(pages).collect()[0]
+    assert r["n_render_required"] == 0 and r["script_share_bp"] == 0
