@@ -1007,3 +1007,59 @@ def url_date_profile(pages: DataFrame, url_col: str = "url") -> DataFrame:
             "min_date", "max_date",
         )
     )
+
+
+def delta_chain_stats(captures: DataFrame, url_col: str = "url",
+                      ts_col: str = "ts", sim_col: str = "simhash",
+                      host_col: str = "host",
+                      max_hamming: int = 3) -> DataFrame:
+    """(host, n_captures, n_identical, n_delta, n_novel, identical_bp,
+    delta_bp) — delta-archiving estimator over a capture index: each
+    capture is classed against the PREVIOUS capture of the same url
+    (lag over (url, ts)) as identical (simhash distance 0 — the
+    body-less WARC ``revisit`` case X58 already prices), delta-
+    encodable (distance 1..max_hamming — a template page whose only
+    change is a timestamp/counter, the case delta-compression
+    archiving exploits; Kreymer/Internet Archive WARC-dedup practice),
+    or novel (first capture / real change). X58 counts identical
+    payloads SET-wise; this walks the TIME chain, which is what a
+    storage planner prices: a capture identical to one from last year
+    still re-enters the delta window.
+
+    Scale shape: ONE url-keyed shuffle for the lag window (partition-
+    local sort by ts), ONE host partial agg; Hamming via
+    bit_count(xor) on 64-bit codes — no payload bytes move."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(F.col(sim_col)).over(w)
+    dist = F.bit_count(
+        F.col(sim_col).bitwiseXOR(prev)
+    )
+    cls = (
+        F.when(prev.isNull(), "novel")
+        .when(dist == 0, "identical")
+        .when(dist <= F.lit(int(max_hamming)), "delta")
+        .otherwise("novel")
+    )
+    return (
+        captures.select(F.col(host_col).alias("host"), cls.alias("cls"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_captures"),
+            F.sum(F.when(F.col("cls") == "identical", 1).otherwise(0))
+            .cast("bigint").alias("n_identical"),
+            F.sum(F.when(F.col("cls") == "delta", 1).otherwise(0))
+            .cast("bigint").alias("n_delta"),
+            F.sum(F.when(F.col("cls") == "novel", 1).otherwise(0))
+            .cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "host", "n_captures", "n_identical", "n_delta", "n_novel",
+            F.expr("(10000 * n_identical) div greatest(n_captures, 1)")
+            .cast("bigint").alias("identical_bp"),
+            F.expr("(10000 * n_delta) div greatest(n_captures, 1)")
+            .cast("bigint").alias("delta_bp"),
+        )
+        .orderBy("host")
+    )

@@ -5673,6 +5673,71 @@ ORACLE_HOST_QUALITY_PRIOR = (
 )
 
 
+def q_delta_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 — delta-archiving estimator over 50 urls × captures:
+    per-url time chains cycle identical / 1-bit-near / 8-bit-novel
+    simhashes so all three storage classes appear, rolled up across
+    5 hosts."""
+    from docling_serve_spark.operators.urltools import delta_chain_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url_id = F.col("doc_id") % 50
+    seq = F.expr("doc_id div 50")
+    base = url_id * 1024 + 37
+    # pairval repeats for seq%4 in (0,1) -> the %4==1 capture is
+    # guaranteed 'identical'; ^4 at %4==2 is guaranteed hamming-1
+    # 'delta'; the %4==3 leg flips 4 high bits (novel vs its prev)
+    pairval = base.bitwiseXOR(
+        F.expr("shiftleft(255, CAST((doc_id div 200) % 8 AS INT))")
+    )
+    sim = (
+        F.when(seq % 4 == 2, pairval.bitwiseXOR(F.lit(4)))
+        .when(seq % 4 == 3,
+              pairval.bitwiseXOR(F.lit(4)).bitwiseXOR(F.lit(15 << 16)))
+        .otherwise(pairval)
+    )
+    caps = docs.select(
+        F.concat(F.lit("u"), url_id.cast("string")).alias("url"),
+        F.col("doc_id").alias("ts"),
+        sim.cast("bigint").alias("simhash"),
+        F.concat(F.lit("dc"), (url_id % 5).cast("string"),
+                 F.lit(".com")).alias("host"),
+    )
+    return delta_chain_stats(caps)
+
+
+ORACLE_DELTA_CHAINS = (
+    "WITH caps AS (SELECT "
+    "'u' || CAST(doc_id % 50 AS VARCHAR) AS url, doc_id AS ts, "
+    "CASE WHEN (doc_id // 50) % 4 = 2 THEN "
+    "xor(xor((doc_id % 50) * 1024 + 37, 255 << ((doc_id // 200) % 8)), 4) "
+    "WHEN (doc_id // 50) % 4 = 3 THEN xor(xor(xor((doc_id % 50) * 1024 "
+    "+ 37, 255 << ((doc_id // 200) % 8)), 4), 15 << 16) "
+    "ELSE xor((doc_id % 50) * 1024 + 37, 255 << ((doc_id // 200) % 8)) "
+    "END AS simhash, "
+    "'dc' || CAST((doc_id % 50) % 5 AS VARCHAR) || '.com' AS host "
+    "FROM documents), "
+    "lagged AS (SELECT host, simhash, "
+    "lag(simhash) OVER (PARTITION BY url ORDER BY ts) AS prev FROM caps), "
+    "cl AS (SELECT host, CASE WHEN prev IS NULL THEN 'novel' "
+    "WHEN bit_count(xor(simhash, prev)) = 0 THEN 'identical' "
+    "WHEN bit_count(xor(simhash, prev)) <= 3 THEN 'delta' "
+    "ELSE 'novel' END AS cls FROM lagged), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_captures, "
+    "CAST(sum(CASE WHEN cls = 'identical' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_identical, "
+    "CAST(sum(CASE WHEN cls = 'delta' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_delta, "
+    "CAST(sum(CASE WHEN cls = 'novel' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_novel FROM cl GROUP BY 1) "
+    "SELECT host, n_captures, n_identical, n_delta, n_novel, "
+    "CAST((10000 * n_identical) // greatest(n_captures, 1) AS BIGINT) "
+    "AS identical_bp, "
+    "CAST((10000 * n_delta) // greatest(n_captures, 1) AS BIGINT) "
+    "AS delta_bp FROM per ORDER BY host"
+)
+
+
 def q_render_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X134 — client-side-rendering audit across 7 hosts: id%4==0 is
     an empty-SPA-shell page (mount div + script), id%4==1 is
@@ -7932,6 +7997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extraction_yield": q_extraction_yield,
     "vocab_coverage": q_vocab_coverage,
     "render_required": q_render_required,
+    "delta_chains": q_delta_chains,
 }
 
 ORACLES: dict[str, str] = {
@@ -8105,4 +8171,5 @@ ORACLES: dict[str, str] = {
     "extraction_yield": _oracle_extraction_yield(),
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "render_required": ORACLE_RENDER_REQUIRED,
+    "delta_chains": ORACLE_DELTA_CHAINS,
 }

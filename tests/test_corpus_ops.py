@@ -3456,3 +3456,38 @@ def test_render_required_unclosed_script_counts_as_text(spark):
     )
     r = render_required_stats(pages).collect()[0]
     assert r["n_render_required"] == 0 and r["script_share_bp"] == 0
+
+
+def test_delta_chain_classes_against_time_order(spark):
+    from docling_serve_spark.operators.urltools import delta_chain_stats
+
+    caps = spark.createDataFrame(
+        [
+            # u1 chain: novel (first), identical, 1-bit delta, big jump
+            ("u1", 1, 100, "h.com"),
+            ("u1", 2, 100, "h.com"),
+            ("u1", 3, 101, "h.com"),
+            ("u1", 4, 100 ^ 0xFF00, "h.com"),
+            # u2: single capture -> novel
+            ("u2", 1, 7, "h.com"),
+        ],
+        "url string, ts bigint, simhash bigint, host string",
+    )
+    r = delta_chain_stats(caps).collect()[0]
+    assert (r["n_captures"], r["n_identical"], r["n_delta"],
+            r["n_novel"]) == (5, 1, 1, 3)
+    assert r["identical_bp"] == 2000 and r["delta_bp"] == 2000
+
+
+def test_delta_chain_is_time_ordered_not_setwise(spark):
+    # a capture identical to an OLD one but not the previous one is
+    # NOT delta-encodable in a streaming archive: the chain walks
+    # consecutive pairs only (X58 covers the set-wise case)
+    from docling_serve_spark.operators.urltools import delta_chain_stats
+
+    caps = spark.createDataFrame(
+        [("u", 1, 5, "h"), ("u", 2, 5 ^ 0xFF0, "h"), ("u", 3, 5, "h")],
+        "url string, ts bigint, simhash bigint, host string",
+    )
+    r = delta_chain_stats(caps).collect()[0]
+    assert r["n_identical"] == 0 and r["n_novel"] == 3
