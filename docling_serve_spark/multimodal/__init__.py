@@ -2,6 +2,8 @@ from docling_serve_spark.multimodal.media import (
     MEDIA_SCHEMA,
     audio_features,
     build_media_df,
+    cdc_chunk_stats,
+    cdc_chunks,
     decode_metadata,
     frame_sample,
     image_resize,
@@ -11,6 +13,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "audio_features",
     "build_media_df",
+    "cdc_chunk_stats",
+    "cdc_chunks",
     "decode_metadata",
     "frame_sample",
     "image_resize",

@@ -311,3 +311,109 @@ def media_phash_neardup(codes: DataFrame, k: int = 3) -> DataFrame:
     from docling_serve_spark.operators.dedup import hamming_neardup_pairs
 
     return hamming_neardup_pairs(codes, k)
+
+
+def _gear_table() -> list[int]:
+    """256 seeded 64-bit gear values (LCG — deterministic, engine-
+    independent); module-level cache."""
+    vals = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(256):
+        state = (state * 6364136223846793005 + 1442695040888963407) \
+            & 0xFFFFFFFFFFFFFFFF
+        vals.append(state)
+    return vals
+
+
+_GEAR = _gear_table()
+
+
+def cdc_chunks(data: bytes, min_size: int = 64, mask: int = 0x3F,
+               max_size: int = 2048) -> list[bytes]:
+    """Gear-hash content-defined chunking (the FastCDC family — Xia
+    et al., FAST 2016): a boundary falls where the rolling gear hash
+    masks to zero, bounded by [min_size, max_size]. Boundaries are a
+    function of CONTENT, so a shared region reproduces the same
+    chunks in every blob that carries it regardless of byte offset —
+    the shift-resistance fixed-size blocking lacks, and the whole
+    point of CDC dedup storage (LBFS, Muthitacharoen et al. SOSP
+    2001). Pure function: the Spark chunker and the DuckDB oracle
+    replay call exactly this."""
+    chunks = []
+    start = 0
+    h = 0
+    n = len(data)
+    i = 0
+    while i < n:
+        h = ((h << 1) + _GEAR[data[i]]) & 0xFFFFFFFFFFFFFFFF
+        i += 1
+        size = i - start
+        if (size >= min_size and (h & mask) == 0) or size >= max_size:
+            chunks.append(data[start:i])
+            start = i
+            h = 0
+    if start < n:
+        chunks.append(data[start:n])
+    return chunks
+
+
+def cdc_chunk_stats(media: DataFrame, kind_col: str = "kind",
+                    payload_col: str = "payload") -> DataFrame:
+    """(kind, n_chunks, n_unique, bytes_total, bytes_unique,
+    dedup_bp) — CDC storage-dedup accounting per media kind: chunk
+    every blob content-defined, count how much of the byte volume is
+    REDUNDANT at chunk granularity (shared headers, common segments,
+    re-encoded copies) — the Data-Domain-style estimate of what a
+    dedup store would save on this corpus, and the blob-level
+    complement of X135's capture-chain estimator.
+
+    Scale shape: one mapInPandas pass emits (kind, chunk_md5, len)
+    records — payload bytes never leave the executor, only digests
+    shuffle; then ONE (kind, hash) partial agg and ONE kind rollup.
+    Chunking is per-blob Python at the documented multimodal
+    boundary (a real deployment swaps in a native gear loop); the
+    digest stream, not the chunk loop, is what the cluster moves."""
+    import hashlib
+
+    import pandas as pd  # noqa: F401
+
+    def chunker(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for kind, payload in zip(b[kind_col], b[payload_col]):
+                for c in cdc_chunks(bytes(payload)):
+                    rows.append(
+                        (kind, hashlib.md5(c).hexdigest(), len(c))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["kind", "chunk_hash", "chunk_len"]
+            )
+
+    chunks = media.select(
+        F.col(kind_col).alias(kind_col), F.col(payload_col)
+    ).mapInPandas(
+        chunker, schema="kind string, chunk_hash string, chunk_len bigint"
+    )
+    per_hash = chunks.groupBy("kind", "chunk_hash").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.first("chunk_len").alias("clen"),
+    )
+    return (
+        per_hash.groupBy("kind")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_chunks"),
+            F.count("*").cast("bigint").alias("n_unique"),
+            F.sum(F.col("n") * F.col("clen")).cast("bigint")
+            .alias("bytes_total"),
+            F.sum("clen").cast("bigint").alias("bytes_unique"),
+        )
+        .select(
+            "kind", "n_chunks", "n_unique", "bytes_total", "bytes_unique",
+            F.expr("(10000 * (bytes_total - bytes_unique)) "
+                   "div greatest(bytes_total, 1)")
+            .cast("bigint").alias("dedup_bp"),
+        )
+        .orderBy("kind")
+    )

@@ -7491,6 +7491,70 @@ ORACLE_MEDIA_METADATA = (
 )
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 — CDC storage-dedup estimate over the media corpus: every
+    blob gets a shared 600-byte prefix and 400-byte suffix (the
+    common-header/trailer redundancy real media files carry), so the
+    content-defined chunker must rediscover the shared chunks at
+    DIFFERENT byte offsets in every blob."""
+    from docling_serve_spark.multimodal.media import _payload, cdc_chunk_stats
+
+    media = multimodal.build_media_df(spark, _N_MEDIA)
+    blobs = media.select(
+        "kind",
+        F.concat(F.lit(_payload(999983, 600)), F.col("payload"),
+                 F.lit(_payload(424243, 400))).alias("payload"),
+    )
+    return cdc_chunk_stats(blobs)
+
+
+@_functools.lru_cache(maxsize=1)
+def _oracle_cdc_dedup() -> str:
+    """Single-node replay of the same pure chunker over the same
+    seeded corpus, aggregated per kind (the pipeline_extract VALUES
+    discipline)."""
+    import hashlib
+
+    from docling_serve_spark.multimodal.media import (
+        _payload, cdc_chunks, encode_media,
+    )
+
+    sa, sb = _payload(999983, 600), _payload(424243, 400)
+    per: dict[str, dict[str, list[int]]] = {}
+    for i in range(_N_MEDIA):
+        _mid, kind, blob = encode_media(i)
+        k = per.setdefault(kind, {})
+        for c in cdc_chunks(sa + blob + sb):
+            d = hashlib.md5(c).hexdigest()
+            if d in k:
+                k[d][0] += 1
+            else:
+                k[d] = [1, len(c)]
+    rows = []
+    for kind, hashes in sorted(per.items()):
+        n_chunks = sum(v[0] for v in hashes.values())
+        n_unique = len(hashes)
+        bytes_total = sum(v[0] * v[1] for v in hashes.values())
+        bytes_unique = sum(v[1] for v in hashes.values())
+        dedup_bp = (10000 * (bytes_total - bytes_unique)) // max(
+            bytes_total, 1
+        )
+        rows.append(
+            f"('{kind}', {n_chunks}, {n_unique}, {bytes_total}, "
+            f"{bytes_unique}, {dedup_bp})"
+        )
+    return (
+        "SELECT kind, CAST(n_chunks AS BIGINT) AS n_chunks, "
+        "CAST(n_unique AS BIGINT) AS n_unique, "
+        "CAST(bytes_total AS BIGINT) AS bytes_total, "
+        "CAST(bytes_unique AS BIGINT) AS bytes_unique, "
+        "CAST(dedup_bp AS BIGINT) AS dedup_bp "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(kind, n_chunks, n_unique, bytes_total, bytes_unique, "
+        "dedup_bp) ORDER BY kind"
+    )
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.build_media_df(spark, _N_MEDIA)
     resized = multimodal.image_resize(media, max_px=256)
@@ -7998,6 +8062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage": q_vocab_coverage,
     "render_required": q_render_required,
     "delta_chains": q_delta_chains,
+    "cdc_dedup": q_cdc_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -8172,4 +8237,5 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "render_required": ORACLE_RENDER_REQUIRED,
     "delta_chains": ORACLE_DELTA_CHAINS,
+    "cdc_dedup": _oracle_cdc_dedup(),
 }

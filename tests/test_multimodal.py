@@ -100,3 +100,45 @@ def test_phash_codes_deterministic_and_exact_sensitive(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
              for r in media_phash_neardup(codes, k=3).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_cdc_chunks_roundtrip_and_bounds():
+    from docling_serve_spark.multimodal.media import _payload, cdc_chunks
+
+    data = _payload(5, 5000)
+    chunks = cdc_chunks(data)
+    assert b"".join(chunks) == data
+    assert all(len(c) <= 2048 for c in chunks)
+    # every chunk except the tail respects the minimum
+    assert all(len(c) >= 64 for c in chunks[:-1])
+
+
+def test_cdc_shared_region_dedups_at_any_offset():
+    # same shared segment embedded at DIFFERENT offsets in two blobs:
+    # content-defined boundaries resynchronize, so interior shared
+    # chunks are byte-identical across both (the LBFS property
+    # fixed-size blocking lacks)
+    from docling_serve_spark.multimodal.media import _payload, cdc_chunks
+
+    shared = _payload(777, 3000)
+    a = _payload(1, 137) + shared
+    b = _payload(2, 901) + shared
+    ca, cb = set(cdc_chunks(a)), set(cdc_chunks(b))
+    common = ca & cb
+    assert sum(len(c) for c in common) > 2000
+
+
+def test_cdc_stats_counts_redundancy(spark):
+    from docling_serve_spark.multimodal.media import _payload, cdc_chunk_stats
+
+    blob = _payload(9, 2000)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(blob)), (2, "image", bytearray(blob))],
+        "media_id bigint, kind string, payload binary",
+    )
+    r = cdc_chunk_stats(media).collect()[0]
+    # two identical blobs: every chunk appears twice, half the bytes
+    # are redundant
+    assert r["n_chunks"] == 2 * r["n_unique"]
+    assert r["bytes_total"] == 2 * r["bytes_unique"]
+    assert r["dedup_bp"] == 5000
