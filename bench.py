@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "bpe_pairs",
     "host_quality_prior",
     "semantic_dedup",
+    "vocab_coverage",
+    "render_required",
+    "delta_chains",
+    "cdc_dedup",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
