@@ -83,3 +83,54 @@ def _na_sql(col: str) -> str:
         f"array_sort(array_distinct("
         f"regexp_extract_all({col}, '\\\\d+', 0)))"
     )
+
+
+_LANG_SEG = (
+    "en|fr|de|es|it|pt|ru|zh|ja|ko|ar|nl|pl|tr"
+)
+
+
+def bitext_url_pairs(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, path_key, lang_a, url_a, lang_b, url_b) — CCAligned-
+    style parallel-document candidate generation (El-Kishky et al.,
+    EMNLP 2020 §2: candidates are url pairs on the SAME host whose
+    paths differ ONLY by a language token): the path's language
+    segment is normalized to '*' to form the pair key, then urls
+    sharing (host, key) with different language segments pair up.
+    This is the GENERATION half X63 scores — hreflang (X52) finds the
+    pairs publishers annotate; this finds the unannotated majority
+    that follow /en/..., /fr/... URL conventions.
+
+    One url per (host, key, lang) survives (min-url dedup) so a
+    (host, key) group holds at most one row per language — the self-
+    join is bounded by langs², never by page counts; equi-join on
+    (host, key), plan-never-cartesian. Narrow regexp maps otherwise."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    pat = f"(^|/)({_LANG_SEG})(/|$)"
+    path = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1)
+    seg = F.regexp_extract(path, pat, 2)
+    keyed = (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            F.regexp_replace(path, pat, "$1*$3").alias("path_key"),
+            seg.alias("lang_seg"),
+            F.col(url_col).alias("u"),
+        )
+        .filter(F.col("lang_seg") != "")
+        .groupBy("host", "path_key", "lang_seg")
+        .agg(F.min("u").alias("u"))
+    )
+    a = keyed.select(
+        "host", "path_key",
+        F.col("lang_seg").alias("lang_a"), F.col("u").alias("url_a"),
+    )
+    b = keyed.select(
+        "host", "path_key",
+        F.col("lang_seg").alias("lang_b"), F.col("u").alias("url_b"),
+    )
+    return (
+        a.join(b, ["host", "path_key"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .orderBy("host", "path_key", "lang_a", "lang_b")
+    )

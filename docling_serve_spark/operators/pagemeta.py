@@ -528,3 +528,64 @@ def render_required_stats(pages: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+def table_mining_stats(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_tables, n_mineable, mineable_bp,
+    pages_with_mineable_bp) — table-extraction coverage per host: how
+    many <table> blocks a host carries and how many are worth a
+    structure-extraction pass (≥2 rows AND ≥2 cells per row on
+    average — single-row headers and one-column layout scaffolding
+    are presentation, not data; the WDC Web Table corpus pipeline
+    applies exactly this class of relational-vs-layout pre-filter
+    before its extractor). Pairs with X125: JSON-LD tells you which
+    hosts declare structure, this tells you which carry implicit
+    relational payloads the C4-row table extractor (docling's table
+    stage at web scale) should be pointed at.
+
+    Counting is regexp-only over raw bytes (per-table row/cell counts
+    via ONE extract_all + codegen higher-order transforms — no DOM
+    parse in a coverage audit; unclosed tables fall out of the lazy
+    match identically in both engines). Narrow map + ONE host
+    partial agg."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.col(html_col).cast("string")
+    tables = F.regexp_extract_all(
+        h, F.lit(r"(?is)<table[^>]*>.*?</table>"), F.lit(0)
+    )
+    # per-table (rows, cells) -> mineable flag, all inside one
+    # codegen expression tree
+    mineable = F.expr(
+        "size(filter(transform(tables, t -> named_struct("
+        "'r', size(regexp_extract_all(t, '(?i)<tr', 0)), "
+        "'c', size(regexp_extract_all(t, '(?i)<t[dh]', 0)))), "
+        "s -> s.r >= 2 AND s.c >= 2 * s.r))"
+    )
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        tables.alias("tables"),
+    ).select(
+        "host",
+        F.size("tables").cast("bigint").alias("nt"),
+        mineable.cast("bigint").alias("nm"),
+    )
+    return (
+        base.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum("nt").cast("bigint").alias("n_tables"),
+            F.sum("nm").cast("bigint").alias("n_mineable"),
+            F.sum(F.when(F.col("nm") > 0, 1).otherwise(0))
+            .cast("bigint").alias("pages_with"),
+        )
+        .select(
+            "host", "n_pages", "n_tables", "n_mineable",
+            F.expr("(10000 * n_mineable) div greatest(n_tables, 1)")
+            .cast("bigint").alias("mineable_bp"),
+            F.expr("(10000 * pages_with) div greatest(n_pages, 1)")
+            .cast("bigint").alias("pages_with_mineable_bp"),
+        )
+        .orderBy("host")
+    )

@@ -1064,3 +1064,74 @@ def vocab_coverage(docs: DataFrame, lang_col: str = "lang",
         )
         .orderBy("lang")
     )
+
+
+def readability_stats(docs: DataFrame, lang_col: str = "lang",
+                      text_col: str = "text",
+                      hard_milli: int = 12000) -> DataFrame:
+    """(lang, n_docs, wps_milli, spw_milli, fk_milli, hard_bp) —
+    Flesch-Kincaid grade-level audit per language (Kincaid et al.
+    1975: ``0.39·words/sentences + 11.8·syllables/word − 15.59``), the
+    readability feature classic quality stacks (and the C4/Gopher
+    lineage's manual-threshold ancestors) compute per document;
+    aggregated here per language with the share of documents above a
+    hard-grade threshold. A language slice whose FK mass sits far
+    above grade 12 is specialist/legal/spam text, far below is
+    listicle filler — both ends inform mixture weighting next to
+    X11's rule gates.
+
+    Syllables are approximated by vowel-group runs ([aeiouy]+ per
+    lowercased word — the standard cheap proxy; a real syllabifier is
+    latin-script-specific anyway, and the audit's value is in the
+    DISTRIBUTION, not per-doc precision). Everything is fixed-point
+    milli/bp integers with per-term bigint div — bit-reproducible;
+    per-doc terms stay < 10^7 milli so sums have int64 headroom past
+    10^11 docs per language.
+
+    Scale shape: three regexp counts riding the scan (zero shuffles
+    until ONE per-lang partial agg)."""
+    t = F.col(text_col)
+    words = F.when(F.trim(t) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    ).cast("bigint")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syls = F.greatest(
+        F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), words
+    ).cast("bigint")  # every word counts at least one syllable
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"),
+        words.alias("w"), sents.alias("s"), syls.alias("y"),
+    ).select(
+        "lang",
+        F.expr("(1000 * w) div s").alias("wps"),
+        F.expr("CASE WHEN w = 0 THEN 0 ELSE (1000 * y) div w END")
+        .alias("spw"),
+    ).select(
+        "lang", "wps", "spw",
+        # 0.39·wps + 11.8·spw − 15.59, all in milli (integer div, not
+        # float-then-cast: DuckDB CAST(double AS BIGINT) rounds while
+        # Spark truncates — bigint div sidesteps the mismatch)
+        F.expr("(wps * 390 + spw * 11800) div 1000")
+        .cast("bigint").alias("fk_raw"),
+    ).select(
+        "lang", "wps", "spw",
+        (F.col("fk_raw") - 15590).alias("fk"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("sum(wps) div count(*)").cast("bigint")
+            .alias("wps_milli"),
+            F.expr("sum(spw) div count(*)").cast("bigint")
+            .alias("spw_milli"),
+            F.expr("sum(fk) div count(*)").cast("bigint")
+            .alias("fk_milli"),
+            F.expr(f"(10000 * sum(CASE WHEN fk > {int(hard_milli)} "
+                   "THEN 1 ELSE 0 END)) div count(*)")
+            .cast("bigint").alias("hard_bp"),
+        )
+        .orderBy("lang")
+    )

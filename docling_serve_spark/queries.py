@@ -4342,6 +4342,37 @@ ORACLE_BPE_PAIRS = (
 )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 — Flesch-Kincaid grade audit per language (milli fixed
+    point, vowel-group syllable proxy) over the documents corpus."""
+    from docling_serve_spark.operators.textstats import readability_stats
+
+    return readability_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_READABILITY = (
+    "WITH m AS (SELECT lang, "
+    "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS w, "
+    "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) "
+    "AS s, "
+    "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) "
+    "AS y0 FROM documents), "
+    "d AS (SELECT lang, (1000 * w) // s AS wps, "
+    "CASE WHEN w = 0 THEN 0 ELSE (1000 * greatest(y0, w)) // w END AS spw "
+    "FROM m), "
+    "f AS (SELECT lang, wps, spw, "
+    "(wps * 390 + spw * 11800) // 1000 - 15590 AS fk FROM d) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(wps) // count(*) AS BIGINT) AS wps_milli, "
+    "CAST(sum(spw) // count(*) AS BIGINT) AS spw_milli, "
+    "CAST(sum(fk) // count(*) AS BIGINT) AS fk_milli, "
+    "CAST((10000 * sum(CASE WHEN fk > 12000 THEN 1 ELSE 0 END)) "
+    "// count(*) AS BIGINT) AS hard_bp "
+    "FROM f GROUP BY 1 ORDER BY lang"
+)
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X133 — Good-Turing unseen-mass estimate per language over the
     documents corpus: hapax share approximates the vocabulary mass
@@ -5670,6 +5701,128 @@ ORACLE_HOST_QUALITY_PRIOR = (
     "global_bp, "
     "CAST((10000 * n_keep + 20 * global_bp) // (n_docs + 20) AS BIGINT) "
     "AS prior_bp FROM per, t ORDER BY host"
+)
+
+
+def q_bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 — CCAligned candidate mining: translation groups of 3
+    (en/fr/de) plus a no-lang-segment page per group across 3 hosts;
+    every 7th group drops its fr member so pair counts vary."""
+    from docling_serve_spark.operators.bitext import bitext_url_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id div 4")
+    m = F.col("doc_id") % 4
+    seg = (
+        F.when(m == 0, F.lit("en"))
+        .when(m == 1, F.lit("fr"))
+        .when(m == 2, F.lit("de"))
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        F.when(
+            seg == "",
+            F.concat(F.lit("http://bt"), (g % 3).cast("string"),
+                     F.lit(".com/about/p"), g.cast("string")),
+        ).otherwise(
+            F.concat(F.lit("http://bt"), (g % 3).cast("string"),
+                     F.lit(".com/"), seg, F.lit("/p"), g.cast("string")),
+        ).alias("url")
+    ).filter(~((F.col("doc_id") % 4 == 1) & (g % 7 == 0)))
+    return bitext_url_pairs(pages)
+
+
+ORACLE_BITEXT_URL_PAIRS = (
+    "WITH sp AS (SELECT doc_id, doc_id // 4 AS g, "
+    "CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' "
+    "WHEN 2 THEN 'de' ELSE '' END AS seg FROM documents "
+    "WHERE NOT (doc_id % 4 = 1 AND (doc_id // 4) % 7 = 0)), "
+    "u AS (SELECT CASE WHEN seg = '' THEN "
+    "'http://bt' || CAST(g % 3 AS VARCHAR) || '.com/about/p' "
+    "|| CAST(g AS VARCHAR) "
+    "ELSE 'http://bt' || CAST(g % 3 AS VARCHAR) || '.com/' || seg "
+    "|| '/p' || CAST(g AS VARCHAR) END AS url FROM sp), "
+    "k AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, "
+    "regexp_replace(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), "
+    "'(^|/)(en|fr|de|es|it|pt|ru|zh|ja|ko|ar|nl|pl|tr)(/|$)', "
+    "'\\1*\\3', 'g') AS path_key, "
+    "regexp_extract(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), "
+    "'(^|/)(en|fr|de|es|it|pt|ru|zh|ja|ko|ar|nl|pl|tr)(/|$)', 2) "
+    "AS lang_seg, url FROM u), "
+    "d AS (SELECT host, path_key, lang_seg, min(url) AS u FROM k "
+    "WHERE lang_seg <> '' GROUP BY 1, 2, 3) "
+    "SELECT a.host, a.path_key, a.lang_seg AS lang_a, a.u AS url_a, "
+    "b.lang_seg AS lang_b, b.u AS url_b "
+    "FROM d a JOIN d b ON a.host = b.host AND a.path_key = b.path_key "
+    "AND a.lang_seg < b.lang_seg "
+    "ORDER BY a.host, a.path_key, lang_a, lang_b"
+)
+
+
+def q_table_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138 — table-extraction coverage across 6 hosts: id%5 plants
+    no-table / 3x3 relational / single-row header / mixed pair /
+    one-column layout-scaffold pages."""
+    from docling_serve_spark.operators.pagemeta import table_mining_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    rel = F.lit("<table><tr><td>a</td><td>b</td></tr>"
+                "<tr><td>1</td><td>2</td></tr>"
+                "<tr><td>3</td><td>4</td></tr></table>")
+    hdr = F.lit("<table><tr><th>only</th><th>header</th></tr></table>")
+    lay = F.lit("<table><tr><td>nav</td></tr><tr><td>foot</td></tr>"
+                "<tr><td>side</td></tr></table>")
+    body = (
+        F.when(F.col("doc_id") % 5 == 1, rel)
+        .when(F.col("doc_id") % 5 == 2, hdr)
+        .when(F.col("doc_id") % 5 == 3, F.concat(rel, lay))
+        .when(F.col("doc_id") % 5 == 4, lay)
+        .otherwise(F.lit("<p>prose only</p>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://tm"), (F.col("doc_id") % 6).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit("<html>"), body, F.lit("</html>")),
+                 "UTF-8").alias("html"),
+    )
+    return table_mining_stats(pages)
+
+
+_TM_REL = ("<table><tr><td>a</td><td>b</td></tr>"
+           "<tr><td>1</td><td>2</td></tr>"
+           "<tr><td>3</td><td>4</td></tr></table>")
+_TM_HDR = "<table><tr><th>only</th><th>header</th></tr></table>"
+_TM_LAY = ("<table><tr><td>nav</td></tr><tr><td>foot</td></tr>"
+           "<tr><td>side</td></tr></table>")
+
+ORACLE_TABLE_MINING = (
+    "WITH sp AS (SELECT doc_id, "
+    "'tm' || CAST(doc_id % 6 AS VARCHAR) || '.com' AS host, "
+    "'<html>' || CASE "
+    f"WHEN doc_id % 5 = 1 THEN '{_TM_REL}' "
+    f"WHEN doc_id % 5 = 2 THEN '{_TM_HDR}' "
+    f"WHEN doc_id % 5 = 3 THEN '{_TM_REL}' || '{_TM_LAY}' "
+    f"WHEN doc_id % 5 = 4 THEN '{_TM_LAY}' "
+    "ELSE '<p>prose only</p>' END || '</html>' AS h FROM documents), "
+    "m AS (SELECT host, "
+    "regexp_extract_all(h, '(?is)<table[^>]*>.*?</table>') AS tables "
+    "FROM sp), "
+    "c AS (SELECT host, CAST(len(tables) AS BIGINT) AS nt, "
+    "CAST(len(list_filter(list_transform(tables, t -> struct_pack("
+    "r := len(regexp_extract_all(t, '(?i)<tr')), "
+    "c := len(regexp_extract_all(t, '(?i)<t[dh]')))), "
+    "s -> s.r >= 2 AND s.c >= 2 * s.r)) AS BIGINT) AS nm FROM m), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(nt) AS BIGINT) AS n_tables, "
+    "CAST(sum(nm) AS BIGINT) AS n_mineable, "
+    "CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS pages_with FROM c GROUP BY 1) "
+    "SELECT host, n_pages, n_tables, n_mineable, "
+    "CAST((10000 * n_mineable) // greatest(n_tables, 1) AS BIGINT) "
+    "AS mineable_bp, "
+    "CAST((10000 * pages_with) // greatest(n_pages, 1) AS BIGINT) "
+    "AS pages_with_mineable_bp FROM per ORDER BY host"
 )
 
 
@@ -8063,6 +8216,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_required": q_render_required,
     "delta_chains": q_delta_chains,
     "cdc_dedup": q_cdc_dedup,
+    "readability": q_readability,
+    "table_mining": q_table_mining,
+    "bitext_url_pairs": q_bitext_url_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -8238,4 +8394,7 @@ ORACLES: dict[str, str] = {
     "render_required": ORACLE_RENDER_REQUIRED,
     "delta_chains": ORACLE_DELTA_CHAINS,
     "cdc_dedup": _oracle_cdc_dedup(),
+    "readability": ORACLE_READABILITY,
+    "table_mining": ORACLE_TABLE_MINING,
+    "bitext_url_pairs": ORACLE_BITEXT_URL_PAIRS,
 }

@@ -3491,3 +3491,89 @@ def test_delta_chain_is_time_ordered_not_setwise(spark):
     )
     r = delta_chain_stats(caps).collect()[0]
     assert r["n_identical"] == 0 and r["n_novel"] == 3
+
+
+def test_readability_fk_formula_fixed_point(spark):
+    from docling_serve_spark.operators.textstats import readability_stats
+
+    # "the cat sat. it ran." -> 5 words, 2 sentences, 5 vowel groups
+    # wps = 2500, spw = 1000, fk = (2500*390 + 1000*11800)//1000
+    #       - 15590 = 12775 - 15590 = -2815
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran.", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    r = readability_stats(docs).collect()[0]
+    assert (r["wps_milli"], r["spw_milli"]) == (2500, 1000)
+    assert r["fk_milli"] == -2815 and r["hard_bp"] == 0
+
+
+def test_readability_flags_hard_text(spark):
+    from docling_serve_spark.operators.textstats import readability_stats
+
+    # one endless sentence of polysyllabic words -> grade far past 12
+    hard = " ".join(["onomatopoeia"] * 40)
+    docs = spark.createDataFrame(
+        [(1, hard, "en"), (2, "a dog. a cat.", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    r = readability_stats(docs).collect()[0]
+    assert r["hard_bp"] == 5000
+
+
+def test_table_mining_separates_relational_from_layout(spark):
+    from docling_serve_spark.operators.pagemeta import table_mining_stats
+
+    rel = ("<table><tr><td>a</td><td>b</td></tr>"
+           "<tr><td>1</td><td>2</td></tr></table>")
+    onecol = ("<table><tr><td>nav</td></tr><tr><td>foot</td></tr>"
+              "</table>")
+    header_only = "<table><tr><th>x</th><th>y</th></tr></table>"
+    pages = spark.createDataFrame(
+        [
+            ("http://t.com/1", f"<html>{rel}</html>".encode()),
+            ("http://t.com/2", f"<html>{onecol}{header_only}</html>".encode()),
+            ("http://t.com/3", b"<html><p>no tables</p></html>"),
+        ],
+        "url string, html binary",
+    )
+    r = table_mining_stats(pages).collect()[0]
+    assert (r["n_pages"], r["n_tables"], r["n_mineable"]) == (3, 3, 1)
+    assert r["mineable_bp"] == 3333
+    assert r["pages_with_mineable_bp"] == 3333
+
+
+def test_bitext_url_pairs_mine_lang_path_twins(spark):
+    from docling_serve_spark.operators.bitext import bitext_url_pairs
+
+    pages = spark.createDataFrame(
+        [
+            ("http://x.com/en/article-1",),
+            ("http://x.com/fr/article-1",),
+            ("http://x.com/de/article-1",),
+            ("http://x.com/en/other",),       # no twin -> no pair
+            ("http://y.com/fr/article-1",),   # other host: never pairs
+            ("http://x.com/about",),          # no lang segment
+        ],
+        "url string",
+    )
+    rows = bitext_url_pairs(pages).collect()
+    got = {(r["lang_a"], r["lang_b"]) for r in rows
+           if r["path_key"] == "/*/article-1" and r["host"] == "x.com"}
+    assert got == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    assert all(r["host"] in ("x.com",) or r["path_key"] != "/*/article-1"
+               or False for r in rows)
+    assert len(rows) == 3  # y.com's lone fr page pairs with nothing
+
+
+def test_bitext_url_pairs_dedups_within_language(spark):
+    # two en variants of the same key must not multiply the pairs
+    from docling_serve_spark.operators.bitext import bitext_url_pairs
+
+    pages = spark.createDataFrame(
+        [("http://x.com/en/p",), ("http://x.com/en/p?b",),
+         ("http://x.com/fr/p",)],
+        "url string",
+    )
+    rows = bitext_url_pairs(pages).collect()
+    assert len(rows) == 1 and rows[0]["url_a"].endswith("/en/p")

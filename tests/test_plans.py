@@ -619,3 +619,17 @@ def test_host_prior_reuses_exchange_single_input_pass(spark):
     assert "ReusedExchange" in final or "ReusedQueryStage" in final \
         or "ShuffleQueryStage 0" in final
     assert "Window" not in final
+
+
+def test_round4_audits_stay_narrow_or_equi(spark):
+    """X137/X138: readability and table mining are scan-stage regexp
+    audits — one partial+final agg pair, no joins; X139: bitext
+    candidate pairing is an equi-join on (host, path_key), never a
+    cartesian."""
+    for name in ("readability", "table_mining"):
+        tree = _tree(_plan(spark, QUERIES[name](spark, SF_DIR)))
+        assert "Join" not in tree, name
+        assert tree.count("HashAggregate") == 2, name
+    tree = _tree(_plan(spark, QUERIES["bitext_url_pairs"](spark, SF_DIR)))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
