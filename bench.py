@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "render_required",
     "delta_chains",
     "cdc_dedup",
+    "readability",
+    "table_mining",
+    "bitext_url_pairs",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
