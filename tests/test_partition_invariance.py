@@ -71,6 +71,12 @@ INVARIANCE_QUERIES = [
     "phrase_search",    # posting joins + positional array pass
     "bloom_seen_urls",  # bit_or word agg + probe join + bool_and
     "cms_token_freq",   # counter groupBy + min-over-rows probe
+    "semantic_dedup",   # k-means fixed point + pair tie rule
+    "bpe_pairs",        # pair counts + global rank tie-break
+    "delta_chains",     # per-url lag window ordering
+    "bitext_url_pairs", # min-url dedup + bounded self-join
+    "cdc_dedup",        # chunk digests across Arrow batch splits
+    "host_quality_prior",  # reused-exchange grand total
 ]
 
 
