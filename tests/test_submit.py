@@ -352,3 +352,37 @@ def test_crawl_job_end_to_end(tmp_path, spark):
     # same-host fetches are spaced, never simultaneous
     a_times = sorted(r[3] for r in rows if r[1] == "a.com")
     assert len(a_times) == len(set(a_times))
+
+
+def test_bitext_job_end_to_end(tmp_path, spark):
+    """`jobs/bitext.py`: URL-pattern candidates -> text join -> X63
+    scoring; the numeral-twin pair survives, the numeral-mismatch
+    pair is kept as a candidate but not plausible."""
+    rows = [
+        ("http://s.com/en/art-1", "Revenue grew 42 percent in 2023."),
+        ("http://s.com/fr/art-1", "Le revenu a augmente de 42 pour cent en 2023."),
+        ("http://s.com/en/art-2", "The 7 dwarfs met 9 times."),
+        ("http://s.com/fr/art-2", "Les 3 mousquetaires en 1625."),
+        ("http://s.com/en/lonely", "no twin here"),
+        ("http://s.com/about", "no lang segment"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+    out = str(tmp_path / "bt")
+
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "bitext.py"),
+         "--input", src, "--output", out],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        open(os.path.join(out, "summary.json")).read()
+    )
+    assert summary["n_candidates"] == 2
+    assert summary["n_plausible"] == 1
+    assert summary["by_lang_pair"] == {"en-fr": 1}
+    plaus = spark.read.parquet(os.path.join(out, "plausible")).collect()
+    assert len(plaus) == 1 and plaus[0]["url_a"].endswith("/en/art-1")
