@@ -217,3 +217,56 @@ def schedule_audit(schedule: DataFrame) -> DataFrame:
             .cast("bigint").alias("imbalance_bp"),
         )
     )
+
+
+def apportion_budget(weights: DataFrame, budget: int,
+                     key_col: str = "host",
+                     weight_col: str = "weight") -> DataFrame:
+    """(host, weight, base_quota, extra, quota) — Hamilton largest-
+    remainder apportionment of an integer fetch budget over weighted
+    hosts: ``base = (B·w) div W`` and the ``B − Σbase`` leftover slots
+    go to the largest remainders (ties on key). The apportionment
+    every crawl scheduler needs between X53's politeness pacing and
+    X23's hard caps: quotas are integers, sum EXACTLY to the budget,
+    and are bit-reproducible — proportional-share floats never sum
+    right and round differently per engine. Same machinery serves
+    stratified eval-set allocation (quota sampling with exact seat
+    counts).
+
+    Scale shape: weights aggregate to TWO driver scalars (total, base
+    sum — bounded collects); the leftover winners come from ONE
+    TakeOrderedAndProject over (remainder desc, key) — leftover <
+    n_hosts by construction, never a global sort; winners join back
+    as a broadcast semi-side. Headroom: B·w must stay under 2^63 —
+    callers keep weights in bp/milli scales (documented bound:
+    B ≤ 10^9 with w ≤ 10^9)."""
+    b = int(budget)
+    w = F.col(weight_col).cast("bigint")
+    tot = weights.agg(F.sum(w).alias("t")).collect()[0]["t"] or 1
+    scored = weights.select(
+        F.col(key_col).alias("host"),
+        w.alias("weight"),
+        F.expr(f"({b} * CAST({weight_col} AS BIGINT)) div {tot}")
+        .cast("bigint").alias("base_quota"),
+        F.expr(f"({b} * CAST({weight_col} AS BIGINT)) % {tot}")
+        .cast("bigint").alias("rem"),
+    )
+    leftover = b - (scored.agg(F.sum("base_quota").alias("s"))
+                    .collect()[0]["s"] or 0)
+    winners = (
+        scored.orderBy(F.col("rem").desc(), F.col("host").asc())
+        .limit(int(leftover))
+        .select("host", F.lit(1).cast("bigint").alias("extra"))
+    )
+    return (
+        scored.join(F.broadcast(winners), "host", "left")
+        .select(
+            "host", "weight", "base_quota",
+            F.coalesce(F.col("extra"), F.lit(0)).cast("bigint")
+            .alias("extra"),
+            (F.col("base_quota")
+             + F.coalesce(F.col("extra"), F.lit(0))).cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("host")
+    )

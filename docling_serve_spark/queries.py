@@ -5956,6 +5956,37 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 — Hamilton apportionment of 10,000 fetch slots over the
+    REAL X131 host quality priors (which themselves run the real
+    Gopher gates): quotas are integers that sum exactly to the
+    budget."""
+    from docling_serve_spark.operators.frontier import apportion_budget
+
+    priors = q_host_quality_prior(spark, sf_dir).select(
+        "host", F.col("prior_bp").alias("weight")
+    )
+    return apportion_budget(priors, budget=10_000)
+
+
+ORACLE_CRAWL_BUDGET = (
+    "WITH pri AS (SELECT host, prior_bp AS weight FROM ("
+    + ORACLE_HOST_QUALITY_PRIOR + ") hp), "
+    "t AS (SELECT sum(weight) AS w FROM pri), "
+    "s AS (SELECT host, weight, "
+    "CAST((10000 * weight) // t.w AS BIGINT) AS base_quota, "
+    "CAST((10000 * weight) % t.w AS BIGINT) AS rem FROM pri, t), "
+    "lo AS (SELECT 10000 - sum(base_quota) AS l FROM s), "
+    "win AS (SELECT host, 1 AS extra FROM ("
+    "SELECT host, row_number() OVER (ORDER BY rem DESC, host ASC) AS rn "
+    "FROM s) r, lo WHERE r.rn <= lo.l) "
+    "SELECT s.host, s.weight, s.base_quota, "
+    "CAST(COALESCE(win.extra, 0) AS BIGINT) AS extra, "
+    "CAST(s.base_quota + COALESCE(win.extra, 0) AS BIGINT) AS quota "
+    "FROM s LEFT JOIN win ON s.host = win.host ORDER BY s.host"
+)
+
+
 def q_invisible_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invisible-codepoint audit (X126): every 8th doc gets zero-width
     spaces interleaved through its first word (the cloaking shape);
@@ -8219,6 +8250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "table_mining": q_table_mining,
     "bitext_url_pairs": q_bitext_url_pairs,
+    "crawl_budget": q_crawl_budget,
 }
 
 ORACLES: dict[str, str] = {
@@ -8397,4 +8429,5 @@ ORACLES: dict[str, str] = {
     "readability": ORACLE_READABILITY,
     "table_mining": ORACLE_TABLE_MINING,
     "bitext_url_pairs": ORACLE_BITEXT_URL_PAIRS,
+    "crawl_budget": ORACLE_CRAWL_BUDGET,
 }

@@ -3577,3 +3577,28 @@ def test_bitext_url_pairs_dedups_within_language(spark):
     )
     rows = bitext_url_pairs(pages).collect()
     assert len(rows) == 1 and rows[0]["url_a"].endswith("/en/p")
+
+
+def test_apportion_quotas_sum_exactly_to_budget(spark):
+    from docling_serve_spark.operators.frontier import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 1)], "host string, weight bigint"
+    )
+    rows = apportion_budget(w, budget=10).collect()
+    got = {r["host"]: r["quota"] for r in rows}
+    # 30/7 = 4 rem 2 (a, b), 10/7 = 1 rem 3 (c): bases 4,4,1 leave
+    # one slot, and c's remainder 3 is the largest -> c gets it
+    assert got == {"a": 4, "b": 4, "c": 2}
+    assert sum(got.values()) == 10
+
+
+def test_apportion_zero_leftover_and_dominant_host(spark):
+    from docling_serve_spark.operators.frontier import apportion_budget
+
+    w = spark.createDataFrame(
+        [("big", 9000), ("tiny", 1000)], "host string, weight bigint"
+    )
+    got = {r["host"]: r["quota"]
+           for r in apportion_budget(w, budget=100).collect()}
+    assert got == {"big": 90, "tiny": 10}
