@@ -589,3 +589,60 @@ def table_mining_stats(pages: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+_SOFT404_PAT = (
+    r"(page|file|document) not found|error 404|404 error|"
+    r"no longer (available|exists)|page (doesn.t|does not) exist"
+)
+
+
+def soft404_stats(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  min_text_chars: int = 500) -> DataFrame:
+    """(host, n_pages, n_soft404, soft404_bp) — soft-404 detection
+    per host (Bar-Yossef et al., WWW 2004 "Sic transit gloria telae":
+    servers that answer 200 for dead pages poison both the crawl
+    frontier and the corpus with error boilerplate): a page is a
+    soft 404 when its <title> carries a not-found marker, OR its body
+    carries one AND the tag-stripped text is short (an article
+    DISCUSSING 404 pages is long and stays). Archives route these to
+    the X43 frontier as dead ends and the corpus filter drops them —
+    at 200-status face value they look like perfectly healthy
+    documents.
+
+    One title extract + one marker regexp + the X134 tag-strip,
+    all riding the scan; ONE host partial agg."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.col(html_col).cast("string")
+    title = F.lower(
+        F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    body_text = F.regexp_replace(
+        F.regexp_replace(h, r"(?is)<script.*?</script>", ""),
+        r"(?s)<[^>]*>", "",
+    )
+    marker_title = title.rlike(_SOFT404_PAT)
+    marker_body = F.lower(h).rlike(_SOFT404_PAT)
+    soft = marker_title | (
+        marker_body
+        & (F.length(F.trim(body_text)) < F.lit(int(min_text_chars)))
+    )
+    return (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"), soft.alias("soft")
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum(F.when(F.col("soft"), 1).otherwise(0))
+            .cast("bigint").alias("n_soft404"),
+        )
+        .select(
+            "host", "n_pages", "n_soft404",
+            F.expr("(10000 * n_soft404) div greatest(n_pages, 1)")
+            .cast("bigint").alias("soft404_bp"),
+        )
+        .orderBy("host")
+    )

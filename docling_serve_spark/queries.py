@@ -5956,6 +5956,72 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142 — soft-404 audit across 8 hosts: id%4 plants a 404-title
+    page / a short not-found body / a LONG article that merely
+    mentions 'error 404' (must NOT flag) / a clean page."""
+    from docling_serve_spark.operators.pagemeta import soft404_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(m == 0, F.lit("<title>404 Error - Page Not Found</title>"
+                             "<p>sorry</p>"))
+        .when(m == 1, F.lit("<title>Oops</title>"
+                            "<p>This page no longer exists.</p>"))
+        .when(m == 2, F.concat(
+            F.lit("<title>Debugging guide</title><p>What an error 404 "
+                  "means and how to fix it. "),
+            F.expr("repeat('Detailed explanation of status codes. ', 20)"),
+            F.col("text"), F.lit("</p>")))
+        .otherwise(F.concat(F.lit("<title>Article</title><p>"),
+                            F.col("text"), F.lit("</p>")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://sf"), (F.col("doc_id") % 8).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit("<html>"), body, F.lit("</html>")),
+                 "UTF-8").alias("html"),
+    )
+    return soft404_stats(pages)
+
+
+_S404_PAT = (
+    "(page|file|document) not found|error 404|404 error|"
+    "no longer (available|exists)|page (doesn.t|does not) exist"
+)
+
+ORACLE_SOFT404 = (
+    "WITH sp AS (SELECT doc_id, "
+    "'sf' || CAST(doc_id % 8 AS VARCHAR) || '.com' AS host, "
+    "'<html>' || CASE WHEN doc_id % 4 = 0 THEN "
+    "'<title>404 Error - Page Not Found</title><p>sorry</p>' "
+    "WHEN doc_id % 4 = 1 THEN "
+    "'<title>Oops</title><p>This page no longer exists.</p>' "
+    "WHEN doc_id % 4 = 2 THEN '<title>Debugging guide</title>"
+    "<p>What an error 404 means and how to fix it. ' || "
+    "repeat('Detailed explanation of status codes. ', 20) || text "
+    "|| '</p>' "
+    "ELSE '<title>Article</title><p>' || text || '</p>' END "
+    "|| '</html>' AS h FROM documents), "
+    "m AS (SELECT host, "
+    f"regexp_matches(lower(regexp_extract(h, "
+    f"'(?is)<title[^>]*>(.*?)</title>', 1)), '{_S404_PAT}') AS mt, "
+    f"regexp_matches(lower(h), '{_S404_PAT}') AS mb, "
+    "length(trim(regexp_replace(regexp_replace(h, "
+    "'(?is)<script.*?</script>', '', 'g'), '(?s)<[^>]*>', '', 'g'), "
+    "' ')) AS tc FROM sp), "
+    "v AS (SELECT host, (mt OR (mb AND tc < 500)) AS soft FROM m), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN soft THEN 1 ELSE 0 END) AS BIGINT) AS n_soft404 "
+    "FROM v GROUP BY 1) "
+    "SELECT host, n_pages, n_soft404, "
+    "CAST((10000 * n_soft404) // greatest(n_pages, 1) AS BIGINT) "
+    "AS soft404_bp FROM per ORDER BY host"
+)
+
+
 def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X141 — Hamilton apportionment of 10,000 fetch slots over the
     REAL X131 host quality priors (which themselves run the real
@@ -8251,6 +8317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_mining": q_table_mining,
     "bitext_url_pairs": q_bitext_url_pairs,
     "crawl_budget": q_crawl_budget,
+    "soft404": q_soft404,
 }
 
 ORACLES: dict[str, str] = {
@@ -8430,4 +8497,5 @@ ORACLES: dict[str, str] = {
     "table_mining": ORACLE_TABLE_MINING,
     "bitext_url_pairs": ORACLE_BITEXT_URL_PAIRS,
     "crawl_budget": ORACLE_CRAWL_BUDGET,
+    "soft404": ORACLE_SOFT404,
 }

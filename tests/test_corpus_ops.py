@@ -3602,3 +3602,25 @@ def test_apportion_zero_leftover_and_dominant_host(spark):
     got = {r["host"]: r["quota"]
            for r in apportion_budget(w, budget=100).collect()}
     assert got == {"big": 90, "tiny": 10}
+
+
+def test_soft404_title_body_and_long_mention(spark):
+    from docling_serve_spark.operators.pagemeta import soft404_stats
+
+    long_doc = ("<title>Guide</title><p>An error 404 means the "
+                "resource is missing. " + "filler words here. " * 50
+                + "</p>")
+    pages = spark.createDataFrame(
+        [
+            ("http://h.com/1",
+             b"<html><title>404 Not Found... page not found</title></html>"),
+            ("http://h.com/2",
+             b"<html><title>x</title><p>This page no longer exists.</p></html>"),
+            ("http://h.com/3", f"<html>{long_doc}</html>".encode()),
+            ("http://h.com/4",
+             b"<html><title>news</title><p>all fine</p></html>"),
+        ],
+        "url string, html binary",
+    )
+    r = soft404_stats(pages).collect()[0]
+    assert (r["n_pages"], r["n_soft404"], r["soft404_bp"]) == (4, 2, 5000)
