@@ -557,3 +557,48 @@ def host_quality_prior(verdicts: DataFrame, pseudo_count: int = 20,
         F.expr(f"(10000 * n_keep + {m} * global_bp) div (n_docs + {m})")
         .cast("bigint").alias("prior_bp"),
     )
+
+
+_CONSENT_PAT = (
+    r"we use cookies|accept all cookies|cookie settings|"
+    r"consent to (the use of )?cookies|cookie policy|"
+    r"manage (your )?preferences|by continuing to browse"
+)
+
+
+def consent_contamination(docs: DataFrame, host_col: str = "host",
+                          text_col: str = "text") -> DataFrame:
+    """(host, n_docs, n_contaminated, contaminated_bp, mean_hits_milli)
+    — cookie-banner leakage audit over EXTRACTED text: consent
+    boilerplate ('we use cookies…', 'accept all cookies…') that
+    survived the boilerplate strip is the single most common template
+    contamination in post-GDPR web corpora (documented in the C4 and
+    FineWeb cleaning write-ups — the banner text gets memorized and
+    regurgitated by models). Per host because the fix is per-host:
+    a contaminated host means ITS consent widget defeats the
+    extractor's density scorer — re-tune there (X132's yield audit
+    says how much), don't grep the corpus per run.
+
+    One marker regexp count riding the scan, ONE host partial agg;
+    mean hit density in milli per doc (bigint div)."""
+    hits = F.regexp_count(
+        F.lower(F.col(text_col)), F.lit(_CONSENT_PAT)
+    ).cast("bigint")
+    return (
+        docs.select(F.col(host_col).alias("host"), hits.alias("hits"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_contaminated"),
+            F.sum("hits").alias("total_hits"),
+        )
+        .select(
+            "host", "n_docs", "n_contaminated",
+            F.expr("(10000 * n_contaminated) div greatest(n_docs, 1)")
+            .cast("bigint").alias("contaminated_bp"),
+            F.expr("(1000 * total_hits) div greatest(n_docs, 1)")
+            .cast("bigint").alias("mean_hits_milli"),
+        )
+        .orderBy("host")
+    )

@@ -646,3 +646,57 @@ def soft404_stats(pages: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+_PAYWALL_PAT = (
+    r"subscribe to (continue|read)|subscribers? only|"
+    r"to continue reading|remaining free articles?|"
+    r"unlock (this|unlimited) (article|access)|already a subscriber"
+)
+
+
+def paywall_stats(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_declared, n_marker, n_paywalled, paywalled_bp)
+    — paywall coverage per host from BOTH channels: the declared
+    schema.org signal (``"isAccessibleForFree": false`` — the markup
+    news publishers ship so Google can flexible-sample them) and
+    textual meter markers ('subscribe to continue…'). A paywalled
+    host's extracted text is teaser truncations wearing a full-page
+    status — the mixture builder down-weights it, and the crawler
+    stops spending budget on pages whose payload it can never get.
+    Declared and marker channels are counted separately: hosts where
+    ONLY markers fire are the silent-paywall set the declared signal
+    misses.
+
+    Two containment/regexp tests over raw bytes riding the scan, ONE
+    host partial agg."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.lower(F.col(html_col).cast("string"))
+    declared = h.rlike(
+        r'"isaccessibleforfree"\s*:\s*(false|"false")'
+    )
+    marker = h.rlike(_PAYWALL_PAT)
+    return (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            declared.alias("d"), marker.alias("m"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum(F.when(F.col("d"), 1).otherwise(0))
+            .cast("bigint").alias("n_declared"),
+            F.sum(F.when(F.col("m"), 1).otherwise(0))
+            .cast("bigint").alias("n_marker"),
+            F.sum(F.when(F.col("d") | F.col("m"), 1).otherwise(0))
+            .cast("bigint").alias("n_paywalled"),
+        )
+        .select(
+            "host", "n_pages", "n_declared", "n_marker", "n_paywalled",
+            F.expr("(10000 * n_paywalled) div greatest(n_pages, 1)")
+            .cast("bigint").alias("paywalled_bp"),
+        )
+        .orderBy("host")
+    )

@@ -5956,6 +5956,110 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_consent_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 — cookie-banner leakage over extracted text: every 5th
+    doc gets one banner sentence appended, every 15th gets two."""
+    from docling_serve_spark.operators.corpus import consent_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    banner = " We use cookies to improve your experience."
+    t = (
+        F.when(F.col("doc_id") % 15 == 0,
+               F.concat("text", F.lit(banner), F.lit(banner)))
+        .when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(banner)))
+        .otherwise(F.col("text"))
+    )
+    d = docs.select(
+        F.concat(F.lit("cl"), (F.col("doc_id") % 6).cast("string"),
+                 F.lit(".com")).alias("host"),
+        t.alias("text"),
+    )
+    return consent_contamination(d)
+
+
+ORACLE_CONSENT_LEAKAGE = (
+    "WITH d AS (SELECT "
+    "'cl' || CAST(doc_id % 6 AS VARCHAR) || '.com' AS host, "
+    "CASE WHEN doc_id % 15 = 0 THEN text || "
+    "repeat(' We use cookies to improve your experience.', 2) "
+    "WHEN doc_id % 5 = 0 THEN "
+    "text || ' We use cookies to improve your experience.' "
+    "ELSE text END AS t FROM documents), "
+    "m AS (SELECT host, CAST(len(regexp_extract_all(lower(t), "
+    "'we use cookies|accept all cookies|cookie settings|"
+    "consent to (the use of )?cookies|cookie policy|"
+    "manage (your )?preferences|by continuing to browse')) AS BIGINT) "
+    "AS hits FROM d), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_contaminated, sum(hits) AS total_hits FROM m GROUP BY 1) "
+    "SELECT host, n_docs, n_contaminated, "
+    "CAST((10000 * n_contaminated) // greatest(n_docs, 1) AS BIGINT) "
+    "AS contaminated_bp, "
+    "CAST((1000 * total_hits) // greatest(n_docs, 1) AS BIGINT) "
+    "AS mean_hits_milli FROM per ORDER BY host"
+)
+
+
+def q_paywalls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 — paywall audit across 5 hosts: id%6==0 declares
+    isAccessibleForFree:false, ==1 carries a meter marker, ==2
+    carries BOTH, the rest are open pages."""
+    from docling_serve_spark.operators.pagemeta import paywall_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    body = (
+        F.when(m == 0, F.lit(
+            '<script type="application/ld+json">'
+            '{"isAccessibleForFree": false}</script><p>teaser</p>'))
+        .when(m == 1, F.lit("<p>Subscribe to continue reading.</p>"))
+        .when(m == 2, F.lit(
+            '<script type="application/ld+json">'
+            '{"isAccessibleForFree": "False"}</script>'
+            "<p>Already a subscriber? Sign in.</p>"))
+        .otherwise(F.lit("<p>open article body</p>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://pw"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit("<html>"), body, F.lit("</html>")),
+                 "UTF-8").alias("html"),
+    )
+    return paywall_stats(pages)
+
+
+ORACLE_PAYWALLS = (
+    "WITH sp AS (SELECT doc_id, "
+    "'pw' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host, "
+    "lower('<html>' || CASE WHEN doc_id % 6 = 0 THEN "
+    "'<script type=\"application/ld+json\">"
+    "{\"isAccessibleForFree\": false}</script><p>teaser</p>' "
+    "WHEN doc_id % 6 = 1 THEN '<p>Subscribe to continue reading.</p>' "
+    "WHEN doc_id % 6 = 2 THEN '<script type=\"application/ld+json\">"
+    "{\"isAccessibleForFree\": \"False\"}</script>"
+    "<p>Already a subscriber? Sign in.</p>' "
+    "ELSE '<p>open article body</p>' END || '</html>') AS h "
+    "FROM documents), "
+    "m AS (SELECT host, "
+    "regexp_matches(h, '\"isaccessibleforfree\"\\s*:\\s*"
+    "(false|\"false\")') AS d, "
+    "regexp_matches(h, 'subscribe to (continue|read)|"
+    "subscribers? only|to continue reading|remaining free articles?|"
+    "unlock (this|unlimited) (article|access)|already a subscriber') "
+    "AS mk FROM sp), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_declared, "
+    "CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_marker, "
+    "CAST(sum(CASE WHEN d OR mk THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_paywalled FROM m GROUP BY 1) "
+    "SELECT host, n_pages, n_declared, n_marker, n_paywalled, "
+    "CAST((10000 * n_paywalled) // greatest(n_pages, 1) AS BIGINT) "
+    "AS paywalled_bp FROM per ORDER BY host"
+)
+
+
 def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X142 — soft-404 audit across 8 hosts: id%4 plants a 404-title
     page / a short not-found body / a LONG article that merely
@@ -8318,6 +8422,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_url_pairs": q_bitext_url_pairs,
     "crawl_budget": q_crawl_budget,
     "soft404": q_soft404,
+    "consent_leakage": q_consent_leakage,
+    "paywalls": q_paywalls,
 }
 
 ORACLES: dict[str, str] = {
@@ -8498,4 +8604,6 @@ ORACLES: dict[str, str] = {
     "bitext_url_pairs": ORACLE_BITEXT_URL_PAIRS,
     "crawl_budget": ORACLE_CRAWL_BUDGET,
     "soft404": ORACLE_SOFT404,
+    "consent_leakage": ORACLE_CONSENT_LEAKAGE,
+    "paywalls": ORACLE_PAYWALLS,
 }

@@ -3624,3 +3624,38 @@ def test_soft404_title_body_and_long_mention(spark):
     )
     r = soft404_stats(pages).collect()[0]
     assert (r["n_pages"], r["n_soft404"], r["soft404_bp"]) == (4, 2, 5000)
+
+
+def test_consent_contamination_counts_hits_and_docs(spark):
+    from docling_serve_spark.operators.corpus import consent_contamination
+
+    docs = spark.createDataFrame(
+        [("h.com", "real text. We use cookies to improve things. "
+                   "Accept all cookies now."),
+         ("h.com", "clean article"),
+         ("h.com", "Cookie Policy at the footer")],
+        "host string, text string",
+    )
+    r = consent_contamination(docs).collect()[0]
+    assert (r["n_docs"], r["n_contaminated"]) == (3, 2)
+    assert r["contaminated_bp"] == 6666
+    # 3 total hits over 3 docs -> 1000 milli
+    assert r["mean_hits_milli"] == 1000
+
+
+def test_paywall_declared_vs_marker_channels(spark):
+    from docling_serve_spark.operators.pagemeta import paywall_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("http://p.com/1",
+             b'<html>{"isAccessibleForFree": false}<p>t</p></html>'),
+            ("http://p.com/2",
+             b"<html><p>Subscribe to continue reading.</p></html>"),
+            ("http://p.com/3", b"<html><p>free and open</p></html>"),
+        ],
+        "url string, html binary",
+    )
+    r = paywall_stats(pages).collect()[0]
+    assert (r["n_declared"], r["n_marker"], r["n_paywalled"]) == (1, 1, 2)
+    assert r["paywalled_bp"] == 6666
