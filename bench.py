@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "readability",
     "table_mining",
     "bitext_url_pairs",
+    "crawl_budget",
+    "soft404",
+    "consent_leakage",
+    "paywalls",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
