@@ -700,3 +700,63 @@ def paywall_stats(pages: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+def amp_variant_stats(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_amp_pages, n_declared_pairs, n_resolved_pairs,
+    amp_bp) — AMP variant accounting per host: canonical pages declare
+    their mobile twin via <link rel="amphtml" href=…>, and the twin
+    duplicates the content under a different url — a systematic
+    variant channel exact dedup sees as distinct documents unless it
+    is resolved FIRST (the AMP analog of X106's rel=canonical audit;
+    Google's AMP spec mandates exactly this two-way link markup).
+    ``n_declared_pairs`` counts amphtml declarations, ``n_amp_pages``
+    counts pages that ARE amp documents (⚡/amp html marker), and
+    ``n_resolved_pairs`` counts declarations whose target url exists
+    in the crawl — the dedupable mass; declared − resolved is frontier
+    debt (X128's class: the variant is linked but never fetched).
+
+    One link-extract regexp + one marker test riding the scan, one
+    url-membership equi-join (AQE-broadcast of the distinct amp
+    targets against the crawled url set), ONE host partial agg."""
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.col(html_col).cast("string")
+    amp_href = F.regexp_extract(
+        h, r'(?is)<link[^>]*rel="amphtml"[^>]*href="([^"]+)"', 1
+    )
+    is_amp = h.rlike(r"(?is)<html[^>]*\s(amp|⚡)[\s>]")
+    base = pages.select(
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        amp_href.alias("amp_href"),
+        is_amp.alias("is_amp"),
+    )
+    crawled = base.select(F.col("url").alias("amp_href")).distinct()
+    declared = base.filter(F.col("amp_href") != "")
+    resolved = declared.join(
+        crawled.withColumn("resolved", F.lit(1)), "amp_href", "left"
+    ).select("host", F.coalesce(F.col("resolved"), F.lit(0)).alias("res"))
+    per_decl = resolved.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_declared_pairs"),
+        F.sum("res").cast("bigint").alias("n_resolved_pairs"),
+    )
+    per_page = base.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.when(F.col("is_amp"), 1).otherwise(0))
+        .cast("bigint").alias("n_amp_pages"),
+    )
+    return (
+        per_page.join(per_decl, "host", "left")
+        .select(
+            "host", "n_pages", "n_amp_pages",
+            F.coalesce("n_declared_pairs", F.lit(0)).cast("bigint")
+            .alias("n_declared_pairs"),
+            F.coalesce("n_resolved_pairs", F.lit(0)).cast("bigint")
+            .alias("n_resolved_pairs"),
+            F.expr("(10000 * n_amp_pages) div greatest(n_pages, 1)")
+            .cast("bigint").alias("amp_bp"),
+        )
+        .orderBy("host")
+    )

@@ -5956,6 +5956,79 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_amp_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145 — AMP variant audit across 4 hosts: even docs are
+    canonical pages declaring an amphtml twin; odd docs are that twin
+    (<html amp>) except every 3rd group, whose declared twin was
+    never crawled (frontier debt)."""
+    from docling_serve_spark.operators.pagemeta import amp_variant_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id div 2")
+    host = F.concat(F.lit("amp"), (g % 4).cast("string"), F.lit(".com"))
+    canon_url = F.concat(F.lit("http://"), host, F.lit("/a"),
+                         g.cast("string"))
+    amp_url = F.concat(F.lit("http://"), host, F.lit("/amp/a"),
+                       g.cast("string"))
+    is_canon = F.col("doc_id") % 2 == 0
+    url = (
+        F.when(is_canon, canon_url)
+        .when(g % 3 == 0, F.concat(canon_url, F.lit("-extra")))
+        .otherwise(amp_url)
+    )
+    body = (
+        F.when(is_canon, F.concat(
+            F.lit('<html><head><link rel="amphtml" href="'),
+            amp_url, F.lit('"></head><body>c</body></html>')))
+        .when(g % 3 == 0,
+              F.lit("<html><body>plain extra page</body></html>"))
+        .otherwise(F.lit("<html amp><body>amp twin</body></html>"))
+    )
+    pages = docs.select(
+        url.alias("url"), F.encode(body, "UTF-8").alias("html")
+    )
+    return amp_variant_stats(pages)
+
+
+ORACLE_AMP_VARIANTS = (
+    "WITH sp AS (SELECT doc_id, doc_id // 2 AS g FROM documents), "
+    "b AS (SELECT doc_id, g, "
+    "'amp' || CAST(g % 4 AS VARCHAR) || '.com' AS host, "
+    "'http://amp' || CAST(g % 4 AS VARCHAR) || '.com/a' "
+    "|| CAST(g AS VARCHAR) AS canon_url, "
+    "'http://amp' || CAST(g % 4 AS VARCHAR) || '.com/amp/a' "
+    "|| CAST(g AS VARCHAR) AS amp_url FROM sp), "
+    "p AS (SELECT host, "
+    "CASE WHEN doc_id % 2 = 0 THEN canon_url "
+    "WHEN g % 3 = 0 THEN canon_url || '-extra' ELSE amp_url END AS url, "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'<html><head><link rel=\"amphtml\" href=\"' || amp_url || "
+    "'\"></head><body>c</body></html>' "
+    "WHEN g % 3 = 0 THEN '<html><body>plain extra page</body></html>' "
+    "ELSE '<html amp><body>amp twin</body></html>' END AS h FROM b), "
+    "m AS (SELECT host, url, "
+    "regexp_extract(h, '(?is)<link[^>]*rel=\"amphtml\"[^>]*"
+    "href=\"([^\"]+)\"', 1) AS amp_href, "
+    "regexp_matches(h, '(?is)<html[^>]*\\s(amp|⚡)[\\s>]') AS is_amp "
+    "FROM p), "
+    "crawled AS (SELECT DISTINCT url FROM m), "
+    "decl AS (SELECT m.host, "
+    "CASE WHEN c.url IS NULL THEN 0 ELSE 1 END AS res "
+    "FROM m LEFT JOIN crawled c ON m.amp_href = c.url "
+    "WHERE m.amp_href <> ''), "
+    "pd AS (SELECT host, CAST(count(*) AS BIGINT) AS n_declared_pairs, "
+    "CAST(sum(res) AS BIGINT) AS n_resolved_pairs FROM decl GROUP BY 1), "
+    "pp AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN is_amp THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_amp_pages FROM m GROUP BY 1) "
+    "SELECT pp.host, n_pages, n_amp_pages, "
+    "CAST(COALESCE(n_declared_pairs, 0) AS BIGINT) AS n_declared_pairs, "
+    "CAST(COALESCE(n_resolved_pairs, 0) AS BIGINT) AS n_resolved_pairs, "
+    "CAST((10000 * n_amp_pages) // greatest(n_pages, 1) AS BIGINT) "
+    "AS amp_bp FROM pp LEFT JOIN pd ON pp.host = pd.host ORDER BY pp.host"
+)
+
+
 def q_consent_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X143 — cookie-banner leakage over extracted text: every 5th
     doc gets one banner sentence appended, every 15th gets two."""
@@ -8424,6 +8497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "soft404": q_soft404,
     "consent_leakage": q_consent_leakage,
     "paywalls": q_paywalls,
+    "amp_variants": q_amp_variants,
 }
 
 ORACLES: dict[str, str] = {
@@ -8606,4 +8680,5 @@ ORACLES: dict[str, str] = {
     "soft404": ORACLE_SOFT404,
     "consent_leakage": ORACLE_CONSENT_LEAKAGE,
     "paywalls": ORACLE_PAYWALLS,
+    "amp_variants": ORACLE_AMP_VARIANTS,
 }

@@ -3659,3 +3659,25 @@ def test_paywall_declared_vs_marker_channels(spark):
     r = paywall_stats(pages).collect()[0]
     assert (r["n_declared"], r["n_marker"], r["n_paywalled"]) == (1, 1, 2)
     assert r["paywalled_bp"] == 6666
+
+
+def test_amp_variants_resolved_vs_frontier_debt(spark):
+    from docling_serve_spark.operators.pagemeta import amp_variant_stats
+
+    pages = spark.createDataFrame(
+        [
+            # canonical declaring a crawled twin
+            ("http://a.com/x",
+             b'<html><head><link rel="amphtml" href="http://a.com/amp/x">'
+             b"</head></html>"),
+            ("http://a.com/amp/x", "<html ⚡><body>t</body></html>".encode()),
+            # canonical declaring a twin that was never fetched
+            ("http://a.com/y",
+             b'<html><head><link rel="amphtml" href="http://a.com/amp/y">'
+             b"</head></html>"),
+        ],
+        "url string, html binary",
+    )
+    r = amp_variant_stats(pages).collect()[0]
+    assert (r["n_pages"], r["n_amp_pages"]) == (3, 1)
+    assert (r["n_declared_pairs"], r["n_resolved_pairs"]) == (2, 1)
