@@ -155,3 +155,57 @@ def contamination_ratio(docs: DataFrame, benchmark: DataFrame,
             .alias("contaminated"),
         )
     )
+
+
+def canary_scan(docs: DataFrame, canaries: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                canary_col: str = "canary") -> DataFrame:
+    """(canary, n_docs, n_hits) — canary-GUID contamination scan: eval
+    suites embed a unique canary string (BIG-bench's canary GUID is
+    the convention) precisely so corpus builders can prove their
+    training data never saw the benchmark — one hit means the
+    benchmark FILE leaked into the crawl, a stronger and cheaper
+    signal than X19/X102's n-gram overlap (which catch quoted
+    EXAMPLES; the canary catches wholesale file ingestion). Zero-hit
+    canaries are reported with explicit zeros — the audit's deliverable
+    is the attestation, not just the alarms.
+
+    The canary list is dozens of rows: it collects to the driver once
+    (bounded, the ivf-centroid discipline) and becomes ONE alternation
+    regexp, so the corpus is scanned once for ALL canaries — never a
+    per-canary pass and never a doc×canary join; hits explode to
+    (canary, doc) and ONE partial agg + a broadcast left join back to
+    the canary list produces the zeros."""
+    import re as _re
+
+    vals = [r[canary_col] for r in canaries.select(canary_col).collect()]
+    if not vals:
+        return canaries.select(
+            F.col(canary_col).alias("canary"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_hits"),
+        )
+    pat = "|".join(_re.escape(v) for v in sorted(vals))
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).alias("canary"),
+        )
+        .groupBy("canary")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        canaries.select(F.col(canary_col).alias("canary"))
+        .join(F.broadcast(hits), "canary", "left")
+        .select(
+            "canary",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .orderBy("canary")
+    )

@@ -3681,3 +3681,35 @@ def test_amp_variants_resolved_vs_frontier_debt(spark):
     r = amp_variant_stats(pages).collect()[0]
     assert (r["n_pages"], r["n_amp_pages"]) == (3, 1)
     assert (r["n_declared_pairs"], r["n_resolved_pairs"]) == (2, 1)
+
+
+def test_canary_scan_reports_zeros_and_multi_hits(spark):
+    from docling_serve_spark.operators.decontam import canary_scan
+
+    guid_a = "aaaaaaaa-1111-4222-8333-444444444444"
+    guid_b = "bbbbbbbb-5555-4666-8777-888888888888"
+    docs = spark.createDataFrame(
+        [(1, f"leaked file with {guid_a} and again {guid_a}"),
+         (2, f"another doc {guid_a}"),
+         (3, "clean document")],
+        "doc_id bigint, text string",
+    )
+    cans = spark.createDataFrame([(guid_a,), (guid_b,)], "canary string")
+    got = {r["canary"]: (r["n_docs"], r["n_hits"])
+           for r in canary_scan(docs, cans).collect()}
+    assert got[guid_a] == (2, 3)
+    assert got[guid_b] == (0, 0)  # the attestation row
+
+
+def test_canary_scan_escapes_regex_metacharacters(spark):
+    from docling_serve_spark.operators.decontam import canary_scan
+
+    weird = "canary(v2).[test]"
+    docs = spark.createDataFrame(
+        [(1, "contains canary(v2).[test] literally"),
+         (2, "canaryXv2YZ-test should NOT match")],
+        "doc_id bigint, text string",
+    )
+    cans = spark.createDataFrame([(weird,)], "canary string")
+    got = canary_scan(docs, cans).collect()[0]
+    assert (got["n_docs"], got["n_hits"]) == (1, 1)
