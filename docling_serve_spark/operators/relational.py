@@ -144,3 +144,53 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
         "old_fp",
         "new_fp",
     )
+
+
+def crawl_growth_report(old: DataFrame, new: DataFrame,
+                        key_col: str = "url",
+                        fp_col: str = "fingerprint") -> DataFrame:
+    """(host, n_old, n_new, n_added, n_removed, n_changed, n_unchanged,
+    churn_bp) — the host-grain crawl-over-crawl growth report: the
+    snapshot_diff verdicts rolled up per host plus a churn rate
+    ((added+removed+changed)/max(old,new) in bp). This is the
+    between-crawls dashboard a crawl operator reads (Ntoulas/Cho/
+    Olston WWW 2004 measured exactly these host-level birth/death/
+    change rates): a host with high added-share is growing (X43
+    should lean in), one that is mostly removed is dying or newly
+    blocking us, and near-total change with stable counts is a
+    template rotation (X135's delta tier, not new content).
+
+    Pure composition over the X26 diff: its one full-outer equi-join
+    remains the only wide operation; the rollup is ONE host partial
+    agg over (host, status) verdict rows — document bytes never
+    move."""
+    diff = snapshot_diff(old, new, key_col=key_col, fp_col=fp_col)
+    from docling_serve_spark.operators.urltools import url_host
+
+    per = (
+        diff.select(
+            url_host(F.col(key_col)).alias("host"), F.col("status")
+        )
+        .groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("status") != "added", 1).otherwise(0))
+            .cast("bigint").alias("n_old"),
+            F.sum(F.when(F.col("status") != "removed", 1).otherwise(0))
+            .cast("bigint").alias("n_new"),
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+            .cast("bigint").alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0))
+            .cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+            .cast("bigint").alias("n_changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0))
+            .cast("bigint").alias("n_unchanged"),
+        )
+    )
+    return per.select(
+        "host", "n_old", "n_new", "n_added", "n_removed", "n_changed",
+        "n_unchanged",
+        F.expr("(10000 * (n_added + n_removed + n_changed)) "
+               "div greatest(greatest(n_old, n_new), 1)")
+        .cast("bigint").alias("churn_bp"),
+    ).orderBy("host")

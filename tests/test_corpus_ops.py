@@ -3713,3 +3713,23 @@ def test_canary_scan_escapes_regex_metacharacters(spark):
     cans = spark.createDataFrame([(weird,)], "canary string")
     got = canary_scan(docs, cans).collect()[0]
     assert (got["n_docs"], got["n_hits"]) == (1, 1)
+
+
+def test_crawl_growth_classes_and_churn(spark):
+    from docling_serve_spark.operators.relational import crawl_growth_report
+
+    old = spark.createDataFrame(
+        [("http://g.com/keep", "f1"), ("http://g.com/change", "f2"),
+         ("http://g.com/gone", "f3")],
+        "url string, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [("http://g.com/keep", "f1"), ("http://g.com/change", "f2x"),
+         ("http://g.com/fresh", "f4")],
+        "url string, fingerprint string",
+    )
+    r = crawl_growth_report(old, new).collect()[0]
+    assert (r["n_old"], r["n_new"]) == (3, 3)
+    assert (r["n_added"], r["n_removed"], r["n_changed"],
+            r["n_unchanged"]) == (1, 1, 1, 1)
+    assert r["churn_bp"] == 10000  # 3 of max(3,3) urls churned
