@@ -873,3 +873,55 @@ def link_rot_stats(pages: DataFrame, crawled: DataFrame,
             .cast("bigint"),
         )
     )
+
+
+def bad_neighborhood_stats(edges: DataFrame, blocklist: DataFrame,
+                           src_col: str = "src_host",
+                           dst_col: str = "dst_host",
+                           domain_col: str = "domain") -> DataFrame:
+    """(src_host, n_dst_hosts, n_bad_hosts, bad_bp) — linking-to-spam
+    score per source host: the share of a host's DISTINCT outlink
+    destinations that sit on (or under) a blocklisted domain. The
+    inverse-TrustRank neighborhood signal (Gyöngyi et al. VLDB 2004
+    §4: trust flows forward, distrust flows BACKWARD from a blocklist
+    through inlinks — a host whose outlinks concentrate on blocked
+    domains is selling links or already captured) — the graph-side
+    complement to X25's per-page blocklist verdicts and an input
+    X80's spam-mass adjudication can consume.
+
+    Distinct (src, dst) edges first (one partial-agg dedup), dst
+    hosts explode to ≤ ~5 suffixes, ONE suffix equi-join against the
+    blocklist (AQE-broadcast when it fits), ONE src partial agg —
+    the X25 shape lifted to edges; never LIKE-%, never per-row
+    blocklist loops."""
+    from docling_serve_spark.operators.urltools import host_suffixes
+
+    pairs = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    sfx = pairs.select(
+        "src", "dst", F.explode(host_suffixes(F.col("dst"))).alias("suffix")
+    )
+    bad = (
+        sfx.join(
+            blocklist.select(F.col(domain_col).alias("suffix")).distinct(),
+            "suffix",
+        )
+        .select("src", "dst").distinct()
+        .withColumn("is_bad", F.lit(1))
+    )
+    return (
+        pairs.join(bad, ["src", "dst"], "left")
+        .groupBy(F.col("src").alias("src_host"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_dst_hosts"),
+            F.sum(F.coalesce(F.col("is_bad"), F.lit(0)))
+            .cast("bigint").alias("n_bad_hosts"),
+        )
+        .select(
+            "src_host", "n_dst_hosts", "n_bad_hosts",
+            F.expr("(10000 * n_bad_hosts) div greatest(n_dst_hosts, 1)")
+            .cast("bigint").alias("bad_bp"),
+        )
+        .orderBy("src_host")
+    )

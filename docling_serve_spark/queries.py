@@ -5956,6 +5956,58 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_bad_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148 — linking-to-spam score over a synthesized edge list: 10
+    source hosts whose outlinks mix blocked apexes, blocked
+    subdomains, and clean destinations."""
+    from docling_serve_spark.operators.webgraph import bad_neighborhood_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    dst = (
+        F.when(m == 0, F.concat(F.lit("bad"), (F.col("doc_id") % 3)
+                                .cast("string"), F.lit(".net")))
+        .when(m == 1, F.lit("cdn.bad0.net"))
+        .otherwise(F.concat(F.lit("ok"), (F.col("doc_id") % 7)
+                            .cast("string"), F.lit(".org")))
+    )
+    edges = docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 10).cast("string"),
+                 F.lit(".com")).alias("src_host"),
+        dst.alias("dst_host"),
+    )
+    bl = spark.createDataFrame(
+        [("bad0.net",), ("bad1.net",), ("bad2.net",)], "domain string"
+    )
+    return bad_neighborhood_stats(edges, bl)
+
+
+ORACLE_BAD_NEIGHBORHOOD = (
+    "WITH e AS (SELECT DISTINCT "
+    "'s' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS src, "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'bad' || CAST(doc_id % 3 AS VARCHAR) || '.net' "
+    "WHEN doc_id % 4 = 1 THEN 'cdn.bad0.net' "
+    "ELSE 'ok' || CAST(doc_id % 7 AS VARCHAR) || '.org' END AS dst "
+    "FROM documents), "
+    "bl(domain) AS (VALUES ('bad0.net'), ('bad1.net'), ('bad2.net')), "
+    "sp AS (SELECT src, dst, string_split(dst, '.') AS parts FROM e), "
+    "sfx AS (SELECT src, dst, array_to_string(parts[i:], '.') AS suffix "
+    "FROM sp, UNNEST(generate_series(1, len(parts) - 1)) AS t(i)), "
+    "bad AS (SELECT DISTINCT src, dst FROM sfx "
+    "JOIN bl ON sfx.suffix = bl.domain), "
+    "per AS (SELECT e.src AS src_host, "
+    "CAST(count(*) AS BIGINT) AS n_dst_hosts, "
+    "CAST(sum(CASE WHEN bad.dst IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_bad_hosts "
+    "FROM e LEFT JOIN bad ON e.src = bad.src AND e.dst = bad.dst "
+    "GROUP BY 1) "
+    "SELECT src_host, n_dst_hosts, n_bad_hosts, "
+    "CAST((10000 * n_bad_hosts) // greatest(n_dst_hosts, 1) AS BIGINT) "
+    "AS bad_bp FROM per ORDER BY src_host"
+)
+
+
 def q_crawl_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X147 — host-grain crawl-over-crawl report over two synthesized
     snapshots: every 7th url is new (added), every 11th vanished
@@ -8605,6 +8657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "amp_variants": q_amp_variants,
     "canary_scan": q_canary_scan,
     "crawl_growth": q_crawl_growth,
+    "bad_neighborhood": q_bad_neighborhood,
 }
 
 ORACLES: dict[str, str] = {
@@ -8790,4 +8843,5 @@ ORACLES: dict[str, str] = {
     "amp_variants": ORACLE_AMP_VARIANTS,
     "canary_scan": ORACLE_CANARY_SCAN,
     "crawl_growth": ORACLE_CRAWL_GROWTH,
+    "bad_neighborhood": ORACLE_BAD_NEIGHBORHOOD,
 }

@@ -3733,3 +3733,23 @@ def test_crawl_growth_classes_and_churn(spark):
     assert (r["n_added"], r["n_removed"], r["n_changed"],
             r["n_unchanged"]) == (1, 1, 1, 1)
     assert r["churn_bp"] == 10000  # 3 of max(3,3) urls churned
+
+
+def test_bad_neighborhood_subdomain_and_distinct_dst(spark):
+    from docling_serve_spark.operators.webgraph import bad_neighborhood_stats
+
+    edges = spark.createDataFrame(
+        [("s.com", "bad.net"),        # blocked apex
+         ("s.com", "cdn.bad.net"),    # blocked subdomain
+         ("s.com", "ok.org"),
+         ("s.com", "ok.org"),         # duplicate edge: counted once
+         ("clean.com", "ok.org")],
+        "src_host string, dst_host string",
+    )
+    bl = spark.createDataFrame([("bad.net",)], "domain string")
+    got = {r["src_host"]: r
+           for r in bad_neighborhood_stats(edges, bl).collect()}
+    s = got["s.com"]
+    assert (s["n_dst_hosts"], s["n_bad_hosts"]) == (3, 2)
+    assert s["bad_bp"] == 6666
+    assert got["clean.com"]["bad_bp"] == 0
