@@ -202,6 +202,10 @@ BENCH_QUERIES = [
     "soft404",
     "consent_leakage",
     "paywalls",
+    "amp_variants",
+    "canary_scan",
+    "crawl_growth",
+    "bad_neighborhood",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
