@@ -354,3 +354,62 @@ def run_drift_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def delta_chain_stream(captures: DataFrame,
+                       max_hamming: int = 3) -> DataFrame:
+    """(url, ts, simhash, cls) — the ONLINE form of X135's capture
+    delta-chain classifier: per-url state holds the LAST simhash seen,
+    each incoming capture classes against it (identical / delta /
+    novel, same bit-count rule as the batch lag window) and becomes
+    the new state — so a streaming archiver decides revisit-vs-delta-
+    vs-full storage AT INGEST, instead of re-walking the chain in
+    batch. State is one int64 per url, keyed by the shuffle key, so
+    it scales partition-locally like ``dedup_stream``.
+
+    Within a micro-batch captures are processed in ts order; ACROSS
+    batches arrival order is assumed to follow capture time (an
+    append-log feed — the same processing-time rationale as
+    ``dedup_stream``: archive feeds replay old partitions, and
+    watermark gating would drop them instead of classifying them).
+    A replayed out-of-order capture re-classes against the newest
+    state, exactly what a streaming dedup store would do."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("ts", kind="stable")
+            cls = []
+            for sim in pdf["simhash"]:
+                sim = int(sim)
+                if last is None:
+                    cls.append("novel")
+                else:
+                    d = bin(sim ^ last).count("1")
+                    cls.append(
+                        "identical" if d == 0
+                        else "delta" if d <= max_hamming
+                        else "novel"
+                    )
+                last = sim
+            out = pdf[["url", "ts", "simhash"]].copy()
+            out["cls"] = cls
+            frames.append(out)
+        if last is not None:
+            state.update((int(last),))
+        if frames:
+            yield pd.concat(frames)
+
+    return captures.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType="url string, ts bigint, simhash bigint, cls string",
+        stateStructType="last bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

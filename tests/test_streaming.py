@@ -392,3 +392,51 @@ def test_drift_stream_flags_profile_jump(spark, tmp_path):
         .agg(F.max("tv")).first()[0]
     )
     assert tv_jump >= 8000
+
+
+def test_delta_chain_stream_state_spans_microbatches(spark, tmp_path):
+    """X149: the per-url last-simhash state must survive across
+    micro-batches — batch 2's first capture classes against batch 1's
+    LAST simhash, which a batch lag window gets for free and a stream
+    only gets through state."""
+    from docling_serve_spark.streaming.ingest import delta_chain_stream
+
+    landing = str(tmp_path / "caps")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, ts bigint, simhash bigint"
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        spark.createDataFrame(
+            [("u1", 1, 100), ("u1", 2, 100), ("u1", 3, 101),
+             ("u2", 1, 7)],
+            schema,
+        ).write.parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = delta_chain_stream(q).writeStream.format("parquet") \
+            .option("path", out).option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+        got = {(r["url"], r["ts"]): r["cls"]
+               for r in spark.read.parquet(out).collect()}
+        assert got == {("u1", 1): "novel", ("u1", 2): "identical",
+                       ("u1", 3): "delta", ("u2", 1): "novel"}
+
+        # batch 2: u1 continues from simhash 101 (state), u2 jumps far
+        spark.createDataFrame(
+            [("u1", 4, 101), ("u2", 2, 7 ^ 0xFF0)], schema
+        ).write.mode("append").parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = delta_chain_stream(q).writeStream.format("parquet") \
+            .option("path", out).option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+        got = {(r["url"], r["ts"]): r["cls"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[("u1", 4)] == "identical"   # vs batch-1 state 101
+        assert got[("u2", 2)] == "novel"
+        assert len(got) == 6
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
