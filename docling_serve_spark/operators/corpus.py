@@ -602,3 +602,48 @@ def consent_contamination(docs: DataFrame, host_col: str = "host",
         )
         .orderBy("host")
     )
+
+
+def ensemble_scores(flags: DataFrame, weights: dict[str, int],
+                    id_col: str = "doc_id") -> DataFrame:
+    """(score, n_docs, cum_docs, cum_share_bp) — integer ensemble
+    scoring + threshold sweep: each boolean gate column contributes
+    its integer weight, per-document scores roll into a distribution,
+    and the cumulative column answers the sweep question every
+    filter-stack ablation asks — "how much survives if we cut at
+    score ≥ s?" (the FineWeb-edu classifier-threshold table, with
+    auditable integer gate weights standing in for an opaque model
+    score). Downstream, the chosen cut feeds X24's token budgeting
+    and X20's mixture weights.
+
+    Scale shape: the gates are evaluated upstream (each an audited
+    operator); this adds ONE score partial agg over per-doc rows,
+    then windows over the ≤ Σweights+1 distribution rows — the
+    single-partition window is bounded by the score RANGE, never by
+    corpus size (the drift_from_histograms discipline)."""
+    from pyspark.sql import Window
+
+    score = None
+    for col_name, w in sorted(weights.items()):
+        term = F.when(F.col(col_name), int(w)).otherwise(0)
+        score = term if score is None else score + term
+    per_doc = flags.select(score.cast("bigint").alias("score"))
+    dist = per_doc.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    w_cum = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return (
+        dist.withColumn("cum_docs",
+                        F.sum("n_docs").over(w_cum).cast("bigint"))
+        .withColumn("total", F.sum("n_docs").over(w_all))
+        .select(
+            "score", "n_docs", "cum_docs",
+            F.expr("(10000 * cum_docs) div greatest(total, 1)")
+            .cast("bigint").alias("cum_share_bp"),
+        )
+        .orderBy(F.col("score").desc())
+    )

@@ -5956,6 +5956,51 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 — integer ensemble sweep over the REAL gates: Gopher
+    (weight 4), the C4-style filter (3), and a 100–20000-char length
+    band (1); the cumulative column is the keep-rate at each cut."""
+    from docling_serve_spark.operators.corpus import ensemble_scores
+
+    g = q_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep"))
+    c = q_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c_keep"))
+    ln = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.length("text") >= 100) & (F.length("text") <= 20000))
+        .alias("len_ok"),
+    )
+    flags = g.join(c, "doc_id").join(ln, "doc_id")
+    return ensemble_scores(
+        flags, weights={"g_keep": 4, "c_keep": 3, "len_ok": 1}
+    )
+
+
+ORACLE_QUALITY_ENSEMBLE = (
+    "WITH ga AS (SELECT doc_id, keep AS g_keep FROM ("
+    + ORACLE_GOPHER_QUALITY + ") g), "
+    "qa AS (SELECT doc_id, keep AS c_keep FROM ("
+    + ORACLE_QUALITY_FILTER + ") q), "
+    "ln AS (SELECT doc_id, length(text) BETWEEN 100 AND 20000 "
+    "AS len_ok FROM documents), "
+    "s AS (SELECT CAST(CASE WHEN g_keep THEN 4 ELSE 0 END "
+    "+ CASE WHEN c_keep THEN 3 ELSE 0 END "
+    "+ CASE WHEN len_ok THEN 1 ELSE 0 END AS BIGINT) AS score "
+    "FROM ga JOIN qa USING (doc_id) JOIN ln USING (doc_id)), "
+    "d AS (SELECT score, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM s GROUP BY 1) "
+    "SELECT score, n_docs, "
+    "CAST(sum(n_docs) OVER (ORDER BY score DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_docs, "
+    "CAST((10000 * sum(n_docs) OVER (ORDER BY score DESC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // "
+    "greatest(sum(n_docs) OVER (), 1) AS BIGINT) AS cum_share_bp "
+    "FROM d ORDER BY score DESC"
+)
+
+
 def q_bad_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X148 — linking-to-spam score over a synthesized edge list: 10
     source hosts whose outlinks mix blocked apexes, blocked
@@ -8658,6 +8703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canary_scan": q_canary_scan,
     "crawl_growth": q_crawl_growth,
     "bad_neighborhood": q_bad_neighborhood,
+    "quality_ensemble": q_quality_ensemble,
 }
 
 ORACLES: dict[str, str] = {
@@ -8844,4 +8890,5 @@ ORACLES: dict[str, str] = {
     "canary_scan": ORACLE_CANARY_SCAN,
     "crawl_growth": ORACLE_CRAWL_GROWTH,
     "bad_neighborhood": ORACLE_BAD_NEIGHBORHOOD,
+    "quality_ensemble": ORACLE_QUALITY_ENSEMBLE,
 }

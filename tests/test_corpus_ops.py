@@ -3753,3 +3753,18 @@ def test_bad_neighborhood_subdomain_and_distinct_dst(spark):
     assert (s["n_dst_hosts"], s["n_bad_hosts"]) == (3, 2)
     assert s["bad_bp"] == 6666
     assert got["clean.com"]["bad_bp"] == 0
+
+
+def test_ensemble_sweep_cumulative_from_top(spark):
+    from docling_serve_spark.operators.corpus import ensemble_scores
+
+    flags = spark.createDataFrame(
+        [(1, True, True), (2, True, False), (3, False, False),
+         (4, True, True)],
+        "doc_id bigint, a boolean, b boolean",
+    )
+    rows = ensemble_scores(flags, {"a": 2, "b": 1}).collect()
+    got = [(r["score"], r["n_docs"], r["cum_docs"], r["cum_share_bp"])
+           for r in rows]
+    # scores: 3,3 -> 2 docs; 2 -> 1; 0 -> 1
+    assert got == [(3, 2, 2, 5000), (2, 1, 3, 7500), (0, 1, 4, 10000)]
