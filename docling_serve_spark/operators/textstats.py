@@ -1135,3 +1135,74 @@ def readability_stats(docs: DataFrame, lang_col: str = "lang",
         )
         .orderBy("lang")
     )
+
+
+def code_switch_stats(docs: DataFrame, lang_col: str = "lang",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(lang, n_docs, n_switched, switched_bp, mean_trans_milli) —
+    line-level code-switching audit: each non-empty line is assigned
+    a dominant script (Arabic / CJK / Cyrillic / Latin-other by
+    per-line character counts, fixed tie precedence), and a document
+    whose lines span ≥2 scripts is script-switched, with the count of
+    adjacent-line script transitions as the mixing intensity. X118
+    catches char-level homoglyph smuggling INSIDE words; this catches
+    the structural case — bilingual pages, quoted foreign blocks,
+    boilerplate in another script — which breaks lang-pure corpus
+    slices and is simultaneously the positive signal X139's bitext
+    mining wants surfaced (a page alternating en/ar lines is a
+    translation candidate, not trash).
+
+    Scale shape: posexplode lines, three regexp counts riding the
+    exploded scan, ONE doc-keyed window for transitions (partition-
+    local sort on line position), two stacked partial aggs (doc,
+    then lang). Integer milli/bp throughout."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    n_ar = F.regexp_count(F.col("line"), F.lit(r"[؀-ۿ]"))
+    n_cjk = F.regexp_count(F.col("line"), F.lit(r"[一-鿿]"))
+    n_cyr = F.regexp_count(F.col("line"), F.lit(r"[Ѐ-ӿ]"))
+    n_lat = F.regexp_count(F.col("line"), F.lit(r"[A-Za-z]"))
+    script = (
+        F.when((n_ar >= F.greatest(n_cjk, n_cyr, n_lat)) & (n_ar > 0),
+               "arabic")
+        .when((n_cjk >= F.greatest(n_cyr, n_lat)) & (n_cjk > 0), "cjk")
+        .when((n_cyr >= n_lat) & (n_cyr > 0), "cyrillic")
+        .otherwise("latin")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    scored = lines.select(
+        "doc_id", "lang", "pos", script.alias("script")
+    ).select(
+        "doc_id", "lang", "script",
+        F.when(
+            F.lag("script").over(w).isNotNull()
+            & (F.lag("script").over(w) != F.col("script")), 1
+        ).otherwise(0).alias("trans"),
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.countDistinct("script").alias("n_scripts"),
+        F.sum("trans").cast("bigint").alias("n_trans"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_scripts") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_switched"),
+            F.sum("n_trans").alias("total_trans"),
+        )
+        .select(
+            "lang", "n_docs", "n_switched",
+            F.expr("(10000 * n_switched) div greatest(n_docs, 1)")
+            .cast("bigint").alias("switched_bp"),
+            F.expr("(1000 * total_trans) div greatest(n_docs, 1)")
+            .cast("bigint").alias("mean_trans_milli"),
+        )
+        .orderBy("lang")
+    )

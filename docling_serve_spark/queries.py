@@ -5956,6 +5956,59 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 — line-level script-switch audit: every 9th doc gets an
+    Arabic + Cyrillic line appended (structurally switched), zh docs
+    classify cjk natively, the rest stay single-script."""
+    from docling_serve_spark.operators.textstats import code_switch_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat("text", F.lit("\nمرحبا بالعالم\nпривет мир")),
+    ).otherwise(F.col("text"))
+    return code_switch_stats(
+        docs.select("doc_id", "lang", t.alias("text"))
+    )
+
+
+ORACLE_CODE_SWITCH = (
+    "WITH d AS (SELECT doc_id, lang, CASE WHEN doc_id % 9 = 0 "
+    "THEN text || chr(10) || 'مرحبا بالعالم' || chr(10) || 'привет мир' "
+    "ELSE text END AS t FROM documents), "
+    "l0 AS (SELECT doc_id, lang, i AS pos, "
+    "string_split(t, chr(10))[i] AS line "
+    "FROM d, UNNEST(generate_series(1, len(string_split(t, chr(10))))) "
+    "AS u(i)), "
+    "l AS (SELECT * FROM l0 WHERE trim(line, ' ') <> ''), "
+    "sc AS (SELECT doc_id, lang, pos, "
+    "len(regexp_extract_all(line, '[؀-ۿ]')) AS n_ar, "
+    "len(regexp_extract_all(line, '[一-鿿]')) AS n_cjk, "
+    "len(regexp_extract_all(line, '[Ѐ-ӿ]')) AS n_cyr, "
+    "len(regexp_extract_all(line, '[A-Za-z]')) AS n_lat FROM l), "
+    "s AS (SELECT doc_id, lang, pos, "
+    "CASE WHEN n_ar >= greatest(n_cjk, n_cyr, n_lat) AND n_ar > 0 "
+    "THEN 'arabic' "
+    "WHEN n_cjk >= greatest(n_cyr, n_lat) AND n_cjk > 0 THEN 'cjk' "
+    "WHEN n_cyr >= n_lat AND n_cyr > 0 THEN 'cyrillic' "
+    "ELSE 'latin' END AS script FROM sc), "
+    "tr AS (SELECT doc_id, lang, script, "
+    "CASE WHEN lag(script) OVER (PARTITION BY doc_id ORDER BY pos) "
+    "IS NOT NULL AND lag(script) OVER (PARTITION BY doc_id "
+    "ORDER BY pos) <> script THEN 1 ELSE 0 END AS trans FROM s), "
+    "pd AS (SELECT doc_id, lang, count(DISTINCT script) AS n_scripts, "
+    "CAST(sum(trans) AS BIGINT) AS n_trans FROM tr GROUP BY 1, 2), "
+    "per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_switched, sum(n_trans) AS total_trans FROM pd GROUP BY 1) "
+    "SELECT lang, n_docs, n_switched, "
+    "CAST((10000 * n_switched) // greatest(n_docs, 1) AS BIGINT) "
+    "AS switched_bp, "
+    "CAST((1000 * total_trans) // greatest(n_docs, 1) AS BIGINT) "
+    "AS mean_trans_milli FROM per ORDER BY lang"
+)
+
+
 def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X150 — integer ensemble sweep over the REAL gates: Gopher
     (weight 4), the C4-style filter (3), and a 100–20000-char length
@@ -8704,6 +8757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_growth": q_crawl_growth,
     "bad_neighborhood": q_bad_neighborhood,
     "quality_ensemble": q_quality_ensemble,
+    "code_switch": q_code_switch,
 }
 
 ORACLES: dict[str, str] = {
@@ -8891,4 +8945,5 @@ ORACLES: dict[str, str] = {
     "crawl_growth": ORACLE_CRAWL_GROWTH,
     "bad_neighborhood": ORACLE_BAD_NEIGHBORHOOD,
     "quality_ensemble": ORACLE_QUALITY_ENSEMBLE,
+    "code_switch": ORACLE_CODE_SWITCH,
 }

@@ -3768,3 +3768,22 @@ def test_ensemble_sweep_cumulative_from_top(spark):
            for r in rows]
     # scores: 3,3 -> 2 docs; 2 -> 1; 0 -> 1
     assert got == [(3, 2, 2, 5000), (2, 1, 3, 7500), (0, 1, 4, 10000)]
+
+
+def test_code_switch_detects_script_runs(spark):
+    from docling_serve_spark.operators.textstats import code_switch_stats
+
+    docs = spark.createDataFrame(
+        [(1, "hello world\nмир и труд\nback to english", "en"),
+         (2, "pure english\nmore english", "en"),
+         (3, "مرحبا\nبالعالم", "ar")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["lang"]: r for r in code_switch_stats(docs).collect()}
+    en = got["en"]
+    # doc 1: latin->cyrillic->latin = 2 transitions, 2 scripts
+    assert (en["n_docs"], en["n_switched"]) == (2, 1)
+    assert en["switched_bp"] == 5000
+    assert en["mean_trans_milli"] == 1000  # 2 transitions / 2 docs
+    # pure-arabic doc never flags
+    assert got["ar"]["n_switched"] == 0
