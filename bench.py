@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "canary_scan",
     "crawl_growth",
     "bad_neighborhood",
+    "quality_ensemble",
+    "code_switch",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
