@@ -1066,3 +1066,67 @@ def dedup_cascade(docs: DataFrame, text_col: str = "text",
         .when(F.col("s2"), F.lit("containment"))
         .otherwise(F.lit("kept")).alias("stage"),
     )
+
+
+def copy_direction_stats(pairs: DataFrame, meta: DataFrame,
+                         id_col: str = "doc_id",
+                         host_col: str = "host",
+                         ts_col: str = "ts") -> DataFrame:
+    """(host, n_as_source, n_as_copier, copier_bp) — syndication
+    DIRECTION over containment pairs: in each pair the earlier
+    capture is the source and the later the copier (tie on timestamp
+    → smaller doc_id is source — deterministic), rolled up per host.
+    X100 finds the excerpt-in-page pairs; this assigns who copied
+    whom, the provenance question a licensing/canonicalization pass
+    needs answered (Broder's containment gives the edge, capture time
+    orients it — the heuristic wire-service tracing uses: the wire
+    story precedes its republications). A host that is mostly copier
+    is an aggregator — X20's mixture should weight its ORIGINALS'
+    hosts instead.
+
+    Two doc-keyed equi-joins attach (host, ts) to each pair side
+    (meta is id-keyed narrow rows), one union of the two directed
+    emissions, ONE host partial agg."""
+    m = meta.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("h"),
+        F.col(ts_col).alias("t"),
+    )
+    j = (
+        pairs.select("doc_a", "doc_b")
+        .join(m.select(F.col("id").alias("doc_a"),
+                       F.col("h").alias("host_a"),
+                       F.col("t").alias("ts_a")), "doc_a")
+        .join(m.select(F.col("id").alias("doc_b"),
+                       F.col("h").alias("host_b"),
+                       F.col("t").alias("ts_b")), "doc_b")
+    )
+    a_is_source = (
+        (F.col("ts_a") < F.col("ts_b"))
+        | ((F.col("ts_a") == F.col("ts_b"))
+           & (F.col("doc_a") < F.col("doc_b")))
+    )
+    src = F.when(a_is_source, F.col("host_a")).otherwise(F.col("host_b"))
+    cop = F.when(a_is_source, F.col("host_b")).otherwise(F.col("host_a"))
+    directed = (
+        j.select(src.alias("host"), F.lit(1).alias("as_source"),
+                 F.lit(0).alias("as_copier"))
+        .unionByName(
+            j.select(cop.alias("host"), F.lit(0).alias("as_source"),
+                     F.lit(1).alias("as_copier"))
+        )
+    )
+    return (
+        directed.groupBy("host")
+        .agg(
+            F.sum("as_source").cast("bigint").alias("n_as_source"),
+            F.sum("as_copier").cast("bigint").alias("n_as_copier"),
+        )
+        .select(
+            "host", "n_as_source", "n_as_copier",
+            F.expr("(10000 * n_as_copier) div "
+                   "greatest(n_as_source + n_as_copier, 1)")
+            .cast("bigint").alias("copier_bp"),
+        )
+        .orderBy("host")
+    )

@@ -5956,6 +5956,60 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_copy_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 — syndication direction over the X100 containment pairs:
+    originals live on 3 'orig' hosts with early timestamps, excerpts
+    on 2 aggregator hosts a million ticks later — the aggregators
+    must come out ~100% copier."""
+    from docling_serve_spark.operators.dedup import copy_direction_stats
+
+    pairs = q_containment_pairs(spark, sf_dir)
+    ids = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id")
+    orig_meta = ids.select(
+        "doc_id",
+        F.concat(F.lit("orig"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.col("doc_id").alias("ts"),
+    )
+    exc_meta = ids.select(
+        (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+        F.concat(F.lit("agg"), (F.col("doc_id") % 2).cast("string"),
+                 F.lit(".net")).alias("host"),
+        (F.col("doc_id") + 1_000_000).alias("ts"),
+    )
+    return copy_direction_stats(pairs, orig_meta.unionByName(exc_meta))
+
+
+ORACLE_COPY_DIRECTION = (
+    "WITH pairs AS (SELECT doc_a, doc_b FROM ("
+    + ORACLE_CONTAINMENT + ") cp), "
+    "ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0), "
+    "meta AS (SELECT doc_id AS id, "
+    "'orig' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS h, "
+    "doc_id AS t FROM ids "
+    "UNION ALL SELECT doc_id + 100000 AS id, "
+    "'agg' || CAST(doc_id % 2 AS VARCHAR) || '.net' AS h, "
+    "doc_id + 1000000 AS t FROM ids), "
+    "j AS (SELECT p.doc_a, p.doc_b, ma.h AS host_a, ma.t AS ts_a, "
+    "mb.h AS host_b, mb.t AS ts_b FROM pairs p "
+    "JOIN meta ma ON p.doc_a = ma.id JOIN meta mb ON p.doc_b = mb.id), "
+    "dirs AS (SELECT CASE WHEN ts_a < ts_b OR (ts_a = ts_b AND "
+    "doc_a < doc_b) THEN host_a ELSE host_b END AS host, "
+    "1 AS as_source, 0 AS as_copier FROM j "
+    "UNION ALL SELECT CASE WHEN ts_a < ts_b OR (ts_a = ts_b AND "
+    "doc_a < doc_b) THEN host_b ELSE host_a END AS host, "
+    "0 AS as_source, 1 AS as_copier FROM j), "
+    "per AS (SELECT host, CAST(sum(as_source) AS BIGINT) AS n_as_source, "
+    "CAST(sum(as_copier) AS BIGINT) AS n_as_copier FROM dirs GROUP BY 1) "
+    "SELECT host, n_as_source, n_as_copier, "
+    "CAST((10000 * n_as_copier) // "
+    "greatest(n_as_source + n_as_copier, 1) AS BIGINT) AS copier_bp "
+    "FROM per ORDER BY host"
+)
+
+
 def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X151 — line-level script-switch audit: every 9th doc gets an
     Arabic + Cyrillic line appended (structurally switched), zh docs
@@ -8758,6 +8812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bad_neighborhood": q_bad_neighborhood,
     "quality_ensemble": q_quality_ensemble,
     "code_switch": q_code_switch,
+    "copy_direction": q_copy_direction,
 }
 
 ORACLES: dict[str, str] = {
@@ -8946,4 +9001,5 @@ ORACLES: dict[str, str] = {
     "bad_neighborhood": ORACLE_BAD_NEIGHBORHOOD,
     "quality_ensemble": ORACLE_QUALITY_ENSEMBLE,
     "code_switch": ORACLE_CODE_SWITCH,
+    "copy_direction": ORACLE_COPY_DIRECTION,
 }

@@ -515,3 +515,24 @@ def test_semantic_dedup_tie_drops_larger_vec_id(spark):
     got = {r["vec_id"]: r["keep"]
            for r in semantic_dedup(embs, k=1, threshold=0.99).collect()}
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_copy_direction_orients_by_time_then_id(spark):
+    from docling_serve_spark.operators.dedup import copy_direction_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "doc_a bigint, doc_b bigint"
+    )
+    meta = spark.createDataFrame(
+        [(1, "wire.com", 10), (2, "agg.net", 99),      # wire first
+         (3, "agg.net", 99), (4, "wire.com", 10),      # order flipped
+         (5, "a.com", 50), (6, "b.com", 50)],          # tie: smaller id
+        "doc_id bigint, host string, ts bigint",
+    )
+    got = {r["host"]: r for r in copy_direction_stats(pairs, meta).collect()}
+    assert got["wire.com"]["n_as_source"] == 2
+    assert got["wire.com"]["n_as_copier"] == 0
+    assert got["agg.net"]["n_as_copier"] == 2
+    assert got["agg.net"]["copier_bp"] == 10000
+    assert got["a.com"]["n_as_source"] == 1  # tie broken to smaller id
+    assert got["b.com"]["n_as_copier"] == 1
