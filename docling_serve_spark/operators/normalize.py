@@ -299,3 +299,72 @@ def invisible_char_stats(docs, text_col: str = "text",
             f">= {per_10k_threshold} * greatest(length(text), 1)"
         ).alias("is_suspect"),
     )
+
+
+def charset_decl_stats(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_declared, n_utf8, n_legacy, legacy_bp,
+    top_legacy) — charset-declaration audit per host: what each host
+    CLAIMS its bytes are (``<meta charset=…>`` or the http-equiv
+    content-type form, first declaration wins per the WHATWG
+    prescan), split into utf-8 vs legacy (windows-125x, iso-8859-x,
+    gbk/big5/shift_jis/koi8…). Legacy-declaring hosts are where X48's
+    mojibake actually comes from — the extractor needs a transcode
+    pass THERE, and a host whose declarations disagree with its bytes
+    (declared legacy, mojibake clean, or the reverse) is serving
+    mislabeled content. No decoding happens here: a 10^12-page audit
+    reads declarations, the flagged subset gets the real transcode.
+
+    Two regexp extracts riding the scan (quote style both ways), ONE
+    host partial agg + a top-legacy window over the tiny (host,
+    charset) table."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.lower(F.col(html_col).cast("string"))
+    decl = F.coalesce(
+        F.nullif(F.regexp_extract(
+            h, r'<meta\s+charset\s*=\s*["\']?\s*([a-z0-9._-]+)', 1), F.lit("")),
+        F.nullif(F.regexp_extract(
+            h, r'content\s*=\s*["\'][^"\']*charset=([a-z0-9._-]+)', 1),
+            F.lit("")),
+    )
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        decl.alias("charset"),
+    ).select(
+        "host", "charset",
+        F.col("charset").isNotNull().alias("declared"),
+        (F.col("charset").isin("utf-8", "utf8")).alias("is_utf8"),
+    )
+    per_host = base.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.when(F.col("declared"), 1).otherwise(0))
+        .cast("bigint").alias("n_declared"),
+        F.sum(F.when(F.col("is_utf8"), 1).otherwise(0))
+        .cast("bigint").alias("n_utf8"),
+        F.sum(F.when(F.col("declared") & ~F.col("is_utf8"), 1)
+              .otherwise(0)).cast("bigint").alias("n_legacy"),
+    )
+    legacy = (
+        base.filter(F.col("declared") & ~F.col("is_utf8"))
+        .groupBy("host", "charset")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("charset").asc()
+    )
+    top = legacy.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1) \
+        .select("host", F.col("charset").alias("top_legacy"))
+    return (
+        per_host.join(top, "host", "left")
+        .select(
+            "host", "n_pages", "n_declared", "n_utf8", "n_legacy",
+            F.expr("(10000 * n_legacy) div greatest(n_pages, 1)")
+            .cast("bigint").alias("legacy_bp"),
+            F.coalesce("top_legacy", F.lit("")).alias("top_legacy"),
+        )
+        .orderBy("host")
+    )

@@ -5956,6 +5956,70 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_charset_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 — charset-declaration audit across 6 hosts: id%5 plants
+    meta-charset utf-8 / http-equiv windows-1256 / single-quoted
+    ISO-8859-1 / gbk / no declaration."""
+    from docling_serve_spark.operators.normalize import charset_decl_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    head = (
+        F.when(m == 0, F.lit('<meta charset="utf-8">'))
+        .when(m == 1, F.lit('<meta http-equiv="content-type" '
+                            'content="text/html; charset=windows-1256">'))
+        .when(m == 2, F.lit("<meta charset='iso-8859-1'>"))
+        .when(m == 3, F.lit('<meta charset=gbk>'))
+        .otherwise(F.lit("<title>none</title>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://cs"), (F.col("doc_id") % 6).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), head,
+                          F.lit("</head><body>x</body></html>")),
+                 "UTF-8").alias("html"),
+    )
+    return charset_decl_stats(pages)
+
+
+ORACLE_CHARSET_DECLS = (
+    "WITH sp AS (SELECT doc_id, "
+    "'cs' || CAST(doc_id % 6 AS VARCHAR) || '.com' AS host, "
+    "lower('<html><head>' || CASE "
+    "WHEN doc_id % 5 = 0 THEN '<meta charset=\"utf-8\">' "
+    "WHEN doc_id % 5 = 1 THEN '<meta http-equiv=\"content-type\" "
+    "content=\"text/html; charset=windows-1256\">' "
+    "WHEN doc_id % 5 = 2 THEN '<meta charset=''iso-8859-1''>' "
+    "WHEN doc_id % 5 = 3 THEN '<meta charset=gbk>' "
+    "ELSE '<title>none</title>' END "
+    "|| '</head><body>x</body></html>') AS h FROM documents), "
+    "m AS (SELECT host, COALESCE("
+    "nullif(regexp_extract(h, "
+    "'<meta\\s+charset\\s*=\\s*[\"'']?\\s*([a-z0-9._-]+)', 1), ''), "
+    "nullif(regexp_extract(h, "
+    "'content\\s*=\\s*[\"''][^\"'']*charset=([a-z0-9._-]+)', 1), '')) "
+    "AS charset FROM sp), "
+    "c AS (SELECT host, charset, charset IS NOT NULL AS declared, "
+    "charset IN ('utf-8', 'utf8') AS is_utf8 FROM m), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN declared THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_declared, "
+    "CAST(sum(CASE WHEN is_utf8 THEN 1 ELSE 0 END) AS BIGINT) AS n_utf8, "
+    "CAST(sum(CASE WHEN declared AND NOT is_utf8 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_legacy FROM c GROUP BY 1), "
+    "lg AS (SELECT host, charset, count(*) AS n FROM c "
+    "WHERE declared AND NOT is_utf8 GROUP BY 1, 2), "
+    "top AS (SELECT host, charset AS top_legacy FROM ("
+    "SELECT host, charset, row_number() OVER (PARTITION BY host "
+    "ORDER BY n DESC, charset ASC) AS rn FROM lg) WHERE rn = 1) "
+    "SELECT per.host, n_pages, n_declared, n_utf8, n_legacy, "
+    "CAST((10000 * n_legacy) // greatest(n_pages, 1) AS BIGINT) "
+    "AS legacy_bp, COALESCE(top.top_legacy, '') AS top_legacy "
+    "FROM per LEFT JOIN top ON per.host = top.host ORDER BY per.host"
+)
+
+
 def q_copy_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X152 — syndication direction over the X100 containment pairs:
     originals live on 3 'orig' hosts with early timestamps, excerpts
@@ -8813,6 +8877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_ensemble": q_quality_ensemble,
     "code_switch": q_code_switch,
     "copy_direction": q_copy_direction,
+    "charset_decls": q_charset_decls,
 }
 
 ORACLES: dict[str, str] = {
@@ -9002,4 +9067,5 @@ ORACLES: dict[str, str] = {
     "quality_ensemble": ORACLE_QUALITY_ENSEMBLE,
     "code_switch": ORACLE_CODE_SWITCH,
     "copy_direction": ORACLE_COPY_DIRECTION,
+    "charset_decls": ORACLE_CHARSET_DECLS,
 }

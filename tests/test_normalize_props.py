@@ -52,3 +52,25 @@ def test_fold_never_lengthens_beyond_nfd(s):
     # folding only removes combining marks from the NFD form
     nfd = unicodedata.normalize("NFD", s)
     assert len(_fold_accents(s)) <= len(nfd)
+
+
+def test_charset_decls_quote_styles_and_legacy_top(spark):
+    from docling_serve_spark.operators.normalize import charset_decl_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h.com/1", b'<meta charset="utf-8">'),
+            ("http://h.com/2",
+             b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=windows-1256">'),
+            ("http://h.com/3", b"<meta charset='windows-1256'>"),
+            ("http://h.com/4", b"<meta charset=GBK>"),
+            ("http://h.com/5", b"<p>no declaration</p>"),
+        ],
+        "url string, html binary",
+    )
+    r = charset_decl_stats(pages).collect()[0]
+    assert (r["n_pages"], r["n_declared"], r["n_utf8"],
+            r["n_legacy"]) == (5, 4, 1, 3)
+    assert r["top_legacy"] == "windows-1256"
+    assert r["legacy_bp"] == 6000
