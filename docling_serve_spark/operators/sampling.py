@@ -471,3 +471,38 @@ def packing_audit(packed: DataFrame, seq_len: int = 512) -> DataFrame:
             f"((total_tokens + {seq_len} - 1) div {seq_len}) * {seq_len}, 1)"
         ).cast("bigint").alias("padding_bp"),
     )
+
+
+def mixture_ess(weights: DataFrame,
+                weight_col: str = "q_sampled") -> DataFrame:
+    """(n_groups, sum_w_micro, ess_milli, ess_share_bp) — Kish
+    effective sample size of a mixture weighting (Kish, Survey
+    Sampling 1965: ESS = (Σw)²/Σw²) — the standard degeneracy check
+    on any reweighting: X109's temperature weights or X37's DSIR
+    importance weights can silently collapse onto a handful of groups
+    (ESS → 1, the mixture is a monoculture wearing weights) or stay
+    flat (ESS → n, the reweighting did nothing). Run it after every
+    weight derivation, before tokens are spent; share = ESS/n.
+
+    Weights quantize to micro units (round half-up to the 1e-6 grid,
+    matching the 6-decimal fixed point the weight operators already
+    emit), then ONE global aggregate in bigints. Headroom: Σw_micro
+    for a normalized weighting is ~10^6, so (Σw)² ~ 10^12 and
+    1000·(Σw)² ~ 10^15 « 2^63; the share derives from ess_milli to
+    avoid the n·Σw² product (the collocations int64 lesson)."""
+    w = F.round(F.col(weight_col) * 1_000_000, 0).cast("bigint")
+    agg = weights.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(w).cast("bigint").alias("s"),
+        F.sum(w * w).cast("bigint").alias("s2"),
+    )
+    return agg.select(
+        "n_groups",
+        F.col("s").alias("sum_w_micro"),
+        F.expr("(1000 * s * s) div greatest(s2, 1)")
+        .cast("bigint").alias("ess_milli"),
+    ).select(
+        "n_groups", "sum_w_micro", "ess_milli",
+        F.expr("(10 * ess_milli) div greatest(n_groups, 1)")
+        .cast("bigint").alias("ess_share_bp"),
+    )

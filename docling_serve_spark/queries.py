@@ -6915,6 +6915,35 @@ ORACLE_SAMPLING_TEMPERATURE = (
 )
 
 
+def q_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X154 — Kish effective sample size of the REAL X109 temperature
+    weights: the degeneracy check a mixture runs before spending
+    tokens."""
+    from docling_serve_spark.operators.sampling import mixture_ess
+
+    return mixture_ess(q_sampling_temperature(spark, sf_dir))
+
+
+ORACLE_MIXTURE_ESS = (
+    "WITH w AS (SELECT q_sampled FROM ("
+    + ORACLE_SAMPLING_TEMPERATURE + ") st), "
+    "a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, "
+    "CAST(sum(CAST(round(q_sampled * 1000000, 0) AS BIGINT)) AS BIGINT) "
+    "AS s, "
+    "CAST(sum(CAST(round(q_sampled * 1000000, 0) AS BIGINT) * "
+    "CAST(round(q_sampled * 1000000, 0) AS BIGINT)) AS BIGINT) AS s2 "
+    "FROM w), "
+    "e AS (SELECT n_groups, s AS sum_w_micro, "
+    "CAST((1000 * s * s) // greatest(s2, 1) AS BIGINT) AS ess_milli "
+    "FROM a) "
+    "SELECT n_groups, sum_w_micro, ess_milli, "
+    "CAST((10 * ess_milli) // greatest(n_groups, 1) AS BIGINT) "
+    "AS ess_share_bp FROM e"
+)
+
+
+
+
 def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-data coverage (X125): id%3==0 pages carry a JSON-LD
     Product block (doubled for id%6==0), id%3==1 carry microdata plus
@@ -8878,6 +8907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_switch": q_code_switch,
     "copy_direction": q_copy_direction,
     "charset_decls": q_charset_decls,
+    "mixture_ess": q_mixture_ess,
 }
 
 ORACLES: dict[str, str] = {
@@ -9068,4 +9098,5 @@ ORACLES: dict[str, str] = {
     "code_switch": ORACLE_CODE_SWITCH,
     "copy_direction": ORACLE_COPY_DIRECTION,
     "charset_decls": ORACLE_CHARSET_DECLS,
+    "mixture_ess": ORACLE_MIXTURE_ESS,
 }

@@ -3787,3 +3787,22 @@ def test_code_switch_detects_script_runs(spark):
     assert en["mean_trans_milli"] == 1000  # 2 transitions / 2 docs
     # pure-arabic doc never flags
     assert got["ar"]["n_switched"] == 0
+
+
+def test_mixture_ess_degenerate_vs_uniform(spark):
+    from docling_serve_spark.operators.sampling import mixture_ess
+
+    uniform = spark.createDataFrame(
+        [(0.25,)] * 4, "q_sampled double"
+    )
+    r = mixture_ess(uniform).collect()[0]
+    assert r["n_groups"] == 4
+    assert r["ess_milli"] == 4000        # ESS = n for uniform weights
+    assert r["ess_share_bp"] == 10000
+
+    degenerate = spark.createDataFrame(
+        [(0.97,), (0.01,), (0.01,), (0.01,)], "q_sampled double"
+    )
+    d = mixture_ess(degenerate).collect()[0]
+    assert d["ess_milli"] < 1100         # collapsed onto one group
+    assert d["ess_share_bp"] < 2700
