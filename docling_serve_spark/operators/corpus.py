@@ -647,3 +647,51 @@ def ensemble_scores(flags: DataFrame, weights: dict[str, int],
         )
         .orderBy(F.col("score").desc())
     )
+
+
+def length_quantiles(docs: DataFrame, lang_col: str = "lang",
+                     text_col: str = "text") -> DataFrame:
+    """(lang, n_docs, p50_hi, p90_hi, p99_hi) — exact-by-construction
+    length quantiles per language, resolved to power-of-2 bin upper
+    bounds: doc lengths histogram into floor(log2)+1 bins (the
+    batch_drift grid), cumulative counts give the bin containing each
+    percentile, and the reported value is that bin's inclusive upper
+    bound (2^bin − 1). Deliberately NOT approx_percentile: GK-sketch
+    output depends on merge order and has no DuckDB twin, while the
+    binned quantile is bit-reproducible at any scale and the grid is
+    exactly what length policy needs (truncation/packing budgets are
+    set in powers of two anyway — X21/X24's units).
+
+    One (lang, bin) partial agg; cumulative windows run over ≤ 64
+    bin rows per language, never over documents."""
+    from pyspark.sql import Window
+
+    b = F.expr(
+        f"CAST(length(bin(greatest(length({text_col}), 1))) AS BIGINT)"
+    )
+    hist = docs.select(
+        F.col(lang_col).alias("lang"), b.alias("bin")
+    ).groupBy("lang", "bin").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("lang").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    scored = hist.select(
+        "lang", "bin", "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    hi = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) "
+                "- 1 AS BIGINT)")
+    agg = scored.groupBy("lang").agg(
+        F.max("total").cast("bigint").alias("n_docs"),
+        *[
+            F.min(F.when(F.col("cum") * 100 >= F.col("total") * q, hi))
+            .cast("bigint").alias(f"p{q}_hi")
+            for q in (50, 90, 99)
+        ],
+    )
+    return agg.orderBy("lang")

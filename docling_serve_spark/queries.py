@@ -5956,6 +5956,36 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 — exact binned length quantiles per language over the
+    documents corpus (power-of-2 bin upper bounds)."""
+    from docling_serve_spark.operators.corpus import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LENGTH_QUANTILES = (
+    "WITH h AS (SELECT lang, "
+    "CAST(length(printf('%b', greatest(length(text), 1))) AS BIGINT) "
+    "AS bin, "
+    "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), "
+    "s AS (SELECT lang, bin, n, "
+    "sum(n) OVER (PARTITION BY lang ORDER BY bin "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "sum(n) OVER (PARTITION BY lang) AS total FROM h), "
+    "e AS (SELECT lang, total, "
+    "CAST((1::BIGINT << CAST(bin AS INT)) - 1 AS BIGINT) AS hi, "
+    "cum FROM s) "
+    "SELECT lang, CAST(max(total) AS BIGINT) AS n_docs, "
+    "CAST(min(CASE WHEN cum * 100 >= total * 50 THEN hi END) AS BIGINT) "
+    "AS p50_hi, "
+    "CAST(min(CASE WHEN cum * 100 >= total * 90 THEN hi END) AS BIGINT) "
+    "AS p90_hi, "
+    "CAST(min(CASE WHEN cum * 100 >= total * 99 THEN hi END) AS BIGINT) "
+    "AS p99_hi FROM e GROUP BY 1 ORDER BY lang"
+)
+
+
 def q_charset_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X153 — charset-declaration audit across 6 hosts: id%5 plants
     meta-charset utf-8 / http-equiv windows-1256 / single-quoted
@@ -8908,6 +8938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copy_direction": q_copy_direction,
     "charset_decls": q_charset_decls,
     "mixture_ess": q_mixture_ess,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -9099,4 +9130,5 @@ ORACLES: dict[str, str] = {
     "copy_direction": ORACLE_COPY_DIRECTION,
     "charset_decls": ORACLE_CHARSET_DECLS,
     "mixture_ess": ORACLE_MIXTURE_ESS,
+    "length_quantiles": ORACLE_LENGTH_QUANTILES,
 }

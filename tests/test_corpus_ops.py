@@ -3806,3 +3806,20 @@ def test_mixture_ess_degenerate_vs_uniform(spark):
     d = mixture_ess(degenerate).collect()[0]
     assert d["ess_milli"] < 1100         # collapsed onto one group
     assert d["ess_share_bp"] < 2700
+
+
+def test_length_quantiles_bin_bounds(spark):
+    from docling_serve_spark.operators.corpus import length_quantiles
+
+    # 9 docs of length 5 (bin 3, hi 7) + 1 of length 1000 (bin 10,
+    # hi 1023): p50/p90 land in the small bin, p99 in the big one
+    docs = spark.createDataFrame(
+        [(i, "x" * 5, "en") for i in range(9)]
+        + [(9, "y" * 1000, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    r = length_quantiles(docs).collect()[0]
+    assert r["n_docs"] == 10
+    assert r["p50_hi"] == 7
+    assert r["p90_hi"] == 7
+    assert r["p99_hi"] == 1023
