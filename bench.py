@@ -263,11 +263,17 @@ def _ensure_corpus(spark, n: int | None = None) -> str:
     return path
 
 
-# The scaling measurement uses a 2x corpus: the N->4N criterion is
+# The scaling measurement uses a 6x corpus: the N->4N criterion is
 # about the 10^12-doc regime where per-run constant costs (scan spin-
 # up, Arrow warm path, stage scheduling) are noise; on a corpus this
-# small they would otherwise dominate the 4N denominator.
-SCALING_DOCS = 100_000
+# small they would otherwise dominate the 4N denominator. Sized to
+# the ENGINE's speed, not a fixed constant: at round 4's ~11.5k
+# docs/s the earlier 100k corpus left the 16-core leg only ~9 s of
+# real work against ~7 s of fixed cost (measured efficiency fell to
+# 0.73 on an idle host purely from the denominator), while 300k puts
+# ~26 s of work at 16 cores and restores the work-dominated regime
+# the criterion is about.
+SCALING_DOCS = 300_000
 
 
 def _force(df) -> None:
@@ -522,9 +528,71 @@ def sf1_ops() -> None:
     spark.stop()
 
 
+def measure_scaling() -> dict:
+    """The N->4N core-scaling protocol over the pre-built
+    SCALING_DOCS corpus. N -> 4N on cores 4 -> 16: the high end must
+    not saturate the 32-core host, since each Spark task pairs a JVM
+    thread with a Python worker process — local[32] measures machine
+    contention, not engine scaling (see BENCH.md)."""
+    lows, highs = 4, 16
+    results: dict[int, float] = {}
+
+    def run_worker(cpus: int) -> float:
+        # pin the whole worker (JVM + Python workers) to exactly
+        # `cpus` host cores: a cluster executor with N cores gets N
+        # cores for BOTH its JVM and Python sides, but unpinned
+        # local[N] leaks JVM scan/Arrow/shuffle threads onto idle
+        # host cores — proportionally more at small N, which
+        # understates true engine scaling
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scaling-worker", "--cpus", str(cpus)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(
+            cmd,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)["sec"]
+
+    # SYMMETRIC + INTERLEAVED: two rounds of (low, high), each
+    # worker min-of-2 internally, min per level across rounds.
+    # Interleaving separates a level's measurements in time, so a
+    # sustained host-interference window (observed: one ~90 s
+    # window inflated every rep of a single-worker min-of-3 at the
+    # high level by 35%) cannot cover all of either level's reps;
+    # both levels get identical treatment, unconditionally.
+    rounds = 2
+    load_probes = []
+    for _ in range(rounds):
+        for cpus in (lows, highs):
+            load_probes.append({"cpus": cpus, **_host_load_sample()})
+            t = run_worker(cpus)
+            results[cpus] = min(results.get(cpus, float("inf")), t)
+    eff = (results[lows] / results[highs]) * (lows / highs)
+    return {
+        "cpus_low": lows,
+        "cpus_high": highs,
+        "rounds": rounds,
+        "reps_per_worker": 2,
+        "t_low_sec": round(results[lows], 3),
+        "t_high_sec": round(results[highs], 3),
+        "efficiency": round(eff, 3),
+        "load_probes": load_probes,
+        "contaminated": any(
+            p["ext_busy_frac"] > EXT_BUSY_THRESHOLD for p in load_probes
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-scaling", action="store_true")
+    ap.add_argument("--scaling-only", action="store_true",
+                    help="skip the suite/extract rows; prep the "
+                         "scaling corpus and run only the N->4N "
+                         "protocol (one JSON line)")
     ap.add_argument("--scaling-worker", action="store_true")
     ap.add_argument("--sf1-extract", action="store_true")
     ap.add_argument("--sf1-ops", action="store_true")
@@ -540,6 +608,17 @@ def main() -> None:
 
     if args.scaling_worker:
         scaling_worker(args.cpus, op=args.op)
+        return
+    if args.scaling_only:
+        from docling_serve_spark.session import get_spark as _gs
+
+        _sp = _gs(app_name="bench-scale-prep", master=f"local[{CPUS}]",
+                  files_max_partition_bytes=BENCH_SPLIT_BYTES)
+        _ensure_corpus(_sp, SCALING_DOCS)
+        _sp.stop()
+        time.sleep(15)
+        print(json.dumps({"metric": "N->4N scaling only",
+                          "scaling": measure_scaling()}))
         return
     if args.op_scaling:
         # pre-build the scaled corpus at full parallelism so the
@@ -660,60 +739,7 @@ def main() -> None:
         spark.stop()  # free the JVM before the measured runs
         time.sleep(15)  # let the host settle (GC, writeback) so the
         # first measured worker doesn't inherit the main run's tail
-        # N -> 4N on cores 4 -> 16: the high end must not saturate the
-        # 32-core host, since each Spark task pairs a JVM thread with a
-        # Python worker process — local[32] measures machine contention,
-        # not engine scaling (see BENCH.md).
-        lows, highs = 4, 16
-        results: dict[int, float] = {}
-
-        def run_worker(cpus: int) -> float:
-            # pin the whole worker (JVM + Python workers) to exactly
-            # `cpus` host cores: a cluster executor with N cores gets N
-            # cores for BOTH its JVM and Python sides, but unpinned
-            # local[N] leaks JVM scan/Arrow/shuffle threads onto idle
-            # host cores — proportionally more at small N, which
-            # understates true engine scaling
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--scaling-worker", "--cpus", str(cpus)]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(
-                cmd,
-                capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            return json.loads(line)["sec"]
-
-        # SYMMETRIC + INTERLEAVED: two rounds of (low, high), each
-        # worker min-of-2 internally, min per level across rounds.
-        # Interleaving separates a level's measurements in time, so a
-        # sustained host-interference window (observed: one ~90 s
-        # window inflated every rep of a single-worker min-of-3 at the
-        # high level by 35%) cannot cover all of either level's reps;
-        # both levels get identical treatment, unconditionally.
-        rounds = 2
-        load_probes = []
-        for _ in range(rounds):
-            for cpus in (lows, highs):
-                load_probes.append({"cpus": cpus, **_host_load_sample()})
-                t = run_worker(cpus)
-                results[cpus] = min(results.get(cpus, float("inf")), t)
-        eff = (results[lows] / results[highs]) * (lows / highs)
-        scaling = {
-            "cpus_low": lows,
-            "cpus_high": highs,
-            "rounds": rounds,
-            "reps_per_worker": 2,
-            "t_low_sec": round(results[lows], 3),
-            "t_high_sec": round(results[highs], 3),
-            "efficiency": round(eff, 3),
-            "load_probes": load_probes,
-            "contaminated": any(
-                p["ext_busy_frac"] > EXT_BUSY_THRESHOLD for p in load_probes
-            ),
-        }
+        scaling = measure_scaling()
 
     payload = {
         "metric": "extraction+operator suite wall time",
