@@ -760,3 +760,71 @@ def amp_variant_stats(pages: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+def license_signal_stats(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(host, n_pages, n_open, n_restrictive, open_bp, top_license) —
+    license-signal audit per host: Creative-Commons license links
+    (rel=license / creativecommons.org hrefs, class extracted:
+    by / by-sa / by-nc… / cc0-publicdomain) versus explicit
+    all-rights-reserved markers. The compliance signal open-corpus
+    builders mine at exactly this level (the Common-Corpus /
+    OpenLicense-class pipelines whitelist hosts by declared license
+    before ingesting them): a host that consistently declares CC is
+    an open-ingest candidate, one that declares ARR goes to the
+    opt-out ledger next to X44's noindex honor list. Declarations are
+    SIGNALS, not legal conclusions — the audit feeds a human
+    whitelist, which is why the dominant declared class per host is
+    the deliverable.
+
+    Two regexp extracts + one marker test riding the scan, ONE host
+    partial agg + top-license window over the tiny (host, class)
+    table."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.urltools import url_host
+
+    h = F.lower(F.col(html_col).cast("string"))
+    cc = F.regexp_extract(
+        h, r"creativecommons\.org/licenses/([a-z-]+)/", 1
+    )
+    cc0 = h.contains("creativecommons.org/publicdomain")
+    arr = h.rlike(r"all rights reserved")
+    license_class = (
+        F.when(cc != "", cc)
+        .when(cc0, F.lit("cc0"))
+        .otherwise(F.lit(""))
+    )
+    base = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        license_class.alias("lic"),
+        arr.alias("arr"),
+    )
+    per_host = base.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum(F.when(F.col("lic") != "", 1).otherwise(0))
+        .cast("bigint").alias("n_open"),
+        F.sum(F.when(F.col("arr") & (F.col("lic") == ""), 1).otherwise(0))
+        .cast("bigint").alias("n_restrictive"),
+    )
+    lic = (
+        base.filter(F.col("lic") != "")
+        .groupBy("host", "lic").agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("lic").asc()
+    )
+    top = lic.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1) \
+        .select("host", F.col("lic").alias("top_license"))
+    return (
+        per_host.join(top, "host", "left")
+        .select(
+            "host", "n_pages", "n_open", "n_restrictive",
+            F.expr("(10000 * n_open) div greatest(n_pages, 1)")
+            .cast("bigint").alias("open_bp"),
+            F.coalesce("top_license", F.lit("")).alias("top_license"),
+        )
+        .orderBy("host")
+    )

@@ -5956,6 +5956,81 @@ ORACLE_RENDER_REQUIRED = (
 )
 
 
+def q_license_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 — license-signal audit across 5 hosts: id%6 plants CC
+    by-sa / by-nc / CC0-publicdomain / all-rights-reserved footers /
+    an ARR page that ALSO declares CC (CC wins) / no signal."""
+    from docling_serve_spark.operators.pagemeta import license_signal_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    body = (
+        F.when(m == 0, F.lit(
+            '<a rel="license" href="https://creativecommons.org/'
+            'licenses/by-sa/4.0/">CC BY-SA</a>'))
+        .when(m == 1, F.lit(
+            '<a href="http://creativecommons.org/licenses/by-nc/3.0/">'
+            "CC BY-NC</a>"))
+        .when(m == 2, F.lit(
+            '<a href="https://creativecommons.org/publicdomain/zero/'
+            '1.0/">CC0</a>'))
+        .when(m == 3, F.lit("<footer>© All Rights Reserved.</footer>"))
+        .when(m == 4, F.lit(
+            "<footer>All rights reserved</footer>"
+            '<a href="https://creativecommons.org/licenses/by/4.0/">'
+            "CC BY</a>"))
+        .otherwise(F.lit("<p>no signal</p>"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://li"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".com/p"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(F.concat(F.lit("<html>"), body, F.lit("</html>")),
+                 "UTF-8").alias("html"),
+    )
+    return license_signal_stats(pages)
+
+
+ORACLE_LICENSE_SIGNALS = (
+    "WITH sp AS (SELECT doc_id, "
+    "'li' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host, "
+    "lower('<html>' || CASE "
+    "WHEN doc_id % 6 = 0 THEN '<a rel=\"license\" "
+    "href=\"https://creativecommons.org/licenses/by-sa/4.0/\">"
+    "CC BY-SA</a>' "
+    "WHEN doc_id % 6 = 1 THEN '<a href=\"http://creativecommons.org/"
+    "licenses/by-nc/3.0/\">CC BY-NC</a>' "
+    "WHEN doc_id % 6 = 2 THEN '<a href=\"https://creativecommons.org/"
+    "publicdomain/zero/1.0/\">CC0</a>' "
+    "WHEN doc_id % 6 = 3 THEN "
+    "'<footer>© All Rights Reserved.</footer>' "
+    "WHEN doc_id % 6 = 4 THEN '<footer>All rights reserved</footer>"
+    "<a href=\"https://creativecommons.org/licenses/by/4.0/\">CC BY</a>' "
+    "ELSE '<p>no signal</p>' END || '</html>') AS h FROM documents), "
+    "m AS (SELECT host, "
+    "CASE WHEN regexp_extract(h, "
+    "'creativecommons\\.org/licenses/([a-z-]+)/', 1) <> '' THEN "
+    "regexp_extract(h, 'creativecommons\\.org/licenses/([a-z-]+)/', 1) "
+    "WHEN contains(h, 'creativecommons.org/publicdomain') THEN 'cc0' "
+    "ELSE '' END AS lic, "
+    "regexp_matches(h, 'all rights reserved') AS arr FROM sp), "
+    "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+    "CAST(sum(CASE WHEN lic <> '' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_open, "
+    "CAST(sum(CASE WHEN arr AND lic = '' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_restrictive FROM m GROUP BY 1), "
+    "lc AS (SELECT host, lic, count(*) AS n FROM m WHERE lic <> '' "
+    "GROUP BY 1, 2), "
+    "top AS (SELECT host, lic AS top_license FROM ("
+    "SELECT host, lic, row_number() OVER (PARTITION BY host "
+    "ORDER BY n DESC, lic ASC) AS rn FROM lc) WHERE rn = 1) "
+    "SELECT per.host, n_pages, n_open, n_restrictive, "
+    "CAST((10000 * n_open) // greatest(n_pages, 1) AS BIGINT) "
+    "AS open_bp, COALESCE(top.top_license, '') AS top_license "
+    "FROM per LEFT JOIN top ON per.host = top.host ORDER BY per.host"
+)
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X155 — exact binned length quantiles per language over the
     documents corpus (power-of-2 bin upper bounds)."""
@@ -8939,6 +9014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "charset_decls": q_charset_decls,
     "mixture_ess": q_mixture_ess,
     "length_quantiles": q_length_quantiles,
+    "license_signals": q_license_signals,
 }
 
 ORACLES: dict[str, str] = {
@@ -9131,4 +9207,5 @@ ORACLES: dict[str, str] = {
     "charset_decls": ORACLE_CHARSET_DECLS,
     "mixture_ess": ORACLE_MIXTURE_ESS,
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
+    "license_signals": ORACLE_LICENSE_SIGNALS,
 }

@@ -3823,3 +3823,28 @@ def test_length_quantiles_bin_bounds(spark):
     assert r["p50_hi"] == 7
     assert r["p90_hi"] == 7
     assert r["p99_hi"] == 1023
+
+
+def test_license_signals_cc_beats_arr_marker(spark):
+    from docling_serve_spark.operators.pagemeta import license_signal_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("http://l.com/1",
+             b'<a href="https://creativecommons.org/licenses/by-sa/4.0/">x</a>'),
+            ("http://l.com/2",
+             b'<a href="https://creativecommons.org/licenses/by-sa/4.0/">x</a>'),
+            # a CC declaration coexisting with boilerplate ARR text:
+            # the explicit license wins, not the footer
+            ("http://l.com/3",
+             b"All rights reserved "
+             b'<a href="https://creativecommons.org/licenses/by/4.0/">y</a>'),
+            ("http://l.com/4", b"<footer>All Rights Reserved</footer>"),
+            ("http://l.com/5", b"<p>nothing</p>"),
+        ],
+        "url string, html binary",
+    )
+    r = license_signal_stats(pages).collect()[0]
+    assert (r["n_pages"], r["n_open"], r["n_restrictive"]) == (5, 3, 1)
+    assert r["open_bp"] == 6000
+    assert r["top_license"] == "by-sa"

@@ -77,6 +77,12 @@ INVARIANCE_QUERIES = [
     "bitext_url_pairs", # min-url dedup + bounded self-join
     "cdc_dedup",        # chunk digests across Arrow batch splits
     "host_quality_prior",  # reused-exchange grand total
+    "crawl_budget",     # remainder TakeOrdered + leftover scalar
+    "copy_direction",   # pair orientation tie rule
+    "quality_ensemble", # cumulative sweep windows
+    "code_switch",      # per-doc transition window
+    "charset_decls",    # per-host top-legacy window tie
+    "length_quantiles", # cumulative bin windows per lang
 ]
 
 
