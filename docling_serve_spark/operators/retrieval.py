@@ -42,22 +42,48 @@ from pyspark.sql import DataFrame, Window, functions as F
 from docling_serve_spark.operators.dedup import tokens
 
 
-def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, score_micro, n_terms_matched, rank) — the ``k``
-    highest-BM25 documents for a bag of query terms, rank ties broken
-    by ascending id (deterministic)."""
+def build_postings(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) — the inverted index as two tables:
+    ``postings (term, doc_id, tf)`` and ``doclens (doc_id, dl)``.
+    Build ONCE per corpus snapshot, persist as parquet partitioned/
+    bucketed by term, and every subsequent query (X42 BM25, X84
+    phrase verification, decontamination probes) reads postings for
+    its handful of terms via partition pruning instead of
+    re-tokenizing 100 TB of text — the index/query split every
+    retrieval engine makes, expressed as plain tables
+    (`jobs/index.py` is the build entrypoint). Both aggregations are
+    map-side combinable; the shuffle carries (term, doc_id) pairs,
+    never text."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    doclens = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    return postings, doclens
+
+
+def bm25_from_index(postings: DataFrame, doclens: DataFrame,
+                    query_terms: Sequence[str], k: int = 10) -> DataFrame:
+    """BM25 top-k over a PREBUILT index (build_postings' tables) —
+    the query-time half: identical arithmetic, tie rule, and output
+    schema as ``bm25_topk`` (which delegates here), but the corpus
+    text is never touched; a term-partitioned postings store prunes
+    the scan to the query's terms."""
+    id_col = "doc_id"
     terms = sorted(set(query_terms))
-    toks = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
+    dl = doclens.select(F.col(id_col), F.col("dl").cast("bigint"))
     totals = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+    tf = postings.filter(F.col("term").isin(terms)).select(
+        id_col, "term", F.col("tf").cast("bigint")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     scored = (
@@ -90,6 +116,20 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
     top = agg.orderBy(F.col("score_micro").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, score_micro, n_terms_matched, rank) — the ``k``
+    highest-BM25 documents for a bag of query terms, rank ties broken
+    by ascending id (deterministic). Delegates to the index-form pair
+    (build_postings + bm25_from_index), so inline and indexed
+    execution are the same plan by construction."""
+    postings, doclens = build_postings(docs, text_col, id_col)
+    out = bm25_from_index(postings, doclens, query_terms, k)
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
 
 
 def phrase_topk(docs: DataFrame, phrase_terms: Sequence[str], k: int = 10,

@@ -386,3 +386,47 @@ def test_bitext_job_end_to_end(tmp_path, spark):
     assert summary["by_lang_pair"] == {"en-fr": 1}
     plaus = spark.read.parquet(os.path.join(out, "plausible")).collect()
     assert len(plaus) == 1 and plaus[0]["url_a"].endswith("/en/art-1")
+
+
+def test_index_job_build_then_query_matches_inline(tmp_path, spark):
+    """`jobs/index.py`: the prebuilt-index query answer must equal
+    the inline bm25_topk over the same corpus (same arithmetic by
+    delegation; this pins the parquet round-trip and CLI plumbing)."""
+    from docling_serve_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, f"crawl quality {'crawl ' * (i % 4)}doc number {i}")
+            for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(src)
+    ix = str(tmp_path / "ix")
+
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "index.py"), "build",
+         "--input", src, "--output", ix, "--term-partitions", "4"],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(open(os.path.join(ix, "stats.json")).read())
+    assert stats["n_docs"] == 40
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "index.py"), "query",
+         "--index", ix, "--terms", "crawl", "quality", "-k", "5"],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    got = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("[")][-1]
+    )
+    expected = [
+        {"rank": r["rank"], "doc_id": r["doc_id"],
+         "score_micro": r["score_micro"],
+         "n_terms_matched": r["n_terms_matched"]}
+        for r in bm25_topk(
+            spark.read.parquet(src), ["crawl", "quality"], k=5
+        ).collect()
+    ]
+    assert got == expected
