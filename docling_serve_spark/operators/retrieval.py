@@ -132,6 +132,40 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str], k: int = 10,
     return out
 
 
+def merge_postings(
+    base_postings: DataFrame,
+    base_doclens: DataFrame,
+    delta_postings: DataFrame,
+    delta_doclens: DataFrame,
+    deleted_ids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Upsert a re-extraction delta into a prebuilt index (the
+    incremental-maintenance half of `jobs/index.py`: at 10^12 docs an
+    index is never rebuilt from scratch — each crawl snapshot merges
+    its changed pages in). Semantics are SCD-1 at DOC grain, like the
+    warehouse upsert (X34): every doc present in the delta REPLACES
+    its base postings and doc-length wholesale (a re-extracted page's
+    old term list is stale — term frequencies cannot be summed across
+    extractions), docs absent from the delta pass through unchanged,
+    and ``deleted_ids`` (pages gone from the new crawl) are dropped
+    without replacement. Scale shape: two left-anti equi-joins on
+    doc_id (the delta's id set is crawl-delta-sized, so AQE broadcasts
+    it) + a union — no postings text, no full-index shuffle; the
+    term-partitioned layout is restored at write time by the caller's
+    ``repartition(term)``, touching only files whose terms changed."""
+    changed = delta_doclens.select("doc_id")
+    if deleted_ids is not None:
+        changed = changed.unionByName(
+            deleted_ids.select("doc_id")
+        ).distinct()
+    kept_p = base_postings.join(changed, "doc_id", "left_anti")
+    kept_d = base_doclens.join(changed, "doc_id", "left_anti")
+    return (
+        kept_p.unionByName(delta_postings.select(*kept_p.columns)),
+        kept_d.unionByName(delta_doclens.select(*kept_d.columns)),
+    )
+
+
 def phrase_topk(docs: DataFrame, phrase_terms: Sequence[str], k: int = 10,
                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_matches, rank) — exact-phrase search via POSITIONAL

@@ -6061,6 +6061,67 @@ ORACLE_LENGTH_QUANTILES = (
 )
 
 
+_MERGE_TERMS = ("deltaterm", "spark", "window")
+
+
+def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 — incremental inverted-index maintenance: build the base
+    postings store, upsert a deterministic re-extraction delta
+    (id%7==0 pages re-extracted with two ' deltaterm' tokens
+    appended; id%13==0 pages — unless also re-extracted — deleted
+    from the new crawl), then answer a BM25 probe that includes the
+    delta-only term FROM THE MERGED INDEX. The oracle recomputes the
+    same answer directly from the post-merge effective corpus, so a
+    hash match proves the merge semantics (replace-wholesale,
+    delete, pass-through) — not just the scoring."""
+    from docling_serve_spark.operators.retrieval import (
+        bm25_from_index, build_postings, merge_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat("text", F.lit(" deltaterm deltaterm")).alias("text")
+    )
+    deleted = docs.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id")
+    base_p, base_d = build_postings(docs)
+    delta_p, delta_d = build_postings(delta)
+    merged_p, merged_d = merge_postings(base_p, base_d, delta_p, delta_d,
+                                        deleted_ids=deleted)
+    return bm25_from_index(merged_p, merged_d, _MERGE_TERMS, k=10)
+
+
+ORACLE_INDEX_DELTA_MERGE = (
+    "WITH eff AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+    "THEN text || ' deltaterm deltaterm' ELSE text END AS text "
+    "FROM documents WHERE NOT (doc_id % 13 = 0 AND doc_id % 7 <> 0)), "
+    "toks AS (SELECT doc_id, unnest(string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' ')) AS term FROM eff), "
+    "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl "
+    "FROM toks GROUP BY 1), "
+    "totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(dl) AS BIGINT) AS total_len FROM dl), "
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks "
+    "WHERE term IN ('" + "', '".join(_MERGE_TERMS) + "') GROUP BY 1, 2), "
+    "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf "
+    "GROUP BY 1), "
+    "scored AS (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, total_len, "
+    "CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0) "
+    "AS BIGINT) AS idf_micro "
+    "FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) "
+    "CROSS JOIN totals), "
+    "contrib AS (SELECT doc_id, (idf_micro * tf * 44 * total_len) // "
+    "(20 * total_len * tf + 6 * total_len + 18 * dl * n_docs) AS c "
+    "FROM scored), "
+    "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro, "
+    "CAST(count(*) AS INT) AS n_terms_matched FROM contrib GROUP BY 1) "
+    "SELECT * FROM (SELECT doc_id, score_micro, n_terms_matched, "
+    "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) "
+    "AS rank FROM agg) WHERE rank <= 10 ORDER BY rank"
+)
+
+
 def q_charset_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X153 — charset-declaration audit across 6 hosts: id%5 plants
     meta-charset utf-8 / http-equiv windows-1256 / single-quoted
@@ -9015,6 +9076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_ess": q_mixture_ess,
     "length_quantiles": q_length_quantiles,
     "license_signals": q_license_signals,
+    "index_delta_merge": q_index_delta_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -9208,4 +9270,5 @@ ORACLES: dict[str, str] = {
     "mixture_ess": ORACLE_MIXTURE_ESS,
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
     "license_signals": ORACLE_LICENSE_SIGNALS,
+    "index_delta_merge": ORACLE_INDEX_DELTA_MERGE,
 }

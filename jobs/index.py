@@ -12,9 +12,19 @@ phrase candidates, and decontamination probes all read the same
 store). This file is only the plumbing; the arithmetic lives in
 operators/retrieval.py and is oracle-checked.
 
+Merge mode upserts a re-extraction delta (and an optional deletion
+list) into an existing index and writes the result as a NEW index
+directory — the incremental-maintenance path (X158): per crawl
+snapshot only the changed pages are tokenized; the base index is
+read, anti-joined on the changed doc_ids, and rewritten. Output goes
+to a fresh directory rather than in place so a killed merge leaves
+the base index intact (swap is an atomic rename at the orchestrator).
+
 Usage:
   python jobs/index.py build --input /tmp/docs.parquet --output /tmp/ix
   python jobs/index.py query --index /tmp/ix --terms quality crawl -k 5
+  python jobs/index.py merge --index /tmp/ix --delta /tmp/new.parquet \
+      --deleted /tmp/gone.parquet --output /tmp/ix2
 """
 
 from __future__ import annotations
@@ -44,22 +54,29 @@ def main() -> None:
     q.add_argument("--terms", nargs="+", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--master", default=None)
+    m = sub.add_parser("merge")
+    m.add_argument("--index", required=True)
+    m.add_argument("--delta", required=True,
+                   help="parquet of re-extracted documents (id, text)")
+    m.add_argument("--deleted", default=None,
+                   help="optional parquet of doc_ids gone from the crawl")
+    m.add_argument("--output", required=True)
+    m.add_argument("--text-col", default="text")
+    m.add_argument("--id-col", default="doc_id")
+    m.add_argument("--term-partitions", type=int, default=32)
+    m.add_argument("--master", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
     from docling_serve_spark.operators.retrieval import (
-        bm25_from_index, build_postings,
+        bm25_from_index, build_postings, merge_postings,
     )
     from docling_serve_spark.session import get_spark
 
     spark = get_spark(master=args.master)
 
-    if args.mode == "build":
-        docs = spark.read.parquet(args.input)
-        postings, doclens = build_postings(
-            docs, text_col=args.text_col, id_col=args.id_col
-        )
+    def write_index(postings, doclens) -> None:
         postings.repartition(args.term_partitions, "term").write.mode(
             "overwrite"
         ).parquet(os.path.join(args.output, "postings"))
@@ -81,6 +98,30 @@ def main() -> None:
         with open(os.path.join(args.output, "stats.json"), "w") as fh:
             json.dump(summary, fh)
         print(json.dumps(summary))
+
+    if args.mode == "build":
+        docs = spark.read.parquet(args.input)
+        postings, doclens = build_postings(
+            docs, text_col=args.text_col, id_col=args.id_col
+        )
+        write_index(postings, doclens)
+    elif args.mode == "merge":
+        base_p = spark.read.parquet(os.path.join(args.index, "postings"))
+        base_d = spark.read.parquet(os.path.join(args.index, "doclens"))
+        delta = spark.read.parquet(args.delta)
+        delta_p, delta_d = build_postings(
+            delta, text_col=args.text_col, id_col=args.id_col
+        )
+        deleted = (
+            spark.read.parquet(args.deleted).select(
+                F.col(args.id_col).alias("doc_id")
+            )
+            if args.deleted else None
+        )
+        merged_p, merged_d = merge_postings(
+            base_p, base_d, delta_p, delta_d, deleted_ids=deleted
+        )
+        write_index(merged_p, merged_d)
     else:
         postings = spark.read.parquet(os.path.join(args.index, "postings"))
         doclens = spark.read.parquet(os.path.join(args.index, "doclens"))

@@ -3848,3 +3848,33 @@ def test_license_signals_cc_beats_arr_marker(spark):
     assert (r["n_pages"], r["n_open"], r["n_restrictive"]) == (5, 3, 1)
     assert r["open_bp"] == 6000
     assert r["top_license"] == "by-sa"
+
+
+def test_merge_postings_replace_delete_passthrough(spark):
+    """X158: a delta doc REPLACES its base postings wholesale (tf is
+    not summed), deleted ids vanish, untouched docs pass through."""
+    from docling_serve_spark.operators.retrieval import (
+        build_postings, merge_postings,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "c c c")],
+        "doc_id bigint, text string",
+    )
+    # doc 1 re-extracted: 'a' now appears ONCE (replace, not add);
+    # doc 4 is new; doc 3 disappeared from the crawl
+    delta = spark.createDataFrame(
+        [(1, "a d"), (4, "d d")], "doc_id bigint, text string"
+    )
+    deleted = spark.createDataFrame([(3,)], "doc_id bigint")
+    bp, bd = build_postings(base)
+    dp, dd = build_postings(delta)
+    mp, md = merge_postings(bp, bd, dp, dd, deleted_ids=deleted)
+    postings = {(r["term"], r["doc_id"]): r["tf"] for r in mp.collect()}
+    assert postings == {
+        ("a", 1): 1, ("d", 1): 1,          # replaced, not tf-summed
+        ("b", 2): 1, ("c", 2): 1,          # passed through
+        ("d", 4): 2,                       # new doc
+    }
+    doclens = {r["doc_id"]: r["dl"] for r in md.collect()}
+    assert doclens == {1: 2, 2: 2, 4: 2}

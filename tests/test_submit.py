@@ -430,3 +430,49 @@ def test_index_job_build_then_query_matches_inline(tmp_path, spark):
         ).collect()
     ]
     assert got == expected
+
+    # merge mode: re-extract docs 0-9 with a new token, delete 30-39;
+    # a query on the MERGED index must equal inline bm25 over the
+    # post-merge effective corpus
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(i, f"crawl quality fresh doc number {i}") for i in range(10)],
+        "doc_id bigint, text string",
+    ).write.parquet(delta)
+    gone = str(tmp_path / "gone")
+    spark.createDataFrame(
+        [(i,) for i in range(30, 40)], "doc_id bigint"
+    ).write.parquet(gone)
+    ix2 = str(tmp_path / "ix2")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "index.py"), "merge",
+         "--index", ix, "--delta", delta, "--deleted", gone,
+         "--output", ix2, "--term-partitions", "4"],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats = json.loads(open(os.path.join(ix2, "stats.json")).read())
+    assert stats["n_docs"] == 30
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "index.py"), "query",
+         "--index", ix2, "--terms", "fresh", "crawl", "-k", "5"],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    got = json.loads(
+        [l for l in proc.stdout.splitlines() if l.startswith("[")][-1]
+    )
+    eff = spark.createDataFrame(
+        [(i, f"crawl quality fresh doc number {i}") for i in range(10)]
+        + [(i, f"crawl quality {'crawl ' * (i % 4)}doc number {i}")
+           for i in range(10, 30)],
+        "doc_id bigint, text string",
+    )
+    expected = [
+        {"rank": r["rank"], "doc_id": r["doc_id"],
+         "score_micro": r["score_micro"],
+         "n_terms_matched": r["n_terms_matched"]}
+        for r in bm25_topk(eff, ["fresh", "crawl"], k=5).collect()
+    ]
+    assert got == expected
