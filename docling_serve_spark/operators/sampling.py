@@ -506,3 +506,186 @@ def mixture_ess(weights: DataFrame,
         F.expr("(10 * ess_milli) div greatest(n_groups, 1)")
         .cast("bigint").alias("ess_share_bp"),
     )
+
+
+def curriculum_schedule(docs: DataFrame,
+                        phase_bp: tuple[int, ...] = (5000, 3000, 2000),
+                        score_col: str = "score",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(phase, n_docs, n_tokens, score_min, score_max) — curriculum
+    annealing assignment: order the corpus by ascending quality score
+    and carve it into consecutive training phases by TOKEN budget
+    (``phase_bp`` in basis points of the corpus token count), so the
+    lowest-quality mass is consumed in phase 1 and the best data is
+    what the model sees last. This is the delivery-side schedule the
+    anneal-on-high-quality practice needs (curriculum learning,
+    Bengio et al. ICML 2009; staged pretraining data schedules): X24
+    answers "which docs fit ONE budget", this assigns EVERY doc to
+    its stage.
+
+    A document's position is its cumulative token count in
+    (score asc, doc_id asc) order; with boundaries b_k = (total ·
+    Σ_{j≤k} phase_bp_j) div 10000, a doc lands in phase
+    1 + Σ_k [cum > b_k] — i.e. phase k while cum ≤ b_k, the same
+    inclusive rule as X24's kept flag. Integer arithmetic end to end.
+
+    Scale shape: boundaries come from the SCORE HISTOGRAM (one
+    (score) partial agg; cumulative window over ≤ distinct-score
+    rows, bounded because scores are basis-point-grained by
+    convention), never from a global document sort. Interior score
+    buckets assign WHOLESALE via a broadcast join (no boundary falls
+    strictly inside their cumulative span, so every member shares the
+    bucket-end phase); only the ≤ len(phase_bp)−1 boundary-straddling
+    buckets get a doc-grain per-score cumulative window, and that
+    window runs over one score's documents only (documented limit: a
+    corpus where one score carries most of the token mass makes that
+    window a hot partition — pre-salt by doc_id range if a score
+    exceeds a partition budget)."""
+    from docling_serve_spark.operators.textstats import token_count
+
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(score_col).cast("bigint").alias("score"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    if len(phase_bp) < 2:  # one phase: everything is phase 1
+        return base.groupBy(F.lit(1).cast("int").alias("phase")).agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("score").cast("bigint").alias("score_min"),
+            F.max("score").cast("bigint").alias("score_max"),
+        )
+    hist = base.groupBy("score").agg(
+        F.sum("n_tokens").cast("bigint").alias("tok")
+    )
+    w_cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum_bp = []
+    running = 0
+    for bp in phase_bp[:-1]:
+        running += bp
+        cum_bp.append(running)
+    buckets = hist.select(
+        "score",
+        F.sum("tok").over(w_cum).alias("cum_end"),
+        (F.sum("tok").over(w_cum) - F.col("tok")).alias("cum_start"),
+        F.sum("tok").over(w_all).cast("bigint").alias("total"),
+    )
+    bounds = [
+        F.expr(f"(total * {c}) div 10000").cast("bigint") for c in cum_bp
+    ]
+    straddles = None
+    end_phase = F.lit(1)
+    for b in bounds:
+        inside = (F.col("cum_start") < b) & (b < F.col("cum_end"))
+        straddles = inside if straddles is None else (straddles | inside)
+        end_phase = end_phase + (F.col("cum_end") > b).cast("int")
+    buckets = buckets.select(
+        "score", "cum_start", "total",
+        straddles.alias("straddle"),
+        end_phase.cast("int").alias("bucket_phase"),
+    )
+    joined = base.join(F.broadcast(buckets), "score")
+    whole = joined.filter(~F.col("straddle")).select(
+        "score", "n_tokens", F.col("bucket_phase").alias("phase")
+    )
+    w_local = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    strad = joined.filter(F.col("straddle")).withColumn(
+        "__p", F.col("cum_start") + F.sum("n_tokens").over(w_local)
+    )
+    phase = F.lit(1)
+    for b in bounds:
+        phase = phase + (F.col("__p") > b).cast("int")
+    strad = strad.select(
+        "score", "n_tokens", phase.cast("int").alias("phase")
+    )
+    return (
+        whole.unionByName(strad)
+        .groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("score").cast("bigint").alias("score_min"),
+            F.max("score").cast("bigint").alias("score_max"),
+        )
+        .orderBy("phase")
+    )
+
+
+def balanced_trainset(docs: DataFrame, label_col: str = "label",
+                      group_col: str = "lang", id_col: str = "doc_id",
+                      n_buckets: int = 256) -> DataFrame:
+    """(doc_id, grp, label) — a class-balanced training set per group:
+    within each group (language, typically) every class keeps exactly
+    ``m`` = the minority-class count, selected deterministically by
+    Knuth-hash priority (which docs survive is stable across re-runs
+    and independent of ingest order). This is the data-prep step for
+    the fastText-style quality/domain classifiers corpus pipelines
+    train (CCNet, Wettig et al.; FineWeb-Edu): gate verdicts or
+    trusted-source membership give cheap labels, but the raw
+    pos/neg ratio is wildly skewed per language, and a classifier
+    trained on the skew learns the prior, not the signal.
+
+    Exactness without a giant rank window: a per-(group, class)
+    row_number over 10^9 rows is one hot partition, so selection is
+    the bucket-histogram + boundary-bucket refinement used by X24/
+    X159 — priority's top bits form ``n_buckets`` ordered buckets,
+    a (group, class, bucket) partial-agg histogram (≤ groups×2×256
+    rows) locates each class's cut, buckets strictly below the cut
+    keep WHOLESALE, and only the single boundary bucket per class
+    gets a doc-grain rank over ~1/n_buckets of the class. The kept
+    set equals the plain rank-≤-m answer by construction (priority
+    order is bucket-major)."""
+    pri = hash_u32(F.col(id_col))
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.col(label_col).alias("label"),
+        pri.alias("__pri"),
+        F.floor(pri / F.lit(_U32 // n_buckets)).cast("bigint")
+        .alias("__bucket"),
+    )
+    hist = base.groupBy("grp", "label", "__bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    counts = hist.groupBy("grp", "label").agg(
+        F.sum("n").cast("bigint").alias("n_class")
+    )
+    minority = counts.groupBy("grp").agg(
+        F.min("n_class").cast("bigint").alias("m")
+    )
+    w_cum = (
+        Window.partitionBy("grp", "label").orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        hist.withColumn("__cum_end", F.sum("n").over(w_cum))
+        .withColumn("__cum_start", F.col("__cum_end") - F.col("n"))
+        .join(F.broadcast(minority), "grp")
+        .filter(F.col("__cum_start") < F.col("m"))
+        .select(
+            "grp", "label", "__bucket", "__cum_start", "m",
+            (F.col("__cum_end") <= F.col("m")).alias("__whole"),
+        )
+    )
+    joined = base.join(
+        F.broadcast(cuts), ["grp", "label", "__bucket"]
+    )
+    whole = joined.filter(F.col("__whole")).select(
+        "doc_id", "grp", "label"
+    )
+    w_local = Window.partitionBy("grp", "label", "__bucket").orderBy(
+        F.col("__pri").asc(), F.col("doc_id").asc()
+    )
+    boundary = (
+        joined.filter(~F.col("__whole"))
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__cum_start") + F.col("__rn") <= F.col("m"))
+        .select("doc_id", "grp", "label")
+    )
+    return whole.unionByName(boundary)

@@ -6122,6 +6122,78 @@ ORACLE_INDEX_DELTA_MERGE = (
 )
 
 
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 — curriculum annealing schedule over the documents corpus:
+    score = bit-length of the doc length (deliberately coarse so many
+    docs TIE on the boundary scores and the doc-grain straddle path is
+    exercised, not just the wholesale bucket path), phases 50/30/20 %
+    of the token mass, worst-first."""
+    from docling_serve_spark.operators.sampling import curriculum_schedule
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.expr("CAST(length(bin(greatest(length(text), 1))) AS BIGINT)")
+        .alias("score"),
+    )
+    return curriculum_schedule(docs, phase_bp=(5000, 3000, 2000))
+
+
+ORACLE_CURRICULUM = (
+    "WITH d AS (SELECT doc_id, "
+    "CAST(length(printf('%b', greatest(length(text), 1))) AS BIGINT) "
+    "AS score, "
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+    "FROM documents), "
+    "c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY score, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "SUM(n_tokens) OVER () AS total FROM d), "
+    "p AS (SELECT score, n_tokens, 1 "
+    "+ CASE WHEN cum > (total * 5000) // 10000 THEN 1 ELSE 0 END "
+    "+ CASE WHEN cum > (total * 8000) // 10000 THEN 1 ELSE 0 END "
+    "AS phase FROM c) "
+    "SELECT CAST(phase AS INT) AS phase, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+    "CAST(min(score) AS BIGINT) AS score_min, "
+    "CAST(max(score) AS BIGINT) AS score_max "
+    "FROM p GROUP BY 1 ORDER BY 1"
+)
+
+
+def q_balanced_trainset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 — class-balanced quality-classifier training set: labels
+    come from the real X11 gate verdict (pos = passes all gates),
+    balanced to the per-language minority-class count by Knuth-hash
+    priority via the bucket-histogram + boundary-bucket-rank
+    selection (no giant per-class rank window)."""
+    from docling_serve_spark.operators.sampling import balanced_trainset
+
+    verdicts = q_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    labeled = docs.join(verdicts, "doc_id").select(
+        "doc_id", "lang",
+        F.when(F.col("keep"), F.lit("pos")).otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+    return balanced_trainset(labeled, group_col="lang")
+
+
+ORACLE_BALANCED_TRAINSET = (
+    "WITH q AS (" + ORACLE_QUALITY_FILTER + "), "
+    "d AS (SELECT q.doc_id, documents.lang AS grp, "
+    "CASE WHEN q.keep THEN 'pos' ELSE 'neg' END AS label, "
+    "(q.doc_id * 2654435761) % 4294967296 AS pri "
+    "FROM q JOIN documents ON q.doc_id = documents.doc_id), "
+    "counts AS (SELECT grp, label, count(*) AS n FROM d GROUP BY 1, 2), "
+    "m AS (SELECT grp, min(n) AS m FROM counts GROUP BY 1), "
+    "r AS (SELECT doc_id, grp, label, row_number() OVER ("
+    "PARTITION BY grp, label ORDER BY pri, doc_id) AS rn FROM d) "
+    "SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.grp, r.label "
+    "FROM r JOIN m USING (grp) WHERE rn <= m"
+)
+
+
 def q_charset_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X153 — charset-declaration audit across 6 hosts: id%5 plants
     meta-charset utf-8 / http-equiv windows-1256 / single-quoted
@@ -9077,6 +9149,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quantiles": q_length_quantiles,
     "license_signals": q_license_signals,
     "index_delta_merge": q_index_delta_merge,
+    "curriculum_schedule": q_curriculum_schedule,
+    "balanced_trainset": q_balanced_trainset,
 }
 
 ORACLES: dict[str, str] = {
@@ -9271,4 +9345,6 @@ ORACLES: dict[str, str] = {
     "length_quantiles": ORACLE_LENGTH_QUANTILES,
     "license_signals": ORACLE_LICENSE_SIGNALS,
     "index_delta_merge": ORACLE_INDEX_DELTA_MERGE,
+    "curriculum_schedule": ORACLE_CURRICULUM,
+    "balanced_trainset": ORACLE_BALANCED_TRAINSET,
 }

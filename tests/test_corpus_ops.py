@@ -3878,3 +3878,47 @@ def test_merge_postings_replace_delete_passthrough(spark):
     }
     doclens = {r["doc_id"]: r["dl"] for r in md.collect()}
     assert doclens == {1: 2, 2: 2, 4: 2}
+
+
+def test_curriculum_schedule_straddle_split(spark):
+    """X159 hand case: total 10 tokens, boundaries b1=5 b2=8. Score
+    bucket 1 (cum 0->4) assigns wholesale to phase 1; bucket 2
+    (4->7) straddles b1 — doc 3 (cum 5 <= b1) stays phase 1, doc 4
+    (cum 7) moves to phase 2; bucket 3 (7->10) straddles b2 — doc 5
+    (cum 8 <= b2) lands phase 2, doc 6 phase 3."""
+    from docling_serve_spark.operators.sampling import curriculum_schedule
+
+    docs = spark.createDataFrame(
+        [(1, 1, "w w"), (2, 1, "w w"), (3, 2, "w"),
+         (4, 2, "w w"), (5, 3, "w"), (6, 3, "w w")],
+        "doc_id bigint, score bigint, text string",
+    )
+    out = {r["phase"]: (r["n_docs"], r["n_tokens"],
+                        r["score_min"], r["score_max"])
+           for r in curriculum_schedule(docs).collect()}
+    assert out == {1: (3, 5, 1, 2), 2: (2, 3, 2, 3), 3: (1, 2, 3, 3)}
+
+
+def test_balanced_trainset_minority_cap_and_boundary_bucket(spark):
+    """X160: per group each class keeps exactly the minority count,
+    chosen by Knuth-hash priority. n_buckets=2 forces the fr-neg cut
+    INSIDE a bucket (cum 1 < m=2 < 3), exercising the boundary-rank
+    path; priorities hand-computed as (id*2654435761) mod 2^32."""
+    from docling_serve_spark.operators.sampling import balanced_trainset
+
+    rows = (
+        [(i, "en", "pos") for i in (1, 2, 3)] + [(4, "en", "neg")]
+        + [(5, "de", "pos")] + [(i, "de", "neg") for i in (6, 7)]
+        + [(i, "fr", "pos") for i in (8, 16)]
+        + [(i, "fr", "neg") for i in (9, 10, 11)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, label string")
+    got = {(r["grp"], r["label"], r["doc_id"])
+           for r in balanced_trainset(docs, group_col="lang",
+                                      n_buckets=2).collect()}
+    assert got == {
+        ("en", "pos", 2), ("en", "neg", 4),      # en: m=1, pri(2) lowest
+        ("de", "pos", 5), ("de", "neg", 7),      # de: m=1, pri(7) < pri(6)
+        ("fr", "pos", 8), ("fr", "pos", 16),     # fr: m=2, both pos kept
+        ("fr", "neg", 10), ("fr", "neg", 9),     # bucket-0 wholesale + rank-1
+    }
