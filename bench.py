@@ -208,6 +208,14 @@ BENCH_QUERIES = [
     "bad_neighborhood",
     "quality_ensemble",
     "code_switch",
+    "copy_direction",
+    "charset_decls",
+    "mixture_ess",
+    "length_quantiles",
+    "license_signals",
+    "index_delta_merge",
+    "curriculum_schedule",
+    "balanced_trainset",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
