@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "index_delta_merge",
     "curriculum_schedule",
     "balanced_trainset",
+    "nb_classifier",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -275,3 +275,123 @@ def perplexity_buckets(docs: DataFrame, ref: DataFrame,
             .alias("bucket"),
         )
     )
+
+
+def _hashed_unigrams(docs: DataFrame, text_col: str, id_col: str,
+                     n_buckets: int) -> DataFrame:
+    """(id, bucket) — one row per word occurrence, feature-hashed into
+    ``n_buckets`` via the cross-engine md5 48-bit prefix hash.
+    Tokenization matches `_hashed_bigrams`: lowercase, non-alpha
+    splits; docs with zero alphabetic tokens contribute nothing."""
+    from docling_serve_spark.operators.sampling import md5_hash48
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) >= 1,
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .filter(F.size("__w") >= 1)
+        .select("__id", F.explode("__w").alias("__tok"))
+        .select(
+            "__id",
+            F.pmod(md5_hash48(F.col("__tok")), F.lit(n_buckets))
+            .alias("bucket"),
+        )
+    )
+
+
+def nb_quality_score(docs: DataFrame, labels: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     label_col: str = "label",
+                     pos_label: str = "pos",
+                     n_buckets: int = 8192) -> DataFrame:
+    """(doc_id, n_features, score_micro, is_pos) — hashed bag-of-words
+    multinomial Naive Bayes quality classifier: TRAIN one-pass on the
+    labeled slice, SCORE every document. This is the inference step of
+    the fastText-style quality/domain classifiers corpus pipelines run
+    (CCNet, Wenzek et al. LREC 2020 §4.3; FineWeb-Edu) — X160
+    (`balanced_trainset`) prepares the training labels, this applies
+    the trained model distributed. Naive Bayes rather than logistic
+    regression because it trains in ONE aggregation pass (no iterative
+    SGD on the driver) and is the classical baseline those pipelines
+    ablate against.
+
+    score(d) = prior + Σ_tokens w[bucket], with per-bucket log-odds
+    w = ln((c_pos+1)/(n_pos+B)) − ln((c_neg+1)/(n_neg+B)) (add-one
+    smoothing over the B-bucket feature space; buckets unseen in
+    training fall through the left join to c=0, i.e. the smoothing
+    floor) and prior = ln(d_pos/d_neg) over labeled doc counts. Same
+    float discipline as `dsir_weights`: every log term is quantized
+    to micro-nats (floor(·1e6) as bigint) so per-doc sums are exact
+    integers and engine-order-independent; ``is_pos`` is the integer
+    sign test score_micro > 0. Docs with zero alphabetic tokens emit
+    no row (consistent with `dsir_weights`).
+
+    Scale shape: feature extraction is a narrow explode carrying only
+    48-bit hashes; the model is bounded by ``n_buckets`` rows + one
+    scalar totals row (AQE-broadcast on the score join); training is
+    two map-side-combinable aggregations over the labeled slice;
+    per-doc reduction is one hash aggregation keyed on doc id. Text
+    never shuffles."""
+    lab = labels.select(
+        F.col(id_col).alias("__id"),
+        (F.col(label_col) == pos_label).alias("__is_pos"),
+    )
+    feats = _hashed_unigrams(docs, text_col, id_col, n_buckets)
+    train = feats.join(lab, "__id")
+    bucket_counts = train.groupBy("bucket").agg(
+        F.sum(F.col("__is_pos").cast("bigint")).cast("bigint").alias("c_pos"),
+        F.sum((~F.col("__is_pos")).cast("bigint")).cast("bigint")
+        .alias("c_neg"),
+    )
+    totals = train.agg(
+        F.sum(F.col("__is_pos").cast("bigint")).cast("bigint").alias("n_pos"),
+        F.sum((~F.col("__is_pos")).cast("bigint")).cast("bigint")
+        .alias("n_neg"),
+    )
+    priors = lab.agg(
+        F.sum(F.col("__is_pos").cast("bigint")).cast("bigint").alias("d_pos"),
+        F.sum((~F.col("__is_pos")).cast("bigint")).cast("bigint")
+        .alias("d_neg"),
+    )
+    doc_feats = feats.groupBy("__id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    joined = (
+        doc_feats.join(bucket_counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(priors))
+    )
+    w_micro = F.floor(
+        (
+            F.log(
+                (F.coalesce(F.col("c_pos"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_pos") + F.lit(n_buckets))
+            )
+            - F.log(
+                (F.coalesce(F.col("c_neg"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_neg") + F.lit(n_buckets))
+            )
+        )
+        * F.lit(_MICRO)
+    ).cast("bigint")
+    prior_micro = F.floor(
+        F.log(F.col("d_pos").cast("double") / F.col("d_neg"))
+        * F.lit(_MICRO)
+    ).cast("bigint")
+    return (
+        joined.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_features"),
+            (F.sum(w_micro * F.col("cnt")) + F.first(prior_micro))
+            .cast("bigint").alias("score_micro"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            "score_micro",
+            (F.col("score_micro") > 0).alias("is_pos"),
+        )
+    )

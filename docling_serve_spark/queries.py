@@ -6194,6 +6194,58 @@ ORACLE_BALANCED_TRAINSET = (
 )
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161 — hashed bag-of-words Naive Bayes quality classifier
+    (CCNet §4.3 / FineWeb-Edu inference step): labels from the real
+    X11 gate verdicts, one-pass training, every doc scored with
+    micro-nat integer log-odds."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    labels = q_quality_filter(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("keep"), F.lit("pos")).otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+    return langmodel.nb_quality_score(docs, labels)
+
+
+ORACLE_NB_CLASSIFIER = (
+    "WITH q AS (" + ORACLE_QUALITY_FILTER + "), "
+    "lab AS (SELECT doc_id, keep AS is_pos FROM q), "
+    "w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+    "'[^a-z]+'), x -> length(x) >= 1) AS w FROM documents), "
+    "tok AS (SELECT doc_id, unnest(w) AS tok FROM w WHERE len(w) >= 1), "
+    "hashed AS (SELECT doc_id, "
+    "(('0x' || substr(md5(tok), 1, 12))::BIGINT % 8192) AS bucket "
+    "FROM tok), "
+    "train AS (SELECT h.doc_id, bucket, is_pos "
+    "FROM hashed h JOIN lab USING (doc_id)), "
+    "bc AS (SELECT bucket, "
+    "CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos, "
+    "CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg "
+    "FROM train GROUP BY 1), "
+    "tot AS (SELECT "
+    "CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+    "CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg "
+    "FROM train), "
+    "pri AS (SELECT CAST(floor(ln("
+    "CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ sum(CASE WHEN is_pos THEN 0 ELSE 1 END)) * 1000000) AS BIGINT) "
+    "AS prior_micro FROM lab), "
+    "df AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM hashed GROUP BY 1, 2), "
+    "s AS (SELECT doc_id, cnt, CAST(floor(("
+    "ln(CAST(coalesce(c_pos, 0) + 1 AS DOUBLE) / (n_pos + 8192)) - "
+    "ln(CAST(coalesce(c_neg, 0) + 1 AS DOUBLE) / (n_neg + 8192))"
+    ") * 1000000) AS BIGINT) AS micro "
+    "FROM df LEFT JOIN bc USING (bucket) CROSS JOIN tot) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(sum(cnt) AS BIGINT) AS n_features, "
+    "CAST(sum(micro * cnt) + first(prior_micro) AS BIGINT) AS score_micro, "
+    "(sum(micro * cnt) + first(prior_micro)) > 0 AS is_pos "
+    "FROM s CROSS JOIN pri GROUP BY doc_id"
+)
+
+
 def q_charset_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X153 — charset-declaration audit across 6 hosts: id%5 plants
     meta-charset utf-8 / http-equiv windows-1256 / single-quoted
@@ -9151,6 +9203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_delta_merge": q_index_delta_merge,
     "curriculum_schedule": q_curriculum_schedule,
     "balanced_trainset": q_balanced_trainset,
+    "nb_classifier": q_nb_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -9347,4 +9400,5 @@ ORACLES: dict[str, str] = {
     "index_delta_merge": ORACLE_INDEX_DELTA_MERGE,
     "curriculum_schedule": ORACLE_CURRICULUM,
     "balanced_trainset": ORACLE_BALANCED_TRAINSET,
+    "nb_classifier": ORACLE_NB_CLASSIFIER,
 }

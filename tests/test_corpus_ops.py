@@ -3922,3 +3922,27 @@ def test_balanced_trainset_minority_cap_and_boundary_bucket(spark):
         ("fr", "pos", 8), ("fr", "pos", 16),     # fr: m=2, both pos kept
         ("fr", "neg", 10), ("fr", "neg", 9),     # bucket-0 wholesale + rank-1
     }
+
+
+def test_nb_quality_score_hand_case(spark):
+    """X161 hand case: B=8192, 'good'(x2, pos) vs 'bad'(x2, neg),
+    equal priors. w_good = floor(ln((2+1)/(2+B)) - ln(1/(2+B)))*1e6
+    = floor(ln 3 * 1e6) = 1098612; w_bad symmetric = -1098613 (floor
+    of the negative); prior = floor(ln 1) = 0. Unlabeled doc 3 is
+    still scored ('good' -> positive)."""
+    from docling_serve_spark.operators.langmodel import nb_quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad bad"), (3, "good")],
+        "doc_id bigint, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, "pos"), (2, "neg")], "doc_id bigint, label string"
+    )
+    got = {r["doc_id"]: (r["n_features"], r["score_micro"], r["is_pos"])
+           for r in nb_quality_score(docs, labels).collect()}
+    assert got == {
+        1: (2, 2197224, True),
+        2: (2, -2197226, False),
+        3: (1, 1098612, True),
+    }
