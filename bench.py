@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "curriculum_schedule",
     "balanced_trainset",
     "nb_classifier",
+    "epoch_allocation",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -689,3 +689,98 @@ def balanced_trainset(docs: DataFrame, label_col: str = "label",
         .select("doc_id", "grp", "label")
     )
     return whole.unionByName(boundary)
+
+
+def epoch_allocation(sources: DataFrame, budget_ratio_bp: int = 25000,
+                     max_epochs: int = 4,
+                     source_col: str = "source",
+                     tokens_col: str = "n_tokens",
+                     weight_col: str = "weight_bp") -> DataFrame:
+    """(source, n_tokens, weight_bp, capped, epochs_micro,
+    alloc_tokens) — data-constrained epoch allocation (Muennighoff et
+    al., NeurIPS 2023: Scaling Data-Constrained Language Models —
+    repeating data up to ~4 epochs costs little; beyond that returns
+    decay): given per-source token counts and target mixture weights,
+    split a training budget of ``(total · budget_ratio_bp) div 10^4``
+    tokens proportionally to weight, cap every source at
+    ``max_epochs`` repeats of its corpus, and re-spread the capped
+    sources' unused budget over the uncapped ones — the water-filling
+    answer, computed CLOSED-FORM with prefix sums rather than an
+    iterative redistribution loop.
+
+    Order sources by the quantized saturation key r = (max_epochs ·
+    n_tokens · 10^4) div weight_bp ascending (the order in which
+    proportional shares hit the repeat cap; ties and floor-induced
+    near-ties break by source name — the quantized key IS the
+    contract, so both engines cut identically). With prefix sums C/W
+    of capacity and weight over PRECEDING rows, source k caps iff
+    (B − C) · w_k ≥ capacity_k · (W_total − W); uncapped sources get
+    epochs_micro = min((B_rem · w · 10^6) div (W_rem · n), cap) with
+    B_rem/W_rem summed over the capped/uncapped sets — the min guard
+    makes the allocation well-defined even at quantization boundaries.
+    Wide intermediates ride DECIMAL(38,0) so a 10^13-token budget
+    times 10^6-micro-epochs cannot wrap int64.
+
+    Scale shape: the input is ONE ROW PER SOURCE (dozens to a few
+    thousand), so the unpartitioned windows are bounded by the source
+    count, never the corpus — the token counts themselves come from
+    an upstream partial agg (`corpus_datasheet` / `token_count`)."""
+    base = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.col(weight_col).cast("bigint").alias("weight_bp"),
+    ).filter(F.col("weight_bp") > 0)
+    cap_expr = F.lit(max_epochs) * F.col("n_tokens")
+    keyed = base.select(
+        "*",
+        cap_expr.cast("bigint").alias("__cap"),
+        F.expr(
+            f"(CAST({max_epochs} AS DECIMAL(38,0)) * n_tokens * 10000) "
+            "div weight_bp"
+        ).cast("bigint").alias("__r"),
+    )
+    w_pre = (
+        Window.orderBy(F.col("__r").asc(), F.col("source").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    staged = keyed.select(
+        "*",
+        (F.sum("__cap").over(w_pre) - F.col("__cap")).alias("__c_pre"),
+        (F.sum("weight_bp").over(w_pre) - F.col("weight_bp"))
+        .alias("__w_pre"),
+        F.sum("weight_bp").over(w_all).alias("__w_tot"),
+        F.expr("(CAST(sum(n_tokens) OVER () AS DECIMAL(38,0)) "
+               f"* {budget_ratio_bp}) div 10000")
+        .cast("bigint").alias("__budget"),
+    )
+    capped = staged.withColumn(
+        "capped",
+        F.expr(
+            "(CAST(__budget - __c_pre AS DECIMAL(38,0)) * weight_bp) "
+            ">= (CAST(__cap AS DECIMAL(38,0)) * (__w_tot - __w_pre))"
+        ),
+    )
+    pools = capped.select(
+        "*",
+        F.sum(F.when(F.col("capped"), F.col("__cap")).otherwise(F.lit(0)))
+        .over(w_all).alias("__c_capped"),
+        F.sum(F.when(F.col("capped"), F.lit(0)).otherwise(F.col("weight_bp")))
+        .over(w_all).alias("__w_rem"),
+    )
+    micro_uncapped = F.expr(
+        "least((CAST(__budget - __c_capped AS DECIMAL(38,0)) * weight_bp "
+        "* 1000000) div (greatest(__w_rem, 1) * greatest(n_tokens, 1)), "
+        f"CAST({max_epochs} AS DECIMAL(38,0)) * 1000000)"
+    ).cast("bigint")
+    epochs = F.when(
+        F.col("capped"), F.lit(max_epochs) * F.lit(1000000)
+    ).otherwise(F.greatest(micro_uncapped, F.lit(0))).cast("bigint")
+    return pools.select(
+        "source", "n_tokens", "weight_bp", "capped",
+        epochs.alias("epochs_micro"),
+    ).withColumn(
+        "alloc_tokens",
+        F.expr("CAST((CAST(epochs_micro AS DECIMAL(38,0)) * n_tokens) "
+               "div 1000000 AS BIGINT)"),
+    )

@@ -6246,6 +6246,61 @@ ORACLE_NB_CLASSIFIER = (
 )
 
 
+def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 — data-constrained epoch allocation over the 20 corpus
+    sources: per-source token counts from the real corpus, mixture
+    weights hash-derived in [1000, 10000) bp (high-variance, so the
+    heavy-weight sources saturate the 4-epoch cap and their budget
+    water-fills onto the rest), budget 2.5x the corpus."""
+    from docling_serve_spark.operators.sampling import (
+        epoch_allocation, md5_hash48,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.groupBy("source").agg(
+        F.sum(textstats.token_count(F.col("text"))).cast("bigint")
+        .alias("n_tokens")
+    ).select(
+        "source", "n_tokens",
+        (F.pmod(md5_hash48(F.col("source")), F.lit(9000)) + 1000)
+        .cast("bigint").alias("weight_bp"),
+    )
+    return epoch_allocation(srcs, budget_ratio_bp=25000, max_epochs=4)
+
+
+ORACLE_EPOCH_ALLOCATION = (
+    "WITH s AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 "
+    "THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) "
+    "AS BIGINT) AS n_tokens, "
+    "(('0x' || substr(md5(source), 1, 12))::BIGINT % 9000) + 1000 "
+    "AS weight_bp FROM documents GROUP BY 1), "
+    "k AS (SELECT *, 4 * n_tokens AS cap, "
+    "(CAST(4 AS HUGEINT) * n_tokens * 10000) // weight_bp AS r FROM s), "
+    "st AS (SELECT *, "
+    "COALESCE(SUM(cap) OVER (ORDER BY r, source ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING), 0) AS c_pre, "
+    "COALESCE(SUM(weight_bp) OVER (ORDER BY r, source ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_pre, "
+    "SUM(weight_bp) OVER () AS w_tot, "
+    "(CAST(SUM(n_tokens) OVER () AS HUGEINT) * 25000) // 10000 AS budget "
+    "FROM k), "
+    "cp AS (SELECT *, (CAST(budget - c_pre AS HUGEINT) * weight_bp) >= "
+    "(CAST(cap AS HUGEINT) * (w_tot - w_pre)) AS capped FROM st), "
+    "po AS (SELECT *, "
+    "SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS c_capped, "
+    "SUM(CASE WHEN capped THEN 0 ELSE weight_bp END) OVER () AS w_rem "
+    "FROM cp), "
+    "e AS (SELECT source, n_tokens, weight_bp, capped, "
+    "CAST(CASE WHEN capped THEN 4000000 ELSE greatest(least("
+    "(CAST(budget - c_capped AS HUGEINT) * weight_bp * 1000000) // "
+    "(greatest(w_rem, 1) * greatest(n_tokens, 1)), 4000000), 0) END "
+    "AS BIGINT) AS epochs_micro FROM po) "
+    "SELECT source, n_tokens, weight_bp, capped, epochs_micro, "
+    "CAST((CAST(epochs_micro AS HUGEINT) * n_tokens) // 1000000 "
+    "AS BIGINT) AS alloc_tokens FROM e"
+)
+
+
 def q_charset_decls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X153 — charset-declaration audit across 6 hosts: id%5 plants
     meta-charset utf-8 / http-equiv windows-1256 / single-quoted
@@ -9204,6 +9259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum_schedule": q_curriculum_schedule,
     "balanced_trainset": q_balanced_trainset,
     "nb_classifier": q_nb_classifier,
+    "epoch_allocation": q_epoch_allocation,
 }
 
 ORACLES: dict[str, str] = {
@@ -9401,4 +9457,5 @@ ORACLES: dict[str, str] = {
     "curriculum_schedule": ORACLE_CURRICULUM,
     "balanced_trainset": ORACLE_BALANCED_TRAINSET,
     "nb_classifier": ORACLE_NB_CLASSIFIER,
+    "epoch_allocation": ORACLE_EPOCH_ALLOCATION,
 }

@@ -3946,3 +3946,33 @@ def test_nb_quality_score_hand_case(spark):
         2: (2, -2197226, False),
         3: (1, 1098612, True),
     }
+
+
+def test_epoch_allocation_waterfill(spark):
+    """X162: A (n=50, w=8000) saturates its 4-epoch cap first (r=250 <
+    r=3000); its unused budget re-spreads to B, which gets
+    (400*2000*1e6) div (2000*150) = 2666666 micro-epochs (< cap).
+    Budget = 200 tokens * 3.0."""
+    from docling_serve_spark.operators.sampling import epoch_allocation
+
+    srcs = spark.createDataFrame(
+        [("A", 50, 8000), ("B", 150, 2000)],
+        "source string, n_tokens bigint, weight_bp bigint",
+    )
+    got = {r["source"]: (r["capped"], r["epochs_micro"], r["alloc_tokens"])
+           for r in epoch_allocation(srcs, budget_ratio_bp=30000).collect()}
+    assert got == {"A": (True, 4000000, 200), "B": (False, 2666666, 399)}
+
+
+def test_epoch_allocation_no_caps(spark):
+    """X162 uncapped case: equal sources, budget 3x corpus -> everyone
+    gets exactly 3.0 epochs and the full proportional share."""
+    from docling_serve_spark.operators.sampling import epoch_allocation
+
+    srcs = spark.createDataFrame(
+        [("A", 100, 5000), ("B", 100, 5000)],
+        "source string, n_tokens bigint, weight_bp bigint",
+    )
+    got = {r["source"]: (r["capped"], r["epochs_micro"], r["alloc_tokens"])
+           for r in epoch_allocation(srcs, budget_ratio_bp=30000).collect()}
+    assert got == {"A": (False, 3000000, 300), "B": (False, 3000000, 300)}
