@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "balanced_trainset",
     "nb_classifier",
     "epoch_allocation",
+    "calibration_bins",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -395,3 +395,74 @@ def nb_quality_score(docs: DataFrame, labels: DataFrame,
             (F.col("score_micro") > 0).alias("is_pos"),
         )
     )
+
+
+def calibration_bins(scored: DataFrame, labels: DataFrame,
+                     n_bins: int = 10,
+                     score_col: str = "score_micro",
+                     id_col: str = "doc_id",
+                     label_col: str = "label",
+                     pos_label: str = "pos") -> DataFrame:
+    """(bin, n, n_pos, pos_rate_bp, avg_score_micro, score_lo,
+    score_hi) — reliability audit of a trained quality classifier
+    (the calibration check run before trusting a score threshold,
+    Niculescu-Mizil & Caruana ICML 2005: Naive Bayes scores rank well
+    but are miscalibrated): bucket documents into ``n_bins``
+    equal-WIDTH score bins between the global min/max and report the
+    observed positive rate per bin. A well-ranked classifier shows a
+    monotone pos_rate_bp across bins; flat spans tell you where the
+    score carries no signal and a threshold should not be placed.
+
+    Integer-exact: bin = ((score − min) · n_bins) div (max − min + 1)
+    off two scalar extrema, pos_rate in basis points via bigint div,
+    avg score via div (floor). Equal-width rather than equal-count
+    (ntile) is deliberate — quantile bins need a global sort, while
+    width bins are a narrow map off two broadcast scalars + ONE
+    partial agg; at 10^12 docs the quantile variant would use sampled
+    boundaries (the `perplexity_buckets` note) and lose exactness."""
+    lab = labels.select(
+        F.col(id_col).alias("__id"),
+        (F.col(label_col) == pos_label).alias("__is_pos"),
+    )
+    s = scored.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("bigint").alias("__s"),
+    ).join(lab, "__id")
+    ext = s.agg(
+        F.min("__s").cast("bigint").alias("__lo"),
+        F.max("__s").cast("bigint").alias("__hi"),
+    )
+    # scores can be negative and sums can pass 2^63 at corpus scale;
+    # aggregate the NON-NEGATIVE offset (__s - __lo) in DECIMAL(38,0)
+    # and add the min back after the div, so the floor semantics are
+    # engine-independent (integral div of negatives truncates
+    # differently across engines) and the sum cannot wrap
+    binned = s.crossJoin(F.broadcast(ext)).select(
+        "__s", "__is_pos", "__lo",
+        F.expr(
+            f"CAST(((__s - __lo) * CAST({n_bins} AS DECIMAL(38,0))) "
+            "div (__hi - __lo + 1) AS BIGINT)"
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("__is_pos").cast("bigint")).cast("bigint")
+            .alias("n_pos"),
+            F.expr("CAST(sum(CAST(__s - __lo AS DECIMAL(38,0))) "
+                   "AS DECIMAL(38,0))").alias("__sum_off"),
+            F.first("__lo").alias("__lo"),
+            F.min("__s").cast("bigint").alias("score_lo"),
+            F.max("__s").cast("bigint").alias("score_hi"),
+        )
+        .select(
+            "bin", "n", "n_pos",
+            F.expr("(10000 * n_pos) div n").cast("bigint")
+            .alias("pos_rate_bp"),
+            (F.col("__lo") + F.expr("__sum_off div n").cast("bigint"))
+            .cast("bigint").alias("avg_score_micro"),
+            "score_lo", "score_hi",
+        )
+        .orderBy("bin")
+    )

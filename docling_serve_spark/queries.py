@@ -6246,6 +6246,41 @@ ORACLE_NB_CLASSIFIER = (
 )
 
 
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163 — reliability audit of the X161 classifier against the
+    gate labels it was trained on: 10 equal-width score bins, observed
+    positive rate per bin (monotone = the score ranks well)."""
+    scored = q_nb_classifier(spark, sf_dir).select("doc_id", "score_micro")
+    labels = q_quality_filter(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("keep"), F.lit("pos")).otherwise(F.lit("neg"))
+        .alias("label"),
+    )
+    return langmodel.calibration_bins(scored, labels, n_bins=10)
+
+
+ORACLE_CALIBRATION_BINS = (
+    "WITH sc AS (" + ORACLE_NB_CLASSIFIER + "), "
+    "q2 AS (" + ORACLE_QUALITY_FILTER + "), "
+    "j AS (SELECT sc.doc_id, sc.score_micro AS s, q2.keep AS is_pos "
+    "FROM sc JOIN q2 USING (doc_id)), "
+    "ext AS (SELECT CAST(min(s) AS BIGINT) AS lo, "
+    "CAST(max(s) AS BIGINT) AS hi FROM j), "
+    "b AS (SELECT s, is_pos, lo, "
+    "CAST(((s - lo) * CAST(10 AS HUGEINT)) // (hi - lo + 1) AS BIGINT) "
+    "AS bin FROM j CROSS JOIN ext) "
+    "SELECT bin, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+    "CAST((10000 * sum(CASE WHEN is_pos THEN 1 ELSE 0 END)) // count(*) "
+    "AS BIGINT) AS pos_rate_bp, "
+    "CAST(first(lo) + (sum(CAST(s - lo AS HUGEINT)) // count(*)) "
+    "AS BIGINT) AS avg_score_micro, "
+    "CAST(min(s) AS BIGINT) AS score_lo, "
+    "CAST(max(s) AS BIGINT) AS score_hi "
+    "FROM b GROUP BY bin ORDER BY bin"
+)
+
+
 def q_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X162 — data-constrained epoch allocation over the 20 corpus
     sources: per-source token counts from the real corpus, mixture
@@ -9260,6 +9295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "balanced_trainset": q_balanced_trainset,
     "nb_classifier": q_nb_classifier,
     "epoch_allocation": q_epoch_allocation,
+    "calibration_bins": q_calibration_bins,
 }
 
 ORACLES: dict[str, str] = {
@@ -9458,4 +9494,5 @@ ORACLES: dict[str, str] = {
     "balanced_trainset": ORACLE_BALANCED_TRAINSET,
     "nb_classifier": ORACLE_NB_CLASSIFIER,
     "epoch_allocation": ORACLE_EPOCH_ALLOCATION,
+    "calibration_bins": ORACLE_CALIBRATION_BINS,
 }

@@ -3976,3 +3976,25 @@ def test_epoch_allocation_no_caps(spark):
     got = {r["source"]: (r["capped"], r["epochs_micro"], r["alloc_tokens"])
            for r in epoch_allocation(srcs, budget_ratio_bp=30000).collect()}
     assert got == {"A": (False, 3000000, 300), "B": (False, 3000000, 300)}
+
+
+def test_calibration_bins_hand_case(spark):
+    """X163: scores 0..3 into 2 equal-width bins ((s*2) div 4); the
+    upper bin is all-positive, the lower all-negative; avg is
+    min-offset floor arithmetic."""
+    from docling_serve_spark.operators.langmodel import calibration_bins
+
+    scored = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (4, 3)],
+        "doc_id bigint, score_micro bigint",
+    )
+    labels = spark.createDataFrame(
+        [(1, "neg"), (2, "neg"), (3, "pos"), (4, "pos")],
+        "doc_id bigint, label string",
+    )
+    got = [tuple(r) for r in
+           calibration_bins(scored, labels, n_bins=2).collect()]
+    assert got == [
+        (0, 2, 0, 0, 0, 0, 1),
+        (1, 2, 2, 10000, 2, 2, 3),
+    ]
