@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "nb_classifier",
     "epoch_allocation",
     "calibration_bins",
+    "host_lang_entropy",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -1206,3 +1206,75 @@ def code_switch_stats(docs: DataFrame, lang_col: str = "lang",
         )
         .orderBy("lang")
     )
+
+
+def host_lang_entropy(pages: DataFrame, url_col: str = "url",
+                      lang_col: str = "lang",
+                      mixed_threshold_micro: int = 600000) -> DataFrame:
+    """(host, n_docs, n_langs, dominant_lang, dominant_bp,
+    entropy_micro, is_mixed) — per-host language entropy, the
+    MT-spam / content-farm signal: a host serving the same template
+    machine-translated into many languages shows near-uniform language
+    counts (high entropy), while a legitimate site concentrates on one
+    or two. CCNet-era corpus builders downweight or drop such hosts
+    (Kreutzer et al., TACL 2022 audit low-resource crawls and find MT
+    content farms dominate several languages). Cross-check against
+    X52's `hreflang_alternates` before dropping — a declared-hreflang
+    multilingual site (wikipedia-style) is high-entropy and legitimate.
+
+    Integer-exact entropy: each language's term is
+    c_l · floor(ln(n/c_l)·10^6) — the floor happens per (c_l, n) pair
+    (deterministic in both engines), the weighted sum is exact bigint,
+    and entropy_micro = Σ div n. ``is_mixed`` thresholds at
+    ``mixed_threshold_micro`` (default 0.6 nats ≈ between a 50/50
+    two-language split at ln 2 ≈ 0.693 and a 75/25 split at 0.562).
+
+    Scale shape: one (host, lang) partial agg (the shuffle carries
+    counts, never text), per-host totals via a window over a host's
+    ≤ n_languages rows, one final host agg. Dominant language via the
+    same bounded window (max count, ties to the smaller lang code)."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.urltools import url_host
+
+    counts = pages.select(
+        url_host(F.col(url_col)).alias("host"),
+        F.col(lang_col).alias("lang"),
+    ).groupBy("host", "lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_host = Window.partitionBy("host")
+    w_rank = Window.partitionBy("host").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    terms = counts.select(
+        "host", "lang", "c",
+        F.sum("c").over(w_host).cast("bigint").alias("n"),
+        F.row_number().over(w_rank).alias("__rk"),
+    ).withColumn(
+        "__term",
+        F.col("c")
+        * F.floor(F.log(F.col("n") / F.col("c")) * F.lit(1000000))
+        .cast("bigint"),
+    )
+    return (
+        terms.groupBy("host")
+        .agg(
+            F.first("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.max(F.when(F.col("__rk") == 1, F.col("lang")))
+            .alias("dominant_lang"),
+            F.max(F.when(F.col("__rk") == 1, F.col("c"))).cast("bigint")
+            .alias("__dom_c"),
+            F.sum("__term").cast("bigint").alias("__sum_term"),
+        )
+        .select(
+            "host", "n_docs", "n_langs", "dominant_lang",
+            F.expr("(10000 * __dom_c) div n_docs").cast("bigint")
+            .alias("dominant_bp"),
+            F.expr("__sum_term div n_docs").cast("bigint")
+            .alias("entropy_micro"),
+            (F.expr("__sum_term div n_docs")
+             >= F.lit(mixed_threshold_micro)).alias("is_mixed"),
+        )
+    )

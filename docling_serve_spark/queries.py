@@ -6246,6 +6246,53 @@ ORACLE_NB_CLASSIFIER = (
 )
 
 
+def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 — per-host language entropy over synthesized hosts: docs
+    with id%9==0 land on per-language mono hosts (entropy 0), the
+    rest spread the real 5-language mix across 8 shared hosts (high
+    entropy, MT-farm-shaped)."""
+    from docling_serve_spark.operators.textstats import host_lang_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.lit("mono-"), F.col("lang"), F.lit(".com")),
+    ).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 9).cast("string"),
+                 F.lit(".example"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "lang",
+    )
+    return host_lang_entropy(pages)
+
+
+ORACLE_HOST_LANG_ENTROPY = (
+    "WITH p AS (SELECT CASE WHEN doc_id % 9 = 0 "
+    "THEN 'mono-' || lang || '.com' "
+    "ELSE 'h' || CAST(doc_id % 9 AS VARCHAR) || '.example' END AS host, "
+    "lang FROM documents), "
+    "c AS (SELECT host, lang, CAST(count(*) AS BIGINT) AS c "
+    "FROM p GROUP BY 1, 2), "
+    "t AS (SELECT *, SUM(c) OVER (PARTITION BY host) AS n, "
+    "row_number() OVER (PARTITION BY host ORDER BY c DESC, lang) AS rk "
+    "FROM c), "
+    "s AS (SELECT host, lang, c, n, rk, "
+    "c * CAST(floor(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) "
+    "AS term FROM t) "
+    "SELECT host, CAST(first(n) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_langs, "
+    "max(CASE WHEN rk = 1 THEN lang END) AS dominant_lang, "
+    "CAST((10000 * max(CASE WHEN rk = 1 THEN c END)) // first(n) "
+    "AS BIGINT) AS dominant_bp, "
+    "CAST(sum(term) // first(n) AS BIGINT) AS entropy_micro, "
+    "(sum(term) // first(n)) >= 600000 AS is_mixed "
+    "FROM s GROUP BY host"
+)
+
+
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X163 — reliability audit of the X161 classifier against the
     gate labels it was trained on: 10 equal-width score bins, observed
@@ -9296,6 +9343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_classifier": q_nb_classifier,
     "epoch_allocation": q_epoch_allocation,
     "calibration_bins": q_calibration_bins,
+    "host_lang_entropy": q_host_lang_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -9495,4 +9543,5 @@ ORACLES: dict[str, str] = {
     "nb_classifier": ORACLE_NB_CLASSIFIER,
     "epoch_allocation": ORACLE_EPOCH_ALLOCATION,
     "calibration_bins": ORACLE_CALIBRATION_BINS,
+    "host_lang_entropy": ORACLE_HOST_LANG_ENTROPY,
 }

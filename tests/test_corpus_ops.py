@@ -3998,3 +3998,27 @@ def test_calibration_bins_hand_case(spark):
         (0, 2, 0, 0, 0, 0, 1),
         (1, 2, 2, 10000, 2, 2, 3),
     ]
+
+
+def test_host_lang_entropy_hand_case(spark):
+    """X164: a.com 2en/2fr -> ln2 entropy (693147 micro, mixed);
+    b.com 3en/1fr -> 562335 (under the 0.6-nat cut); c.com mono ->
+    0. Dominant tie at a.com breaks to the smaller lang code."""
+    from docling_serve_spark.operators.textstats import host_lang_entropy
+
+    rows = (
+        [("https://a.com/1", "en"), ("https://a.com/2", "en"),
+         ("https://a.com/3", "fr"), ("https://a.com/4", "fr"),
+         ("https://b.com/1", "en"), ("https://b.com/2", "en"),
+         ("https://b.com/3", "en"), ("https://b.com/4", "fr")]
+        + [(f"https://c.com/{i}", "en") for i in range(4)]
+    )
+    pages = spark.createDataFrame(rows, "url string, lang string")
+    got = {r["host"]: (r["n_docs"], r["n_langs"], r["dominant_lang"],
+                       r["dominant_bp"], r["entropy_micro"], r["is_mixed"])
+           for r in host_lang_entropy(pages).collect()}
+    assert got == {
+        "a.com": (4, 2, "en", 5000, 693147, True),
+        "b.com": (4, 2, "en", 7500, 562335, False),
+        "c.com": (4, 1, "en", 10000, 0, False),
+    }
