@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "epoch_allocation",
     "calibration_bins",
     "host_lang_entropy",
+    "ai_optout",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -1063,3 +1063,101 @@ def delta_chain_stats(captures: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+#: AI / LLM-training crawler user-agent product tokens (public,
+#: vendor-documented): the agents a compliance audit checks robots.txt
+#: opt-outs for before a corpus ingest.
+AI_AGENTS = ("gptbot", "ccbot", "google-extended", "anthropic-ai",
+             "claudebot", "bytespider")
+
+
+def ai_optout(robots: DataFrame, agents: tuple[str, ...] = AI_AGENTS,
+              host_col: str = "host",
+              body_col: str = "body") -> DataFrame:
+    """(host, agent, blocked, via) — AI-crawler opt-out audit over raw
+    robots.txt bodies: for each host and each AI/LLM-training
+    user-agent token, does the file opt the agent out of the whole
+    site? This is the compliance gate responsible corpus builders run
+    before ingesting a crawl (the REP is the only machine-readable
+    opt-out channel most publishers have; honoring it is the
+    train-data analog of X44's noindex honor list and X156's license
+    signals).
+
+    RFC 9309 group model, line-grain: comments strip at '#';
+    consecutive ``User-agent:`` lines stack onto ONE group, and a
+    User-agent line that follows a directive line starts a NEW group;
+    a group opts the agent out iff it contains ``Disallow: /`` (an
+    empty Disallow allows everything). Per §2.2.1, if any group names
+    the agent specifically, those groups alone decide
+    (``via='specific'``); otherwise the ``*`` groups decide
+    (``via='wildcard'``); a file with neither leaves the agent
+    unmatched (``via='none'``, not blocked). Agent matching is the
+    case-insensitive product token.
+
+    Scale shape: one posexplode over robots LINES (bodies are KB-small
+    by the REP's own 500 KiB cap, so per-host windows over line
+    numbers are bounded); group structure via one lag + running-sum
+    window per host; the agent probe is a ≤ len(agents)-row broadcast
+    cross join against per-group summaries (rows = hosts × groups,
+    never lines). Bodies never shuffle — only (host, gid, token/flag)
+    rows do."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.lower(F.col(body_col)), "\n"))
+        .alias("pos", "__raw"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace(F.col("__raw"), "#.*$", "")).alias("line"),
+    )
+    w_seq = Window.partitionBy("host").orderBy("pos")
+    marked = lines.select(
+        "host", "pos", "line",
+        F.col("line").rlike("^user-agent:").alias("is_ua"),
+    ).withColumn(
+        "__gstart",
+        F.col("is_ua")
+        & ~F.coalesce(F.lag("is_ua").over(w_seq), F.lit(False)),
+    ).withColumn(
+        "gid", F.sum(F.col("__gstart").cast("int")).over(w_seq)
+    ).filter(F.col("gid") >= 1)
+    group_uas = marked.filter(F.col("is_ua")).select(
+        "host", "gid",
+        F.regexp_extract("line", r"^user-agent:\s*(\S+)", 1).alias("token"),
+    )
+    group_block = marked.groupBy("host", "gid").agg(
+        F.max(
+            (F.trim(F.regexp_replace("line", "^disallow:", "")) == "/")
+            & F.col("line").rlike("^disallow:")
+        ).alias("has_block")
+    )
+    groups = group_uas.join(group_block, ["host", "gid"])
+    agent_lit = F.explode(
+        F.array(*[F.lit(a) for a in agents])
+    ).alias("agent")
+    probe = robots.select(F.col(host_col).alias("host")).distinct() \
+        .select("host", agent_lit)
+    spec = groups.join(
+        probe, (groups["host"] == probe["host"])
+        & (groups["token"] == probe["agent"]),
+    ).groupBy(probe["host"].alias("host"), "agent").agg(
+        F.max("has_block").alias("__spec_block")
+    )
+    wild = groups.filter(F.col("token") == "*").groupBy("host").agg(
+        F.max("has_block").alias("__wild_block")
+    )
+    return (
+        probe.join(spec, ["host", "agent"], "left")
+        .join(wild, "host", "left")
+        .select(
+            "host", "agent",
+            F.coalesce(
+                "__spec_block", "__wild_block", F.lit(False)
+            ).alias("blocked"),
+            F.when(F.col("__spec_block").isNotNull(), F.lit("specific"))
+            .when(F.col("__wild_block").isNotNull(), F.lit("wildcard"))
+            .otherwise(F.lit("none")).alias("via"),
+        )
+    )

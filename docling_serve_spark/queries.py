@@ -6293,6 +6293,91 @@ ORACLE_HOST_LANG_ENTROPY = (
 )
 
 
+#: the six robots.txt fixtures for X165, exercising every group rule:
+#: wildcard-only, stacked UA lines, specific-overrides-wildcard, empty
+#: Disallow, comment-only file, UA-line-after-directive new group.
+_ROBOTS_BODIES = (
+    "User-agent: *\nDisallow: /private\n\nUser-agent: GPTBot\nDisallow: /",
+    "User-agent: *\nDisallow: /",
+    "User-agent: GPTBot\nUser-agent: CCBot\nDisallow: /\n\n"
+    "User-agent: *\nAllow: /",
+    "User-agent: CCBot\nDisallow:",
+    "# nothing here\nSitemap: https://e/x.xml",
+    "User-agent: Google-Extended\nCrawl-delay: 5\nDisallow: /\n"
+    "User-agent: Bytespider\nDisallow: /search",
+)
+
+
+def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165 — AI-crawler opt-out audit: six synthesized robots.txt
+    bodies (one per doc_id%6 host) covering wildcard-only, stacked-UA,
+    specific-overrides-wildcard, empty-Disallow, comment-only, and
+    group-break-after-directive; probed for the six public AI agent
+    tokens."""
+    from docling_serve_spark.operators.urltools import ai_optout
+
+    docs = _t(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 6).cast("int")
+    body = F.when(hid == 0, F.lit(_ROBOTS_BODIES[0]))
+    for i in range(1, 5):
+        body = body.when(hid == i, F.lit(_ROBOTS_BODIES[i]))
+    body = body.otherwise(F.lit(_ROBOTS_BODIES[5]))
+    robots = docs.select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example"))
+        .alias("host"),
+        body.alias("body"),
+    ).distinct()
+    return ai_optout(robots)
+
+
+ORACLE_AI_OPTOUT = (
+    "WITH h AS (SELECT DISTINCT doc_id % 6 AS hid FROM documents), "
+    "r AS (SELECT 'h' || CAST(hid AS VARCHAR) || '.example' AS host, "
+    "CASE hid "
+    "WHEN 0 THEN e'User-agent: *\\nDisallow: /private\\n\\n"
+    "User-agent: GPTBot\\nDisallow: /' "
+    "WHEN 1 THEN e'User-agent: *\\nDisallow: /' "
+    "WHEN 2 THEN e'User-agent: GPTBot\\nUser-agent: CCBot\\n"
+    "Disallow: /\\n\\nUser-agent: *\\nAllow: /' "
+    "WHEN 3 THEN e'User-agent: CCBot\\nDisallow:' "
+    "WHEN 4 THEN e'# nothing here\\nSitemap: https://e/x.xml' "
+    "ELSE e'User-agent: Google-Extended\\nCrawl-delay: 5\\n"
+    "Disallow: /\\nUser-agent: Bytespider\\nDisallow: /search' END "
+    "AS body FROM h), "
+    "l0 AS (SELECT host, string_split(lower(body), chr(10)) AS ls FROM r), "
+    "l AS (SELECT host, "
+    "unnest(generate_series(1, len(ls))) AS pos, ls FROM l0), "
+    "lx AS (SELECT host, pos, "
+    "trim(regexp_replace(ls[pos], '#.*$', '')) AS line FROM l), "
+    "m0 AS (SELECT host, pos, line, "
+    "regexp_matches(line, '^user-agent:') AS is_ua FROM lx), "
+    "m1 AS (SELECT *, is_ua AND NOT coalesce(lag(is_ua) OVER "
+    "(PARTITION BY host ORDER BY pos), false) AS gstart FROM m0), "
+    "m AS (SELECT *, SUM(CASE WHEN gstart THEN 1 ELSE 0 END) OVER "
+    "(PARTITION BY host ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND CURRENT ROW) AS gid FROM m1), "
+    "gu AS (SELECT host, gid, "
+    "regexp_extract(line, '^user-agent:\\s*(\\S+)', 1) AS token "
+    "FROM m WHERE gid >= 1 AND is_ua), "
+    "gb AS (SELECT host, gid, max(regexp_matches(line, '^disallow:') AND "
+    "trim(regexp_replace(line, '^disallow:', '')) = '/') AS has_block "
+    "FROM m WHERE gid >= 1 GROUP BY 1, 2), "
+    "g AS (SELECT gu.host, gu.gid, token, has_block "
+    "FROM gu JOIN gb USING (host, gid)), "
+    "probe AS (SELECT host, unnest(['gptbot', 'ccbot', 'google-extended', "
+    "'anthropic-ai', 'claudebot', 'bytespider']) AS agent FROM r), "
+    "sp AS (SELECT g.host, agent, max(has_block) AS spec FROM g "
+    "JOIN probe ON g.host = probe.host AND g.token = probe.agent "
+    "GROUP BY 1, 2), "
+    "wi AS (SELECT host, max(has_block) AS wild FROM g "
+    "WHERE token = '*' GROUP BY 1) "
+    "SELECT probe.host, agent, coalesce(spec, wild, false) AS blocked, "
+    "CASE WHEN spec IS NOT NULL THEN 'specific' "
+    "WHEN wild IS NOT NULL THEN 'wildcard' ELSE 'none' END AS via "
+    "FROM probe LEFT JOIN sp USING (host, agent) LEFT JOIN wi USING (host)"
+)
+
+
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X163 — reliability audit of the X161 classifier against the
     gate labels it was trained on: 10 equal-width score bins, observed
@@ -9344,6 +9429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_allocation": q_epoch_allocation,
     "calibration_bins": q_calibration_bins,
     "host_lang_entropy": q_host_lang_entropy,
+    "ai_optout": q_ai_optout,
 }
 
 ORACLES: dict[str, str] = {
@@ -9544,4 +9630,5 @@ ORACLES: dict[str, str] = {
     "epoch_allocation": ORACLE_EPOCH_ALLOCATION,
     "calibration_bins": ORACLE_CALIBRATION_BINS,
     "host_lang_entropy": ORACLE_HOST_LANG_ENTROPY,
+    "ai_optout": ORACLE_AI_OPTOUT,
 }

@@ -4022,3 +4022,38 @@ def test_host_lang_entropy_hand_case(spark):
         "b.com": (4, 2, "en", 7500, 562335, False),
         "c.com": (4, 1, "en", 10000, 0, False),
     }
+
+
+def test_ai_optout_group_semantics(spark):
+    """X165: stacked UA lines share a group; a UA line after a
+    directive starts a new group; specific groups override '*';
+    empty Disallow allows; comment-only files match nothing."""
+    from docling_serve_spark.operators.urltools import ai_optout
+
+    bodies = [
+        ("h0", "User-agent: *\nDisallow: /private\n\n"
+               "User-agent: GPTBot\nDisallow: /"),
+        ("h1", "User-agent: *\nDisallow: /"),
+        ("h2", "User-agent: GPTBot\nUser-agent: CCBot\nDisallow: /\n\n"
+               "User-agent: *\nAllow: /"),
+        ("h3", "User-agent: CCBot\nDisallow:"),
+        ("h4", "# nothing here\nSitemap: https://e/x.xml"),
+        ("h5", "User-agent: Google-Extended\nCrawl-delay: 5\n"
+               "Disallow: /\nUser-agent: Bytespider\nDisallow: /search"),
+    ]
+    robots = spark.createDataFrame(bodies, "host string, body string")
+    got = {(r["host"], r["agent"]): (r["blocked"], r["via"])
+           for r in ai_optout(robots).collect()}
+    assert got[("h0", "gptbot")] == (True, "specific")
+    assert got[("h0", "ccbot")] == (False, "wildcard")
+    assert got[("h1", "anthropic-ai")] == (True, "wildcard")
+    assert got[("h2", "gptbot")] == (True, "specific")
+    assert got[("h2", "ccbot")] == (True, "specific")
+    assert got[("h2", "claudebot")] == (False, "wildcard")
+    assert got[("h3", "ccbot")] == (False, "specific")
+    assert got[("h3", "gptbot")] == (False, "none")
+    assert got[("h4", "gptbot")] == (False, "none")
+    assert got[("h5", "google-extended")] == (True, "specific")
+    assert got[("h5", "bytespider")] == (False, "specific")
+    assert got[("h5", "ccbot")] == (False, "none")
+    assert len(got) == 36
