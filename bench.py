@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "calibration_bins",
     "host_lang_entropy",
     "ai_optout",
+    "interleave_audit",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

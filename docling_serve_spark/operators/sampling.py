@@ -784,3 +784,65 @@ def epoch_allocation(sources: DataFrame, budget_ratio_bp: int = 25000,
         F.expr("CAST((CAST(epochs_micro AS DECIMAL(38,0)) * n_tokens) "
                "div 1000000 AS BIGINT)"),
     )
+
+
+def interleave_audit(delivery: DataFrame, shard_col: str = "shard",
+                     pos_col: str = "pos",
+                     source_col: str = "source") -> DataFrame:
+    """(source, n_items, n_runs, max_run, mean_run_x100) — delivery-
+    order mixing audit: in the order a trainer will actually read each
+    shard, how long are the runs of consecutive same-source examples?
+    Training on long single-source runs is the classic shuffle-quality
+    failure (gradient steps see a non-stationary distribution; the
+    data-loader literature calls this inter-shard shuffle debt) — a
+    well-mixed delivery shows mean runs near 1 and small maxima, and a
+    source whose max_run spans thousands of steps needs a re-shard or
+    a within-shard shuffle before training.
+
+    Run structure per shard via one lag + running-sum window in
+    delivery order (the same narrow window shape as `sessionize`),
+    run lengths from one (shard, run) partial agg, per-source stats
+    from a second — the shuffle carries (shard, run_id, source, len)
+    rows, never payloads. mean_run_x100 = (100·n_items) div n_runs,
+    integer-exact. Delivery order is per shard by construction
+    (trainers stream shards independently), so no global window
+    exists anywhere in the plan."""
+    w_seq = Window.partitionBy(shard_col).orderBy(pos_col)
+    marked = delivery.select(
+        F.col(shard_col).alias("__shard"),
+        F.col(pos_col).alias("__pos"),
+        F.col(source_col).alias("__src"),
+    ).withColumn(
+        "__new",
+        (
+            F.lag("__src").over(
+                Window.partitionBy("__shard").orderBy("__pos")
+            ).isNull()
+            | (F.lag("__src").over(
+                Window.partitionBy("__shard").orderBy("__pos")
+            ) != F.col("__src"))
+        ).cast("int"),
+    ).withColumn(
+        "__rid",
+        F.sum("__new").over(
+            Window.partitionBy("__shard").orderBy("__pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = marked.groupBy("__shard", "__rid").agg(
+        F.first("__src").alias("source"),
+        F.count("*").cast("bigint").alias("__len"),
+    )
+    return (
+        runs.groupBy("source")
+        .agg(
+            F.sum("__len").cast("bigint").alias("n_items"),
+            F.count("*").cast("bigint").alias("n_runs"),
+            F.max("__len").cast("bigint").alias("max_run"),
+        )
+        .select(
+            "source", "n_items", "n_runs", "max_run",
+            F.expr("(100 * n_items) div n_runs").cast("bigint")
+            .alias("mean_run_x100"),
+        )
+    )

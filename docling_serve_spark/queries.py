@@ -6378,6 +6378,42 @@ ORACLE_AI_OPTOUT = (
 )
 
 
+def q_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166 — delivery-order mixing audit: 4 shards (doc_id%4),
+    delivery position = doc_id, source label 'g'||((doc_id div 8)%3)
+    so consecutive in-shard ids share a label about half the time —
+    runs of length 1 and 2 both occur."""
+    from docling_serve_spark.operators.sampling import interleave_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    delivery = docs.select(
+        (F.col("doc_id") % 4).cast("bigint").alias("shard"),
+        F.col("doc_id").cast("bigint").alias("pos"),
+        F.concat(F.lit("g"),
+                 ((F.col("doc_id") / 8).cast("bigint") % 3).cast("string"))
+        .alias("source"),
+    )
+    return interleave_audit(delivery)
+
+
+ORACLE_INTERLEAVE_AUDIT = (
+    "WITH d AS (SELECT doc_id % 4 AS shard, doc_id AS pos, "
+    "'g' || CAST((doc_id // 8) % 3 AS VARCHAR) AS src FROM documents), "
+    "m AS (SELECT *, CASE WHEN lag(src) OVER "
+    "(PARTITION BY shard ORDER BY pos) IS DISTINCT FROM src "
+    "THEN 1 ELSE 0 END AS new_run FROM d), "
+    "r AS (SELECT *, SUM(new_run) OVER (PARTITION BY shard ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid FROM m), "
+    "runs AS (SELECT shard, rid, first(src) AS source, "
+    "CAST(count(*) AS BIGINT) AS len FROM r GROUP BY 1, 2) "
+    "SELECT source, CAST(sum(len) AS BIGINT) AS n_items, "
+    "CAST(count(*) AS BIGINT) AS n_runs, "
+    "CAST(max(len) AS BIGINT) AS max_run, "
+    "CAST((100 * sum(len)) // count(*) AS BIGINT) AS mean_run_x100 "
+    "FROM runs GROUP BY source"
+)
+
+
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X163 — reliability audit of the X161 classifier against the
     gate labels it was trained on: 10 equal-width score bins, observed
@@ -9430,6 +9466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_bins": q_calibration_bins,
     "host_lang_entropy": q_host_lang_entropy,
     "ai_optout": q_ai_optout,
+    "interleave_audit": q_interleave_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -9631,4 +9668,5 @@ ORACLES: dict[str, str] = {
     "calibration_bins": ORACLE_CALIBRATION_BINS,
     "host_lang_entropy": ORACLE_HOST_LANG_ENTROPY,
     "ai_optout": ORACLE_AI_OPTOUT,
+    "interleave_audit": ORACLE_INTERLEAVE_AUDIT,
 }

@@ -4057,3 +4057,20 @@ def test_ai_optout_group_semantics(spark):
     assert got[("h5", "bytespider")] == (False, "specific")
     assert got[("h5", "ccbot")] == (False, "none")
     assert len(got) == 36
+
+
+def test_interleave_audit_runs(spark):
+    """X166: shard 0 delivers a,a,b,b,b,a; shard 1 delivers b,a —
+    source a has runs (2,1,1), b has (3,1); runs never cross
+    shards."""
+    from docling_serve_spark.operators.sampling import interleave_audit
+
+    rows = [(0, 1, "a"), (0, 2, "a"), (0, 3, "b"), (0, 4, "b"),
+            (0, 5, "b"), (0, 6, "a"), (1, 1, "b"), (1, 2, "a")]
+    delivery = spark.createDataFrame(
+        rows, "shard bigint, pos bigint, source string"
+    )
+    got = {r["source"]: (r["n_items"], r["n_runs"], r["max_run"],
+                         r["mean_run_x100"])
+           for r in interleave_audit(delivery).collect()}
+    assert got == {"a": (4, 3, 2, 133), "b": (4, 2, 3, 200)}
