@@ -222,6 +222,8 @@ BENCH_QUERIES = [
     "host_lang_entropy",
     "ai_optout",
     "interleave_audit",
+    "dedup_scope",
+    "optout_impact",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

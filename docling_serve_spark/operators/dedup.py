@@ -1130,3 +1130,62 @@ def copy_direction_stats(pairs: DataFrame, meta: DataFrame,
         )
         .orderBy("host")
     )
+
+
+def dedup_scope_stats(docs: DataFrame, snapshot_col: str = "snapshot",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(snapshot, n_docs, n_dup_intra, n_dup_cross, dup_intra_bp,
+    dup_cross_bp) — the dedup-scope ablation behind FineWeb's central
+    finding (Penedo et al., NeurIPS 2024: deduplicating each crawl
+    snapshot independently trains BETTER than global cross-snapshot
+    dedup, which preferentially deletes the high-quality pages that
+    recur across crawls): per snapshot, how much duplicate mass is
+    intra-snapshot (removed under either policy) vs cross-snapshot
+    (removed ONLY by global dedup)? A corpus whose duplicate mass is
+    mostly cross-snapshot loses little to per-snapshot scoping and
+    avoids the quality regression.
+
+    A duplicate is any non-canonical member of an exact-fingerprint
+    group (md5 over `norm_text`); the canonical is the (snapshot,
+    doc_id)-first member, and a duplicate is *intra* when it shares
+    the canonical's snapshot. Rates in basis points of the snapshot's
+    documents, bigint div.
+
+    Scale shape: fingerprints compute in the scan (text never
+    shuffles); the one exchange carries (fp, snapshot, id); the
+    per-group window is bounded by duplicate-cluster size, and the
+    final agg is one snapshot-keyed partial agg."""
+    from pyspark.sql import Window
+
+    fp = F.md5(norm_text(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.col(snapshot_col).alias("snapshot"),
+        fp.alias("__fp"),
+    )
+    w = Window.partitionBy("__fp").orderBy("snapshot", "__id")
+    marked = base.select(
+        "snapshot",
+        (F.row_number().over(w) > 1).alias("__is_dup"),
+        F.first("snapshot").over(w).alias("__canon_snap"),
+    )
+    return (
+        marked.groupBy("snapshot")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("__is_dup")
+                   & (F.col("snapshot") == F.col("__canon_snap")))
+                  .cast("bigint")).cast("bigint").alias("n_dup_intra"),
+            F.sum((F.col("__is_dup")
+                   & (F.col("snapshot") != F.col("__canon_snap")))
+                  .cast("bigint")).cast("bigint").alias("n_dup_cross"),
+        )
+        .select(
+            "snapshot", "n_docs", "n_dup_intra", "n_dup_cross",
+            F.expr("(10000 * n_dup_intra) div n_docs").cast("bigint")
+            .alias("dup_intra_bp"),
+            F.expr("(10000 * n_dup_cross) div n_docs").cast("bigint")
+            .alias("dup_cross_bp"),
+        )
+    )

@@ -1161,3 +1161,42 @@ def ai_optout(robots: DataFrame, agents: tuple[str, ...] = AI_AGENTS,
             .otherwise(F.lit("none")).alias("via"),
         )
     )
+
+
+def optout_impact(audit: DataFrame, host_tokens: DataFrame,
+                  host_col: str = "host",
+                  tokens_col: str = "n_tokens") -> DataFrame:
+    """(agent, n_hosts, n_hosts_blocked, tokens_blocked,
+    token_share_bp) — what honoring each AI agent's robots opt-outs
+    COSTS the corpus: join the X165 verdicts against per-host token
+    mass and report, per agent, the blocked host count and the share
+    of corpus tokens that must be dropped. This is the number the
+    ingest decision actually turns on — opt-outs concentrate on
+    high-traffic publishers, so the token share routinely dwarfs the
+    host share (the reason it must be measured in tokens, not hosts).
+
+    One equi-join of the ≤ hosts×agents audit against the host token
+    table, one agent-keyed partial agg, and a one-row broadcast total;
+    share in basis points by bigint div."""
+    t = host_tokens.select(
+        F.col(host_col).alias("host"),
+        F.col(tokens_col).cast("bigint").alias("__tok"),
+    )
+    total = t.agg(F.sum("__tok").cast("bigint").alias("__total"))
+    return (
+        audit.join(t, "host")
+        .groupBy("agent")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.sum(F.col("blocked").cast("bigint")).cast("bigint")
+            .alias("n_hosts_blocked"),
+            F.sum(F.when(F.col("blocked"), F.col("__tok")).otherwise(0))
+            .cast("bigint").alias("tokens_blocked"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "agent", "n_hosts", "n_hosts_blocked", "tokens_blocked",
+            F.expr("(10000 * tokens_blocked) div greatest(__total, 1)")
+            .cast("bigint").alias("token_share_bp"),
+        )
+    )

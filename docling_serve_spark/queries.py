@@ -6378,6 +6378,91 @@ ORACLE_AI_OPTOUT = (
 )
 
 
+def q_optout_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 — token-mass impact of honoring each AI agent's opt-outs:
+    the X165 robots fixtures give the verdicts, per-host token mass
+    comes from the real corpus (host = doc_id%6), and the report says
+    what share of corpus tokens each agent's opt-outs remove."""
+    from docling_serve_spark.operators.urltools import optout_impact
+
+    docs = _t(spark, sf_dir, "documents")
+    audit = q_ai_optout(spark, sf_dir)
+    host_tokens = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 6).cast("string"),
+                 F.lit(".example")).alias("host")
+    ).agg(
+        F.sum(textstats.token_count(F.col("text"))).cast("bigint")
+        .alias("n_tokens")
+    )
+    return optout_impact(audit, host_tokens)
+
+
+ORACLE_OPTOUT_IMPACT = (
+    "WITH audit AS (" + ORACLE_AI_OPTOUT + "), "
+    "ht AS (SELECT 'h' || CAST(doc_id % 6 AS VARCHAR) || '.example' "
+    "AS host, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) "
+    "AS tok FROM documents GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(tok) AS BIGINT) AS total FROM ht) "
+    "SELECT agent, CAST(count(*) AS BIGINT) AS n_hosts, "
+    "CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hosts_blocked, "
+    "CAST(sum(CASE WHEN blocked THEN tok ELSE 0 END) AS BIGINT) "
+    "AS tokens_blocked, "
+    "CAST((10000 * sum(CASE WHEN blocked THEN tok ELSE 0 END)) // "
+    "greatest(total, 1) AS BIGINT) AS token_share_bp "
+    "FROM audit JOIN ht USING (host) CROSS JOIN tot "
+    "GROUP BY agent, total"
+)
+
+
+def q_dedup_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 — dedup-scope ablation: base corpus in snapshot s1,
+    id%4==0 re-crawled verbatim into s2 (cross-snapshot dup mass),
+    id%10==0 duplicated inside s1 (intra mass); the stats say how
+    much a per-snapshot dedup policy would leave on the table."""
+    from docling_serve_spark.operators.dedup import dedup_scope_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", "text", F.lit("s1").alias("snapshot"))
+    recrawl = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text",
+        F.lit("s2").alias("snapshot"),
+    )
+    intra = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text",
+        F.lit("s1").alias("snapshot"),
+    )
+    return dedup_scope_stats(base.unionByName(recrawl).unionByName(intra))
+
+
+ORACLE_DEDUP_SCOPE = (
+    "WITH u AS (SELECT doc_id, text, 's1' AS snapshot FROM documents "
+    "UNION ALL SELECT doc_id + 400000, text, 's2' FROM documents "
+    "WHERE doc_id % 4 = 0 "
+    "UNION ALL SELECT doc_id + 800000, text, 's1' FROM documents "
+    "WHERE doc_id % 10 = 0), "
+    "f AS (SELECT doc_id, snapshot, "
+    "md5(" + dedup.NORM_SQL.format(t="text") + ") AS fp FROM u), "
+    "m AS (SELECT snapshot, "
+    "row_number() OVER (PARTITION BY fp ORDER BY snapshot, doc_id) > 1 "
+    "AS is_dup, "
+    "first(snapshot) OVER (PARTITION BY fp ORDER BY snapshot, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS canon "
+    "FROM f) "
+    "SELECT snapshot, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN is_dup AND snapshot = canon THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_dup_intra, "
+    "CAST(sum(CASE WHEN is_dup AND snapshot <> canon THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_dup_cross, "
+    "CAST((10000 * sum(CASE WHEN is_dup AND snapshot = canon THEN 1 "
+    "ELSE 0 END)) // count(*) AS BIGINT) AS dup_intra_bp, "
+    "CAST((10000 * sum(CASE WHEN is_dup AND snapshot <> canon THEN 1 "
+    "ELSE 0 END)) // count(*) AS BIGINT) AS dup_cross_bp "
+    "FROM m GROUP BY snapshot"
+)
+
+
 def q_interleave_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X166 — delivery-order mixing audit: 4 shards (doc_id%4),
     delivery position = doc_id, source label 'g'||((doc_id div 8)%3)
@@ -9467,6 +9552,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_lang_entropy": q_host_lang_entropy,
     "ai_optout": q_ai_optout,
     "interleave_audit": q_interleave_audit,
+    "dedup_scope": q_dedup_scope,
+    "optout_impact": q_optout_impact,
 }
 
 ORACLES: dict[str, str] = {
@@ -9669,4 +9756,6 @@ ORACLES: dict[str, str] = {
     "host_lang_entropy": ORACLE_HOST_LANG_ENTROPY,
     "ai_optout": ORACLE_AI_OPTOUT,
     "interleave_audit": ORACLE_INTERLEAVE_AUDIT,
+    "dedup_scope": ORACLE_DEDUP_SCOPE,
+    "optout_impact": ORACLE_OPTOUT_IMPACT,
 }

@@ -4074,3 +4074,42 @@ def test_interleave_audit_runs(spark):
                          r["mean_run_x100"])
            for r in interleave_audit(delivery).collect()}
     assert got == {"a": (4, 3, 2, 133), "b": (4, 2, 3, 200)}
+
+
+def test_dedup_scope_stats_intra_vs_cross(spark):
+    """X167: group X spans snapshots (canonical in s1, so doc 2 is an
+    intra-s1 dup and doc 3 a cross-s2 dup); group Z is wholly inside
+    s2 (intra). Singleton doc 4 counts only toward n_docs."""
+    from docling_serve_spark.operators.dedup import dedup_scope_stats
+
+    rows = [(1, "s1", "x x"), (2, "s1", "X  x"), (3, "s2", "x x"),
+            (4, "s2", "solo"), (5, "s2", "z"), (6, "s2", "Z ")]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, snapshot string, text string"
+    )
+    got = {r["snapshot"]: (r["n_docs"], r["n_dup_intra"], r["n_dup_cross"],
+                           r["dup_intra_bp"], r["dup_cross_bp"])
+           for r in dedup_scope_stats(docs).collect()}
+    assert got == {"s1": (2, 1, 0, 5000, 0), "s2": (4, 1, 1, 2500, 2500)}
+
+
+def test_optout_impact_token_weighting(spark):
+    """X168: gptbot blocked only on the 900-token host -> 90% of
+    tokens from 50% of hosts; ccbot blocked nowhere."""
+    from docling_serve_spark.operators.urltools import optout_impact
+
+    audit = spark.createDataFrame(
+        [("big.com", "gptbot", True, "specific"),
+         ("small.com", "gptbot", False, "none"),
+         ("big.com", "ccbot", False, "none"),
+         ("small.com", "ccbot", False, "none")],
+        "host string, agent string, blocked boolean, via string",
+    )
+    toks = spark.createDataFrame(
+        [("big.com", 900), ("small.com", 100)],
+        "host string, n_tokens bigint",
+    )
+    got = {r["agent"]: (r["n_hosts"], r["n_hosts_blocked"],
+                        r["tokens_blocked"], r["token_share_bp"])
+           for r in optout_impact(audit, toks).collect()}
+    assert got == {"gptbot": (2, 1, 900, 9000), "ccbot": (2, 0, 0, 0)}
