@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "interleave_audit",
     "dedup_scope",
     "optout_impact",
+    "bin_provenance",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -846,3 +846,61 @@ def interleave_audit(delivery: DataFrame, shard_col: str = "shard",
             .alias("mean_run_x100"),
         )
     )
+
+
+def bin_provenance(packed: DataFrame, probes: DataFrame,
+                   seq_len: int = 512) -> DataFrame:
+    """(shard, bin_id, doc_id, tok_from, tok_to, n_tokens_in_bin) —
+    training-data attribution, the inverse of `pack_sequences`: given
+    probe training bins (the sequences a model actually consumed —
+    a memorization hit, a regurgitation complaint, an eval leak),
+    return every document that contributed tokens to each bin and the
+    doc-relative token span it contributed. Packing provenance is the
+    lineage record a 10^12-doc pipeline must be able to invert
+    WITHOUT storing a per-token map: the (bin_id, offset) columns X21
+    already emits are sufficient, and this op proves it.
+
+    A doc occupies the global token interval [start, start+n) with
+    start = bin_id·L + offset; it contributes to probe bin b iff
+    start < (b+1)·L and start+n > b·L, and the contributed span is
+    the interval intersection, re-based to doc-relative offsets.
+    Pure integer arithmetic.
+
+    Scale shape: probes are FEW (attribution requests), so the join
+    is an equi-join on shard with the range condition as a residual
+    filter — the probe side broadcasts, docs never shuffle, and the
+    fan-out is bounded by probes-per-shard. The alternative (explode
+    every doc's bin range, equi-join on bin) scans bounded rows but
+    materializes corpus-tokens/L rows to answer a handful of probes;
+    use that form only for probe sets comparable to the bin count."""
+    p = packed.filter(F.col("n_tokens") > 0).select(
+        F.col("doc_id").cast("bigint"),
+        F.col("shard").cast("bigint").alias("__pshard"),
+        F.col("n_tokens").cast("bigint"),
+        (F.col("bin_id") * seq_len + F.col("offset_in_bin"))
+        .cast("bigint").alias("__start"),
+    ).withColumn("__end", F.col("__start") + F.col("n_tokens"))
+    b = probes.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+    )
+    cond = (
+        (F.col("__pshard") == F.col("shard"))
+        & (F.col("__start") < (F.col("bin_id") + 1) * seq_len)
+        & (F.col("__end") > F.col("bin_id") * seq_len)
+    )
+    j = p.join(F.broadcast(b), cond)
+    tok_from = (
+        F.greatest(F.col("__start"), F.col("bin_id") * seq_len)
+        - F.col("__start")
+    )
+    tok_to = (
+        F.least(F.col("__end"), (F.col("bin_id") + 1) * seq_len)
+        - F.col("__start")
+    )
+    return j.select(
+        "shard", "bin_id", "doc_id",
+        tok_from.cast("bigint").alias("tok_from"),
+        tok_to.cast("bigint").alias("tok_to"),
+        (tok_to - tok_from).cast("bigint").alias("n_tokens_in_bin"),
+    )

@@ -7994,6 +7994,40 @@ ORACLE_PACK = _pack_oracle()
 ORACLE_SHARD_MANIFEST = ORACLE_SHARD_MANIFEST_TMPL.format(pack=ORACLE_PACK)
 
 
+def q_bin_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 — training-data attribution over the REAL X21 packing:
+    probe bins 0 and 3 of every shard and recover which documents
+    contributed which token spans."""
+    from docling_serve_spark.operators.sampling import bin_provenance
+
+    packed = q_pack_sequences(spark, sf_dir)
+    probes = packed.select("shard").distinct().select(
+        "shard",
+        F.explode(F.array(F.lit(0), F.lit(3))).alias("bin_id"),
+    )
+    return bin_provenance(packed, probes, seq_len=512)
+
+
+ORACLE_BIN_PROVENANCE = (
+    "WITH packed AS (" + ORACLE_PACK + "), "
+    "probes AS (SELECT DISTINCT shard, unnest([0, 3]) AS bin_id "
+    "FROM packed), "
+    "p AS (SELECT doc_id, shard, n_tokens, "
+    "bin_id * 512 + offset_in_bin AS s, "
+    "bin_id * 512 + offset_in_bin + n_tokens AS e "
+    "FROM packed WHERE n_tokens > 0) "
+    "SELECT CAST(probes.shard AS BIGINT) AS shard, "
+    "CAST(probes.bin_id AS BIGINT) AS bin_id, "
+    "CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(greatest(s, probes.bin_id * 512) - s AS BIGINT) AS tok_from, "
+    "CAST(least(e, (probes.bin_id + 1) * 512) - s AS BIGINT) AS tok_to, "
+    "CAST(least(e, (probes.bin_id + 1) * 512) "
+    "- greatest(s, probes.bin_id * 512) AS BIGINT) AS n_tokens_in_bin "
+    "FROM p JOIN probes ON p.shard = probes.shard "
+    "AND s < (probes.bin_id + 1) * 512 AND e > probes.bin_id * 512"
+)
+
+
 def q_packing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing fragmentation/padding audit (X124) over the REAL X21
     packing of the documents table."""
@@ -9554,6 +9588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interleave_audit": q_interleave_audit,
     "dedup_scope": q_dedup_scope,
     "optout_impact": q_optout_impact,
+    "bin_provenance": q_bin_provenance,
 }
 
 ORACLES: dict[str, str] = {
@@ -9758,4 +9793,5 @@ ORACLES: dict[str, str] = {
     "interleave_audit": ORACLE_INTERLEAVE_AUDIT,
     "dedup_scope": ORACLE_DEDUP_SCOPE,
     "optout_impact": ORACLE_OPTOUT_IMPACT,
+    "bin_provenance": ORACLE_BIN_PROVENANCE,
 }

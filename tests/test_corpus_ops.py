@@ -4113,3 +4113,27 @@ def test_optout_impact_token_weighting(spark):
                         r["tokens_blocked"], r["token_share_bp"])
            for r in optout_impact(audit, toks).collect()}
     assert got == {"gptbot": (2, 1, 900, 9000), "ccbot": (2, 0, 0, 0)}
+
+
+def test_bin_provenance_span_intersection(spark):
+    """X169: L=4; doc 1 occupies [0,6) (bins 0-1), doc 2 [6,9)
+    (bins 1-2). Probing bin 1 returns doc 1's tail span [4,6) and
+    doc 2's head span [0,2); bin 0 returns doc 1's [0,4) alone."""
+    from docling_serve_spark.operators.sampling import bin_provenance
+
+    packed = spark.createDataFrame(
+        [(1, 0, 6, 0, 0), (2, 0, 3, 1, 2)],
+        "doc_id bigint, shard bigint, n_tokens bigint, "
+        "bin_id bigint, offset_in_bin bigint",
+    )
+    probes = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0)], "shard bigint, bin_id bigint"
+    )
+    got = {(r["shard"], r["bin_id"], r["doc_id"]):
+           (r["tok_from"], r["tok_to"], r["n_tokens_in_bin"])
+           for r in bin_provenance(packed, probes, seq_len=4).collect()}
+    assert got == {
+        (0, 0, 1): (0, 4, 4),
+        (0, 1, 1): (4, 6, 2),
+        (0, 1, 2): (0, 2, 2),
+    }
