@@ -339,25 +339,32 @@ def nb_quality_score(docs: DataFrame, labels: DataFrame,
         F.col(id_col).alias("__id"),
         (F.col(label_col) == pos_label).alias("__is_pos"),
     )
-    feats = _hashed_unigrams(docs, text_col, id_col, n_buckets)
-    train = feats.join(lab, "__id")
-    bucket_counts = train.groupBy("bucket").agg(
-        F.sum(F.col("__is_pos").cast("bigint")).cast("bigint").alias("c_pos"),
-        F.sum((~F.col("__is_pos")).cast("bigint")).cast("bigint")
-        .alias("c_neg"),
+    # ONE explode + ONE (doc, bucket) pre-aggregation feeds BOTH the
+    # training statistics and the scoring join (token occurrences sum
+    # to the same bucket counts either way); checkpoint it so the
+    # explode runs once, not once per consumer — at 10^12 docs this
+    # table is what you would materialize anyway
+    doc_feats = (
+        _hashed_unigrams(docs, text_col, id_col, n_buckets)
+        .groupBy("__id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    totals = train.agg(
-        F.sum(F.col("__is_pos").cast("bigint")).cast("bigint").alias("n_pos"),
-        F.sum((~F.col("__is_pos")).cast("bigint")).cast("bigint")
-        .alias("n_neg"),
+    train = doc_feats.join(lab, "__id")
+    bucket_counts = train.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_pos"), F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("c_pos"),
+        F.sum(F.when(~F.col("__is_pos"), F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("c_neg"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        F.sum("c_neg").cast("bigint").alias("n_neg"),
     )
     priors = lab.agg(
         F.sum(F.col("__is_pos").cast("bigint")).cast("bigint").alias("d_pos"),
         F.sum((~F.col("__is_pos")).cast("bigint")).cast("bigint")
         .alias("d_neg"),
-    )
-    doc_feats = feats.groupBy("__id", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
     )
     joined = (
         doc_feats.join(bucket_counts, "bucket", "left")
@@ -428,6 +435,11 @@ def calibration_bins(scored: DataFrame, labels: DataFrame,
         F.col(id_col).alias("__id"),
         F.col(score_col).cast("bigint").alias("__s"),
     ).join(lab, "__id")
+    # the scored input feeds TWO scans (the extrema aggregate and the
+    # binning pass); upstream is typically a full classifier train, so
+    # truncate lineage and compute it once (at warehouse scale the
+    # scores would be a materialized table and this is free)
+    s = s.localCheckpoint(eager=False)
     ext = s.agg(
         F.min("__s").cast("bigint").alias("__lo"),
         F.max("__s").cast("bigint").alias("__hi"),

@@ -6502,8 +6502,15 @@ ORACLE_INTERLEAVE_AUDIT = (
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X163 — reliability audit of the X161 classifier against the
     gate labels it was trained on: 10 equal-width score bins, observed
-    positive rate per bin (monotone = the score ranks well)."""
-    scored = q_nb_classifier(spark, sf_dir).select("doc_id", "score_micro")
+    positive rate per bin (monotone = the score ranks well).
+
+    The scored table is localCheckpointed once: the audit reads it
+    twice (extrema + binning) and upstream is the full NB train+score,
+    which is a materialized table in any real warehouse."""
+    scored = (
+        q_nb_classifier(spark, sf_dir).select("doc_id", "score_micro")
+        .localCheckpoint()
+    )
     labels = q_quality_filter(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("keep"), F.lit("pos")).otherwise(F.lit("neg"))
