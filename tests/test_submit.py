@@ -476,3 +476,57 @@ def test_index_job_build_then_query_matches_inline(tmp_path, spark):
         for r in bm25_topk(eff, ["fresh", "crawl"], k=5).collect()
     ]
     assert got == expected
+
+
+def test_compliance_job_end_to_end(tmp_path, spark):
+    """`jobs/compliance.py`: health + license + AI opt-out + token
+    impact reports land; summary matches independent DuckDB reads.
+    blocked.com carries 3 of 4 pages' tokens and blocks GPTBot."""
+    def page(host, i, extra=""):
+        return (
+            f"https://{host}/p{i}",
+            (f"<html><head><title>p{i}</title>{extra}</head>"
+             f"<body><p>tok tok tok</p></body></html>").encode(),
+            "tok tok tok",
+        )
+
+    rows = [
+        page("blocked.com", 1), page("blocked.com", 2),
+        page("blocked.com", 3),
+        page("open.org", 1,
+             '<link rel="license" '
+             'href="https://creativecommons.org/licenses/by/4.0/">'),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, html binary, text string"
+    ).write.parquet(inp)
+    robots = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("blocked.com", "User-agent: GPTBot\nDisallow: /"),
+         ("open.org", "User-agent: *\nAllow: /")],
+        "host string, body string",
+    ).write.parquet(robots)
+    out = str(tmp_path / "comp")
+
+    env = dict(os.environ)
+    env["SPARK_MASTER"] = "local[2]"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "compliance.py"),
+         "--pages", inp, "--robots", robots, "--output", out],
+        capture_output=True, text=True, timeout=280, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["n_hosts"] == 2
+    assert summary["n_hosts_open_license"] == 1
+    assert summary["token_weighted"] is True
+    # gptbot loses blocked.com: 9 of 12 tokens -> 7500 bp
+    assert summary["max_optout_share_bp"] == 7500
+    assert summary["agents_with_optouts"] == 1
+    imp = duckdb.sql(
+        f"SELECT agent, n_hosts_blocked, token_share_bp FROM "
+        f"read_parquet('{out}/optout_impact/*.parquet') "
+        "WHERE agent = 'gptbot'"
+    ).fetchall()
+    assert imp == [("gptbot", 1, 7500)]
