@@ -83,6 +83,20 @@ INVARIANCE_QUERIES = [
     "code_switch",      # per-doc transition window
     "charset_decls",    # per-host top-legacy window tie
     "length_quantiles", # cumulative bin windows per lang
+    "license_signals",  # per-host top-license window tie
+    "mixture_ess",      # global integer sums + scalar division
+    "index_delta_merge",  # anti-join merge + BM25 over merged index
+    "curriculum_schedule",  # histogram windows + straddle-bucket split
+    "balanced_trainset",    # bucket histogram + boundary-bucket rank
+    "nb_classifier",    # hashed counts, micro-nat sums, checkpoint
+    "calibration_bins", # broadcast extrema + binning over checkpoint
+    "epoch_allocation", # quantized-order prefix sums
+    "host_lang_entropy",  # per-host entropy terms + dominant tie
+    "ai_optout",        # lag + running-sum group windows
+    "interleave_audit", # per-shard run windows + stacked aggs
+    "dedup_scope",      # fp-group window canonical + snapshot rollup
+    "optout_impact",    # verdict join + broadcast total
+    "bin_provenance",   # broadcast range join over packing
 ]
 
 
