@@ -633,3 +633,47 @@ def test_round4_audits_stay_narrow_or_equi(spark):
     tree = _tree(_plan(spark, QUERIES["bitext_url_pairs"](spark, SF_DIR)))
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_bin_provenance_probe_side_broadcasts(spark):
+    """X169: attribution is an equi-join on shard with the interval
+    intersection as residual filter — the probe side broadcasts, the
+    packing never becomes a cartesian product."""
+    plan = _plan(spark, QUERIES["bin_provenance"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_classifier_model_join_no_text_shuffle(spark):
+    """X161: the score join carries (bucket, counts) — text reaches
+    only the scan stage, never an Exchange (the shuffle rows are
+    48-bit hashes and counts). Formatted plans put each node's
+    Input/Arguments in a detail block below the tree, so check the
+    Exchange blocks, not the tree lines."""
+    plan = _plan(spark, QUERIES["nb_classifier"](spark, SF_DIR))
+    blocks = plan.split("\n\n")
+    exch = [b for b in blocks if b.startswith("(") and "Exchange" in
+            b.splitlines()[0]]
+    assert exch, "expected Exchange node blocks in the NB plan"
+    for b in exch:
+        assert "text#" not in b, f"text column enters an exchange:\n{b}"
+
+
+def test_host_lang_entropy_partial_agg_before_exchange(spark):
+    """X164: the (host, lang) count is map-side combinable — the
+    exchange carries counts, not pages."""
+    plan = _plan(spark, QUERIES["host_lang_entropy"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block
+
+
+def test_epoch_allocation_windows_are_source_grain(spark):
+    """X162: every window in the plan runs over the one-row-per-source
+    table — there must be no window keyed on doc rows (the input agg
+    is the only doc-grain stage)."""
+    plan = _plan(spark, QUERIES["epoch_allocation"](spark, SF_DIR))
+    assert "Window" in plan
+    # the doc-grain stage is a partial-agg groupBy, never a Window
+    assert plan.count("HashAggregate") >= 2
