@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "dedup_scope",
     "optout_impact",
     "bin_provenance",
+    "extract_diff",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -194,3 +194,61 @@ def crawl_growth_report(old: DataFrame, new: DataFrame,
                "div greatest(greatest(n_old, n_new), 1)")
         .cast("bigint").alias("churn_bp"),
     ).orderBy("host")
+
+
+def extract_diff(old: DataFrame, new: DataFrame,
+                 key_col: str = "url",
+                 type_col: str = "doc_type",
+                 status_col: str = "status",
+                 text_col: str = "extracted_text") -> DataFrame:
+    """(doc_type, n_old, n_new, n_common, n_status_flips,
+    n_text_changed, text_change_bp, sum_len_delta) — extractor A/B
+    regression report: before re-extracting 10^12 documents with a new
+    extractor build, run both versions over a sample and read, per
+    format, how many documents flip status, how many change text, and
+    the signed length drift. A format whose text_change_bp is high
+    needs a golden-diff review before the fleet-wide re-extraction is
+    approved (the X48 mojibake and X123 entity-residue audits are the
+    per-page follow-ups); coverage changes surface as n_old ≠ n_new.
+
+    Text comparison is by md5 fingerprint computed IN THE SCAN —
+    the full-outer url join carries (url, type, status, fp, length),
+    never text; one doc_type-keyed partial agg finishes it.
+    `sum_len_delta` is the exact signed char delta over common urls
+    (bigint; per-doc means are the reader's division to make)."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("url"),
+            F.col(type_col).alias(f"{tag}_type"),
+            F.col(status_col).alias(f"{tag}_status"),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(f"{tag}_fp"),
+            F.length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("bigint").alias(f"{tag}_len"),
+        )
+    j = side(old, "o").join(side(new, "n"), "url", "full_outer")
+    common = F.col("o_fp").isNotNull() & F.col("n_fp").isNotNull()
+    return (
+        j.groupBy(
+            F.coalesce(F.col("n_type"), F.col("o_type")).alias("doc_type")
+        )
+        .agg(
+            F.sum(F.col("o_fp").isNotNull().cast("bigint")).cast("bigint")
+            .alias("n_old"),
+            F.sum(F.col("n_fp").isNotNull().cast("bigint")).cast("bigint")
+            .alias("n_new"),
+            F.sum(common.cast("bigint")).cast("bigint").alias("n_common"),
+            F.sum((common & (F.col("o_status") != F.col("n_status")))
+                  .cast("bigint")).cast("bigint").alias("n_status_flips"),
+            F.sum((common & (F.col("o_fp") != F.col("n_fp")))
+                  .cast("bigint")).cast("bigint").alias("n_text_changed"),
+            F.sum(F.when(common, F.col("n_len") - F.col("o_len"))
+                  .otherwise(0)).cast("bigint").alias("sum_len_delta"),
+        )
+        .select(
+            "doc_type", "n_old", "n_new", "n_common", "n_status_flips",
+            "n_text_changed",
+            F.expr("(10000 * n_text_changed) div greatest(n_common, 1)")
+            .cast("bigint").alias("text_change_bp"),
+            "sum_len_delta",
+        )
+    )

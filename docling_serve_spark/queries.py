@@ -6378,6 +6378,86 @@ ORACLE_AI_OPTOUT = (
 )
 
 
+def q_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 — extractor A/B regression report over a synthesized
+    version bump: doc_type from id%4, the new build changes text for
+    id%5 (appending a marker), flips status for id%13, loses id%23
+    coverage, and gains shifted ids — per-format flip/change/drift
+    counters."""
+    from docling_serve_spark.operators.relational import extract_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = F.concat(F.lit("t"), (F.col("doc_id") % 4).cast("string"))
+    url = F.concat(F.lit("https://e.com/"), F.col("doc_id").cast("string"))
+    old = docs.select(
+        url.alias("url"), dt.alias("doc_type"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("failure"))
+        .otherwise(F.lit("success")).alias("status"),
+        F.col("text").alias("extracted_text"),
+    )
+    new = docs.filter(F.col("doc_id") % 23 != 0).select(
+        url.alias("url"), dt.alias("doc_type"),
+        F.when((F.col("doc_id") % 17 == 0) | (F.col("doc_id") % 13 == 0),
+               F.lit("failure"))
+        .otherwise(F.lit("success")).alias("status"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("extracted_text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 31 == 0).select(
+            F.concat(F.lit("https://e.com/n"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            dt.alias("doc_type"), F.lit("success").alias("status"),
+            F.col("text").alias("extracted_text"),
+        )
+    )
+    return extract_diff(old, new)
+
+
+ORACLE_EXTRACT_DIFF = (
+    "WITH o AS (SELECT 'https://e.com/' || CAST(doc_id AS VARCHAR) AS url, "
+    "'t' || CAST(doc_id % 4 AS VARCHAR) AS doc_type, "
+    "CASE WHEN doc_id % 17 = 0 THEN 'failure' ELSE 'success' END AS st, "
+    "md5(coalesce(text, '')) AS fp, "
+    "CAST(length(coalesce(text, '')) AS BIGINT) AS len FROM documents), "
+    "n AS (SELECT 'https://e.com/' || CAST(doc_id AS VARCHAR) AS url, "
+    "'t' || CAST(doc_id % 4 AS VARCHAR) AS doc_type, "
+    "CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0 THEN 'failure' "
+    "ELSE 'success' END AS st, "
+    "md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+    "ELSE text END, '')) AS fp, "
+    "CAST(length(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+    "ELSE text END, '')) AS BIGINT) AS len "
+    "FROM documents WHERE doc_id % 23 <> 0 "
+    "UNION ALL SELECT 'https://e.com/n' || CAST(doc_id AS VARCHAR), "
+    "'t' || CAST(doc_id % 4 AS VARCHAR), 'success', "
+    "md5(coalesce(text, '')), CAST(length(coalesce(text, '')) AS BIGINT) "
+    "FROM documents WHERE doc_id % 31 = 0), "
+    "j AS (SELECT coalesce(n.doc_type, o.doc_type) AS doc_type, "
+    "o.fp AS ofp, n.fp AS nfp, o.st AS ost, n.st AS nst, "
+    "o.len AS olen, n.len AS nlen "
+    "FROM o FULL OUTER JOIN n USING (url)) "
+    "SELECT doc_type, "
+    "CAST(sum(CASE WHEN ofp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_old, "
+    "CAST(sum(CASE WHEN nfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_new, "
+    "CAST(sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL THEN 1 "
+    "ELSE 0 END) AS BIGINT) AS n_common, "
+    "CAST(sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL "
+    "AND ost <> nst THEN 1 ELSE 0 END) AS BIGINT) AS n_status_flips, "
+    "CAST(sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL "
+    "AND ofp <> nfp THEN 1 ELSE 0 END) AS BIGINT) AS n_text_changed, "
+    "CAST((10000 * sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL "
+    "AND ofp <> nfp THEN 1 ELSE 0 END)) // greatest(sum(CASE WHEN "
+    "ofp IS NOT NULL AND nfp IS NOT NULL THEN 1 ELSE 0 END), 1) "
+    "AS BIGINT) AS text_change_bp, "
+    "CAST(sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL "
+    "THEN nlen - olen ELSE 0 END) AS BIGINT) AS sum_len_delta "
+    "FROM j GROUP BY doc_type"
+)
+
+
 def q_optout_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X168 — token-mass impact of honoring each AI agent's opt-outs:
     the X165 robots fixtures give the verdicts, per-host token mass
@@ -9596,6 +9676,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_scope": q_dedup_scope,
     "optout_impact": q_optout_impact,
     "bin_provenance": q_bin_provenance,
+    "extract_diff": q_extract_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -9801,4 +9882,5 @@ ORACLES: dict[str, str] = {
     "dedup_scope": ORACLE_DEDUP_SCOPE,
     "optout_impact": ORACLE_OPTOUT_IMPACT,
     "bin_provenance": ORACLE_BIN_PROVENANCE,
+    "extract_diff": ORACLE_EXTRACT_DIFF,
 }

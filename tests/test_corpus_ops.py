@@ -4137,3 +4137,33 @@ def test_bin_provenance_span_intersection(spark):
         (0, 1, 1): (4, 6, 2),
         (0, 1, 2): (0, 2, 2),
     }
+
+
+def test_extract_diff_flip_change_and_coverage(spark):
+    """X170: u1 unchanged, u2 text changed (+2 chars), u3 status flip
+    only, u4 removed in new, u5 added in new — per-format counters and
+    the signed length delta."""
+    from docling_serve_spark.operators.relational import extract_diff
+
+    old = spark.createDataFrame(
+        [("u1", "html", "success", "same"),
+         ("u2", "html", "success", "aa"),
+         ("u3", "pdf", "success", "p"),
+         ("u4", "pdf", "success", "gone")],
+        "url string, doc_type string, status string, extracted_text string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "html", "success", "same"),
+         ("u2", "html", "success", "aaBB"),
+         ("u3", "pdf", "failure", "p"),
+         ("u5", "pdf", "success", "new")],
+        "url string, doc_type string, status string, extracted_text string",
+    )
+    got = {r["doc_type"]: (r["n_old"], r["n_new"], r["n_common"],
+                           r["n_status_flips"], r["n_text_changed"],
+                           r["text_change_bp"], r["sum_len_delta"])
+           for r in extract_diff(old, new).collect()}
+    assert got == {
+        "html": (2, 2, 2, 0, 1, 5000, 2),
+        "pdf": (2, 2, 1, 1, 0, 0, 0),
+    }
