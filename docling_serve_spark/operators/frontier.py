@@ -270,3 +270,33 @@ def apportion_budget(weights: DataFrame, budget: int,
         )
         .orderBy("host")
     )
+
+
+def politeness_gate(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
+    """(host, url, ts, allowed) — batch twin of the streaming
+    politeness gate (`streaming/ingest.py:politeness_stream`): admit a
+    fetch iff ≥ ``delay_ms`` since the host's last ADMITTED fetch.
+    The decision depends on the previous admitted row — a sequential
+    fold no window expresses — so this is the sanctioned Arrow path:
+    one `applyInPandas` per host over (host, url, ts) rows only (the
+    group payload is three narrow columns; per-host row counts are
+    bounded by the frontier batch, the same grain X43 caps).
+    Stream == batch on any ts-ordered batch split (pinned by test)."""
+    def fn(pdf):
+        pdf = pdf.sort_values("ts", kind="stable")
+        last = None
+        allowed = []
+        for ts in pdf["ts"]:
+            ts = int(ts)
+            ok = last is None or ts - last >= delay_ms
+            if ok:
+                last = ts
+            allowed.append(ok)
+        out = pdf[["host", "url", "ts"]].copy()
+        out["allowed"] = allowed
+        return out
+
+    return fetches.select("host", "url", F.col("ts").cast("bigint")) \
+        .groupBy("host").applyInPandas(
+            fn, schema="host string, url string, ts bigint, allowed boolean"
+        )

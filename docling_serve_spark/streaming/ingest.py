@@ -413,3 +413,56 @@ def delta_chain_stream(captures: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def politeness_stream(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
+    """(host, url, ts, allowed) — the ONLINE form of X53's politeness
+    schedule: per-host state holds the timestamp of the LAST ALLOWED
+    fetch, each incoming candidate is admitted iff at least
+    ``delay_ms`` has passed since it (RFC 9309 §2.4 crawl-delay
+    semantics at enforcement time, not planning time), and admitted
+    fetches advance the state. Deferred rows are emitted flagged, not
+    dropped — the frontier requeues them.
+
+    This is a sequential fold per host (the admit decision depends on
+    the previous ADMITTED row, not the previous row, so no window
+    expresses it); state is one int64 per host, keyed by the shuffle
+    key, partition-local like `dedup_stream`. Within a micro-batch
+    candidates process in ts order; across batches arrival order is
+    assumed to follow candidate time (same append-log rationale as
+    `delta_chain_stream`). `politeness_gate` in
+    `operators/frontier.py` is the batch twin — the identity test
+    pins stream == batch on any ts-ordered batch split."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("ts", kind="stable")
+            allowed = []
+            for ts in pdf["ts"]:
+                ts = int(ts)
+                ok = last is None or ts - last >= delay_ms
+                if ok:
+                    last = ts
+                allowed.append(ok)
+            out = pdf[["host", "url", "ts"]].copy()
+            out["allowed"] = allowed
+            frames.append(out)
+        if last is not None:
+            state.update((int(last),))
+        if frames:
+            yield pd.concat(frames)
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType="host string, url string, ts bigint, allowed boolean",
+        stateStructType="last bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -440,3 +440,54 @@ def test_delta_chain_stream_state_spans_microbatches(spark, tmp_path):
         assert len(got) == 6
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_politeness_stream_state_and_batch_identity(spark, tmp_path):
+    """X171: host state (last ADMITTED ts) survives micro-batches —
+    h1's batch-2 candidate at ts=1500 defers against the ts=1000
+    admission from batch 1; and the streamed verdicts equal the batch
+    twin run over the full ts-ordered history."""
+    from docling_serve_spark.operators.frontier import politeness_gate
+    from docling_serve_spark.streaming.ingest import politeness_stream
+
+    landing = str(tmp_path / "fetches")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "host string, url string, ts bigint"
+    b1 = [("h1", "a", 0), ("h1", "b", 500), ("h1", "c", 1000),
+          ("h2", "d", 0)]
+    b2 = [("h1", "e", 1500), ("h1", "f", 2000), ("h2", "g", 900),
+          ("h2", "h", 1100)]
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        spark.createDataFrame(b1, schema).write.parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = politeness_stream(q).writeStream.format("parquet") \
+            .option("path", out).option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+        spark.createDataFrame(b2, schema).write.mode("append") \
+            .parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = politeness_stream(q).writeStream.format("parquet") \
+            .option("path", out).option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+
+        streamed = {(r["host"], r["url"]): r["allowed"]
+                    for r in spark.read.parquet(out).collect()}
+        # h1: 0 admit, 500 defer, 1000 admit | 1500 defer (state!),
+        # 2000 admit; h2: 0 admit | 900 defer, 1100 admit
+        assert streamed == {
+            ("h1", "a"): True, ("h1", "b"): False, ("h1", "c"): True,
+            ("h1", "e"): False, ("h1", "f"): True,
+            ("h2", "d"): True, ("h2", "g"): False, ("h2", "h"): True,
+        }
+        batch = {(r["host"], r["url"]): r["allowed"]
+                 for r in politeness_gate(
+                     spark.createDataFrame(b1 + b2, schema)).collect()}
+        assert batch == streamed
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
