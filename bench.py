@@ -622,6 +622,12 @@ def main() -> None:
                     help="run the interleaved N->4N protocol on a "
                          "catalog operator (e.g. dedup_minhash) and "
                          "print one JSON line")
+    ap.add_argument("--suite-budget-seconds", type=float, default=450.0,
+                    help="past this, remaining suite queries run once "
+                         "instead of min-of-2; past 1.5x they are "
+                         "skipped (labeled in the record) — keeps the "
+                         "full run (extract + suite + scaling) inside "
+                         "a capture harness's deadline")
     args = ap.parse_args()
 
     if args.scaling_worker:
@@ -739,14 +745,42 @@ def main() -> None:
     # JVM carry GC/compile noise (one-off 10-15 s spikes observed on
     # pure-JVM 2 s queries); the min of two runs is the standard
     # noise-robust point estimate and is applied to EVERY query alike.
+    # Budget guard: past --suite-budget-seconds the remaining queries
+    # run once (still recorded, flagged), and past 1.5x they are
+    # skipped and listed — a harness deadline then truncates a LABELED
+    # record instead of killing the run before the final JSON prints.
     suite_load_pre = _host_load_sample()
-    for name in BENCH_QUERIES:
+    suite_t0 = time.time()
+    single_pass: list[str] = []
+    skipped: list[str] = []
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+
+    def _flush_partial() -> None:
+        # crash insurance: a harness deadline that kills the run still
+        # leaves the per-query record on disk, labeled partial
+        with open(full_path, "w") as fh:
+            json.dump({"partial": True, "queries": timings,
+                       "extract": extract_stats,
+                       "sf": os.path.basename(SF_DIR.rstrip("/"))}, fh)
+
+    for i, name in enumerate(BENCH_QUERIES):
+        elapsed = time.time() - suite_t0
+        if elapsed > args.suite_budget_seconds * 1.5:
+            skipped.append(name)
+            continue
+        reps = 2 if elapsed <= args.suite_budget_seconds else 1
+        if reps == 1:
+            single_pass.append(name)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             _force(QUERIES[name](spark, SF_DIR))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        if i % 20 == 19:
+            _flush_partial()
     suite_load_post = _host_load_sample()
 
     scaling = None
@@ -768,10 +802,46 @@ def main() -> None:
         "extract": extract_stats,
         "host_load": {"suite_pre": suite_load_pre,
                       "suite_post": suite_load_post},
+        "suite_single_pass": single_pass,
+        "suite_skipped": skipped,
     }
     if scaling:
         payload["scaling"] = scaling
-    print(json.dumps(payload))
+    # The full payload (one timing per catalog query) exceeds the
+    # stdout tail a capture harness keeps (the round-3 record's JSON
+    # line was cut mid-dict and failed to parse), so the complete
+    # record goes to a FILE and stdout gets ONE COMPACT line: headline
+    # value, extract + scaling summaries, and the slowest rows.
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh)
+    heavy = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:18])
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "queries": heavy,
+        "n_queries_timed": len(timings),
+        "n_skipped": len(skipped),
+        "extract": {
+            "docs_per_sec": extract_stats["docs_per_sec"],
+            "mb_per_sec": extract_stats["mb_per_sec"],
+            "sec": extract_stats["sec"],
+            "docs": extract_stats["docs"],
+            "contaminated": extract_stats["host_load"]["contaminated"],
+        },
+        "full_record": "bench_full.json",
+    }
+    if scaling:
+        compact["scaling"] = {
+            "efficiency": scaling["efficiency"],
+            "t_low_sec": scaling["t_low_sec"],
+            "t_high_sec": scaling["t_high_sec"],
+            "cpus_low": scaling["cpus_low"],
+            "cpus_high": scaling["cpus_high"],
+            "contaminated": scaling["contaminated"],
+        }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
