@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "optout_impact",
     "bin_provenance",
     "extract_diff",
+    "zipf_fit",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

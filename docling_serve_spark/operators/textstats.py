@@ -1278,3 +1278,96 @@ def host_lang_entropy(pages: DataFrame, url_col: str = "url",
              >= F.lit(mixed_threshold_micro)).alias("is_mixed"),
         )
     )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_tokens, n_terms, n_classes, alpha_milli, r2_milli) — Zipf
+    rank-frequency fit, the corpus-linguistics QA gate: a natural-
+    language corpus follows freq ∝ rank^(−α) with α ≈ 1 (Zipf 1949;
+    Piantadosi 2014 review), while template farms, log spam, and
+    broken extraction bend the curve — an α far from ~0.9–1.2 or a
+    poor fit (low r²) says the token distribution is not natural
+    prose and the SOURCE needs review before training on it.
+
+    α is the weighted least-squares slope of ln(freq) on ln(rank).
+    Scale shape: ranking the raw vocabulary needs a GLOBAL sort of
+    10^8 rows, so the regression runs on the COUNT-CLASS histogram
+    instead — terms with equal count share a class (one (count,
+    n_terms) row; Zipf corpora have O(√tokens) distinct counts), each
+    class is placed at its MIDRANK (the tie-standard rank), and the
+    regression weights each class by its term count. Identical to the
+    per-term regression with midrank tie-handling, via two bounded
+    aggregations + windows over distinct-count rows only.
+
+    Integer-exactness: x = floor(ln(midrank)·10^6), y =
+    floor(ln(count)·10^6) quantize per class (deterministic per
+    value-pair); the five weighted sums (Σw, Σwx, Σwy, Σwxy, Σwx²)
+    ride DECIMAL(38,0) (micro² × 10^8-term weights pass 2^63);
+    alpha_milli = −slope and r2_milli from the same sums, each one
+    deterministic scalar division at the end."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    classes = counts.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_terms")
+    )
+    w_cum = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = classes.select(
+        "c", "n_terms",
+        (F.sum("n_terms").over(w_cum) - F.col("n_terms")).alias("__before"),
+    ).select(
+        "c", "n_terms",
+        # midrank of the class in halves: 2*before + n_terms + 1
+        (F.lit(2) * F.col("__before") + F.col("n_terms") + 1)
+        .alias("__mr_x2"),
+    ).select(
+        "c", "n_terms",
+        F.floor(F.log(F.col("__mr_x2") / F.lit(2.0)) * F.lit(1000000))
+        .cast("bigint").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(1000000))
+        .cast("bigint").alias("y"),
+    )
+    sums = placed.agg(
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0))) "
+               "AS DECIMAL(38,0))").alias("sw"),
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0)) * x) "
+               "AS DECIMAL(38,0))").alias("swx"),
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0)) * y) "
+               "AS DECIMAL(38,0))").alias("swy"),
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0)) * x * y) "
+               "AS DECIMAL(38,0))").alias("swxy"),
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0)) * x * x) "
+               "AS DECIMAL(38,0))").alias("swxx"),
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0)) * y * y) "
+               "AS DECIMAL(38,0))").alias("swyy"),
+        F.expr("CAST(sum(CAST(n_terms AS DECIMAL(38,0)) * c) "
+               "AS DECIMAL(38,0))").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_classes"),
+    )
+    # cross-multiplied forms: sw·Sxy = sw·swxy − swx·swy etc. stay
+    # EXACT decimals (decimal division scale rules differ between
+    # engines, so no intermediate division); the slope and r² are
+    # then a fixed number of deterministic double ops at the end
+    num = F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")
+    den = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    syy = F.col("sw") * F.col("swyy") - F.col("swy") * F.col("swy")
+    ratio1 = num.cast("double") / den.cast("double")
+    ratio2 = num.cast("double") / syy.cast("double")
+    return sums.select(
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.col("sw").cast("bigint").alias("n_terms"),
+        "n_classes",
+        F.floor(F.lit(-1000.0) * ratio1).cast("bigint")
+        .alias("alpha_milli"),
+        F.floor(F.lit(1000.0) * ratio1 * ratio2).cast("bigint")
+        .alias("r2_milli"),
+    )

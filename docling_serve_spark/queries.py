@@ -6378,6 +6378,55 @@ ORACLE_AI_OPTOUT = (
 )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172 — Zipf rank-frequency fit over the documents corpus:
+    weighted least squares of ln(freq) on ln(midrank) over the
+    count-class histogram; natural prose sits near alpha ≈ 1. The
+    synthetic test corpus is a 31-word template vocabulary, and the
+    gate CORRECTLY flags it (alpha ≈ 0.18, r² ≈ 0.06 at sf0.01) —
+    exactly the template-farm signature the operator exists to
+    catch."""
+    from docling_serve_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_ZIPF_FIT = (
+    "WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), "
+    "'\\s+')) AS word FROM documents), "
+    "w2 AS (SELECT word FROM w WHERE word <> ''), "
+    "tc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM w2 "
+    "GROUP BY 1), "
+    "cl AS (SELECT c, CAST(count(*) AS BIGINT) AS n_terms FROM tc "
+    "GROUP BY 1), "
+    "p AS (SELECT c, n_terms, 2 * COALESCE(SUM(n_terms) OVER ("
+    "ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    "), 0) + n_terms + 1 AS mr2 FROM cl), "
+    "xy AS (SELECT c, n_terms, "
+    "CAST(floor(ln(mr2 / 2.0) * 1000000) AS BIGINT) AS x, "
+    "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y "
+    "FROM p), "
+    "s AS (SELECT sum(CAST(n_terms AS HUGEINT)) AS sw, "
+    "sum(CAST(n_terms AS HUGEINT) * x) AS swx, "
+    "sum(CAST(n_terms AS HUGEINT) * y) AS swy, "
+    "sum(CAST(n_terms AS HUGEINT) * x * y) AS swxy, "
+    "sum(CAST(n_terms AS HUGEINT) * x * x) AS swxx, "
+    "sum(CAST(n_terms AS HUGEINT) * y * y) AS swyy, "
+    "sum(CAST(n_terms AS HUGEINT) * c) AS n_tok, "
+    "CAST(count(*) AS BIGINT) AS n_classes FROM xy) "
+    "SELECT CAST(n_tok AS BIGINT) AS n_tokens, "
+    "CAST(sw AS BIGINT) AS n_terms, n_classes, "
+    "CAST(floor(-1000.0 * (CAST(sw * swxy - swx * swy AS DOUBLE) "
+    "/ CAST(sw * swxx - swx * swx AS DOUBLE))) AS BIGINT) "
+    "AS alpha_milli, "
+    "CAST(floor(1000.0 * (CAST(sw * swxy - swx * swy AS DOUBLE) "
+    "/ CAST(sw * swxx - swx * swx AS DOUBLE)) "
+    "* (CAST(sw * swxy - swx * swy AS DOUBLE) "
+    "/ CAST(sw * swyy - swy * swy AS DOUBLE))) AS BIGINT) AS r2_milli "
+    "FROM s"
+)
+
+
 def q_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170 — extractor A/B regression report over a synthesized
     version bump: doc_type from id%4, the new build changes text for
@@ -9677,6 +9726,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "optout_impact": q_optout_impact,
     "bin_provenance": q_bin_provenance,
     "extract_diff": q_extract_diff,
+    "zipf_fit": q_zipf_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -9883,4 +9933,5 @@ ORACLES: dict[str, str] = {
     "optout_impact": ORACLE_OPTOUT_IMPACT,
     "bin_provenance": ORACLE_BIN_PROVENANCE,
     "extract_diff": ORACLE_EXTRACT_DIFF,
+    "zipf_fit": ORACLE_ZIPF_FIT,
 }

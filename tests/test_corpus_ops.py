@@ -4167,3 +4167,20 @@ def test_extract_diff_flip_change_and_coverage(spark):
         "html": (2, 2, 2, 0, 1, 5000, 2),
         "pdf": (2, 2, 1, 1, 0, 0, 0),
     }
+
+
+def test_zipf_fit_two_class_hand_case(spark):
+    """X172: vocabulary {w:4, x:1, y:1, z:1} -> two count classes,
+    class c=4 at midrank 1 (x=0) and c=1 at midrank 3; weighted LS
+    slope = -ln4/ln3 -> alpha_milli 1261, and a two-point weighted
+    fit is exact (r2_milli 1000). floor(1000*(-num/den)) verified
+    against the same IEEE ops in plain Python."""
+    from docling_serve_spark.operators.textstats import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "w w x"), (2, "w w y z")], "doc_id bigint, text string"
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert (row["n_tokens"], row["n_terms"], row["n_classes"]) == (7, 4, 2)
+    assert row["alpha_milli"] == 1261
+    assert row["r2_milli"] == 1000
