@@ -97,6 +97,8 @@ INVARIANCE_QUERIES = [
     "dedup_scope",      # fp-group window canonical + snapshot rollup
     "optout_impact",    # verdict join + broadcast total
     "bin_provenance",   # broadcast range join over packing
+    "extract_diff",     # full-outer fingerprint join + format rollup
+    "zipf_fit",         # decimal weighted sums + final double divisions
 ]
 
 
