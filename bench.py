@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "bin_provenance",
     "extract_diff",
     "zipf_fit",
+    "heaps_fit",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -1371,3 +1371,98 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.floor(F.lit(1000.0) * ratio1 * ratio2).cast("bigint")
         .alias("r2_milli"),
     )
+
+
+def heaps_fit(docs: DataFrame, n_points: int = 8,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(n_docs, n_terms, n_points, beta_milli, r2_milli) — Heaps'-law
+    vocabulary-growth fit, X172's companion gate: natural text grows
+    vocabulary as V ∝ N^β with β ≈ 0.4–0.6 (Heaps 1978; Egghe 2007),
+    while a closed template vocabulary saturates (β → 0) and OCR noise
+    or mojibake inflates it (β → 1, every damaged token "new"). Both
+    failure directions are extraction-quality regressions worth a
+    gate.
+
+    The curve is sampled at ``n_points`` doc-id cut points spaced
+    evenly across [min_id, max_id]: N_i = docs with id ≤ t_i, V_i =
+    words whose FIRST document (min doc id) ≤ t_i — so the whole curve
+    comes from ONE word-grain aggregation (min id per word) plus two
+    single-pass aggregates with n_points conditional sums each; no
+    per-prefix rescans, no global rank window. β and r² via the same
+    quantized-log least-squares used by `zipf_fit` (micro-nat x/y,
+    DECIMAL(38,0) cross-multiplied sums, two double divisions)."""
+    ids = docs.select(F.col(id_col).cast("bigint").alias("__id"))
+    ext = ids.agg(
+        F.min("__id").alias("__lo"), F.max("__id").alias("__hi")
+    )
+    words = docs.select(
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    first = words.groupBy("word").agg(F.min("__id").alias("__first"))
+
+    def _t(i: int):
+        return (F.col("__lo")
+                + F.expr(f"((__hi - __lo + 1) * {i}) div {n_points}"))
+
+    n_row = ids.crossJoin(F.broadcast(ext)).agg(*[
+        F.sum((F.col("__id") <= _t(i)).cast("bigint")).cast("bigint")
+        .alias(f"n{i}") for i in range(1, n_points + 1)
+    ])
+    v_row = first.crossJoin(F.broadcast(ext)).agg(*[
+        F.sum((F.col("__first") <= _t(i)).cast("bigint")).cast("bigint")
+        .alias(f"v{i}") for i in range(1, n_points + 1)
+    ])
+    pts = n_row.crossJoin(v_row).select(
+        F.explode(F.array(*[
+            F.struct(F.col(f"n{i}").alias("n"), F.col(f"v{i}").alias("v"))
+            for i in range(1, n_points + 1)
+        ])).alias("p")
+    ).select(
+        F.col("p.n").alias("n"), F.col("p.v").alias("v")
+    ).filter((F.col("n") > 0) & (F.col("v") > 0)).select(
+        "n", "v",
+        F.floor(F.log(F.col("n").cast("double")) * F.lit(1000000))
+        .cast("bigint").alias("x"),
+        F.floor(F.log(F.col("v").cast("double")) * F.lit(1000000))
+        .cast("bigint").alias("y"),
+    )
+    sums = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("v").cast("bigint").alias("n_terms"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("sxy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+        .alias("sxx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    r1 = num.cast("double") / den.cast("double")
+    r2 = num.cast("double") / dyy.cast("double")
+    # degenerate guards (NaN casts diverge across engines): a fully
+    # saturated vocabulary has all y equal (dyy = 0) — the flat line
+    # fits exactly, so beta = 0, r² = 1; identical x (den = 0) means
+    # fewer than two distinct cut points — no fit, NULLs
+    beta = F.when(den == 0, F.lit(None).cast("bigint")) \
+        .when(dyy == 0, F.lit(0).cast("bigint")) \
+        .otherwise(F.floor(F.lit(1000.0) * r1).cast("bigint"))
+    rr = F.when(den == 0, F.lit(None).cast("bigint")) \
+        .when(dyy == 0, F.lit(1000).cast("bigint")) \
+        .otherwise(F.floor(F.lit(1000.0) * r1 * r2).cast("bigint"))
+    return sums.select(
+        "n_docs", "n_terms",
+        F.col("k").alias("n_points"),
+        beta.alias("beta_milli"),
+        rr.alias("r2_milli"),
+    )

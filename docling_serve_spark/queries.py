@@ -6427,6 +6427,69 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X173 — Heaps'-law vocabulary-growth fit over the documents
+    corpus, 8 doc-id cut points. The synthetic corpus is a closed
+    31-word vocabulary, so the gate correctly reads near-zero growth
+    (beta ≈ 0) — the template-saturation signature."""
+    from docling_serve_spark.operators.textstats import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), n_points=8)
+
+
+def _heaps_oracle(k: int = 8) -> str:
+    t = "(lo + ((hi - lo + 1) * {i}) // %d)" % k
+    n_sums = ", ".join(
+        f"CAST(sum(CASE WHEN doc_id <= {t.format(i=i)} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n{i}" for i in range(1, k + 1)
+    )
+    v_sums = ", ".join(
+        f"CAST(sum(CASE WHEN first <= {t.format(i=i)} THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS v{i}" for i in range(1, k + 1)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT n{i} AS n, v{i} AS v FROM nr, vr" for i in range(1, k + 1)
+    )
+    return (
+        "WITH ext AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi "
+        "FROM documents), "
+        "w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), "
+        "'\\s+')) AS word FROM documents), "
+        "w2 AS (SELECT doc_id, word FROM w WHERE word <> ''), "
+        "f AS (SELECT word, min(doc_id) AS first FROM w2 GROUP BY 1), "
+        f"nr AS (SELECT {n_sums} FROM documents CROSS JOIN ext), "
+        f"vr AS (SELECT {v_sums} FROM f CROSS JOIN ext), "
+        f"pts0 AS ({unpivot}), "
+        "pts AS (SELECT n, v, "
+        "CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS x, "
+        "CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y "
+        "FROM pts0 WHERE n > 0 AND v > 0), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+        "CAST(max(n) AS BIGINT) AS n_docs, "
+        "CAST(max(v) AS BIGINT) AS n_terms, "
+        "sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, "
+        "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+        "sum(CAST(y AS HUGEINT) * y) AS syy FROM pts) "
+        "SELECT n_docs, n_terms, k AS n_points, "
+        "CASE WHEN k * sxx - sx * sx = 0 THEN NULL "
+        "WHEN k * syy - sy * sy = 0 THEN 0 "
+        "ELSE CAST(floor(1000.0 * (CAST(k * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(k * sxx - sx * sx AS DOUBLE))) AS BIGINT) END "
+        "AS beta_milli, "
+        "CASE WHEN k * sxx - sx * sx = 0 THEN NULL "
+        "WHEN k * syy - sy * sy = 0 THEN 1000 "
+        "ELSE CAST(floor(1000.0 * (CAST(k * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(k * sxx - sx * sx AS DOUBLE)) "
+        "* (CAST(k * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(k * syy - sy * sy AS DOUBLE))) AS BIGINT) END AS r2_milli "
+        "FROM s"
+    )
+
+
+ORACLE_HEAPS_FIT = _heaps_oracle()
+
+
 def q_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170 — extractor A/B regression report over a synthesized
     version bump: doc_type from id%4, the new build changes text for
@@ -9727,6 +9790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bin_provenance": q_bin_provenance,
     "extract_diff": q_extract_diff,
     "zipf_fit": q_zipf_fit,
+    "heaps_fit": q_heaps_fit,
 }
 
 ORACLES: dict[str, str] = {
@@ -9934,4 +9998,5 @@ ORACLES: dict[str, str] = {
     "bin_provenance": ORACLE_BIN_PROVENANCE,
     "extract_diff": ORACLE_EXTRACT_DIFF,
     "zipf_fit": ORACLE_ZIPF_FIT,
+    "heaps_fit": ORACLE_HEAPS_FIT,
 }

@@ -4184,3 +4184,18 @@ def test_zipf_fit_two_class_hand_case(spark):
     assert (row["n_tokens"], row["n_terms"], row["n_classes"]) == (7, 4, 2)
     assert row["alpha_milli"] == 1261
     assert row["r2_milli"] == 1000
+
+
+def test_heaps_fit_linear_growth_hand_case(spark):
+    """X173: four docs, each one brand-new word -> V grows exactly
+    linearly in N; at k=2 the cut points give (N,V) = (3,3),(4,4),
+    so the log-log slope is exactly 1 (identical x/y integer sums)."""
+    from docling_serve_spark.operators.textstats import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(1, 5)], "doc_id bigint, text string"
+    )
+    row = heaps_fit(docs, n_points=2).collect()[0]
+    assert (row["n_docs"], row["n_terms"], row["n_points"]) == (4, 4, 2)
+    assert row["beta_milli"] == 1000
+    assert row["r2_milli"] == 1000
