@@ -99,6 +99,7 @@ INVARIANCE_QUERIES = [
     "bin_provenance",   # broadcast range join over packing
     "extract_diff",     # full-outer fingerprint join + format rollup
     "zipf_fit",         # decimal weighted sums + final double divisions
+    "heaps_fit",        # word-grain min-id agg + conditional-sum curve
 ]
 
 
