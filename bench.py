@@ -228,6 +228,7 @@ BENCH_QUERIES = [
     "extract_diff",
     "zipf_fit",
     "heaps_fit",
+    "dedup_threshold_sweep",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",
@@ -436,6 +437,11 @@ def scaling_worker(cpus: int, op: str | None = None) -> None:
 
         sf_dir = _ensure_scaled_docs(spark)  # cache hit: orchestrator built it
         _force(QUERIES[op](spark, sf_dir))  # warm-up (workers + JIT)
+        # operators that persist() an intermediate would hand the
+        # timed pass a pre-filled cache (Spark's cache manager matches
+        # identical logical plans across DataFrame instances), so the
+        # timed pass would measure only the post-cache tail — clear it
+        spark.catalog.clearCache()
         # one timed pass per worker: the orchestrator's interleaved
         # rounds supply the min-of-2 (the op legs are minutes long, so
         # within-worker reps would double an already-long protocol)

@@ -1189,3 +1189,78 @@ def dedup_scope_stats(docs: DataFrame, snapshot_col: str = "snapshot",
             .alias("dup_cross_bp"),
         )
     )
+
+
+def dedup_threshold_sweep(docs: DataFrame, text_col: str = "text",
+                          lo_bp: int = 3000, hi_bp: int = 10000,
+                          step_bp: int = 500) -> DataFrame:
+    """(threshold_bp, n_pairs, n_docs) — the near-dup THRESHOLD TUNING
+    curve: for every candidate threshold on the grid, how many
+    verified candidate pairs survive and how many distinct documents
+    they touch (the upper bound on removals). Corpus builders pick the
+    MinHash/Jaccard cut by exactly this curve (too low deletes
+    boilerplate-sharing legitimate pages, too high leaves paraphrase
+    spam) — X150 sweeps the quality gates, this sweeps the dedup gate,
+    and X76/X121 (recall/precision) say how trustworthy the candidate
+    set is at each point.
+
+    Exactness: pair scores come from `verify_candidates` (exact
+    shingle Jaccard in basis points); a pair score is bucketed to
+    floor(score/step)·step, and since grid thresholds are multiples
+    of ``step_bp``, score ≥ t ⟺ bucket ≥ t — the cumulative histogram
+    IS the exact answer, no per-threshold rescan. Documents count via
+    each doc's MAX pair score (a doc appears at every t ≤ its max),
+    the same histogram trick at doc grain.
+
+    Scale shape: ONE verified-pair table feeds two bounded
+    aggregations (≤ grid-size histogram rows each); the grid explodes
+    from a literal sequence; cumulative windows run over ≤ (hi−lo)/
+    step rows. No per-threshold work anywhere."""
+    from pyspark.sql import Window
+
+    pairs = verify_candidates(docs, text_col=text_col).select(
+        "doc_a", "doc_b",
+        (F.floor(F.col("jaccard_bp") / step_bp) * step_bp)
+        .cast("bigint").alias("__bucket"),
+    )
+    pair_hist = pairs.groupBy("__bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    doc_max = (
+        pairs.select(F.col("doc_a").alias("doc"), "__bucket")
+        .unionByName(pairs.select(F.col("doc_b").alias("doc"), "__bucket"))
+        .groupBy("doc").agg(F.max("__bucket").alias("__bucket"))
+        .groupBy("__bucket").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    grid = docs.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo_bp), F.lit(hi_bp), F.lit(step_bp))
+        ).alias("__t")
+    ).select(F.col("__t").cast("bigint").alias("threshold_bp"))
+    w_ge = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pair_cum = pair_hist.select(
+        "__bucket", F.sum("n").over(w_ge).cast("bigint").alias("n_pairs")
+    )
+    doc_cum = doc_max.select(
+        "__bucket", F.sum("n").over(w_ge).cast("bigint").alias("n_docs")
+    )
+
+    def _ge_lookup(cum: DataFrame, out: str) -> DataFrame:
+        # value at threshold t = cumulative count of the smallest
+        # bucket ≥ t (buckets and grid share the step lattice)
+        return (
+            grid.join(
+                F.broadcast(cum),
+                cum["__bucket"] >= F.col("threshold_bp"), "left"
+            )
+            .groupBy("threshold_bp")
+            .agg(F.coalesce(F.max(out), F.lit(0)).cast("bigint").alias(out))
+        )
+
+    return (
+        _ge_lookup(pair_cum, "n_pairs")
+        .join(_ge_lookup(doc_cum, "n_docs"), "threshold_bp")
+        .orderBy("threshold_bp")
+    )

@@ -341,14 +341,16 @@ def nb_quality_score(docs: DataFrame, labels: DataFrame,
     )
     # ONE explode + ONE (doc, bucket) pre-aggregation feeds BOTH the
     # training statistics and the scoring join (token occurrences sum
-    # to the same bucket counts either way); checkpoint it so the
-    # explode runs once, not once per consumer — at 10^12 docs this
-    # table is what you would materialize anyway
+    # to the same bucket counts either way); persist it so the explode
+    # runs once, not once per consumer — persist (MEMORY_AND_DISK,
+    # spill-tolerant) rather than localCheckpoint, whose eager full
+    # write of the doc×bucket table thrashes once the corpus is large;
+    # at 10^12 docs this table is what you would materialize anyway
     doc_feats = (
         _hashed_unigrams(docs, text_col, id_col, n_buckets)
         .groupBy("__id", "bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     train = doc_feats.join(lab, "__id")
     bucket_counts = train.groupBy("bucket").agg(

@@ -6427,6 +6427,90 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 — near-dup threshold tuning curve over a corpus with TWO
+    mutation grades: every-10th-word variants (~0.55 shingle Jaccard)
+    and every-4th-word variants (~0.3), so the sweep shows distinct
+    pair/doc counts across the grid rather than a verbatim-copy
+    step function."""
+    from docling_serve_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def mut(n: int, shift: int) -> DataFrame:
+        m = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(i % n == 0, F.concat(w, F.lit("x")))
+                .otherwise(w),
+            ),
+            " ",
+        )
+        return docs.select(
+            (F.col("doc_id") + shift).alias("doc_id"), m.alias("text")
+        )
+
+    corpus = docs.unionByName(mut(10, _DUP_SHIFT)) \
+        .unionByName(mut(4, 2 * _DUP_SHIFT))
+    return dedup_threshold_sweep(corpus)
+
+
+def _sweep_oracle() -> str:
+    def mut_sql(n: int, shift: int) -> str:
+        return (
+            f"SELECT doc_id + {shift} AS doc_id, array_to_string("
+            f"[CASE WHEN (i - 1) % {n} = 0 THEN ws[i] || 'x' ELSE ws[i] END "
+            "FOR i IN range(1, len(ws) + 1)], ' ') AS text "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents)"
+        )
+    union = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        + mut_sql(10, _DUP_SHIFT) + " UNION ALL "
+        + mut_sql(4, 2 * _DUP_SHIFT) + ")"
+    )
+    return (
+        f"WITH {_minhash_bands_ctes(union + ' u', 'r')}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM rbands a JOIN rbands b ON a.band_no = b.band_no "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        "dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s "
+        "FROM rsh), "
+        "szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+        "FROM dsh GROUP BY 1), "
+        "inter AS (SELECT c.doc_a, c.doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter FROM cand c "
+        "JOIN dsh sa ON sa.doc_id = c.doc_a "
+        "JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s "
+        "GROUP BY 1, 2), "
+        "v AS (SELECT c.doc_a, c.doc_b, "
+        "(10000 * coalesce(i.n_inter, 0)) // "
+        "(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)) AS jbp "
+        "FROM cand c LEFT JOIN inter i "
+        "ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b "
+        "JOIN szs na ON na.doc_id = c.doc_a "
+        "JOIN szs nb ON nb.doc_id = c.doc_b), "
+        "pb AS (SELECT (jbp // 500) * 500 AS b, doc_a, doc_b FROM v), "
+        "ph AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM pb "
+        "GROUP BY 1), "
+        "dm AS (SELECT doc, max(b) AS b FROM ("
+        "SELECT doc_a AS doc, b FROM pb "
+        "UNION ALL SELECT doc_b, b FROM pb) GROUP BY 1), "
+        "dh AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM dm "
+        "GROUP BY 1), "
+        "grid AS (SELECT unnest(range(3000, 10500, 500)) AS threshold_bp) "
+        "SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp, "
+        "CAST(COALESCE((SELECT sum(n) FROM ph "
+        "WHERE ph.b >= grid.threshold_bp), 0) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE((SELECT sum(n) FROM dh "
+        "WHERE dh.b >= grid.threshold_bp), 0) AS BIGINT) AS n_docs "
+        "FROM grid ORDER BY 1"
+    )
+
+
+ORACLE_DEDUP_THRESHOLD_SWEEP = _sweep_oracle()
+
+
 def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X173 — Heaps'-law vocabulary-growth fit over the documents
     corpus, 8 doc-id cut points. The synthetic corpus is a closed
@@ -9791,6 +9875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_diff": q_extract_diff,
     "zipf_fit": q_zipf_fit,
     "heaps_fit": q_heaps_fit,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -9999,4 +10084,5 @@ ORACLES: dict[str, str] = {
     "extract_diff": ORACLE_EXTRACT_DIFF,
     "zipf_fit": ORACLE_ZIPF_FIT,
     "heaps_fit": ORACLE_HEAPS_FIT,
+    "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
 }

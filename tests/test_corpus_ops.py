@@ -4199,3 +4199,19 @@ def test_heaps_fit_linear_growth_hand_case(spark):
     assert (row["n_docs"], row["n_terms"], row["n_points"]) == (4, 4, 2)
     assert row["beta_milli"] == 1000
     assert row["r2_milli"] == 1000
+
+
+def test_dedup_threshold_sweep_flat_identical_pair(spark):
+    """X174: one verbatim duplicate pair (Jaccard 10000) and one
+    unrelated doc -> every grid threshold sees exactly 1 pair / 2
+    docs, and the grid covers 3000..10000 by 500."""
+    from docling_serve_spark.operators.dedup import dedup_threshold_sweep
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "q r s t u v w x")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup_threshold_sweep(docs).collect()
+    assert [r["threshold_bp"] for r in rows] == list(range(3000, 10001, 500))
+    assert all((r["n_pairs"], r["n_docs"]) == (1, 2) for r in rows)
