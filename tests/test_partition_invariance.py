@@ -100,6 +100,7 @@ INVARIANCE_QUERIES = [
     "extract_diff",     # full-outer fingerprint join + format rollup
     "zipf_fit",         # decimal weighted sums + final double divisions
     "heaps_fit",        # word-grain min-id agg + conditional-sum curve
+    "dedup_threshold_sweep",  # verified-pair histograms + grid lookup
 ]
 
 
