@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "heaps_fit",
     "dedup_threshold_sweep",
+    "compaction_plan",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

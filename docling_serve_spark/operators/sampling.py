@@ -904,3 +904,65 @@ def bin_provenance(packed: DataFrame, probes: DataFrame,
         tok_to.cast("bigint").alias("tok_to"),
         (tok_to - tok_from).cast("bigint").alias("n_tokens_in_bin"),
     )
+
+
+def compaction_plan(files: DataFrame, target_bytes: int = 134217728,
+                    file_col: str = "file_id",
+                    bytes_col: str = "n_bytes",
+                    part_col: str | None = None) -> DataFrame:
+    """(group_id, n_files, group_bytes, utilization_bp, n_small) —
+    warehouse compaction planning, the small-files maintenance every
+    table format schedules (Iceberg's rewrite_data_files / Delta
+    OPTIMIZE bin-packing): assign files to merge groups targeting
+    ``target_bytes`` per output file. A checkpointed extraction run
+    that commits per-chunk leaves thousands of sub-target files; read
+    amplification at 10^12 docs makes periodic compaction mandatory,
+    and the PLAN must be deterministic so a re-run schedules the same
+    merges.
+
+    Files are ATOMIC (unlike X21's token packing, which splits
+    documents across bins): a file lands wholly in the group where its
+    cumulative START offset falls — group = cum_start div target, the
+    prefix-sum binning rule — so groups can exceed target by at most
+    one file, the standard bin-pack semantic. Order is (file_id) so
+    the plan is ingest-order-stable. ``n_small`` counts inputs under
+    half target (the files the compaction exists to absorb);
+    utilization_bp = group bytes vs target.
+
+    Scale shape: with ``part_col`` set (partition/chunk column —
+    compaction never merges across partitions), the prefix sum is a
+    per-partition window, bounded by files-per-partition; without it,
+    one global window over the FILE MANIFEST (metadata rows — a 10^12
+    -doc table has ~10^6-10^7 files, fine for one task; the partition-
+    scoped form is the cluster path)."""
+    from pyspark.sql import Window
+
+    keys = [part_col] if part_col else []
+    base = files.select(
+        *( [F.col(part_col).alias(part_col)] if part_col else [] ),
+        F.col(file_col).cast("bigint").alias("file_id"),
+        F.col(bytes_col).cast("bigint").alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy(*keys).orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = base.withColumn(
+        "__start", F.sum("n_bytes").over(w) - F.col("n_bytes")
+    ).withColumn(
+        "group_id", F.expr(f"__start div {target_bytes}").cast("bigint")
+    )
+    return (
+        placed.groupBy(*keys, "group_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("n_bytes").cast("bigint").alias("group_bytes"),
+            F.sum((F.col("n_bytes") < target_bytes // 2).cast("bigint"))
+            .cast("bigint").alias("n_small"),
+        )
+        .withColumn(
+            "utilization_bp",
+            F.expr(f"(10000 * group_bytes) div {target_bytes}")
+            .cast("bigint"),
+        )
+    )

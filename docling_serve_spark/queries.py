@@ -6427,6 +6427,39 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 — compaction planning over a synthesized file manifest:
+    one file per document (size = n_chars), partitioned into 8 chunks
+    (compaction never merges across partitions), 4 KiB target."""
+    from docling_serve_spark.operators.sampling import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 8).cast("string"))
+        .alias("chunk"),
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("n_bytes"),
+    )
+    return compaction_plan(manifest, target_bytes=4096, part_col="chunk")
+
+
+ORACLE_COMPACTION_PLAN = (
+    "WITH m AS (SELECT 'c' || CAST(doc_id % 8 AS VARCHAR) AS chunk, "
+    "doc_id AS file_id, n_chars AS n_bytes FROM documents), "
+    "p AS (SELECT *, SUM(n_bytes) OVER (PARTITION BY chunk "
+    "ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "- n_bytes AS s FROM m), "
+    "g AS (SELECT chunk, file_id, n_bytes, s // 4096 AS group_id FROM p) "
+    "SELECT chunk, CAST(group_id AS BIGINT) AS group_id, "
+    "CAST(count(*) AS BIGINT) AS n_files, "
+    "CAST(sum(n_bytes) AS BIGINT) AS group_bytes, "
+    "CAST(sum(CASE WHEN n_bytes < 2048 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_small, "
+    "CAST((10000 * sum(n_bytes)) // 4096 AS BIGINT) AS utilization_bp "
+    "FROM g GROUP BY 1, 2"
+)
+
+
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X174 — near-dup threshold tuning curve over a corpus with TWO
     mutation grades: every-10th-word variants (~0.55 shingle Jaccard)
@@ -9876,6 +9909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_fit": q_zipf_fit,
     "heaps_fit": q_heaps_fit,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -10085,4 +10119,5 @@ ORACLES: dict[str, str] = {
     "zipf_fit": ORACLE_ZIPF_FIT,
     "heaps_fit": ORACLE_HEAPS_FIT,
     "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
+    "compaction_plan": ORACLE_COMPACTION_PLAN,
 }

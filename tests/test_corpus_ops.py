@@ -4215,3 +4215,36 @@ def test_dedup_threshold_sweep_flat_identical_pair(spark):
     rows = dedup_threshold_sweep(docs).collect()
     assert [r["threshold_bp"] for r in rows] == list(range(3000, 10001, 500))
     assert all((r["n_pairs"], r["n_docs"]) == (1, 2) for r in rows)
+
+
+def test_compaction_plan_atomic_binning(spark):
+    """X175: target 100 — files land wholly in the group where their
+    cumulative start falls, so groups exceed target by at most one
+    file; sub-half-target inputs are counted as the small files the
+    compaction absorbs."""
+    from docling_serve_spark.operators.sampling import compaction_plan
+
+    files = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 30), (4, 120), (5, 10)],
+        "file_id bigint, n_bytes bigint",
+    )
+    got = {r["group_id"]: (r["n_files"], r["group_bytes"], r["n_small"],
+                           r["utilization_bp"])
+           for r in compaction_plan(files, target_bytes=100).collect()}
+    assert got == {0: (2, 120, 0, 12000), 1: (2, 150, 1, 15000),
+                   2: (1, 10, 1, 1000)}
+
+
+def test_compaction_plan_partition_scoped(spark):
+    """X175: with part_col set the prefix sum restarts per partition —
+    compaction never merges across partitions."""
+    from docling_serve_spark.operators.sampling import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 1, 90), ("a", 2, 90), ("b", 3, 90), ("b", 4, 90)],
+        "chunk string, file_id bigint, n_bytes bigint",
+    )
+    got = {(r["chunk"], r["group_id"]): r["n_files"]
+           for r in compaction_plan(files, target_bytes=100,
+                                    part_col="chunk").collect()}
+    assert got == {("a", 0): 2, ("b", 0): 2}
