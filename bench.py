@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "heaps_fit",
     "dedup_threshold_sweep",
     "compaction_plan",
+    "stratified_holdout",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

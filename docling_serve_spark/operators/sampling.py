@@ -966,3 +966,95 @@ def compaction_plan(files: DataFrame, target_bytes: int = 134217728,
             .cast("bigint"),
         )
     )
+
+
+def stratified_holdout(docs: DataFrame, budget: int,
+                       stratum_col: str = "lang",
+                       id_col: str = "doc_id",
+                       n_buckets: int = 256) -> DataFrame:
+    """(doc_id, stratum) — an EXACT proportionally-stratified holdout
+    of ``budget`` documents: each stratum's quota comes from Hamilton
+    largest-remainder apportionment (floor share + top-up by remainder
+    rank — the same house-seats rule X141 uses for crawl budgets, so
+    quotas sum to the budget exactly and no stratum is rounded away),
+    and members are the quota-many smallest Knuth-hash priorities, so
+    the holdout is re-run-stable and ingest-order-independent. This is
+    the eval-set construction step: a held-out set whose language (or
+    source) mix matches the corpus, drawn deterministically so every
+    pipeline run evaluates against the SAME documents.
+
+    Selection avoids a giant per-stratum rank window via the X24/X160
+    bucket-histogram discipline: priority's top bits form
+    ``n_buckets`` ordered buckets, a (stratum, bucket) histogram
+    locates each stratum's cut, wholesale-keep below it, doc-grain
+    rank only inside the single boundary bucket per stratum.
+    Apportionment windows run over one row per stratum."""
+    from pyspark.sql import Window
+
+    pri = hash_u32(F.col(id_col))
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        pri.alias("__pri"),
+        F.floor(pri / F.lit(_U32 // n_buckets)).cast("bigint")
+        .alias("__bucket"),
+    )
+    hist = base.groupBy("stratum", "__bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    counts = hist.groupBy("stratum").agg(
+        F.sum("n").cast("bigint").alias("n_s")
+    )
+    w_all = Window.partitionBy()
+    w_rem = Window.orderBy(
+        F.expr(f"(CAST({budget} AS DECIMAL(38,0)) * n_s) % total").desc(),
+        F.col("stratum").asc(),
+    )
+    quotas = counts.select(
+        "stratum", "n_s",
+        F.sum("n_s").over(w_all).cast("bigint").alias("total"),
+    ).select(
+        "stratum", "n_s", "total",
+        F.expr(f"(CAST({budget} AS DECIMAL(38,0)) * n_s) div total")
+        .cast("bigint").alias("__floor"),
+        F.row_number().over(w_rem).cast("bigint").alias("__rr"),
+    )
+    # leftover seats = budget − Σ floor shares; the __rr smallest
+    # remainder-ranks get one extra each (Hamilton)
+    leftover = quotas.agg(
+        (F.lit(budget) - F.sum("__floor")).cast("bigint").alias("__left")
+    )
+    quotas = quotas.crossJoin(F.broadcast(leftover)).select(
+        "stratum",
+        F.least(
+            F.col("__floor")
+            + (F.col("__rr") <= F.col("__left")).cast("bigint"),
+            F.col("n_s"),
+        ).cast("bigint").alias("m"),
+    )
+    w_cum = (
+        Window.partitionBy("stratum").orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cuts = (
+        hist.withColumn("__cum_end", F.sum("n").over(w_cum))
+        .withColumn("__cum_start", F.col("__cum_end") - F.col("n"))
+        .join(F.broadcast(quotas), "stratum")
+        .filter(F.col("__cum_start") < F.col("m"))
+        .select(
+            "stratum", "__bucket", "__cum_start", "m",
+            (F.col("__cum_end") <= F.col("m")).alias("__whole"),
+        )
+    )
+    joined = base.join(F.broadcast(cuts), ["stratum", "__bucket"])
+    whole = joined.filter(F.col("__whole")).select("doc_id", "stratum")
+    w_local = Window.partitionBy("stratum", "__bucket").orderBy(
+        F.col("__pri").asc(), F.col("doc_id").asc()
+    )
+    boundary = (
+        joined.filter(~F.col("__whole"))
+        .withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__cum_start") + F.col("__rn") <= F.col("m"))
+        .select("doc_id", "stratum")
+    )
+    return whole.unionByName(boundary)

@@ -6427,6 +6427,37 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+def q_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 — 100-doc proportionally-stratified eval holdout by
+    language; the oracle re-derives the kept set with a PLAIN
+    per-stratum rank, independently certifying that the bucket-
+    histogram selection equals rank-le-quota."""
+    from docling_serve_spark.operators.sampling import stratified_holdout
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_holdout(docs, budget=100)
+
+
+ORACLE_STRATIFIED_HOLDOUT = (
+    "WITH d AS (SELECT doc_id, lang AS stratum, "
+    "(doc_id * 2654435761) % 4294967296 AS pri FROM documents), "
+    "c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s FROM d "
+    "GROUP BY 1), "
+    "t AS (SELECT *, SUM(n_s) OVER () AS total FROM c), "
+    "q0 AS (SELECT stratum, n_s, total, "
+    "(CAST(100 AS HUGEINT) * n_s) // total AS fl, "
+    "row_number() OVER (ORDER BY (CAST(100 AS HUGEINT) * n_s) % total "
+    "DESC, stratum) AS rr FROM t), "
+    "l AS (SELECT 100 - sum(fl) AS leftover FROM q0), "
+    "q AS (SELECT stratum, least(fl + CASE WHEN rr <= leftover "
+    "THEN 1 ELSE 0 END, n_s) AS m FROM q0 CROSS JOIN l), "
+    "r AS (SELECT doc_id, stratum, row_number() OVER ("
+    "PARTITION BY stratum ORDER BY pri, doc_id) AS rn FROM d) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, stratum "
+    "FROM r JOIN q USING (stratum) WHERE rn <= m"
+)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X175 — compaction planning over a synthesized file manifest:
     one file per document (size = n_chars), partitioned into 8 chunks
@@ -9910,6 +9941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heaps_fit": q_heaps_fit,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "compaction_plan": q_compaction_plan,
+    "stratified_holdout": q_stratified_holdout,
 }
 
 ORACLES: dict[str, str] = {
@@ -10120,4 +10152,5 @@ ORACLES: dict[str, str] = {
     "heaps_fit": ORACLE_HEAPS_FIT,
     "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
     "compaction_plan": ORACLE_COMPACTION_PLAN,
+    "stratified_holdout": ORACLE_STRATIFIED_HOLDOUT,
 }

@@ -4248,3 +4248,22 @@ def test_compaction_plan_partition_scoped(spark):
            for r in compaction_plan(files, target_bytes=100,
                                     part_col="chunk").collect()}
     assert got == {("a", 0): 2, ("b", 0): 2}
+
+
+def test_stratified_holdout_hamilton_and_hash_rank(spark):
+    """X176: N=10, budget=6 -> floor shares (en 3, fr 1, de 1) leave
+    one seat; fr has the largest remainder (.8) and takes it. Members
+    are the smallest Knuth-hash priorities per stratum (n_buckets=2
+    exercises the boundary-rank path)."""
+    from docling_serve_spark.operators.sampling import stratified_holdout
+
+    rows = ([(i, "en") for i in (1, 2, 3, 4, 5)]
+            + [(i, "fr") for i in (6, 7, 8)]
+            + [(i, "de") for i in (9, 10)])
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = {(r["stratum"], r["doc_id"])
+           for r in stratified_holdout(docs, budget=6,
+                                       n_buckets=2).collect()}
+    # en m=3: pris rank 5,2,4; fr m=2: 7,6; de m=1: 10
+    assert got == {("en", 5), ("en", 2), ("en", 4),
+                   ("fr", 7), ("fr", 6), ("de", 10)}
