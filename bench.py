@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "dedup_threshold_sweep",
     "compaction_plan",
     "stratified_holdout",
+    "oov_rate",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

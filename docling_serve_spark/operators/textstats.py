@@ -1466,3 +1466,59 @@ def heaps_fit(docs: DataFrame, n_points: int = 8,
         beta.alias("beta_milli"),
         rr.alias("r2_milli"),
     )
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame,
+             text_col: str = "text", lang_col: str = "lang",
+             word_col: str = "word") -> DataFrame:
+    """(lang, n_tokens, n_oov, oov_bp, n_oov_chars,
+    fallback_fertility_bp) — vocabulary coverage against a LEARNED
+    vocab table: the fraction of token occurrences a candidate
+    tokenizer vocabulary absorbs per language, and the sequence-length
+    cost of the byte/char fallback the misses pay (SentencePiece's
+    byte-fallback, GPT-2's byte-level BPE floor). This is the
+    vocabulary-SIZING curve: X69 ranks candidate entries, X124/X117
+    (`token_fertility`) measures regex-piece equity, this one scores
+    an actual vocab artifact — rerun it per candidate size and pick
+    the knee. fallback_fertility ≈ (hits + chars-of-misses) / tokens,
+    the upper-bound piece count if every miss decomposes to
+    characters.
+
+    Scale shape: one token-grain explode carrying (lang, token, len);
+    the vocab join is a broadcast semi-style left join against a
+    ≤ vocab-size table; one lang-keyed partial agg ends it — text
+    never shuffles and the shuffle rows are a handful of longs per
+    language per task."""
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    v = vocab.select(
+        F.col(word_col).alias("__tok"), F.lit(True).alias("__in_vocab")
+    )
+    joined = toks.join(F.broadcast(v), "__tok", "left").select(
+        "lang",
+        F.coalesce("__in_vocab", F.lit(False)).alias("__hit"),
+        F.length("__tok").cast("bigint").alias("__len"),
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum((~F.col("__hit")).cast("bigint")).cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.when(~F.col("__hit"), F.col("__len")).otherwise(0))
+            .cast("bigint").alias("n_oov_chars"),
+        )
+        .select(
+            "lang", "n_tokens", "n_oov",
+            F.expr("(10000 * n_oov) div n_tokens").cast("bigint")
+            .alias("oov_bp"),
+            "n_oov_chars",
+            F.expr("(10000 * ((n_tokens - n_oov) + n_oov_chars)) "
+                   "div n_tokens").cast("bigint")
+            .alias("fallback_fertility_bp"),
+        )
+    )

@@ -6427,6 +6427,47 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 — vocabulary coverage per language against a DELIBERATELY
+    undersized vocab (the corpus's top-10 words by count), so the
+    per-language OOV share and byte-fallback cost are non-trivial —
+    the sizing-curve point a too-small vocabulary produces."""
+    from docling_serve_spark.operators.textstats import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).orderBy(F.col("n").desc(), F.col("word").asc()).limit(10) \
+        .select("word")
+    return oov_rate(docs, vocab)
+
+
+ORACLE_OOV_RATE = (
+    "WITH w AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), "
+    "'\\s+')) AS tok FROM documents), "
+    "w2 AS (SELECT lang, tok FROM w WHERE tok <> ''), "
+    "v AS (SELECT tok AS word FROM w2 GROUP BY 1 "
+    "ORDER BY count(*) DESC, tok ASC LIMIT 10), "
+    "j AS (SELECT lang, tok, (v.word IS NOT NULL) AS hit, "
+    "CAST(length(tok) AS BIGINT) AS len "
+    "FROM w2 LEFT JOIN v ON w2.tok = v.word) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_oov, "
+    "CAST((10000 * sum(CASE WHEN hit THEN 0 ELSE 1 END)) // count(*) "
+    "AS BIGINT) AS oov_bp, "
+    "CAST(sum(CASE WHEN hit THEN 0 ELSE len END) AS BIGINT) "
+    "AS n_oov_chars, "
+    "CAST((10000 * ((count(*) - sum(CASE WHEN hit THEN 0 ELSE 1 END)) "
+    "+ sum(CASE WHEN hit THEN 0 ELSE len END))) // count(*) AS BIGINT) "
+    "AS fallback_fertility_bp "
+    "FROM j GROUP BY lang"
+)
+
+
 def q_stratified_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X176 — 100-doc proportionally-stratified eval holdout by
     language; the oracle re-derives the kept set with a PLAIN
@@ -9942,6 +9983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "compaction_plan": q_compaction_plan,
     "stratified_holdout": q_stratified_holdout,
+    "oov_rate": q_oov_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -10153,4 +10195,5 @@ ORACLES: dict[str, str] = {
     "dedup_threshold_sweep": ORACLE_DEDUP_THRESHOLD_SWEEP,
     "compaction_plan": ORACLE_COMPACTION_PLAN,
     "stratified_holdout": ORACLE_STRATIFIED_HOLDOUT,
+    "oov_rate": ORACLE_OOV_RATE,
 }

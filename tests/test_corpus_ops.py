@@ -4267,3 +4267,20 @@ def test_stratified_holdout_hamilton_and_hash_rank(spark):
     # en m=3: pris rank 5,2,4; fr m=2: 7,6; de m=1: 10
     assert got == {("en", 5), ("en", 2), ("en", 4),
                    ("fr", 7), ("fr", 6), ("de", 10)}
+
+
+def test_oov_rate_fallback_cost(spark):
+    """X177: vocab {the, cat}; 'the cat zzz' -> 1 OOV of 3 chars ->
+    oov 3333bp, fallback pieces = 2 + 3 = 5 -> 16666bp; fully-covered
+    fr doc stays at 10000bp."""
+    from docling_serve_spark.operators.textstats import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat zzz"), (2, "fr", "the the")],
+        "doc_id bigint, lang string, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",)], "word string")
+    got = {r["lang"]: (r["n_tokens"], r["n_oov"], r["oov_bp"],
+                       r["n_oov_chars"], r["fallback_fertility_bp"])
+           for r in oov_rate(docs, vocab).collect()}
+    assert got == {"en": (3, 1, 3333, 3, 16666), "fr": (2, 0, 0, 0, 10000)}
