@@ -101,6 +101,9 @@ INVARIANCE_QUERIES = [
     "zipf_fit",         # decimal weighted sums + final double divisions
     "heaps_fit",        # word-grain min-id agg + conditional-sum curve
     "dedup_threshold_sweep",  # verified-pair histograms + grid lookup
+    "compaction_plan",  # partition-scoped prefix-sum binning
+    "stratified_holdout",  # Hamilton remainders + bucket-cut selection
+    "oov_rate",         # broadcast vocab join + lang partial agg
 ]
 
 
