@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "compaction_plan",
     "stratified_holdout",
     "oov_rate",
+    "quality_trend",
+    "long_context_supply",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -695,3 +695,72 @@ def length_quantiles(docs: DataFrame, lang_col: str = "lang",
         ],
     )
     return agg.orderBy("lang")
+
+
+def quality_trend(verdicts: DataFrame, snapshot_col: str = "snapshot",
+                  keep_col: str = "keep") -> DataFrame:
+    """(n_snapshots, first_bp, last_bp, slope_milli_bp, r2_milli) —
+    the gate-pass-rate TREND across crawl snapshots, the ingest
+    monitoring series a corpus operation watches between audits: X103
+    (`batch_drift`) alarms on one batch's distribution jump, this fits
+    the direction over the whole snapshot history — a steadily
+    sinking pass rate means the crawl mix or the web itself is
+    drifting against the gates and thresholds need recalibration
+    before the mixture silently starves.
+
+    Per snapshot the pass rate is integer basis points; the trend is
+    an UNWEIGHTED least-squares slope of pass_bp on the snapshot
+    index (chronological dense rank), in milli-bp per snapshot step,
+    with the same cross-multiplied DECIMAL(38,0) sums and terminal
+    double divisions as `zipf_fit` and the same degenerate guards.
+    Everything after the one snapshot-keyed partial agg runs over
+    ≤ n_snapshots rows."""
+    from pyspark.sql import Window
+
+    rates = verdicts.groupBy(F.col(snapshot_col).alias("snapshot")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(keep_col).cast("bigint")).cast("bigint").alias("n_keep"),
+    ).select(
+        "snapshot",
+        F.expr("(10000 * n_keep) div n").cast("bigint").alias("pass_bp"),
+    )
+    w = Window.orderBy("snapshot")
+    pts = rates.select(
+        F.row_number().over(w).cast("bigint").alias("x"),
+        F.col("pass_bp").alias("y"),
+        "snapshot",
+    )
+    sums = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.min(F.struct("x", "y")).getField("y").cast("bigint")
+        .alias("first_bp"),
+        F.max(F.struct("x", "y")).getField("y").cast("bigint")
+        .alias("last_bp"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+        .alias("sy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("sxy"),
+        F.expr("CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+        .alias("sxx"),
+        F.expr("CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))")
+        .alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    r1 = num.cast("double") / den.cast("double")
+    r2 = num.cast("double") / dyy.cast("double")
+    slope = F.when(den == 0, F.lit(None).cast("bigint")) \
+        .when(dyy == 0, F.lit(0).cast("bigint")) \
+        .otherwise(F.floor(F.lit(1000.0) * r1).cast("bigint"))
+    fit = F.when(den == 0, F.lit(None).cast("bigint")) \
+        .when(dyy == 0, F.lit(1000).cast("bigint")) \
+        .otherwise(F.floor(F.lit(1000.0) * r1 * r2).cast("bigint"))
+    return sums.select(
+        F.col("k").alias("n_snapshots"),
+        "first_bp", "last_bp",
+        slope.alias("slope_milli_bp"),
+        fit.alias("r2_milli"),
+    )

@@ -1058,3 +1058,60 @@ def stratified_holdout(docs: DataFrame, budget: int,
         .select("doc_id", "stratum")
     )
     return whole.unionByName(boundary)
+
+
+def long_context_supply(docs: DataFrame,
+                        thresholds: tuple[int, ...] = (512, 2048, 8192),
+                        source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """(source, threshold, n_docs_ge, n_tokens_ge, token_share_bp) —
+    the LONG-CONTEXT SUPPLY audit: per source, how many documents
+    clear each context-length threshold and what share of the
+    source's token mass they carry. Long-context training data is the
+    scarce resource of the 100k-context era (a context window can
+    only be trained on documents that FILL it — padding and packing
+    fragments teach nothing about long-range attention), so the
+    mixture decision needs this table before promising any context
+    length: a source whose 32k-token share is zero cannot anchor a
+    32k curriculum phase no matter its total mass.
+
+    One token-count pass, one source-keyed partial agg with
+    2·len(thresholds) conditional sums, then a literal-array unpivot —
+    no per-threshold rescans, text never shuffles."""
+    from docling_serve_spark.operators.textstats import token_count
+
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        token_count(F.col(text_col)).alias("__n"),
+    )
+    aggs = [
+        F.sum("__n").cast("bigint").alias("__tok_total"),
+    ]
+    for t in thresholds:
+        aggs.append(
+            F.sum((F.col("__n") >= t).cast("bigint")).cast("bigint")
+            .alias(f"__d{t}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("__n") >= t, F.col("__n")).otherwise(0))
+            .cast("bigint").alias(f"__t{t}")
+        )
+    wide = base.groupBy("source").agg(*aggs)
+    pts = wide.select(
+        "source", "__tok_total",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).cast("bigint").alias("threshold"),
+                F.col(f"__d{t}").alias("n_docs_ge"),
+                F.col(f"__t{t}").alias("n_tokens_ge"),
+            ) for t in thresholds
+        ])).alias("p"),
+    )
+    return pts.select(
+        "source",
+        F.col("p.threshold").alias("threshold"),
+        F.col("p.n_docs_ge").alias("n_docs_ge"),
+        F.col("p.n_tokens_ge").alias("n_tokens_ge"),
+        F.expr("(10000 * p.n_tokens_ge) div greatest(__tok_total, 1)")
+        .cast("bigint").alias("token_share_bp"),
+    )

@@ -6427,6 +6427,83 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 — gate-pass-rate trend over 5 synthesized crawl snapshots
+    (doc_id%5), pass verdicts from the real X11 gates; the slope says
+    whether the mix drifts against the gates."""
+    from docling_serve_spark.operators.corpus import quality_trend
+
+    v = q_quality_filter(spark, sf_dir).select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string"))
+        .alias("snapshot"),
+        "keep",
+    )
+    return quality_trend(v)
+
+
+ORACLE_QUALITY_TREND = (
+    "WITH q AS (" + ORACLE_QUALITY_FILTER + "), "
+    "v AS (SELECT 's' || CAST(doc_id % 5 AS VARCHAR) AS snapshot, keep "
+    "FROM q), "
+    "r AS (SELECT snapshot, (10000 * sum(CASE WHEN keep THEN 1 ELSE 0 "
+    "END)) // count(*) AS pass_bp FROM v GROUP BY 1), "
+    "p AS (SELECT row_number() OVER (ORDER BY snapshot) AS x, "
+    "pass_bp AS y FROM r), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+    "CAST(min_by(y, x) AS BIGINT) AS first_bp, "
+    "CAST(max_by(y, x) AS BIGINT) AS last_bp, "
+    "sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, "
+    "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+    "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+    "sum(CAST(y AS HUGEINT) * y) AS syy FROM p) "
+    "SELECT k AS n_snapshots, first_bp, last_bp, "
+    "CASE WHEN k * sxx - sx * sx = 0 THEN NULL "
+    "WHEN k * syy - sy * sy = 0 THEN 0 "
+    "ELSE CAST(floor(1000.0 * (CAST(k * sxy - sx * sy AS DOUBLE) "
+    "/ CAST(k * sxx - sx * sx AS DOUBLE))) AS BIGINT) END "
+    "AS slope_milli_bp, "
+    "CASE WHEN k * sxx - sx * sx = 0 THEN NULL "
+    "WHEN k * syy - sy * sy = 0 THEN 1000 "
+    "ELSE CAST(floor(1000.0 * (CAST(k * sxy - sx * sy AS DOUBLE) "
+    "/ CAST(k * sxx - sx * sx AS DOUBLE)) "
+    "* (CAST(k * sxy - sx * sy AS DOUBLE) "
+    "/ CAST(k * syy - sy * sy AS DOUBLE))) AS BIGINT) END AS r2_milli "
+    "FROM s"
+)
+
+
+def q_long_context_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 — long-context supply per source at thresholds 25/60/120
+    tokens (the corpus averages ~54 tokens/doc, so the grid spans
+    abundant to scarce)."""
+    from docling_serve_spark.operators.sampling import long_context_supply
+
+    return long_context_supply(
+        _t(spark, sf_dir, "documents"), thresholds=(25, 60, 120)
+    )
+
+
+def _lcs_oracle(thresholds=(25, 60, 120)) -> str:
+    pieces = " UNION ALL ".join(
+        f"SELECT source, CAST({t} AS BIGINT) AS threshold, "
+        f"CAST(sum(CASE WHEN n >= {t} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_docs_ge, "
+        f"CAST(sum(CASE WHEN n >= {t} THEN n ELSE 0 END) AS BIGINT) "
+        "AS n_tokens_ge, "
+        f"CAST((10000 * sum(CASE WHEN n >= {t} THEN n ELSE 0 END)) // "
+        "greatest(sum(n), 1) AS BIGINT) AS token_share_bp "
+        "FROM d GROUP BY source" for t in thresholds
+    )
+    return (
+        "WITH d AS (SELECT source, CASE WHEN length(trim(text)) = 0 "
+        "THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+        "AS n FROM documents) " + pieces
+    )
+
+
+ORACLE_LONG_CONTEXT_SUPPLY = _lcs_oracle()
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X177 — vocabulary coverage per language against a DELIBERATELY
     undersized vocab (the corpus's top-10 words by count), so the
@@ -9984,6 +10061,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_plan": q_compaction_plan,
     "stratified_holdout": q_stratified_holdout,
     "oov_rate": q_oov_rate,
+    "quality_trend": q_quality_trend,
+    "long_context_supply": q_long_context_supply,
 }
 
 ORACLES: dict[str, str] = {
@@ -10196,4 +10275,6 @@ ORACLES: dict[str, str] = {
     "compaction_plan": ORACLE_COMPACTION_PLAN,
     "stratified_holdout": ORACLE_STRATIFIED_HOLDOUT,
     "oov_rate": ORACLE_OOV_RATE,
+    "quality_trend": ORACLE_QUALITY_TREND,
+    "long_context_supply": ORACLE_LONG_CONTEXT_SUPPLY,
 }

@@ -4284,3 +4284,49 @@ def test_oov_rate_fallback_cost(spark):
                        r["n_oov_chars"], r["fallback_fertility_bp"])
            for r in oov_rate(docs, vocab).collect()}
     assert got == {"en": (3, 1, 3333, 3, 16666), "fr": (2, 0, 0, 0, 10000)}
+
+
+def test_quality_trend_perfect_line_and_degenerates(spark):
+    """X178: pass rates 5000/7500/10000 over three snapshots fit a
+    perfect 2500-bp/step line; a single snapshot has no fit (NULLs);
+    a flat pair reads slope 0 with exact fit."""
+    from docling_serve_spark.operators.corpus import quality_trend
+
+    v = spark.createDataFrame(
+        [("s1", i < 2) for i in range(4)]
+        + [("s2", i < 3) for i in range(4)]
+        + [("s3", True) for _ in range(4)],
+        "snapshot string, keep boolean",
+    )
+    r = quality_trend(v).collect()[0]
+    assert tuple(r) == (3, 5000, 10000, 2500000, 1000)
+
+    one = spark.createDataFrame([("s1", True)], "snapshot string, keep boolean")
+    r1 = quality_trend(one).collect()[0]
+    assert (r1["slope_milli_bp"], r1["r2_milli"]) == (None, None)
+
+    flat = spark.createDataFrame(
+        [("s1", True), ("s2", True)], "snapshot string, keep boolean"
+    )
+    r2 = quality_trend(flat).collect()[0]
+    assert (r2["slope_milli_bp"], r2["r2_milli"]) == (0, 1000)
+
+
+def test_long_context_supply_threshold_shares(spark):
+    """X179: source A (3, 10, 600 tokens) at thresholds 5/512 — the
+    600-token doc carries 9787 bp of A's mass at 512; B never
+    qualifies."""
+    from docling_serve_spark.operators.sampling import long_context_supply
+
+    docs = spark.createDataFrame(
+        [("A", " ".join(["w"] * 3)), ("A", " ".join(["w"] * 10)),
+         ("A", " ".join(["w"] * 600)), ("B", "w w w w")],
+        "source string, text string",
+    )
+    got = {(r["source"], r["threshold"]):
+           (r["n_docs_ge"], r["n_tokens_ge"], r["token_share_bp"])
+           for r in long_context_supply(docs, thresholds=(5, 512)).collect()}
+    assert got == {
+        ("A", 5): (2, 610, 9951), ("A", 512): (1, 600, 9787),
+        ("B", 5): (0, 0, 0), ("B", 512): (0, 0, 0),
+    }
