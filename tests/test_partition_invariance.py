@@ -104,6 +104,8 @@ INVARIANCE_QUERIES = [
     "compaction_plan",  # partition-scoped prefix-sum binning
     "stratified_holdout",  # Hamilton remainders + bucket-cut selection
     "oov_rate",         # broadcast vocab join + lang partial agg
+    "quality_trend",    # snapshot rates + decimal LS slope
+    "long_context_supply",  # conditional-sum thresholds + unpivot
 ]
 
 
