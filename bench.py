@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "oov_rate",
     "quality_trend",
     "long_context_supply",
+    "host_categories",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -1200,3 +1200,59 @@ def optout_impact(audit: DataFrame, host_tokens: DataFrame,
             .cast("bigint").alias("token_share_bp"),
         )
     )
+
+
+def host_categories(pages: DataFrame, rules: DataFrame,
+                    url_col: str = "url",
+                    default_category: str = "other") -> DataFrame:
+    """(category, n_hosts, n_pages, page_share_bp) — rule-based host
+    taxonomy, the corpus-composition dimension training-data
+    datasheets report (Dolma's and RefinedWeb's source/domain
+    breakdowns; Gebru et al.'s datasheet prompts ask for exactly
+    this): classify each HOST by the first matching rule and roll up
+    the corpus mix. ``rules`` is (category, pattern, priority) — a
+    human-curated regex table (RE2/Java-common subset), smallest
+    priority wins, unmatched hosts fall to ``default_category``.
+
+    Scale shape: hosts are DISTINCT-ed before classification (the
+    rules join runs at host grain, ~10^7 rows at web scale, not
+    page grain), the rules table broadcasts (tens of rows), the match
+    is one rlike filter over the host×rules fan-out bounded by the
+    rule count, winner via one min-priority agg, and page counts come
+    from one host-keyed partial agg joined back at category grain."""
+    from pyspark.sql import Window
+
+    host_pages = pages.select(
+        url_host(F.col(url_col)).alias("host")
+    ).groupBy("host").agg(F.count("*").cast("bigint").alias("n_pages"))
+    matched = (
+        host_pages.select("host")
+        .join(F.broadcast(rules), F.expr("host rlike pattern"), "left")
+        .groupBy("host")
+        .agg(
+            F.min(F.struct("priority", "category")).getField("category")
+            .alias("category")
+        )
+        .select(
+            "host",
+            F.coalesce("category", F.lit(default_category))
+            .alias("category"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        host_pages.join(matched, "host")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hosts"),
+            F.sum("n_pages").cast("bigint").alias("n_pages"),
+        )
+        .withColumn(
+            "__total", F.sum("n_pages").over(w_all).cast("bigint")
+        )
+        .select(
+            "category", "n_hosts", "n_pages",
+            F.expr("(10000 * n_pages) div greatest(__total, 1)")
+            .cast("bigint").alias("page_share_bp"),
+        )
+    )

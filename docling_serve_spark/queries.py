@@ -6427,6 +6427,73 @@ ORACLE_ZIPF_FIT = (
 )
 
 
+#: X180 taxonomy rules — (category, RE2/Java-common pattern, priority).
+_TAXONOMY_RULES = (
+    ("gov", r"\.(gov|mil)$", 1),
+    ("edu", r"\.edu$", 2),
+    ("reference", r"wiki|encyclopedia", 3),
+    ("news", r"news|daily|times", 4),
+    ("commerce", r"shop|store", 5),
+    ("social", r"forum|community", 6),
+)
+
+
+def q_host_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 — corpus composition by host taxonomy: 8 synthesized host
+    shapes (doc_id%8) spanning gov/edu/reference/news/commerce/social
+    plus two unmatched 'other' hosts; daily-news.gov exercises the
+    priority rule (gov beats news)."""
+    from docling_serve_spark.operators.urltools import host_categories
+
+    docs = _t(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 8).cast("int")
+    host = (
+        F.when(hid == 0, F.lit("state.gov"))
+        .when(hid == 1, F.lit("univ.edu"))
+        .when(hid == 2, F.lit("wiki-corpus.org"))
+        .when(hid == 3, F.lit("daily-news.gov"))
+        .when(hid == 4, F.lit("citynews.com"))
+        .when(hid == 5, F.lit("megastore.com"))
+        .when(hid == 6, F.lit("devforum.net"))
+        .otherwise(F.lit("example.org"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p"),
+                 F.col("doc_id").cast("string")).alias("url")
+    )
+    rules = spark.createDataFrame(
+        list(_TAXONOMY_RULES), "category string, pattern string, priority int"
+    )
+    return host_categories(pages, rules)
+
+
+ORACLE_HOST_CATEGORIES = (
+    "WITH p AS (SELECT CASE doc_id % 8 "
+    "WHEN 0 THEN 'state.gov' WHEN 1 THEN 'univ.edu' "
+    "WHEN 2 THEN 'wiki-corpus.org' WHEN 3 THEN 'daily-news.gov' "
+    "WHEN 4 THEN 'citynews.com' WHEN 5 THEN 'megastore.com' "
+    "WHEN 6 THEN 'devforum.net' ELSE 'example.org' END AS host "
+    "FROM documents), "
+    "hp AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages "
+    "FROM p GROUP BY 1), "
+    "rules(category, pattern, priority) AS (VALUES "
+    "('gov', '\\.(gov|mil)$', 1), ('edu', '\\.edu$', 2), "
+    "('reference', 'wiki|encyclopedia', 3), "
+    "('news', 'news|daily|times', 4), ('commerce', 'shop|store', 5), "
+    "('social', 'forum|community', 6)), "
+    "m AS (SELECT host, coalesce(min_by(category, priority), 'other') "
+    "AS category FROM hp LEFT JOIN rules "
+    "ON regexp_matches(hp.host, rules.pattern) GROUP BY host), "
+    "c AS (SELECT category, CAST(count(*) AS BIGINT) AS n_hosts, "
+    "CAST(sum(n_pages) AS BIGINT) AS n_pages "
+    "FROM hp JOIN m USING (host) GROUP BY 1), "
+    "t AS (SELECT sum(n_pages) AS total FROM c) "
+    "SELECT category, n_hosts, n_pages, "
+    "CAST((10000 * n_pages) // greatest(total, 1) AS BIGINT) "
+    "AS page_share_bp FROM c CROSS JOIN t"
+)
+
+
 def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X178 — gate-pass-rate trend over 5 synthesized crawl snapshots
     (doc_id%5), pass verdicts from the real X11 gates; the slope says
@@ -10063,6 +10130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oov_rate": q_oov_rate,
     "quality_trend": q_quality_trend,
     "long_context_supply": q_long_context_supply,
+    "host_categories": q_host_categories,
 }
 
 ORACLES: dict[str, str] = {
@@ -10277,4 +10345,5 @@ ORACLES: dict[str, str] = {
     "oov_rate": ORACLE_OOV_RATE,
     "quality_trend": ORACLE_QUALITY_TREND,
     "long_context_supply": ORACLE_LONG_CONTEXT_SUPPLY,
+    "host_categories": ORACLE_HOST_CATEGORIES,
 }

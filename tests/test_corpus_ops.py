@@ -4330,3 +4330,29 @@ def test_long_context_supply_threshold_shares(spark):
         ("A", 5): (2, 610, 9951), ("A", 512): (1, 600, 9787),
         ("B", 5): (0, 0, 0), ("B", 512): (0, 0, 0),
     }
+
+
+def test_host_categories_priority_and_default(spark):
+    """X180: state.gov matches both 'gov' (priority 1) and the looser
+    'news' pattern would not — priority decides when multiple rules
+    hit; unmatched hosts fall to 'other'; shares are page-weighted."""
+    from docling_serve_spark.operators.urltools import host_categories
+
+    pages = spark.createDataFrame(
+        [("https://state.gov/a",), ("https://state.gov/b",),
+         ("https://daily-news.gov/x",),   # matches gov AND news
+         ("https://citynews.com/y",),
+         ("https://example.org/z",)],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [("gov", r"\.gov$", 1), ("news", "news", 2)],
+        "category string, pattern string, priority int",
+    )
+    got = {r["category"]: (r["n_hosts"], r["n_pages"], r["page_share_bp"])
+           for r in host_categories(pages, rules).collect()}
+    assert got == {
+        "gov": (2, 3, 6000),      # state.gov(2) + daily-news.gov(1)
+        "news": (1, 1, 2000),     # citynews.com
+        "other": (1, 1, 2000),    # example.org
+    }
