@@ -106,6 +106,7 @@ INVARIANCE_QUERIES = [
     "oov_rate",         # broadcast vocab join + lang partial agg
     "quality_trend",    # snapshot rates + decimal LS slope
     "long_context_supply",  # conditional-sum thresholds + unpivot
+    "host_categories",  # broadcast rules join + min-priority winner
 ]
 
 
