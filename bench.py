@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "quality_trend",
     "long_context_supply",
     "host_categories",
+    "sentence_uniformity",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

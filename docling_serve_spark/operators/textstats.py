@@ -1522,3 +1522,66 @@ def oov_rate(docs: DataFrame, vocab: DataFrame,
             .alias("fallback_fertility_bp"),
         )
     )
+
+
+def sentence_uniformity(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_sentences: int = 5,
+                        dispersion_cut_x100: int = 150) -> DataFrame:
+    """(doc_id, n_sentences, mean_len_x100, dispersion_x100,
+    is_uniform) — sentence-length uniformity, a machine-generated /
+    template-text signal: human prose has bursty sentence lengths
+    (high variance-to-mean dispersion), while template farms and
+    LLM-generated filler produce near-constant-length sentences —
+    the post-2023 crawl-contamination concern corpus audits now
+    screen for (low "burstiness" is the classic statistical
+    generated-text tell). Flagged docs route to review next to X51's
+    parked pages and X14's repetition gates; a low-dispersion doc
+    that also trips X14 is template with near-certainty.
+
+    Sentence lengths are word counts between [.!?]+ boundaries; the
+    dispersion index D = variance/mean rides exact integer sums
+    (n·Σx² − (Σx)²) div (n·Σx) in hundredths — engine-order-exact,
+    no doubles. ``is_uniform`` requires ≥ ``min_sentences`` (a
+    two-sentence doc has no burstiness to measure) and
+    D < ``dispersion_cut_x100``. Pure codegen narrow map: split,
+    transform, aggregate — zero shuffles, zero Python. Headroom:
+    100·n·Σx² stays under 2^63 while a doc's sentences × mean-length²
+    stay under ~9·10^16 word² (a 10^5-sentence doc of 100-word
+    sentences uses 10^11 — five decades of margin; gigabyte outliers
+    are excluded upstream by the F13 size guards)."""
+    sentences = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.size(
+                F.filter(F.split(F.trim(s), r"\s+"),
+                         lambda w: F.length(w) >= 1)
+            ).cast("bigint"),
+        ),
+        lambda n: n > 0,
+    )
+    base = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        sentences.alias("__lens"),
+    ).select(
+        "doc_id",
+        F.size("__lens").cast("bigint").alias("n_sentences"),
+        F.aggregate("__lens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("__sx"),
+        F.aggregate("__lens", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x * x).alias("__sxx"),
+    )
+    mean_x100 = F.expr("(100 * __sx) div greatest(n_sentences, 1)")
+    disp_x100 = F.expr(
+        "(100 * (n_sentences * __sxx - __sx * __sx)) "
+        "div greatest(n_sentences * __sx, 1)"
+    )
+    return base.select(
+        "doc_id", "n_sentences",
+        mean_x100.cast("bigint").alias("mean_len_x100"),
+        disp_x100.cast("bigint").alias("dispersion_x100"),
+        (
+            (F.col("n_sentences") >= min_sentences)
+            & (disp_x100 < dispersion_cut_x100)
+        ).alias("is_uniform"),
+    )

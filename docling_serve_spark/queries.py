@@ -6438,6 +6438,46 @@ _TAXONOMY_RULES = (
 )
 
 
+def q_sentence_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181 — machine-template detector over the corpus with planted
+    slop: docs with id%7==0 are replaced by eight identical-length
+    sentences (dispersion 0 → flagged); the natural docs keep their
+    bursty lengths."""
+    from docling_serve_spark.operators.textstats import sentence_uniformity
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", *[F.lit("this is fine.")] * 8),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return sentence_uniformity(planted)
+
+
+ORACLE_SENTENCE_UNIFORMITY = (
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+    "trim(repeat('this is fine. ', 8)) ELSE text END AS text "
+    "FROM documents), "
+    "l AS (SELECT doc_id, list_filter(list_transform("
+    "string_split_regex(text, '[.!?]+'), "
+    "s -> CAST(len(list_filter(string_split_regex(trim(s), '\\s+'), "
+    "w -> length(w) >= 1)) AS BIGINT)), n -> n > 0) AS lens FROM p), "
+    "a AS (SELECT doc_id, CAST(len(lens) AS BIGINT) AS n, "
+    "CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS sx, "
+    "CAST(coalesce(list_sum(list_transform(lens, x -> x * x)), 0) "
+    "AS BIGINT) AS sxx FROM l) "
+    "SELECT doc_id, n AS n_sentences, "
+    "CAST((100 * sx) // greatest(n, 1) AS BIGINT) AS mean_len_x100, "
+    "CAST((100 * (n * sxx - sx * sx)) // greatest(n * sx, 1) AS BIGINT) "
+    "AS dispersion_x100, "
+    "(n >= 5 AND (100 * (n * sxx - sx * sx)) // greatest(n * sx, 1) "
+    "< 150) AS is_uniform "
+    "FROM a"
+)
+
+
 def q_host_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X180 — corpus composition by host taxonomy: 8 synthesized host
     shapes (doc_id%8) spanning gov/edu/reference/news/commerce/social
@@ -10131,6 +10171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_trend": q_quality_trend,
     "long_context_supply": q_long_context_supply,
     "host_categories": q_host_categories,
+    "sentence_uniformity": q_sentence_uniformity,
 }
 
 ORACLES: dict[str, str] = {
@@ -10346,4 +10387,5 @@ ORACLES: dict[str, str] = {
     "quality_trend": ORACLE_QUALITY_TREND,
     "long_context_supply": ORACLE_LONG_CONTEXT_SUPPLY,
     "host_categories": ORACLE_HOST_CATEGORIES,
+    "sentence_uniformity": ORACLE_SENTENCE_UNIFORMITY,
 }

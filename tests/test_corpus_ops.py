@@ -4356,3 +4356,25 @@ def test_host_categories_priority_and_default(spark):
         "news": (1, 1, 2000),     # citynews.com
         "other": (1, 1, 2000),    # example.org
     }
+
+
+def test_sentence_uniformity_detects_template(spark):
+    """X181: five identical-length sentences -> dispersion 0, flagged;
+    bursty lengths (1,9,2,12,4) -> D = (5*246-784)/(5*28) x100 = 318,
+    not flagged; a two-sentence doc never flags regardless."""
+    from docling_serve_spark.operators.textstats import sentence_uniformity
+
+    uniform = ". ".join(["w w w w"] * 5) + "."
+    bursty = ("w. w w w w w w w w w. w w. "
+              "w w w w w w w w w w w w. w w w w.")
+    short = "w w. w w."
+    docs = spark.createDataFrame(
+        [(1, uniform), (2, bursty), (3, short)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_sentences"], r["mean_len_x100"],
+                         r["dispersion_x100"], r["is_uniform"])
+           for r in sentence_uniformity(docs).collect()}
+    assert got[1] == (5, 400, 0, True)
+    assert got[2] == (5, 560, 318, False)
+    assert got[3] == (2, 200, 0, False)
