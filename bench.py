@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "long_context_supply",
     "host_categories",
     "sentence_uniformity",
+    "markdown_structure",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -1585,3 +1585,54 @@ def sentence_uniformity(docs: DataFrame, text_col: str = "text",
             & (disp_x100 < dispersion_cut_x100)
         ).alias("is_uniform"),
     )
+
+
+def markdown_structure(docs: DataFrame, md_col: str = "md",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_headings, max_heading_depth, n_list_items,
+    n_table_rows, n_code_fences, structure_bp) — structure profile of
+    the extraction pipeline's markdown channel (E1): headings by ATX
+    depth, list items, table rows, fenced code blocks, and the share
+    of lines that are structural. Downstream consumers slice on this
+    — instruction-tuning mixes prize structured documents, a
+    retrieval chunker (X68) should split at headings when there are
+    any, and a doc_type whose structure profile collapses after an
+    extractor upgrade (X170) lost its layout parse, not just bytes.
+
+    Line-grain regex counts riding the scan (ATX `#{1,6} `, `- `/`* `
+    /ordered-list markers, `|`-delimited rows, ``` fences — the
+    CommonMark constructs E1 emits); max depth via the longest `#` run
+    matched per line. Pure codegen narrow map, zero shuffles."""
+    lines = F.split(F.col(md_col), "\n")
+    heads = F.filter(lines, lambda l: l.rlike(r"^#{1,6} "))
+    depth = F.array_max(
+        F.transform(
+            heads,
+            lambda l: F.length(F.regexp_extract(l, r"^(#{1,6}) ", 1))
+            .cast("bigint"),
+        )
+    )
+    n_list = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*(?:[-*]|\d+\.) "))
+    )
+    n_table = F.size(F.filter(lines, lambda l: l.rlike(r"^\|.*\|\s*$")))
+    n_fence = F.size(F.filter(lines, lambda l: l.rlike(r"^```")))
+    n_lines = F.size(F.filter(lines, lambda l: F.length(F.trim(l)) > 0))
+    return docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(heads).cast("bigint").alias("n_headings"),
+        F.coalesce(depth, F.lit(0)).cast("bigint")
+        .alias("max_heading_depth"),
+        n_list.cast("bigint").alias("n_list_items"),
+        n_table.cast("bigint").alias("n_table_rows"),
+        n_fence.cast("bigint").alias("n_code_fences"),
+        lines.alias("__l"),
+    ).select(
+        "doc_id", "n_headings", "max_heading_depth", "n_list_items",
+        "n_table_rows", "n_code_fences",
+        F.expr(
+            "(10000 * (n_headings + n_list_items + n_table_rows "
+            "+ n_code_fences)) div greatest("
+            "size(filter(__l, l -> length(trim(l)) > 0)), 1)"
+        ).cast("bigint").alias("structure_bp"),
+    )

@@ -6438,6 +6438,58 @@ _TAXONOMY_RULES = (
 )
 
 
+def q_markdown_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182 — structure profile over a synthesized markdown channel:
+    every doc gets an H1 + H2 + prose; id%3==0 adds two list items,
+    id%5==0 a two-row table, id%7==0 a code fence pair."""
+    from docling_serve_spark.operators.textstats import markdown_structure
+
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Doc\n\n## "), F.col("source"), F.lit("\n\n"),
+        F.substring("text", 1, 120),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\n- alpha\n- beta")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n| h | v |\n| a | 1 |")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\n```\ncode\n```")).otherwise(F.lit("")),
+    )
+    return markdown_structure(docs.select("doc_id", md.alias("md")))
+
+
+ORACLE_MARKDOWN_STRUCTURE = (
+    "WITH m AS (SELECT doc_id, '# Doc' || chr(10) || chr(10) || '## ' "
+    "|| source || chr(10) || chr(10) || substr(text, 1, 120) "
+    "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- alpha' || chr(10) "
+    "|| '- beta' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN chr(10) || '| h | v |' || chr(10) "
+    "|| '| a | 1 |' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN chr(10) || '```' || chr(10) "
+    "|| 'code' || chr(10) || '```' ELSE '' END AS md FROM documents), "
+    "l AS (SELECT doc_id, string_split(md, chr(10)) AS ls FROM m), "
+    "a AS (SELECT doc_id, "
+    "list_filter(ls, x -> regexp_matches(x, '^#{1,6} ')) AS heads, "
+    "CAST(len(list_filter(ls, x -> regexp_matches(x, "
+    "'^\\s*(?:[-*]|\\d+\\.) '))) AS BIGINT) AS n_list, "
+    "CAST(len(list_filter(ls, x -> regexp_matches(x, "
+    "'^\\|.*\\|\\s*$'))) AS BIGINT) AS n_table, "
+    "CAST(len(list_filter(ls, x -> regexp_matches(x, '^```'))) "
+    "AS BIGINT) AS n_fence, "
+    "CAST(len(list_filter(ls, x -> length(trim(x)) > 0)) AS BIGINT) "
+    "AS n_lines FROM l) "
+    "SELECT doc_id, CAST(len(heads) AS BIGINT) AS n_headings, "
+    "CAST(coalesce(list_max(list_transform(heads, "
+    "x -> length(regexp_extract(x, '^(#{1,6}) ', 1)))), 0) AS BIGINT) "
+    "AS max_heading_depth, "
+    "n_list AS n_list_items, n_table AS n_table_rows, "
+    "n_fence AS n_code_fences, "
+    "CAST((10000 * (len(heads) + n_list + n_table + n_fence)) // "
+    "greatest(n_lines, 1) AS BIGINT) AS structure_bp "
+    "FROM a"
+)
+
+
 def q_sentence_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X181 — machine-template detector over the corpus with planted
     slop: docs with id%7==0 are replaced by eight identical-length
@@ -10172,6 +10224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "long_context_supply": q_long_context_supply,
     "host_categories": q_host_categories,
     "sentence_uniformity": q_sentence_uniformity,
+    "markdown_structure": q_markdown_structure,
 }
 
 ORACLES: dict[str, str] = {
@@ -10388,4 +10441,5 @@ ORACLES: dict[str, str] = {
     "long_context_supply": ORACLE_LONG_CONTEXT_SUPPLY,
     "host_categories": ORACLE_HOST_CATEGORIES,
     "sentence_uniformity": ORACLE_SENTENCE_UNIFORMITY,
+    "markdown_structure": ORACLE_MARKDOWN_STRUCTURE,
 }

@@ -4378,3 +4378,20 @@ def test_sentence_uniformity_detects_template(spark):
     assert got[1] == (5, 400, 0, True)
     assert got[2] == (5, 560, 318, False)
     assert got[3] == (2, 200, 0, False)
+
+
+def test_markdown_structure_profile(spark):
+    """X182: two H-levels, two list items, two table rows, one fence
+    pair over 9 non-blank lines -> structure 10000*(2+2+2+2)/9."""
+    from docling_serve_spark.operators.textstats import markdown_structure
+
+    md = ("# Title\n\n## Section\n\nprose line here\n"
+          "- item one\n* item two\n"
+          "| a | b |\n| 1 | 2 |\n"
+          "```\n```")
+    docs = spark.createDataFrame([(1, md), (2, "plain prose only")],
+                                 "doc_id bigint, md string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           markdown_structure(docs).collect()}
+    assert got[1] == (2, 2, 2, 2, 2, 8888)
+    assert got[2] == (0, 0, 0, 0, 0, 0)
