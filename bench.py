@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "host_categories",
     "sentence_uniformity",
     "markdown_structure",
+    "ngram_novelty",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

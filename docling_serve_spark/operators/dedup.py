@@ -1264,3 +1264,53 @@ def dedup_threshold_sweep(docs: DataFrame, text_col: str = "text",
         .join(_ge_lookup(doc_cum, "n_docs"), "threshold_bp")
         .orderBy("threshold_bp")
     )
+
+
+def ngram_novelty(new: DataFrame, history: DataFrame, k: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_bp) — per-document k-gram
+    NOVELTY against a history corpus: the share of a new document's
+    distinct word k-grams never seen in history. The sub-document
+    freshness gate incremental ingestion needs between X2's doc-grain
+    verdict and X32's span extraction: a "new" page whose novelty is
+    near zero is recombined old content (syndication remix, template
+    re-render) even when no single historical document matches it —
+    and a crawl batch whose aggregate novelty collapses has stopped
+    discovering content, whatever its URL count says.
+
+    Grams hash to 48-bit md5 prefixes (`md5_hash48` — collision odds
+    ~n²/2^49: at 10^9 distinct grams a ~0.2% rate that BIASES novelty
+    down uniformly; documented, acceptable for a rate gate; widen to
+    the full digest if an exact ledger is needed). History collapses
+    to DISTINCT gram hashes once
+    (the reusable index — X158's discipline applies for maintaining
+    it incrementally); the probe is one hash equi-join carrying
+    (gram48, doc_id) — text never shuffles — and one doc-keyed
+    partial agg."""
+    from docling_serve_spark.operators.sampling import md5_hash48
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(raw_shingles(F.col(text_col), k=k))
+            ).alias("__g"),
+        ).select("__id", md5_hash48(F.col("__g")).alias("__h"))
+
+    hist = grams(history).select("__h").distinct() \
+        .withColumn("__seen", F.lit(True))
+    probe = grams(new).join(hist, "__h", "left")
+    return (
+        probe.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.col("__seen").isNull().cast("bigint")).cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col, "n_grams", "n_novel",
+            F.expr("(10000 * n_novel) div greatest(n_grams, 1)")
+            .cast("bigint").alias("novelty_bp"),
+        )
+    )

@@ -6438,6 +6438,61 @@ _TAXONOMY_RULES = (
 )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183 — per-doc 3-gram novelty of a new crawl batch against the
+    corpus as history: even-id pages are verbatim recrawls (novelty
+    0), odd-id pages are fresh text (novelty 10000)."""
+    from docling_serve_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+            F.concat(F.lit("entirely fresh reporting item number "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" with unprecedented vocabulary"))
+        ).alias("text"),
+    )
+    return ngram_novelty(new, docs)
+
+
+def _novelty_grams(src: str, p: str) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    return (
+        f"{p}d AS (SELECT doc_id, {norm} AS t FROM {src}), "
+        f"{p}tok AS (SELECT doc_id, string_split(t, ' ') AS toks "
+        f"FROM {p}d), "
+        f"{p}g AS (SELECT doc_id, "
+        "('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM ("
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(len(toks) - 2, 1)), "
+        f"i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS g "
+        f"FROM {p}tok))"
+    )
+
+
+ORACLE_NGRAM_NOVELTY = (
+    "WITH "
+    + _novelty_grams("documents", "h")
+    + ", "
+    + _novelty_grams(
+        f"(SELECT doc_id + {_DUP_SHIFT} AS doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN text ELSE "
+        "'entirely fresh reporting item number ' || "
+        "CAST(doc_id AS VARCHAR) || ' with unprecedented vocabulary' "
+        "END AS text FROM documents) u",
+        "n",
+    )
+    + ", hist AS (SELECT DISTINCT h FROM hg) "
+    "SELECT ng.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+    "CAST(sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_novel, "
+    "CAST((10000 * sum(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END)) // "
+    "greatest(count(*), 1) AS BIGINT) AS novelty_bp "
+    "FROM ng LEFT JOIN hist ON ng.h = hist.h GROUP BY 1"
+)
+
+
 def q_markdown_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X182 — structure profile over a synthesized markdown channel:
     every doc gets an H1 + H2 + prose; id%3==0 adds two list items,
@@ -10225,6 +10280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_categories": q_host_categories,
     "sentence_uniformity": q_sentence_uniformity,
     "markdown_structure": q_markdown_structure,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 ORACLES: dict[str, str] = {
@@ -10442,4 +10498,5 @@ ORACLES: dict[str, str] = {
     "host_categories": ORACLE_HOST_CATEGORIES,
     "sentence_uniformity": ORACLE_SENTENCE_UNIFORMITY,
     "markdown_structure": ORACLE_MARKDOWN_STRUCTURE,
+    "ngram_novelty": ORACLE_NGRAM_NOVELTY,
 }

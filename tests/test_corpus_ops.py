@@ -4395,3 +4395,20 @@ def test_markdown_structure_profile(spark):
            markdown_structure(docs).collect()}
     assert got[1] == (2, 2, 2, 2, 2, 8888)
     assert got[2] == (0, 0, 0, 0, 0, 0)
+
+
+def test_ngram_novelty_shares(spark):
+    """X183: history = 'a b c d' (grams: abc, bcd). New doc 1 repeats
+    it plus one new tail gram -> 2/3 seen, novelty 3333; doc 2 is
+    fully novel (10000); doc 3 verbatim old (0)."""
+    from docling_serve_spark.operators.dedup import ngram_novelty
+
+    hist = spark.createDataFrame([(100, "a b c d")],
+                                 "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w"), (3, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_bp"])
+           for r in ngram_novelty(new, hist).collect()}
+    assert got == {1: (3, 1, 3333), 2: (2, 2, 10000), 3: (2, 0, 0)}
