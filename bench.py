@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "sentence_uniformity",
     "markdown_structure",
     "ngram_novelty",
+    "title_body_overlap",
     "ann_bruteforce",
     "ann_lsh",
     "ann_lsh_multiprobe",

@@ -828,3 +828,52 @@ def license_signal_stats(pages: DataFrame, url_col: str = "url",
         )
         .orderBy("host")
     )
+
+
+def title_body_overlap(pages: DataFrame, title_col: str = "title",
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       min_title_words: int = 3,
+                       clickbait_cut_bp: int = 3000) -> DataFrame:
+    """(doc_id, n_title_words, n_found, overlap_bp, is_inconsistent) —
+    title/body consistency: the share of a page's content title words
+    (≥3 chars, lowercased) that actually occur in its body text. A
+    title that barely intersects its own body is the classic
+    SEO-bait / aggregator-stub signature — and, equally important
+    here, a MISEXTRACTION tell: when the boilerplate stripper keeps
+    chrome and drops the article, the real title stops matching what
+    survived (pair with X132's yield audit when a host flags). Quality
+    stacks since C4 keep title-consistency among their heuristics;
+    this is the integer-exact form.
+
+    Pure per-row set arithmetic in the JVM (split, filter,
+    array_intersect on deduplicated word sets) — zero shuffles, no
+    Python. The flag requires ≥ ``min_title_words`` content words so
+    one-word titles cannot flag."""
+    t_words = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(title_col)), r"[^a-z0-9]+"),
+            lambda w: F.length(w) >= 3,
+        )
+    )
+    b_words = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda w: F.length(w) >= 3,
+        )
+    )
+    base = pages.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(t_words).cast("bigint").alias("n_title_words"),
+        F.size(F.array_intersect(t_words, b_words)).cast("bigint")
+        .alias("n_found"),
+    )
+    overlap = F.expr("(10000 * n_found) div greatest(n_title_words, 1)")
+    return base.select(
+        "doc_id", "n_title_words", "n_found",
+        overlap.cast("bigint").alias("overlap_bp"),
+        (
+            (F.col("n_title_words") >= min_title_words)
+            & (overlap < clickbait_cut_bp)
+        ).alias("is_inconsistent"),
+    )

@@ -6438,6 +6438,45 @@ _TAXONOMY_RULES = (
 )
 
 
+def q_title_body_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 — title/body consistency: id%4==0 pages get an unrelated
+    clickbait title (flagged), the rest title themselves with their
+    own first five words (consistent)."""
+    from docling_serve_spark.operators.pagemeta import title_body_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    title = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("shocking unbelievable secrets revealed exclusively"),
+    ).otherwise(
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " ")
+    )
+    return title_body_overlap(
+        docs.select("doc_id", title.alias("title"), "text")
+    )
+
+
+ORACLE_TITLE_BODY_OVERLAP = (
+    "WITH p AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "'shocking unbelievable secrets revealed exclusively' ELSE "
+    "array_to_string(list_slice(regexp_split_to_array(trim(text), "
+    "'\\s+'), 1, 5), ' ') END AS title, text FROM documents), "
+    "w AS (SELECT doc_id, "
+    "list_distinct(list_filter(string_split_regex(lower(title), "
+    "'[^a-z0-9]+'), x -> length(x) >= 3)) AS tw, "
+    "list_distinct(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> length(x) >= 3)) AS bw FROM p), "
+    "a AS (SELECT doc_id, CAST(len(tw) AS BIGINT) AS n_title_words, "
+    "CAST(len(list_intersect(tw, bw)) AS BIGINT) AS n_found FROM w) "
+    "SELECT doc_id, n_title_words, n_found, "
+    "CAST((10000 * n_found) // greatest(n_title_words, 1) AS BIGINT) "
+    "AS overlap_bp, "
+    "(n_title_words >= 3 AND (10000 * n_found) // "
+    "greatest(n_title_words, 1) < 3000) AS is_inconsistent "
+    "FROM a"
+)
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X183 — per-doc 3-gram novelty of a new crawl batch against the
     corpus as history: even-id pages are verbatim recrawls (novelty
@@ -10281,6 +10320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentence_uniformity": q_sentence_uniformity,
     "markdown_structure": q_markdown_structure,
     "ngram_novelty": q_ngram_novelty,
+    "title_body_overlap": q_title_body_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -10499,4 +10539,5 @@ ORACLES: dict[str, str] = {
     "sentence_uniformity": ORACLE_SENTENCE_UNIFORMITY,
     "markdown_structure": ORACLE_MARKDOWN_STRUCTURE,
     "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+    "title_body_overlap": ORACLE_TITLE_BODY_OVERLAP,
 }

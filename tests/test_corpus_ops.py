@@ -4412,3 +4412,25 @@ def test_ngram_novelty_shares(spark):
     got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_bp"])
            for r in ngram_novelty(new, hist).collect()}
     assert got == {1: (3, 1, 3333), 2: (2, 2, 10000), 3: (2, 0, 0)}
+
+
+def test_title_body_overlap_flags(spark):
+    """X184: matching title (3/3 words found) passes; a clickbait
+    title sharing only 1 of 7 content words flags; a 2-word title
+    never flags regardless of overlap."""
+    from docling_serve_spark.operators.pagemeta import title_body_overlap
+
+    pages = spark.createDataFrame(
+        [(1, "Solar panel installation", "guide to solar panel "
+          "installation costs and permits"),
+         (2, "You wont believe these shocking panel secrets",
+          "boring panel specification datasheet table"),
+         (3, "The cat", "dog stories only")],
+        "doc_id bigint, title string, text string",
+    )
+    got = {r["doc_id"]: (r["n_title_words"], r["n_found"],
+                         r["overlap_bp"], r["is_inconsistent"])
+           for r in title_body_overlap(pages).collect()}
+    assert got[1] == (3, 3, 10000, False)
+    assert got[2] == (7, 1, 1428, True)
+    assert got[3] == (2, 0, 0, False)
