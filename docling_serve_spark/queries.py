@@ -10103,10 +10103,109 @@ def _oracle_pipeline_pdf_modes() -> str:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Insertion order is the driver's correctness-sampling order (the
-    # per-round gate checks a prefix of this dict). The first 50 entries
-    # are exactly the queries with no official green driver row: the 43
-    # never-sampled from rounds 1-3, the new round-4 operators, and the
-    # three r1 oracle-shape failures fixed in r2 but never re-sampled.
+    # per-round gate checks a prefix of this dict). Round-5 rotation:
+    # the 98 queries with no official green driver row (X81-X184,
+    # hits_scores .. title_body_overlap) lead, so the round-5 window
+    # converts local-oracle-parity rows into official CORRECTNESS rows;
+    # the 116 already-green queries follow in their prior order.
+    "hits_scores": q_hits_scores,
+    "cocitation_similar": q_cocitation,
+    "ann_pq": q_ann_pq,
+    "phrase_search": q_phrase_search,
+    "triangle_stats": q_triangle_stats,
+    "bloom_seen_urls": q_bloom_seen,
+    "cms_token_freq": q_cms_token_freq,
+    "seed_distance": q_seed_distance,
+    "recrawl_priority": q_recrawl_priority,
+    "length_outliers": q_length_outliers,
+    "degree_distribution": q_degree_distribution,
+    "dedup_precision": q_dedup_precision,
+    "host_churn": q_host_churn,
+    "politeness_audit": q_politeness_audit,
+    "sitemap_coverage": q_sitemap_coverage,
+    "url_param_stats": q_url_param_stats,
+    "source_overlap": q_source_overlap,
+    "split_leakage": q_split_leakage,
+    "containment_pairs": q_containment_pairs,
+    "dedup_cascade": q_dedup_cascade,
+    "decontam_fuzzy": q_decontam_fuzzy,
+    "token_fertility": q_token_fertility,
+    "batch_drift": q_batch_drift,
+    "dust_rules": q_dust_rules,
+    "canonical_trust": q_canonical_trust,
+    "host_dup_stats": q_host_dup_stats,
+    "sampling_temperature": q_sampling_temperature,
+    "hreflang_reciprocity": q_hreflang_reciprocity,
+    "sitemap_staleness": q_sitemap_staleness,
+    "lang_quality_cut": q_lang_quality_cut,
+    "entity_residue": q_entity_residue,
+    "schedule_audit": q_schedule_audit,
+    "media_phash_neardup": q_media_phash_neardup,
+    "component_split": q_component_split,
+    "embedding_drift": q_embedding_drift,
+    "mixed_script_stats": q_mixed_script,
+    "label_separation": q_label_separation,
+    "url_date_profile": q_url_date_profile,
+    "label_dispersion": q_label_dispersion,
+    "stopword_discovery": q_stopword_discovery,
+    "anchor_spam": q_anchor_spam,
+    "packing_audit": q_packing_audit,
+    "structured_data": q_structured_data,
+    "invisible_chars": q_invisible_chars,
+    "filter_agreement": q_filter_agreement,
+    "link_rot": q_link_rot,
+    "semantic_dedup": q_semantic_dedup,
+    "bpe_pairs": q_bpe_pairs,
+    "host_quality_prior": q_host_quality_prior,
+    "extraction_yield": q_extraction_yield,
+    "vocab_coverage": q_vocab_coverage,
+    "render_required": q_render_required,
+    "delta_chains": q_delta_chains,
+    "cdc_dedup": q_cdc_dedup,
+    "readability": q_readability,
+    "table_mining": q_table_mining,
+    "bitext_url_pairs": q_bitext_url_pairs,
+    "crawl_budget": q_crawl_budget,
+    "soft404": q_soft404,
+    "consent_leakage": q_consent_leakage,
+    "paywalls": q_paywalls,
+    "amp_variants": q_amp_variants,
+    "canary_scan": q_canary_scan,
+    "crawl_growth": q_crawl_growth,
+    "bad_neighborhood": q_bad_neighborhood,
+    "quality_ensemble": q_quality_ensemble,
+    "code_switch": q_code_switch,
+    "copy_direction": q_copy_direction,
+    "charset_decls": q_charset_decls,
+    "mixture_ess": q_mixture_ess,
+    "length_quantiles": q_length_quantiles,
+    "license_signals": q_license_signals,
+    "index_delta_merge": q_index_delta_merge,
+    "curriculum_schedule": q_curriculum_schedule,
+    "balanced_trainset": q_balanced_trainset,
+    "nb_classifier": q_nb_classifier,
+    "epoch_allocation": q_epoch_allocation,
+    "calibration_bins": q_calibration_bins,
+    "host_lang_entropy": q_host_lang_entropy,
+    "ai_optout": q_ai_optout,
+    "interleave_audit": q_interleave_audit,
+    "dedup_scope": q_dedup_scope,
+    "optout_impact": q_optout_impact,
+    "bin_provenance": q_bin_provenance,
+    "extract_diff": q_extract_diff,
+    "zipf_fit": q_zipf_fit,
+    "heaps_fit": q_heaps_fit,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "compaction_plan": q_compaction_plan,
+    "stratified_holdout": q_stratified_holdout,
+    "oov_rate": q_oov_rate,
+    "quality_trend": q_quality_trend,
+    "long_context_supply": q_long_context_supply,
+    "host_categories": q_host_categories,
+    "sentence_uniformity": q_sentence_uniformity,
+    "markdown_structure": q_markdown_structure,
+    "ngram_novelty": q_ngram_novelty,
+    "title_body_overlap": q_title_body_overlap,
     "revisit_stats": q_revisit_stats,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
@@ -10223,104 +10322,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
-    "hits_scores": q_hits_scores,
-    "cocitation_similar": q_cocitation,
-    "ann_pq": q_ann_pq,
-    "phrase_search": q_phrase_search,
-    "triangle_stats": q_triangle_stats,
-    "bloom_seen_urls": q_bloom_seen,
-    "cms_token_freq": q_cms_token_freq,
-    "seed_distance": q_seed_distance,
-    "recrawl_priority": q_recrawl_priority,
-    "length_outliers": q_length_outliers,
-    "degree_distribution": q_degree_distribution,
-    "dedup_precision": q_dedup_precision,
-    "host_churn": q_host_churn,
-    "politeness_audit": q_politeness_audit,
-    "sitemap_coverage": q_sitemap_coverage,
-    "url_param_stats": q_url_param_stats,
-    "source_overlap": q_source_overlap,
-    "split_leakage": q_split_leakage,
-    "containment_pairs": q_containment_pairs,
-    "dedup_cascade": q_dedup_cascade,
-    "decontam_fuzzy": q_decontam_fuzzy,
-    "token_fertility": q_token_fertility,
-    "batch_drift": q_batch_drift,
-    "dust_rules": q_dust_rules,
-    "canonical_trust": q_canonical_trust,
-    "host_dup_stats": q_host_dup_stats,
-    "sampling_temperature": q_sampling_temperature,
-    "hreflang_reciprocity": q_hreflang_reciprocity,
-    "sitemap_staleness": q_sitemap_staleness,
-    "lang_quality_cut": q_lang_quality_cut,
-    "entity_residue": q_entity_residue,
-    "schedule_audit": q_schedule_audit,
-    "media_phash_neardup": q_media_phash_neardup,
-    "component_split": q_component_split,
-    "embedding_drift": q_embedding_drift,
-    "mixed_script_stats": q_mixed_script,
-    "label_separation": q_label_separation,
-    "url_date_profile": q_url_date_profile,
-    "label_dispersion": q_label_dispersion,
-    "stopword_discovery": q_stopword_discovery,
-    "anchor_spam": q_anchor_spam,
-    "packing_audit": q_packing_audit,
-    "structured_data": q_structured_data,
-    "invisible_chars": q_invisible_chars,
-    "filter_agreement": q_filter_agreement,
-    "link_rot": q_link_rot,
-    "semantic_dedup": q_semantic_dedup,
-    "bpe_pairs": q_bpe_pairs,
-    "host_quality_prior": q_host_quality_prior,
-    "extraction_yield": q_extraction_yield,
-    "vocab_coverage": q_vocab_coverage,
-    "render_required": q_render_required,
-    "delta_chains": q_delta_chains,
-    "cdc_dedup": q_cdc_dedup,
-    "readability": q_readability,
-    "table_mining": q_table_mining,
-    "bitext_url_pairs": q_bitext_url_pairs,
-    "crawl_budget": q_crawl_budget,
-    "soft404": q_soft404,
-    "consent_leakage": q_consent_leakage,
-    "paywalls": q_paywalls,
-    "amp_variants": q_amp_variants,
-    "canary_scan": q_canary_scan,
-    "crawl_growth": q_crawl_growth,
-    "bad_neighborhood": q_bad_neighborhood,
-    "quality_ensemble": q_quality_ensemble,
-    "code_switch": q_code_switch,
-    "copy_direction": q_copy_direction,
-    "charset_decls": q_charset_decls,
-    "mixture_ess": q_mixture_ess,
-    "length_quantiles": q_length_quantiles,
-    "license_signals": q_license_signals,
-    "index_delta_merge": q_index_delta_merge,
-    "curriculum_schedule": q_curriculum_schedule,
-    "balanced_trainset": q_balanced_trainset,
-    "nb_classifier": q_nb_classifier,
-    "epoch_allocation": q_epoch_allocation,
-    "calibration_bins": q_calibration_bins,
-    "host_lang_entropy": q_host_lang_entropy,
-    "ai_optout": q_ai_optout,
-    "interleave_audit": q_interleave_audit,
-    "dedup_scope": q_dedup_scope,
-    "optout_impact": q_optout_impact,
-    "bin_provenance": q_bin_provenance,
-    "extract_diff": q_extract_diff,
-    "zipf_fit": q_zipf_fit,
-    "heaps_fit": q_heaps_fit,
-    "dedup_threshold_sweep": q_dedup_threshold_sweep,
-    "compaction_plan": q_compaction_plan,
-    "stratified_holdout": q_stratified_holdout,
-    "oov_rate": q_oov_rate,
-    "quality_trend": q_quality_trend,
-    "long_context_supply": q_long_context_supply,
-    "host_categories": q_host_categories,
-    "sentence_uniformity": q_sentence_uniformity,
-    "markdown_structure": q_markdown_structure,
-    "ngram_novelty": q_ngram_novelty,
-    "title_body_overlap": q_title_body_overlap,
 }
 
 ORACLES: dict[str, str] = {
