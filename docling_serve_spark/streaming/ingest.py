@@ -381,10 +381,13 @@ def delta_chain_stream(captures: DataFrame,
 
         last = state.get[0] if state.exists else None
         frames = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("ts", kind="stable")
+        # Accumulate all Arrow chunks and sort ONCE: a group larger
+        # than arrow.maxRecordsPerBatch arrives as several chunks, and
+        # classifying per-chunk with carried state would walk the
+        # chain out of global ts order (diverging from the batch twin).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in ([pd.concat(chunks).sort_values("ts", kind="stable")]
+                    if chunks else []):
             cls = []
             for sim in pdf["simhash"]:
                 sim = int(sim)
@@ -439,11 +442,14 @@ def politeness_stream(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
         import pandas as pd
 
         last = state.get[0] if state.exists else None
-        frames = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("ts", kind="stable")
+        # A micro-batch group may arrive as multiple Arrow chunks
+        # (> arrow.maxRecordsPerBatch rows); the admit fold must see
+        # the whole group in global ts order, so accumulate first,
+        # concat, and sort ONCE — per-chunk sorting with carried state
+        # would admit out of order and diverge from the batch twin.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="stable")
             allowed = []
             for ts in pdf["ts"]:
                 ts = int(ts)
@@ -453,11 +459,11 @@ def politeness_stream(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
                 allowed.append(ok)
             out = pdf[["host", "url", "ts"]].copy()
             out["allowed"] = allowed
-            frames.append(out)
-        if last is not None:
+            if last is not None:
+                state.update((int(last),))
+            yield out
+        elif last is not None:
             state.update((int(last),))
-        if frames:
-            yield pd.concat(frames)
 
     return fetches.groupBy("host").applyInPandasWithState(
         fn,

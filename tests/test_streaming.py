@@ -491,3 +491,87 @@ def test_politeness_stream_state_and_batch_identity(spark, tmp_path):
         assert batch == streamed
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_politeness_stream_multichunk_group(spark, tmp_path):
+    """A host whose micro-batch rows span MULTIPLE Arrow chunks
+    (arrow.maxRecordsPerBatch below group size) must still fold in
+    global ts order: rows land on disk ts-descending, so any per-chunk
+    processing with carried state admits out of order and diverges
+    from the batch twin."""
+    from docling_serve_spark.operators.frontier import politeness_gate
+    from docling_serve_spark.streaming.ingest import politeness_stream
+
+    landing = str(tmp_path / "fetches")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "host string, url string, ts bigint"
+    # 12 rows for one host, written ts-DESCENDING in one file; expected
+    # admissions at 0, 1000, 2000, ... (delay_ms=1000 over ts=0..5500
+    # step 500).
+    rows = [("h1", f"u{ts}", ts) for ts in range(5500, -1, -500)]
+
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = politeness_stream(q).writeStream.format("parquet") \
+            .option("path", out).option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+        streamed = {r["url"]: r["allowed"]
+                    for r in spark.read.parquet(out).collect()}
+        assert streamed == {f"u{ts}": ts % 1000 == 0
+                            for ts in range(0, 5501, 500)}
+        batch = {r["url"]: r["allowed"]
+                 for r in politeness_gate(
+                     spark.createDataFrame(rows, schema)).collect()}
+        assert batch == streamed
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
+
+
+def test_delta_chain_stream_multichunk_group(spark, tmp_path):
+    """Same multi-chunk guarantee for the capture delta-chain: with
+    3-row Arrow chunks and a ts-descending landing file, the chain
+    must still classify in global ts order (alternating simhashes one
+    bit apart -> novel then all delta)."""
+    from docling_serve_spark.streaming.ingest import delta_chain_stream
+
+    landing = str(tmp_path / "caps")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "url string, ts bigint, simhash bigint"
+    # simhash alternates between 0b0 and 0b1 (hamming distance 1 <= 3
+    # -> delta); processed out of order the first-seen row would not
+    # be ts=0 and 'novel' would land elsewhere.
+    rows = [("u", ts, (ts // 100) % 2) for ts in range(900, -1, -100)]
+
+    prev_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_arrow = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = delta_chain_stream(q).writeStream.format("parquet") \
+            .option("path", out).option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+        got = {r["ts"]: r["cls"]
+               for r in spark.read.parquet(out).collect()}
+        assert got == {0: "novel",
+                       **{ts: "delta" for ts in range(100, 901, 100)}}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
