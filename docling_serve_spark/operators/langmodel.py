@@ -301,6 +301,26 @@ def _hashed_unigrams(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+#: the doc_feats table the last nb_quality_score call persisted. A
+#: long-lived driver scoring many corpora would otherwise accumulate
+#: one cached doc×bucket table per call — evict the previous one
+#: before persisting the next, so at most ONE copy is ever cached.
+#: Unpersisting only drops the cache (any still-pending consumer of
+#: the older DataFrame recomputes, never miscomputes).
+_LAST_DOC_FEATS: DataFrame | None = None
+
+
+def _cycle_doc_feats_cache(df: DataFrame) -> DataFrame:
+    global _LAST_DOC_FEATS
+    if _LAST_DOC_FEATS is not None:
+        try:
+            _LAST_DOC_FEATS.unpersist()
+        except Exception:
+            pass  # session of the old handle may already be stopped
+    _LAST_DOC_FEATS = df.persist()
+    return _LAST_DOC_FEATS
+
+
 def nb_quality_score(docs: DataFrame, labels: DataFrame,
                      text_col: str = "text",
                      id_col: str = "doc_id",
@@ -346,11 +366,10 @@ def nb_quality_score(docs: DataFrame, labels: DataFrame,
     # spill-tolerant) rather than localCheckpoint, whose eager full
     # write of the doc×bucket table thrashes once the corpus is large;
     # at 10^12 docs this table is what you would materialize anyway
-    doc_feats = (
+    doc_feats = _cycle_doc_feats_cache(
         _hashed_unigrams(docs, text_col, id_col, n_buckets)
         .groupBy("__id", "bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
-        .persist()
     )
     train = doc_feats.join(lab, "__id")
     bucket_counts = train.groupBy("bucket").agg(
