@@ -138,6 +138,7 @@ def merge_postings(
     delta_postings: DataFrame,
     delta_doclens: DataFrame,
     deleted_ids: DataFrame | None = None,
+    changed_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Upsert a re-extraction delta into a prebuilt index (the
     incremental-maintenance half of `jobs/index.py`: at 10^12 docs an
@@ -152,8 +153,18 @@ def merge_postings(
     doc_id (the delta's id set is crawl-delta-sized, so AQE broadcasts
     it) + a union — no postings text, no full-index shuffle; the
     term-partitioned layout is restored at write time by the caller's
-    ``repartition(term)``, touching only files whose terms changed."""
-    changed = delta_doclens.select("doc_id")
+    ``repartition(term)``, touching only files whose terms changed.
+
+    ``changed_ids``: the delta's RAW doc-id set. Pass it whenever the
+    delta can contain docs whose re-extracted text tokenizes to
+    NOTHING (NULL/empty text — a page that failed extraction this
+    crawl): such docs have no delta_doclens row, so inferring the
+    changed set from delta_doclens would silently leave their stale
+    base postings and doc-length in place, violating
+    replace-wholesale. When omitted, falls back to delta_doclens'
+    ids (sufficient only if every delta doc tokenizes)."""
+    changed = (changed_ids if changed_ids is not None
+               else delta_doclens).select("doc_id")
     if deleted_ids is not None:
         changed = changed.unionByName(
             deleted_ids.select("doc_id")

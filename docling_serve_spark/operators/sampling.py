@@ -544,6 +544,10 @@ def curriculum_schedule(docs: DataFrame,
     exceeds a partition budget)."""
     from docling_serve_spark.operators.textstats import token_count
 
+    if sum(phase_bp) != 10000:
+        raise ValueError(
+            f"phase_bp must sum to 10000 basis points, got {sum(phase_bp)}"
+        )
     base = docs.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.col(score_col).cast("bigint").alias("score"),
@@ -580,7 +584,11 @@ def curriculum_schedule(docs: DataFrame,
     straddles = None
     end_phase = F.lit(1)
     for b in bounds:
-        inside = (F.col("cum_start") < b) & (b < F.col("cum_end"))
+        # cum_start == b COUNTS as straddling: a zero-token doc ordered
+        # first in that bucket has per-doc cum == b and the inclusive
+        # rule (phase k while cum <= b_k) puts it in the EARLIER phase —
+        # wholesale assignment to the bucket-end phase would misplace it
+        inside = (F.col("cum_start") <= b) & (b < F.col("cum_end"))
         straddles = inside if straddles is None else (straddles | inside)
         end_phase = end_phase + (F.col("cum_end") > b).cast("int")
     buckets = buckets.select(

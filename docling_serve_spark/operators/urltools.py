@@ -1113,7 +1113,12 @@ def ai_optout(robots: DataFrame, agents: tuple[str, ...] = AI_AGENTS,
         F.trim(F.regexp_replace(F.col("__raw"), "#.*$", "")).alias("line"),
     )
     w_seq = Window.partitionBy("host").orderBy("pos")
-    marked = lines.select(
+    # blank lines are group-INTERNAL per RFC 9309's ABNF (emptyline may
+    # sit between startgrouplines of one group — real files blank-
+    # separate stacked UA lines); drop them BEFORE the lag so the
+    # group-start flag reads the last non-empty line, and a blank line
+    # neither starts nor splits a group
+    marked = lines.filter(F.col("line") != "").select(
         "host", "pos", "line",
         F.col("line").rlike("^user-agent:").alias("is_ua"),
     ).withColumn(

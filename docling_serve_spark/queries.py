@@ -2636,41 +2636,46 @@ ORACLE_FRONTIER_SELECT = (
 def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-metadata extraction (X44): title/description/canonical/
     noindex/h1-count from raw page bytes, pure codegen — pages
-    synthesized so both attribute orders, double- AND single-quoted
-    attribute values, the missing-field empties, the case-folded
-    noindex, and 0-3 h1 tags all occur."""
+    synthesized so both attribute orders, double-, single- AND
+    un-quoted attribute values, the missing-field empties, the
+    case-folded noindex, and 0-3 h1 tags all occur."""
     from docling_serve_spark.operators.pagemeta import extract_page_meta
 
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("string")
     desc = (
         F.when(
-            F.col("doc_id") % 4 == 0,
+            F.col("doc_id") % 5 == 0,
             F.concat(F.lit('<meta name="description" content="Desc  for '),
                      i, F.lit('">')),
         )
         .when(
-            F.col("doc_id") % 4 == 1,
+            F.col("doc_id") % 5 == 1,
             F.concat(F.lit('<meta content="rev desc '), i,
                      F.lit('" name="description">')),
         )
         .when(
-            F.col("doc_id") % 4 == 2,
+            F.col("doc_id") % 5 == 2,
             F.concat(F.lit("<meta name='description' content='sq desc "),
                      i, F.lit("'>")),
         )
-        .otherwise(
+        .when(
+            F.col("doc_id") % 5 == 3,
             F.concat(F.lit("<meta content='sq rev "), i,
                      F.lit("' name='description'>"))
+        )
+        .otherwise(  # unquoted key AND value (HTML5-legal, crawls have it)
+            F.concat(F.lit("<meta name=description content=uq_desc_"), i,
+                     F.lit(">"))
         )
     )
     canonical = (
         F.when(F.col("doc_id") % 3 == 0,
                F.concat(F.lit('<link href="https://canon.site/p'), i,
                         F.lit('" rel="canonical">')))
-        .when(F.col("doc_id") % 3 == 1,
-              F.concat(F.lit('<link rel="canonical" href="https://canon.site/q'),
-                       i, F.lit('">')))
+        .when(F.col("doc_id") % 3 == 1,  # unquoted rel + href
+              F.concat(F.lit("<link rel=canonical href=https://canon.site/q"),
+                       i, F.lit(">")))
         .otherwise(F.lit(""))
     )
     robots = (
@@ -2680,8 +2685,8 @@ def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.lit('<meta content="INDEX, NOFOLLOW" name="robots">'))
         .when(F.col("doc_id") % 5 == 2,
               F.lit('<meta content="nofollow,NOINDEX" name="robots">'))
-        .when(F.col("doc_id") % 5 == 3,
-              F.lit("<meta name='robots' content='NOINDEX'>"))
+        .when(F.col("doc_id") % 5 == 3,  # unquoted opt-out must match
+              F.lit("<meta name=robots content=NOINDEX>"))
         .otherwise(F.lit(""))
     )
     html = F.concat(
@@ -2701,13 +2706,15 @@ def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _attr_pair_sql(tag: str, key_attr: str, key_val: str,
                    val_attr: str) -> str:
-    """DuckDB twin of ``pagemeta._attr_pair``: the same four patterns
-    in the same priority (double-quoted first, both attribute
-    orders), as a COALESCE(NULLIF(...)) chain."""
+    """DuckDB twin of ``pagemeta._attr_pair``: the same six patterns
+    in the same priority (double-quoted, single-quoted, then unquoted;
+    both attribute orders each), as a COALESCE(NULLIF(...)) chain."""
+    key = f'{key_attr}=["\']?{key_val}["\'\\s/>]'
     pats = []
-    for q in ('"', "'"):
-        key = f'{key_attr}=["\']{key_val}["\']'
-        val = f"{val_attr}={q}([^{q}]*){q}"
+    vals = [f'{val_attr}="([^"]*)"',
+            f"{val_attr}='([^']*)'",
+            val_attr + "=([^\"'\\s>][^\\s>]*)"]
+    for val in vals:
         pats.append(f"(?is)<{tag}[^>]*{key}[^>]*{val}")
         pats.append(f"(?is)<{tag}[^>]*{val}[^>]*{key}")
     parts = ", ".join(
@@ -2723,21 +2730,24 @@ ORACLE_PAGE_META = (
     "CAST(doc_id AS VARCHAR) AS url, "
     "'<html><head><TITLE> Page  ' || CAST(doc_id AS VARCHAR) || ' title "
     "</TITLE>' || "
-    "CASE WHEN doc_id % 4 = 0 THEN "
+    "CASE WHEN doc_id % 5 = 0 THEN "
     "'<meta name=\"description\" content=\"Desc  for ' || "
     "CAST(doc_id AS VARCHAR) || '\">' "
-    "WHEN doc_id % 4 = 1 THEN "
+    "WHEN doc_id % 5 = 1 THEN "
     "'<meta content=\"rev desc ' || CAST(doc_id AS VARCHAR) || "
     "'\" name=\"description\">' "
-    "WHEN doc_id % 4 = 2 THEN "
+    "WHEN doc_id % 5 = 2 THEN "
     "'<meta name=''description'' content=''sq desc ' || "
     "CAST(doc_id AS VARCHAR) || '''>' "
-    "ELSE '<meta content=''sq rev ' || CAST(doc_id AS VARCHAR) || "
-    "''' name=''description''>' END || "
+    "WHEN doc_id % 5 = 3 THEN "
+    "'<meta content=''sq rev ' || CAST(doc_id AS VARCHAR) || "
+    "''' name=''description''>' "
+    "ELSE '<meta name=description content=uq_desc_' || "
+    "CAST(doc_id AS VARCHAR) || '>' END || "
     "CASE WHEN doc_id % 3 = 0 THEN '<link href=\"https://canon.site/p' || "
     "CAST(doc_id AS VARCHAR) || '\" rel=\"canonical\">' "
-    "WHEN doc_id % 3 = 1 THEN '<link rel=\"canonical\" "
-    "href=\"https://canon.site/q' || CAST(doc_id AS VARCHAR) || '\">' "
+    "WHEN doc_id % 3 = 1 THEN '<link rel=canonical "
+    "href=https://canon.site/q' || CAST(doc_id AS VARCHAR) || '>' "
     "ELSE '' END || "
     "CASE WHEN doc_id % 5 = 0 THEN "
     "'<meta name=\"robots\" content=\"noindex, nofollow\">' "
@@ -2746,7 +2756,7 @@ ORACLE_PAGE_META = (
     "WHEN doc_id % 5 = 2 THEN "
     "'<meta content=\"nofollow,NOINDEX\" name=\"robots\">' "
     "WHEN doc_id % 5 = 3 THEN "
-    "'<meta name=''robots'' content=''NOINDEX''>' ELSE '' END || "
+    "'<meta name=robots content=NOINDEX>' ELSE '' END || "
     "'</head><body>' || repeat('<h1>H</h1>', CAST(doc_id % 4 AS INT)) || "
     "'<p>body</p></body></html>' AS html FROM documents), "
     "x AS (SELECT url, "
@@ -6088,7 +6098,8 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_p, base_d = build_postings(docs)
     delta_p, delta_d = build_postings(delta)
     merged_p, merged_d = merge_postings(base_p, base_d, delta_p, delta_d,
-                                        deleted_ids=deleted)
+                                        deleted_ids=deleted,
+                                        changed_ids=delta.select("doc_id"))
     return bm25_from_index(merged_p, merged_d, _MERGE_TERMS, k=10)
 
 
@@ -6299,7 +6310,7 @@ ORACLE_HOST_LANG_ENTROPY = (
 _ROBOTS_BODIES = (
     "User-agent: *\nDisallow: /private\n\nUser-agent: GPTBot\nDisallow: /",
     "User-agent: *\nDisallow: /",
-    "User-agent: GPTBot\nUser-agent: CCBot\nDisallow: /\n\n"
+    "User-agent: GPTBot\n\nUser-agent: CCBot\nDisallow: /\n\n"
     "User-agent: *\nAllow: /",
     "User-agent: CCBot\nDisallow:",
     "# nothing here\nSitemap: https://e/x.xml",
@@ -6310,10 +6321,11 @@ _ROBOTS_BODIES = (
 
 def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X165 — AI-crawler opt-out audit: six synthesized robots.txt
-    bodies (one per doc_id%6 host) covering wildcard-only, stacked-UA,
-    specific-overrides-wildcard, empty-Disallow, comment-only, and
-    group-break-after-directive; probed for the six public AI agent
-    tokens."""
+    bodies (one per doc_id%6 host) covering wildcard-only, stacked-UA
+    (blank-separated — RFC 9309 lets emptyline sit between the UA
+    lines of one group), specific-overrides-wildcard, empty-Disallow,
+    comment-only, and group-break-after-directive; probed for the six
+    public AI agent tokens."""
     from docling_serve_spark.operators.urltools import ai_optout
 
     docs = _t(spark, sf_dir, "documents")
@@ -6337,7 +6349,7 @@ ORACLE_AI_OPTOUT = (
     "WHEN 0 THEN e'User-agent: *\\nDisallow: /private\\n\\n"
     "User-agent: GPTBot\\nDisallow: /' "
     "WHEN 1 THEN e'User-agent: *\\nDisallow: /' "
-    "WHEN 2 THEN e'User-agent: GPTBot\\nUser-agent: CCBot\\n"
+    "WHEN 2 THEN e'User-agent: GPTBot\\n\\nUser-agent: CCBot\\n"
     "Disallow: /\\n\\nUser-agent: *\\nAllow: /' "
     "WHEN 3 THEN e'User-agent: CCBot\\nDisallow:' "
     "WHEN 4 THEN e'# nothing here\\nSitemap: https://e/x.xml' "
@@ -6350,7 +6362,8 @@ ORACLE_AI_OPTOUT = (
     "lx AS (SELECT host, pos, "
     "trim(regexp_replace(ls[pos], '#.*$', '')) AS line FROM l), "
     "m0 AS (SELECT host, pos, line, "
-    "regexp_matches(line, '^user-agent:') AS is_ua FROM lx), "
+    "regexp_matches(line, '^user-agent:') AS is_ua FROM lx "
+    "WHERE line <> ''), "
     "m1 AS (SELECT *, is_ua AND NOT coalesce(lag(is_ua) OVER "
     "(PARTITION BY host ORDER BY pos), false) AS gstart FROM m0), "
     "m AS (SELECT *, SUM(CASE WHEN gstart THEN 1 ELSE 0 END) OVER "

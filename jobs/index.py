@@ -119,7 +119,11 @@ def main() -> None:
             if args.deleted else None
         )
         merged_p, merged_d = merge_postings(
-            base_p, base_d, delta_p, delta_d, deleted_ids=deleted
+            base_p, base_d, delta_p, delta_d, deleted_ids=deleted,
+            # the delta's RAW id set, not delta_d's: a delta row whose
+            # re-extracted text tokenizes to nothing has no doclens row
+            # but must still scrub its stale base entries
+            changed_ids=delta.select(F.col(args.id_col).alias("doc_id")),
         )
         write_index(merged_p, merged_d)
     else:

@@ -1135,6 +1135,35 @@ def test_extract_page_meta_orders_junk_and_empties(spark):
         assert r["n_h1"] == 0
 
 
+def test_extract_page_meta_unquoted_attribute_values(spark):
+    """HTML5-legal unquoted attribute values parse in both orders; an
+    unquoted value stops at whitespace/'>'; quoted values keep
+    priority (a double-quoted value with spaces is never re-captured
+    by the unquoted pattern); a noindex opt-out in unquoted form is
+    honored; 'description-like' keys do not false-match."""
+    from docling_serve_spark.operators.pagemeta import extract_page_meta
+
+    rows_in = [
+        ("u1", b"<head><meta name=description content=short-desc>"
+               b"<link rel=canonical href=https://c/unq>"
+               b"<meta name=robots content=NOINDEX></head>"),
+        ("u2", b"<head><meta content=rev-uq name=description></head>"),
+        ("u3", b'<head><meta name=description content="two words">'
+               b"</head>"),
+        ("u4", b"<head><meta name=description-x content=notme></head>"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows_in], "url string, html binary"
+    )
+    got = {r["url"]: r for r in extract_page_meta(pages).collect()}
+    assert got["u1"]["meta_description"] == "short-desc"
+    assert got["u1"]["canonical"] == "https://c/unq"
+    assert got["u1"]["noindex"] is True
+    assert got["u2"]["meta_description"] == "rev-uq"
+    assert got["u3"]["meta_description"] == "two words"
+    assert got["u4"]["meta_description"] == ""
+
+
 # ------------------------------------------------------------------ #
 # detect_url_templates
 # ------------------------------------------------------------------ #
@@ -3880,6 +3909,36 @@ def test_merge_postings_replace_delete_passthrough(spark):
     assert doclens == {1: 2, 2: 2, 4: 2}
 
 
+def test_merge_postings_null_text_delta_scrubs_base(spark):
+    """X158: a delta doc whose re-extraction produced NO tokens (NULL
+    text — the page failed extraction this crawl) has no delta_doclens
+    row, so the changed set must come from the delta's raw id set
+    (changed_ids); its stale base postings and doc-length must NOT
+    survive the merge."""
+    from docling_serve_spark.operators.retrieval import (
+        build_postings, merge_postings,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id bigint, text string"
+    )
+    delta = spark.createDataFrame(
+        [(1, None)], "doc_id bigint, text string"
+    )
+    bp, bd = build_postings(base)
+    dp, dd = build_postings(delta)
+    mp, md = merge_postings(bp, bd, dp, dd,
+                            changed_ids=delta.select("doc_id"))
+    assert {(r["term"], r["doc_id"]) for r in mp.collect()} == {
+        ("b", 2), ("c", 2)
+    }
+    assert {r["doc_id"]: r["dl"] for r in md.collect()} == {2: 2}
+    # without changed_ids the stale entries would survive — pin the
+    # documented fallback so the fixture proves the failure mode
+    mp0, md0 = merge_postings(bp, bd, dp, dd)
+    assert ("a", 1) in {(r["term"], r["doc_id"]) for r in mp0.collect()}
+
+
 def test_curriculum_schedule_straddle_split(spark):
     """X159 hand case: total 10 tokens, boundaries b1=5 b2=8. Score
     bucket 1 (cum 0->4) assigns wholesale to phase 1; bucket 2
@@ -3897,6 +3956,28 @@ def test_curriculum_schedule_straddle_split(spark):
                         r["score_min"], r["score_max"])
            for r in curriculum_schedule(docs).collect()}
     assert out == {1: (3, 5, 1, 2), 2: (2, 3, 2, 3), 3: (1, 2, 3, 3)}
+
+
+def test_curriculum_schedule_boundary_aligned_bucket(spark):
+    """X159: a bucket whose cum_start lands EXACTLY on a phase
+    boundary still straddles — a zero-token doc ordered first in it
+    has per-doc cum == b and the inclusive rule (phase k while
+    cum <= b_k) keeps it in the earlier phase. total=10, b=5; the
+    score-2 bucket spans 5->10, its empty doc 2 stays phase 1."""
+    import pytest
+
+    from docling_serve_spark.operators.sampling import curriculum_schedule
+
+    docs = spark.createDataFrame(
+        [(1, 1, "w w w w w"), (2, 2, ""), (3, 2, "w w w w w")],
+        "doc_id bigint, score bigint, text string",
+    )
+    out = {r["phase"]: (r["n_docs"], r["n_tokens"])
+           for r in curriculum_schedule(docs, phase_bp=(5000, 5000))
+           .collect()}
+    assert out == {1: (2, 5), 2: (1, 5)}
+    with pytest.raises(ValueError, match="10000"):
+        curriculum_schedule(docs, phase_bp=(5000, 3000))
 
 
 def test_balanced_trainset_minority_cap_and_boundary_bucket(spark):
@@ -4025,16 +4106,18 @@ def test_host_lang_entropy_hand_case(spark):
 
 
 def test_ai_optout_group_semantics(spark):
-    """X165: stacked UA lines share a group; a UA line after a
-    directive starts a new group; specific groups override '*';
-    empty Disallow allows; comment-only files match nothing."""
+    """X165: stacked UA lines share a group — even blank-separated
+    (RFC 9309 allows emptyline between startgrouplines, and real
+    files do it); a UA line after a directive starts a new group;
+    specific groups override '*'; empty Disallow allows; comment-only
+    files match nothing."""
     from docling_serve_spark.operators.urltools import ai_optout
 
     bodies = [
         ("h0", "User-agent: *\nDisallow: /private\n\n"
                "User-agent: GPTBot\nDisallow: /"),
         ("h1", "User-agent: *\nDisallow: /"),
-        ("h2", "User-agent: GPTBot\nUser-agent: CCBot\nDisallow: /\n\n"
+        ("h2", "User-agent: GPTBot\n\nUser-agent: CCBot\nDisallow: /\n\n"
                "User-agent: *\nAllow: /"),
         ("h3", "User-agent: CCBot\nDisallow:"),
         ("h4", "# nothing here\nSitemap: https://e/x.xml"),
