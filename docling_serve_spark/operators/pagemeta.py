@@ -43,15 +43,23 @@ def _first_nonempty(*cols: Column) -> Column:
 def _attr_pair(h: Column, tag: str, key_attr: str, key_val: str,
                val_attr: str) -> Column:
     """Extract ``val_attr``'s value from the ``tag`` element whose
-    ``key_attr`` equals ``key_val`` — both attribute orders, double-
-    OR single-quoted values (real HTML uses both; unquoted attribute
-    values remain a documented recall limit). Double-quoted patterns
-    take priority so a value containing an apostrophe is never
-    truncated at it."""
+    ``key_attr`` equals ``key_val`` — both attribute orders; double-
+    quoted, single-quoted, AND unquoted values (HTML5 allows all
+    three and real crawls carry all three; noindex under-matching
+    over-collects, so recall here is a compliance property). Priority:
+    double-quoted, then single-quoted, then unquoted — so a quoted
+    value containing an apostrophe or space is never truncated. The
+    key's own quotes are optional (``name=description`` matches),
+    terminated by quote/whitespace//>/ so ``description-x`` cannot
+    false-match; an unquoted value runs to the first whitespace or
+    '>' per the HTML5 tokenizer. Patterns stay RE2-compatible (no
+    lookahead) so the DuckDB oracle twin is byte-identical."""
+    key = f'{key_attr}=["\']?{key_val}["\'\\s/>]'
     pats = []
-    for q in ('"', "'"):
-        key = f'{key_attr}=["\']{key_val}["\']'
-        val = f"{val_attr}={q}([^{q}]*){q}"
+    vals = [f'{val_attr}="([^"]*)"',        # double-quoted first
+            f"{val_attr}='([^']*)'",        # then single-quoted
+            val_attr + "=([^\"'\\s>][^\\s>]*)"]  # then unquoted
+    for val in vals:
         pats.append(f"(?is)<{tag}[^>]*{key}[^>]*{val}")
         pats.append(f"(?is)<{tag}[^>]*{val}[^>]*{key}")
     return _first_nonempty(*[F.regexp_extract(h, p, 1) for p in pats])
@@ -64,9 +72,9 @@ def extract_page_meta(pages: DataFrame, url_col: str = "url",
     (never null, so downstream filters need no three-valued logic),
     ``noindex`` is a boolean, ``n_h1`` counts top-level heading tags
     (a weak page-structure quality signal). Attributes are matched in
-    either order and with double- or single-quoted values (noindex is
-    a publisher opt-out — under-matching it over-collects); unquoted
-    attribute values are a documented recall limit."""
+    either order and with double-quoted, single-quoted, or unquoted
+    values (noindex is a publisher opt-out — under-matching it
+    over-collects)."""
     h = F.col(html_col).cast("string")
     title = F.regexp_extract(h, "(?is)<title[^>]*>([^<]*)</title>", 1)
     desc = _attr_pair(h, "meta", "name", "description", "content")
