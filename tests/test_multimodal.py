@@ -19,9 +19,118 @@ def test_payload_deterministic():
     assert mm._payload(7, 64) != mm._payload(8, 64)
 
 
-def test_real_codec_is_stubbed():
+def test_real_codec_jpeg_still_stubbed():
+    # PNG/WAV decode for real now; formats needing PIL/pyav still raise
     with pytest.raises(NotImplementedError):
-        mm._decode_real(b"\x89PNG")
+        mm._decode_real(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def _ref_png(width, height, ch, pixels, filters):
+    """Independent reference PNG builder: applies the GIVEN per-row
+    filter types per RFC 2083 §6, so the decoder is tested against
+    the spec, not against the module's own encoder."""
+    import struct
+    import zlib
+
+    stride = width * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, ft in enumerate(filters):
+        line = pixels[y * stride:(y + 1) * stride]
+        enc = bytearray()
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = (line[i] - a) & 0xFF
+            elif ft == 2:
+                v = (line[i] - b) & 0xFF
+            elif ft == 3:
+                v = (line[i] - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = (line[i] - pr) & 0xFF
+            enc.append(v)
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _ref_wav(sr=16000, channels=2, bits=16, frames=4):
+    import struct
+
+    block = channels * bits // 8
+    pcm = bytes(range(frames * block))
+    fmt = struct.pack("<HHIIHH", 1, channels, sr, sr * block, block, bits)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_png_decode_every_filter_type():
+    import random
+
+    rng = random.Random(3)
+    w, h, ch = 6, 5, 3
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    d = mm._decode_real(_ref_png(w, h, ch, pixels, [0, 1, 2, 3, 4]))
+    assert (d["kind"], d["width"], d["height"], d["channels"]) == (
+        "image", 6, 5, 3)
+    assert d["pixels"] == pixels
+
+
+def test_wav_decode_pcm_header():
+    d = mm._decode_real(_ref_wav(sr=16000, channels=2, frames=4))
+    assert (d["kind"], d["sample_rate"], d["channels"], d["n_samples"]) == (
+        "audio", 16000, 2, 4)
+
+
+def test_real_png_and_wav_through_spark_stages(spark):
+    """X8 codec boundary: a REAL PNG and a REAL WAV ride the same
+    mapInPandas decode/resize stages as the FIMG/FAUD fakes — metadata
+    rows come from the stdlib codecs, and resize is a genuine
+    nearest-neighbor resample re-encoded as PNG."""
+    w, h, ch = 8, 5, 3
+    pixels = bytes((x * 37 + y * 11 + c * 5) % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+    png = mm._encode_png(w, h, ch, pixels)
+    wav = _ref_wav(sr=22050, channels=1, frames=100)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "audio", bytearray(wav))],
+        mm.MEDIA_SCHEMA,
+    )
+    meta = {r["media_id"]: r for r in mm.decode_metadata(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"],
+            meta[1]["payload_len"]) == (8, 5, 3, len(png))
+    assert (meta[2]["sample_rate"], meta[2]["n_samples"],
+            meta[2]["payload_len"]) == (22050, 100, len(wav))
+    rz = mm.image_resize(media, max_px=4).collect()
+    assert len(rz) == 1  # audio rows drop, image resized
+    r = rz[0]
+    assert (r["width"], r["height"], r["new_width"], r["new_height"]) == (
+        8, 5, 4, 2)
+    d2 = mm._decode_real(bytes(r["payload"]))
+    exp = bytearray()
+    for y in range(2):
+        for x in range(4):
+            off = ((y * 5 // 2) * 8 + (x * 8 // 4)) * 3
+            exp += pixels[off:off + 3]
+    assert (d2["width"], d2["height"]) == (4, 2)
+    assert d2["pixels"] == bytes(exp)
 
 
 def test_decode_metadata_spark(spark):
