@@ -8588,6 +8588,96 @@ ORACLE_BATCH_DRIFT = (
 )
 
 
+def q_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171's batch twin, officially oracle-checked: per-host
+    politeness admission — admit a fetch iff >= 1000 ms since the
+    host's last ADMITTED fetch. A sequential per-host fold (the
+    decision depends on the previous ADMITTED row, which no window
+    expresses), run as one Arrow applyInPandas per host; the DuckDB
+    twin recomputes the same fold with a recursive CTE. ts values are
+    collision-free within a host by construction (613 coprime to
+    97000), so the fold order is deterministic under any
+    partitioning."""
+    from docling_serve_spark.operators.frontier import politeness_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 10).cast("string")
+    fetches = docs.select(
+        F.concat(F.lit("h"), h).alias("host"),
+        F.concat(F.lit("https://h"), h, F.lit(".example/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr("CAST((doc_id div 10) * 613 % 97000 AS BIGINT)").alias("ts"),
+    )
+    return politeness_gate(fetches, delay_ms=1000)
+
+
+ORACLE_POLITENESS_GATE = (
+    "WITH RECURSIVE fr AS (SELECT "
+    "'h' || CAST(doc_id % 10 AS VARCHAR) AS host, "
+    "'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example/p' || "
+    "CAST(doc_id AS VARCHAR) AS url, "
+    "CAST((doc_id // 10) * 613 % 97000 AS BIGINT) AS ts FROM documents), "
+    "n AS (SELECT host, url, ts, row_number() OVER "
+    "(PARTITION BY host ORDER BY ts) AS rn FROM fr), "
+    "g AS (SELECT host, url, ts, rn, true AS allowed, ts AS last "
+    "FROM n WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT n.host, n.url, n.ts, n.rn, "
+    "(n.ts - g.last) >= 1000 AS allowed, "
+    "CASE WHEN n.ts - g.last >= 1000 THEN n.ts ELSE g.last END AS last "
+    "FROM g JOIN n ON n.host = g.host AND n.rn = g.rn + 1) "
+    "SELECT host, url, ts, allowed FROM g"
+)
+
+
+def q_drift_from_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107's batch twin over PERSISTED summaries: the drift monitor's
+    comparison stage fed a cumulative reference histogram (all docs —
+    the (bin, n) rollup the streaming tier persists instead of
+    re-scanning history) against the newest batch's histogram (every
+    5th doc with its text doubled, shifting mass up one length bin so
+    the per-bin deltas and the TV total are nonzero)."""
+    from docling_serve_spark.operators.corpus import (
+        drift_from_histograms, length_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = length_histogram(docs).withColumnRenamed("n", "n_a")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text")
+    )
+    hb = length_histogram(batch).withColumnRenamed("n", "n_b")
+    return drift_from_histograms(ref, hb)
+
+
+ORACLE_DRIFT_FROM_HISTOGRAMS = (
+    "WITH bsrc AS (SELECT text || ' ' || text AS text "
+    "FROM documents WHERE doc_id % 5 = 0), "
+    "ha AS (SELECT CAST(length(printf('%b', greatest(length(text), 1))) "
+    "AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_a "
+    "FROM documents GROUP BY 1), "
+    "hb AS (SELECT CAST(length(printf('%b', greatest(length(text), 1))) "
+    "AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_b "
+    "FROM bsrc GROUP BY 1), "
+    "j AS (SELECT COALESCE(ha.bin, hb.bin) AS bin, "
+    "COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b "
+    "FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin), "
+    "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, "
+    "CAST(sum(n_b) AS BIGINT) AS t_b FROM j), "
+    "s AS (SELECT bin, "
+    "CAST(1 << (bin - 1) AS BIGINT) AS bin_lo, "
+    "CAST((1 << bin) - 1 AS BIGINT) AS bin_hi, "
+    "n_a, n_b, "
+    "CAST((10000 * n_a) // greatest(t_a, 1) AS BIGINT) AS p_a_bp, "
+    "CAST((10000 * n_b) // greatest(t_b, 1) AS BIGINT) AS p_b_bp "
+    "FROM j, t) "
+    "SELECT bin, bin_lo, bin_hi, n_a, n_b, p_a_bp, p_b_bp, "
+    "CAST(abs(p_a_bp - p_b_bp) AS BIGINT) AS drift_bp, "
+    "CAST(sum(abs(p_a_bp - p_b_bp)) OVER () // 2 AS BIGINT) "
+    "AS tv_total_bp FROM s"
+)
+
+
 # mixture spec for the domain-mix query: 20 synthetic hosts, rates
 # stepping 0..950000 ppm, every fourth host deliberately absent from
 # the spec (allow-list semantics: absent -> drop)
@@ -10121,6 +10211,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hits_scores .. title_body_overlap) lead, so the round-5 window
     # converts local-oracle-parity rows into official CORRECTNESS rows;
     # the 116 already-green queries follow in their prior order.
+    # Round-5 additions lead: the stateful streaming tier's batch
+    # twins (X171/X107), so the politeness fold and drift comparison
+    # get official oracle-checked rows too.
+    "politeness_gate": q_politeness_gate,
+    "drift_from_histograms": q_drift_from_histograms,
     "hits_scores": q_hits_scores,
     "cocitation_similar": q_cocitation,
     "ann_pq": q_ann_pq,
@@ -10338,6 +10433,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "politeness_gate": ORACLE_POLITENESS_GATE,
+    "drift_from_histograms": ORACLE_DRIFT_FROM_HISTOGRAMS,
     "quality_scoring": ORACLE_QUALITY,
     "ocr_mode_dispatch": ORACLE_OCR_DISPATCH,
     "ai_vision_dispatch": ORACLE_AI_VISION,
