@@ -283,7 +283,11 @@ def politeness_gate(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
     bounded by the frontier batch, the same grain X43 caps).
     Stream == batch on any ts-ordered batch split (pinned by test)."""
     def fn(pdf):
-        pdf = pdf.sort_values("ts", kind="stable")
+        # (ts, url) order: url breaks timestamp ties, so the fold —
+        # and therefore WHICH of two same-instant fetches is admitted
+        # — is deterministic under any partitioning / arrival order
+        # (the stream twin and the DuckDB oracle sort the same way)
+        pdf = pdf.sort_values(["ts", "url"], kind="stable")
         last = None
         allowed = []
         for ts in pdf["ts"]:

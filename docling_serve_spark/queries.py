@@ -8618,7 +8618,7 @@ ORACLE_POLITENESS_GATE = (
     "CAST(doc_id AS VARCHAR) AS url, "
     "CAST((doc_id // 10) * 613 % 97000 AS BIGINT) AS ts FROM documents), "
     "n AS (SELECT host, url, ts, row_number() OVER "
-    "(PARTITION BY host ORDER BY ts) AS rn FROM fr), "
+    "(PARTITION BY host ORDER BY ts, url) AS rn FROM fr), "
     "g AS (SELECT host, url, ts, rn, true AS allowed, ts AS last "
     "FROM n WHERE rn = 1 "
     "UNION ALL "

@@ -449,7 +449,9 @@ def politeness_stream(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
         # would admit out of order and diverge from the batch twin.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks).sort_values("ts", kind="stable")
+            # (ts, url): same deterministic tie order as the batch twin
+            pdf = pd.concat(chunks).sort_values(["ts", "url"],
+                                                kind="stable")
             allowed = []
             for ts in pdf["ts"]:
                 ts = int(ts)

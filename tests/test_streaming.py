@@ -538,6 +538,24 @@ def test_politeness_stream_multichunk_group(spark, tmp_path):
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
 
 
+def test_politeness_gate_equal_ts_deterministic(spark):
+    """Two same-host fetches at the SAME instant: the fold order (and
+    so which one is admitted) must not depend on partitioning or
+    arrival order — (ts, url) sorting makes the url-lexicographic
+    first the admitted one, in the batch op and the oracle alike."""
+    from docling_serve_spark.operators.frontier import politeness_gate
+
+    schema = "host string, url string, ts bigint"
+    rows = [("h1", "zz", 100), ("h1", "aa", 100), ("h1", "mm", 100),
+            ("h1", "later", 1100)]
+    for perm in (rows, rows[::-1]):
+        got = {r["url"]: r["allowed"]
+               for r in politeness_gate(
+                   spark.createDataFrame(perm, schema)).collect()}
+        assert got == {"aa": True, "zz": False, "mm": False,
+                       "later": True}
+
+
 def test_delta_chain_stream_multichunk_group(spark, tmp_path):
     """Same multi-chunk guarantee for the capture delta-chain: with
     3-row Arrow chunks and a ts-descending landing file, the chain
