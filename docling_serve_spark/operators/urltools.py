@@ -1031,7 +1031,10 @@ def delta_chain_stats(captures: DataFrame, url_col: str = "url",
     bit_count(xor) on 64-bit codes — no payload bytes move."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(url_col).orderBy(ts_col)
+    # simhash breaks timestamp ties so the chain walk (and the class
+    # counts) are deterministic under any partitioning — the stream
+    # twin and the DuckDB oracle order the same way
+    w = Window.partitionBy(url_col).orderBy(ts_col, sim_col)
     prev = F.lag(F.col(sim_col)).over(w)
     dist = F.bit_count(
         F.col(sim_col).bitwiseXOR(prev)

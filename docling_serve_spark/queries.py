@@ -5881,7 +5881,8 @@ ORACLE_DELTA_CHAINS = (
     "'dc' || CAST((doc_id % 50) % 5 AS VARCHAR) || '.com' AS host "
     "FROM documents), "
     "lagged AS (SELECT host, simhash, "
-    "lag(simhash) OVER (PARTITION BY url ORDER BY ts) AS prev FROM caps), "
+    "lag(simhash) OVER (PARTITION BY url ORDER BY ts, simhash) "
+    "AS prev FROM caps), "
     "cl AS (SELECT host, CASE WHEN prev IS NULL THEN 'novel' "
     "WHEN bit_count(xor(simhash, prev)) = 0 THEN 'identical' "
     "WHEN bit_count(xor(simhash, prev)) <= 3 THEN 'delta' "

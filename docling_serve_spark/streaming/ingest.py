@@ -386,7 +386,8 @@ def delta_chain_stream(captures: DataFrame,
         # classifying per-chunk with carried state would walk the
         # chain out of global ts order (diverging from the batch twin).
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        for pdf in ([pd.concat(chunks).sort_values("ts", kind="stable")]
+        for pdf in ([pd.concat(chunks).sort_values(["ts", "simhash"],
+                                                   kind="stable")]
                     if chunks else []):
             cls = []
             for sim in pdf["simhash"]:
