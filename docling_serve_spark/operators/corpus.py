@@ -764,3 +764,76 @@ def quality_trend(verdicts: DataFrame, snapshot_col: str = "snapshot",
         slope.alias("slope_milli_bp"),
         fit.alias("r2_milli"),
     )
+
+
+def lexicon_severity(docs: DataFrame, lexicon: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     density_cut_bp: int = 150) -> DataFrame:
+    """(doc_id, n_tokens, n_hits, n_hit_terms, max_severity,
+    sev_density_bp, action) — weighted harmful-term scoring against a
+    curated ``(term, severity)`` lexicon (severity 1=mild profanity /
+    2=adult-commercial / 3=egregious), the graded form of C4's flat
+    bad-word list (X59 *removes lines* on an unweighted list; real
+    moderation pipelines publish tiered lexicons — Jigsaw, LDNOOBW —
+    where one tier-3 term outweighs any count of tier-1 hits).
+    Verdict: ``drop`` if any severity-3 term appears or the
+    severity-weighted density ``10^4·Σseverity/n_tokens`` crosses
+    ``density_cut_bp``; ``flag`` on any lesser hit (route to X17's
+    scrubbing rather than discard); ``keep`` otherwise. Zero-hit docs
+    ARE emitted (keep) — this is a routing verdict over the corpus,
+    not a hit report.
+
+    Scale shape: per-doc token counts come from one codegen
+    ``size(filter(split(...)))`` — no explode needed for the
+    denominator; hits are one explode + one BROADCAST hash join
+    against the lexicon (curated lists are thousands of rows — never
+    a shuffle side) + one map-side-combined doc rollup; the zero-hit
+    rejoin is doc-keyed. Integer arithmetic throughout (basis points
+    via integral div)."""
+    toks = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')"
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("__toks"),
+    )
+    hits = (
+        base.select(F.col(id_col), F.explode("__toks").alias("__w"))
+        .join(
+            F.broadcast(
+                lexicon.select(
+                    F.col("term").alias("__w"),
+                    F.col("severity").cast("bigint").alias("__sev"),
+                )
+            ),
+            "__w",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.countDistinct("__w").cast("bigint").alias("n_hit_terms"),
+            F.max("__sev").cast("bigint").alias("max_severity"),
+            F.sum("__sev").cast("bigint").alias("__sev_sum"),
+        )
+    )
+    joined = base.drop("__toks").join(hits, id_col, "left").select(
+        id_col, "n_tokens",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("n_hit_terms", F.lit(0)).cast("bigint")
+        .alias("n_hit_terms"),
+        F.coalesce("max_severity", F.lit(0)).cast("bigint")
+        .alias("max_severity"),
+        F.expr(
+            "(10000 * coalesce(__sev_sum, 0)) div greatest(n_tokens, 1)"
+        ).cast("bigint").alias("sev_density_bp"),
+    )
+    return joined.withColumn(
+        "action",
+        F.when(
+            (F.col("max_severity") >= 3)
+            | (F.col("sev_density_bp") >= F.lit(density_cut_bp)),
+            F.lit("drop"),
+        ).when(F.col("n_hits") > 0, F.lit("flag"))
+        .otherwise(F.lit("keep")),
+    )

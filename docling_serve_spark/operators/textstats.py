@@ -1636,3 +1636,129 @@ def markdown_structure(docs: DataFrame, md_col: str = "md",
             "size(filter(__l, l -> length(trim(l)) > 0)), 1)"
         ).cast("bigint").alias("structure_bp"),
     )
+
+
+def keyword_stuffing(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_tokens: int = 20,
+                     top1_cut_bp: int = 2000,
+                     hhi_cut_bp: int = 1500) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, top1_share_bp, hhi_bp, stuffed)
+    — SEO keyword-stuffing detection by token-frequency CONCENTRATION:
+    a stuffed page repeats a handful of commercial terms far beyond
+    natural Zipfian density, which shows up as (a) the single most
+    frequent word owning an outsized share of all tokens and (b) a
+    high Herfindahl-Hirschman index Σ(c_w/N)² over the doc's word
+    distribution. Complements X14's *adjacent*-repetition gates
+    (Gopher dup-ngram fractions): stuffing scattered through otherwise
+    varied filler has low adjacent-gram duplication but extreme
+    concentration, and the repetition family misses it by design.
+
+    All integer: shares in basis points via integral ``div``; the HHI
+    numerator ``10^4·Σc²`` stays under 2^63 up to ~10^7 tokens per
+    DOCUMENT (not corpus) — three decades past any real web page.
+    ``stuffed`` requires ``n_tokens >= min_tokens`` (short navigation
+    stubs are concentrated by nature, not by spam). Zero-token docs
+    produce no row (no distribution to measure), same contract as the
+    repetition operators.
+
+    Scale shape: one explode, then TWO map-side-combined groupBys —
+    (doc, word) partial-aggregates collapse repeats BEFORE the first
+    exchange, so both shuffles carry per-doc vocabulary rows (distinct
+    words), never raw tokens; the doc-grain rollup's exchange moves
+    four longs per (doc, word). No windows, no joins, no driver
+    state."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__w"),
+    ).filter(F.col("__w") != "")
+    tf = words.groupBy(id_col, "__w").agg(
+        F.count("*").cast("bigint").alias("__c")
+    )
+    agg = tf.groupBy(id_col).agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("__c").cast("bigint").alias("__mx"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__ss"),
+    )
+    top1 = F.expr("(10000 * __mx) div n_tokens")
+    hhi = F.expr("(10000 * __ss) div (n_tokens * n_tokens)")
+    return agg.select(
+        id_col, "n_tokens", "n_distinct",
+        top1.cast("bigint").alias("top1_share_bp"),
+        hhi.cast("bigint").alias("hhi_bp"),
+        (
+            (F.col("n_tokens") >= F.lit(min_tokens))
+            & ((top1 >= F.lit(top1_cut_bp)) | (hhi >= F.lit(hhi_cut_bp)))
+        ).alias("stuffed"),
+    )
+
+
+def vocab_drift(docs: DataFrame, period_col: str = "period",
+                text_col: str = "text", k: int = 100,
+                min_late: int = 5, rise_bp: int = 30000) -> DataFrame:
+    """(rank, word, n_early, n_late, growth_bp, status) — vocabulary
+    drift between two crawl periods: the words whose per-token RATE in
+    the late period most outgrows their early-period rate. Two
+    statuses survive: ``new`` (zero early occurrences — genuine
+    neologisms, product names, event vocabulary) and ``rising`` (rate
+    grew ≥ ``rise_bp``/10⁴-fold, cross-normalized for period token
+    mass). The freshness counterpart to X104/X107's SHAPE drift: a
+    length histogram can hold perfectly still while the corpus
+    silently stops acquiring new vocabulary — this is the gate that
+    notices (and the neologism feed timestamp-aware tokenizer refresh
+    consumes). ``period_col`` carries exactly 'early'/'late'; callers
+    bucket timestamps upstream (X62's temporal-split discipline).
+
+    growth_bp is the integer cross-multiplication
+    ``10^4·n_late·total_early div (n_early·total_late)`` in
+    DECIMAL(38,0) (collocations' headroom rule: int64 wraps near
+    10^9·10^9; decimal is exact to ~10^17 total tokens). ``new`` rows
+    report growth_bp NULL — there is no finite rate ratio, and a
+    sentinel would sort as data.
+
+    Scale shape: one explode, ONE map-side-combined groupBy(word)
+    carrying two conditional partial sums (never a groupBy(word,
+    period) + pivot — half the shuffle), grand totals as a bounded
+    driver scalar each (collocations' pattern), top-k via
+    orderBy+limit = TakeOrderedAndProject, rank window over k rows
+    only."""
+    from pyspark.sql import Window
+
+    is_late = F.col(period_col) == "late"
+    words = docs.select(
+        is_late.alias("__late"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("__w"),
+    ).filter(F.col("__w") != "")
+    counts = words.groupBy(F.col("__w").alias("word")).agg(
+        F.sum(F.when(~F.col("__late"), 1).otherwise(0))
+        .cast("bigint").alias("n_early"),
+        F.sum(F.when(F.col("__late"), 1).otherwise(0))
+        .cast("bigint").alias("n_late"),
+    )
+    tot = counts.agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    ).collect()[0]
+    total_early, total_late = int(tot["te"] or 0), int(tot["tl"] or 0)
+    growth = F.expr(
+        f"(CAST(10000 AS DECIMAL(38,0)) * n_late * {total_early}) div "
+        f"(CAST(greatest(n_early, 1) AS DECIMAL(38,0)) * {max(total_late, 1)})"
+    ).cast("bigint")
+    scored = counts.filter(F.col("n_late") >= min_late).select(
+        "word", "n_early", "n_late",
+        F.when(F.col("n_early") > 0, growth).alias("growth_bp"),
+        F.when(F.col("n_early") == 0, F.lit("new"))
+        .when(growth >= rise_bp, F.lit("rising"))
+        .otherwise(F.lit(None)).alias("status"),
+    ).filter(F.col("status").isNotNull())
+    top = scored.orderBy(
+        F.col("n_late").desc(), F.col("word").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_late").desc(), F.col("word").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "word", "n_early", "n_late", "growth_bp", "status",
+    )

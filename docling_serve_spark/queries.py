@@ -10201,6 +10201,170 @@ def _oracle_pipeline_pdf_modes() -> str:
     )
 
 
+def q_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185 — token-concentration stuffing screen: doc_id%9==4 pages
+    are pure keyword farms (one commercial phrase repeated 30×),
+    %9==7 pages are real text with a stuffed tail appended; everything
+    else is natural prose and must stay below both concentration
+    cuts."""
+    from docling_serve_spark.operators.textstats import keyword_stuffing
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 9
+    text = (
+        F.when(m == 4, F.repeat(F.lit("free casino bonus spins "), 30))
+        .when(m == 7, F.concat(
+            F.col("text"), F.repeat(F.lit(" cheap solar panels"), 25)))
+        .otherwise(F.col("text"))
+    )
+    return keyword_stuffing(docs.select("doc_id", text.alias("text")))
+
+
+ORACLE_KEYWORD_STUFFING = (
+    "WITH d AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 9 = 4 THEN repeat('free casino bonus spins ', 30) "
+    "WHEN doc_id % 9 = 7 THEN text || repeat(' cheap solar panels', 25) "
+    "ELSE text END AS text FROM documents), "
+    "w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+')) AS w FROM d), "
+    "f AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w "
+    "WHERE w <> '' GROUP BY 1, 2), "
+    "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS mx, "
+    "CAST(sum(c * c) AS BIGINT) AS ss FROM f GROUP BY 1) "
+    "SELECT doc_id, n_tokens, n_distinct, "
+    "CAST((10000 * mx) // n_tokens AS BIGINT) AS top1_share_bp, "
+    "CAST((10000 * ss) // (n_tokens * n_tokens) AS BIGINT) AS hhi_bp, "
+    "(n_tokens >= 20 AND ((10000 * mx) // n_tokens >= 2000 "
+    "OR (10000 * ss) // (n_tokens * n_tokens) >= 1500)) AS stuffed FROM a"
+)
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 — early→late vocabulary drift: doc_id%3==0 pages form the
+    late period. Late %5==0 pages coin eight 'neotermN' families
+    (3 occurrences each — genuinely NEW words), late %7==1 pages surge
+    an existing rare word ('surge', planted in early %97==5 pages), so
+    both statuses appear; ordinary vocabulary must rank nowhere."""
+    from docling_serve_spark.operators.textstats import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    late = F.col("doc_id") % 3 == 0
+    neo = F.concat(F.lit(" neoterm"), (F.col("doc_id") % 8).cast("string"))
+    late_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.repeat(neo, 3))
+    ).otherwise(F.col("text"))
+    late_text = F.when(
+        F.col("doc_id") % 7 == 1,
+        F.concat(late_text, F.lit(" surge surge surge")),
+    ).otherwise(late_text)
+    early_text = F.when(
+        F.col("doc_id") % 97 == 5, F.concat(F.col("text"), F.lit(" surge"))
+    ).otherwise(F.col("text"))
+    rows = docs.select(
+        F.when(late, F.lit("late")).otherwise(F.lit("early"))
+        .alias("period"),
+        F.when(late, late_text).otherwise(early_text).alias("text"),
+    )
+    return vocab_drift(rows, min_late=3)
+
+
+ORACLE_VOCAB_DRIFT = (
+    "WITH d AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'late' ELSE 'early' "
+    "END AS period, CASE WHEN doc_id % 3 = 0 THEN "
+    "(CASE WHEN doc_id % 5 = 0 THEN text || repeat(' neoterm' || "
+    "CAST(doc_id % 8 AS VARCHAR), 3) ELSE text END) || "
+    "(CASE WHEN doc_id % 7 = 1 THEN ' surge surge surge' ELSE '' END) "
+    "ELSE text || (CASE WHEN doc_id % 97 = 5 THEN ' surge' ELSE '' END) "
+    "END AS text FROM documents), "
+    "w AS (SELECT period = 'late' AS late, "
+    "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM d), "
+    "c AS (SELECT w AS word, "
+    "CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_early, "
+    "CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late "
+    "FROM w WHERE w <> '' GROUP BY 1), "
+    "t AS (SELECT CAST(sum(n_early) AS HUGEINT) AS te, "
+    "CAST(sum(n_late) AS HUGEINT) AS tl FROM c), "
+    "s AS (SELECT word, n_early, n_late, CASE WHEN n_early > 0 THEN "
+    "CAST((10000::HUGEINT * n_late * t.te) // "
+    "(GREATEST(n_early, 1)::HUGEINT * GREATEST(t.tl, 1)) AS BIGINT) END "
+    "AS growth_bp, CASE WHEN n_early = 0 THEN 'new' "
+    "WHEN (10000::HUGEINT * n_late * t.te) // "
+    "(GREATEST(n_early, 1)::HUGEINT * GREATEST(t.tl, 1)) >= 30000 "
+    "THEN 'rising' END AS status FROM c, t WHERE n_late >= 3), "
+    "r AS (SELECT *, CAST(row_number() OVER "
+    "(ORDER BY n_late DESC, word ASC) AS BIGINT) AS rank "
+    "FROM s WHERE status IS NOT NULL) "
+    "SELECT rank, word, n_early, n_late, growth_bp, status FROM r "
+    "WHERE rank <= 100"
+)
+
+
+_SEVERITY_LEXICON = (
+    ("casino", 2), ("jackpot", 2), ("viagra", 3), ("damn", 1),
+    ("hell", 1), ("xxx", 3), ("porn", 3), ("betting", 2),
+)
+
+
+def q_lexicon_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187 — tiered lexicon verdicts: doc_id%11==2 pages pick up
+    three mild tier-1 hits (flag at typical lengths, drop on very
+    short docs where even tier-1 density crosses the cut), %11==5
+    four tier-2 commercial terms (drop at most lengths, flag on the
+    longest), %11==8 one tier-3 term (always drop); untouched pages
+    come back keep unless natural text collides with the lexicon.
+    The cut sits at 800 bp because the synthetic docs run 10-99
+    tokens — the default 150 bp is tuned for real page lengths."""
+    from docling_serve_spark.operators.corpus import lexicon_severity
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    text = (
+        F.when(m == 2, F.concat(F.col("text"), F.lit(" damn hell damn")))
+        .when(m == 5, F.concat(
+            F.col("text"), F.lit(" casino jackpot betting casino")))
+        .when(m == 8, F.concat(F.col("text"), F.lit(" viagra")))
+        .otherwise(F.col("text"))
+    )
+    lex = spark.createDataFrame(
+        list(_SEVERITY_LEXICON), "term string, severity int"
+    )
+    return lexicon_severity(
+        docs.select("doc_id", text.alias("text")), lex, density_cut_bp=800
+    )
+
+
+ORACLE_LEXICON_SEVERITY = (
+    "WITH lex(term, severity) AS (VALUES "
+    + ", ".join(f"('{t}', {s})" for t, s in _SEVERITY_LEXICON) + "), "
+    "d AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 11 = 2 THEN text || ' damn hell damn' "
+    "WHEN doc_id % 11 = 5 THEN text || ' casino jackpot betting casino' "
+    "WHEN doc_id % 11 = 8 THEN text || ' viagra' "
+    "ELSE text END AS text FROM documents), "
+    "b AS (SELECT doc_id, CAST(len(list_filter("
+    "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) "
+    "AS BIGINT) AS n_tokens FROM d), "
+    "w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), "
+    "'\\s+')) AS w FROM d), "
+    "h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, "
+    "CAST(count(DISTINCT w.w) AS BIGINT) AS n_hit_terms, "
+    "CAST(max(severity) AS BIGINT) AS max_severity, "
+    "CAST(sum(severity) AS BIGINT) AS sev_sum "
+    "FROM w JOIN lex ON w.w = lex.term GROUP BY 1), "
+    "j AS (SELECT b.doc_id, b.n_tokens, "
+    "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+    "CAST(COALESCE(h.n_hit_terms, 0) AS BIGINT) AS n_hit_terms, "
+    "CAST(COALESCE(h.max_severity, 0) AS BIGINT) AS max_severity, "
+    "CAST((10000 * COALESCE(h.sev_sum, 0)) // GREATEST(b.n_tokens, 1) "
+    "AS BIGINT) AS sev_density_bp FROM b LEFT JOIN h USING (doc_id)) "
+    "SELECT doc_id, n_tokens, n_hits, n_hit_terms, max_severity, "
+    "sev_density_bp, CASE WHEN max_severity >= 3 "
+    "OR sev_density_bp >= 800 THEN 'drop' WHEN n_hits > 0 THEN 'flag' "
+    "ELSE 'keep' END AS action FROM j"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10431,6 +10595,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": q_media_metadata,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
+    # Round-5 late additions (X185-X187) — appended at the tail so the
+    # rotation's never-sampled leading window stays intact.
+    "keyword_stuffing": q_keyword_stuffing,
+    "vocab_drift": q_vocab_drift,
+    "lexicon_severity": q_lexicon_severity,
 }
 
 ORACLES: dict[str, str] = {
@@ -10652,4 +10821,7 @@ ORACLES: dict[str, str] = {
     "markdown_structure": ORACLE_MARKDOWN_STRUCTURE,
     "ngram_novelty": ORACLE_NGRAM_NOVELTY,
     "title_body_overlap": ORACLE_TITLE_BODY_OVERLAP,
+    "keyword_stuffing": ORACLE_KEYWORD_STUFFING,
+    "vocab_drift": ORACLE_VOCAB_DRIFT,
+    "lexicon_severity": ORACLE_LEXICON_SEVERITY,
 }

@@ -4517,3 +4517,80 @@ def test_title_body_overlap_flags(spark):
     assert got[1] == (3, 3, 10000, False)
     assert got[2] == (7, 1, 1428, True)
     assert got[3] == (2, 0, 0, False)
+
+
+def test_keyword_stuffing_concentration_gates(spark):
+    """X185: a 30x-repeated 3-word phrase -> top1 3334 bp, HHI 3334 bp,
+    stuffed; 90 distinct words -> top1 111, HHI 111, clean; a 10-token
+    doc is concentrated but under min_tokens -> never stuffed; empty
+    text emits no row."""
+    from docling_serve_spark.operators.textstats import keyword_stuffing
+
+    stuffed = "buy cheap pills " * 30          # 90 tokens, 3 words
+    varied = " ".join(f"w{i}" for i in range(90))
+    short = "spam " * 10
+    docs = spark.createDataFrame(
+        [(1, stuffed), (2, varied), (3, short), (4, "  ")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"],
+                         r["top1_share_bp"], r["hhi_bp"], r["stuffed"])
+           for r in keyword_stuffing(docs).collect()}
+    assert got[1] == (90, 3, 3333, 3333, True)
+    assert got[2] == (90, 90, 111, 111, False)
+    assert got[3] == (10, 1, 10000, 10000, False)  # under min_tokens
+    assert 4 not in got
+
+
+def test_vocab_drift_statuses(spark):
+    """X186: 'zork' absent early and 6x late -> new (growth NULL);
+    'wave' 1 early (of 20 tokens) vs 12 late (of 22) -> rising with
+    growth = 10000*12*20 div (1*22) = 109090 bp; 'the' flat ->
+    excluded; 'rare' late-only but under min_late -> excluded."""
+    from docling_serve_spark.operators.textstats import vocab_drift
+
+    early = [("early", "the the the the the the the the the wave"),
+             ("early", "the the the the the the the the the the")]
+    late = [("late", "the the zork zork zork wave wave wave wave wave"),
+            ("late", "the zork zork zork wave wave wave wave "
+                     "wave wave wave rare")]
+    docs = spark.createDataFrame(early + late, "period string, text string")
+    rows = {r["word"]: (r["n_early"], r["n_late"], r["growth_bp"],
+                        r["status"])
+            for r in vocab_drift(docs, min_late=5).collect()}
+    assert rows["zork"] == (0, 6, None, "new")
+    assert rows["wave"][0:2] == (1, 12)
+    assert rows["wave"][3] == "rising"
+    assert rows["wave"][2] == 109090
+    assert "the" not in rows and "rare" not in rows
+
+
+def test_lexicon_severity_tier_verdicts(spark):
+    """X187: one tier-3 term -> drop regardless of density; three
+    tier-1 hits in 40 tokens (750 bp at cut 150) -> drop; one tier-1
+    hit in 100 tokens (100 bp) -> flag; clean text -> keep with zero
+    counters; punctuation-attached terms don't match (token-exact)."""
+    from docling_serve_spark.operators.corpus import lexicon_severity
+
+    lex = spark.createDataFrame(
+        [("viagra", 3), ("damn", 1), ("casino", 2)],
+        "term string, severity int",
+    )
+    filler40 = " ".join(f"f{i}" for i in range(37))
+    filler99 = " ".join(f"f{i}" for i in range(99))
+    docs = spark.createDataFrame(
+        [(1, filler99 + " viagra"),
+         (2, filler40 + " damn damn damn"),
+         (3, filler99 + " damn"),
+         (4, filler99 + " plain"),
+         (5, filler99 + " damn,")],   # punctuation-attached: no hit
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_hits"], r["n_hit_terms"], r["max_severity"],
+                         r["sev_density_bp"], r["action"])
+           for r in lexicon_severity(docs, lex).collect()}
+    assert got[1] == (1, 1, 3, 300, "drop")
+    assert got[2] == (3, 1, 1, 750, "drop")
+    assert got[3] == (1, 1, 1, 100, "flag")
+    assert got[4] == (0, 0, 0, 0, "keep")
+    assert got[5] == (0, 0, 0, 0, "keep")

@@ -107,6 +107,9 @@ INVARIANCE_QUERIES = [
     "quality_trend",    # snapshot rates + decimal LS slope
     "long_context_supply",  # conditional-sum thresholds + unpivot
     "host_categories",  # broadcast rules join + min-priority winner
+    "keyword_stuffing", # two-level (doc,word)->doc aggregation
+    "vocab_drift",      # conditional sums + driver totals + top-k tie
+    "lexicon_severity", # broadcast lexicon join + zero-hit rejoin
 ]
 
 

@@ -677,3 +677,33 @@ def test_epoch_allocation_windows_are_source_grain(spark):
     assert "Window" in plan
     # the doc-grain stage is a partial-agg groupBy, never a Window
     assert plan.count("HashAggregate") >= 2
+
+
+def test_lexicon_severity_lexicon_rides_broadcast_side(spark):
+    """X187: the curated lexicon is thousands of rows at most — its
+    join against the token stream must be a BroadcastHashJoin, and the
+    raw text column must never cross a shuffle exchange (only doc_id
+    plus small aggregates move)."""
+    plan = _plan(spark, QUERIES["lexicon_severity"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block
+
+
+def test_keyword_stuffing_aggs_are_partial(spark):
+    """X185: both groupBys must be map-side combined — the exchanges
+    carry per-doc vocabulary rows, never raw tokens (no text column,
+    partial HashAggregate before each shuffle)."""
+    plan = _plan(spark, QUERIES["keyword_stuffing"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text#" not in block
+
+
+def test_vocab_drift_topk_avoids_global_sort(spark):
+    """X186: the top-k cut must compile to TakeOrderedAndProject
+    (per-partition heaps), never a full Sort of the vocabulary."""
+    plan = _plan(spark, QUERIES["vocab_drift"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
