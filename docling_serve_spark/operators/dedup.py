@@ -934,6 +934,52 @@ def verify_candidates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def contrastive_pairs(docs: DataFrame, text_col: str = "text",
+                      pos_bp: int = 5000,
+                      max_neg_per_anchor: int = 3) -> DataFrame:
+    """(doc_a, doc_b, jaccard_bp, pair_type) — contrastive
+    training-pair mining for embedding/retriever models, built on the
+    LSH verify stage: POSITIVES are candidate pairs whose exact
+    shingle Jaccard clears ``pos_bp`` (verified near-duplicates — the
+    two sides are interchangeable views of one document, the classic
+    self-supervised positive), HARD NEGATIVES are band-collision pairs
+    that FAILED verification — lexically confusable enough to share a
+    MinHash bucket yet textually distinct, exactly the
+    retrieved-but-not-relevant negatives DPR-style contrastive losses
+    need (Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020 §3.2
+    mines hard negatives from a lexical retriever's false positives the
+    same way). Negatives are capped at the ``max_neg_per_anchor``
+    HARDEST per anchor (highest failing Jaccard first, doc_b tiebreak —
+    deterministic), since a few near-threshold negatives carry more
+    gradient signal than many easy ones.
+
+    Scale shape: the pair universe is the LSH candidate set (banded,
+    never all-pairs) and exact Jaccard is computed once per pair by
+    ``verify_candidates``; the per-anchor cap is one row_number window
+    PARTITIONED by (doc_a, pair_type) — no global window, and the
+    window input carries 4 scalar columns per pair, never text."""
+    from pyspark.sql import Window
+
+    v = verify_candidates(docs, text_col)
+    typed = v.select(
+        "doc_a", "doc_b", "jaccard_bp",
+        F.when(F.col("jaccard_bp") >= pos_bp, F.lit("positive"))
+        .otherwise(F.lit("hard_negative")).alias("pair_type"),
+    )
+    w = (
+        Window.partitionBy("doc_a", "pair_type")
+        .orderBy(F.desc("jaccard_bp"), F.asc("doc_b"))
+    )
+    return (
+        typed.withColumn("__rk", F.row_number().over(w))
+        .filter(
+            (F.col("pair_type") == "positive")
+            | (F.col("__rk") <= max_neg_per_anchor)
+        )
+        .drop("__rk")
+    )
+
+
 def containment_pairs(docs: DataFrame, text_col: str = "text",
                       threshold_bp: int = 8000,
                       max_df_frac: float = 0.5) -> DataFrame:

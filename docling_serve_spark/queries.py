@@ -10365,6 +10365,76 @@ ORACLE_LEXICON_SEVERITY = (
 )
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 — contrastive training-pair mining over the standard
+    mutated near-dup corpus (every doc + an every-10th-word-mutated
+    copy, the same construction X76/X93 certify recall/precision on):
+    band-collision pairs that VERIFY at ≥5000 bp exact Jaccard become
+    positives, collisions that fail become per-anchor-capped hard
+    negatives. The mutation sits astride the 5000 bp cut by design, so
+    both pair types are populated from the same corpus."""
+    from docling_serve_spark.operators.dedup import contrastive_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(i % 10 == 0, F.concat(w, F.lit("x")))
+            .otherwise(w),
+        ),
+        " ",
+    )
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+                    mut.alias("text"))
+    )
+    return contrastive_pairs(corpus)
+
+
+def _contrastive_pairs_oracle() -> str:
+    mut_union = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_DUP_SHIFT} AS doc_id, array_to_string("
+        "[CASE WHEN (i - 1) % 10 = 0 THEN ws[i] || 'x' ELSE ws[i] END "
+        "FOR i IN range(1, len(ws) + 1)], ' ') AS text "
+        "FROM (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents))"
+    )
+    return (
+        f"WITH {_minhash_bands_ctes(mut_union + ' u', 'r')}, "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM rbands a JOIN rbands b ON a.band_no = b.band_no "
+        "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        "dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s "
+        "FROM rsh), "
+        "szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+        "FROM dsh GROUP BY 1), "
+        "inter AS (SELECT c.doc_a, c.doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_inter FROM cand c "
+        "JOIN dsh sa ON sa.doc_id = c.doc_a "
+        "JOIN dsh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s "
+        "GROUP BY 1, 2), "
+        "v AS (SELECT c.doc_a, c.doc_b, "
+        "CAST((10000 * coalesce(i.n_inter, 0)) // "
+        "(na.n_sh + nb.n_sh - coalesce(i.n_inter, 0)) AS BIGINT) AS jbp "
+        "FROM cand c LEFT JOIN inter i "
+        "ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b "
+        "JOIN szs na ON na.doc_id = c.doc_a "
+        "JOIN szs nb ON nb.doc_id = c.doc_b), "
+        "typed AS (SELECT doc_a, doc_b, jbp, "
+        "CASE WHEN jbp >= 5000 THEN 'positive' "
+        "ELSE 'hard_negative' END AS pair_type, "
+        "row_number() OVER (PARTITION BY doc_a, "
+        "CASE WHEN jbp >= 5000 THEN 'positive' ELSE 'hard_negative' END "
+        "ORDER BY jbp DESC, doc_b) AS rk FROM v) "
+        "SELECT doc_a, doc_b, jbp AS jaccard_bp, pair_type FROM typed "
+        "WHERE pair_type = 'positive' OR rk <= 3"
+    )
+
+
+ORACLE_CONTRASTIVE_PAIRS = _contrastive_pairs_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10600,6 +10670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keyword_stuffing": q_keyword_stuffing,
     "vocab_drift": q_vocab_drift,
     "lexicon_severity": q_lexicon_severity,
+    "contrastive_pairs": q_contrastive_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -10824,4 +10895,5 @@ ORACLES: dict[str, str] = {
     "keyword_stuffing": ORACLE_KEYWORD_STUFFING,
     "vocab_drift": ORACLE_VOCAB_DRIFT,
     "lexicon_severity": ORACLE_LEXICON_SEVERITY,
+    "contrastive_pairs": ORACLE_CONTRASTIVE_PAIRS,
 }

@@ -421,6 +421,43 @@ def test_verify_candidates_exact_jaccard(spark):
     assert all(3 not in k for k in got)
 
 
+def test_contrastive_pairs_types_and_cap(spark):
+    """X188: a verbatim copy verifies as a positive; superset pages
+    (base text + a long unrelated tail) keep the base's min-shingles,
+    so they band-collide yet fail verification — deterministic hard
+    negatives. The per-anchor cap keeps the hardest (highest-Jaccard)
+    negative, tie broken by doc_b."""
+    from docling_serve_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    tails = {
+        4: "quark lepton boson hadron meson photon gluon neutrino "
+           "axion tachyon parton baryon",
+        7: "sonnet ballad haiku ode elegy epic hymn limerick "
+           "villanelle sestina quatrain refrain",
+    }
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)]
+        + [(k, base + " " + t) for k, t in tails.items()],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in dedup.contrastive_pairs(docs).collect()}
+    assert got[(1, 2)]["pair_type"] == "positive"
+    assert got[(1, 2)]["jaccard_bp"] == 10000
+    # superset colliders fail the 5000 bp verify -> hard negatives
+    assert got[(1, 4)]["pair_type"] == "hard_negative"
+    assert got[(1, 7)]["pair_type"] == "hard_negative"
+    assert got[(1, 4)]["jaccard_bp"] < 5000
+
+    capped = {(r["doc_a"], r["doc_b"]): r
+              for r in dedup.contrastive_pairs(
+                  docs, max_neg_per_anchor=1).collect()}
+    # anchor 1 had negatives 4 and 7 at equal jaccard; doc_b tiebreak
+    assert (1, 4) in capped and (1, 7) not in capped
+    assert (1, 2) in capped  # positives are never capped
+
+
 def test_containment_catches_what_jaccard_misses(spark):
     """X100: a short wire excerpt inside a long host page is the
     syndication shape — Jaccard ~0.25 (invisible at the 0.5 bar)

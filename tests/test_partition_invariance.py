@@ -110,6 +110,7 @@ INVARIANCE_QUERIES = [
     "keyword_stuffing", # two-level (doc,word)->doc aggregation
     "vocab_drift",      # conditional sums + driver totals + top-k tie
     "lexicon_severity", # broadcast lexicon join + zero-hit rejoin
+    "contrastive_pairs",  # LSH verify + per-anchor row_number cap
 ]
 
 

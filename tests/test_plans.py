@@ -707,3 +707,17 @@ def test_vocab_drift_topk_avoids_global_sort(spark):
     (per-partition heaps), never a full Sort of the vocabulary."""
     plan = _plan(spark, QUERIES["vocab_drift"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contrastive_pairs_window_is_partitioned_and_scalar(spark):
+    """X188: the per-anchor cap must compile to a Window PARTITIONED
+    by (doc_a, pair_type) — never a single-partition global window —
+    and its input exchange must carry only scalar pair columns, never
+    document text."""
+    plan = _plan(spark, QUERIES["contrastive_pairs"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "hashpartitioning(doc_a" in plan
+    assert "SinglePartition" not in plan
+    for block in plan.split("\n\n"):
+        if block.startswith("(") and "Window" in block.splitlines()[0]:
+            assert "text#" not in block
