@@ -1264,3 +1264,52 @@ def host_categories(pages: DataFrame, rules: DataFrame,
             .cast("bigint").alias("page_share_bp"),
         )
     )
+
+
+# UTS #39-style confusable skeleton: ASCII digit homoglyphs + the
+# Cyrillic lowercase letters whose glyphs are indistinguishable from
+# Latin in common fonts. 1:1 char map so both engines can use
+# translate(); hyphens are stripped separately (typosquats insert
+# them: pay-pal). A production table would carry the full Unicode
+# confusables.txt; this subset covers the digit/Cyrillic families that
+# dominate real homograph abuse.
+CONFUSABLE_SRC = "013457аеорсухіѕ"
+CONFUSABLE_DST = "oleastaeopcyxis"
+
+
+def confusable_hosts(pages: DataFrame, host_col: str = "host") -> DataFrame:
+    """(skeleton, n_hosts, n_docs, hosts) — IDN-homograph / typosquat
+    host families: every host is folded through a confusable-skeleton
+    map (UTS #39 "Confusable Detection": two strings are confusable
+    iff their skeletons are equal), and skeletons claimed by MORE THAN
+    ONE distinct raw host are emitted with the sorted member list. A
+    crawl that treats ``exаmple.com`` (Cyrillic а) and ``example.com``
+    as unrelated hosts double-counts mirrors past per-host quotas
+    (X23) and lets spoof hosts inherit a reputable host's quality
+    prior (X131); this is the join key that collapses them.
+
+    Scale shape: pages reduce to host grain with one partial-agg
+    groupBy (the exchange carries host strings only, never text),
+    hosts reduce to skeleton grain with a second — host cardinality is
+    ~10^7 at crawl scale, trivially shuffle-safe; collect_set runs at
+    host grain (members per skeleton are a handful). No windows, no
+    joins."""
+    hosts = pages.groupBy(
+        F.col(host_col).alias("host")
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    skel = F.regexp_replace(
+        F.translate(F.lower(F.col("host")),
+                    CONFUSABLE_SRC, CONFUSABLE_DST),
+        "-", "",
+    )
+    return (
+        hosts.select(skel.alias("skeleton"), "host", "n_docs")
+        .groupBy("skeleton")
+        .agg(
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("host")), ",")
+            .alias("hosts"),
+        )
+        .filter(F.col("n_hosts") > 1)
+    )

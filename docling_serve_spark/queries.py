@@ -10435,6 +10435,55 @@ def _contrastive_pairs_oracle() -> str:
 ORACLE_CONTRASTIVE_PAIRS = _contrastive_pairs_oracle()
 
 
+def q_confusable_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 — homograph/typosquat host families: 20 base hosts are
+    synthesized from doc_id; %13==6 docs land on a digit-homoglyph
+    variant (o→0), %17==3 on a Cyrillic-а variant, %19==8 on a
+    hyphen-inserted variant. All four spellings of a site must fold to
+    one confusable skeleton with the member list enumerated."""
+    from docling_serve_spark.operators.urltools import confusable_hosts
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    host = (
+        F.when(F.col("doc_id") % 13 == 6,
+               F.regexp_replace(base, "o", "0"))
+        .when(F.col("doc_id") % 17 == 3,
+              F.regexp_replace(base, "a", "а"))
+        .when(F.col("doc_id") % 19 == 8,
+              F.regexp_replace(base, "host", "ho-st"))
+        .otherwise(base)
+    )
+    return confusable_hosts(docs.select(host.alias("host"), "doc_id"))
+
+
+def _confusable_hosts_oracle() -> str:
+    from docling_serve_spark.operators.urltools import (
+        CONFUSABLE_DST, CONFUSABLE_SRC)
+
+    base = "'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'"
+    return (
+        f"WITH p AS (SELECT CASE "
+        f"WHEN doc_id % 13 = 6 THEN replace({base}, 'o', '0') "
+        f"WHEN doc_id % 17 = 3 THEN replace({base}, 'a', 'а') "
+        f"WHEN doc_id % 19 = 8 THEN replace({base}, 'host', 'ho-st') "
+        f"ELSE {base} END AS host FROM documents), "
+        "h AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM p GROUP BY 1), "
+        "s AS (SELECT replace(translate(lower(host), "
+        f"'{CONFUSABLE_SRC}', '{CONFUSABLE_DST}'), '-', '') AS skeleton, "
+        "host, n_docs FROM h) "
+        "SELECT skeleton, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+        "CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+        "array_to_string(list_sort(list(DISTINCT host)), ',') AS hosts "
+        "FROM s GROUP BY 1 HAVING count(DISTINCT host) > 1"
+    )
+
+
+ORACLE_CONFUSABLE_HOSTS = _confusable_hosts_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10671,6 +10720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_drift": q_vocab_drift,
     "lexicon_severity": q_lexicon_severity,
     "contrastive_pairs": q_contrastive_pairs,
+    "confusable_hosts": q_confusable_hosts,
 }
 
 ORACLES: dict[str, str] = {
@@ -10896,4 +10946,5 @@ ORACLES: dict[str, str] = {
     "vocab_drift": ORACLE_VOCAB_DRIFT,
     "lexicon_severity": ORACLE_LEXICON_SEVERITY,
     "contrastive_pairs": ORACLE_CONTRASTIVE_PAIRS,
+    "confusable_hosts": ORACLE_CONFUSABLE_HOSTS,
 }

@@ -4594,3 +4594,32 @@ def test_lexicon_severity_tier_verdicts(spark):
     assert got[3] == (1, 1, 1, 100, "flag")
     assert got[4] == (0, 0, 0, 0, "keep")
     assert got[5] == (0, 0, 0, 0, "keep")
+
+
+def test_confusable_hosts_skeleton_families(spark):
+    """X189: digit homoglyphs, Cyrillic lookalikes, and inserted
+    hyphens all fold to the true host's skeleton; unrelated hosts
+    never group; single-spelling hosts are not emitted."""
+    from docling_serve_spark.operators.urltools import confusable_hosts
+
+    pages = spark.createDataFrame(
+        [
+            ("example.com",), ("example.com",),
+            ("exampl3.com",),          # 3 -> e
+            ("exаmple.com",),          # Cyrillic а
+            ("ex-ample.com",),         # hyphen insertion
+            ("PAYPAL.com",), ("paypa1.com",),  # case fold + 1 -> l
+            ("lonely.org",),           # no variants -> filtered out
+        ],
+        "host string",
+    )
+    rows = {r["skeleton"]: r for r in confusable_hosts(pages).collect()}
+    assert set(rows) == {"example.com", "paypal.com"}
+    ex = rows["example.com"]
+    assert ex["n_hosts"] == 4 and ex["n_docs"] == 5
+    assert ex["hosts"] == (
+        "ex-ample.com,exampl3.com,example.com,exаmple.com"
+    )
+    pp = rows["paypal.com"]
+    assert pp["n_hosts"] == 2
+    assert "PAYPAL.com" in pp["hosts"] and "paypa1.com" in pp["hosts"]

@@ -111,6 +111,7 @@ INVARIANCE_QUERIES = [
     "vocab_drift",      # conditional sums + driver totals + top-k tie
     "lexicon_severity", # broadcast lexicon join + zero-hit rejoin
     "contrastive_pairs",  # LSH verify + per-anchor row_number cap
+    "confusable_hosts",  # two-level host->skeleton agg + collect_set
 ]
 
 
