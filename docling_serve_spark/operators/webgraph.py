@@ -925,3 +925,75 @@ def bad_neighborhood_stats(edges: DataFrame, blocklist: DataFrame,
         )
         .orderBy("src_host")
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 2,
+               max_rounds: int = 8) -> DataFrame:
+    """(host, degree0, peel_round, in_core) — k-core membership plus
+    the ONION LAYER each host dies in: iteratively delete every node
+    whose degree in the surviving subgraph is < k (Seidman, "Network
+    structure and minimum degree", Social Networks 1983; the
+    distributed peel is Montresor et al., "Distributed k-core
+    decomposition", IEEE TPDS 2013). peel_round is the 1-based round a
+    host was removed (-1 = survives = k-core member). Spam link farms
+    live in dense cores their PageRank (X39) alone can't separate from
+    popular hosts — a high-rank host in a shallow layer is endorsed, a
+    mid-rank host deep in a dense core is mutually inflated (pair with
+    X47/X148); peel depth is also the standard coarse "structural
+    importance" tier for crawl-budget apportionment (X141).
+
+    Exactly ``max_rounds`` peel rounds run (a path of 2L+1 nodes fully
+    peels at k=2 in L+1 rounds — bound the cascade, don't poll for
+    convergence: both engines run the same fixed schedule, so results
+    are engine-identical even mid-cascade). Scale shape: everything
+    after edge canonicalization is HOST-grain (hosts ≪ pages); each
+    round is one neighbor semi-join + one partial-agg degree count,
+    localCheckpoint'd so the loop's lineage stays flat; the alive set
+    only shrinks."""
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    nbrs = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg0 = nbrs.groupBy(F.col("u").alias("host")).agg(
+        F.count("*").cast("bigint").alias("degree0")
+    ).localCheckpoint(eager=True)
+
+    alive = deg0.select("host")
+    peeled = None
+    for r in range(1, max_rounds + 1):
+        # degree within the induced surviving subgraph: both endpoints
+        # must still be alive
+        deg = (
+            nbrs.join(alive, nbrs.u == alive.host, "leftsemi")
+            .join(alive.select(F.col("host").alias("__v")),
+                  F.col("v") == F.col("__v"), "leftsemi")
+            .groupBy(F.col("u").alias("host"))
+            .agg(F.count("*").alias("__deg"))
+        )
+        survivors = (
+            alive.join(deg, "host", "left")
+            .filter(F.coalesce(F.col("__deg"), F.lit(0)) >= k)
+            .select("host")
+            .localCheckpoint(eager=True)
+        )
+        removed = alive.join(survivors, "host", "left_anti").select(
+            "host", F.lit(r).cast("bigint").alias("peel_round")
+        )
+        peeled = removed if peeled is None else peeled.unionByName(removed)
+        alive = survivors
+
+    result = alive.select(
+        "host", F.lit(-1).cast("bigint").alias("peel_round")
+    )
+    if peeled is not None:
+        result = result.unionByName(peeled.localCheckpoint(eager=True))
+    return (
+        deg0.join(result, "host")
+        .select("host", "degree0", "peel_round",
+                (F.col("peel_round") == -1).alias("in_core"))
+    )

@@ -10484,6 +10484,86 @@ def _confusable_hosts_oracle() -> str:
 ORACLE_CONFUSABLE_HOSTS = _confusable_hosts_oracle()
 
 
+def q_kcore_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190 — k-core onion peel (k=2) over a synthesis that pins every
+    outcome: a K6 clique (q0-q5, survives any peel at k=2), a 10-cycle
+    (c0-c9, deg-2 everywhere — survives k=2 exactly), and an 8-node
+    path (p0-p7) that cascades: endpoints die round 1, then inward
+    pair by pair through round 4 — exercising the multi-round peel,
+    not just the first sweep. Residues mod 53 cover all three shapes;
+    clique self-loops (i==j) are dropped by the operator."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 53
+    src = (
+        F.when(m < 36, F.concat(F.lit("q"),
+                                F.floor(m / 6).cast("string")))
+        .when(m < 46, F.concat(F.lit("c"), (m - 36).cast("string")))
+        .otherwise(F.concat(F.lit("p"), (m - 46).cast("string")))
+    )
+    dst = (
+        F.when(m < 36, F.concat(F.lit("q"), (m % 6).cast("string")))
+        .when(m < 46, F.concat(F.lit("c"), ((m - 35) % 10).cast("string")))
+        .otherwise(F.concat(F.lit("p"), (m - 45).cast("string")))
+    )
+    return webgraph.kcore_peel(
+        docs.select(src.alias("src"), dst.alias("dst")), k=2, max_rounds=8
+    )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    raw = (
+        "SELECT CASE WHEN m < 36 THEN 'q' || CAST(m // 6 AS VARCHAR) "
+        "WHEN m < 46 THEN 'c' || CAST(m - 36 AS VARCHAR) "
+        "ELSE 'p' || CAST(m - 46 AS VARCHAR) END AS src, "
+        "CASE WHEN m < 36 THEN 'q' || CAST(m % 6 AS VARCHAR) "
+        "WHEN m < 46 THEN 'c' || CAST((m - 35) % 10 AS VARCHAR) "
+        "ELSE 'p' || CAST(m - 45 AS VARCHAR) END AS dst "
+        "FROM (SELECT doc_id % 53 AS m FROM documents)"
+    )
+    # every CTE is MATERIALIZED: the peel chain references each prior
+    # round twice, so DuckDB's default CTE inlining would expand the
+    # tree (and the parquet scan count) exponentially in `rounds`
+    ctes = [
+        f"raw AS MATERIALIZED ({raw})",
+        "canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM raw WHERE src <> dst)",
+        "nb AS MATERIALIZED (SELECT u AS host, v AS nbr FROM canon "
+        "UNION ALL SELECT v, u FROM canon)",
+        "deg0 AS MATERIALIZED (SELECT host, "
+        "CAST(count(*) AS BIGINT) AS degree0 FROM nb GROUP BY 1)",
+        "a0 AS MATERIALIZED (SELECT host FROM deg0)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT nb.host, count(*) AS dg "
+            f"FROM nb JOIN a{p} x ON nb.host = x.host "
+            f"JOIN a{p} y ON nb.nbr = y.host GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT a{p}.host FROM a{p} "
+            f"JOIN d{r} ON a{p}.host = d{r}.host AND d{r}.dg >= {k})"
+        )
+        ctes.append(
+            f"rm{r} AS MATERIALIZED (SELECT host, "
+            f"CAST({r} AS BIGINT) AS peel_round "
+            f"FROM a{p} ANTI JOIN a{r} USING (host))"
+        )
+    layers = " UNION ALL ".join(
+        [f"SELECT * FROM rm{r}" for r in range(1, rounds + 1)]
+        + [f"SELECT host, CAST(-1 AS BIGINT) AS peel_round FROM a{rounds}"]
+    )
+    return (
+        "WITH " + ", ".join(ctes) + ", res AS (" + layers + ") "
+        "SELECT deg0.host, deg0.degree0, res.peel_round, "
+        "res.peel_round = -1 AS in_core "
+        "FROM deg0 JOIN res ON deg0.host = res.host"
+    )
+
+
+ORACLE_KCORE_LAYERS = _kcore_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10721,6 +10801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexicon_severity": q_lexicon_severity,
     "contrastive_pairs": q_contrastive_pairs,
     "confusable_hosts": q_confusable_hosts,
+    "kcore_layers": q_kcore_layers,
 }
 
 ORACLES: dict[str, str] = {
@@ -10947,4 +11028,5 @@ ORACLES: dict[str, str] = {
     "lexicon_severity": ORACLE_LEXICON_SEVERITY,
     "contrastive_pairs": ORACLE_CONTRASTIVE_PAIRS,
     "confusable_hosts": ORACLE_CONFUSABLE_HOSTS,
+    "kcore_layers": ORACLE_KCORE_LAYERS,
 }

@@ -4623,3 +4623,29 @@ def test_confusable_hosts_skeleton_families(spark):
     pp = rows["paypal.com"]
     assert pp["n_hosts"] == 2
     assert "PAYPAL.com" in pp["hosts"] and "paypa1.com" in pp["hosts"]
+
+
+def test_kcore_peel_layers_hand_computed(spark):
+    """X190: a triangle with a pendant tail — tail cascades inward
+    one layer per round (t2 dies round 1, t1 round 2), the triangle
+    itself survives k=2; an isolated edge dies in round 1 on both
+    ends. Undirected + dedup'd + self-loops dropped."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # triangle: 2-core
+            ("a", "t1"), ("t1", "t2"),            # pendant tail
+            ("x", "y"),                           # isolated edge
+            ("a", "a"),                           # self-loop (dropped)
+            ("b", "a"),                           # reverse dup
+        ],
+        "src string, dst string",
+    )
+    rows = {r["host"]: r for r in
+            webgraph.kcore_peel(edges, k=2, max_rounds=5).collect()}
+    assert {h: r["peel_round"] for h, r in rows.items()} == {
+        "a": -1, "b": -1, "c": -1, "t1": 2, "t2": 1, "x": 1, "y": 1,
+    }
+    assert rows["a"]["degree0"] == 3  # b, c, t1 (self-loop dropped)
+    assert rows["a"]["in_core"] and not rows["t1"]["in_core"]

@@ -112,6 +112,7 @@ INVARIANCE_QUERIES = [
     "lexicon_severity", # broadcast lexicon join + zero-hit rejoin
     "contrastive_pairs",  # LSH verify + per-anchor row_number cap
     "confusable_hosts",  # two-level host->skeleton agg + collect_set
+    "kcore_layers",     # iterative peel: per-round joins + checkpoints
 ]
 
 
