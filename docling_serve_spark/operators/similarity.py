@@ -1040,3 +1040,87 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def jl_project(vec: Column, out_dim: int = 16, dim: int = 64,
+               seed: int = 271) -> Column:
+    """array<double> — Johnson–Lindenstrauss random projection of a
+    ``dim``-d embedding onto ``out_dim`` deterministic pseudo-random
+    hyperplanes, scaled by 1/sqrt(out_dim) (Johnson & Lindenstrauss
+    1984; dense real projections per Indyk & Motwani, STOC 1998 §4).
+    The JL lemma guarantees pairwise distances survive within
+    (1 ± eps) for out_dim = O(log n / eps^2) REGARDLESS of the source
+    dimension — the standard scale lever for the semantic tier: run
+    X5/X129's clustering or X6's ANN over 16-d projections at 4× less
+    shuffle width and re-score survivors in the original space.
+
+    Same single-literal-matrix + one-transform-lambda shape as
+    ``lsh_bucket`` (one Catalyst Literal node, no per-plane expression
+    expansion — the round-4 plan-compile fix class); left-fold dot
+    order, so values are bit-reproducible against the SQL twin."""
+    planes = F.lit([_hyperplane(dim, seed, p) for p in range(out_dim)])
+    inv = 1.0 / (out_dim ** 0.5)
+    return F.transform(
+        planes,
+        lambda pl: F.aggregate(
+            F.zip_with(vec, pl,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) * F.lit(inv),
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def jl_distortion_audit(embeds: DataFrame, out_dim: int = 16,
+                        pair_shift: int = 7, dim: int = 64,
+                        seed: int = 271,
+                        vec_col: str = "embedding") -> DataFrame:
+    """(vec_id_a, vec_id_b, orig_dist, proj_dist, distortion) — the
+    measured JL guarantee: for deterministic probe pairs (vec_id,
+    vec_id + pair_shift), the L2 distance in the projected space over
+    the distance in the original space. An operator adopting the
+    16-d scale path for clustering/ANN reads this table FIRST — if the
+    distortion band at the corpus's own geometry is wider than the
+    downstream threshold margin (e.g. X5's cosine cut), the projection
+    is too aggressive and out_dim must grow (JL: out_dim ~ log n).
+
+    Scale shape: projection is per-row codegen (no shuffle); the pair
+    probe is one self equi-join on vec_id + shift — a deterministic
+    O(n) sample of pairs, NOT all-pairs (the lemma speaks uniformly,
+    so any fixed pair family estimates the band). Distances round to 6
+    decimals only at the final select."""
+    proj = embeds.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        jl_project(F.col(vec_col), out_dim, dim, seed).alias("p"),
+    )
+    a = proj.select(F.col("vec_id").alias("vec_id_a"),
+                    F.col("v").alias("va"), F.col("p").alias("pa"))
+    b = proj.select((F.col("vec_id") - pair_shift).alias("vec_id_a"),
+                    F.col("vec_id").alias("vec_id_b"),
+                    F.col("v").alias("vb"), F.col("p").alias("pb"))
+    od = _l2(F.col("va"), F.col("vb"))
+    pd = _l2(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, "vec_id_a")
+        .select(
+            "vec_id_a", "vec_id_b",
+            F.round(od, 6).alias("orig_dist"),
+            F.round(pd, 6).alias("proj_dist"),
+            F.round(pd / F.nullif(od, F.lit(0.0)), 6).alias("distortion"),
+        )
+    )

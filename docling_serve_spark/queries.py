@@ -10564,6 +10564,47 @@ def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
 ORACLE_KCORE_LAYERS = _kcore_oracle()
 
 
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191 — Johnson–Lindenstrauss projection audit: every embedding
+    is projected 64d→16d through the deterministic plane matrix and
+    probe pairs (vec_id, vec_id+7) report projected/original L2
+    distance ratio — the measured distortion band that gates adopting
+    the 16-d scale path for the semantic tier."""
+    return similarity.jl_distortion_audit(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
+def _jl_oracle(out_dim: int = 16, pair_shift: int = 7,
+               seed: int = 271) -> str:
+    inv = repr(1.0 / (out_dim ** 0.5))
+    projs = ", ".join(
+        "list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"({_plane_sql(64, seed, p)}::DOUBLE[])[i])) * {inv}"
+        for p in range(out_dim)
+    )
+    def l2(ac, bc, n):
+        return (
+            f"sqrt(list_sum(list_transform(generate_series(1, {n}), "
+            f"i -> (CAST({ac}[i] AS DOUBLE) - CAST({bc}[i] AS DOUBLE)) * "
+            f"(CAST({ac}[i] AS DOUBLE) - CAST({bc}[i] AS DOUBLE)))))"
+        )
+    return (
+        "WITH proj AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) "
+        f"AS vec_id, embedding AS v, [{projs}] AS p FROM embeddings), "
+        "pairs AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+        f"{l2('a.v', 'b.v', 64)} AS od, {l2('a.p', 'b.p', out_dim)} AS pd "
+        f"FROM proj a JOIN proj b ON b.vec_id = a.vec_id + {pair_shift}) "
+        "SELECT vec_id_a, vec_id_b, round(od, 6) AS orig_dist, "
+        "round(pd, 6) AS proj_dist, "
+        "round(pd / nullif(od, 0.0), 6) AS distortion FROM pairs"
+    )
+
+
+ORACLE_JL_DISTORTION = _jl_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10802,6 +10843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contrastive_pairs": q_contrastive_pairs,
     "confusable_hosts": q_confusable_hosts,
     "kcore_layers": q_kcore_layers,
+    "jl_distortion": q_jl_distortion,
 }
 
 ORACLES: dict[str, str] = {
@@ -11029,4 +11071,5 @@ ORACLES: dict[str, str] = {
     "contrastive_pairs": ORACLE_CONTRASTIVE_PAIRS,
     "confusable_hosts": ORACLE_CONFUSABLE_HOSTS,
     "kcore_layers": ORACLE_KCORE_LAYERS,
+    "jl_distortion": ORACLE_JL_DISTORTION,
 }

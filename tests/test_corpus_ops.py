@@ -4649,3 +4649,38 @@ def test_kcore_peel_layers_hand_computed(spark):
     }
     assert rows["a"]["degree0"] == 3  # b, c, t1 (self-loop dropped)
     assert rows["a"]["in_core"] and not rows["t1"]["in_core"]
+
+
+def test_jl_distortion_audit_properties(spark):
+    """X191: distortion is proj/orig L2 and obeys the structural
+    facts — zero-distance pairs give NULL distortion (guarded
+    division), a pair differing in ONE coordinate measures that
+    coordinate's projection column norm, and for generic vectors the
+    16-d projection lands within a sane multiplicative band."""
+    from docling_serve_spark.operators import similarity
+
+    dim = 64
+    base = [0.0] * dim
+    e0 = list(base)
+    bump = list(base); bump[3] = 2.0   # differs from e0 in coord 3 only
+    gen = [((i * 37 + 11) % 13 - 6) / 3.0 for i in range(dim)]
+    rows = [(0, e0), (7, bump),        # pair (0,7): single-coord diff
+            (1, gen), (8, gen),        # pair (1,8): identical -> od=0
+            (2, gen), (9, e0)]         # pair (2,9): generic distance
+    embeds = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    got = {r["vec_id_a"]: r for r in
+           similarity.jl_distortion_audit(embeds).collect()}
+    assert set(got) == {0, 1, 2}
+    # identical vectors: orig_dist 0, distortion NULL (not a crash)
+    assert got[1]["orig_dist"] == 0.0 and got[1]["distortion"] is None
+    # single-coordinate pair: orig = |bump[3]| = 2; proj distance =
+    # 2 * ||column 3 of the plane matrix|| / sqrt(16)
+    import math
+    col3 = [similarity._hyperplane(dim, 271, p)[3] for p in range(16)]
+    expect = 2.0 * math.sqrt(sum(c * c for c in col3)) / 4.0
+    assert abs(got[0]["proj_dist"] - expect) < 1e-5
+    assert got[0]["orig_dist"] == 2.0
+    # generic pair: JL keeps the ratio in a broad multiplicative band
+    assert 0.2 < got[2]["distortion"] < 2.5

@@ -113,6 +113,7 @@ INVARIANCE_QUERIES = [
     "contrastive_pairs",  # LSH verify + per-anchor row_number cap
     "confusable_hosts",  # two-level host->skeleton agg + collect_set
     "kcore_layers",     # iterative peel: per-round joins + checkpoints
+    "jl_distortion",    # literal-matrix projection + shift self-join
 ]
 
 
