@@ -10605,6 +10605,57 @@ def _jl_oracle(out_dim: int = 16, pair_shift: int = 7,
 ORACLE_JL_DISTORTION = _jl_oracle()
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192 — char-bigram entropy gate: %23==5 pages become a single
+    repeated character (entropy 0 → low_entropy), %23==9 pages become
+    a 256-char hex blob built from md5 chains (~5.0 nats →
+    high_entropy), everything else is natural prose and must stay in
+    the ok band (measured 3.2-4.5 nats on this corpus)."""
+    from docling_serve_spark.operators.textstats import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 23
+    blob = F.concat(*[
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{s}")))
+        for s in range(8)
+    ])
+    text = (
+        F.when(m == 5, F.repeat(F.lit("z"), 300))
+        .when(m == 9, blob)
+        .otherwise(F.col("text"))
+    )
+    return char_entropy(docs.select("doc_id", text.alias("text")))
+
+
+ORACLE_CHAR_ENTROPY = (
+    "WITH d AS (SELECT doc_id, CASE "
+    "WHEN doc_id % 23 = 5 THEN repeat('z', 300) "
+    "WHEN doc_id % 23 = 9 THEN "
+    + " || ".join(
+        f"md5(CAST(doc_id AS VARCHAR) || ':{s}')" for s in range(8)
+    )
+    + " ELSE text END AS text FROM documents), "
+    "p AS (SELECT doc_id, substr(trim(lower(regexp_replace(text, "
+    "'\\s+', ' ', 'g'))), 1, 256) AS t FROM d), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    "generate_series(1, len(t) - 1), i -> t[i:i+1])) AS g "
+    "FROM p WHERE len(t) >= 2), "
+    "c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c "
+    "FROM g GROUP BY 1, 2), "
+    "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+    "CAST(count(*) AS BIGINT) AS n_distinct, "
+    "CAST(sum(c * CAST(floor(ln(c) * 1000000) AS BIGINT)) AS BIGINT) "
+    "AS s FROM c GROUP BY 1), "
+    "e AS (SELECT doc_id, n_bigrams, n_distinct, "
+    "CAST((n_bigrams * CAST(floor(ln(n_bigrams) * 1000000) AS BIGINT) "
+    "- s) // n_bigrams AS BIGINT) AS entropy_micro FROM a) "
+    "SELECT doc_id, n_bigrams, n_distinct, entropy_micro, "
+    "CASE WHEN entropy_micro < 2500000 THEN 'low_entropy' "
+    "WHEN entropy_micro > 4700000 THEN 'high_entropy' "
+    "ELSE 'ok' END AS verdict FROM e"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10844,6 +10895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "confusable_hosts": q_confusable_hosts,
     "kcore_layers": q_kcore_layers,
     "jl_distortion": q_jl_distortion,
+    "char_entropy": q_char_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -11072,4 +11124,5 @@ ORACLES: dict[str, str] = {
     "confusable_hosts": ORACLE_CONFUSABLE_HOSTS,
     "kcore_layers": ORACLE_KCORE_LAYERS,
     "jl_distortion": ORACLE_JL_DISTORTION,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
 }

@@ -4684,3 +4684,31 @@ def test_jl_distortion_audit_properties(spark):
     assert got[0]["orig_dist"] == 2.0
     # generic pair: JL keeps the ratio in a broad multiplicative band
     assert 0.2 < got[2]["distortion"] < 2.5
+
+
+def test_char_entropy_bands(spark):
+    """X192: repeated-char text scores 0 entropy (one bigram class),
+    a near-uniform blob scores high, natural prose lands in the ok
+    band; docs shorter than 2 chars are omitted."""
+    from docling_serve_spark.operators.textstats import char_entropy
+
+    import hashlib
+    blob = "".join(hashlib.md5(f"x:{i}".encode()).hexdigest()
+                   for i in range(8))[:256]
+    docs = spark.createDataFrame(
+        [
+            (1, "z" * 300),
+            (2, blob),
+            (3, "the quick brown fox jumps over the lazy dog and "
+                "keeps running through the quiet green field today"),
+            (4, "a"),     # too short -> omitted
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["verdict"] == "low_entropy"
+    assert got[1]["entropy_micro"] == 0 and got[1]["n_distinct"] == 1
+    assert got[2]["verdict"] == "high_entropy"
+    assert got[3]["verdict"] == "ok"
+    assert got[3]["n_bigrams"] == 96  # 97-char prefix after norm

@@ -114,6 +114,7 @@ INVARIANCE_QUERIES = [
     "confusable_hosts",  # two-level host->skeleton agg + collect_set
     "kcore_layers",     # iterative peel: per-round joins + checkpoints
     "jl_distortion",    # literal-matrix projection + shift self-join
+    "char_entropy",     # micro-nat integer sums at (doc,gram) grain
 ]
 
 
