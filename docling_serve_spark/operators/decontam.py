@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from docling_serve_spark.operators.dedup import norm_text
+from docling_serve_spark.operators.dedup import hof_let, norm_text
 
 
 def kgrams(text_col: Column, k: int) -> Column:
@@ -29,11 +29,12 @@ def kgrams(text_col: Column, k: int) -> Column:
     Callers must pre-filter rows with fewer than k tokens:
     ``F.sequence`` generates a *descending* range when start > stop,
     so an unguarded short row would fabricate bogus grams."""
-    toks = F.split(norm_text(text_col), " ")
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), (n - (k - 1)).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    return hof_let(
+        F.split(norm_text(text_col), " "),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), (F.size(toks) - (k - 1)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
     )
 
 

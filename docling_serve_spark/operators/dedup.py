@@ -38,6 +38,19 @@ def norm_text(col: Column) -> Column:
 NORM_SQL = "trim(lower(regexp_replace({t}, '\\s+', ' ', 'g')))"
 
 
+def hof_let(bound: Column, body) -> Column:
+    """Evaluate ``bound`` ONCE per row and hand it to ``body`` as a
+    lambda variable — a let-binding built from a single-element
+    ``transform``. An expression referenced inside a higher-order-
+    function lambda is re-evaluated once per ELEMENT (Catalyst
+    neither caches nor subexpression-eliminates into lambda bodies),
+    so a shingle builder that tokenizes inside its per-index lambda
+    pays O(n_tokens) tokenizations per row. Binding first makes the
+    lambda body read a variable: measured 4.5 s -> 0.5 s on the
+    sf0.1 shingle explode, identical output."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: md5 of normalized text, groups with >1
     member. Map-side partial agg comes free from hash aggregation."""
@@ -61,13 +74,14 @@ def tokens(col: Column) -> Column:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct word k-grams, sorted (deterministic)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    return hof_let(
+        tokens(col),
+        lambda toks: F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ))),
     )
-    return F.array_sort(F.array_distinct(grams))
 
 
 def _md5_hash(col: Column, salt: int, pos: int = 1) -> Column:
@@ -83,11 +97,13 @@ def _md5_hash(col: Column, salt: int, pos: int = 1) -> Column:
 def raw_shingles(col: Column, k: int = 3) -> Column:
     """Word k-grams WITHOUT distinct/sort — duplicates cannot change a
     min-hash, so the cheaper form feeds the minhash path."""
-    toks = tokens(col)
-    n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    return hof_let(
+        tokens(col),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
     )
 
 
@@ -214,12 +230,19 @@ def passage_windows(col: Column, w: int = 8) -> Column:
     three-sentence spans; RefinedWeb exact substrings) re-expressed
     on fixed token windows so the unit is deterministic and
     engine-portable."""
-    toks = tokens(col)
-    n = F.size(toks)
-    n_windows = F.floor((n - F.lit(1)) / F.lit(w)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n_windows, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+    return hof_let(
+        tokens(col),
+        lambda toks: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.floor((F.size(toks) - F.lit(1)) / F.lit(w))
+                    .cast("int"),
+                    F.lit(0),
+                ),
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+        ),
     )
 
 
@@ -831,15 +854,16 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     ~2/(w+1) of the gram count (the paper's expected density)."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n_tok = F.size(toks)
-    grams = F.when(
-        n_tok >= k,
-        F.transform(
-            F.sequence(F.lit(1), (n_tok - k + 1).cast("int")),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = hof_let(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda toks: F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), (F.size(toks) - k + 1).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     rows = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(grams).alias("__pos", "__gram"),

@@ -358,13 +358,20 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     starts = F.when(
         n_starts > 0, F.sequence(F.lit(0), n_starts.cast("int") - 1)
     ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda k: F.struct(
-            k.alias("k"),
-            F.slice(
-                toks, k * stride + 1, F.lit(chunk_tokens)
-            ).alias("w"),
+    from docling_serve_spark.operators.dedup import hof_let
+
+    # bind toks once: referencing it inside the per-start lambda would
+    # re-split the document once per window (hof_let rationale)
+    chunks = hof_let(
+        toks,
+        lambda t: F.transform(
+            starts,
+            lambda k: F.struct(
+                k.alias("k"),
+                F.slice(
+                    t, k * stride + 1, F.lit(chunk_tokens)
+                ).alias("w"),
+            ),
         ),
     )
     ex = docs.select(

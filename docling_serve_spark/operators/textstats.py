@@ -112,11 +112,16 @@ def ngram_repetition(docs: DataFrame, text_col: str = "text",
     single hot document cannot skew a partition at corpus scale.
     Documents with fewer than k tokens have no k-gram and are absent
     from the output (mirrored by the oracle's length filter)."""
+    from docling_serve_spark.operators.dedup import hof_let
+
     toks = F.split(norm_text(F.col(text_col)), " ")
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), (n - (k - 1)).cast("int")),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    grams = hof_let(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), (F.size(t) - (k - 1)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
     )
     g = (
         docs.filter(n >= k)
@@ -583,13 +588,18 @@ def collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
         .agg(F.count("*").cast("bigint").alias("n_w"))
     )
     total = uni.agg(F.sum("n_w").alias("n")).collect()[0]["n"]
-    grams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), (n_tok - 1).cast("int")),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from docling_serve_spark.operators.dedup import hof_let
+
+    grams = hof_let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), (F.size(t) - 1).cast("int")),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     big = (
         docs.select(F.explode(grams).alias("bigram"))
         .groupBy("bigram")
