@@ -252,6 +252,16 @@ BENCH_QUERIES = [
     "media_resize",
     "media_frame_sample",
     "media_audio_features",
+    # round-5 additions (X185-X193)
+    "keyword_stuffing",
+    "vocab_drift",
+    "lexicon_severity",
+    "contrastive_pairs",
+    "confusable_hosts",
+    "kcore_layers",
+    "jl_distortion",
+    "char_entropy",
+    "effective_tokens",
 ]
 
 

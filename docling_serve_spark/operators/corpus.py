@@ -837,3 +837,57 @@ def lexicon_severity(docs: DataFrame, lexicon: DataFrame,
         ).when(F.col("n_hits") > 0, F.lit("flag"))
         .otherwise(F.lit("keep")),
     )
+
+
+def effective_token_supply(docs: DataFrame, text_col: str = "text",
+                           source_col: str = "source") -> DataFrame:
+    """(source, n_docs, n_dup_docs, n_tokens, eff_tokens_bp,
+    dup_overhead_bp) — the mixture planner's REAL inventory: raw token
+    counts overstate what a source contributes once global exact dedup
+    runs, so each document is discounted by its duplicate-cluster size
+    (a family of c byte-identical docs contributes its token mass
+    once, split as 1/c per member — the RefinedWeb/CCNet accounting;
+    clusters are GLOBAL across sources, so a wire story syndicated
+    into five sources is worth 1/5 in each, not 1 in each). X22's
+    mixture weights and X24's token budgets should draw on
+    eff_tokens_bp, not n_tokens, or duplicated sources get
+    over-allocated exactly in proportion to how duplicated they are.
+
+    Integer-exact: per-doc discounted mass is (n_tok · 10000) div
+    csize (bp-tokens, bigint) summed per source; dup_overhead_bp =
+    10000 − (Σeff / Σraw) in bp. Scale shape: one digest-grain
+    partial-agg groupBy for cluster sizes, one digest equi-join to
+    carry them back (exchanges hold 16-byte digests + two longs, never
+    text), one source-grain rollup. No windows."""
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(norm_text(F.col(text_col))).alias("digest"),
+        F.size(F.filter(
+            F.split(norm_text(F.col(text_col)), " "),
+            lambda w: w != "",
+        )).cast("bigint").alias("n_tok"),
+    )
+    csize = d.groupBy("digest").agg(
+        F.count("*").cast("bigint").alias("csize")
+    )
+    per_doc = d.join(csize, "digest").select(
+        "source", "n_tok", "csize",
+        F.expr("(n_tok * 10000) div csize").cast("bigint").alias("eff_bp"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("csize") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("eff_bp").cast("bigint").alias("eff_tokens_bp"),
+        )
+        .select(
+            "source", "n_docs", "n_dup_docs", "n_tokens",
+            "eff_tokens_bp",
+            (F.lit(10000) - F.expr(
+                "eff_tokens_bp div greatest(n_tokens, 1)"
+            )).cast("bigint").alias("dup_overhead_bp"),
+        )
+    )

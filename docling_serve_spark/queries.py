@@ -10656,6 +10656,52 @@ ORACLE_CHAR_ENTROPY = (
 )
 
 
+def q_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X193 — dedup-discounted token inventory per source: %7==3
+    pages collapse onto five syndicated wire texts (families keyed on
+    doc_id%5, byte-identical ACROSS sources), so every source carries
+    both unique mass and shared mass; the discounting must split each
+    family's tokens 1/c per member while untouched pages keep full
+    weight."""
+    from docling_serve_spark.operators.corpus import effective_token_supply
+
+    docs = _t(spark, sf_dir, "documents")
+    wire = F.concat(
+        F.lit("syndicated wire story number "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" repeated verbatim across outlets today"),
+    )
+    text = F.when(F.col("doc_id") % 7 == 3, wire).otherwise(F.col("text"))
+    return effective_token_supply(
+        docs.select("source", text.alias("text"))
+    )
+
+
+ORACLE_EFFECTIVE_TOKENS = (
+    "WITH d0 AS (SELECT source, CASE WHEN doc_id % 7 = 3 THEN "
+    "'syndicated wire story number ' || CAST(doc_id % 5 AS VARCHAR) || "
+    "' repeated verbatim across outlets today' ELSE text END AS text "
+    "FROM documents), "
+    "d AS (SELECT source, md5("
+    + dedup.NORM_SQL.format(t="text")
+    + ") AS digest, CAST(len(list_filter(string_split("
+    + dedup.NORM_SQL.format(t="text")
+    + ", ' '), x -> x <> '')) AS BIGINT) AS n_tok FROM d0), "
+    "c AS (SELECT digest, CAST(count(*) AS BIGINT) AS csize "
+    "FROM d GROUP BY 1), "
+    "p AS (SELECT d.source, d.n_tok, c.csize, "
+    "CAST((d.n_tok * 10000) // c.csize AS BIGINT) AS eff_bp "
+    "FROM d JOIN c ON d.digest = c.digest), "
+    "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+    "CAST(sum(eff_bp) AS BIGINT) AS eff_tokens_bp FROM p GROUP BY 1) "
+    "SELECT source, n_docs, n_dup_docs, n_tokens, eff_tokens_bp, "
+    "CAST(10000 - eff_tokens_bp // greatest(n_tokens, 1) AS BIGINT) "
+    "AS dup_overhead_bp FROM a"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10896,6 +10942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_layers": q_kcore_layers,
     "jl_distortion": q_jl_distortion,
     "char_entropy": q_char_entropy,
+    "effective_tokens": q_effective_tokens,
 }
 
 ORACLES: dict[str, str] = {
@@ -11125,4 +11172,5 @@ ORACLES: dict[str, str] = {
     "kcore_layers": ORACLE_KCORE_LAYERS,
     "jl_distortion": ORACLE_JL_DISTORTION,
     "char_entropy": ORACLE_CHAR_ENTROPY,
+    "effective_tokens": ORACLE_EFFECTIVE_TOKENS,
 }

@@ -4712,3 +4712,29 @@ def test_char_entropy_bands(spark):
     assert got[2]["verdict"] == "high_entropy"
     assert got[3]["verdict"] == "ok"
     assert got[3]["n_bigrams"] == 96  # 97-char prefix after norm
+
+
+def test_effective_token_supply_discounts_cross_source_dups(spark):
+    """X193: a text duplicated across two sources splits its token
+    mass 1/2 to each; unique docs keep full weight; overhead is the
+    bp share of raw tokens that dedup would reclaim."""
+    from docling_serve_spark.operators.corpus import effective_token_supply
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "alpha beta gamma delta"),       # unique, 4 tok
+            ("s1", "shared wire story here"),       # dup x2, 4 tok
+            ("s2", "shared wire story here"),
+            ("s2", "one two three four five six"),  # unique, 6 tok
+        ],
+        "source string, text string",
+    )
+    got = {r["source"]: r
+           for r in effective_token_supply(docs).collect()}
+    s1 = got["s1"]
+    # 4 full + 4/2 -> eff_bp = 40000 + 20000
+    assert s1["n_tokens"] == 8 and s1["eff_tokens_bp"] == 60000
+    assert s1["n_dup_docs"] == 1
+    assert s1["dup_overhead_bp"] == 10000 - 60000 // 8
+    s2 = got["s2"]
+    assert s2["n_tokens"] == 10 and s2["eff_tokens_bp"] == 80000

@@ -115,6 +115,7 @@ INVARIANCE_QUERIES = [
     "kcore_layers",     # iterative peel: per-round joins + checkpoints
     "jl_distortion",    # literal-matrix projection + shift self-join
     "char_entropy",     # micro-nat integer sums at (doc,gram) grain
+    "effective_tokens",  # digest-grain cluster sizes + source rollup
 ]
 
 
