@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "jl_distortion",
     "char_entropy",
     "effective_tokens",
+    "pagination_chains",
 ]
 
 

@@ -885,3 +885,83 @@ def title_body_overlap(pages: DataFrame, title_col: str = "title",
             & (overlap < clickbait_cut_bp)
         ).alias("is_inconsistent"),
     )
+
+
+def pagination_chains(docs: DataFrame, text_col: str = "text",
+                      k: int = 5, max_len: int = 6) -> DataFrame:
+    """(root_id, pos, doc_id, chain_len) — multi-page article
+    reassembly: a CMS that paginates one article over N URLs leaves a
+    seam the crawler can re-stitch — page p+1 opens with the tokens
+    page p closed on (continuation teasers, repeated bridge
+    sentences). Each doc is reduced to a HEAD hash (first k tokens)
+    and a TAIL hash (last k tokens); A chains to B when A's tail
+    equals B's head (successor = min doc_id when several match —
+    deterministic), roots are chain starts (head matched by no tail)
+    with at least one successor, and each root walks forward at most
+    ``max_len`` hops. Treating the parts as independent documents
+    both fragments training sequences (X21/X68 chunk mid-article) and
+    triple-counts the article against per-host quotas; the chain is
+    the unit to pack.
+
+    Scale shape: docs collapse to (doc_id, 2×16-byte hashes) in one
+    scan — text never shuffles; the successor table is one hash
+    equi-join + min-agg; the walk is ``max_len`` bounded rounds of
+    (chain × successor) joins on doc_id, each round localCheckpoint'd
+    (kcore/seed_distance discipline). Docs with < k tokens have no
+    seam and are excluded."""
+    from docling_serve_spark.operators.dedup import hof_let, tokens
+
+    feat = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        hof_let(
+            tokens(F.col(text_col)),
+            lambda t: F.when(
+                F.size(t) >= k,
+                F.struct(
+                    F.md5(F.concat_ws(" ", F.slice(t, 1, k)))
+                    .alias("head_h"),
+                    F.md5(F.concat_ws(
+                        " ", F.slice(t, F.size(t) - k + 1, k)))
+                    .alias("tail_h"),
+                ),
+            ),
+        ).alias("__f"),
+    ).filter(F.col("__f").isNotNull()).select(
+        "doc_id", F.col("__f.head_h").alias("head_h"),
+        F.col("__f.tail_h").alias("tail_h"),
+    ).localCheckpoint(eager=True)
+
+    nexts = (
+        feat.alias("a")
+        .join(feat.alias("b"),
+              (F.col("a.tail_h") == F.col("b.head_h"))
+              & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).alias("next_id"))
+        .localCheckpoint(eager=True)
+    )
+    roots = (
+        feat.join(feat.select(F.col("tail_h").alias("head_h"))
+                  .distinct(), "head_h", "left_anti")
+        .join(nexts, "doc_id", "leftsemi")
+        .select(F.col("doc_id").alias("root_id"))
+    )
+    cur = roots.select(
+        "root_id", F.lit(0).cast("bigint").alias("pos"),
+        F.col("root_id").alias("doc_id"),
+    ).localCheckpoint(eager=True)
+    chain = cur
+    for r in range(1, max_len):
+        cur = (
+            cur.join(nexts, "doc_id")
+            .select("root_id", F.lit(r).cast("bigint").alias("pos"),
+                    F.col("next_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        chain = chain.unionByName(cur)
+    sizes = chain.groupBy("root_id").agg(
+        F.count("*").cast("bigint").alias("chain_len")
+    )
+    return chain.join(sizes, "root_id").select(
+        "root_id", "pos", "doc_id", "chain_len"
+    )

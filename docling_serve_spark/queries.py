@@ -10702,6 +10702,88 @@ ORACLE_EFFECTIVE_TOKENS = (
 )
 
 
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194 — multi-page article stitching: doc_id%11∈{0,1,2} pages
+    become parts 1/2/3 of article a=doc_id//11, seamed by 5-token
+    bridges ('bridge {a} part {p} end') so part p+1 opens with part
+    p's closing tokens; part 1's head ('story {a} begins here now')
+    matches no tail, making it the chain root. Every article must
+    reassemble as a 3-row chain in part order."""
+    from docling_serve_spark.operators.pagemeta import pagination_chains
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 11
+    a = F.floor(F.col("doc_id") / 11).cast("string")
+
+    def bridge(p: int) -> F.Column:
+        return F.concat(F.lit("bridge "), a, F.lit(f" part {p} end"))
+
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("story "), a, F.lit(" begins here now "), bridge(0)))
+        .when(m == 1, F.concat(
+            bridge(0), F.lit(" middle section continues strongly "),
+            bridge(1)))
+        .when(m == 2, F.concat(
+            bridge(1), F.lit(" closing remarks finish article now")))
+        .otherwise(F.col("text"))
+    )
+    return pagination_chains(docs.select("doc_id", text.alias("text")))
+
+
+def _pagination_oracle(k: int = 5, max_len: int = 6) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    raw = (
+        "SELECT doc_id, CASE "
+        "WHEN doc_id % 11 = 0 THEN 'story ' || a || ' begins here now "
+        "bridge ' || a || ' part 0 end' "
+        "WHEN doc_id % 11 = 1 THEN 'bridge ' || a || ' part 0 end "
+        "middle section continues strongly bridge ' || a || "
+        "' part 1 end' "
+        "WHEN doc_id % 11 = 2 THEN 'bridge ' || a || ' part 1 end "
+        "closing remarks finish article now' "
+        "ELSE text END AS text FROM (SELECT doc_id, text, "
+        "CAST(doc_id // 11 AS VARCHAR) AS a FROM documents)"
+    )
+    ctes = [
+        f"raw AS MATERIALIZED ({raw})",
+        f"tk AS MATERIALIZED (SELECT doc_id, string_split({norm}, ' ') "
+        "AS toks FROM raw)",
+        "feat AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"md5(array_to_string(list_slice(toks, 1, {k}), ' ')) AS head_h, "
+        f"md5(array_to_string(list_slice(toks, len(toks) - {k - 1}, "
+        "len(toks)), ' ')) AS tail_h "
+        f"FROM tk WHERE len(toks) >= {k})",
+        "nexts AS MATERIALIZED (SELECT a.doc_id, "
+        "CAST(min(b.doc_id) AS BIGINT) AS next_id FROM feat a "
+        "JOIN feat b ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id "
+        "GROUP BY 1)",
+        "roots AS MATERIALIZED (SELECT f.doc_id AS root_id FROM feat f "
+        "ANTI JOIN (SELECT DISTINCT tail_h AS head_h FROM feat) t "
+        "USING (head_h) SEMI JOIN nexts ON f.doc_id = nexts.doc_id)",
+        "c0 AS MATERIALIZED (SELECT root_id, CAST(0 AS BIGINT) AS pos, "
+        "root_id AS doc_id FROM roots)",
+    ]
+    for r in range(1, max_len):
+        ctes.append(
+            f"c{r} AS MATERIALIZED (SELECT c.root_id, "
+            f"CAST({r} AS BIGINT) AS pos, n.next_id AS doc_id "
+            f"FROM c{r - 1} c JOIN nexts n ON c.doc_id = n.doc_id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM c{r}"
+                               for r in range(max_len))
+    return (
+        "WITH " + ", ".join(ctes) + f", chain AS ({union}), "
+        "sz AS (SELECT root_id, CAST(count(*) AS BIGINT) AS chain_len "
+        "FROM chain GROUP BY 1) "
+        "SELECT chain.root_id, chain.pos, chain.doc_id, sz.chain_len "
+        "FROM chain JOIN sz ON chain.root_id = sz.root_id"
+    )
+
+
+ORACLE_PAGINATION_CHAINS = _pagination_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -10943,6 +11025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_distortion": q_jl_distortion,
     "char_entropy": q_char_entropy,
     "effective_tokens": q_effective_tokens,
+    "pagination_chains": q_pagination_chains,
 }
 
 ORACLES: dict[str, str] = {
@@ -11173,4 +11256,5 @@ ORACLES: dict[str, str] = {
     "jl_distortion": ORACLE_JL_DISTORTION,
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "effective_tokens": ORACLE_EFFECTIVE_TOKENS,
+    "pagination_chains": ORACLE_PAGINATION_CHAINS,
 }

@@ -4738,3 +4738,35 @@ def test_effective_token_supply_discounts_cross_source_dups(spark):
     assert s1["dup_overhead_bp"] == 10000 - 60000 // 8
     s2 = got["s2"]
     assert s2["n_tokens"] == 10 and s2["eff_tokens_bp"] == 80000
+
+
+def test_pagination_chains_stitches_parts_in_order(spark):
+    """X194: a 3-part article chains root->1->2 with positions in
+    part order; a standalone doc never enters a chain; the successor
+    tiebreak picks the min doc_id when two docs share a head."""
+    from docling_serve_spark.operators.pagemeta import pagination_chains
+
+    docs = spark.createDataFrame(
+        [
+            (10, "story one begins here now bridge one part zero end"),
+            (11, "bridge one part zero end middle keeps going on "
+                 "bridge one part one end"),
+            (12, "bridge one part one end closing remarks finish it"),
+            (30, "totally unrelated standalone page about gardens"),
+            # two docs share the head matching doc 40's tail: min wins
+            (40, "intro text starts here soon shared seam token five"),
+            (41, "soon shared seam token five continuation alpha beta"),
+            (42, "soon shared seam token five continuation gamma delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        map(tuple, pagination_chains(docs).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    assert (10, 0, 10, 3) in rows and (10, 1, 11, 3) in rows \
+        and (10, 2, 12, 3) in rows
+    assert not any(r[2] == 30 for r in rows)
+    # 40's successor: min(41, 42) = 41; 42 never joins 40's chain
+    assert (40, 1, 41, 2) in rows
+    assert not any(r[0] == 40 and r[2] == 42 for r in rows)

@@ -116,6 +116,7 @@ INVARIANCE_QUERIES = [
     "jl_distortion",    # literal-matrix projection + shift self-join
     "char_entropy",     # micro-nat integer sums at (doc,gram) grain
     "effective_tokens",  # digest-grain cluster sizes + source rollup
+    "pagination_chains",  # seam-hash join + bounded chain walk
 ]
 
 
