@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "effective_tokens",
     "pagination_chains",
+    "pii_risk",
 ]
 
 

@@ -67,3 +67,55 @@ def with_pii_redaction(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_ip.alias("n_ipv4"),
         ((n_email + n_phone + n_ip) > 0).alias("had_pii"),
     )
+
+
+def pii_risk_rollup(pages: DataFrame, host_col: str = "host",
+                    text_col: str = "text") -> DataFrame:
+    """(host, n_docs, n_pii_docs, n_multi_docs, n_emails, n_phones,
+    n_ipv4, pii_rate_bp, multi_rate_bp) — host-grain privacy triage.
+    The per-doc signal is not just "has PII" but CO-OCCURRENCE: a page
+    carrying two or more identifier classes (email + phone, phone +
+    IP) approaches a linkable record — the quasi-identifier
+    combination risk behind k-anonymity (Sweeney, "k-anonymity: a
+    model for protecting privacy", IJUFKS 2002), categorically worse
+    for a training corpus than scattered single identifiers. Hosts
+    rank by multi_rate_bp: a contact-directory host scrubs (X17) or
+    drops wholesale; a host with stray single emails just redacts.
+
+    Counts reuse ``pii_counts``'s pass order (phones after email
+    removal, IPs after both), so per-doc counts match the X17 audit
+    row for row. One map-side-combined host groupBy; exchanges carry
+    per-doc count triples, never text."""
+    c = F.col(text_col)
+    n_email, n_phone, n_ip = pii_counts(c)
+    n_types = (
+        n_email.cast("boolean").cast("int")
+        + n_phone.cast("boolean").cast("int")
+        + n_ip.cast("boolean").cast("int")
+    )
+    d = pages.select(
+        F.col(host_col).alias("host"),
+        n_email.alias("e"), n_phone.alias("p"), n_ip.alias("i"),
+        n_types.alias("t"),
+    )
+    return (
+        d.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("t") > 0).cast("int")).cast("bigint")
+            .alias("n_pii_docs"),
+            F.sum((F.col("t") >= 2).cast("int")).cast("bigint")
+            .alias("n_multi_docs"),
+            F.sum("e").cast("bigint").alias("n_emails"),
+            F.sum("p").cast("bigint").alias("n_phones"),
+            F.sum("i").cast("bigint").alias("n_ipv4"),
+        )
+        .select(
+            "host", "n_docs", "n_pii_docs", "n_multi_docs",
+            "n_emails", "n_phones", "n_ipv4",
+            F.expr("(10000 * n_pii_docs) div n_docs").cast("bigint")
+            .alias("pii_rate_bp"),
+            F.expr("(10000 * n_multi_docs) div n_docs").cast("bigint")
+            .alias("multi_rate_bp"),
+        )
+    )

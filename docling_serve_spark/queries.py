@@ -10784,6 +10784,84 @@ def _pagination_oracle(k: int = 5, max_len: int = 6) -> str:
 ORACLE_PAGINATION_CHAINS = _pagination_oracle()
 
 
+def q_pii_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195 — host-grain PII risk triage: 20 synthesized hosts;
+    %13==4 docs pick up an email, %17==6 a phone, %19==2 an IPv4
+    (same snippet formats as X17's audit), so CRT overlaps create
+    genuine multi-identifier pages; hosts rank by co-occurrence
+    rate."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("host"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example.com"))
+    email = F.when(
+        F.col("doc_id") % 13 == 4,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@mail.example.org now")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 17 == 6,
+        F.concat(F.lit(" call +1 (555) 010-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 19 == 2,
+        F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".0.1")),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(F.col("text"), email, phone, ip).alias("text"),
+    )
+    return pii.pii_risk_rollup(pages)
+
+
+def _pii_risk_oracle() -> str:
+    email_re, phone_re, ipv4_re = pii.EMAIL_RE, pii.PHONE_RE, pii.IPV4_RE
+    salted = (
+        "text "
+        "|| (CASE WHEN doc_id % 13 = 4 THEN ' contact user' "
+        "|| CAST(doc_id AS VARCHAR) || '@mail.example.org now' "
+        "ELSE '' END) "
+        "|| (CASE WHEN doc_id % 17 = 6 THEN ' call +1 (555) 010-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) "
+        "|| (CASE WHEN doc_id % 19 = 2 THEN ' from 10.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END)"
+    )
+    return (
+        "WITH s AS (SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || "
+        f"'.example.com' AS host, {salted} AS text FROM documents), "
+        f"e AS (SELECT host, text, regexp_replace(text, '{email_re}', "
+        f"'{pii.EMAIL_TOKEN}', 'g') AS after_email FROM s), "
+        "c AS (SELECT host, "
+        f"CAST(len(regexp_extract_all(text, '{email_re}')) AS BIGINT) "
+        "AS e, "
+        f"CAST(len(regexp_extract_all(after_email, '{phone_re}')) "
+        "AS BIGINT) AS p, "
+        f"CAST(len(regexp_extract_all(regexp_replace(after_email, "
+        f"'{phone_re}', '{pii.PHONE_TOKEN}', 'g'), '{ipv4_re}')) "
+        "AS BIGINT) AS i FROM e), "
+        "t AS (SELECT host, e, p, i, "
+        "(CASE WHEN e > 0 THEN 1 ELSE 0 END + "
+        "CASE WHEN p > 0 THEN 1 ELSE 0 END + "
+        "CASE WHEN i > 0 THEN 1 ELSE 0 END) AS nt FROM c), "
+        "a AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_pii_docs, "
+        "CAST(sum(CASE WHEN nt >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_multi_docs, CAST(sum(e) AS BIGINT) AS n_emails, "
+        "CAST(sum(p) AS BIGINT) AS n_phones, "
+        "CAST(sum(i) AS BIGINT) AS n_ipv4 FROM t GROUP BY 1) "
+        "SELECT host, n_docs, n_pii_docs, n_multi_docs, n_emails, "
+        "n_phones, n_ipv4, "
+        "CAST((10000 * n_pii_docs) // n_docs AS BIGINT) AS pii_rate_bp, "
+        "CAST((10000 * n_multi_docs) // n_docs AS BIGINT) "
+        "AS multi_rate_bp FROM a"
+    )
+
+
+ORACLE_PII_RISK = _pii_risk_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11026,6 +11104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "effective_tokens": q_effective_tokens,
     "pagination_chains": q_pagination_chains,
+    "pii_risk": q_pii_risk,
 }
 
 ORACLES: dict[str, str] = {
@@ -11257,4 +11336,5 @@ ORACLES: dict[str, str] = {
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "effective_tokens": ORACLE_EFFECTIVE_TOKENS,
     "pagination_chains": ORACLE_PAGINATION_CHAINS,
+    "pii_risk": ORACLE_PII_RISK,
 }

@@ -4770,3 +4770,26 @@ def test_pagination_chains_stitches_parts_in_order(spark):
     # 40's successor: min(41, 42) = 41; 42 never joins 40's chain
     assert (40, 1, 41, 2) in rows
     assert not any(r[0] == 40 and r[2] == 42 for r in rows)
+
+
+def test_pii_risk_rollup_co_occurrence_tiers(spark):
+    """X195: one host with an email+phone page (multi), one with a
+    single-email page, one clean; rates integer-exact in bp."""
+    from docling_serve_spark.operators.pii import pii_risk_rollup
+
+    pages = spark.createDataFrame(
+        [
+            ("a.com", "reach me a@b.org or call +1 (555) 010-1234 ok"),
+            ("a.com", "plain page no identifiers at all here"),
+            ("b.com", "mail b@c.net for details"),
+            ("c.com", "nothing sensitive on this page"),
+        ],
+        "host string, text string",
+    )
+    got = {r["host"]: r for r in pii_risk_rollup(pages).collect()}
+    assert got["a.com"]["n_multi_docs"] == 1
+    assert got["a.com"]["multi_rate_bp"] == 5000
+    assert got["a.com"]["n_emails"] == 1 and got["a.com"]["n_phones"] == 1
+    assert got["b.com"]["n_pii_docs"] == 1
+    assert got["b.com"]["n_multi_docs"] == 0
+    assert got["c.com"]["pii_rate_bp"] == 0

@@ -117,6 +117,7 @@ INVARIANCE_QUERIES = [
     "char_entropy",     # micro-nat integer sums at (doc,gram) grain
     "effective_tokens",  # digest-grain cluster sizes + source rollup
     "pagination_chains",  # seam-hash join + bounded chain walk
+    "pii_risk",         # per-doc regex counts + host rollup
 ]
 
 
