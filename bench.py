@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "effective_tokens",
     "pagination_chains",
     "pii_risk",
+    "decontam_weighted",
 ]
 
 

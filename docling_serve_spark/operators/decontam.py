@@ -210,3 +210,77 @@ def canary_scan(docs: DataFrame, canaries: DataFrame,
         )
         .orderBy("canary")
     )
+
+
+def contamination_weighted(docs: DataFrame, benchmark: DataFrame,
+                           text_col: str = "text",
+                           bench_text_col: str = "text",
+                           k: int = 6,
+                           flag_micro: int = 4_000_000) -> DataFrame:
+    """(doc_id, n_hit_grams, weight_micro, contaminated_weighted) —
+    rarity-WEIGHTED decontamination. X19's exact matcher treats every
+    shared k-gram alike, so ubiquitous boilerplate ("all rights
+    reserved to the" …) fires as loudly as a benchmark's distinctive
+    prompt — at corpus scale the flat flag either over-fires or needs
+    a hit-count cut that misses single-phrase leaks. Here each DISTINCT
+    matched gram contributes its corpus IDF in micro-nats —
+    w = L(N) − L(df), L(x) = floor(ln(x)·1e6) quantized per value
+    (the charlm discipline: integer sums, bit-reproducible) — and the
+    flag fires on summed weight ≥ ``flag_micro``: one gram private to
+    <2% of the corpus outweighs dozens of stock phrases. This is the
+    tf-idf escalation of the Brown/GPT-3-style n-gram overlap check
+    (Brown et al. 2020, Appendix C measures benchmark overlap with
+    exactly such high-order n-grams).
+
+    Scale shape: corpus grams explode once and reduce to DISTINCT
+    (doc, gram); df is one gram-grain partial agg over that same
+    relation; the benchmark side deduplicates then semi-joins (hits
+    only carry gram + two longs); N is a one-row broadcast total. No
+    windows."""
+    n_docs = docs.select(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    cg = (
+        docs.filter(F.size(F.split(norm_text(F.col(text_col)), " ")) >= k)
+        .select("doc_id",
+                F.explode(kgrams(F.col(text_col), k)).alias("gram"))
+        .distinct()
+    )
+    df_tab = cg.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("__df")
+    )
+    bg = (
+        benchmark.filter(
+            F.size(F.split(norm_text(F.col(bench_text_col)), " ")) >= k)
+        .select(F.explode(kgrams(F.col(bench_text_col), k)).alias("gram"))
+        .distinct()
+    )
+    ln_micro = lambda c: F.floor(F.log(c) * F.lit(1_000_000))  # noqa: E731
+    hits = (
+        cg.join(bg, "gram", "leftsemi")
+        .join(df_tab, "gram")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (ln_micro(F.col("__n")) - ln_micro(F.col("__df")))
+            .cast("bigint").alias("w"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hit_grams"),
+            F.sum("w").cast("bigint").alias("weight_micro"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").cast("bigint"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("bigint")
+            .alias("n_hit_grams"),
+            F.coalesce(F.col("weight_micro"), F.lit(0)).cast("bigint")
+            .alias("weight_micro"),
+            (F.coalesce(F.col("weight_micro"), F.lit(0))
+             >= flag_micro).alias("contaminated_weighted"),
+        )
+    )

@@ -10862,6 +10862,51 @@ def _pii_risk_oracle() -> str:
 ORACLE_PII_RISK = _pii_risk_oracle()
 
 
+def q_decontam_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X196 — IDF-weighted decontamination over the same
+    benchmark-carve as X19 (every 31st doc stands in for the eval
+    suite): distinctive shared 6-grams dominate the score while stock
+    phrases common across the corpus stay cheap; the flag fires on
+    summed micro-nat weight, not raw hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 31 == 0).select("text")
+    return decontam.contamination_weighted(docs, bench, k=6)
+
+
+def _decontam_weighted_oracle(k: int = 6,
+                              flag_micro: int = 4_000_000) -> str:
+    norm = dedup.NORM_SQL.format(t="text")
+    gram = f"array_to_string(list_slice(toks, i, i + {k - 1}), ' ')"
+    series = (
+        "LATERAL (SELECT unnest(generate_series(1, "
+        f"len(toks) - {k - 1})) AS i)"
+    )
+    ln = "CAST(floor(ln({x}) * 1000000) AS BIGINT)"
+    return (
+        "WITH t AS MATERIALIZED (SELECT doc_id, "
+        f"regexp_split_to_array({norm}, ' ') AS toks FROM documents), "
+        f"cg AS MATERIALIZED (SELECT DISTINCT doc_id, {gram} AS gram "
+        f"FROM t, {series} WHERE len(toks) >= {k}), "
+        "dft AS MATERIALIZED (SELECT gram, "
+        "CAST(count(*) AS BIGINT) AS df FROM cg GROUP BY 1), "
+        "bg AS MATERIALIZED (SELECT DISTINCT gram FROM cg "
+        "WHERE doc_id % 31 = 0), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), "
+        "h AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hit, "
+        f"CAST(sum({ln.format(x='n.nd')} - {ln.format(x='dft.df')}) "
+        "AS BIGINT) AS w FROM cg SEMI JOIN bg USING (gram) "
+        "JOIN dft USING (gram) CROSS JOIN n GROUP BY 1) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams, "
+        "CAST(COALESCE(h.w, 0) AS BIGINT) AS weight_micro, "
+        f"COALESCE(h.w, 0) >= {flag_micro} AS contaminated_weighted "
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+    )
+
+
+ORACLE_DECONTAM_WEIGHTED = _decontam_weighted_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11105,6 +11150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "effective_tokens": q_effective_tokens,
     "pagination_chains": q_pagination_chains,
     "pii_risk": q_pii_risk,
+    "decontam_weighted": q_decontam_weighted,
 }
 
 ORACLES: dict[str, str] = {
@@ -11337,4 +11383,5 @@ ORACLES: dict[str, str] = {
     "effective_tokens": ORACLE_EFFECTIVE_TOKENS,
     "pagination_chains": ORACLE_PAGINATION_CHAINS,
     "pii_risk": ORACLE_PII_RISK,
+    "decontam_weighted": ORACLE_DECONTAM_WEIGHTED,
 }

@@ -4793,3 +4793,36 @@ def test_pii_risk_rollup_co_occurrence_tiers(spark):
     assert got["b.com"]["n_pii_docs"] == 1
     assert got["b.com"]["n_multi_docs"] == 0
     assert got["c.com"]["pii_rate_bp"] == 0
+
+
+def test_contamination_weighted_rarity_dominates(spark):
+    """X196: a doc sharing one RARE benchmark gram outscores a doc
+    sharing only a corpus-ubiquitous gram; weights are integer
+    micro-nats L(N)-L(df); clean docs report zeros."""
+    from docling_serve_spark.operators.decontam import (
+        contamination_weighted)
+
+    common = "the quick brown fox jumps over"   # planted in many docs
+    rare = "zeta functional analysis theorem proof sketch"
+    rows = [(1, rare + " unrelated tail words here"),
+            (2, common + " generic filler text one"),
+            (3, "completely different content with no overlap here")]
+    # 7 more docs all carrying the common gram -> high df
+    rows += [(10 + i, common + f" filler variant {i} pad") for i in range(7)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(rare + " and " + common,)], "text string")
+    got = {r["doc_id"]: r
+           for r in contamination_weighted(
+               docs, bench, k=6, flag_micro=2_000_000).collect()}
+    import math
+    n = len(rows)
+    l = lambda x: math.floor(math.log(x) * 1_000_000)  # noqa: E731
+    assert got[1]["weight_micro"] == l(n) - l(1)  # df(rare)=1
+    # doc 2's only possible hits are common-gram hits (df=8)
+    assert 0 < got[2]["weight_micro"] < got[1]["weight_micro"]
+    assert got[3]["weight_micro"] == 0
+    assert not got[3]["contaminated_weighted"]
+    # at the test's flag cut, only the rare-gram doc fires
+    assert got[1]["contaminated_weighted"]
+    assert not got[2]["contaminated_weighted"]

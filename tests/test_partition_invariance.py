@@ -118,6 +118,7 @@ INVARIANCE_QUERIES = [
     "effective_tokens",  # digest-grain cluster sizes + source rollup
     "pagination_chains",  # seam-hash join + bounded chain walk
     "pii_risk",         # per-doc regex counts + host rollup
+    "decontam_weighted",  # gram df + micro-nat weighted hit sums
 ]
 
 
