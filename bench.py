@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "pagination_chains",
     "pii_risk",
     "decontam_weighted",
+    "dom_skeletons",
 ]
 
 

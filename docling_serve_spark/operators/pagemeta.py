@@ -965,3 +965,48 @@ def pagination_chains(docs: DataFrame, text_col: str = "text",
     return chain.join(sizes, "root_id").select(
         "root_id", "pos", "doc_id", "chain_len"
     )
+
+
+def dom_skeletons(pages: DataFrame, html_col: str = "html",
+                  host_col: str = "host") -> DataFrame:
+    """(skeleton, n_docs, n_hosts, share_bp, example_host) — DOM-shape
+    template families: each page reduces to its TAG SKELETON (the
+    ordered sequence of opening-tag names, text stripped) and pages
+    hash-group on it. A skeleton claimed by thousands of pages is a
+    CMS template — listing/tag/archive chrome whose text is
+    navigation, not content (the density-based boilerplate strip C8
+    uses assumes article-shaped pages; skeleton grouping finds the
+    pages where that assumption fails wholesale, cf. the
+    template-detection line of Gibson/Punera/Tomkins, "The volume and
+    evolution of web page templates", WWW 2005). Cross-host skeleton
+    reuse also exposes mirror networks X46 misses when mirrors rewrap
+    the same template around different text.
+
+    Scale shape: the skeleton is ONE codegen regexp_extract_all over
+    the scan (no DOM build — tag names only), reduced to a 16-byte
+    md5 before any shuffle; then one (skeleton) partial-agg groupBy
+    with a min-host exemplar. share_bp denominators ride a one-row
+    broadcast total."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"<([a-zA-Z][a-zA-Z0-9]*)"), 1
+    )
+    skel = F.md5(F.array_join(F.transform(tags, F.lower), ">"))
+    d = pages.select(
+        skel.alias("skeleton"), F.col(host_col).alias("host")
+    )
+    total = d.select(F.count("*").cast("bigint").alias("__n"))
+    return (
+        d.groupBy("skeleton")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+            F.min("host").alias("example_host"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "skeleton", "n_docs", "n_hosts",
+            F.expr("(10000 * n_docs) div __n").cast("bigint")
+            .alias("share_bp"),
+            "example_host",
+        )
+    )

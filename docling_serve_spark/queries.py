@@ -10907,6 +10907,62 @@ def _decontam_weighted_oracle(k: int = 6,
 ORACLE_DECONTAM_WEIGHTED = _decontam_weighted_oracle()
 
 
+def q_dom_skeletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197 — DOM-skeleton template families: four CMS templates
+    (article / heading / table / list wrappers keyed on doc_id%4)
+    wrap the corpus text across 7 hosts, so each skeleton must group
+    thousands of pages across hosts regardless of their text; tag
+    case is folded (one family uses uppercase tags)."""
+    from docling_serve_spark.operators.pagemeta import dom_skeletons
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><head><title>t</title></head><body><div><p>"),
+            F.col("text"), F.lit("</p></div></body></html>")))
+        .when(m == 1, F.concat(
+            F.lit("<HTML><BODY><ARTICLE><H1>h</H1><P>"),
+            F.col("text"), F.lit("</P></ARTICLE></BODY></HTML>")))
+        .when(m == 2, F.concat(
+            F.lit("<html><body><table><tr><td>"),
+            F.col("text"), F.lit("</td></tr></table></body></html>")))
+        .otherwise(F.concat(
+            F.lit("<html><body><ul><li>"),
+            F.col("text"), F.lit("</li></ul></body></html>")))
+    )
+    host = F.concat(F.lit("host"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".net"))
+    return dom_skeletons(
+        docs.select(html.alias("html"), host.alias("host"))
+    )
+
+
+ORACLE_DOM_SKELETONS = (
+    "WITH p AS (SELECT CASE WHEN doc_id % 4 = 0 THEN "
+    "'<html><head><title>t</title></head><body><div><p>' || text || "
+    "'</p></div></body></html>' "
+    "WHEN doc_id % 4 = 1 THEN '<HTML><BODY><ARTICLE><H1>h</H1><P>' || "
+    "text || '</P></ARTICLE></BODY></HTML>' "
+    "WHEN doc_id % 4 = 2 THEN '<html><body><table><tr><td>' || text || "
+    "'</td></tr></table></body></html>' "
+    "ELSE '<html><body><ul><li>' || text || "
+    "'</li></ul></body></html>' END AS html, "
+    "'host' || CAST(doc_id % 7 AS VARCHAR) || '.net' AS host "
+    "FROM documents), "
+    "s AS (SELECT md5(array_to_string(list_transform("
+    "regexp_extract_all(html, '<([a-zA-Z][a-zA-Z0-9]*)', 1), "
+    "t -> lower(t)), '>')) AS skeleton, host FROM p), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM s), "
+    "a AS (SELECT skeleton, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+    "min(host) AS example_host FROM s GROUP BY 1) "
+    "SELECT skeleton, n_docs, n_hosts, "
+    "CAST((10000 * n_docs) // n.nd AS BIGINT) AS share_bp, "
+    "example_host FROM a CROSS JOIN n"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11151,6 +11207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagination_chains": q_pagination_chains,
     "pii_risk": q_pii_risk,
     "decontam_weighted": q_decontam_weighted,
+    "dom_skeletons": q_dom_skeletons,
 }
 
 ORACLES: dict[str, str] = {
@@ -11384,4 +11441,5 @@ ORACLES: dict[str, str] = {
     "pagination_chains": ORACLE_PAGINATION_CHAINS,
     "pii_risk": ORACLE_PII_RISK,
     "decontam_weighted": ORACLE_DECONTAM_WEIGHTED,
+    "dom_skeletons": ORACLE_DOM_SKELETONS,
 }

@@ -4826,3 +4826,27 @@ def test_contamination_weighted_rarity_dominates(spark):
     # at the test's flag cut, only the rare-gram doc fires
     assert got[1]["contaminated_weighted"]
     assert not got[2]["contaminated_weighted"]
+
+
+def test_dom_skeletons_group_by_shape_not_text(spark):
+    """X197: same template + different text -> one skeleton; closing
+    tags and tag case don't split families; distinct structures
+    stay apart."""
+    from docling_serve_spark.operators.pagemeta import dom_skeletons
+
+    pages = spark.createDataFrame(
+        [
+            ("<html><body><p>alpha</p></body></html>", "a.com"),
+            ("<HTML><BODY><P>totally other words</P></BODY></HTML>",
+             "b.com"),
+            ("<html><body><div>x</div></body></html>", "a.com"),
+        ],
+        "html string, host string",
+    )
+    rows = sorted(dom_skeletons(pages).collect(),
+                  key=lambda r: -r["n_docs"])
+    assert len(rows) == 2
+    top = rows[0]
+    assert top["n_docs"] == 2 and top["n_hosts"] == 2
+    assert top["share_bp"] == 6666
+    assert top["example_host"] == "a.com"

@@ -119,6 +119,7 @@ INVARIANCE_QUERIES = [
     "pagination_chains",  # seam-hash join + bounded chain walk
     "pii_risk",         # per-doc regex counts + host rollup
     "decontam_weighted",  # gram df + micro-nat weighted hit sums
+    "dom_skeletons",    # skeleton md5 groupBy + broadcast total
 ]
 
 
