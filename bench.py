@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "pii_risk",
     "decontam_weighted",
     "dom_skeletons",
+    "int8_quant",
 ]
 
 

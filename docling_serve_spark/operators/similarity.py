@@ -1124,3 +1124,68 @@ def jl_distortion_audit(embeds: DataFrame, out_dim: int = 16,
             F.round(pd / F.nullif(od, F.lit(0.0)), 6).alias("distortion"),
         )
     )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def int8_quant_audit(embeds: DataFrame, pair_shift: int = 11,
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id_a, vec_id_b, cos_orig, cos_int8, cos_err) — measured
+    cost of symmetric per-vector int8 quantization: q_i =
+    round(x_i / s), s = max|x| / 127 (the standard absmax scheme,
+    Dettmers et al., "LLM.int8()", NeurIPS 2022 §2 use exactly this
+    per-row absmax scaling), dequantized back to q_i·s and compared
+    against the original on deterministic (id, id+shift) probe pairs.
+    int8 storage cuts the embedding tier's memory/shuffle 4× — X5/X6/
+    X129 candidate generation can run entirely over int8 vectors IF
+    the cosine error at the corpus's own geometry is small against
+    the downstream threshold margin; this table is that gate, the
+    quantization twin of X191's projection audit (the two compose:
+    project 16-d THEN quantize = 16× smaller candidates).
+
+    Per-row codegen only (no shuffle for the quantization itself);
+    the probe is one O(n) shift self-join; rounding to 6 decimals
+    happens only at the final select."""
+    v = F.col(vec_col)
+    scale = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    ) / F.lit(127.0)
+    deq = F.transform(
+        F.col("v"), lambda x: F.round(x.cast("double") / F.col("__s"))
+        * F.col("__s"),
+    )
+    base = (
+        embeds.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            v.alias("v"), scale.alias("__s"),
+        )
+        .filter(F.col("__s") > 0)
+        .select("vec_id", "v", deq.alias("q"))
+    )
+
+    def cos(ac, bc):
+        return _dot(ac, bc) / F.sqrt(_dot(ac, ac) * _dot(bc, bc))
+
+    a = base.select(F.col("vec_id").alias("vec_id_a"),
+                    F.col("v").alias("va"), F.col("q").alias("qa"))
+    b = base.select((F.col("vec_id") - pair_shift).alias("vec_id_a"),
+                    F.col("vec_id").alias("vec_id_b"),
+                    F.col("v").alias("vb"), F.col("q").alias("qb"))
+    co = cos(F.col("va"), F.col("vb"))
+    cq = cos(F.col("qa"), F.col("qb"))
+    return (
+        a.join(b, "vec_id_a")
+        .select(
+            "vec_id_a", "vec_id_b",
+            F.round(co, 6).alias("cos_orig"),
+            F.round(cq, 6).alias("cos_int8"),
+            F.round(F.abs(co - cq), 6).alias("cos_err"),
+        )
+    )

@@ -10963,6 +10963,46 @@ ORACLE_DOM_SKELETONS = (
 )
 
 
+def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X198 — int8 absmax quantization audit over the embeddings
+    table: every vector quantizes per-row (s = max|x|/127), and probe
+    pairs (vec_id, vec_id+11) report original vs dequantized cosine
+    and the absolute error — the gate for running the candidate tier
+    over int8 storage."""
+    return similarity.int8_quant_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def _int8_oracle(pair_shift: int = 11) -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+    def cos(a, b):
+        return (
+            f"({dot.format(a=a, b=b)} / sqrt({dot.format(a=a, b=a)} * "
+            f"{dot.format(a=b, b=b)}))"
+        )
+
+    return (
+        "WITH s1 AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS "
+        "vec_id, embedding, list_max(list_transform(embedding, "
+        "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s FROM embeddings), "
+        "q1 AS MATERIALIZED (SELECT vec_id, embedding AS v, "
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) / s) "
+        "* s) AS q FROM s1 WHERE s > 0), "
+        "pairs AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+        f"{cos('a.v', 'b.v')} AS co, {cos('a.q', 'b.q')} AS cq "
+        f"FROM q1 a JOIN q1 b ON b.vec_id = a.vec_id + {pair_shift}) "
+        "SELECT vec_id_a, vec_id_b, round(co, 6) AS cos_orig, "
+        "round(cq, 6) AS cos_int8, round(abs(co - cq), 6) AS cos_err "
+        "FROM pairs"
+    )
+
+
+ORACLE_INT8_QUANT = _int8_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11208,6 +11248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_risk": q_pii_risk,
     "decontam_weighted": q_decontam_weighted,
     "dom_skeletons": q_dom_skeletons,
+    "int8_quant": q_int8_quant,
 }
 
 ORACLES: dict[str, str] = {
@@ -11442,4 +11483,5 @@ ORACLES: dict[str, str] = {
     "pii_risk": ORACLE_PII_RISK,
     "decontam_weighted": ORACLE_DECONTAM_WEIGHTED,
     "dom_skeletons": ORACLE_DOM_SKELETONS,
+    "int8_quant": ORACLE_INT8_QUANT,
 }

@@ -4850,3 +4850,24 @@ def test_dom_skeletons_group_by_shape_not_text(spark):
     assert top["n_docs"] == 2 and top["n_hosts"] == 2
     assert top["share_bp"] == 6666
     assert top["example_host"] == "a.com"
+
+
+def test_int8_quant_audit_bounds_and_identity(spark):
+    """X198: a vector quantizes to itself when its values are exact
+    multiples of max/127 (cos_err 0); generic pairs keep cosine
+    within a small error; zero vectors are excluded (no scale)."""
+    from docling_serve_spark.operators import similarity
+
+    exact = [127.0, -127.0] + [0.0] * 62      # multiples of s=1.0
+    gen1 = [((i * 31 + 7) % 17 - 8) / 5.0 for i in range(64)]
+    gen2 = [((i * 13 + 3) % 19 - 9) / 4.0 for i in range(64)]
+    rows = [(0, exact), (11, exact),
+            (1, gen1), (12, gen2),
+            (2, [0.0] * 64), (13, gen1)]      # zero vec -> pair dropped
+    embeds = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id_a"]: r
+           for r in similarity.int8_quant_audit(embeds).collect()}
+    assert set(got) == {0, 1}       # pair (2,13) dropped: zero scale
+    assert got[0]["cos_err"] == 0.0 and got[0]["cos_orig"] == 1.0
+    assert got[1]["cos_err"] < 0.01  # absmax int8 keeps cosine tight

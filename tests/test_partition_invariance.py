@@ -120,6 +120,7 @@ INVARIANCE_QUERIES = [
     "pii_risk",         # per-doc regex counts + host rollup
     "decontam_weighted",  # gram df + micro-nat weighted hit sums
     "dom_skeletons",    # skeleton md5 groupBy + broadcast total
+    "int8_quant",       # per-row quantization + shift self-join
 ]
 
 
