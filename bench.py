@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "decontam_weighted",
     "dom_skeletons",
     "int8_quant",
+    "allocation_fairness",
 ]
 
 

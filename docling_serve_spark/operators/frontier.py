@@ -304,3 +304,64 @@ def politeness_gate(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
         .groupBy("host").applyInPandas(
             fn, schema="host string, url string, ts bigint, allowed boolean"
         )
+
+
+def allocation_fairness(alloc: DataFrame, key_col: str = "host",
+                        value_col: str = "n_fetches") -> DataFrame:
+    """(n_keys, total, gini_bp, top_decile_share_bp, max_share_bp) —
+    Gini concentration of a crawl allocation (fetch slots per host,
+    budget per source). A scheduler can satisfy every per-host
+    politeness constraint and still starve the long tail; the Gini
+    coefficient is the standard single-number inequality audit
+    (G = (2Σ i·x_(i) − (n+1)Σx) / (nΣx) over ascending-sorted
+    allocations — the rank-covariance form), with the top decile's
+    share as the interpretable companion. Read it next to X141's
+    apportionment and X95's politeness audit: fairness is the third
+    axis (capacity, compliance, concentration).
+
+    Scale shape: input is KEY-grain (hosts/sources ≪ pages — the same
+    cardinality argument as the webgraph tier), so the one global
+    ascending sort the rank form needs is a deliberately accepted
+    single-partition window over a host-cardinality table; every
+    page-grain reduction happens BEFORE this operator. Integer-exact:
+    all sums bigint, gini_bp = (10000·(2A − (n+1)T)) div (nT),
+    ties broken by key so ranks are deterministic."""
+    ranked = (
+        alloc.select(
+            F.col(key_col).alias("k"),
+            F.col(value_col).cast("bigint").alias("x"),
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy(F.asc("x"), F.asc("k")))
+            .cast("bigint"),
+        )
+        .localCheckpoint(eager=True)  # ranked twice below; rank once
+    )
+    stats = ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("__a"),
+        F.max("x").cast("bigint").alias("__mx"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(stats.select("n_keys")))
+        .filter(F.col("i") > F.col("n_keys")
+                - F.expr("(n_keys + 9) div 10"))
+        .agg(F.coalesce(F.sum("x"), F.lit(0)).cast("bigint")
+             .alias("__top"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top))
+        .select(
+            "n_keys", "total",
+            F.expr(
+                "(10000 * (2 * __a - (n_keys + 1) * total)) div "
+                "(n_keys * total)"
+            ).cast("bigint").alias("gini_bp"),
+            F.expr("(10000 * __top) div total").cast("bigint")
+            .alias("top_decile_share_bp"),
+            F.expr("(10000 * __mx) div total").cast("bigint")
+            .alias("max_share_bp"),
+        )
+    )

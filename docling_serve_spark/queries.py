@@ -11003,6 +11003,45 @@ def _int8_oracle(pair_shift: int = 11) -> str:
 ORACLE_INT8_QUANT = _int8_oracle()
 
 
+def q_allocation_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X199 — fairness audit over a geometrically skewed allocation:
+    hosts keyed by the bit-length of doc_id%1023+1 get exponentially
+    decreasing page counts (h1 rare … h10 ~half the corpus), a shape
+    whose Gini/top-decile/max shares are all far from uniform and
+    integer-pinned."""
+    from docling_serve_spark.operators.frontier import allocation_fairness
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"),
+        F.length(F.bin((F.col("doc_id") % 1023 + 1))).cast("string"),
+    )
+    alloc = docs.groupBy(host.alias("host")).agg(
+        F.count("*").cast("bigint").alias("n_fetches")
+    )
+    return allocation_fairness(alloc)
+
+
+ORACLE_ALLOCATION_FAIRNESS = (
+    "WITH alloc AS (SELECT 'h' || CAST(length(bin(doc_id % 1023 + 1)) "
+    "AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS x FROM documents "
+    "GROUP BY 1), "
+    "r AS (SELECT k, x, CAST(row_number() OVER (ORDER BY x, k) "
+    "AS BIGINT) AS i FROM alloc), "
+    "st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(sum(x) AS BIGINT) AS total, CAST(sum(i * x) AS BIGINT) AS a, "
+    "CAST(max(x) AS BIGINT) AS mx FROM r), "
+    "tp AS (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS topx "
+    "FROM r, st WHERE r.i > st.n_keys - (st.n_keys + 9) // 10) "
+    "SELECT n_keys, total, "
+    "CAST((10000 * (2 * a - (n_keys + 1) * total)) // "
+    "(n_keys * total) AS BIGINT) AS gini_bp, "
+    "CAST((10000 * topx) // total AS BIGINT) AS top_decile_share_bp, "
+    "CAST((10000 * mx) // total AS BIGINT) AS max_share_bp "
+    "FROM st, tp"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11249,6 +11288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_weighted": q_decontam_weighted,
     "dom_skeletons": q_dom_skeletons,
     "int8_quant": q_int8_quant,
+    "allocation_fairness": q_allocation_fairness,
 }
 
 ORACLES: dict[str, str] = {
@@ -11484,4 +11524,5 @@ ORACLES: dict[str, str] = {
     "decontam_weighted": ORACLE_DECONTAM_WEIGHTED,
     "dom_skeletons": ORACLE_DOM_SKELETONS,
     "int8_quant": ORACLE_INT8_QUANT,
+    "allocation_fairness": ORACLE_ALLOCATION_FAIRNESS,
 }

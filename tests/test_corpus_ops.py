@@ -4871,3 +4871,27 @@ def test_int8_quant_audit_bounds_and_identity(spark):
     assert set(got) == {0, 1}       # pair (2,13) dropped: zero scale
     assert got[0]["cos_err"] == 0.0 and got[0]["cos_orig"] == 1.0
     assert got[1]["cos_err"] < 0.01  # absmax int8 keeps cosine tight
+
+
+def test_allocation_fairness_gini_extremes(spark):
+    """X199: a perfectly uniform allocation scores gini 0; full
+    concentration on one key out of four approaches the (n-1)/n
+    bound; shares are integer bp."""
+    from docling_serve_spark.operators.frontier import allocation_fairness
+
+    uniform = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5), ("d", 5)],
+        "host string, n_fetches bigint",
+    )
+    u = allocation_fairness(uniform).collect()[0]
+    assert u["gini_bp"] == 0 and u["max_share_bp"] == 2500
+
+    skewed = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0), ("d", 100)],
+        "host string, n_fetches bigint",
+    )
+    s = allocation_fairness(skewed).collect()[0]
+    # G = (n-1)/n = 0.75 exactly when one key holds everything
+    assert s["gini_bp"] == 7500
+    assert s["max_share_bp"] == 10000
+    assert s["top_decile_share_bp"] == 10000  # top-1 of 4 keys

@@ -121,6 +121,7 @@ INVARIANCE_QUERIES = [
     "decontam_weighted",  # gram df + micro-nat weighted hit sums
     "dom_skeletons",    # skeleton md5 groupBy + broadcast total
     "int8_quant",       # per-row quantization + shift self-join
+    "allocation_fairness",  # global rank window + scalar joins
 ]
 
 
