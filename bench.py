@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "dom_skeletons",
     "int8_quant",
     "allocation_fairness",
+    "late_data_audit",
 ]
 
 

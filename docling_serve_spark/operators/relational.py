@@ -252,3 +252,61 @@ def extract_diff(old: DataFrame, new: DataFrame,
             "sum_len_delta",
         )
     )
+
+
+def late_data_audit(events: DataFrame, ts_col: str = "ts",
+                    arrival_col: str = "event_id",
+                    shard_col: str = "shard",
+                    delay_ms: int = 600_000) -> DataFrame:
+    """(shard, n_events, n_late, n_dropped, max_lateness_ms) — the
+    watermark design audit: replay each ingest shard in ARRIVAL order
+    tracking the running event-time high-water mark; an event is LATE
+    when its event time trails the mark (out-of-order but coverable by
+    state), and DROPPED when it trails by more than ``delay_ms`` — the
+    rows a Structured Streaming watermark of that delay would silently
+    discard (the allowed-lateness trade-off of the Dataflow model,
+    Akidau et al., VLDB 2015 §2.3). Pipelines pick the watermark FROM
+    this table: delay_ms is a knob, max_lateness_ms is the measured
+    tail, and n_dropped is the price of the knob — guessing instead
+    of measuring either leaks state forever or silently loses the
+    slowest crawler's data. The streaming twin
+    (``streaming.ingest.late_monitor_stream``) applies the same fold
+    incrementally; stream == batch by construction.
+
+    Scale shape: one window PARTITIONED BY SHARD in arrival order
+    (the per-shard sequential fold is the semantics — each ingest
+    shard owns its clock) + one shard-grain rollup; timestamps fold
+    as epoch-millis bigints, no floats anywhere."""
+    from pyspark.sql import Window
+
+    # events carry TIMESTAMP_NTZ; the session runs UTC, so the cast
+    # to TIMESTAMP is offset-free and epoch-millis match DuckDB
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy("shard").orderBy(F.asc("__arr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = events.select(
+        F.col(shard_col).alias("shard"),
+        F.col(arrival_col).alias("__arr"),
+        ms.alias("__ms"),
+    ).select(
+        "shard", "__ms",
+        F.max("__ms").over(w).alias("__hwm"),
+    )
+    lateness = F.when(
+        F.col("__hwm").isNotNull() & (F.col("__ms") < F.col("__hwm")),
+        F.col("__hwm") - F.col("__ms"),
+    ).otherwise(F.lit(0))
+    return (
+        marked.select("shard", lateness.alias("__late_ms"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum((F.col("__late_ms") > 0).cast("int")).cast("bigint")
+            .alias("n_late"),
+            F.sum((F.col("__late_ms") > delay_ms).cast("int"))
+            .cast("bigint").alias("n_dropped"),
+            F.max("__late_ms").cast("bigint").alias("max_lateness_ms"),
+        )
+    )

@@ -11042,6 +11042,49 @@ ORACLE_ALLOCATION_FAIRNESS = (
 )
 
 
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X200 — watermark/late-data accounting over the events table:
+    arrival order is event_id, shards are user_id%4, and two planted
+    disorder classes (%13==7 events time-shifted 15 min back → beyond
+    the 10-min watermark, dropped; %9==4 shifted 2 min back → late but
+    coverable) must land in their respective counters per shard."""
+    from docling_serve_spark.operators.relational import late_data_audit
+
+    ev = _t(spark, sf_dir, "events")
+    ts = (
+        F.when(F.col("event_id") % 13 == 7,
+               F.col("ts") - F.expr("INTERVAL 15 MINUTES"))
+        .when(F.col("event_id") % 9 == 4,
+              F.col("ts") - F.expr("INTERVAL 2 MINUTES"))
+        .otherwise(F.col("ts"))
+    )
+    return late_data_audit(
+        ev.select("event_id", ts.alias("ts"),
+                  (F.col("user_id") % 4).cast("bigint").alias("shard"))
+    )
+
+
+ORACLE_LATE_DATA = (
+    "WITH e AS (SELECT event_id, CASE "
+    "WHEN event_id % 13 = 7 THEN ts - INTERVAL 15 MINUTE "
+    "WHEN event_id % 9 = 4 THEN ts - INTERVAL 2 MINUTE "
+    "ELSE ts END AS ts, CAST(user_id % 4 AS BIGINT) AS shard "
+    "FROM events), "
+    "m AS (SELECT shard, CAST(epoch_ms(ts) AS BIGINT) AS ms, "
+    "max(CAST(epoch_ms(ts) AS BIGINT)) OVER (PARTITION BY shard "
+    "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "1 PRECEDING) AS hwm FROM e), "
+    "l AS (SELECT shard, CASE WHEN hwm IS NOT NULL AND ms < hwm "
+    "THEN hwm - ms ELSE 0 END AS late_ms FROM m) "
+    "SELECT shard, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_late, "
+    "CAST(sum(CASE WHEN late_ms > 600000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dropped, CAST(max(late_ms) AS BIGINT) AS max_lateness_ms "
+    "FROM l GROUP BY 1"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11289,6 +11332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dom_skeletons": q_dom_skeletons,
     "int8_quant": q_int8_quant,
     "allocation_fairness": q_allocation_fairness,
+    "late_data_audit": q_late_data_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -11525,4 +11569,5 @@ ORACLES: dict[str, str] = {
     "dom_skeletons": ORACLE_DOM_SKELETONS,
     "int8_quant": ORACLE_INT8_QUANT,
     "allocation_fairness": ORACLE_ALLOCATION_FAIRNESS,
+    "late_data_audit": ORACLE_LATE_DATA,
 }

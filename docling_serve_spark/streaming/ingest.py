@@ -475,3 +475,58 @@ def politeness_stream(fetches: DataFrame, delay_ms: int = 1000) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def late_monitor_stream(events: DataFrame,
+                        delay_ms: int = 600_000) -> DataFrame:
+    """(shard, arr, ms, lateness_ms, dropped) — the ONLINE form of
+    X200's watermark audit (`operators.relational.late_data_audit`):
+    per-shard state carries the event-time high-water mark; each
+    arriving event reports how far it trails it (0 when on time) and
+    whether a Structured Streaming watermark of ``delay_ms`` would
+    have discarded it, then advances the mark. Production monitors
+    run THIS next to the real watermarked job: the stream tells you
+    live what the knob is costing.
+
+    Sequential fold per shard (the mark depends on every prior
+    arrival); state is one int64 per shard. Within a micro-batch
+    events fold in ``arr`` (arrival-sequence) order across Arrow
+    chunks — accumulate, concat, sort once (the politeness_stream
+    chunk rule); across batches arrival order follows the append log.
+    The batch twin's per-shard rollup equals the aggregation of this
+    stream's per-event rows on any arrival-ordered batch split."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        hwm = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("arr", kind="stable")
+            late, dropped = [], []
+            for ms in pdf["ms"]:
+                ms = int(ms)
+                lm = hwm - ms if hwm is not None and ms < hwm else 0
+                late.append(lm)
+                dropped.append(lm > delay_ms)
+                hwm = ms if hwm is None else max(hwm, ms)
+            out = pdf[["shard", "arr", "ms"]].copy()
+            out["lateness_ms"] = late
+            out["dropped"] = dropped
+            if hwm is not None:
+                state.update((int(hwm),))
+            yield out
+        elif hwm is not None:
+            state.update((int(hwm),))
+
+    return events.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "shard bigint, arr bigint, ms bigint, "
+            "lateness_ms bigint, dropped boolean"
+        ),
+        stateStructType="hwm bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

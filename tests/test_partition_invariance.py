@@ -122,6 +122,7 @@ INVARIANCE_QUERIES = [
     "dom_skeletons",    # skeleton md5 groupBy + broadcast total
     "int8_quant",       # per-row quantization + shift self-join
     "allocation_fairness",  # global rank window + scalar joins
+    "late_data_audit",  # per-shard arrival-order running max
 ]
 
 

@@ -593,3 +593,72 @@ def test_delta_chain_stream_multichunk_group(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuf)
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow)
+
+
+def test_late_monitor_stream_batch_identity(spark, tmp_path):
+    """X200: the per-shard high-water mark survives micro-batches —
+    a batch-2 event older than batch 1's newest is late across the
+    boundary — and aggregating the streamed per-event rows equals
+    the batch twin's rollup on the same arrival-ordered history."""
+    import datetime as dt
+
+    from docling_serve_spark.operators.relational import late_data_audit
+    from docling_serve_spark.streaming.ingest import late_monitor_stream
+
+    landing = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "shard bigint, arr bigint, ms bigint"
+    MIN = 60_000
+    b1 = [(0, 1, 10 * MIN), (0, 2, 30 * MIN), (0, 3, 25 * MIN),
+          (1, 4, 100 * MIN)]
+    b2 = [(0, 5, 5 * MIN),        # 25 min behind the mark -> dropped
+          (0, 6, 31 * MIN),
+          (1, 7, 98 * MIN)]       # 2 min behind -> late, kept
+
+    def run_batch(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode) \
+            .parquet(landing)
+        q = spark.readStream.schema(schema).parquet(landing)
+        run = late_monitor_stream(q, delay_ms=10 * MIN).writeStream \
+            .format("parquet").option("path", out) \
+            .option("checkpointLocation", ckpt) \
+            .trigger(availableNow=True).start()
+        run.awaitTermination(120)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_batch(b1, "overwrite")
+        run_batch(b2, "append")
+        got = {r["arr"]: r for r in spark.read.parquet(out).collect()}
+        assert got[3]["lateness_ms"] == 5 * MIN and not got[3]["dropped"]
+        assert got[5]["lateness_ms"] == 25 * MIN and got[5]["dropped"]
+        assert got[7]["lateness_ms"] == 2 * MIN and not got[7]["dropped"]
+        assert got[1]["lateness_ms"] == 0 and got[6]["lateness_ms"] == 0
+
+        epoch = dt.datetime(1970, 1, 1)
+        batch_rows = [
+            (s, a, epoch + dt.timedelta(milliseconds=ms))
+            for s, a, ms in b1 + b2
+        ]
+        bdf = spark.createDataFrame(
+            batch_rows, "shard bigint, event_id bigint, ts timestamp_ntz")
+        twin = {r["shard"]: r for r in late_data_audit(
+            bdf, ts_col="ts", arrival_col="event_id",
+            shard_col="shard", delay_ms=10 * MIN).collect()}
+        agg = {}
+        for r in got.values():
+            a = agg.setdefault(r["shard"],
+                               {"n": 0, "late": 0, "drop": 0, "mx": 0})
+            a["n"] += 1
+            a["late"] += r["lateness_ms"] > 0
+            a["drop"] += r["dropped"]
+            a["mx"] = max(a["mx"], r["lateness_ms"])
+        for shard, t in twin.items():
+            a = agg[shard]
+            assert (t["n_events"], t["n_late"], t["n_dropped"],
+                    t["max_lateness_ms"]) == \
+                (a["n"], a["late"], a["drop"], a["mx"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
