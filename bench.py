@@ -531,7 +531,12 @@ def sf1_extract() -> None:
 #: bigint PageRank power iteration, the composed 4-gate mixture, and
 #: the char-LM scoring pass.
 SF1_OPS = ["dedup_minhash", "simhash_neardup", "outlink_pagerank",
-           "corpus_mixture", "charlm_score"]
+           "corpus_mixture", "charlm_score",
+           # round-5 additions: shingle/gram tier post-hof_let, the
+           # iterative graph peel, and the embedding-tier audits
+           "contrastive_pairs", "char_entropy", "decontam_weighted",
+           "pagination_chains", "kcore_layers", "jl_distortion",
+           "int8_quant"]
 
 
 def _ensure_scaled_embeddings(spark, factor: int = 10) -> str:
