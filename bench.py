@@ -252,7 +252,7 @@ BENCH_QUERIES = [
     "media_resize",
     "media_frame_sample",
     "media_audio_features",
-    # round-5 additions (X185-X193)
+    # round-5 additions (X185-X200)
     "keyword_stuffing",
     "vocab_drift",
     "lexicon_severity",

@@ -956,6 +956,13 @@ def pagination_chains(docs: DataFrame, text_col: str = "text",
             cur.join(nexts, "doc_id")
             .select("root_id", F.lit(r).cast("bigint").alias("pos"),
                     F.col("next_id").alias("doc_id"))
+            # cycle guard: a seam cycle reachable from a root (mutual
+            # "continue reading" boilerplate) would otherwise re-emit
+            # the same doc at growing positions until max_len — each
+            # doc appears at most once per root, so the walk stops
+            # where the cycle closes instead of inflating chain_len
+            .join(chain.select("root_id", "doc_id"),
+                  ["root_id", "doc_id"], "left_anti")
             .localCheckpoint(eager=True)
         )
         chain = chain.unionByName(cur)

@@ -1126,14 +1126,6 @@ def jl_distortion_audit(embeds: DataFrame, out_dim: int = 16,
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b,
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
-
-
 def int8_quant_audit(embeds: DataFrame, pair_shift: int = 11,
                      vec_col: str = "embedding") -> DataFrame:
     """(vec_id_a, vec_id_b, cos_orig, cos_int8, cos_err) — measured

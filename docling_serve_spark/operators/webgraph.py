@@ -929,7 +929,8 @@ def bad_neighborhood_stats(edges: DataFrame, blocklist: DataFrame,
 
 def kcore_peel(edges: DataFrame, k: int = 2,
                max_rounds: int = 8) -> DataFrame:
-    """(host, degree0, peel_round, in_core) — k-core membership plus
+    """(host, degree0, peel_round, in_core, converged) — k-core
+    membership plus
     the ONION LAYER each host dies in: iteratively delete every node
     whose degree in the surviving subgraph is < k (Seidman, "Network
     structure and minimum degree", Social Networks 1983; the
@@ -945,7 +946,11 @@ def kcore_peel(edges: DataFrame, k: int = 2,
     Exactly ``max_rounds`` peel rounds run (a path of 2L+1 nodes fully
     peels at k=2 in L+1 rounds — bound the cascade, don't poll for
     convergence: both engines run the same fixed schedule, so results
-    are engine-identical even mid-cascade). Scale shape: everything
+    are engine-identical even mid-cascade). ``converged`` reports
+    whether the final round removed nobody — the fixpoint was reached
+    and ``in_core`` is proof; when false, survivors might still have
+    been peeled by later rounds and consumers must treat in_core as
+    "outlived the schedule", not core membership. Scale shape: everything
     after edge canonicalization is HOST-grain (hosts ≪ pages); each
     round is one neighbor semi-join + one partial-agg degree count,
     localCheckpoint'd so the loop's lineage stays flat; the alive set
@@ -992,8 +997,21 @@ def kcore_peel(edges: DataFrame, k: int = 2,
     )
     if peeled is not None:
         result = result.unionByName(peeled.localCheckpoint(eager=True))
+    # fixpoint detection: if the FINAL scheduled round removed nobody,
+    # the peel converged and every survivor is a genuine k-core
+    # member; otherwise survivors might still have been peeled by
+    # later rounds, and consumers must not read in_core as proof —
+    # the `converged` column says which regime this run is in
+    conv = (
+        (peeled.filter(F.col("peel_round") == max_rounds)
+         if peeled is not None else alive.limit(0)
+         .select(F.lit(0).cast("bigint").alias("peel_round")))
+        .agg((F.count("*") == 0).alias("converged"))
+    )
     return (
         deg0.join(result, "host")
+        .crossJoin(F.broadcast(conv))
         .select("host", "degree0", "peel_round",
-                (F.col("peel_round") == -1).alias("in_core"))
+                (F.col("peel_round") == -1).alias("in_core"),
+                "converged")
     )

@@ -10554,10 +10554,11 @@ def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
         + [f"SELECT host, CAST(-1 AS BIGINT) AS peel_round FROM a{rounds}"]
     )
     return (
-        "WITH " + ", ".join(ctes) + ", res AS (" + layers + ") "
+        "WITH " + ", ".join(ctes) + ", res AS (" + layers + "), "
+        f"cv AS (SELECT count(*) = 0 AS converged FROM rm{rounds}) "
         "SELECT deg0.host, deg0.degree0, res.peel_round, "
-        "res.peel_round = -1 AS in_core "
-        "FROM deg0 JOIN res ON deg0.host = res.host"
+        "res.peel_round = -1 AS in_core, cv.converged "
+        "FROM deg0 JOIN res ON deg0.host = res.host CROSS JOIN cv"
     )
 
 
@@ -10764,11 +10765,17 @@ def _pagination_oracle(k: int = 5, max_len: int = 6) -> str:
         "c0 AS MATERIALIZED (SELECT root_id, CAST(0 AS BIGINT) AS pos, "
         "root_id AS doc_id FROM roots)",
     ]
+    ctes.append("s0 AS MATERIALIZED (SELECT root_id, doc_id FROM c0)")
     for r in range(1, max_len):
         ctes.append(
-            f"c{r} AS MATERIALIZED (SELECT c.root_id, "
+            f"c{r} AS MATERIALIZED (SELECT * FROM (SELECT c.root_id, "
             f"CAST({r} AS BIGINT) AS pos, n.next_id AS doc_id "
-            f"FROM c{r - 1} c JOIN nexts n ON c.doc_id = n.doc_id)"
+            f"FROM c{r - 1} c JOIN nexts n ON c.doc_id = n.doc_id) w "
+            f"ANTI JOIN s{r - 1} USING (root_id, doc_id))"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT * FROM s{r - 1} UNION ALL "
+            f"SELECT root_id, doc_id FROM c{r})"
         )
     union = " UNION ALL ".join(f"SELECT * FROM c{r}"
                                for r in range(max_len))

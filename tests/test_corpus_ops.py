@@ -4649,6 +4649,19 @@ def test_kcore_peel_layers_hand_computed(spark):
     }
     assert rows["a"]["degree0"] == 3  # b, c, t1 (self-loop dropped)
     assert rows["a"]["in_core"] and not rows["t1"]["in_core"]
+    assert all(r["converged"] for r in rows.values())
+
+    # a schedule too short to finish must say so: a 9-node path at
+    # k=2 needs 4 peel rounds; 2 rounds leave mid-path survivors that
+    # are NOT core members, and converged=false flags exactly that
+    path = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(8)],
+        "src string, dst string",
+    )
+    short = {r["host"]: r for r in
+             webgraph.kcore_peel(path, k=2, max_rounds=2).collect()}
+    assert not short["p4"]["converged"]
+    assert short["p4"]["in_core"]  # outlived the schedule, unproven
 
 
 def test_jl_distortion_audit_properties(spark):
@@ -4770,6 +4783,28 @@ def test_pagination_chains_stitches_parts_in_order(spark):
     # 40's successor: min(41, 42) = 41; 42 never joins 40's chain
     assert (40, 1, 41, 2) in rows
     assert not any(r[0] == 40 and r[2] == 42 for r in rows)
+
+
+def test_pagination_chains_cycle_guard(spark):
+    """A seam cycle reachable from a root (mutual continue-reading
+    boilerplate) must not re-emit its members: each doc appears at
+    most once per root and the walk stops where the cycle closes."""
+    from docling_serve_spark.operators.pagemeta import pagination_chains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "opening words lead in here cycle alpha beta gamma one"),
+            (2, "cycle alpha beta gamma one middle cycle delta "
+                "epsilon zeta two"),
+            (3, "cycle delta epsilon zeta two back cycle alpha beta "
+                "gamma one"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(map(tuple, pagination_chains(docs).collect()))
+    # root 1 walks 1 -> 2 -> 3; 3's tail points back at 2's head,
+    # but 2 was already visited: chain stops at length 3
+    assert rows == [(1, 0, 1, 3), (1, 1, 2, 3), (1, 2, 3, 3)]
 
 
 def test_pii_risk_rollup_co_occurrence_tiers(spark):
