@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "int8_quant",
     "allocation_fairness",
     "late_data_audit",
+    "embedding_outliers",
 ]
 
 

@@ -1181,3 +1181,66 @@ def int8_quant_audit(embeds: DataFrame, pair_shift: int = 11,
             F.round(F.abs(co - cq), 6).alias("cos_err"),
         )
     )
+
+
+def embedding_outliers(embeds: DataFrame, k: int = 5,
+                       sample_mod: int = 17,
+                       vec_col: str = "embedding",
+                       outlier_dist: float = 0.5) -> DataFrame:
+    """(vec_id, kth_nn_dist, is_outlier) — distance-to-k-th-neighbor
+    outlier scores (Ramaswamy/Rastogi/Shim, "Efficient algorithms for
+    mining outliers from large data sets", SIGMOD 2000): points whose
+    k-th nearest neighbor is far away sit in no cluster — in a corpus
+    embedding space these are the junk the TEXT gates can't see
+    (binary-in-text embedded as gibberish vectors, encoder failures,
+    poisoned inserts), and X5/X129's cluster-then-prune silently
+    assigns them to whatever centroid is least far. Scored against a
+    deterministic hash SAMPLE of the corpus (vec_id % sample_mod ==
+    0), not all points: the k-th-NN distance to a fixed-rate sample
+    is a consistent estimator of local sparsity, and it bounds the
+    comparison count per point at |sample| regardless of corpus size
+    — the same broadcast-side argument as the ANN brute-force
+    baseline. Self-matches are excluded so sampled points score
+    fairly.
+
+    Scale shape: the sample is a broadcast literal-sized table (at
+    10^12 rows, raise sample_mod to hold it ~10^4); each point
+    computes |sample| distances in one codegen'd pass, sorts the
+    small array, and indexes the k-th — no shuffle beyond the
+    broadcast. Distances round to 6 decimals at the final select."""
+    base = embeds.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias("v"),
+    )
+    sample = base.filter(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("s_id"), F.col("v").alias("s_v")
+    )
+    joined = base.join(
+        F.broadcast(sample), F.col("vec_id") != F.col("s_id")
+    ).select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("s_v"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0), lambda acc, u: acc + u,
+            )
+        ).alias("d"),
+    )
+    kth = (
+        joined.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .select(
+            "vec_id",
+            F.round(F.element_at(
+                F.col("ds"), F.least(F.lit(k), F.size("ds"))
+            ), 6).alias("kth_nn_dist"),
+        )
+    )
+    return kth.select(
+        "vec_id", "kth_nn_dist",
+        (F.col("kth_nn_dist") > outlier_dist).alias("is_outlier"),
+    )

@@ -11092,6 +11092,44 @@ ORACLE_LATE_DATA = (
 )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X201 — kth-NN outlier scores: vec_id%97==7 vectors are shifted
+    +1.0 in every dimension (≈8.0 from the natural cloud, whose
+    5th-NN-to-sample band measures 1.2-1.4 here) and must flag at the
+    3.0 cut; the junk is rare enough that at most one lands in the
+    hash sample, so even mutually-close junk scores against normal
+    neighbors."""
+    from docling_serve_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.when(
+        F.col("vec_id") % 97 == 7,
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double") + F.lit(1.0)),
+    ).otherwise(
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return embedding_outliers(
+        emb.select("vec_id", vec.alias("embedding")), outlier_dist=3.0
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = (
+    "WITH e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+    "CASE WHEN vec_id % 97 = 7 THEN list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) + 1.0) ELSE list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE)) END AS v FROM embeddings), "
+    "s AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e "
+    "WHERE vec_id % 17 = 0), "
+    "d AS (SELECT e.vec_id, sqrt(list_sum(list_transform("
+    "generate_series(1, 64), i -> (e.v[i] - s.sv[i]) * "
+    "(e.v[i] - s.sv[i])))) AS dist FROM e JOIN s ON e.vec_id <> s.sid), "
+    "k AS (SELECT vec_id, round(list_sort(list(dist))["
+    "least(5, len(list(dist)))], 6) AS kth_nn_dist FROM d GROUP BY 1) "
+    "SELECT vec_id, kth_nn_dist, kth_nn_dist > 3.0 AS is_outlier FROM k"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11340,6 +11378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "int8_quant": q_int8_quant,
     "allocation_fairness": q_allocation_fairness,
     "late_data_audit": q_late_data_audit,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -11577,4 +11616,5 @@ ORACLES: dict[str, str] = {
     "int8_quant": ORACLE_INT8_QUANT,
     "allocation_fairness": ORACLE_ALLOCATION_FAIRNESS,
     "late_data_audit": ORACLE_LATE_DATA,
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
 }

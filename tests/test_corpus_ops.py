@@ -4930,3 +4930,27 @@ def test_allocation_fairness_gini_extremes(spark):
     assert s["gini_bp"] == 7500
     assert s["max_share_bp"] == 10000
     assert s["top_decile_share_bp"] == 10000  # top-1 of 4 keys
+
+
+def test_embedding_outliers_kth_nn(spark):
+    """X201: an isolated point scores its distance to the cluster
+    while cluster members score intra-cluster distances; sampled
+    points exclude themselves; the k-th index clamps when the sample
+    is smaller than k."""
+    from docling_serve_spark.operators.similarity import (
+        embedding_outliers)
+
+    # cluster at origin (ids 0,17,34 are the sample: % 17 == 0)
+    base = [0.0] * 64
+    far = [10.0] * 64
+    rows = [(0, base), (17, base), (34, base), (1, base), (2, far)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: r
+           for r in embedding_outliers(emb, k=5,
+                                       outlier_dist=3.0).collect()}
+    # sample = {0, 17, 34}; point 2's nearest sample dist = 80
+    assert got[2]["kth_nn_dist"] == 80.0 and got[2]["is_outlier"]
+    # cluster members: all sample dists are 0 (self excluded)
+    assert got[1]["kth_nn_dist"] == 0.0 and not got[1]["is_outlier"]
+    assert got[0]["kth_nn_dist"] == 0.0  # scored vs the OTHER two

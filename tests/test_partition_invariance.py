@@ -123,6 +123,7 @@ INVARIANCE_QUERIES = [
     "int8_quant",       # per-row quantization + shift self-join
     "allocation_fairness",  # global rank window + scalar joins
     "late_data_audit",  # per-shard arrival-order running max
+    "embedding_outliers",  # broadcast sample + sorted distance list
 ]
 
 
