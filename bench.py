@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "allocation_fairness",
     "late_data_audit",
     "embedding_outliers",
+    "host_reputation",
 ]
 
 

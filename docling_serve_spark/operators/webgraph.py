@@ -1015,3 +1015,76 @@ def kcore_peel(edges: DataFrame, k: int = 2,
                 (F.col("peel_round") == -1).alias("in_core"),
                 "converged")
     )
+
+
+def host_reputation(edges: DataFrame, pages: DataFrame,
+                    host_col: str = "host",
+                    quality_col: str = "is_quality",
+                    w_central: int = 4000, w_quality: int = 3000,
+                    w_spam: int = 3000, keep_cut: int = 4000,
+                    review_cut: int = 2000) -> DataFrame:
+    """(host, rank_nano, centrality_bp, quality_bp, reciprocal_bp,
+    score_bp, verdict) — the DECISION layer over the graph tier: a
+    single keep/review/drop verdict per host fusing link centrality
+    (X39 PageRank, max-normalized to bp), on-page quality rate (share
+    of the host's pages passing the caller's gate), and the
+    link-farm reciprocity prior (X47) as a penalty. Every signal
+    alone is gameable — farms buy centrality (Gyöngyi &
+    Garcia-Molina, AIRWeb 2005 frame spam fighting as exactly this
+    multi-signal fusion), quality gates pass templated filler, and
+    reciprocity alone flags small blog circles — so the corpus
+    decision reads the weighted sum, with the weights (bp, summing to
+    10000 across |w|) and both cuts explicit parameters, not policy
+    buried in code.
+
+    score_bp = (w_central·centrality + w_quality·quality −
+    w_spam·reciprocity) div 10000, all-bigint. Hosts in the graph but
+    without pages carry quality 0 (unknown content earns nothing);
+    hosts with no out-links carry reciprocity 0 (no evidence, no
+    penalty). Scale shape: every input and join is HOST-grain
+    (pagerank + reciprocity ride the edge list, the quality rate is
+    one partial-agg rollup of the page table); the max-rank
+    normalizer is a one-row broadcast."""
+    pr = host_pagerank(edges, iterations=3).select("host", "rank_nano")
+    rec = reciprocal_link_stats(edges).select("host", "reciprocal_bp")
+    q = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.expr(
+            f"(10000 * sum(CASE WHEN {quality_col} THEN 1 ELSE 0 END))"
+            " div count(*)"
+        ).cast("bigint").alias("quality_bp")
+    )
+    mx = pr.agg(F.max("rank_nano").cast("bigint").alias("__mx"))
+    return (
+        pr.crossJoin(F.broadcast(mx))
+        .select(
+            "host", "rank_nano",
+            F.expr("(10000 * rank_nano) div __mx").cast("bigint")
+            .alias("centrality_bp"),
+        )
+        .join(rec, "host", "left")
+        .join(q, "host", "left")
+        .select(
+            "host", "rank_nano", "centrality_bp",
+            F.coalesce(F.col("quality_bp"), F.lit(0)).cast("bigint")
+            .alias("quality_bp"),
+            F.coalesce(F.col("reciprocal_bp"), F.lit(0)).cast("bigint")
+            .alias("reciprocal_bp"),
+        )
+        .withColumn(
+            "score_bp",
+            # the numerator clamps at 0 BEFORE the division: Spark's
+            # div truncates toward zero while DuckDB's // floors, so
+            # a negative score would divide differently per engine —
+            # and a negative fusion is 'drop' regardless of magnitude
+            F.expr(
+                f"greatest({w_central} * centrality_bp + {w_quality} * "
+                f"quality_bp - {w_spam} * reciprocal_bp, 0) div 10000"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("score_bp") >= keep_cut, F.lit("keep"))
+            .when(F.col("score_bp") >= review_cut, F.lit("review"))
+            .otherwise(F.lit("drop")),
+        )
+    )

@@ -11130,6 +11130,61 @@ ORACLE_EMBEDDING_OUTLIERS = (
 )
 
 
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202 — fused keep/review/drop verdicts over the hub-skew graph
+    (same synthesis as X39/X47/X85): centrality from 3-round
+    PageRank, quality rate from a deterministic page gate
+    (n_chars%3>0), reciprocity as the spam penalty. Hubs must clear
+    keep; leaf hosts spread over review/drop by their reciprocity."""
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string"))
+        .alias("host"),
+        (F.col("n_chars") % 3 > 0).alias("is_quality"),
+    )
+    return webgraph.host_reputation(_hub_edges(docs), pages)
+
+
+def _host_reputation_oracle() -> str:
+    ctes = _pagerank_ctes(3)
+    ctes += [
+        "recod AS (SELECT src, CAST(count(*) AS BIGINT) AS out_degree "
+        "FROM edges GROUP BY 1)",
+        "recip AS (SELECT e.src, CAST(count(*) AS BIGINT) AS n_recip "
+        "FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src "
+        "GROUP BY 1)",
+        "rec AS (SELECT recod.src AS host, "
+        "CAST((10000 * coalesce(n_recip, 0)) // out_degree AS BIGINT) "
+        "AS reciprocal_bp FROM recod LEFT JOIN recip "
+        "ON recod.src = recip.src)",
+        "q AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS host, "
+        "CAST((10000 * sum(CASE WHEN n_chars % 3 > 0 THEN 1 ELSE 0 "
+        "END)) // count(*) AS BIGINT) AS quality_bp "
+        "FROM documents GROUP BY 1)",
+        "mx AS (SELECT CAST(max(r) AS BIGINT) AS mxr FROM r3)",
+        "fused AS (SELECT r3.host, CAST(r AS BIGINT) AS rank_nano, "
+        "CAST((10000 * r) // mxr AS BIGINT) AS centrality_bp, "
+        "CAST(coalesce(q.quality_bp, 0) AS BIGINT) AS quality_bp, "
+        "CAST(coalesce(rec.reciprocal_bp, 0) AS BIGINT) "
+        "AS reciprocal_bp FROM r3 CROSS JOIN mx "
+        "LEFT JOIN rec ON r3.host = rec.host "
+        "LEFT JOIN q ON r3.host = q.host)",
+        "sc AS (SELECT *, CAST(greatest(4000 * centrality_bp + 3000 * "
+        "quality_bp - 3000 * reciprocal_bp, 0) // 10000 AS BIGINT) "
+        "AS score_bp FROM fused)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT host, rank_nano, centrality_bp, quality_bp, "
+        "reciprocal_bp, score_bp, CASE WHEN score_bp >= 4000 "
+        "THEN 'keep' WHEN score_bp >= 2000 THEN 'review' "
+        "ELSE 'drop' END AS verdict FROM sc"
+    )
+
+
+ORACLE_HOST_REPUTATION = _host_reputation_oracle()
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11379,6 +11434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "allocation_fairness": q_allocation_fairness,
     "late_data_audit": q_late_data_audit,
     "embedding_outliers": q_embedding_outliers,
+    "host_reputation": q_host_reputation,
 }
 
 ORACLES: dict[str, str] = {
@@ -11617,4 +11673,5 @@ ORACLES: dict[str, str] = {
     "allocation_fairness": ORACLE_ALLOCATION_FAIRNESS,
     "late_data_audit": ORACLE_LATE_DATA,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
+    "host_reputation": ORACLE_HOST_REPUTATION,
 }

@@ -4954,3 +4954,40 @@ def test_embedding_outliers_kth_nn(spark):
     # cluster members: all sample dists are 0 (self excluded)
     assert got[1]["kth_nn_dist"] == 0.0 and not got[1]["is_outlier"]
     assert got[0]["kth_nn_dist"] == 0.0  # scored vs the OTHER two
+
+
+def test_host_reputation_fusion_verdicts(spark):
+    """X202: a central high-quality host keeps, a mutual-link farm
+    pair drops despite centrality (spam penalty), an uncrawled host
+    (in graph, no pages) earns quality 0."""
+    from docling_serve_spark.operators import webgraph
+
+    edges = spark.createDataFrame(
+        # a,b,c,d all point at hub; farm pair f1<->f2 only swap links
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+         ("f1", "f2"), ("f2", "f1"), ("a", "b")],
+        "src string, dst string",
+    )
+    pages = spark.createDataFrame(
+        [("hub", True), ("hub", True), ("a", True), ("b", False),
+         ("f1", True), ("f2", True)],
+        "host string, is_quality boolean",
+    )
+    # the 2-cycle farm recirculates rank into the MAX centrality (a
+    # classic spider trap), so the spam weight must dominate for the
+    # fusion to drop it — exactly the policy choice the explicit
+    # weight parameters exist for
+    got = {r["host"]: r
+           for r in webgraph.host_reputation(
+               edges, pages, w_central=3000, w_quality=2000,
+               w_spam=5000, keep_cut=3500, review_cut=1500).collect()}
+    assert got["hub"]["verdict"] == "keep"
+    assert got["f1"]["centrality_bp"] == 10000  # the trap, measured
+    assert got["f1"]["reciprocal_bp"] == 10000
+    assert got["f1"]["verdict"] == "drop"
+    assert got["a"]["verdict"] == "review"
+    # 'c' has no pages: quality 0; 'b' has a page that fails the gate
+    assert got["c"]["quality_bp"] == 0
+    assert got["b"]["quality_bp"] == 0
+    # negative fusion clamps at zero, never engine-divergent division
+    assert all(r["score_bp"] >= 0 for r in got.values())

@@ -124,6 +124,7 @@ INVARIANCE_QUERIES = [
     "allocation_fairness",  # global rank window + scalar joins
     "late_data_audit",  # per-shard arrival-order running max
     "embedding_outliers",  # broadcast sample + sorted distance list
+    "host_reputation",  # pagerank + reciprocity + quality fusion
 ]
 
 
