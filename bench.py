@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "late_data_audit",
     "embedding_outliers",
     "host_reputation",
+    "regional_supplier_volume",
 ]
 
 

@@ -11185,6 +11185,62 @@ def _host_reputation_oracle() -> str:
 ORACLE_HOST_REPUTATION = _host_reputation_oracle()
 
 
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203 — the TPC-H Q5 shape (local-supplier volume): a six-table
+    star — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region
+    — with the LOCAL constraint (customer and supplier share a
+    nation), a region cut, and a date band; revenue in exact DECIMAL
+    before the final rounding. The dims ride broadcasts; only the
+    fact-side joins shuffle — the plan-shape the relational checklist
+    (§2.9) owes a multi-join witness for."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              (nation.n_regionkey == region.r_regionkey)
+              & (region.r_name == "ASIA"))
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REGIONAL_SUPPLIER_VOLUME = (
+    "SELECT n_name, CAST(round(sum(CAST(CAST(l_extendedprice AS "
+    "DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS "
+    "DECIMAL(18,4))) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue, "
+    "CAST(count(*) AS BIGINT) AS n_lineitems "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA' "
+    "WHERE o_orderdate >= DATE '1996-01-01' "
+    "AND o_orderdate < DATE '1997-01-01' "
+    "GROUP BY n_name"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11435,6 +11491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "late_data_audit": q_late_data_audit,
     "embedding_outliers": q_embedding_outliers,
     "host_reputation": q_host_reputation,
+    "regional_supplier_volume": q_regional_supplier_volume,
 }
 
 ORACLES: dict[str, str] = {
@@ -11674,4 +11731,5 @@ ORACLES: dict[str, str] = {
     "late_data_audit": ORACLE_LATE_DATA,
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "host_reputation": ORACLE_HOST_REPUTATION,
+    "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
 }

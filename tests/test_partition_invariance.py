@@ -125,6 +125,7 @@ INVARIANCE_QUERIES = [
     "late_data_audit",  # per-shard arrival-order running max
     "embedding_outliers",  # broadcast sample + sorted distance list
     "host_reputation",  # pagerank + reciprocity + quality fusion
+    "regional_supplier_volume",  # 6-table star + decimal rollup
 ]
 
 

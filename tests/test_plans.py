@@ -721,3 +721,13 @@ def test_contrastive_pairs_window_is_partitioned_and_scalar(spark):
     for block in plan.split("\n\n"):
         if block.startswith("(") and "Window" in block.splitlines()[0]:
             assert "text#" not in block
+
+
+def test_regional_supplier_volume_broadcasts_dims(spark):
+    """X203: the Q5-shape star must broadcast its dimension sides
+    (never a cartesian, no row explosion) and push the date band
+    down to the orders scan."""
+    plan = _plan(spark, QUERIES["regional_supplier_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
