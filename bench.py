@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "host_reputation",
     "regional_supplier_volume",
+    "part_supplier_breadth",
+    "small_quantity_revenue",
 ]
 
 

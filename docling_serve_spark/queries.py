@@ -11241,6 +11241,80 @@ ORACLE_REGIONAL_SUPPLIER_VOLUME = (
 )
 
 
+def q_part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204 — the TPC-H Q16 shape: distinct-supplier breadth per part
+    attribute, EXCLUDING a supplier denylist via anti-join (Q16's
+    complaint-suppliers NOT IN). lineitem is the part↔supplier bridge
+    (this corpus carries no partsupp); the denylist is suppliers with
+    negative account balance. Exercises anti-join + count(distinct)
+    in one plan — the §2.9 witness for set-exclusion semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad),
+              li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
+
+
+ORACLE_PART_SUPPLIER_BREADTH = (
+    "SELECT p_brand, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM lineitem ANTI JOIN (SELECT s_suppkey FROM supplier "
+    "WHERE s_acctbal < 0) b ON l_suppkey = b.s_suppkey "
+    "JOIN part ON l_partkey = p_partkey "
+    "GROUP BY p_brand, p_size"
+)
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X205 — the TPC-H Q17 shape (small-quantity-order revenue): for
+    each part, lineitems whose quantity falls below 20% of that
+    part's own average quantity; the per-part average is a grouped
+    aggregate joined back to the fact table — the §2.9 witness for
+    the correlated-scalar-subquery pattern, decorrelated the way
+    Catalyst plans it. Integer-exact threshold test via
+    cross-multiplication (5·qty < avg-sum preserves exactness — no
+    float average)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qsum"),
+        F.count("*").cast("bigint").alias("qcnt"),
+    )
+    return (
+        li.join(F.broadcast(stats), li.l_partkey == stats.pk)
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)")
+            * F.lit(5) * F.col("qcnt")
+            < F.col("qsum")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_small"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+            ).cast("double").alias("small_revenue"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = (
+    "WITH stats AS (SELECT l_partkey AS pk, "
+    "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qsum, "
+    "CAST(count(*) AS BIGINT) AS qcnt FROM lineitem GROUP BY 1) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_small, "
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+    "AS DOUBLE) AS small_revenue "
+    "FROM lineitem JOIN stats ON l_partkey = pk "
+    "WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qcnt < qsum"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11492,6 +11566,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "host_reputation": q_host_reputation,
     "regional_supplier_volume": q_regional_supplier_volume,
+    "part_supplier_breadth": q_part_supplier_breadth,
+    "small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -11732,4 +11808,6 @@ ORACLES: dict[str, str] = {
     "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "host_reputation": ORACLE_HOST_REPUTATION,
     "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
+    "part_supplier_breadth": ORACLE_PART_SUPPLIER_BREADTH,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
 }

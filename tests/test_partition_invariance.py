@@ -126,6 +126,8 @@ INVARIANCE_QUERIES = [
     "embedding_outliers",  # broadcast sample + sorted distance list
     "host_reputation",  # pagerank + reciprocity + quality fusion
     "regional_supplier_volume",  # 6-table star + decimal rollup
+    "part_supplier_breadth",  # anti-join + distinct-count agg
+    "small_quantity_revenue",  # grouped-avg join-back threshold
 ]
 
 
