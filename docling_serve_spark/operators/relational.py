@@ -310,3 +310,41 @@ def late_data_audit(events: DataFrame, ts_col: str = "ts",
             F.max("__late_ms").cast("bigint").alias("max_lateness_ms"),
         )
     )
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """X206-wave — weekly cohort-retention matrix over the events
+    stream: users are grouped by the ISO week of their FIRST event
+    (the cohort), and each cell counts distinct cohort members active
+    ``week_offset`` weeks later — the §2.9 witness for the
+    self-referential fact-table shape (derive a per-entity anchor
+    aggregate, join it back, re-aggregate on the derived key) that
+    every engagement/freshness dashboard runs.
+
+    Emits (cohort_week date, week_offset int, n_users bigint).
+    Week alignment is date_trunc('week') — ISO Monday in both
+    engines — and the offset is exact integer arithmetic on the two
+    Monday-aligned dates, so no float discipline is needed.
+
+    Shape at scale: one hash aggregation for the per-user anchor
+    (map-side combine on user_id), one shuffle join back on user_id
+    (AQE broadcasts the anchor side only when genuinely small), one
+    final aggregation on the (cohort, offset) grid — whose
+    cardinality is weeks², driver-tiny regardless of corpus size."""
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    return (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+        )
+        .join(first, "u")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+    )

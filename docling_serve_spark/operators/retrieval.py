@@ -242,3 +242,45 @@ def phrase_topk(docs: DataFrame, phrase_terms: Sequence[str], k: int = 10,
     ).limit(k)
     w = Window.orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, k: int = 10,
+             c: int = 60, id_col: str = "doc_id") -> DataFrame:
+    """X206 — reciprocal-rank fusion of a lexical and a semantic
+    top-k list (Cormack/Clarke/Buettcher, SIGIR 2009): score(d) =
+    sum over lists of 1/(c + rank_d).  The standard way to combine
+    BM25 (X42) with embedding ANN (X6) in a hybrid retrieval stack —
+    ranks, not raw scores, so the two incomparable score scales never
+    need calibration.
+
+    Integer discipline: contributions are ``1_000_000 // (c + rank)``
+    (bigint floor division — engine-exact), absent-from-list
+    contributes 0.  Ties broken by ascending id.
+
+    Scale shape: both inputs are k-row top-k lists (driver-scale by
+    construction — the expensive work happened inside the retrieval
+    legs), so the fusion is a full-outer join of two tiny DataFrames;
+    at 10^12 docs this plan is unchanged because k never grows with
+    the corpus."""
+    l = lex.select(F.col(id_col), F.col("rank").alias("lex_rank"))
+    s = sem.select(F.col(id_col), F.col("rank").alias("sem_rank"))
+    fused = l.join(s, id_col, "full_outer").select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("lex_rank").cast("int").alias("lex_rank"),
+        F.col("sem_rank").cast("int").alias("sem_rank"),
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({c} + lex_rank)").cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({c} + sem_rank)").cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+        ).alias("rrf_micro"),
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1130,3 +1130,49 @@ def long_context_supply(docs: DataFrame,
         F.expr("(10000 * p.n_tokens_ge) div greatest(__tok_total, 1)")
         .cast("bigint").alias("token_share_bp"),
     )
+
+
+def recency_weights(docs: DataFrame, age_col: str = "age_days",
+                    group_col: str = "source", tau_days: int = 30,
+                    id_col: str = "doc_id") -> DataFrame:
+    """X206-wave — freshness-decayed sampling weights: each document
+    gets weight exp(-age/tau) (exponential time decay, tau-day
+    e-folding), normalized WITHIN its group to a sampling share —
+    the standard recency prior for training-data selection over
+    rolling crawl snapshots (newer captures of a source outweigh
+    stale ones without hard cutoffs).
+
+    Integer discipline: ``weight_micro = round(1e6·exp(-age/tau))``
+    (bigint — the micro-unit log/exp convention shared with the
+    char-LM and PMI operators); ``share_ppm = (1e6·w) div Σ_group w``
+    is then pure bigint floor division, engine-exact.
+
+    Shape at scale: one map pass for the weights (no shuffle), one
+    hash aggregation for per-group totals with map-side combine,
+    totals broadcast back (groups ≪ docs). No windows, no sort —
+    the plan is two exchanges short of the naive per-group window
+    formulation and skew-immune (a hot group is still only one
+    aggregation row)."""
+    wmic = F.round(
+        F.exp(-F.col(age_col).cast("double") / float(tau_days)) * 1_000_000.0
+    ).cast("bigint")
+    weighted = docs.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(group_col).alias("grp"),
+        F.col(age_col).cast("bigint").alias("age_days"),
+        wmic.alias("weight_micro"),
+    )
+    totals = weighted.groupBy("grp").agg(
+        F.sum("weight_micro").cast("bigint").alias("__w_total")
+    )
+    return (
+        weighted.join(F.broadcast(totals), "grp")
+        .select(
+            id_col,
+            F.col("grp").alias(group_col),
+            "age_days",
+            "weight_micro",
+            F.expr("(1000000 * weight_micro) div greatest(__w_total, 1)")
+            .cast("bigint").alias("share_ppm"),
+        )
+    )

@@ -1845,3 +1845,156 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
             .otherwise(F.lit("ok")).alias("verdict"),
         )
     )
+
+
+def source_token_pmi(docs: DataFrame, min_docs: int = 5, k: int = 5,
+                     source_col: str = "source",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """X206-wave — template-token mining by pointwise mutual
+    information between token PRESENCE and source group: pmi(t, s) =
+    ln( P(t, s) / (P(t)·P(s)) ) over document-presence counts. Tokens
+    whose presence is concentrated in one source are that source's
+    boilerplate/template vocabulary (nav bars, footers, licence
+    blurbs) — the per-source complement of the tf-idf view
+    (host_top_terms): PMI normalizes by the token's CORPUS prevalence,
+    so a globally common word can never look distinctive.
+
+    Emits (source, term, n_docs_ts, pmi_micro, term_rank): top-k per
+    source by (pmi_micro desc, n_docs_ts desc, term asc), support-
+    filtered to n_docs_ts >= min_docs. pmi_micro is micro-nats
+    (round(ln(ratio)·1e6), bigint) — the repo's standard integer
+    log-score discipline; the argument of ln is an exact integer
+    ratio ((c_ts·n) / (c_t·c_s)), identical in both engines.
+
+    Shape at scale: one explode of DISTINCT per-doc tokens (presence,
+    not tf — array_distinct runs JVM-side before the explode), three
+    hash aggregations with map-side partial combine, one shuffle join
+    on term (the only corpus-scale key), source totals + the corpus
+    total ride a broadcast (sources are few), top-k via a per-source
+    window. No global sort, no driver state."""
+    from pyspark.sql import Window
+
+    from docling_serve_spark.operators.dedup import tokens
+
+    pres = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.array_distinct(F.filter(tokens(F.col(text_col)),
+                                      lambda t: t != ""))
+        ).alias("term"),
+    )
+    c_ts = pres.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("n_docs_ts")
+    )
+    c_t = pres.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("__n_docs_t")
+    )
+    c_s = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("bigint").alias("__n_docs_s")
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("__n_docs"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("pmi_micro").desc(), F.col("n_docs_ts").desc(),
+        F.col("term").asc()
+    )
+    return (
+        c_ts.filter(F.col("n_docs_ts") >= min_docs)
+        .join(c_t, "term")
+        .join(F.broadcast(c_s), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi_micro",
+            F.round(
+                F.log(
+                    (F.col("n_docs_ts") * F.col("__n_docs"))
+                    / (F.col("__n_docs_t") * F.col("__n_docs_s"))
+                ) * 1_000_000.0
+            ).cast("bigint"),
+        )
+        .withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+        .select("source", "term", "n_docs_ts", "pmi_micro", "term_rank")
+    )
+
+
+# Burrows' Delta function-word panel: high-frequency closed-class
+# English words — the stylometric signal is HOW OFTEN a text uses
+# them, not what it is about (Burrows, "'Delta': a measure of
+# stylistic difference", LLC 2002).
+DELTA_WORDS = ("the", "of", "and", "to", "a",
+               "in", "is", "for", "on", "with")
+
+
+def stylometry_delta(docs: DataFrame, words: tuple[str, ...] = DELTA_WORDS,
+                     k: int = 15, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """X206-wave — Burrows' Delta stylometric outlier scan: per-doc
+    function-word rates (per-1000-token), z-scored against the corpus
+    (population stddev), delta = mean |z| over the word panel. Docs
+    whose function-word profile sits far from the corpus centroid are
+    style outliers — the classic screen for machine-generated /
+    template / non-prose text that CONTENT filters miss (the words
+    are topic-free by construction).
+
+    Emits the top-k (doc_id, n_tokens, delta) by (delta desc, doc_id
+    asc); delta is rounded to 6 digits (double discipline — rates and
+    moments are exact-integer-derived doubles, so 6-dp rounding is
+    engine-stable). Zero-stddev words contribute z = 0.
+
+    Shape at scale: per-doc counts are ``size(filter(tokens, ...))``
+    per panel word — JVM higher-order functions over the token array,
+    NO explode and NO shuffle for the feature extraction; the corpus
+    moments are ONE 1-row aggregate broadcast back; top-k is
+    TakeOrderedAndProject. Two passes over the (narrow) feature rows,
+    zero passes over raw text beyond tokenization."""
+    from docling_serve_spark.operators.dedup import hof_let, tokens
+
+    feats = docs.select(
+        F.col(id_col),
+        hof_let(
+            F.filter(tokens(F.col(text_col)), lambda t: t != ""),
+            lambda toks: F.struct(
+                F.size(toks).cast("bigint").alias("n_tokens"),
+                *[
+                    # closure factory, not a default arg: F.filter
+                    # treats a 2-parameter lambda as (element, index)
+                    F.size(F.filter(toks, (lambda w: lambda t: t == F.lit(w))(w)))
+                    .cast("bigint").alias(f"c{i}")
+                    for i, w in enumerate(words)
+                ],
+            ),
+        ).alias("f"),
+    ).select(id_col, "f.*").filter(F.col("n_tokens") > 0)
+    rates = feats.select(
+        id_col,
+        "n_tokens",
+        *[
+            (F.col(f"c{i}") * 1000.0 / F.col("n_tokens")).alias(f"r{i}")
+            for i in range(len(words))
+        ],
+    )
+    moments = rates.agg(*(
+        [F.avg(f"r{i}").alias(f"m{i}") for i in range(len(words))]
+        + [
+            (F.avg(F.col(f"r{i}") * F.col(f"r{i}"))).alias(f"q{i}")
+            for i in range(len(words))
+        ]
+    ))
+    zsum = None
+    for i in range(len(words)):
+        var = F.col(f"q{i}") - F.col(f"m{i}") * F.col(f"m{i}")
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        z = F.when(sd > 0, F.abs((F.col(f"r{i}") - F.col(f"m{i}")) / sd)
+                   ).otherwise(F.lit(0.0))
+        zsum = z if zsum is None else zsum + z
+    return (
+        rates.crossJoin(F.broadcast(moments))
+        .select(
+            F.col(id_col).cast("bigint"),
+            F.col("n_tokens"),
+            F.round(zsum / len(words), 6).alias("delta"),
+        )
+        .orderBy(F.col("delta").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

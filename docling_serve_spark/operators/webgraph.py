@@ -1088,3 +1088,67 @@ def host_reputation(edges: DataFrame, pages: DataFrame,
             .otherwise(F.lit("drop")),
         )
     )
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      iterations: int = 2) -> DataFrame:
+    """X206-wave — semi-supervised label propagation over the host
+    graph (Zhu & Ghahramani 2002 / Raghavan et al. 2007, made
+    deterministic): a small hand-labelled seed set (host → category)
+    spreads to unlabelled hosts along UNDIRECTED edges; each round,
+    every non-seed host takes the PLURALITY label of its currently-
+    labelled neighbours (each distinct neighbour votes once), ties
+    broken by ascending label; seeds are clamped (never overwritten);
+    hosts with no labelled neighbour stay unlabelled (absent from the
+    frontier). Synchronous schedule: round t votes with round t-1's
+    labels only, so the result is partition-order independent and
+    bit-reproducible.
+
+    Emits (host, label, is_seed) for every host labelled after
+    ``iterations`` rounds.
+
+    Shape at scale: the host graph is tiny relative to pages (the
+    PageRank argument, module docstring), and each round is one
+    shuffle join (edges ⋈ labels on src) + one hash aggregation +
+    one per-host window over ≤|labels| candidate rows — the classic
+    Pregel step as DataFrames. ``iterations`` is a fixed small
+    constant, so the unrolled plan stays bounded."""
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col("src"), F.col("dst"))
+        .unionByName(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = seeds.select(
+        F.col("host"), F.col("label").cast("string").alias("label")
+    )
+    labels = seeds
+    w = Window.partitionBy("host").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            und.join(labels.withColumnRenamed("host", "src"), "src")
+            .select(F.col("dst").alias("host"), "label")
+            .groupBy("host", "label")
+            .agg(F.count("*").cast("bigint").alias("votes"))
+        )
+        winners = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("host", "label")
+        )
+        labels = seeds.unionByName(
+            winners.join(F.broadcast(seeds.select("host")),
+                         "host", "left_anti")
+        )
+    return labels.join(
+        F.broadcast(seeds.select("host", F.lit(True).alias("is_seed"))),
+        "host", "left",
+    ).select(
+        "host", "label",
+        F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+    )

@@ -11315,6 +11315,242 @@ ORACLE_SMALL_QUANTITY_REVENUE = (
 )
 
 
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X206 — hybrid retrieval by reciprocal-rank fusion: the BM25
+    lexical top-20 (X42) and the embedding-cosine top-20 (X6, probe
+    vec_id=0) fused by RRF (Cormack et al. 2009) into one ranking —
+    the production hybrid-search shape (rank-space fusion needs no
+    score calibration between the incomparable BM25 and cosine
+    scales). documents.doc_id and embeddings.vec_id share an id
+    space, so the fusion join is on the document id."""
+    from docling_serve_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    from pyspark.sql import Window
+
+    lex = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+    sem_scores = similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    sem = sem_scores.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+    return rrf_fuse(
+        lex.select("doc_id", "rank"), sem, k=10, c=60
+    )
+
+
+ORACLE_HYBRID_RRF = (
+    "WITH lex AS (SELECT doc_id, rank FROM ("
+    + ORACLE_BM25.replace("WHERE rank <= 10", "WHERE rank <= 20")
+    + ")), "
+    "qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0), "
+    "sc AS (SELECT vec_id, "
+    "round(list_sum(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    " sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS c6 "
+    "FROM embeddings, qv WHERE vec_id <> 0), "
+    "sem AS (SELECT doc_id, rank FROM (SELECT vec_id AS doc_id, "
+    "CAST(row_number() OVER (ORDER BY c6 DESC, vec_id ASC) AS INT) AS rank "
+    "FROM sc) WHERE rank <= 20), "
+    "f AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id, "
+    "l.rank AS lex_rank, m.rank AS sem_rank, "
+    "CAST(coalesce(1000000 // (60 + l.rank), 0) + "
+    "coalesce(1000000 // (60 + m.rank), 0) AS BIGINT) AS rrf_micro "
+    "FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id) "
+    "SELECT * FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(lex_rank AS INT) AS lex_rank, CAST(sem_rank AS INT) AS sem_rank, "
+    "rrf_micro, CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) "
+    "AS INT) AS rank FROM f) WHERE rank <= 10"
+)
+
+
+def q_template_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X207 — per-source template-token mining by presence PMI
+    (operators/textstats.py source_token_pmi): tokens whose document
+    presence concentrates in one source are that source's boilerplate
+    vocabulary; micro-nat integer log discipline, support >= 5 docs,
+    top-5 per source."""
+    return textstats.source_token_pmi(
+        _t(spark, sf_dir, "documents"), min_docs=5, k=5
+    )
+
+
+ORACLE_TEMPLATE_PMI = (
+    "WITH pres AS (SELECT source, doc_id, "
+    "unnest(list_distinct(list_filter(string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' '), t -> t <> ''))) AS term "
+    "FROM documents), "
+    "cts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_docs_ts "
+    "FROM pres GROUP BY 1, 2), "
+    "ct AS (SELECT term, CAST(count(*) AS BIGINT) AS nt FROM pres GROUP BY 1), "
+    "cs AS (SELECT source, CAST(count(*) AS BIGINT) AS ns "
+    "FROM documents GROUP BY 1), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), "
+    "sc AS (SELECT source, term, n_docs_ts, "
+    "CAST(round(ln((n_docs_ts * nn) / (nt * ns)) * 1000000.0) AS BIGINT) "
+    "AS pmi_micro FROM cts JOIN ct USING (term) JOIN cs USING (source) "
+    "CROSS JOIN n WHERE n_docs_ts >= 5) "
+    "SELECT source, term, n_docs_ts, pmi_micro, term_rank FROM "
+    "(SELECT *, CAST(row_number() OVER (PARTITION BY source "
+    "ORDER BY pmi_micro DESC, n_docs_ts DESC, term ASC) AS INT) AS term_rank "
+    "FROM sc) WHERE term_rank <= 5"
+)
+
+
+_LP_SEEDS = (("h0", "news"), ("h1", "shop"), ("h2", "blog"),
+             ("h3", "news"), ("h4", "shop"))
+
+
+def q_host_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X208 — semi-supervised host categorization by label
+    propagation (operators/webgraph.py label_propagation) over the
+    hub-skew host graph: the five hub hosts are hand-labelled seeds,
+    two synchronous plurality rounds spread labels to the long tail;
+    deterministic min-label tie-break, seeds clamped."""
+    seeds = spark.createDataFrame(list(_LP_SEEDS), ["host", "label"])
+    return webgraph.label_propagation(
+        _hub_edges(_t(spark, sf_dir, "documents")), seeds, iterations=2
+    )
+
+
+def _label_prop_oracle(iterations: int = 2) -> str:
+    seeds_vals = ", ".join(f"('{h}', '{l}')" for h, l in _LP_SEEDS)
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        "CASE WHEN (doc_id // 25) % 4 < 3 "
+        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+        "END AS dst FROM documents)",
+        "und AS (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) "
+        "WHERE src <> dst)",
+        f"seeds AS (SELECT * FROM (VALUES {seeds_vals}) v(host, label))",
+        "l0 AS (SELECT host, label FROM seeds)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"v{i} AS (SELECT und.dst AS host, label, "
+            f"CAST(count(*) AS BIGINT) AS votes FROM und "
+            f"JOIN l{i-1} ON und.src = l{i-1}.host GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT host, label FROM (SELECT *, "
+            f"row_number() OVER (PARTITION BY host "
+            f"ORDER BY votes DESC, label ASC) AS rk FROM v{i}) WHERE rk = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT host, label FROM seeds UNION ALL "
+            f"SELECT w{i}.host, w{i}.label FROM w{i} "
+            f"ANTI JOIN seeds ON w{i}.host = seeds.host)"
+        )
+    last = f"l{iterations}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT {last}.host, {last}.label, "
+        f"(seeds.host IS NOT NULL) AS is_seed "
+        f"FROM {last} LEFT JOIN seeds ON {last}.host = seeds.host"
+    )
+
+
+ORACLE_HOST_LABEL_PROP = _label_prop_oracle(2)
+
+
+def q_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X209 — Burrows' Delta stylometric outliers
+    (operators/textstats.py stylometry_delta): function-word rate
+    z-scores against the corpus, top-15 docs by mean |z| — the
+    topic-free screen for machine-generated / template prose."""
+    return textstats.stylometry_delta(_t(spark, sf_dir, "documents"), k=15)
+
+
+def _stylometry_oracle(k: int = 15) -> str:
+    words = textstats.DELTA_WORDS
+    n = len(words)
+    cexprs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> t = '{w}')) AS BIGINT) AS c{i}"
+        for i, w in enumerate(words)
+    )
+    rexprs = ", ".join(
+        f"c{i} * 1000.0 / n_tokens AS r{i}" for i in range(n)
+    )
+    mexprs = ", ".join(
+        f"avg(r{i}) AS m{i}, avg(r{i} * r{i}) AS q{i}" for i in range(n)
+    )
+    zterms = " + ".join(
+        f"(CASE WHEN sqrt(greatest(q{i} - m{i} * m{i}, 0.0)) > 0 "
+        f"THEN abs((r{i} - m{i}) / sqrt(greatest(q{i} - m{i} * m{i}, 0.0))) "
+        f"ELSE 0.0 END)"
+        for i in range(n)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(string_split("
+        + dedup.NORM_SQL.format(t="text")
+        + ", ' '), t -> t <> '') AS tk FROM documents), "
+        "feats AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        + cexprs + " FROM toks WHERE len(tk) > 0), "
+        "rates AS (SELECT doc_id, n_tokens, " + rexprs + " FROM feats), "
+        "m AS (SELECT " + mexprs + " FROM rates) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, "
+        f"round(({zterms}) / {n}, 6) AS delta "
+        "FROM rates CROSS JOIN m "
+        f"ORDER BY delta DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+ORACLE_STYLOMETRY = _stylometry_oracle(15)
+
+
+def q_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X210 — freshness-decayed sampling weights
+    (operators/sampling.py recency_weights): exponential 30-day-tau
+    decay over a deterministic per-doc age, normalized to per-source
+    sampling shares in exact ppm integers. Age is synthesized as
+    doc_id % 365 (the corpus carries no capture timestamp)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("doc_id") % 365).alias("age_days")
+    )
+    return sampling.recency_weights(docs, tau_days=30)
+
+
+ORACLE_RECENCY_WEIGHTS = (
+    "WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, "
+    "CAST(doc_id % 365 AS BIGINT) AS age_days, "
+    "CAST(round(exp(-((doc_id % 365) / 30.0)) * 1000000.0) AS BIGINT) "
+    "AS weight_micro FROM documents), "
+    "t AS (SELECT source, CAST(sum(weight_micro) AS BIGINT) AS wt "
+    "FROM w GROUP BY 1) "
+    "SELECT doc_id, source, age_days, weight_micro, "
+    "CAST((1000000 * weight_micro) // greatest(wt, 1) AS BIGINT) "
+    "AS share_ppm FROM w JOIN t USING (source)"
+)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X211 — weekly cohort-retention matrix over the events table
+    (operators/relational.py cohort_retention): ISO-week cohorts by
+    first event, distinct active users per (cohort, week offset) —
+    the anchor-aggregate-join-back relational witness."""
+    return relational.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+ORACLE_COHORT_RETENTION = (
+    "WITH f AS (SELECT user_id AS u, "
+    "CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week "
+    "FROM events GROUP BY 1), "
+    "e AS (SELECT user_id AS u, "
+    "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events) "
+    "SELECT cohort_week, "
+    "CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset, "
+    "CAST(count(DISTINCT u) AS BIGINT) AS n_users "
+    "FROM e JOIN f USING (u) GROUP BY 1, 2"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11568,6 +11804,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regional_supplier_volume": q_regional_supplier_volume,
     "part_supplier_breadth": q_part_supplier_breadth,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "hybrid_rrf": q_hybrid_rrf,
+    "template_pmi": q_template_pmi,
+    "host_label_prop": q_host_label_prop,
+    "stylometry": q_stylometry,
+    "recency_weights": q_recency_weights,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES: dict[str, str] = {
@@ -11810,4 +12052,10 @@ ORACLES: dict[str, str] = {
     "regional_supplier_volume": ORACLE_REGIONAL_SUPPLIER_VOLUME,
     "part_supplier_breadth": ORACLE_PART_SUPPLIER_BREADTH,
     "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "hybrid_rrf": ORACLE_HYBRID_RRF,
+    "template_pmi": ORACLE_TEMPLATE_PMI,
+    "host_label_prop": ORACLE_HOST_LABEL_PROP,
+    "stylometry": ORACLE_STYLOMETRY,
+    "recency_weights": ORACLE_RECENCY_WEIGHTS,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
 }

@@ -1,0 +1,191 @@
+"""Semantic unit tests for the round-5 fusion/propagation wave
+(X206–X211): RRF hybrid fusion, source-PMI template mining, label
+propagation, stylometric delta, recency-decay weights, and cohort
+retention. (Cross-engine value parity vs DuckDB is covered by
+test_oracle_parity.py; these check the operator semantics on
+hand-computable inputs.)"""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from docling_serve_spark.operators import relational, sampling, textstats, webgraph
+from docling_serve_spark.operators.retrieval import rrf_fuse
+
+
+# ------------------------------------------------------------------ #
+# rrf_fuse (X206)
+# ------------------------------------------------------------------ #
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame([Row(doc_id=d, rank=r) for d, r in pairs])
+
+
+def test_rrf_hand_computed(spark):
+    lex = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _ranked(spark, [(2, 1), (4, 2)])
+    rows = {r.doc_id: r for r in rrf_fuse(lex, sem, k=10, c=60).collect()}
+    # doc 2 appears in both lists: 1e6//62 + 1e6//61
+    assert rows[2].rrf_micro == 1_000_000 // 62 + 1_000_000 // 61
+    assert rows[2].lex_rank == 2 and rows[2].sem_rank == 1
+    # doc 4 is sem-only; its lex_rank is NULL and lex contributes 0
+    assert rows[4].lex_rank is None
+    assert rows[4].rrf_micro == 1_000_000 // 62
+    # doc 2 (both lists) outranks every single-list doc
+    assert rows[2].rank == 1
+
+
+def test_rrf_tie_breaks_by_ascending_id(spark):
+    # docs 7 and 9 get identical contributions -> id order decides
+    lex = _ranked(spark, [(9, 1), (7, 2)])
+    sem = _ranked(spark, [(7, 1), (9, 2)])
+    out = rrf_fuse(lex, sem, k=10).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [7, 9]
+
+
+def test_rrf_truncates_to_k(spark):
+    lex = _ranked(spark, [(i, i) for i in range(1, 8)])
+    sem = _ranked(spark, [(i + 100, i) for i in range(1, 8)])
+    assert rrf_fuse(lex, sem, k=5).count() == 5
+
+
+# ------------------------------------------------------------------ #
+# source_token_pmi (X207)
+# ------------------------------------------------------------------ #
+
+def test_pmi_concentrated_token_scores_high(spark):
+    # 'footer' appears in every doc of source A and nowhere else;
+    # 'common' appears in every doc of both sources (PMI == 0).
+    rows = []
+    for i in range(6):
+        rows.append(Row(doc_id=i, source="A", text="footer common x"))
+    for i in range(6, 12):
+        rows.append(Row(doc_id=i, source="B", text="common y z"))
+    docs = spark.createDataFrame(rows)
+    out = {(r.source, r.term): r
+           for r in textstats.source_token_pmi(docs, min_docs=5, k=5).collect()}
+    # P(footer|A)=1, P(footer)=1/2 -> pmi = ln(2)
+    assert out[("A", "footer")].pmi_micro == round(math.log(2) * 1_000_000)
+    # corpus-wide token has zero PMI in both sources
+    assert out[("A", "common")].pmi_micro == 0
+    assert out[("B", "common")].pmi_micro == 0
+    # presence counting: repeated token in one doc counts once
+    assert out[("A", "footer")].n_docs_ts == 6
+
+
+def test_pmi_support_filter(spark):
+    rows = [Row(doc_id=i, source="A", text="rare" if i == 0 else "base")
+            for i in range(10)]
+    out = textstats.source_token_pmi(
+        spark.createDataFrame(rows), min_docs=5, k=5
+    ).collect()
+    assert all(r.term != "rare" for r in out)
+
+
+# ------------------------------------------------------------------ #
+# label_propagation (X208)
+# ------------------------------------------------------------------ #
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def _seeds(spark, pairs):
+    return spark.createDataFrame([Row(host=h, label=l) for h, l in pairs])
+
+
+def test_label_prop_spreads_and_clamps(spark):
+    # a - b - c chain; a seeded 'news'. One round labels b, two label c.
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    seeds = _seeds(spark, [("a", "news")])
+    one = {r.host: r.label
+           for r in webgraph.label_propagation(edges, seeds, 1).collect()}
+    assert one == {"a": "news", "b": "news"}
+    two = {r.host: r.label
+           for r in webgraph.label_propagation(edges, seeds, 2).collect()}
+    assert two == {"a": "news", "b": "news", "c": "news"}
+
+
+def test_label_prop_plurality_and_tie_break(spark):
+    # x has two 'shop' neighbours and one 'news' -> plurality 'shop';
+    # y has one of each -> tie broken by ascending label ('news').
+    edges = _edges(spark, [("s1", "x"), ("s2", "x"), ("n1", "x"),
+                           ("s1", "y"), ("n1", "y")])
+    seeds = _seeds(spark, [("s1", "shop"), ("s2", "shop"), ("n1", "news")])
+    out = {r.host: r.label
+           for r in webgraph.label_propagation(edges, seeds, 1).collect()}
+    assert out["x"] == "shop"
+    assert out["y"] == "news"
+
+
+def test_label_prop_seed_never_overwritten(spark):
+    # seed 'a' is surrounded by 'shop' voters but stays 'news'
+    edges = _edges(spark, [("s1", "a"), ("s2", "a")])
+    seeds = _seeds(spark, [("a", "news"), ("s1", "shop"), ("s2", "shop")])
+    out = {r.host: (r.label, r.is_seed)
+           for r in webgraph.label_propagation(edges, seeds, 2).collect()}
+    assert out["a"] == ("news", True)
+
+
+# ------------------------------------------------------------------ #
+# stylometry_delta (X209)
+# ------------------------------------------------------------------ #
+
+def test_stylometry_outlier_ranks_first(spark):
+    base = "the cat sat on the mat with a dog in a hat"
+    rows = [Row(doc_id=i, text=base) for i in range(9)]
+    rows.append(Row(doc_id=99, text="the " * 30))  # all function words
+    out = textstats.stylometry_delta(spark.createDataFrame(rows), k=3).collect()
+    assert out[0].doc_id == 99
+    assert out[0].delta > out[1].delta
+
+
+def test_stylometry_skips_empty_docs(spark):
+    rows = [Row(doc_id=0, text="the quick brown fox"),
+            Row(doc_id=1, text=""), Row(doc_id=2, text=None),
+            Row(doc_id=3, text="of mice and men")]
+    out = textstats.stylometry_delta(spark.createDataFrame(rows), k=10).collect()
+    assert sorted(r.doc_id for r in out) == [0, 3]
+
+
+# ------------------------------------------------------------------ #
+# recency_weights (X210)
+# ------------------------------------------------------------------ #
+
+def test_recency_weights_decay_and_shares(spark):
+    rows = [Row(doc_id=0, source="A", age_days=0),
+            Row(doc_id=1, source="A", age_days=30),
+            Row(doc_id=2, source="B", age_days=0)]
+    out = {r.doc_id: r for r in
+           sampling.recency_weights(spark.createDataFrame(rows)).collect()}
+    assert out[0].weight_micro == 1_000_000
+    assert out[1].weight_micro == round(math.exp(-1.0) * 1_000_000)
+    # singleton group normalizes to the full million ppm
+    assert out[2].share_ppm == 1_000_000
+    # shares within a group never exceed the budget (floor division)
+    assert out[0].share_ppm + out[1].share_ppm <= 1_000_000
+    w0, w1 = out[0].weight_micro, out[1].weight_micro
+    assert out[0].share_ppm == 1_000_000 * w0 // (w0 + w1)
+
+
+# ------------------------------------------------------------------ #
+# cohort_retention (X211)
+# ------------------------------------------------------------------ #
+
+def test_cohort_retention_hand_computed(spark):
+    rows = [
+        # user 1: first in week of 2026-01-05 (Mon), active weeks 0 and 2
+        Row(user_id=1, ts="2026-01-06 10:00:00"),
+        Row(user_id=1, ts="2026-01-20 09:00:00"),
+        # user 2: same cohort, active only week 0 (two events, one user)
+        Row(user_id=2, ts="2026-01-05 08:00:00"),
+        Row(user_id=2, ts="2026-01-07 23:00:00"),
+    ]
+    ev = spark.createDataFrame(rows).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in relational.cohort_retention(ev).collect()}
+    assert out[("2026-01-05", 0)] == 2
+    assert out[("2026-01-05", 2)] == 1
+    assert len(out) == 2

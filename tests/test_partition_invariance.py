@@ -128,6 +128,12 @@ INVARIANCE_QUERIES = [
     "regional_supplier_volume",  # 6-table star + decimal rollup
     "part_supplier_breadth",  # anti-join + distinct-count agg
     "small_quantity_revenue",  # grouped-avg join-back threshold
+    "hybrid_rrf",       # two top-k legs + full-outer rank fusion
+    "template_pmi",     # presence explode + term join + source window
+    "host_label_prop",  # synchronous plurality rounds + clamped seeds
+    "stylometry",       # double moments broadcast + rounded top-k
+    "recency_weights",  # per-group weight totals + ppm floor division
+    "cohort_retention", # anchor-agg join-back + distinct counts
 ]
 
 
