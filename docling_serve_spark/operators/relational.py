@@ -348,3 +348,155 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
         )
         .agg(F.countDistinct("u").cast("bigint").alias("n_users"))
     )
+
+
+def key_skew_audit(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """X212 — pre-flight shuffle-skew diagnostics for a planned
+    join/aggregation key: one row of key-distribution shape — row and
+    key counts, the hottest key's row share, order-statistic bucket
+    sizes (p50/p90/p99), and the Gini coefficient of rows-per-key.
+    At 100 TB this is the query you run BEFORE keying a shuffle: a
+    top_share_ppm near 1e6 or a p99/p50 ratio in the thousands says
+    the join needs salting/AQE-skew handling, and measuring it costs
+    one aggregation instead of one blown stage.
+
+    Exactness: everything is integer until the final ppm ratios. The
+    Gini rank-sum B = Σ rank_i·c_i is computed WITHOUT sorting
+    individual keys: keys are first collapsed to (bucket_size c,
+    n_keys m) — distinct bucket sizes ≪ keys — and each group
+    contributes its arithmetic-series rank sum m·prev + m(m+1)/2
+    exactly. Percentiles are ceil-rank order statistics (conditional
+    min over the cumulative key count), not interpolated. The final
+    ratios divide exact int64 sums in double (exact below 2^53; at
+    cluster scale lift the three sums to DECIMAL(38,0) — same plan).
+
+    Shape at scale: rows → one hash agg (key grain, map-side combine)
+    → second agg to (c, m) grain (thousands of rows at most) → one
+    tiny window over bucket-size values → 1-row aggregate. The only
+    corpus-scale exchange is the first groupBy — the very shuffle
+    being audited, but counting is skew-tolerant (a hot key is one
+    combiner cell, not one reducer's row set)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    byval = counts.groupBy("c").agg(F.count("*").cast("bigint").alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byval.withColumn("cum_keys", F.sum("m").over(w)).withColumn(
+        "prev_keys", F.col("cum_keys") - F.col("m")
+    )
+    # m(m+1) is always even, so `div 2` is exact integer arithmetic
+    grp_rank_sum = F.col("c") * (
+        F.col("m") * F.col("prev_keys")
+        + F.expr("(m * (m + 1)) div 2").cast("bigint")
+    )
+    tot = cum.agg(
+        F.sum(F.col("c") * F.col("m")).cast("bigint").alias("n_rows"),
+        F.sum("m").cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_c"),
+        F.sum(grp_rank_sum).cast("bigint").alias("b_rank_sum"),
+    )
+    pctl = cum.crossJoin(F.broadcast(tot)).agg(
+        *[
+            F.min(
+                F.when(F.col("cum_keys") * 100 >= q * F.col("n_keys"),
+                       F.col("c"))
+            ).cast("bigint").alias(f"p{q}_bucket")
+            for q in (50, 90, 99)
+        ]
+    )
+    gini = (
+        F.lit(1_000_000.0)
+        * (2.0 * F.col("b_rank_sum")
+           - (F.col("n_keys") + 1).cast("double") * F.col("n_rows"))
+        / (F.col("n_keys").cast("double") * F.col("n_rows"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(pctl))
+        .select(
+            "n_rows",
+            "n_keys",
+            F.expr("(1000000 * max_c) div n_rows").cast("bigint")
+            .alias("top_share_ppm"),
+            "p50_bucket",
+            "p90_bucket",
+            "p99_bucket",
+            F.floor(gini).cast("bigint").alias("gini_ppm"),
+        )
+    )
+
+
+def event_funnel(events: DataFrame,
+                 steps: tuple[str, str, str] = ("view", "click", "purchase"),
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """X214 — ordered three-step funnel over the events stream: users
+    whose first step-1 event is STRICTLY followed in time by a step-2
+    event, strictly followed by a step-3 event (the classic ordered
+    conversion, not mere co-occurrence). Emits one row: per-stage
+    user counts and exact ppm conversion ratios.
+
+    Semantics pinned for determinism: each stage anchors on the MIN
+    timestamp of the qualifying events (first-touch), and "after"
+    is strict ts inequality — simultaneous events do not chain.
+
+    Shape at scale: three filtered aggregations at user grain
+    (map-side combine) + two user-keyed equi-joins (AQE broadcasts
+    the shrinking funnel side — stage tables only lose users as the
+    funnel narrows); the final counts are 1-row aggregates. No
+    windows over the raw stream, no per-user event sorting."""
+    u, t = F.col(user_col), F.col(ts_col)
+    s1 = events.filter(F.col(type_col) == steps[0]).groupBy(
+        u.alias("u")).agg(F.min(t).alias("t1"))
+    s2 = (
+        events.filter(F.col(type_col) == steps[1])
+        .join(s1, events[user_col] == s1.u)
+        .filter(t > F.col("t1"))
+        .groupBy("u").agg(F.min(t).alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col(type_col) == steps[2])
+        .join(s2, events[user_col] == s2.u)
+        .filter(t > F.col("t2"))
+        .groupBy("u").agg(F.min(t).alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").cast("bigint").alias("n_step1"))
+    n2 = s2.agg(F.count("*").cast("bigint").alias("n_step2"))
+    n3 = s3.agg(F.count("*").cast("bigint").alias("n_step3"))
+    return (
+        n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1", "n_step2", "n_step3",
+            F.expr("(1000000 * n_step2) div greatest(n_step1, 1)")
+            .cast("bigint").alias("conv12_ppm"),
+            F.expr("(1000000 * n_step3) div greatest(n_step2, 1)")
+            .cast("bigint").alias("conv23_ppm"),
+        )
+    )
+
+
+def salted_counts(df: DataFrame, key_col: str, salt_col,
+                  n_salts: int = 8) -> DataFrame:
+    """X215 — skew-immune per-key counting via explicit two-phase
+    salting: rows first aggregate on (key, salt) — splitting a hot
+    key across ``n_salts`` reducers — then the salted partials
+    collapse to the true per-key counts. The RESULT is identical to
+    a plain groupBy (the oracle is literally ``GROUP BY key``); what
+    changes is the physical shape: no single reducer ever owns a hot
+    key's full row set, the property that keeps a 3/4-of-the-corpus
+    hub key from stalling the stage at 10^12 rows. ``salt_col`` must
+    be a deterministic column expression (never rand() — results
+    must be partition-invariant and re-runnable).
+
+    Emits (key, n_rows). For count-like (commutative, re-aggregable)
+    metrics the pattern generalizes to sums/mins/HLL-style sketches;
+    non-decomposable aggregates need the X23 two-phase quota shape
+    instead."""
+    partial = df.groupBy(
+        F.col(key_col).alias("key"),
+        (salt_col % n_salts).alias("__salt"),
+    ).agg(F.count("*").cast("bigint").alias("__partial"))
+    return partial.groupBy("key").agg(
+        F.sum("__partial").cast("bigint").alias("n_rows")
+    )

@@ -1176,3 +1176,49 @@ def recency_weights(docs: DataFrame, age_col: str = "age_days",
             .cast("bigint").alias("share_ppm"),
         )
     )
+
+
+def weighted_sample(docs: DataFrame, weight_col: str = "n_chars",
+                    k: int = 50, id_col: str = "doc_id",
+                    salt: str = "ws") -> DataFrame:
+    """X213 — deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis, IPL 2006): each row draws a reproducible
+    uniform u from an md5-derived hash of its id and competes on key
+    ln(u)/w — the top-k keys are an exact weighted sample without
+    replacement, computed as a single top-k pass (no sequential
+    draws, no rejection loop — THE distributed-sampling algorithm,
+    this is what Spark's own sampleBy cannot do without replacement
+    across partitions).
+
+    Determinism discipline: u = (h+1)/2^32 with h the first 32 md5
+    bits of ``salt:id`` (u ∈ (0,1], portable to DuckDB bit-exactly);
+    the competition key is ``key_nano = round(1e9·ln(u)/w)`` (bigint
+    — the repo's integer log convention), ties broken by ascending
+    id. Zero/negative weights clamp to 1.
+
+    Shape at scale: one map pass (hash + ln — no shuffle), then
+    TakeOrderedAndProject for the global top-k: per-partition heaps
+    of k rows merged on the driver — no global sort, no window. The
+    sample size k never scales with the corpus, so the driver merge
+    stays constant-size at 10^12 rows."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    w = F.greatest(F.col(weight_col).cast("bigint"), F.lit(1))
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    key_nano = F.round(F.log(u) * 1_000_000_000.0 / w.cast("double")).cast(
+        "bigint"
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            w.alias("weight"),
+            key_nano.alias("key_nano"),
+        )
+        .orderBy(F.col("key_nano").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -11551,6 +11551,137 @@ ORACLE_COHORT_RETENTION = (
 )
 
 
+
+
+_HUB_DST_SQL = (
+    "CASE WHEN (doc_id // 25) % 4 < 3 "
+    "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+    "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+    "END"
+)
+
+
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X212 — shuffle-skew pre-flight audit
+    (operators/relational.py key_skew_audit) over the hub-skew link
+    target key — the 3/4-of-all-rows-on-5-hosts distribution that
+    every crawl's host join actually has; the audit's top_share_ppm /
+    p99-vs-p50 / Gini row is the go-or-salt decision input."""
+    edges = _hub_edges(_t(spark, sf_dir, "documents"))
+    return relational.key_skew_audit(
+        edges.select(F.col("dst").alias("key")), "key"
+    )
+
+
+ORACLE_JOIN_SKEW_AUDIT = (
+    "WITH raw AS (SELECT " + _HUB_DST_SQL + " AS k FROM documents), "
+    "counts AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM raw GROUP BY 1), "
+    "byval AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY 1), "
+    "cum AS (SELECT c, m, CAST(sum(m) OVER (ORDER BY c) AS BIGINT) AS cum_keys "
+    "FROM byval), "
+    "cum2 AS (SELECT *, cum_keys - m AS prev_keys FROM cum), "
+    "tot AS (SELECT CAST(sum(c * m) AS BIGINT) AS n_rows, "
+    "CAST(sum(m) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_c, "
+    "CAST(sum(c * (m * prev_keys + (m * (m + 1)) // 2)) AS BIGINT) AS b "
+    "FROM cum2), "
+    "p AS (SELECT "
+    "CAST(min(CASE WHEN cum_keys * 100 >= 50 * n_keys THEN c END) AS BIGINT) "
+    "AS p50_bucket, "
+    "CAST(min(CASE WHEN cum_keys * 100 >= 90 * n_keys THEN c END) AS BIGINT) "
+    "AS p90_bucket, "
+    "CAST(min(CASE WHEN cum_keys * 100 >= 99 * n_keys THEN c END) AS BIGINT) "
+    "AS p99_bucket FROM cum2 CROSS JOIN tot) "
+    "SELECT n_rows, n_keys, "
+    "CAST((1000000 * max_c) // n_rows AS BIGINT) AS top_share_ppm, "
+    "p50_bucket, p90_bucket, p99_bucket, "
+    "CAST(floor(1000000.0 * (2.0 * b - (n_keys + 1) * n_rows) / "
+    "(n_keys * n_rows)) AS BIGINT) AS gini_ppm "
+    "FROM tot CROSS JOIN p"
+)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X213 — Efraimidis–Spirakis weighted sampling without
+    replacement (operators/sampling.py weighted_sample): top-50 docs
+    by the deterministic md5-seeded key ln(u)/n_chars — the exact
+    distributed one-pass weighted draw."""
+    return sampling.weighted_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=50
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = (
+    "WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "greatest(CAST(n_chars AS BIGINT), 1) AS weight, "
+    "CAST(round(ln((CAST(('0x' || substr(md5('ws:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) + 1) "
+    "/ 4294967296.0) * 1000000000.0 / "
+    "greatest(CAST(n_chars AS BIGINT), 1)) AS BIGINT) AS key_nano "
+    "FROM documents) "
+    "SELECT doc_id, weight, key_nano FROM s "
+    "ORDER BY key_nano DESC, doc_id ASC LIMIT 50"
+)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X214 — ordered view→click→purchase funnel over events
+    (operators/relational.py event_funnel): first-touch anchors,
+    strict time ordering, exact ppm conversions."""
+    return relational.event_funnel(_t(spark, sf_dir, "events"))
+
+
+ORACLE_EVENT_FUNNEL = (
+    "WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id AS u, min(ts) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.u "
+    "WHERE event_type = 'click' AND ts > t1 GROUP BY 1), "
+    "s3 AS (SELECT e.user_id AS u, min(ts) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.u "
+    "WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1), "
+    "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_step1 FROM s1), "
+    "n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_step2 FROM s2), "
+    "n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_step3 FROM s3) "
+    "SELECT n_step1, n_step2, n_step3, "
+    "CAST((1000000 * n_step2) // greatest(n_step1, 1) AS BIGINT) "
+    "AS conv12_ppm, "
+    "CAST((1000000 * n_step3) // greatest(n_step2, 1) AS BIGINT) "
+    "AS conv23_ppm "
+    "FROM n1 CROSS JOIN n2 CROSS JOIN n3"
+)
+
+
+def q_salted_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X215 — skew-immune two-phase salted aggregation
+    (operators/relational.py salted_counts) over the hub-skew host
+    key: the Spark side splits each hot key across 8 salt cells
+    before the final collapse; the oracle is a PLAIN group-by — the
+    whole point is result identity under a different physical
+    shape (plan-asserted in tests/test_plans.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = F.floor(F.col("doc_id") / 25).cast("bigint")
+    dst = F.when(
+        q % 4 < 3,
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("h"),
+            (((F.col("doc_id") % 25) * 7 + q) % 25).cast("string"),
+        )
+    )
+    return relational.salted_counts(
+        docs.select(dst.alias("host"), "doc_id"),
+        "host", F.col("doc_id"), n_salts=8,
+    ).withColumnRenamed("key", "host")
+
+
+ORACLE_SALTED_HOST_COUNTS = (
+    "WITH raw AS (SELECT " + _HUB_DST_SQL + " AS host FROM documents) "
+    "SELECT host, CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM raw GROUP BY 1"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11810,6 +11941,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stylometry": q_stylometry,
     "recency_weights": q_recency_weights,
     "cohort_retention": q_cohort_retention,
+    "join_skew_audit": q_join_skew_audit,
+    "weighted_sample": q_weighted_sample,
+    "event_funnel": q_event_funnel,
+    "salted_host_counts": q_salted_host_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -12058,4 +12193,8 @@ ORACLES: dict[str, str] = {
     "stylometry": ORACLE_STYLOMETRY,
     "recency_weights": ORACLE_RECENCY_WEIGHTS,
     "cohort_retention": ORACLE_COHORT_RETENTION,
+    "join_skew_audit": ORACLE_JOIN_SKEW_AUDIT,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
+    "salted_host_counts": ORACLE_SALTED_HOST_COUNTS,
 }

@@ -189,3 +189,114 @@ def test_cohort_retention_hand_computed(spark):
     assert out[("2026-01-05", 0)] == 2
     assert out[("2026-01-05", 2)] == 1
     assert len(out) == 2
+
+
+# ------------------------------------------------------------------ #
+# key_skew_audit (X212)
+# ------------------------------------------------------------------ #
+
+def test_skew_audit_hand_computed(spark):
+    # keys: a x 6, b x 2, c x 1, d x 1 -> counts sorted [1, 1, 2, 6]
+    rows = [Row(key=k) for k in "aaaaaa" "bb" "c" "d"]
+    r = relational.key_skew_audit(spark.createDataFrame(rows)).collect()[0]
+    assert r.n_rows == 10 and r.n_keys == 4
+    assert r.top_share_ppm == 600_000
+    # ceil-rank order stats over [1, 1, 2, 6]
+    assert r.p50_bucket == 1 and r.p90_bucket == 6 and r.p99_bucket == 6
+    # B = 1*1 + 2*1 + 3*2 + 4*6 = 33; G = (2*33 - 5*10) / (4*10) = 0.4
+    assert r.gini_ppm == 400_000
+
+
+def test_skew_audit_uniform_keys_gini_zero(spark):
+    rows = [Row(key=f"k{i % 5}") for i in range(20)]
+    r = relational.key_skew_audit(spark.createDataFrame(rows)).collect()[0]
+    assert r.gini_ppm == 0
+    assert r.top_share_ppm == 200_000
+    assert r.p50_bucket == r.p99_bucket == 4
+
+
+# ------------------------------------------------------------------ #
+# weighted_sample (X213)
+# ------------------------------------------------------------------ #
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=(i % 7) * 100) for i in range(200)]
+    )
+    a = sampling.weighted_sample(docs, k=20).collect()
+    b = sampling.weighted_sample(docs, k=20).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == 20
+    # zero weights clamp to 1, never crash or divide by zero
+    assert all(r.weight >= 1 for r in a)
+    # keys are ln(u)/w <= 0 and sorted descending
+    keys = [r.key_nano for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k <= 0 for k in keys)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row carries 10^6 x the weight of the rest -> its key
+    # ln(u)/w is ~10^6 closer to zero; it must be drawn first.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=1) for i in range(50)]
+        + [Row(doc_id=99, n_chars=1_000_000)]
+    )
+    top = sampling.weighted_sample(docs, k=1).collect()[0]
+    assert top.doc_id == 99
+
+
+# ------------------------------------------------------------------ #
+# event_funnel (X214)
+# ------------------------------------------------------------------ #
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_type=t, ts=ts) for u, t, ts in rows]
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+
+def test_event_funnel_strict_ordering(spark):
+    ev = _events(spark, [
+        # user 1 completes the funnel in order
+        (1, "view", "2026-01-01 10:00:00"),
+        (1, "click", "2026-01-01 11:00:00"),
+        (1, "purchase", "2026-01-01 12:00:00"),
+        # user 2 clicks BEFORE viewing -> stops at step 1
+        (2, "click", "2026-01-02 09:00:00"),
+        (2, "view", "2026-01-02 10:00:00"),
+        # user 3: click simultaneous with view -> strict '>' excludes
+        (3, "view", "2026-01-03 10:00:00"),
+        (3, "click", "2026-01-03 10:00:00"),
+    ])
+    r = relational.event_funnel(ev).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (3, 1, 1)
+    assert r.conv12_ppm == 1_000_000 // 3
+    assert r.conv23_ppm == 1_000_000
+
+
+def test_event_funnel_first_touch_anchor(spark):
+    # user's FIRST view anchors the funnel: a click between the two
+    # views counts (it follows the first view).
+    ev = _events(spark, [
+        (1, "view", "2026-01-01 10:00:00"),
+        (1, "click", "2026-01-01 10:30:00"),
+        (1, "view", "2026-01-01 11:00:00"),
+    ])
+    r = relational.event_funnel(ev).collect()[0]
+    assert (r.n_step1, r.n_step2, r.n_step3) == (1, 1, 0)
+
+
+# ------------------------------------------------------------------ #
+# salted_counts (X215)
+# ------------------------------------------------------------------ #
+
+def test_salted_counts_equals_plain_groupby(spark):
+    rows = [Row(k="hot" if i % 4 != 3 else f"cold{i}", rid=i)
+            for i in range(100)]
+    df = spark.createDataFrame(rows)
+    salted = {r.key: r.n_rows for r in
+              relational.salted_counts(df, "k", F.col("rid"), 8).collect()}
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert salted == plain
+    assert salted["hot"] == 75

@@ -134,6 +134,10 @@ INVARIANCE_QUERIES = [
     "stylometry",       # double moments broadcast + rounded top-k
     "recency_weights",  # per-group weight totals + ppm floor division
     "cohort_retention", # anchor-agg join-back + distinct counts
+    "join_skew_audit",  # bucket-grain rank sums + ceil-rank pctls
+    "weighted_sample",  # global top-k over hash-seeded keys
+    "event_funnel",     # staged min-ts joins + strict ordering
+    "salted_host_counts",  # two-phase salt must equal plain groupBy
 ]
 
 

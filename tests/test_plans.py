@@ -81,6 +81,21 @@ def test_no_python_row_udfs_anywhere(spark):
         assert "BatchEvalPython" not in plan, f"{name} uses a row UDF"
 
 
+def test_salted_counts_is_two_phase(spark):
+    """X215's whole point is the physical shape: the salted pre-agg
+    and the final collapse are two separate aggregations (each with
+    its own partial/final HashAggregate pair), so a hot key is split
+    across salt cells before any single reducer sees it."""
+    plan = _plan(spark, QUERIES["salted_host_counts"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange") >= 2
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark):
+    plan = _plan(spark, QUERIES["weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_checkpoint_counter_audit_prunes_text_columns(spark, tmp_path):
     """The per-chunk counter audit reads the committed output with
     only (chunk, status, n_bytes, ocr_invoked) — the text channels
