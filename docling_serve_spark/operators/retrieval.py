@@ -284,3 +284,75 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame, k: int = 10,
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def proximity_topk(docs: DataFrame, query_terms: Sequence[str],
+                   window: int = 4, k: int = 10,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X217 — proximity search over positional postings: documents
+    where every query term occurs within ``window`` tokens of an
+    anchor occurrence of the FIRST term, ranked by anchor count —
+    the within-k operator between X42's unordered bag (too loose for
+    entity co-mention mining) and X84's exact phrase (too strict for
+    reordered/inflected mentions); IIR 2008 §2.4.2's positional
+    intersection with a distance predicate instead of adjacency.
+
+    Same plan as phrase_topk (one isin-filtered posexplode → postings
+    → inner joins on doc_id → one codegen array pass), so the scale
+    argument carries over unchanged; ``abs(q - p) <= window`` replaces
+    the consecutive-slot test. Ties (n_matches, then id) pinned."""
+    terms = [str(t) for t in query_terms]
+    if len(terms) < 2:
+        raise ValueError("proximity_topk needs at least two terms")
+    toks = docs.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    posting = (
+        toks.filter(F.col("term").isin(sorted(set(terms))))
+        .groupBy(id_col, "term")
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+    cur = posting.filter(F.col("term") == terms[0]).select(
+        id_col, F.col("positions").alias("p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        cur = cur.join(
+            posting.filter(F.col("term") == t).select(
+                id_col, F.col("positions").alias(f"p{i}")
+            ),
+            id_col,
+        )
+    from functools import reduce
+
+    # the anchor position p must be visible inside the nested
+    # F.exists lambdas: transform p0 to a per-anchor struct of
+    # per-term within-window flags, then filter on their conjunction
+    n_matches = F.size(
+        F.filter(
+            F.transform(
+                F.col("p0"),
+                lambda p: F.struct(
+                    *[
+                        F.exists(
+                            F.col(f"p{i}"),
+                            (lambda pp: lambda q: F.abs(q - pp)
+                             <= window)(p),
+                        ).alias(f"m{i}")
+                        for i in range(1, len(terms))
+                    ]
+                ),
+            ),
+            lambda s: reduce(
+                lambda a, b: a & b,
+                [s[f"m{i}"] for i in range(1, len(terms))],
+            ),
+        )
+    ).cast("bigint")
+    agg = cur.select(id_col, n_matches.alias("n_matches")).filter(
+        F.col("n_matches") > 0
+    )
+    top = agg.orderBy(
+        F.col("n_matches").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_matches").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -1222,3 +1222,73 @@ def weighted_sample(docs: DataFrame, weight_col: str = "n_chars",
         .orderBy(F.col("key_nano").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rendezvous_shard(id_col, n_shards: int, salt: str = "hrw"):
+    """Column: highest-random-weight (rendezvous) shard assignment
+    (Thaler & Ravishankar, ToN 1998) — each row scores every shard
+    with a 48-bit md5-derived weight and lands on the argmax. The
+    property consistent-hash rings approximate, HRW gives exactly:
+    growing S → S+1 shards moves ONLY the rows whose new-shard score
+    wins (an expected 1/(S+1) of the corpus) and every other row
+    stays put — the stable shard/bucket assignment that lets a
+     10^12-doc corpus re-shard without a full rewrite. Per-row codegen
+    over an n_shards-element literal-scored array (one array_max — no
+    shuffle, no join); score ties (2^-48 probability) break toward
+    the higher shard id (struct-max order), pinned in both engines."""
+    scored = F.array(*[
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}:{s}:"),
+                                   id_col.cast("string"))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint").alias("score"),
+            F.lit(s).cast("int").alias("shard"),
+        )
+        for s in range(n_shards)
+    ])
+    return F.array_max(scored)["shard"]
+
+
+def rendezvous_stability(docs: DataFrame, n_shards: int = 8,
+                         id_col: str = "doc_id") -> DataFrame:
+    """X216 — the measured HRW re-shard audit: assign every doc at S
+    and S+1 shards and report what moved. HRW theory says movers go
+    ONLY to the new shard (n_changed_within MUST be 0 — the executable
+    witness) at an expected 1/(S+1) rate; max/min shard load at S
+    bounds the balance. One projection (both assignments per row,
+    zero joins) + two tiny aggregates."""
+    assigned = docs.select(
+        F.col(id_col),
+        rendezvous_shard(F.col(id_col), n_shards).alias("s_lo"),
+        rendezvous_shard(F.col(id_col), n_shards + 1).alias("s_hi"),
+    )
+    moves = assigned.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("s_hi") == n_shards).cast("bigint"))
+        .cast("bigint").alias("n_moved"),
+        F.sum(
+            ((F.col("s_hi") != n_shards)
+             & (F.col("s_hi") != F.col("s_lo"))).cast("bigint")
+        ).cast("bigint").alias("n_changed_within"),
+    )
+    loads = assigned.groupBy("s_lo").agg(
+        F.count("*").cast("bigint").alias("load")
+    ).agg(
+        F.max("load").cast("bigint").alias("max_load"),
+        F.min("load").cast("bigint").alias("min_load"),
+    )
+    return (
+        moves.crossJoin(F.broadcast(loads))
+        .select(
+            "n_docs", "n_moved",
+            F.expr("(1000000 * n_moved) div n_docs").cast("bigint")
+            .alias("moved_ppm"),
+            F.lit(1_000_000 // (n_shards + 1)).cast("bigint")
+            .alias("expected_ppm"),
+            "n_changed_within", "max_load", "min_load",
+        )
+    )

@@ -250,3 +250,86 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
             .alias("est_count")
         )
     )
+
+
+# ----------------------------------------------------------------- #
+# HyperLogLog — the register-max mergeable distinct sketch
+# ----------------------------------------------------------------- #
+
+_HLL_B = 6                    # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_B
+_HLL_WBITS = 32 - _HLL_B      # 26-bit rank word
+# alpha_64 = 0.7213 / (1 + 1.079/64) (Flajolet et al. 2007, fig. 3)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 64.0)
+
+
+def hll_distinct(items: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """X218 — HyperLogLog distinct-count estimate per group
+    (Flajolet/Fusy/Gandouet/Meunier, AofA 2007), the register-max
+    complement of the KMV synopsis (X78): where KMV keeps k order
+    statistics, HLL keeps m=64 register maxima — and register maxima
+    merge by element-wise MAX, so two crawls' sketches union without
+    re-reading pages and partial aggregation is exact by construction
+    (max is what shuffles; the estimate is computed once at the end).
+
+    Determinism discipline: the 32-bit hash is the md5-derived word
+    the whole repo uses; register = top 6 bits, rank word w = low 26
+    bits, rho = 27 - bitlength(w) via base-2 string length (engine-
+    portable EXACT integer log2 — never floor(ln/ln2), whose 1-ulp
+    error flips at powers of two), w = 0 → 27. The harmonic sum is a
+    sum of ≤ 64 exact powers of two spanning 2^0..2^-27 — every
+    partial sum fits one 53-bit mantissa window, so double summation
+    is EXACT under any partitioning. Small-range correction: E ≤ 2.5m
+    with V empty registers → linear counting m·ln(m/V).
+
+    Emits (group, n_regs, v_zero_regs, hll_est, exact_distinct,
+    err_bp) — exact rides along because this is the AUDIT form; at
+    100 TB drop the exact branch and ship 64 bigints per group."""
+    hashed = (
+        items.select(F.col(group_col).alias("grp"),
+                     F.col(item_col).alias("it"))
+        .where(F.col("it").isNotNull())
+        .select(
+            "grp",
+            "it",
+            F.conv(F.substring(F.md5(F.col("it")), 1, 8), 16, 10)
+            .cast("bigint").alias("h"),
+        )
+    )
+    reg = F.expr(f"h div {1 << _HLL_WBITS}").cast("bigint")
+    w = F.col("h") % (1 << _HLL_WBITS)
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1)
+        - F.length(F.conv(w.cast("string"), 10, 2))
+    ).cast("bigint")
+    regs = hashed.select("grp", reg.alias("reg"), rho.alias("rho")).groupBy(
+        "grp", "reg"
+    ).agg(F.max("rho").alias("max_rho"))
+    per_group = regs.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__s_present"),
+    )
+    exact = hashed.select("grp", "it").distinct().groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    v = (F.lit(_HLL_M) - F.col("n_regs")).cast("bigint")
+    s = F.col("__s_present") + v.cast("double")
+    raw_e = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / s
+    est = F.when(
+        (raw_e <= 2.5 * _HLL_M) & (v > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+    ).otherwise(raw_e)
+    out = per_group.join(exact, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_regs",
+        v.alias("v_zero_regs"),
+        F.round(est, 4).alias("hll_est"),
+        "exact_distinct",
+    )
+    return out.withColumn(
+        "err_bp",
+        F.round(
+            F.abs(F.col("hll_est") - F.col("exact_distinct"))
+            * 10000.0 / F.col("exact_distinct")
+        ).cast("bigint"),
+    )

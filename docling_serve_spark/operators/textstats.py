@@ -1998,3 +1998,56 @@ def stylometry_delta(docs: DataFrame, words: tuple[str, ...] = DELTA_WORDS,
         .orderBy(F.col("delta").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def design_effect(docs: DataFrame, group_col: str = "host",
+                  value_col: str = "n_chars") -> DataFrame:
+    """X220 — cluster-sampling design effect over host-grouped docs:
+    deff = 1 + (m̄ − 1)·ρ (Kish 1965 §8.2), with ρ the one-way-ANOVA
+    intraclass correlation — how much sampling whole HOSTS (the only
+    cheap unit in a crawl) inflates the variance of a per-doc metric
+    vs simple random sampling. ρ near 1 (template farms: every page
+    alike) means a host-clustered eval sample is worth n/deff
+    effective docs — the planning number for X176-style holdouts.
+
+    Exactness: the ANOVA sums (Σx, Σx² at group grain, then corpus
+    grain) are INTEGER sums of bigint values; every double is derived
+    from exact int64 sums at the end (MSB/MSW/ρ/deff, rounded to 6),
+    so results are partition-invariant and engine-identical.
+
+    Shape at scale: one map-side-combined group aggregation + one
+    1-row corpus rollup — the same two-level shape as host_health;
+    nothing but (group, 3 bigints) shuffles."""
+    g = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("x"),
+    ).groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        # within-group sum of squares: Σ_g (q_g - s_g²/n_g), exact
+        # per-group in double (int64-derived), summed
+        F.sum(
+            F.col("q_g").cast("double")
+            - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).alias("ssw"),
+    )
+    sst = F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssb = sst - F.col("ssw")
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    msb = ssb / (F.col("k") - 1)
+    mbar = F.col("n").cast("double") / F.col("k")
+    icc = (msb - msw) / (msb + (mbar - 1.0) * msw)
+    return tot.select(
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("n_groups"),
+        F.round(mbar, 6).alias("mean_group_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1.0 + (mbar - 1.0) * icc, 6).alias("deff"),
+    )

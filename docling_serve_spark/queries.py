@@ -11682,6 +11682,201 @@ ORACLE_SALTED_HOST_COUNTS = (
 )
 
 
+
+
+def q_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X216 — rendezvous (HRW) re-shard audit
+    (operators/sampling.py rendezvous_stability): every doc scored
+    against 8 and 9 shards; movers must all land on the NEW shard
+    (n_changed_within == 0, the HRW guarantee made executable) at an
+    expected 1/9 rate."""
+    return sampling.rendezvous_stability(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
+def _hrw_oracle(n_shards: int = 8) -> str:
+    def leg(n: int, alias: str) -> str:
+        return (
+            f"{alias}0 AS (SELECT doc_id, s, "
+            "CAST(('0x' || substr(md5('hrw:' || CAST(s AS VARCHAR) || ':' || "
+            "CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS sc "
+            f"FROM documents CROSS JOIN generate_series(0, {n - 1}) t(s)), "
+            f"{alias} AS (SELECT doc_id, CAST(s AS INT) AS {alias}_s FROM "
+            f"(SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id "
+            f"ORDER BY sc DESC, s DESC) AS rn FROM {alias}0) WHERE rn = 1)"
+        )
+
+    return (
+        "WITH " + leg(n_shards, "lo") + ", " + leg(n_shards + 1, "hi") + ", "
+        "j AS (SELECT lo.doc_id, lo_s, hi_s FROM lo JOIN hi USING (doc_id)), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(CASE WHEN hi_s = {n_shards} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_moved, "
+        f"CAST(sum(CASE WHEN hi_s <> {n_shards} AND hi_s <> lo_s "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_within FROM j), "
+        "l AS (SELECT CAST(max(c) AS BIGINT) AS max_load, "
+        "CAST(min(c) AS BIGINT) AS min_load FROM "
+        "(SELECT count(*) AS c FROM lo GROUP BY lo_s)) "
+        "SELECT n_docs, n_moved, "
+        "CAST((1000000 * n_moved) // n_docs AS BIGINT) AS moved_ppm, "
+        f"CAST({1_000_000 // (n_shards + 1)} AS BIGINT) AS expected_ppm, "
+        "n_changed_within, max_load, min_load FROM m CROSS JOIN l"
+    )
+
+
+ORACLE_RENDEZVOUS_STABILITY = _hrw_oracle(8)
+
+
+_PROX_TERMS = ("big", "order", "scan")
+_PROX_WINDOW = 4
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X217 — within-window proximity search over positional postings
+    (operators/retrieval.py proximity_topk): docs where every query
+    term occurs within 4 tokens of a first-term anchor — between
+    X42's unordered bag and X84's exact phrase."""
+    from docling_serve_spark.operators.retrieval import proximity_topk
+
+    return proximity_topk(
+        _t(spark, sf_dir, "documents"), _PROX_TERMS,
+        window=_PROX_WINDOW, k=10,
+    )
+
+
+ORACLE_PROXIMITY_SEARCH = (
+    "WITH toks0 AS (SELECT doc_id, string_split("
+    + dedup.NORM_SQL.format(t="text") + ", ' ') AS t FROM documents), "
+    "flat AS (SELECT doc_id, unnest(t) AS term, "
+    "unnest(generate_series(1, len(t))) - 1 AS pos FROM toks0), "
+    "p AS (SELECT doc_id, term, list_sort(list(pos)) AS positions "
+    "FROM flat WHERE term IN ('" + "', '".join(sorted(set(_PROX_TERMS)))
+    + "') GROUP BY 1, 2), "
+    "j AS (SELECT a.doc_id, a.positions AS p0, b.positions AS p1, "
+    "c.positions AS p2 FROM p a "
+    f"JOIN p b ON a.doc_id = b.doc_id AND b.term = '{_PROX_TERMS[1]}' "
+    f"JOIN p c ON a.doc_id = c.doc_id AND c.term = '{_PROX_TERMS[2]}' "
+    f"WHERE a.term = '{_PROX_TERMS[0]}'), "
+    "m AS (SELECT doc_id, CAST(len(list_filter(p0, x -> "
+    f"len(list_filter(p1, q -> abs(q - x) <= {_PROX_WINDOW})) > 0 AND "
+    f"len(list_filter(p2, q -> abs(q - x) <= {_PROX_WINDOW})) > 0)) "
+    "AS BIGINT) AS n_matches FROM j) "
+    "SELECT * FROM (SELECT doc_id, n_matches, "
+    "CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id ASC) AS INT) "
+    "AS rank FROM m WHERE n_matches > 0) WHERE rank <= 10"
+)
+
+
+def q_host_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X218 — HyperLogLog per-host distinct-token estimates
+    (operators/sketches.py hll_distinct) over the SAME synthetic host
+    layout as the KMV row (X78), so the two sketch families are
+    directly comparable; exact distinct + basis-point error ride
+    along (the audit form)."""
+    from docling_serve_spark.operators.sketches import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    synth = docs.select(
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.lit("tiny"), i))
+        .otherwise(F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string"),
+                            F.lit(".com"))).alias("host"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("stub page"))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    toks = synth.select(
+        "host",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("tok"),
+    ).where(F.col("tok") != "")
+    return hll_distinct(toks, "host", "tok")
+
+
+def _hll_oracle() -> str:
+    from docling_serve_spark.operators.sketches import (
+        _HLL_ALPHA, _HLL_M, _HLL_WBITS,
+    )
+
+    am2 = repr(_HLL_ALPHA * _HLL_M * _HLL_M)
+    wmod = 1 << _HLL_WBITS
+    rmax = _HLL_WBITS + 1
+    return (
+        "WITH d AS (SELECT "
+        "CASE WHEN doc_id % 13 = 0 THEN 'tiny' || CAST(doc_id AS VARCHAR) "
+        "ELSE 's' || CAST(doc_id % 7 AS VARCHAR) || '.com' END AS host, "
+        "CASE WHEN doc_id % 13 = 0 THEN 'stub page' "
+        "ELSE lower(trim(text)) END AS t FROM documents), "
+        "tok AS (SELECT host, unnest(regexp_split_to_array(t, '\\s+')) "
+        "AS tok FROM d), "
+        "hh AS (SELECT host, tok, "
+        "CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h "
+        "FROM tok WHERE tok <> ''), "
+        f"rr AS (SELECT host, h // {wmod} AS reg, "
+        f"CASE WHEN h % {wmod} = 0 THEN {rmax} "
+        f"ELSE {rmax} - length(bin(h % {wmod})) END AS rho, tok FROM hh), "
+        "regs AS (SELECT host, reg, max(rho) AS mr FROM rr GROUP BY 1, 2), "
+        "per AS (SELECT host, CAST(count(*) AS BIGINT) AS n_regs, "
+        "sum(pow(2.0, -mr)) AS sp FROM regs GROUP BY 1), "
+        "ex AS (SELECT host, CAST(count(DISTINCT tok) AS BIGINT) "
+        "AS exact_distinct FROM rr GROUP BY 1), "
+        f"est AS (SELECT host, n_regs, "
+        f"CAST({_HLL_M} - n_regs AS BIGINT) AS v_zero_regs, "
+        f"CASE WHEN ({am2} / (sp + ({_HLL_M} - n_regs))) <= {2.5 * _HLL_M} "
+        f"AND ({_HLL_M} - n_regs) > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / "
+        f"CAST({_HLL_M} - n_regs AS DOUBLE)) "
+        f"ELSE {am2} / (sp + ({_HLL_M} - n_regs)) END AS e FROM per) "
+        "SELECT est.host, n_regs, v_zero_regs, round(e, 4) AS hll_est, "
+        "exact_distinct, "
+        "CAST(round(abs(round(e, 4) - exact_distinct) * 10000.0 / "
+        "exact_distinct) AS BIGINT) AS err_bp "
+        "FROM est JOIN ex ON est.host = ex.host"
+    )
+
+
+ORACLE_HOST_VOCAB_HLL = _hll_oracle()
+
+
+def q_deff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X220 — cluster-sampling design effect
+    (operators/textstats.py design_effect) of host-clustered doc
+    length over the hub host layout: the variance-inflation planning
+    number for host-grain eval sampling."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string"))
+        .alias("host"),
+        "n_chars",
+    )
+    return textstats.design_effect(docs, "host", "n_chars")
+
+
+ORACLE_DEFF_AUDIT = (
+    "WITH g AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS g, "
+    "CAST(count(*) AS BIGINT) AS n_g, "
+    "CAST(sum(n_chars) AS BIGINT) AS s_g, "
+    "CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g "
+    "FROM documents GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS k, "
+    "CAST(sum(s_g) AS BIGINT) AS s, CAST(sum(q_g) AS BIGINT) AS q, "
+    "sum(CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * s_g / n_g) AS ssw "
+    "FROM g) "
+    "SELECT n AS n_docs, k AS n_groups, "
+    "round(CAST(n AS DOUBLE) / k, 6) AS mean_group_size, "
+    "round(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n - ssw) / (k - 1) "
+    "- ssw / (n - k)) / "
+    "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n - ssw) / (k - 1) "
+    "+ (CAST(n AS DOUBLE) / k - 1.0) * (ssw / (n - k))), 6) AS icc, "
+    "round(1.0 + (CAST(n AS DOUBLE) / k - 1.0) * "
+    "(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n - ssw) / (k - 1) "
+    "- ssw / (n - k)) / "
+    "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n - ssw) / (k - 1) "
+    "+ (CAST(n AS DOUBLE) / k - 1.0) * (ssw / (n - k)))), 6) AS deff "
+    "FROM tot"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -11945,6 +12140,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "event_funnel": q_event_funnel,
     "salted_host_counts": q_salted_host_counts,
+    "rendezvous_stability": q_rendezvous_stability,
+    "proximity_search": q_proximity_search,
+    "host_vocab_hll": q_host_vocab_hll,
+    "deff_audit": q_deff_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -12197,4 +12396,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "salted_host_counts": ORACLE_SALTED_HOST_COUNTS,
+    "rendezvous_stability": ORACLE_RENDEZVOUS_STABILITY,
+    "proximity_search": ORACLE_PROXIMITY_SEARCH,
+    "host_vocab_hll": ORACLE_HOST_VOCAB_HLL,
+    "deff_audit": ORACLE_DEFF_AUDIT,
 }

@@ -323,3 +323,25 @@ def upsert(
         "n_replaced": n_upd - n_new,
         "n_new": n_new,
     }
+
+
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   bucket_col: str, n_buckets: int = 16) -> None:
+    """X219 — persist a table BUCKETED (hash-partitioned into a fixed
+    file layout) and sorted by the join key. Two tables bucketed the
+    same way co-locate their keys file-by-file, so a join between
+    them runs with ZERO shuffle of either side (plan-asserted in
+    tests/test_plans.py:test_bucketed_join_has_no_shuffle) — the file
+    layout every repeatedly-joined 100 TB table should have: pay the
+    bucketing once at write time, skip the exchange on every
+    subsequent join/aggregation on that key. External table (explicit
+    ``path``) registered in the session catalog; drop with
+    ``spark.sql(f"DROP TABLE {table}")`` — the files persist."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

@@ -300,3 +300,126 @@ def test_salted_counts_equals_plain_groupby(spark):
     plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
     assert salted == plain
     assert salted["hot"] == 75
+
+
+# ------------------------------------------------------------------ #
+# rendezvous_shard / rendezvous_stability (X216)
+# ------------------------------------------------------------------ #
+
+def test_hrw_movers_only_go_to_new_shard(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    r = sampling.rendezvous_stability(docs, n_shards=8).collect()[0]
+    assert r.n_changed_within == 0          # the HRW guarantee
+    assert r.n_docs == 500
+    # moved share is in the neighborhood of 1/9 (binomial n=500)
+    assert 0.04 < r.n_moved / 500 < 0.20
+    assert r.expected_ppm == 111_111
+
+
+def test_hrw_assignment_is_stable_and_covering(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    out = docs.select(
+        "doc_id", sampling.rendezvous_shard(F.col("doc_id"), 4).alias("s")
+    ).collect()
+    again = docs.select(
+        "doc_id", sampling.rendezvous_shard(F.col("doc_id"), 4).alias("s")
+    ).collect()
+    assert {r.doc_id: r.s for r in out} == {r.doc_id: r.s for r in again}
+    assert {r.s for r in out} == {0, 1, 2, 3}
+
+
+# ------------------------------------------------------------------ #
+# proximity_topk (X217)
+# ------------------------------------------------------------------ #
+
+def test_proximity_window_semantics(spark):
+    from docling_serve_spark.operators.retrieval import proximity_topk
+
+    docs = spark.createDataFrame([
+        # both terms within 2 of the anchor 'alpha'
+        Row(doc_id=1, text="alpha beta gamma x y"),
+        # gamma is 5 tokens from alpha -> outside window 2
+        Row(doc_id=2, text="alpha beta x y z gamma"),
+        # reordered still matches (proximity, not phrase)
+        Row(doc_id=3, text="gamma beta alpha"),
+        # missing gamma -> inner join drops it
+        Row(doc_id=4, text="alpha beta alpha beta"),
+    ])
+    out = {r.doc_id: r.n_matches for r in
+           proximity_topk(docs, ("alpha", "beta", "gamma"),
+                          window=2, k=10).collect()}
+    assert out == {1: 1, 3: 1}
+
+
+def test_proximity_counts_each_qualifying_anchor(spark):
+    from docling_serve_spark.operators.retrieval import proximity_topk
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b a b"),  # anchors at 0,2,4 all near b
+    ])
+    out = proximity_topk(docs, ("a", "b"), window=1, k=10).collect()
+    assert out[0].n_matches == 3
+
+
+# ------------------------------------------------------------------ #
+# hll_distinct (X218)
+# ------------------------------------------------------------------ #
+
+def _items(spark, rows):
+    return spark.createDataFrame([Row(grp=g, it=t) for g, t in rows])
+
+
+def test_hll_small_group_linear_counting_is_tight(spark):
+    from docling_serve_spark.operators.sketches import hll_distinct
+
+    rows = [("g", f"tok{i}") for i in range(10)] * 3  # dups ignored
+    out = hll_distinct(_items(spark, rows), "grp", "it").collect()[0]
+    assert out.exact_distinct == 10
+    # linear counting at n << m is within a few percent
+    assert abs(out.hll_est - 10) / 10 < 0.15
+    assert out.v_zero_regs > 0
+
+
+def test_hll_register_maxima_merge(spark):
+    """The mergeability witness: HLL(A ∪ B) == element-wise register
+    max — here proven at the result level: the sketch over the union
+    equals the sketch over the same rows split into two halves and
+    unioned (register max is what the groupBy computes either way)."""
+    from docling_serve_spark.operators.sketches import hll_distinct
+
+    a = [("g", f"x{i}") for i in range(400)]
+    b = [("g", f"y{i}") for i in range(400)]
+    whole = hll_distinct(_items(spark, a + b), "grp", "it").collect()[0]
+    split = hll_distinct(
+        _items(spark, a).unionByName(_items(spark, b)), "grp", "it"
+    ).collect()[0]
+    assert whole.hll_est == split.hll_est
+    assert whole.n_regs == split.n_regs
+    # 64 registers -> ~13% standard error; 800 distincts
+    assert abs(whole.hll_est - 800) / 800 < 0.4
+
+
+# ------------------------------------------------------------------ #
+# design_effect (X220)
+# ------------------------------------------------------------------ #
+
+def test_deff_homogeneous_clusters_inflate(spark):
+    # every host internally constant, hosts differ -> icc ~ 1,
+    # deff ~ mean cluster size
+    rows = [Row(host=f"h{g}", n_chars=1000 * (g + 1))
+            for g in range(10) for _ in range(20)]
+    r = textstats.design_effect(spark.createDataFrame(rows)).collect()[0]
+    assert r.icc > 0.95
+    assert r.deff > 15.0
+    assert r.mean_group_size == 20.0
+
+
+def test_deff_identical_distribution_no_inflation(spark):
+    # the metric varies pseudo-randomly WITHIN hosts with no
+    # host-level component -> icc ~ 0, deff stays near 1 (far from
+    # the homogeneous case's ~20)
+    rows = [Row(host=f"h{g}", n_chars=1000 + ((g * 97 + i * 37) % 500))
+            for g in range(10) for i in range(20)]
+    r = textstats.design_effect(spark.createDataFrame(rows)).collect()[0]
+    assert abs(r.icc) < 0.15
+    assert 0.0 <= r.deff < 3.0

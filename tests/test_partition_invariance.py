@@ -138,6 +138,10 @@ INVARIANCE_QUERIES = [
     "weighted_sample",  # global top-k over hash-seeded keys
     "event_funnel",     # staged min-ts joins + strict ordering
     "salted_host_counts",  # two-phase salt must equal plain groupBy
+    "rendezvous_stability",  # HRW argmax + load extrema
+    "proximity_search",      # positional postings + window test
+    "host_vocab_hll",        # register maxima + exact-power sums
+    "deff_audit",            # integer ANOVA sums -> derived doubles
 ]
 
 

@@ -746,3 +746,37 @@ def test_regional_supplier_volume_broadcasts_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """X219 — two tables bucketed identically on the join key must
+    join with ZERO exchanges (the co-located-join layout for every
+    repeatedly-joined warehouse table at 100 TB): the plan is a
+    SortMergeJoin fed directly by the bucketed scans."""
+    from docling_serve_spark.sources.warehouse import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    write_bucketed(docs, "bt_docs", str(tmp_path / "bt_docs"),
+                   "doc_id", n_buckets=8)
+    write_bucketed(emb, "bt_emb", str(tmp_path / "bt_emb"),
+                   "doc_id", n_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("bt_docs")
+            .join(spark.table("bt_emb"), "doc_id")
+            .select("doc_id", "source", "label")
+        )
+        plan = _plan(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_emb")
