@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools as _functools
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from docling_serve_spark.operators import (
     analysis,
@@ -11877,6 +11877,178 @@ ORACLE_DEFF_AUDIT = (
 )
 
 
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X221 — the TPC-H Q13 shape (customer distribution): how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers — the left-outer-join-then-double-aggregate
+    witness (the outer join is what makes Q13 hard: an inner join
+    silently drops the zero bucket, the single most business-relevant
+    row). Qualifying = non-urgent orders, mirroring Q13's NOT LIKE
+    exclusion. Scale shape: one outer equi-join on custkey (fact side
+    shuffles once), two map-side-combinable aggregations; the final
+    distribution is at order-count grain — driver-tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+    )
+
+
+ORACLE_ORDER_COUNT_DISTRIBUTION = (
+    "WITH per_cust AS (SELECT c_custkey, "
+    "CAST(count(o_orderkey) AS BIGINT) AS c_count "
+    "FROM customer LEFT JOIN (SELECT * FROM orders "
+    "WHERE o_orderpriority <> '1-URGENT') o "
+    "ON c_custkey = o.o_custkey GROUP BY 1) "
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+    "FROM per_cust GROUP BY 1"
+)
+
+
+_LATE_DAYS = 60
+
+
+def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X222 — the TPC-H Q21 shape (suppliers who kept orders
+    waiting): suppliers that were the ONLY late shipper on a
+    multi-supplier order — the EXISTS + NOT-EXISTS double-correlation
+    witness, decorrelated the way Catalyst plans it (one semi-join
+    for "another supplier participated", one anti-join for "no other
+    supplier was late"). Late = shipped more than 60 days after the
+    order date (this corpus carries no commit/receipt dates). Top-20
+    by (n_waits desc, suppkey asc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    shipped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             > F.date_add(F.col("o_orderdate"), _LATE_DAYS)).alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    )
+    late = shipped.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = shipped.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"),
+        F.col("late").alias("other_late"),
+    )
+    exists_other = late.join(
+        others,
+        (late.l_orderkey == others.ok) & (late.l_suppkey != others.sk),
+        "left_semi",
+    )
+    lone = exists_other.join(
+        others.filter(F.col("other_late")),
+        (exists_other.l_orderkey == others.ok)
+        & (exists_other.l_suppkey != others.sk),
+        "left_anti",
+    )
+    counted = lone.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").cast("bigint").alias("n_waits")
+    )
+    top = counted.orderBy(
+        F.col("n_waits").desc(), F.col("s_suppkey").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("n_waits").desc(), F.col("s_suppkey").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+ORACLE_LONE_LATE_SUPPLIER = (
+    "WITH shipped AS (SELECT l_orderkey, l_suppkey, "
+    f"max(CASE WHEN l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY "
+    "THEN 1 ELSE 0 END) = 1 AS late "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), "
+    "lone AS (SELECT s.l_orderkey, s.l_suppkey FROM shipped s "
+    "WHERE s.late "
+    "AND EXISTS (SELECT 1 FROM shipped o WHERE o.l_orderkey = s.l_orderkey "
+    "AND o.l_suppkey <> s.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM shipped o WHERE o.l_orderkey = "
+    "s.l_orderkey AND o.l_suppkey <> s.l_suppkey AND o.late)), "
+    "counted AS (SELECT l_suppkey AS s_suppkey, "
+    "CAST(count(*) AS BIGINT) AS n_waits FROM lone GROUP BY 1) "
+    "SELECT * FROM (SELECT s_suppkey, n_waits, "
+    "CAST(row_number() OVER (ORDER BY n_waits DESC, s_suppkey ASC) AS INT) "
+    "AS rank FROM counted) WHERE rank <= 20"
+)
+
+
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X223 — the TPC-H Q4 shape (order-priority checking): orders
+    with AT LEAST ONE late lineitem, counted per priority — the
+    plain EXISTS witness as a left-semi join (never a join-then-
+    distinct, which would duplicate orders by their lineitem count
+    before deduplicating). Late = shipped > 60 days after order."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late_keys = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.date_add(F.col("o_orderdate"), _LATE_DAYS))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late_keys, orders.o_orderkey == late_keys.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+ORACLE_LATE_ORDER_PRIORITIES = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+    "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o.o_orderkey "
+    f"AND l_shipdate > o.o_orderdate + INTERVAL {_LATE_DAYS} DAY) "
+    "GROUP BY 1"
+)
+
+
+def q_rolling_crawl_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X224 — trailing-7-day moving event volume via a RANGE-frame
+    window (the frame kind the §2.9 checklist hadn't witnessed yet:
+    RANGE over a numeric day offset handles calendar GAPS correctly —
+    a ROWS frame would silently span missing days). Day grain first
+    (one partial-aggregated groupBy), then the window runs over the
+    day-grain table — key-grain, driver-tiny, the allocation_fairness
+    single-partition argument."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    ).withColumn(
+        "day_num", F.datediff(F.col("day"), F.lit("2020-01-01")).cast("int")
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("trailing_7d"),
+    )
+
+
+ORACLE_ROLLING_CRAWL_RATE = (
+    "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "date_diff('day', DATE '2020-01-01', CAST(date_trunc('day', ts) "
+    "AS DATE)) AS day_num FROM events GROUP BY 1, 3) "
+    "SELECT day, n_events, CAST(sum(n_events) OVER (ORDER BY day_num "
+    "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS trailing_7d FROM daily"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12144,6 +12316,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "proximity_search": q_proximity_search,
     "host_vocab_hll": q_host_vocab_hll,
     "deff_audit": q_deff_audit,
+    "order_count_distribution": q_order_count_distribution,
+    "lone_late_supplier": q_lone_late_supplier,
+    "late_order_priorities": q_late_order_priorities,
+    "rolling_crawl_rate": q_rolling_crawl_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -12400,4 +12576,8 @@ ORACLES: dict[str, str] = {
     "proximity_search": ORACLE_PROXIMITY_SEARCH,
     "host_vocab_hll": ORACLE_HOST_VOCAB_HLL,
     "deff_audit": ORACLE_DEFF_AUDIT,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "lone_late_supplier": ORACLE_LONE_LATE_SUPPLIER,
+    "late_order_priorities": ORACLE_LATE_ORDER_PRIORITIES,
+    "rolling_crawl_rate": ORACLE_ROLLING_CRAWL_RATE,
 }

@@ -423,3 +423,42 @@ def test_deff_identical_distribution_no_inflation(spark):
     r = textstats.design_effect(spark.createDataFrame(rows)).collect()[0]
     assert abs(r.icc) < 0.15
     assert 0.0 <= r.deff < 3.0
+
+
+# ------------------------------------------------------------------ #
+# lone_late_supplier semantics (X222) — the Q21 correlation pair
+# ------------------------------------------------------------------ #
+
+def test_lone_late_supplier_double_correlation(spark):
+    from docling_serve_spark.queries import (
+        q_lone_late_supplier,
+    )
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_orderdate=base) for k in (1, 2, 3, 4)]
+    )
+    late, ok = base + dt.timedelta(days=90), base + dt.timedelta(days=10)
+    li = spark.createDataFrame([
+        # order 1: two suppliers, ONLY s=10 late -> counts for 10
+        Row(l_orderkey=1, l_suppkey=10, l_shipdate=late),
+        Row(l_orderkey=1, l_suppkey=11, l_shipdate=ok),
+        # order 2: two suppliers, BOTH late -> counts for neither
+        Row(l_orderkey=2, l_suppkey=10, l_shipdate=late),
+        Row(l_orderkey=2, l_suppkey=11, l_shipdate=late),
+        # order 3: single supplier late -> no other participant, skip
+        Row(l_orderkey=3, l_suppkey=10, l_shipdate=late),
+        # order 4: s=10 has one late and one on-time line -> still late
+        Row(l_orderkey=4, l_suppkey=10, l_shipdate=late),
+        Row(l_orderkey=4, l_suppkey=10, l_shipdate=ok),
+        Row(l_orderkey=4, l_suppkey=12, l_shipdate=ok),
+    ])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        orders.write.parquet(f"{d}/orders.parquet")
+        li.write.parquet(f"{d}/lineitem.parquet")
+        out = {r.s_suppkey: r.n_waits
+               for r in q_lone_late_supplier(spark, d).collect()}
+    assert out == {10: 2}   # orders 1 and 4 only

@@ -142,6 +142,10 @@ INVARIANCE_QUERIES = [
     "proximity_search",      # positional postings + window test
     "host_vocab_hll",        # register maxima + exact-power sums
     "deff_audit",            # integer ANOVA sums -> derived doubles
+    "order_count_distribution",  # outer join + double aggregate
+    "lone_late_supplier",    # semi + anti double correlation
+    "late_order_priorities", # EXISTS as left-semi
+    "rolling_crawl_rate",    # RANGE-frame trailing window
 ]
 
 
