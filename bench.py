@@ -274,6 +274,25 @@ BENCH_QUERIES = [
     "regional_supplier_volume",
     "part_supplier_breadth",
     "small_quantity_revenue",
+    # round-5 wave 2 (X206-X224)
+    "hybrid_rrf",
+    "template_pmi",
+    "host_label_prop",
+    "stylometry",
+    "recency_weights",
+    "cohort_retention",
+    "join_skew_audit",
+    "weighted_sample",
+    "event_funnel",
+    "salted_host_counts",
+    "rendezvous_stability",
+    "proximity_search",
+    "host_vocab_hll",
+    "deff_audit",
+    "order_count_distribution",
+    "lone_late_supplier",
+    "late_order_priorities",
+    "rolling_crawl_rate",
 ]
 
 
