@@ -293,6 +293,10 @@ BENCH_QUERIES = [
     "lone_late_supplier",
     "late_order_priorities",
     "rolling_crawl_rate",
+    "neighborhood_function",
+    "prefix_jaccard_join",
+    "epoch_shuffle_audit",
+    "idle_rich_customers",
 ]
 
 

@@ -1384,3 +1384,99 @@ def ngram_novelty(new: DataFrame, history: DataFrame, k: int = 3,
             .cast("bigint").alias("novelty_bp"),
         )
     )
+
+
+def jaccard_prefix_join(docs: DataFrame, t_num: int = 3, t_den: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """X226 — LOSSLESS exact set-similarity self-join via prefix
+    filtering (Chaudhuri/Ganti/Kaushik ICDE 2006; Xiao et al. WWW
+    2008 ppjoin's base filter): two token SETS with Jaccard ≥ t MUST
+    share a token inside each one's (n − ⌈t·n⌉ + 1)-token prefix
+    under any single global token order — so candidate generation
+    explodes only prefixes (ordered rarest-first by corpus df, which
+    makes prefixes maximally selective) instead of whole sets, and
+    NOTHING above the threshold can be missed. The recall-certified
+    alternative to the df-capped candidate join (X4), which trades
+    recall on pairs that share only ultra-common tokens; here the
+    common tokens sit at the ORDER's end and rarely enter prefixes,
+    shrinking candidates without dropping a single qualifying pair.
+
+    Threshold is the exact rational t_num/t_den; the verify step is
+    integer cross-multiplication (t_den·inter ≥ t_num·(n_a+n_b−inter))
+    — no float Jaccard anywhere. Emits (doc_id_a, doc_id_b, inter,
+    n_a, n_b, jaccard_bp), a < b, jaccard_bp = (10000·inter) div
+    union.
+
+    Shape at scale: token df is one corpus aggregation; per-doc
+    ordering is a partitioned window at (doc, token) grain; the
+    candidate join shuffles PREFIX tokens only (each prefix token
+    carries (id, n) — never text); verification joins the candidate
+    pair set back to full token lists with two hash joins. ⌈t·n⌉ is
+    exact integer arithmetic ((t_num·n + t_den − 1) div t_den)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.filter(tokens(F.col(text_col)),
+                                      lambda x: x != ""))
+        ).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    from pyspark.sql import Window
+
+    ordered = toks.join(df_tbl, "tok")
+    sizes = toks.groupBy("id").agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    ranked = (
+        ordered.withColumn("pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .withColumn(
+            "prefix_len",
+            (F.col("n")
+             - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}")
+             + 1).cast("bigint"),
+        )
+    )
+    prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
+        "tok", "id", "n"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        # length filter: |A∩B| <= min(n) and J >= t needs
+        # t_den*min >= t_num*max … prune size-incompatible pairs early
+        .filter(
+            F.lit(t_den) * F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(t_num) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a").join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    return (
+        inter.filter(
+            F.lit(t_den) * F.col("inter")
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "inter", "n_a", "n_b",
+            F.expr("(10000 * inter) div (n_a + n_b - inter)")
+            .cast("bigint").alias("jaccard_bp"),
+        )
+    )

@@ -1292,3 +1292,62 @@ def rendezvous_stability(docs: DataFrame, n_shards: int = 8,
             "n_changed_within", "max_load", "min_load",
         )
     )
+
+
+def epoch_shuffle_audit(docs: DataFrame, n_shards: int = 16,
+                        id_col: str = "doc_id",
+                        epochs: tuple[str, str] = ("e1", "e2")) -> DataFrame:
+    """X227 — epoch-reshuffle audit for training delivery: each epoch
+    orders every shard's docs by a salted md5 rank (shard-LOCAL
+    shuffling — the global-shuffle approximation every data loader
+    actually ships, because a true global permutation of 10^12 rows
+    is a full-corpus sort per epoch; shard-local + shard-order
+    rotation is the standard substitute). Verifies the two properties
+    that make it sound: each epoch's positions are a BIJECTION within
+    every shard (max position == shard size, distinct positions ==
+    shard size), and consecutive epochs are genuinely decorrelated —
+    Spearman's footrule Σ|pos₁ − pos₂| lands near its random
+    expectation n²/3 per shard (Diaconis & Graham, JRSS-B 1977), in
+    exact integer arithmetic summed across shards.
+
+    Emits one row: (n_docs, n_shards, bijection_ok, d_footrule,
+    footrule_expected, footrule_ratio_bp ≈ 10000). Windows are
+    PARTITIONED by shard — no global sort at any scale."""
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    base = docs.select(F.col(id_col).alias("id"), shard)
+    pos = base
+    for e in epochs:
+        we = Window.partitionBy("shard").orderBy(
+            F.md5(F.concat(F.lit(f"{e}:"), F.col("id").cast("string"))),
+            F.col("id"),
+        )
+        pos = pos.withColumn(f"pos_{e}", F.row_number().over(we)
+                             .cast("bigint"))
+    a, b = (f"pos_{epochs[0]}", f"pos_{epochs[1]}")
+    per_shard = pos.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.max(a).cast("bigint").alias("max_a"),
+        F.countDistinct(a).cast("bigint").alias("dist_a"),
+        F.max(b).cast("bigint").alias("max_b"),
+        F.countDistinct(b).cast("bigint").alias("dist_b"),
+        F.sum(F.abs(F.col(a) - F.col(b))).cast("bigint").alias("d_shard"),
+        # E[footrule] for a random permutation of m items = (m^2-1)/3
+        F.expr("CAST((max(" + a + ") * max(" + a + ") - 1) div 3 "
+               "AS BIGINT)").alias("exp_shard"),
+    )
+    return per_shard.agg(
+        F.sum("m").cast("bigint").alias("n_docs"),
+        F.count("*").cast("int").alias("n_shards"),
+        F.min(
+            (F.col("max_a") == F.col("m")) & (F.col("dist_a") == F.col("m"))
+            & (F.col("max_b") == F.col("m")) & (F.col("dist_b") == F.col("m"))
+        ).alias("bijection_ok"),
+        F.sum("d_shard").cast("bigint").alias("d_footrule"),
+        F.sum("exp_shard").cast("bigint").alias("footrule_expected"),
+    ).withColumn(
+        "footrule_ratio_bp",
+        F.expr("(10000 * d_footrule) div greatest(footrule_expected, 1)")
+        .cast("bigint"),
+    )

@@ -1152,3 +1152,97 @@ def label_propagation(edges: DataFrame, seeds: DataFrame,
         "host", "label",
         F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
     )
+
+
+_NF_B = 4                     # 2^4 = 16 registers per node
+_NF_M = 1 << _NF_B
+_NF_WBITS = 32 - _NF_B        # 28-bit rank word
+_NF_RMAX = _NF_WBITS + 1
+# alpha_16 (Flajolet et al. 2007, fig. 3)
+_NF_ALPHA = 0.673
+
+
+def neighborhood_function(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """X225 — the HyperANF neighborhood function (Boldi/Rosa/Vigna,
+    WWW 2011): per radius r, the estimated number of (source,
+    reachable-within-r) pairs over the directed host graph, computed
+    by giving every node a HyperLogLog sketch of its ball and
+    advancing one radius per round via B_{r+1}(v) = B_r(v) ∪
+    ⋃_{v→w} B_r(w) — register-max union, the X218 mergeability
+    property doing graph work. THE technique for distance
+    distributions / effective diameter on graphs too big to BFS per
+    node (HyperANF measured Facebook's four degrees of separation);
+    n·m register rows replace n BFS frontiers.
+
+    Relational form: sketches live at (node, reg, max_rho) grain —
+    never packed blobs — so each round is ONE union (own registers +
+    out-edge-joined neighbor registers) + ONE (node, reg) max
+    aggregation, both map-side combinable; the estimate is computed
+    per node from ≤ m register rows, quantized to MICRO-PAIR bigints
+    per node BEFORE the global sum (integer sum — partition-
+    invariant; a raw double sum over nodes would be order-dependent).
+
+    Emits (r, est_pairs_micro) for r = 1..rounds; the catalog query
+    joins an exact BFS pair count alongside (err_bp audit) — viable
+    only at HOST grain; at 10^12 pages the sketch column is the only
+    one that survives, which is the entire point."""
+    und = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("nf:"), F.col("node"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    w = h % (1 << _NF_WBITS)
+    init = nodes.select(
+        "node",
+        # h < 2^32 and the divisor is a power of two, so the double
+        # quotient is exact and the cast truncation IS floor division
+        (h / F.lit(1 << _NF_WBITS)).cast("bigint").alias("reg"),
+        F.when(w == 0, F.lit(_NF_RMAX)).otherwise(
+            F.lit(_NF_RMAX) - F.length(F.conv(w.cast("string"), 10, 2))
+        ).cast("bigint").alias("rho"),
+    )
+
+    def estimate(regs: DataFrame, r: int) -> DataFrame:
+        per = regs.groupBy("node").agg(
+            F.count("*").cast("bigint").alias("n_regs"),
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("sp"),
+        )
+        v = (F.lit(_NF_M) - F.col("n_regs")).cast("double")
+        s = F.col("sp") + v
+        raw = F.lit(_NF_ALPHA * _NF_M * _NF_M) / s
+        est = F.when(
+            (raw <= 2.5 * _NF_M) & (v > 0),
+            F.lit(float(_NF_M)) * F.log(F.lit(float(_NF_M)) / v),
+        ).otherwise(raw)
+        return (
+            per.select(
+                F.round(est * 1_000_000.0).cast("bigint").alias("est_micro")
+            )
+            .agg(F.sum("est_micro").cast("bigint").alias("est_pairs_micro"))
+            .select(F.lit(r).cast("int").alias("r"), "est_pairs_micro")
+        )
+
+    regs = init
+    outs = []
+    for r in range(1, rounds + 1):
+        via = (
+            und.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "reg", "rho")
+        )
+        regs = (
+            regs.unionByName(via)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        outs.append(estimate(regs, r))
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)

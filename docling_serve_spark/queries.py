@@ -12049,6 +12049,256 @@ ORACLE_ROLLING_CRAWL_RATE = (
 )
 
 
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X225 — HyperANF neighborhood function
+    (operators/webgraph.py neighborhood_function) over the hub-skew
+    host graph, with the exact BFS ball sizes joined alongside: per
+    radius r, the sketch-estimated vs exact count of (source,
+    reachable-within-r) pairs and the basis-point error — the
+    distance-distribution primitive for graphs too big to BFS."""
+    edges = _hub_edges(_t(spark, sf_dir, "documents"))
+    est = webgraph.neighborhood_function(edges, rounds=3)
+    dedges = edges.filter(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        dedges.select(F.col("src").alias("v"))
+        .unionByName(dedges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    pairs = nodes.select("v", F.col("v").alias("u"))
+    exacts = []
+    for r in range(1, 4):
+        step = (
+            dedges.join(pairs.withColumnRenamed("v", "dst"), "dst")
+            .select(F.col("src").alias("v"), "u")
+        )
+        pairs = pairs.unionByName(step).distinct().localCheckpoint(
+            eager=False
+        )
+        exacts.append(
+            pairs.agg(F.count("*").cast("bigint").alias("exact_pairs"))
+            .select(F.lit(r).cast("int").alias("r"), "exact_pairs")
+        )
+    import functools
+
+    exact = functools.reduce(lambda a, b: a.unionByName(b), exacts)
+    return est.join(exact, "r").select(
+        "r", "est_pairs_micro", "exact_pairs",
+        F.expr("(10000 * abs(est_pairs_micro - exact_pairs * 1000000)) "
+               "div (exact_pairs * 1000000)").cast("bigint").alias("err_bp"),
+    )
+
+
+def _nf_oracle(rounds: int = 3) -> str:
+    from docling_serve_spark.operators.webgraph import (
+        _NF_ALPHA, _NF_M, _NF_RMAX, _NF_WBITS,
+    )
+
+    am2 = repr(_NF_ALPHA * _NF_M * _NF_M)
+    wmod = 1 << _NF_WBITS
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        "CASE WHEN (doc_id // 25) % 4 < 3 "
+        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+        "END AS dst FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges))",
+        "hh AS (SELECT v AS node, "
+        "CAST(('0x' || substr(md5('nf:' || v), 1, 8))::UBIGINT AS BIGINT) "
+        "AS h FROM nodes)",
+        f"r0 AS (SELECT node, h // {wmod} AS reg, "
+        f"CASE WHEN h % {wmod} = 0 THEN {_NF_RMAX} "
+        f"ELSE {_NF_RMAX} - length(bin(h % {wmod})) END AS rho FROM hh)",
+        "p0 AS (SELECT v, v AS u FROM nodes)",
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"r{r} AS (SELECT node, reg, max(rho) AS rho FROM ("
+            f"SELECT node, reg, rho FROM r{r-1} UNION ALL "
+            f"SELECT e.src AS node, reg, rho FROM edges e "
+            f"JOIN r{r-1} ON e.dst = r{r-1}.node) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"per{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS n_regs, "
+            f"sum(pow(2.0, -rho)) AS sp FROM r{r} GROUP BY 1)"
+        )
+        ctes.append(
+            f"est{r} AS (SELECT CAST(sum(CAST(round(1000000.0 * "
+            f"CASE WHEN ({am2} / (sp + ({_NF_M} - n_regs))) <= "
+            f"{2.5 * _NF_M} AND ({_NF_M} - n_regs) > 0 "
+            f"THEN {float(_NF_M)!r} * ln({float(_NF_M)!r} / "
+            f"CAST({_NF_M} - n_regs AS DOUBLE)) "
+            f"ELSE {am2} / (sp + ({_NF_M} - n_regs)) END) AS BIGINT)) "
+            f"AS BIGINT) AS est_pairs_micro FROM per{r})"
+        )
+        ctes.append(
+            f"p{r} AS (SELECT DISTINCT v, u FROM (SELECT v, u FROM p{r-1} "
+            f"UNION ALL SELECT e.src AS v, p.u FROM edges e "
+            f"JOIN p{r-1} p ON e.dst = p.v))"
+        )
+        ctes.append(
+            f"x{r} AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs "
+            f"FROM p{r})"
+        )
+        sel.append(
+            f"SELECT CAST({r} AS INT) AS r, est_pairs_micro, exact_pairs, "
+            "CAST((10000 * abs(est_pairs_micro - exact_pairs * 1000000)) "
+            "// (exact_pairs * 1000000) AS BIGINT) AS err_bp "
+            f"FROM est{r} CROSS JOIN x{r}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sel)
+
+
+ORACLE_NEIGHBORHOOD_FUNCTION = _nf_oracle(3)
+
+
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X226 — lossless prefix-filtered set-similarity self-join
+    (operators/dedup.py jaccard_prefix_join) at Jaccard ≥ 3/5. Corpus:
+    the doc_id%10==0 slice with tokens TAGGED by doc_id%25 group
+    (the synthetic corpus shares one tiny vocabulary, so untagged
+    virtually every pair qualifies — quadratic OUTPUT, not operator
+    cost), plus a doc_id+1000000 truncation twin per doc carrying the
+    first 4/5 of its tokens. The ORACLE is the brute-force all-pairs
+    join — the losslessness claim IS the parity check: prefix
+    filtering must find exactly the pairs brute force finds."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    tag = (F.col("doc_id") % 25).cast("string")
+    tagged = F.concat_ws(
+        " ",
+        F.transform(dedup.tokens(F.col("text")),
+                    lambda t: F.concat(tag, F.lit(":"), t)),
+    )
+    base = docs.select("doc_id", tagged.alias("text"))
+    toks = dedup.tokens(F.col("text"))
+    twin_len = F.greatest(
+        F.lit(1), F.floor(F.size(toks) * 4 / 5).cast("int")
+    )
+    twins = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, twin_len)).alias("text"),
+    )
+    corpus = base.unionByName(twins)
+    return dedup.jaccard_prefix_join(corpus, t_num=3, t_den=5)
+
+
+_PFX_BASE_SQL = (
+    "base AS (SELECT doc_id, array_to_string(list_transform("
+    "string_split(" + dedup.NORM_SQL.format(t="text") + ", ' '), "
+    "t -> CAST(doc_id % 25 AS VARCHAR) || ':' || t), ' ') AS text "
+    "FROM documents WHERE doc_id % 10 = 0)"
+)
+
+ORACLE_PREFIX_JACCARD = (
+    "WITH " + _PFX_BASE_SQL + ", "
+    "twins AS (SELECT doc_id + 1000000 AS doc_id, "
+    "array_to_string(list_slice(string_split(text, ' '), 1, "
+    "greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5) "
+    "AS BIGINT))), ' ') AS text FROM base), "
+    "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins), "
+    "tok AS (SELECT DISTINCT doc_id AS id, unnest(list_filter("
+    "string_split(text, ' '), t -> t <> '')) AS tok FROM corpus), "
+    "sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tok "
+    "GROUP BY 1), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, "
+    "CAST(count(*) AS BIGINT) AS inter FROM tok a JOIN tok b "
+    "ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) "
+    "SELECT id_a AS doc_id_a, id_b AS doc_id_b, inter, "
+    "sa.n AS n_a, sb.n AS n_b, "
+    "CAST((10000 * inter) // (sa.n + sb.n - inter) AS BIGINT) "
+    "AS jaccard_bp "
+    "FROM pairs JOIN sizes sa ON id_a = sa.id "
+    "JOIN sizes sb ON id_b = sb.id "
+    "WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)"
+)
+
+
+def q_epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X227 — shard-local epoch reshuffle audit
+    (operators/sampling.py epoch_shuffle_audit): per-shard salted-md5
+    positions for two epochs; verifies per-shard bijection and that
+    the Spearman footrule between epochs sits near the random
+    expectation (m²−1)/3 per shard."""
+    return sampling.epoch_shuffle_audit(
+        _t(spark, sf_dir, "documents"), n_shards=16
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = (
+    "WITH base AS (SELECT doc_id AS id, doc_id % 16 AS shard "
+    "FROM documents), "
+    "pos AS (SELECT id, shard, "
+    "CAST(row_number() OVER (PARTITION BY shard "
+    "ORDER BY md5('e1:' || CAST(id AS VARCHAR)), id) AS BIGINT) AS pa, "
+    "CAST(row_number() OVER (PARTITION BY shard "
+    "ORDER BY md5('e2:' || CAST(id AS VARCHAR)), id) AS BIGINT) AS pb "
+    "FROM base), "
+    "per AS (SELECT shard, CAST(count(*) AS BIGINT) AS m, "
+    "max(pa) AS max_a, CAST(count(DISTINCT pa) AS BIGINT) AS dist_a, "
+    "max(pb) AS max_b, CAST(count(DISTINCT pb) AS BIGINT) AS dist_b, "
+    "CAST(sum(abs(pa - pb)) AS BIGINT) AS d_shard, "
+    "CAST((max(pa) * max(pa) - 1) // 3 AS BIGINT) AS exp_shard "
+    "FROM pos GROUP BY 1) "
+    "SELECT CAST(sum(m) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS INT) AS n_shards, "
+    "min(max_a = m AND dist_a = m AND max_b = m AND dist_b = m) "
+    "AS bijection_ok, "
+    "CAST(sum(d_shard) AS BIGINT) AS d_footrule, "
+    "CAST(sum(exp_shard) AS BIGINT) AS footrule_expected, "
+    "CAST((10000 * sum(d_shard)) // greatest(sum(exp_shard), 1) AS BIGINT) "
+    "AS footrule_ratio_bp FROM per"
+)
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X228 — the TPC-H Q22 shape (global-anomaly customers): above
+    the corpus-average positive balance AND no FINALIZED ('F') order — the
+    scalar-subquery + NOT-EXISTS composition, decorrelated as a
+    1-row broadcast (cross-multiplied, no float average) + a
+    broadcast anti-join; grouped by nation."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    stats = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal") * F.col("n") > F.col("s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = (
+    "WITH c AS (SELECT c_custkey, c_nationkey, "
+    "CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer), "
+    "st AS (SELECT sum(bal) AS s, CAST(count(*) AS BIGINT) AS n "
+    "FROM c WHERE bal > 0) "
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+    "CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal "
+    "FROM c CROSS JOIN st "
+    "WHERE bal * n > s AND NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+    "AND o_orderstatus = 'F') "
+    "GROUP BY 1"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12320,6 +12570,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lone_late_supplier": q_lone_late_supplier,
     "late_order_priorities": q_late_order_priorities,
     "rolling_crawl_rate": q_rolling_crawl_rate,
+    "neighborhood_function": q_neighborhood_function,
+    "prefix_jaccard_join": q_prefix_jaccard_join,
+    "epoch_shuffle_audit": q_epoch_shuffle_audit,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -12580,4 +12834,8 @@ ORACLES: dict[str, str] = {
     "lone_late_supplier": ORACLE_LONE_LATE_SUPPLIER,
     "late_order_priorities": ORACLE_LATE_ORDER_PRIORITIES,
     "rolling_crawl_rate": ORACLE_ROLLING_CRAWL_RATE,
+    "neighborhood_function": ORACLE_NEIGHBORHOOD_FUNCTION,
+    "prefix_jaccard_join": ORACLE_PREFIX_JACCARD,
+    "epoch_shuffle_audit": ORACLE_EPOCH_SHUFFLE,
+    "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
 }

@@ -462,3 +462,63 @@ def test_lone_late_supplier_double_correlation(spark):
         out = {r.s_suppkey: r.n_waits
                for r in q_lone_late_supplier(spark, d).collect()}
     assert out == {10: 2}   # orders 1 and 4 only
+
+
+# ------------------------------------------------------------------ #
+# neighborhood_function (X225)
+# ------------------------------------------------------------------ #
+
+def test_neighborhood_function_chain(spark):
+    # a -> b -> c: exact ball pairs r1 = 5 (a:{a,b}, b:{b,c}, c:{c}),
+    # r2 = 6 (a reaches c). m=16 registers at n<=3 distincts run the
+    # linear-counting branch -> tight estimates.
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    out = {r.r: r.est_pairs_micro
+           for r in webgraph.neighborhood_function(edges, rounds=2).collect()}
+    assert abs(out[1] / 1e6 - 5) / 5 < 0.15
+    assert abs(out[2] / 1e6 - 6) / 6 < 0.15
+    assert out[2] >= out[1]  # balls only grow
+
+
+# ------------------------------------------------------------------ #
+# jaccard_prefix_join (X226)
+# ------------------------------------------------------------------ #
+
+def test_prefix_join_hand_computed(spark):
+    from docling_serve_spark.operators.dedup import jaccard_prefix_join
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e"),
+        Row(doc_id=2, text="a b c d x"),       # J=4/6 >= 3/5
+        Row(doc_id=3, text="p q r s t u"),     # disjoint
+        Row(doc_id=4, text="a b c d e f g h i j"),  # J(1,4)=1/2 < 3/5
+    ])
+    out = [(r.doc_id_a, r.doc_id_b, r.inter, r.jaccard_bp)
+           for r in jaccard_prefix_join(docs, 3, 5).collect()]
+    assert out == [(1, 2, 4, 6666)]
+
+
+def test_prefix_join_duplicate_tokens_are_set_semantics(spark):
+    from docling_serve_spark.operators.dedup import jaccard_prefix_join
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a a a b b c"),   # set {a,b,c}
+        Row(doc_id=2, text="c b a"),         # same set -> J=1
+    ])
+    out = jaccard_prefix_join(docs, 3, 5).collect()
+    assert len(out) == 1
+    assert out[0].jaccard_bp == 10000
+    assert out[0].n_a == 3 and out[0].n_b == 3
+
+
+# ------------------------------------------------------------------ #
+# epoch_shuffle_audit (X227)
+# ------------------------------------------------------------------ #
+
+def test_epoch_shuffle_bijection_and_decorrelation(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(800)])
+    r = sampling.epoch_shuffle_audit(docs, n_shards=8).collect()[0]
+    assert r.bijection_ok
+    assert r.n_docs == 800 and r.n_shards == 8
+    # footrule near the random expectation (within +-40%)
+    assert 6000 < r.footrule_ratio_bp < 14000

@@ -146,6 +146,10 @@ INVARIANCE_QUERIES = [
     "lone_late_supplier",    # semi + anti double correlation
     "late_order_priorities", # EXISTS as left-semi
     "rolling_crawl_rate",    # RANGE-frame trailing window
+    "neighborhood_function", # register-max rounds + micro-int sums
+    "prefix_jaccard_join",   # prefix candidates + pair verification
+    "epoch_shuffle_audit",   # per-shard rank windows + footrule sums
+    "idle_rich_customers",   # scalar broadcast + anti-join + rollup
 ]
 
 
