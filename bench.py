@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "prefix_jaccard_join",
     "epoch_shuffle_audit",
     "idle_rich_customers",
+    "doremi_weights",
+    "harmonic_centrality",
 ]
 
 

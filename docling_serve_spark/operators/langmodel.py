@@ -499,3 +499,67 @@ def calibration_bins(scored: DataFrame, labels: DataFrame,
         )
         .orderBy("bin")
     )
+
+
+def doremi_weights(docs: DataFrame, ref: DataFrame,
+                   group_col: str = "source",
+                   text_col: str = "text",
+                   id_col: str = "doc_id",
+                   excess_cap_micro: int = 2_000_000) -> DataFrame:
+    """X230 — DoReMi-style domain reweighting (Xie et al., NeurIPS
+    2023, one deterministic step of the Group-DRO update): each
+    domain's mixture weight grows with its EXCESS char-LM loss over
+    the corpus baseline — domains the reference model finds hardest
+    get upweighted, the published alternative to hand-tuned mixture
+    proportions. The proxy loss is the repo's char-trigram model
+    (X30) scored against the trusted slice, so the whole computation
+    stays inside the engine.
+
+    Integer discipline end-to-end: per-domain and global LOSS
+    (positive micro-nats) are floor-divided integer ratios of the
+    bigint micro-nat sums (positive operands — Spark div == DuckDB
+    floor), excess = max(0, loss_d − loss_global) capped at
+    ``excess_cap_micro`` (bounds exp), weight_micro =
+    round(1e6·exp(excess/1e6)), share_ppm exact floor division.
+
+    Shape at scale: charlm_score is the corpus-scale pass (already
+    measured linear); everything here is two aggregations at domain
+    grain + a 1-row broadcast."""
+    scored = charlm_score(docs, ref, text_col, id_col).join(
+        docs.select(F.col(id_col), F.col(group_col).alias("grp")), id_col
+    )
+    per = scored.groupBy("grp").agg(
+        F.sum("n_trigrams").cast("bigint").alias("n_tri"),
+        (-F.sum("sum_logprob_micro")).cast("bigint").alias("loss_sum"),
+    ).filter(F.col("n_tri") > 0)
+    tot = per.agg(
+        F.sum("n_tri").cast("bigint").alias("__n"),
+        F.sum("loss_sum").cast("bigint").alias("__l"),
+    )
+    joined = per.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        "n_tri",
+        F.expr("loss_sum div n_tri").cast("bigint").alias("loss_micro"),
+        F.expr("__l div __n").cast("bigint").alias("base_micro"),
+    ).select(
+        group_col,
+        "n_tri",
+        "loss_micro",
+        F.least(
+            F.greatest(F.col("loss_micro") - F.col("base_micro"), F.lit(0)),
+            F.lit(excess_cap_micro),
+        ).cast("bigint").alias("excess_micro"),
+    )
+    weighted = joined.withColumn(
+        "weight_micro",
+        F.round(F.exp(F.col("excess_micro") / 1_000_000.0) * 1_000_000.0)
+        .cast("bigint"),
+    )
+    wtot = weighted.agg(
+        F.sum("weight_micro").cast("bigint").alias("__w")
+    )
+    return weighted.crossJoin(F.broadcast(wtot)).select(
+        group_col, "n_tri", "loss_micro", "excess_micro", "weight_micro",
+        F.expr("(1000000 * weight_micro) div greatest(__w, 1)")
+        .cast("bigint").alias("share_ppm"),
+    )

@@ -1186,12 +1186,22 @@ def neighborhood_function(edges: DataFrame, rounds: int = 3) -> DataFrame:
     joins an exact BFS pair count alongside (err_bp audit) — viable
     only at HOST grain; at 10^12 pages the sketch column is the only
     one that survives, which is the entire point."""
-    und = edges.select("src", "dst").filter(
+    est = _nf_node_estimates(edges, rounds)
+    return est.groupBy("r").agg(
+        F.sum("est_micro").cast("bigint").alias("est_pairs_micro")
+    )
+
+def _nf_node_estimates(edges: DataFrame, rounds: int) -> DataFrame:
+    """Shared HyperANF machinery: per-node ball-size estimates for
+    r = 1..rounds as one DataFrame (node, r, est_micro) — the same
+    register-advance as neighborhood_function, kept at node grain so
+    centrality measures can consume per-node ball growth."""
+    dedges = edges.select("src", "dst").filter(
         F.col("src") != F.col("dst")
     ).distinct()
     nodes = (
-        und.select(F.col("src").alias("node"))
-        .unionByName(und.select(F.col("dst").alias("node")))
+        dedges.select(F.col("src").alias("node"))
+        .unionByName(dedges.select(F.col("dst").alias("node")))
         .distinct()
     )
     h = F.conv(
@@ -1199,17 +1209,25 @@ def neighborhood_function(edges: DataFrame, rounds: int = 3) -> DataFrame:
         16, 10,
     ).cast("bigint")
     w = h % (1 << _NF_WBITS)
-    init = nodes.select(
+    regs = nodes.select(
         "node",
-        # h < 2^32 and the divisor is a power of two, so the double
-        # quotient is exact and the cast truncation IS floor division
         (h / F.lit(1 << _NF_WBITS)).cast("bigint").alias("reg"),
         F.when(w == 0, F.lit(_NF_RMAX)).otherwise(
             F.lit(_NF_RMAX) - F.length(F.conv(w.cast("string"), 10, 2))
         ).cast("bigint").alias("rho"),
     )
-
-    def estimate(regs: DataFrame, r: int) -> DataFrame:
+    outs = []
+    for r in range(1, rounds + 1):
+        via = (
+            dedges.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "reg", "rho")
+        )
+        regs = (
+            regs.unionByName(via)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
         per = regs.groupBy("node").agg(
             F.count("*").cast("bigint").alias("n_regs"),
             F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("sp"),
@@ -1221,28 +1239,52 @@ def neighborhood_function(edges: DataFrame, rounds: int = 3) -> DataFrame:
             (raw <= 2.5 * _NF_M) & (v > 0),
             F.lit(float(_NF_M)) * F.log(F.lit(float(_NF_M)) / v),
         ).otherwise(raw)
-        return (
-            per.select(
-                F.round(est * 1_000_000.0).cast("bigint").alias("est_micro")
-            )
-            .agg(F.sum("est_micro").cast("bigint").alias("est_pairs_micro"))
-            .select(F.lit(r).cast("int").alias("r"), "est_pairs_micro")
-        )
-
-    regs = init
-    outs = []
-    for r in range(1, rounds + 1):
-        via = (
-            und.join(regs.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "reg", "rho")
-        )
-        regs = (
-            regs.unionByName(via)
-            .groupBy("node", "reg")
-            .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=False)
-        )
-        outs.append(estimate(regs, r))
+        outs.append(per.select(
+            "node",
+            F.lit(r).cast("int").alias("r"),
+            F.round(est * 1_000_000.0).cast("bigint").alias("est_micro"),
+        ))
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def harmonic_centrality(edges: DataFrame, rounds: int = 3,
+                        k: int = 15) -> DataFrame:
+    """X231 — sketch-based harmonic centrality (Boldi & Vigna,
+    "Axioms for centrality", Internet Math 2014; computed HyperBall-
+    style, Boldi/Vigna WebSci 2014): H(v) = Σ_u 1/d(v,u) estimated
+    from the per-radius ball growth of X225's HLL sketches —
+    Σ_r (|B_r| − |B_{r−1}|)/r with |B_0| = 1 (self, excluded from
+    the sum). The centrality that, unlike closeness, handles
+    disconnected graphs natively, computed for every node in
+    ``rounds`` register-max passes instead of n BFS runs.
+
+    Integer discipline: per-node ball estimates arrive as micro
+    bigints; each radius shell contributes
+    ``greatest(0, est_r − est_{r−1}) div r`` (estimator noise can
+    make a shell negative — clamped, and the division is on
+    non-negative ints so Spark's truncating div == DuckDB's floor).
+    Emits the top-k (node, harmonic_micro, rank), ties by node."""
+    est = _nf_node_estimates(edges, rounds)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("r")
+    prev = F.coalesce(
+        F.lag("est_micro").over(w), F.lit(1_000_000).cast("bigint")
+    )
+    shells = (
+        est.withColumn("__prev", prev)
+        .withColumn(
+            "contrib",
+            F.expr("greatest(0, est_micro - __prev) div r").cast("bigint"),
+        )
+    )
+    agg = shells.groupBy("node").agg(
+        F.sum("contrib").cast("bigint").alias("harmonic_micro")
+    )
+    top = agg.orderBy(
+        F.col("harmonic_micro").desc(), F.col("node").asc()
+    ).limit(k)
+    wr = Window.orderBy(F.col("harmonic_micro").desc(), F.col("node").asc())
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))

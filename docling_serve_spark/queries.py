@@ -12299,6 +12299,116 @@ ORACLE_IDLE_RICH_CUSTOMERS = (
 )
 
 
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X230 — DoReMi-style domain reweighting
+    (operators/langmodel.py doremi_weights): one deterministic
+    Group-DRO step — each source's mixture share grows with its
+    excess char-LM loss over the corpus baseline, using the X30
+    trusted-slice trigram model as the proxy."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 < 3)
+    return langmodel.doremi_weights(docs, ref)
+
+
+ORACLE_DOREMI_WEIGHTS = (
+    "WITH ch AS (SELECT * FROM (" + ORACLE_CHARLM + ")), "
+    "per AS (SELECT d.source AS grp, "
+    "CAST(sum(n_trigrams) AS BIGINT) AS n_tri, "
+    "CAST(-sum(sum_logprob_micro) AS BIGINT) AS loss_sum "
+    "FROM ch JOIN documents d ON ch.doc_id = d.doc_id "
+    "GROUP BY 1 HAVING sum(n_trigrams) > 0), "
+    "tot AS (SELECT CAST(sum(n_tri) AS BIGINT) AS n, "
+    "CAST(sum(loss_sum) AS BIGINT) AS l FROM per), "
+    "j AS (SELECT grp AS source, n_tri, "
+    "CAST(loss_sum // n_tri AS BIGINT) AS loss_micro, "
+    "CAST(least(greatest(loss_sum // n_tri - l // n, 0), 2000000) "
+    "AS BIGINT) AS excess_micro FROM per CROSS JOIN tot), "
+    "w AS (SELECT *, CAST(round(exp(excess_micro / 1000000.0) * "
+    "1000000.0) AS BIGINT) AS weight_micro FROM j), "
+    "wt AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS wsum FROM w) "
+    "SELECT source, n_tri, loss_micro, excess_micro, weight_micro, "
+    "CAST((1000000 * weight_micro) // greatest(wsum, 1) AS BIGINT) "
+    "AS share_ppm FROM w CROSS JOIN wt"
+)
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X231 — HyperBall harmonic centrality
+    (operators/webgraph.py harmonic_centrality) over the hub-skew
+    host graph: per-radius ball growth from the X225 sketches folded
+    into sum-of-1/d centrality, top-15 hosts."""
+    return webgraph.harmonic_centrality(
+        _hub_edges(_t(spark, sf_dir, "documents")), rounds=3, k=15
+    )
+
+
+def _harmonic_oracle(rounds: int = 3, k: int = 15) -> str:
+    from docling_serve_spark.operators.webgraph import (
+        _NF_ALPHA, _NF_M, _NF_RMAX, _NF_WBITS,
+    )
+
+    am2 = repr(_NF_ALPHA * _NF_M * _NF_M)
+    wmod = 1 << _NF_WBITS
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        "CASE WHEN (doc_id // 25) % 4 < 3 "
+        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+        "END AS dst FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges))",
+        "hh AS (SELECT v AS node, "
+        "CAST(('0x' || substr(md5('nf:' || v), 1, 8))::UBIGINT AS BIGINT) "
+        "AS h FROM nodes)",
+        f"r0 AS (SELECT node, h // {wmod} AS reg, "
+        f"CASE WHEN h % {wmod} = 0 THEN {_NF_RMAX} "
+        f"ELSE {_NF_RMAX} - length(bin(h % {wmod})) END AS rho FROM hh)",
+    ]
+    ests = []
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"r{r} AS (SELECT node, reg, max(rho) AS rho FROM ("
+            f"SELECT node, reg, rho FROM r{r-1} UNION ALL "
+            f"SELECT e.src AS node, reg, rho FROM edges e "
+            f"JOIN r{r-1} ON e.dst = r{r-1}.node) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"per{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS n_regs, "
+            f"sum(pow(2.0, -rho)) AS sp FROM r{r} GROUP BY 1)"
+        )
+        ests.append(
+            f"SELECT node, {r} AS r, CAST(round(1000000.0 * "
+            f"CASE WHEN ({am2} / (sp + ({_NF_M} - n_regs))) <= "
+            f"{2.5 * _NF_M} AND ({_NF_M} - n_regs) > 0 "
+            f"THEN {float(_NF_M)!r} * ln({float(_NF_M)!r} / "
+            f"CAST({_NF_M} - n_regs AS DOUBLE)) "
+            f"ELSE {am2} / (sp + ({_NF_M} - n_regs)) END) AS BIGINT) "
+            f"AS est FROM per{r}"
+        )
+    ctes.append("nodeest AS (" + " UNION ALL ".join(ests) + ")")
+    ctes.append(
+        "sh AS (SELECT node, greatest(0, est - coalesce("
+        "lag(est) OVER (PARTITION BY node ORDER BY r), 1000000)) // r "
+        "AS contrib FROM nodeest)"
+    )
+    ctes.append(
+        "agg AS (SELECT node, CAST(sum(contrib) AS BIGINT) "
+        "AS harmonic_micro FROM sh GROUP BY 1)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT * FROM (SELECT node, harmonic_micro, "
+        "CAST(row_number() OVER (ORDER BY harmonic_micro DESC, node ASC) "
+        f"AS INT) AS rank FROM agg) WHERE rank <= {k}"
+    )
+
+
+ORACLE_HARMONIC_CENTRALITY = _harmonic_oracle(3, 15)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12574,6 +12684,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard_join": q_prefix_jaccard_join,
     "epoch_shuffle_audit": q_epoch_shuffle_audit,
     "idle_rich_customers": q_idle_rich_customers,
+    "doremi_weights": q_doremi_weights,
+    "harmonic_centrality": q_harmonic_centrality,
 }
 
 ORACLES: dict[str, str] = {
@@ -12838,4 +12950,6 @@ ORACLES: dict[str, str] = {
     "prefix_jaccard_join": ORACLE_PREFIX_JACCARD,
     "epoch_shuffle_audit": ORACLE_EPOCH_SHUFFLE,
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
+    "doremi_weights": ORACLE_DOREMI_WEIGHTS,
+    "harmonic_centrality": ORACLE_HARMONIC_CENTRALITY,
 }

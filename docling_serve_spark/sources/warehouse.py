@@ -345,3 +345,76 @@ def write_bucketed(df: DataFrame, table: str, path: str,
         .sortBy(bucket_col)
         .saveAsTable(table)
     )
+
+
+def file_clustering_audit(spark: SparkSession, path: str,
+                          key_col: str) -> DataFrame:
+    """X229 — data-skipping effectiveness audit for a parquet layout:
+    per-FILE min/max ranges of ``key_col`` (the zone-map every
+    format's reader prunes on), pairwise range-overlap depth, and a
+    clustering score. A key the files are range-clustered on gives
+    overlap_bp = 0 — a point predicate touches ONE file and a range
+    predicate only its span; a hash/unsorted layout gives
+    overlap_bp → 10000 and every predicate scans every file. This is
+    the measurement behind the OPTIMIZE/sort-write decision every
+    100 TB table owner makes — run it BEFORE paying a full rewrite.
+
+    Emits one row: (n_files, n_rows, max_overlap_depth,
+    overlap_bp, point_scan_files_avg_bp). overlap_bp =
+    10000·(Σdepth − n)/(n·(n−1)): the share of OTHER files a file's
+    range intersects, exact integers. point_scan_files_avg_bp: files
+    a point query at each file's min key must read, averaged, in bp
+    of n — the user-facing "how much does a point lookup scan".
+
+    Shape at scale: per-file ranges come from ONE column-pruned scan
+    grouped by ``_metadata.file_path`` (file count rows, not data
+    rows, thereafter); the overlap join is files×files on a
+    broadcast — file counts are 10^4-10^6 where rows are 10^12."""
+    df = spark.read.parquet(path).select(
+        F.col(key_col).alias("k"),
+        F.col("_metadata.file_path").alias("f"),
+    )
+    ranges = df.groupBy("f").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    other = ranges.select(
+        F.col("f").alias("f2"), F.col("lo").alias("lo2"),
+        F.col("hi").alias("hi2"),
+    )
+    depth = (
+        ranges.crossJoin(F.broadcast(other))
+        .filter((F.col("lo") <= F.col("hi2")) & (F.col("lo2") <= F.col("hi")))
+        .groupBy("f")
+        .agg(F.count("*").cast("bigint").alias("depth"))
+    )
+    point = (
+        ranges.select(F.col("f").alias("fp"), F.col("lo").alias("probe"))
+        .crossJoin(F.broadcast(other))
+        .filter((F.col("lo2") <= F.col("probe"))
+                & (F.col("probe") <= F.col("hi2")))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("touched"))
+    )
+    return (
+        ranges.join(depth, "f")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("m").cast("bigint").alias("n_rows"),
+            F.max("depth").cast("bigint").alias("max_overlap_depth"),
+            F.sum("depth").cast("bigint").alias("__sum_depth"),
+        )
+        .crossJoin(F.broadcast(
+            point.agg(F.sum("touched").cast("bigint").alias("__sum_touch"),
+                      F.count("*").cast("bigint").alias("__np"))
+        ))
+        .select(
+            "n_files", "n_rows", "max_overlap_depth",
+            F.expr("CASE WHEN n_files > 1 THEN "
+                   "(10000 * (__sum_depth - n_files)) div "
+                   "(n_files * (n_files - 1)) ELSE 0 END")
+            .cast("bigint").alias("overlap_bp"),
+            F.expr("(10000 * __sum_touch) div greatest(__np * n_files, 1)")
+            .cast("bigint").alias("point_scan_files_avg_bp"),
+        )
+    )

@@ -522,3 +522,43 @@ def test_epoch_shuffle_bijection_and_decorrelation(spark):
     assert r.n_docs == 800 and r.n_shards == 8
     # footrule near the random expectation (within +-40%)
     assert 6000 < r.footrule_ratio_bp < 14000
+
+
+# ------------------------------------------------------------------ #
+# doremi_weights (X230)
+# ------------------------------------------------------------------ #
+
+def test_doremi_upweights_hard_domain(spark):
+    from docling_serve_spark.operators.langmodel import doremi_weights
+
+    # ref-like domain A (same distribution as the reference slice)
+    # vs domain B full of trigrams the model never saw -> B's loss
+    # exceeds A's -> B gets the larger share
+    rows = [Row(doc_id=i, source="A", text="the cat sat on the mat here")
+            for i in range(10)]
+    rows += [Row(doc_id=100 + i, source="B", text="zq xv qj vx jz qx zv")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows)
+    ref = docs.filter(F.col("source") == "A")
+    out = {r.source: r for r in doremi_weights(docs, ref).collect()}
+    assert out["B"].loss_micro > out["A"].loss_micro
+    assert out["B"].excess_micro > 0 and out["A"].excess_micro == 0
+    assert out["B"].share_ppm > out["A"].share_ppm
+    # shares are a (floored) distribution
+    assert out["A"].share_ppm + out["B"].share_ppm <= 1_000_000
+
+
+# ------------------------------------------------------------------ #
+# harmonic_centrality (X231)
+# ------------------------------------------------------------------ #
+
+def test_harmonic_centrality_star_center_wins(spark):
+    # star: center -> every leaf AND every leaf -> center; the center
+    # reaches all leaves at distance 1, leaves reach each other at 2
+    leaves = [f"l{i}" for i in range(8)]
+    edges = _edges(spark, [("c", l) for l in leaves]
+                   + [(l, "c") for l in leaves])
+    out = webgraph.harmonic_centrality(edges, rounds=2, k=3).collect()
+    assert out[0].node == "c"
+    assert out[0].rank == 1
+    assert out[0].harmonic_micro > out[1].harmonic_micro

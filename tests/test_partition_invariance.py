@@ -150,6 +150,8 @@ INVARIANCE_QUERIES = [
     "prefix_jaccard_join",   # prefix candidates + pair verification
     "epoch_shuffle_audit",   # per-shard rank windows + footrule sums
     "idle_rich_customers",   # scalar broadcast + anti-join + rollup
+    "doremi_weights",        # micro-nat loss ratios + exp shares
+    "harmonic_centrality",   # register rounds + shell lag + top-k
 ]
 
 

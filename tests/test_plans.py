@@ -780,3 +780,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_emb")
+
+
+def test_file_clustering_audit_detects_layout(spark, tmp_path):
+    """X229 — the data-skipping audit must read clean zone maps from
+    a range-clustered layout (overlap_bp == 0: a point query touches
+    exactly one file) and flag a hash layout (every file overlaps
+    every other, point queries scan ~everything)."""
+    from docling_serve_spark.sources.warehouse import file_clustering_audit
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sorted_p = str(tmp_path / "sorted")
+    hashed_p = str(tmp_path / "hashed")
+    (docs.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+         .write.parquet(sorted_p))
+    docs.repartition(4, "doc_id").write.parquet(hashed_p)
+
+    good = file_clustering_audit(spark, sorted_p, "doc_id").collect()[0]
+    bad = file_clustering_audit(spark, hashed_p, "doc_id").collect()[0]
+    assert good.n_files == 4 and bad.n_files == 4
+    assert good.overlap_bp == 0
+    assert good.max_overlap_depth == 1
+    # point queries on the clustered layout read one file (2500 bp of 4)
+    assert good.point_scan_files_avg_bp == 2500
+    # the hash layout interleaves the full key range into every file
+    assert bad.overlap_bp == 10000
+    # probes sit at each file's min key, so boundary probes touch
+    # fewer files — still far above the clustered layout's 2500
+    assert bad.point_scan_files_avg_bp > 5000
+
+    # the audit's own scan must prune to the key + file metadata
+    plan = _plan(spark, file_clustering_audit(spark, sorted_p, "doc_id"))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all("text" not in l for l in schemas), schemas
