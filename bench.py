@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "idle_rich_customers",
     "doremi_weights",
     "harmonic_centrality",
+    "event_cube",
+    "user_event_pivot",
 ]
 
 

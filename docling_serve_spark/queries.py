@@ -12409,6 +12409,73 @@ def _harmonic_oracle(rounds: int = 3, k: int = 15) -> str:
 ORACLE_HARMONIC_CENTRALITY = _harmonic_oracle(3, 15)
 
 
+
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X233 — CUBE witness for the §2.9 grouping-sets family (the
+    ROLLUP half lives in corpus_datasheet/X50): event counts and
+    exact-DECIMAL value totals at every grain of (event_type,
+    day-of-week) including both margins and the grand total — the
+    2^k-grain dashboard aggregation computed in ONE pass with
+    map-side partial aggregation instead of 2^k scans."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_EVENT_CUBE = (
+    "SELECT event_type, CAST(dow AS INT) AS dow, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(round(sum(v), 2) AS DOUBLE) AS total_value FROM "
+    "(SELECT event_type, dayofweek(ts) + 1 AS dow, "
+    "CAST(value AS DECIMAL(18,6)) AS v FROM events) "
+    "GROUP BY CUBE (event_type, dow)"
+)
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X234 — pivot witness: per-user-cohort event-type counts as
+    COLUMNS via DataFrame.pivot with an EXPLICIT value list (the
+    implicit form scans once to discover values — non-deterministic
+    column order and a wasted pass at 100 TB; always pin the list).
+    Compiles to one conditional aggregation, which is exactly what
+    the oracle spells out."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).cast("bigint").alias("cohort"),
+        "event_type",
+    )
+    piv = ev.groupBy("cohort").pivot(
+        "event_type", list(_PIVOT_TYPES)
+    ).count()
+    return piv.select(
+        "cohort",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+ORACLE_USER_EVENT_PIVOT = (
+    "SELECT CAST(user_id % 20 AS BIGINT) AS cohort, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12686,6 +12753,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_rich_customers": q_idle_rich_customers,
     "doremi_weights": q_doremi_weights,
     "harmonic_centrality": q_harmonic_centrality,
+    "event_cube": q_event_cube,
+    "user_event_pivot": q_user_event_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -12952,4 +13021,6 @@ ORACLES: dict[str, str] = {
     "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
     "doremi_weights": ORACLE_DOREMI_WEIGHTS,
     "harmonic_centrality": ORACLE_HARMONIC_CENTRALITY,
+    "event_cube": ORACLE_EVENT_CUBE,
+    "user_event_pivot": ORACLE_USER_EVENT_PIVOT,
 }

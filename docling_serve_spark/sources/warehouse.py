@@ -418,3 +418,30 @@ def file_clustering_audit(spark: SparkSession, path: str,
             .cast("bigint").alias("point_scan_files_avg_bp"),
         )
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """X232 — Morton (Z-order) interleave of two bounded non-negative
+    int columns into one clustering key: bit i of ``a`` lands at
+    output bit 2i, bit i of ``b`` at 2i+1. Sorting/range-partitioning
+    files by this ONE key gives zone-map locality in BOTH dimensions
+    at once — the multi-dimensional clustering behind Delta/Iceberg
+    OPTIMIZE ZORDER: a 1-D sort by ``a`` makes predicates on ``b``
+    scan every file, the Z-order layout bounds file reads for point/
+    range predicates on EITHER column (measured by X229's audit in
+    tests/test_plans.py:test_zorder_layout_skips_on_both_dims).
+
+    Pure bit arithmetic on int64 (columns must fit ``bits`` bits;
+    callers quantize first — rank/bucket the raw values if unbounded),
+    zero shuffle, zero UDFs: one codegen expression."""
+    key = None
+    for i in range(bits):
+        abit = F.shiftleft(
+            F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        bbit = F.shiftleft(
+            F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        contrib = abit + bbit
+        key = contrib if key is None else key + contrib
+    return key.cast("bigint")

@@ -152,6 +152,8 @@ INVARIANCE_QUERIES = [
     "idle_rich_customers",   # scalar broadcast + anti-join + rollup
     "doremi_weights",        # micro-nat loss ratios + exp shares
     "harmonic_centrality",   # register rounds + shell lag + top-k
+    "event_cube",            # 2^k grouping-set grains in one pass
+    "user_event_pivot",      # pivot as conditional aggregation
 ]
 
 
@@ -160,7 +162,11 @@ def _rows_at(spark, name, n_shuffle):
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     try:
         df = QUERIES[name](spark, SF_DIR)
-        return sorted(map(tuple, df.collect()))
+        rows = list(map(tuple, df.collect()))
+        # None-safe sort: CUBE/outer-join rows carry NULL key cells
+        return sorted(rows, key=lambda t: tuple(
+            (v is None, str(v)) for v in t
+        ))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 

@@ -813,3 +813,42 @@ def test_file_clustering_audit_detects_layout(spark, tmp_path):
     plan = _plan(spark, file_clustering_audit(spark, sorted_p, "doc_id"))
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schemas and all("text" not in l for l in schemas), schemas
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """X232 — Z-order clustering gives zone-map locality on BOTH
+    dimensions: files range-partitioned by the Morton key have
+    bounded per-file ranges in each raw dimension, so point scans on
+    either column touch a strict subset of files — where a 1-D sort
+    by `a` leaves `b` fully interleaved (every file overlaps every
+    other in b)."""
+    from docling_serve_spark.sources.warehouse import (
+        file_clustering_audit,
+        zorder_key,
+    )
+
+    # two independent 0..255 dimensions
+    df = spark.range(4096).select(
+        (F.col("id") % 256).cast("bigint").alias("a"),
+        (F.floor(F.col("id") / 16) % 256).cast("bigint").alias("b"),
+    )
+    zp = str(tmp_path / "zorder")
+    lp = str(tmp_path / "linear")
+    (df.withColumn("z", zorder_key(F.col("a"), F.col("b"), bits=8))
+       .repartitionByRange(16, "z").sortWithinPartitions("z")
+       .write.parquet(zp))
+    (df.repartitionByRange(16, "a").sortWithinPartitions("a")
+       .write.parquet(lp))
+
+    z_a = file_clustering_audit(spark, zp, "a").collect()[0]
+    z_b = file_clustering_audit(spark, zp, "b").collect()[0]
+    l_a = file_clustering_audit(spark, lp, "a").collect()[0]
+    l_b = file_clustering_audit(spark, lp, "b").collect()[0]
+    # the 1-D sort is perfect on a, useless on b
+    assert l_a.overlap_bp == 0
+    assert l_b.overlap_bp == 10000
+    # z-order pays a little on a but keeps BOTH dimensions prunable
+    assert z_a.overlap_bp < 5000
+    assert z_b.overlap_bp < 5000
+    assert z_a.point_scan_files_avg_bp < l_b.point_scan_files_avg_bp
+    assert z_b.point_scan_files_avg_bp < l_b.point_scan_files_avg_bp
