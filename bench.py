@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "harmonic_centrality",
     "event_cube",
     "user_event_pivot",
+    "session_windows",
 ]
 
 

@@ -12476,6 +12476,38 @@ ORACLE_USER_EVENT_PIVOT = (
 )
 
 
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X235 — native session windows (streaming/ingest.py
+    session_window_stats, batch form): per-user activity sessions
+    closed by 5 minutes of inactivity, each ending at last-event +
+    gap. The oracle is the gaps-and-islands formulation — proving the
+    built-in F.session_window computes exactly the classic SQL
+    semantics; the streaming form (same expression + watermark) is
+    pinned stream==batch in tests/test_streaming.py."""
+    from docling_serve_spark.streaming.ingest import session_window_stats
+
+    return session_window_stats(_t(spark, sf_dir, "events"))
+
+
+ORACLE_SESSION_WINDOWS = (
+    "WITH o AS (SELECT user_id, ts, "
+    "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    "> INTERVAL 5 MINUTE OR lag(ts) OVER (PARTITION BY user_id "
+    "ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk FROM events), "
+    "s AS (SELECT user_id, ts, "
+    "sum(brk) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o) "
+    "SELECT user_id, min(ts) AS session_start, "
+    "max(ts) + INTERVAL 5 MINUTE AS session_end, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(date_diff('second', min(ts), max(ts) + INTERVAL 5 MINUTE) "
+    "AS BIGINT) AS duration_sec "
+    "FROM s GROUP BY user_id, sid"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12755,6 +12787,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harmonic_centrality": q_harmonic_centrality,
     "event_cube": q_event_cube,
     "user_event_pivot": q_user_event_pivot,
+    "session_windows": q_session_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -13023,4 +13056,5 @@ ORACLES: dict[str, str] = {
     "harmonic_centrality": ORACLE_HARMONIC_CENTRALITY,
     "event_cube": ORACLE_EVENT_CUBE,
     "user_event_pivot": ORACLE_USER_EVENT_PIVOT,
+    "session_windows": ORACLE_SESSION_WINDOWS,
 }

@@ -530,3 +530,47 @@ def late_monitor_stream(events: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """X235 — NATIVE session windows (F.session_window, the dynamic-
+    gap window Spark added for exactly this): per-key sessions closed
+    by ``gap`` of inactivity, each window ending at last-event + gap.
+    The built-in replaces X12's lag-and-cumsum sessionization wherever
+    the engine can own the state: in STREAMING mode (pass
+    ``watermark``) Spark merges windows incrementally and evicts
+    closed sessions past the watermark — the gaps-and-islands SQL
+    form cannot run on an unbounded stream at all, because a session
+    is only closed by the NEXT event or the watermark.
+
+    Same expression works in batch (watermark=None) — the batch form
+    is the catalog query's oracle-checked surface, the streaming form
+    is pinned stream==batch in tests/test_streaming.py.
+
+    Shape at scale: one shuffle on the session key with map-side
+    partial merge of overlapping windows; state per OPEN session
+    only."""
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap), F.col(key_col)
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            (F.unix_timestamp("session_window.end")
+             - F.unix_timestamp("session_window.start"))
+            .cast("bigint").alias("duration_sec"),
+        )
+    )

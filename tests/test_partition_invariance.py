@@ -154,6 +154,7 @@ INVARIANCE_QUERIES = [
     "harmonic_centrality",   # register rounds + shell lag + top-k
     "event_cube",            # 2^k grouping-set grains in one pass
     "user_event_pivot",      # pivot as conditional aggregation
+    "session_windows",       # native session_window merge semantics
 ]
 
 

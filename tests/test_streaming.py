@@ -662,3 +662,59 @@ def test_late_monitor_stream_batch_identity(spark, tmp_path):
                 (a["n"], a["late"], a["drop"], a["mx"])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """X235 — the native session_window aggregation under readStream
+    (watermarked, append mode) finalizes exactly the sessions the
+    batch form computes, once the watermark passes them."""
+    from docling_serve_spark.streaming.ingest import session_window_stats
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+    for u in range(6):
+        # two sessions per user: a burst at :00-:04, another at :30
+        for m in (0, 2, 4):
+            rows.append((u, f"2024-01-01 00:{m:02d}:00"))
+        rows.append((u, "2024-01-01 00:30:00"))
+    ev = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.write.parquet(landing)
+    batch = {(r.user_id, str(r.session_start), str(r.session_end),
+              r.n_events, r.duration_sec)
+             for r in session_window_stats(ev).collect()}
+
+    def drain():
+        src = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .parquet(landing)
+        )
+        q = run_to_parquet(
+            session_window_stats(src, watermark="10 minutes"), out, ckpt
+        )
+        _await(q)
+
+    drain()
+    # a late event far in the future advances the watermark past all
+    # sessions; the checkpointed restart finalizes them
+    spark.createDataFrame([(99, "2024-01-01 06:00:00")],
+                          ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).write.mode("append").parquet(landing)
+    drain()
+
+    got = {(r.user_id, str(r.session_start), str(r.session_end),
+            r.n_events, r.duration_sec)
+           for r in spark.read.parquet(out).collect()}
+    assert batch <= got            # every batch session finalized
+    extra = got - batch
+    assert all(u == 99 for (u, *_ ) in extra)  # only the closer event
+    # spot-check semantics: burst session spans :00 to :04 + 5 min gap
+    some = [g for g in got if g[0] == 0 and g[3] == 3][0]
+    assert some[1] == "2024-01-01 00:00:00"
+    assert some[2] == "2024-01-01 00:09:00"
+    assert some[4] == 540
