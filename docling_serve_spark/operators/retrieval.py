@@ -304,6 +304,10 @@ def proximity_topk(docs: DataFrame, query_terms: Sequence[str],
     terms = [str(t) for t in query_terms]
     if len(terms) < 2:
         raise ValueError("proximity_topk needs at least two terms")
+    if len(set(terms)) != len(terms):
+        # a repeated term would satisfy its own within-window test at
+        # distance 0 for every anchor — garbage ranking, reject early
+        raise ValueError("proximity_topk terms must be distinct")
     toks = docs.select(
         id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
     )

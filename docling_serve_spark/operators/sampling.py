@@ -1275,11 +1275,24 @@ def rendezvous_stability(docs: DataFrame, n_shards: int = 8,
              & (F.col("s_hi") != F.col("s_lo"))).cast("bigint")
         ).cast("bigint").alias("n_changed_within"),
     )
-    loads = assigned.groupBy("s_lo").agg(
-        F.count("*").cast("bigint").alias("load")
-    ).agg(
-        F.max("load").cast("bigint").alias("max_load"),
-        F.min("load").cast("bigint").alias("min_load"),
+    # every shard id must appear in the load extrema — an EMPTY shard
+    # is exactly the imbalance the audit exists to expose, and a bare
+    # groupBy would silently drop it
+    shard_ids = docs.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias("s_lo")
+    )
+    loads = (
+        shard_ids.join(
+            assigned.groupBy("s_lo").agg(
+                F.count("*").cast("bigint").alias("load")
+            ),
+            "s_lo", "left",
+        )
+        .select(F.coalesce(F.col("load"), F.lit(0)).alias("load"))
+        .agg(
+            F.max("load").cast("bigint").alias("max_load"),
+            F.min("load").cast("bigint").alias("min_load"),
+        )
     )
     return (
         moves.crossJoin(F.broadcast(loads))

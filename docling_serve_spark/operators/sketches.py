@@ -263,6 +263,25 @@ _HLL_WBITS = 32 - _HLL_B      # 26-bit rank word
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 64.0)
 
 
+def hll_reg_rho(h, wbits: int):
+    """(reg, rho) columns from a 32-bit md5-derived hash column:
+    the top ``32 - wbits`` bits select the register, rho is the
+    1-based position of the rank word's leading 1 bit — computed as
+    ``(wbits+1) - bitlength(w)`` via base-2 string length, the
+    engine-portable EXACT integer log2 (never floor(ln/ln2), whose
+    1-ulp error flips at powers of two); w = 0 → wbits+1. Shared by
+    the X218 sketch and the X225/X231 HyperANF machinery so the two
+    register encodings can never drift apart."""
+    w = h % (1 << wbits)
+    # h < 2^32 and the divisor is a power of two: the double quotient
+    # is exact, so the cast truncation IS floor division
+    reg = (h / F.lit(1 << wbits)).cast("bigint")
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    ).cast("bigint")
+    return reg, rho
+
+
 def hll_distinct(items: DataFrame, group_col: str, item_col: str) -> DataFrame:
     """X218 — HyperLogLog distinct-count estimate per group
     (Flajolet/Fusy/Gandouet/Meunier, AofA 2007), the register-max
@@ -296,12 +315,7 @@ def hll_distinct(items: DataFrame, group_col: str, item_col: str) -> DataFrame:
             .cast("bigint").alias("h"),
         )
     )
-    reg = F.expr(f"h div {1 << _HLL_WBITS}").cast("bigint")
-    w = F.col("h") % (1 << _HLL_WBITS)
-    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1)
-        - F.length(F.conv(w.cast("string"), 10, 2))
-    ).cast("bigint")
+    reg, rho = hll_reg_rho(F.col("h"), _HLL_WBITS)
     regs = hashed.select("grp", reg.alias("reg"), rho.alias("rho")).groupBy(
         "grp", "reg"
     ).agg(F.max("rho").alias("max_rho"))

@@ -2044,10 +2044,14 @@ def design_effect(docs: DataFrame, group_col: str = "host",
     msb = ssb / (F.col("k") - 1)
     mbar = F.col("n").cast("double") / F.col("k")
     icc = (msb - msw) / (msb + (mbar - 1.0) * msw)
+    # the ANOVA estimator is undefined for k < 2 groups (no between-
+    # group variance) or n == k (one doc per group: no within-group
+    # variance) — emit NULL rather than NaN/Inf leaking into planners
+    defined = (F.col("k") > 1) & (F.col("n") > F.col("k"))
     return tot.select(
         F.col("n").alias("n_docs"),
         F.col("k").alias("n_groups"),
         F.round(mbar, 6).alias("mean_group_size"),
-        F.round(icc, 6).alias("icc"),
-        F.round(1.0 + (mbar - 1.0) * icc, 6).alias("deff"),
+        F.when(defined, F.round(icc, 6)).alias("icc"),
+        F.when(defined, F.round(1.0 + (mbar - 1.0) * icc, 6)).alias("deff"),
     )

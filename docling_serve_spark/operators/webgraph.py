@@ -1204,18 +1204,14 @@ def _nf_node_estimates(edges: DataFrame, rounds: int) -> DataFrame:
         .unionByName(dedges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    from docling_serve_spark.operators.sketches import hll_reg_rho
+
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("nf:"), F.col("node"))), 1, 8),
         16, 10,
     ).cast("bigint")
-    w = h % (1 << _NF_WBITS)
-    regs = nodes.select(
-        "node",
-        (h / F.lit(1 << _NF_WBITS)).cast("bigint").alias("reg"),
-        F.when(w == 0, F.lit(_NF_RMAX)).otherwise(
-            F.lit(_NF_RMAX) - F.length(F.conv(w.cast("string"), 10, 2))
-        ).cast("bigint").alias("rho"),
-    )
+    reg, rho = hll_reg_rho(h, _NF_WBITS)
+    regs = nodes.select("node", reg.alias("reg"), rho.alias("rho"))
     outs = []
     for r in range(1, rounds + 1):
         via = (

@@ -1557,12 +1557,20 @@ ORACLE_ROBOTS = (
 )
 
 
-def _hub_edges(docs: DataFrame) -> DataFrame:
-    """Deterministic hub-skewed host edges over hosts h0-h24: 3/4 of
-    links point at the five hub hosts h0-h4, the rest spread by a
-    rotating offset — so rankings genuinely differentiate."""
+_HUB_DST_SQL = (
+    "CASE WHEN (doc_id // 25) % 4 < 3 "
+    "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
+    "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
+    "END"
+)
+
+
+def _hub_dst_col() -> Column:
+    """The hub-skew link-target host for a doc_id row — SQL twin is
+    _HUB_DST_SQL; every query that synthesizes the hub graph derives
+    from this ONE expression."""
     q = F.floor(F.col("doc_id") / 25).cast("bigint")
-    dst = F.when(
+    return F.when(
         q % 4 < 3,
         F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")),
     ).otherwise(
@@ -1571,9 +1579,15 @@ def _hub_edges(docs: DataFrame) -> DataFrame:
             (((F.col("doc_id") % 25) * 7 + q) % 25).cast("string"),
         )
     )
+
+
+def _hub_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic hub-skewed host edges over hosts h0-h24: 3/4 of
+    links point at the five hub hosts h0-h4, the rest spread by a
+    rotating offset — so rankings genuinely differentiate."""
     return docs.select(
         F.concat(F.lit("h"), (F.col("doc_id") % 25).cast("string")).alias("src"),
-        dst.alias("dst"),
+        _hub_dst_col().alias("dst"),
     )
 
 
@@ -1593,10 +1607,7 @@ def _pagerank_ctes(iterations: int = 3,
     ``edges`` CTE of DISTINCT self-loop-free (src, dst) rows."""
     ctes = list(edge_ctes) if edge_ctes is not None else [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
-        "CASE WHEN (doc_id // 25) % 4 < 3 "
-        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-        "END AS dst FROM documents)",
+        + _HUB_DST_SQL + " AS dst FROM documents)",
         "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
     ]
     ctes += [
@@ -1668,10 +1679,7 @@ def _trustrank_oracle(iterations: int = 3) -> str:
     in_seeds = "IN ('h0', 'h1')"
     ctes = [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
-        "CASE WHEN (doc_id // 25) % 4 < 3 "
-        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-        "END AS dst FROM documents)",
+        + _HUB_DST_SQL + " AS dst FROM documents)",
         "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
         "nodes AS (SELECT DISTINCT host FROM "
         "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
@@ -1777,10 +1785,7 @@ def _hits_oracle(iterations: int = 2) -> str:
     product to HUGEINT; the Spark side runs it in DECIMAL(38,0))."""
     ctes = [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
-        "CASE WHEN (doc_id // 25) % 4 < 3 "
-        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-        "END AS dst FROM documents)",
+        + _HUB_DST_SQL + " AS dst FROM documents)",
         "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
         "nodes AS (SELECT DISTINCT host FROM "
         "(SELECT src AS host FROM edges UNION SELECT dst FROM edges))",
@@ -11422,10 +11427,7 @@ def _label_prop_oracle(iterations: int = 2) -> str:
     seeds_vals = ", ".join(f"('{h}', '{l}')" for h, l in _LP_SEEDS)
     ctes = [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
-        "CASE WHEN (doc_id // 25) % 4 < 3 "
-        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-        "END AS dst FROM documents)",
+        + _HUB_DST_SQL + " AS dst FROM documents)",
         "und AS (SELECT DISTINCT src, dst FROM "
         "(SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) "
         "WHERE src <> dst)",
@@ -11553,12 +11555,6 @@ ORACLE_COHORT_RETENTION = (
 
 
 
-_HUB_DST_SQL = (
-    "CASE WHEN (doc_id // 25) % 4 < 3 "
-    "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-    "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-    "END"
-)
 
 
 def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11659,18 +11655,8 @@ def q_salted_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole point is result identity under a different physical
     shape (plan-asserted in tests/test_plans.py)."""
     docs = _t(spark, sf_dir, "documents")
-    q = F.floor(F.col("doc_id") / 25).cast("bigint")
-    dst = F.when(
-        q % 4 < 3,
-        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")),
-    ).otherwise(
-        F.concat(
-            F.lit("h"),
-            (((F.col("doc_id") % 25) * 7 + q) % 25).cast("string"),
-        )
-    )
     return relational.salted_counts(
-        docs.select(dst.alias("host"), "doc_id"),
+        docs.select(_hub_dst_col().alias("host"), "doc_id"),
         "host", F.col("doc_id"), n_salts=8,
     ).withColumnRenamed("key", "host")
 
@@ -11717,7 +11703,10 @@ def _hrw_oracle(n_shards: int = 8) -> str:
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_within FROM j), "
         "l AS (SELECT CAST(max(c) AS BIGINT) AS max_load, "
         "CAST(min(c) AS BIGINT) AS min_load FROM "
-        "(SELECT count(*) AS c FROM lo GROUP BY lo_s)) "
+        f"(SELECT coalesce(cnt, 0) AS c FROM "
+        f"generate_series(0, {n_shards - 1}) g(s) LEFT JOIN "
+        "(SELECT lo_s, count(*) AS cnt FROM lo GROUP BY lo_s) x "
+        "ON g.s = x.lo_s)) "
         "SELECT n_docs, n_moved, "
         "CAST((1000000 * n_moved) // n_docs AS BIGINT) AS moved_ppm, "
         f"CAST({1_000_000 // (n_shards + 1)} AS BIGINT) AS expected_ppm, "
@@ -12090,7 +12079,12 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nf_oracle(rounds: int = 3) -> str:
+def _nf_oracle_scaffold(rounds: int) -> tuple[list, str]:
+    """Shared HyperANF oracle scaffolding for X225/X231: the hub-edge
+    graph, per-node register init (r0), ``rounds`` register-advance +
+    per-node aggregate CTEs (r{i}/per{i}), plus the per-node estimate
+    CASE expression (as a format string over per{i} columns) — ONE
+    copy of the register encoding, so the two oracles cannot drift."""
     from docling_serve_spark.operators.webgraph import (
         _NF_ALPHA, _NF_M, _NF_RMAX, _NF_WBITS,
     )
@@ -12099,10 +12093,7 @@ def _nf_oracle(rounds: int = 3) -> str:
     wmod = 1 << _NF_WBITS
     ctes = [
         "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
-        "CASE WHEN (doc_id // 25) % 4 < 3 "
-        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-        "END AS dst FROM documents)",
+        + _HUB_DST_SQL + " AS dst FROM documents)",
         "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
         "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
         "UNION SELECT dst FROM edges))",
@@ -12112,9 +12103,7 @@ def _nf_oracle(rounds: int = 3) -> str:
         f"r0 AS (SELECT node, h // {wmod} AS reg, "
         f"CASE WHEN h % {wmod} = 0 THEN {_NF_RMAX} "
         f"ELSE {_NF_RMAX} - length(bin(h % {wmod})) END AS rho FROM hh)",
-        "p0 AS (SELECT v, v AS u FROM nodes)",
     ]
-    sel = []
     for r in range(1, rounds + 1):
         ctes.append(
             f"r{r} AS (SELECT node, reg, max(rho) AS rho FROM ("
@@ -12126,14 +12115,25 @@ def _nf_oracle(rounds: int = 3) -> str:
             f"per{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS n_regs, "
             f"sum(pow(2.0, -rho)) AS sp FROM r{r} GROUP BY 1)"
         )
+    est_case = (
+        f"CASE WHEN ({am2} / (sp + ({_NF_M} - n_regs))) <= "
+        f"{2.5 * _NF_M} AND ({_NF_M} - n_regs) > 0 "
+        f"THEN {float(_NF_M)!r} * ln({float(_NF_M)!r} / "
+        f"CAST({_NF_M} - n_regs AS DOUBLE)) "
+        f"ELSE {am2} / (sp + ({_NF_M} - n_regs)) END"
+    )
+    return ctes, est_case
+
+
+def _nf_oracle(rounds: int = 3) -> str:
+    ctes, est_case = _nf_oracle_scaffold(rounds)
+    ctes = list(ctes) + ["p0 AS (SELECT v, v AS u FROM nodes)"]
+    sel = []
+    for r in range(1, rounds + 1):
         ctes.append(
             f"est{r} AS (SELECT CAST(sum(CAST(round(1000000.0 * "
-            f"CASE WHEN ({am2} / (sp + ({_NF_M} - n_regs))) <= "
-            f"{2.5 * _NF_M} AND ({_NF_M} - n_regs) > 0 "
-            f"THEN {float(_NF_M)!r} * ln({float(_NF_M)!r} / "
-            f"CAST({_NF_M} - n_regs AS DOUBLE)) "
-            f"ELSE {am2} / (sp + ({_NF_M} - n_regs)) END) AS BIGINT)) "
-            f"AS BIGINT) AS est_pairs_micro FROM per{r})"
+            f"{est_case}) AS BIGINT)) AS BIGINT) AS est_pairs_micro "
+            f"FROM per{r})"
         )
         ctes.append(
             f"p{r} AS (SELECT DISTINCT v, u FROM (SELECT v, u FROM p{r-1} "
@@ -12162,7 +12162,7 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc_id%10==0 slice with tokens TAGGED by doc_id%25 group
     (the synthetic corpus shares one tiny vocabulary, so untagged
     virtually every pair qualifies — quadratic OUTPUT, not operator
-    cost), plus a doc_id+1000000 truncation twin per doc carrying the
+    cost), plus a negative-id truncation twin per doc carrying the
     first 4/5 of its tokens. The ORACLE is the brute-force all-pairs
     join — the losslessness claim IS the parity check: prefix
     filtering must find exactly the pairs brute force finds."""
@@ -12180,8 +12180,10 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin_len = F.greatest(
         F.lit(1), F.floor(F.size(toks) * 4 / 5).cast("int")
     )
+    # twin id = -(doc_id+1): never collides with any real id at any
+    # corpus scale (a +N offset collides once doc_id exceeds N)
     twins = base.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, twin_len)).alias("text"),
     )
     corpus = base.unionByName(twins)
@@ -12197,7 +12199,7 @@ _PFX_BASE_SQL = (
 
 ORACLE_PREFIX_JACCARD = (
     "WITH " + _PFX_BASE_SQL + ", "
-    "twins AS (SELECT doc_id + 1000000 AS doc_id, "
+    "twins AS (SELECT -doc_id - 1 AS doc_id, "
     "array_to_string(list_slice(string_split(text, ' '), 1, "
     "greatest(1, CAST(floor(len(string_split(text, ' ')) * 4 / 5) "
     "AS BIGINT))), ' ') AS text FROM base), "
@@ -12345,49 +12347,13 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _harmonic_oracle(rounds: int = 3, k: int = 15) -> str:
-    from docling_serve_spark.operators.webgraph import (
-        _NF_ALPHA, _NF_M, _NF_RMAX, _NF_WBITS,
-    )
-
-    am2 = repr(_NF_ALPHA * _NF_M * _NF_M)
-    wmod = 1 << _NF_WBITS
-    ctes = [
-        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
-        "CASE WHEN (doc_id // 25) % 4 < 3 "
-        "THEN 'h' || CAST(doc_id % 5 AS VARCHAR) "
-        "ELSE 'h' || CAST(((doc_id % 25) * 7 + doc_id // 25) % 25 AS VARCHAR) "
-        "END AS dst FROM documents)",
-        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
-        "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
-        "UNION SELECT dst FROM edges))",
-        "hh AS (SELECT v AS node, "
-        "CAST(('0x' || substr(md5('nf:' || v), 1, 8))::UBIGINT AS BIGINT) "
-        "AS h FROM nodes)",
-        f"r0 AS (SELECT node, h // {wmod} AS reg, "
-        f"CASE WHEN h % {wmod} = 0 THEN {_NF_RMAX} "
-        f"ELSE {_NF_RMAX} - length(bin(h % {wmod})) END AS rho FROM hh)",
+    ctes, est_case = _nf_oracle_scaffold(rounds)
+    ctes = list(ctes)
+    ests = [
+        f"SELECT node, {r} AS r, CAST(round(1000000.0 * {est_case}) "
+        f"AS BIGINT) AS est FROM per{r}"
+        for r in range(1, rounds + 1)
     ]
-    ests = []
-    for r in range(1, rounds + 1):
-        ctes.append(
-            f"r{r} AS (SELECT node, reg, max(rho) AS rho FROM ("
-            f"SELECT node, reg, rho FROM r{r-1} UNION ALL "
-            f"SELECT e.src AS node, reg, rho FROM edges e "
-            f"JOIN r{r-1} ON e.dst = r{r-1}.node) GROUP BY 1, 2)"
-        )
-        ctes.append(
-            f"per{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS n_regs, "
-            f"sum(pow(2.0, -rho)) AS sp FROM r{r} GROUP BY 1)"
-        )
-        ests.append(
-            f"SELECT node, {r} AS r, CAST(round(1000000.0 * "
-            f"CASE WHEN ({am2} / (sp + ({_NF_M} - n_regs))) <= "
-            f"{2.5 * _NF_M} AND ({_NF_M} - n_regs) > 0 "
-            f"THEN {float(_NF_M)!r} * ln({float(_NF_M)!r} / "
-            f"CAST({_NF_M} - n_regs AS DOUBLE)) "
-            f"ELSE {am2} / (sp + ({_NF_M} - n_regs)) END) AS BIGINT) "
-            f"AS est FROM per{r}"
-        )
     ctes.append("nodeest AS (" + " UNION ALL ".join(ests) + ")")
     ctes.append(
         "sh AS (SELECT node, greatest(0, est - coalesce("

@@ -434,6 +434,11 @@ def zorder_key(a, b, bits: int = 16):
     Pure bit arithmetic on int64 (columns must fit ``bits`` bits;
     callers quantize first — rank/bucket the raw values if unbounded),
     zero shuffle, zero UDFs: one codegen expression."""
+    if not 1 <= bits <= 31:
+        # bit 2*30+1 = 61 is the last safe output bit: bits=32 would
+        # shift b's top bit into the int64 sign bit, producing
+        # negative keys that range-partition before all positive ones
+        raise ValueError("zorder_key needs 1 <= bits <= 31")
     key = None
     for i in range(bits):
         abit = F.shiftleft(

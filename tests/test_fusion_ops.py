@@ -562,3 +562,63 @@ def test_harmonic_centrality_star_center_wins(spark):
     assert out[0].node == "c"
     assert out[0].rank == 1
     assert out[0].harmonic_micro > out[1].harmonic_micro
+
+
+# ------------------------------------------------------------------ #
+# review-fix guards
+# ------------------------------------------------------------------ #
+
+def test_deff_degenerate_inputs_yield_null_not_nan(spark):
+    # one doc per host: n == k, MSW undefined -> NULL, never NaN
+    one_per = spark.createDataFrame(
+        [Row(host=f"h{i}", n_chars=100 + i) for i in range(6)]
+    )
+    r = textstats.design_effect(one_per).collect()[0]
+    assert r.icc is None and r.deff is None
+    # single host: k == 1, MSB undefined -> NULL
+    single = spark.createDataFrame(
+        [Row(host="h0", n_chars=100 + i) for i in range(6)]
+    )
+    r = textstats.design_effect(single).collect()[0]
+    assert r.icc is None and r.deff is None
+
+
+def test_hrw_min_load_sees_empty_shards(spark):
+    # 3 docs over 8 shards: at least one shard MUST be empty
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(3)])
+    r = sampling.rendezvous_stability(docs, n_shards=8).collect()[0]
+    assert r.min_load == 0
+    assert r.max_load >= 1
+
+
+def test_proximity_rejects_repeated_terms(spark):
+    import pytest as _pytest
+
+    from docling_serve_spark.operators.retrieval import proximity_topk
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="alpha beta")])
+    with _pytest.raises(ValueError, match="distinct"):
+        proximity_topk(docs, ("alpha", "alpha"), window=2)
+
+
+def test_zorder_rejects_sign_bit_widths(spark):
+    import pytest as _pytest
+
+    from docling_serve_spark.sources.warehouse import zorder_key
+
+    with _pytest.raises(ValueError, match="31"):
+        zorder_key(F.col("a"), F.col("b"), bits=32)
+
+
+def test_prefix_join_twin_ids_never_collide(spark):
+    # negative twin ids are disjoint from ANY real id space
+    from docling_serve_spark.queries import q_prefix_jaccard_join
+
+    out = q_prefix_jaccard_join(spark, "/root/testdata/sf0.001")
+    ids = {r.doc_id_a for r in out.collect()} | {
+        r.doc_id_b for r in out.collect()
+    }
+    twins = {i for i in ids if i < 0}
+    bases = {i for i in ids if i >= 0}
+    assert twins and bases
+    assert not (set(-i - 1 for i in twins) & twins)
