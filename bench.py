@@ -302,6 +302,8 @@ BENCH_QUERIES = [
     "event_cube",
     "user_event_pivot",
     "session_windows",
+    "table_stats",
+    "bowtie_structure",
 ]
 
 

@@ -500,3 +500,44 @@ def salted_counts(df: DataFrame, key_col: str, salt_col,
     return partial.groupBy("key").agg(
         F.sum("__partial").cast("bigint").alias("n_rows")
     )
+
+
+def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """X236 — ANALYZE-style per-column statistics in ONE pass: row
+    count, null count, distinct count, min/max (as strings, for a
+    uniform schema across types) for each requested column — the
+    stats a cost-based optimizer (and every human debugging a join
+    plan) needs, and the lakehouse ANALYZE TABLE surface. At 100 TB
+    you run this once per snapshot and store it next to the table;
+    join planning, skew triage (pair with X212) and partition-count
+    choices all read it instead of re-scanning.
+
+    Exactness: counts are exact bigints (one aggregation with
+    map-side combine — count_distinct is the expensive leg; swap in
+    the X218 HLL registers per column for the sketch form at scale);
+    min/max stringified AFTER the aggregate. One row per column via
+    an explicit unpivot of the single aggregate row — no per-column
+    scans."""
+    cols = columns if columns is not None else df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(F.count("*").cast("bigint").alias("__n"), *aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("bigint")
+            .alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(structs).alias("s")).select("s.*")

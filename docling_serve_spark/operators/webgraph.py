@@ -1284,3 +1284,63 @@ def harmonic_centrality(edges: DataFrame, rounds: int = 3,
     ).limit(k)
     wr = Window.orderBy(F.col("harmonic_micro").desc(), F.col("node").asc())
     return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+def bowtie_structure(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """X237 — the bow-tie decomposition of the host graph (Broder et
+    al., "Graph structure in the Web", WWW 2000): from a deterministic
+    pivot (the lexicographically smallest host), CORE = nodes both
+    reachable from and reaching the pivot (its SCC), IN = reaches the
+    pivot but not reached, OUT = reached but not reaching, OTHER =
+    tendrils/disconnected. The macro-shape number every crawl
+    strategist reads: a tiny CORE with a huge IN means the seeds sit
+    downstream of most of the web (crawl backwards from anchors);
+    a huge OUT means link-following alone inflates into low-quality
+    sinks.
+
+    Forward/backward reachability by ``rounds`` frontier joins
+    (distinct-node frontier, localCheckpoint lineage control, same
+    discipline as X89/X190) — bounded radius, so on graphs with
+    diameter > rounds the CORE is the radius-bounded approximation
+    (documented; host-graph diameters are small). Emits
+    (component, n_hosts), components sorted by the fixed
+    core/in/out/other order via an explicit rank column."""
+    dedges = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    nodes = (
+        dedges.select(F.col("src").alias("node"))
+        .unionByName(dedges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pivot = nodes.agg(F.min("node").alias("node"))
+
+    def reach(e: DataFrame) -> DataFrame:
+        cur = pivot
+        for _ in range(rounds):
+            step = (
+                e.join(cur.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+            )
+            cur = cur.unionByName(step).distinct().localCheckpoint(
+                eager=False
+            )
+        return cur
+
+    fw = reach(dedges)
+    bw = reach(dedges.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    tagged = (
+        nodes.join(fw.withColumn("__fw", F.lit(True)), "node", "left")
+        .join(bw.withColumn("__bw", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__fw") & F.col("__bw"), F.lit("core"))
+            .when(F.col("__bw").isNotNull(), F.lit("in"))
+            .when(F.col("__fw").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other")).alias("component"),
+        )
+    )
+    return tagged.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_hosts")
+    )

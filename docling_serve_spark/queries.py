@@ -12474,6 +12474,81 @@ ORACLE_SESSION_WINDOWS = (
 )
 
 
+
+
+_STATS_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X236 — ANALYZE-style one-pass column statistics
+    (operators/relational.py table_stats) over the documents table:
+    exact row/null/distinct counts and stringified min/max per
+    column — the CBO/skew-triage input a snapshot stores next to the
+    table."""
+    return relational.table_stats(
+        _t(spark, sf_dir, "documents"), list(_STATS_COLS)
+    )
+
+
+ORACLE_TABLE_STATS = " UNION ALL ".join(
+    f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"CAST(min({c}) AS VARCHAR) AS min_value, "
+    f"CAST(max({c}) AS VARCHAR) AS max_value FROM documents"
+    for c in _STATS_COLS
+)
+
+
+def q_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X237 — Broder bow-tie decomposition
+    (operators/webgraph.py bowtie_structure) of the hub-skew host
+    graph from the lexicographically-smallest pivot: CORE/IN/OUT/
+    OTHER host counts at a 5-hop reachability radius."""
+    return webgraph.bowtie_structure(
+        _hub_edges(_t(spark, sf_dir, "documents")), rounds=5
+    )
+
+
+def _bowtie_oracle(rounds: int = 5) -> str:
+    ctes = [
+        "raw AS (SELECT 'h' || CAST(doc_id % 25 AS VARCHAR) AS src, "
+        + _HUB_DST_SQL + " AS dst FROM documents)",
+        "edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+        "UNION SELECT dst FROM edges))",
+        "f0 AS (SELECT min(v) AS node FROM nodes)",
+        "b0 AS (SELECT min(v) AS node FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"f{i} AS (SELECT DISTINCT node FROM (SELECT node FROM f{i-1} "
+            f"UNION ALL SELECT e.dst AS node FROM edges e "
+            f"JOIN f{i-1} ON e.src = f{i-1}.node))"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT DISTINCT node FROM (SELECT node FROM b{i-1} "
+            f"UNION ALL SELECT e.src AS node FROM edges e "
+            f"JOIN b{i-1} ON e.dst = b{i-1}.node))"
+        )
+    last = rounds
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT component, CAST(count(*) AS BIGINT) AS n_hosts FROM "
+        "(SELECT nodes.v, CASE "
+        f"WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core' "
+        f"WHEN b.node IS NOT NULL THEN 'in' "
+        f"WHEN f.node IS NOT NULL THEN 'out' "
+        "ELSE 'other' END AS component "
+        f"FROM nodes LEFT JOIN f{last} f ON nodes.v = f.node "
+        f"LEFT JOIN b{last} b ON nodes.v = b.node) "
+        "GROUP BY 1"
+    )
+
+
+ORACLE_BOWTIE = _bowtie_oracle(5)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12754,6 +12829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_cube": q_event_cube,
     "user_event_pivot": q_user_event_pivot,
     "session_windows": q_session_windows,
+    "table_stats": q_table_stats,
+    "bowtie_structure": q_bowtie_structure,
 }
 
 ORACLES: dict[str, str] = {
@@ -13023,4 +13100,6 @@ ORACLES: dict[str, str] = {
     "event_cube": ORACLE_EVENT_CUBE,
     "user_event_pivot": ORACLE_USER_EVENT_PIVOT,
     "session_windows": ORACLE_SESSION_WINDOWS,
+    "table_stats": ORACLE_TABLE_STATS,
+    "bowtie_structure": ORACLE_BOWTIE,
 }

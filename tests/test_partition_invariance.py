@@ -155,6 +155,8 @@ INVARIANCE_QUERIES = [
     "event_cube",            # 2^k grouping-set grains in one pass
     "user_event_pivot",      # pivot as conditional aggregation
     "session_windows",       # native session_window merge semantics
+    "table_stats",           # one-pass multi-column distinct counts
+    "bowtie_structure",      # bounded dual reachability + tagging
 ]
 
 
