@@ -304,6 +304,8 @@ BENCH_QUERIES = [
     "session_windows",
     "table_stats",
     "bowtie_structure",
+    "exact_median_bisect",
+    "typo_host_pairs",
 ]
 
 

@@ -541,3 +541,42 @@ def table_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for c in cols
     ])
     return one.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def exact_kth_bisect(df: DataFrame, value_col, k: int) -> tuple[int, int]:
+    """X238 — EXACT k-th smallest (1-based) of an integer column by
+    bisection on the VALUE DOMAIN: O(log range) filtered COUNT passes
+    instead of a global sort — the way you take an exact median of
+    10^12 rows (a total sort is the single most expensive shape in
+    Spark; ~40 narrow count scans of a cached column are not). The
+    selection invariant: the answer is the smallest v with
+    count(<= v) >= k, maintained by integer bisection (Python //
+    floors, so negative domains work).
+
+    Returns (kth_value, n_rows) as driver ints — a driver-side loop
+    by design (each probe is a full distributed count; the LOOP is
+    log(range) ≈ 40 iterations, not data-sized). The projected
+    single column is persisted for the probes and ALWAYS unpersisted
+    (the round-4 cache-leak lesson)."""
+    vals = df.select(value_col.cast("bigint").alias("v")).where(
+        F.col("v").isNotNull()
+    ).persist()
+    try:
+        row = vals.agg(
+            F.count("*").alias("n"), F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        n, lo, hi = row.n, row.lo, row.hi
+        if n == 0:
+            raise ValueError("exact_kth_bisect on an empty column")
+        if not 1 <= k <= n:
+            raise ValueError(f"k={k} outside 1..{n}")
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if vals.filter(F.col("v") <= mid).count() >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return int(lo), int(n)
+    finally:
+        vals.unpersist()

@@ -1313,3 +1313,59 @@ def confusable_hosts(pages: DataFrame, host_col: str = "host") -> DataFrame:
         )
         .filter(F.col("n_hosts") > 1)
     )
+
+
+def typo_host_pairs(hosts: DataFrame,
+                    host_col: str = "host") -> DataFrame:
+    """X239 — typosquatting detection: all DISTINCT host pairs at
+    Levenshtein distance EXACTLY 1, found by a deletion-neighborhood
+    join (FastSS; Bocek et al., U. Zurich TR 2007): each host emits
+    itself + every 1-char-deletion variant; any pair at distance <= 1
+    MUST share a key (substitution at i -> equal deletion-at-i
+    variants; insertion/deletion -> the shorter string IS a variant
+    of the longer) — so the candidate join is a LOSSLESS superset,
+    then one codegen levenshtein verifies exactly. The complement of
+    X189's homograph fold (confusable SCRIPTS there, fat-finger EDITS
+    here); both feed the phishing/brand-protection blocklists.
+
+    Shape at scale: hosts explode to len+1 keys of host-length
+    strings (hosts ~tens of chars — bounded fan-out), ONE equi-join
+    on the variant key, exact-distance verify on the candidates only
+    (never all pairs), id-ordered dedupe. Emits (host_a, host_b)
+    with host_a < host_b.
+
+    Determinism: candidates via distinct; DuckDB's levenshtein is
+    the oracle's verifier — both engines compute the classic DP."""
+    h = hosts.select(F.col(host_col).alias("host")).where(
+        F.col("host").isNotNull() & (F.col("host") != "")
+    ).distinct()
+    variants = h.select(
+        "host",
+        F.explode(
+            F.array_union(
+                F.array(F.col("host")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("host")),
+                    lambda i: F.concat(
+                        # Column-arg substr (F.substring only takes
+                        # int literals for pos/len)
+                        F.col("host").substr(F.lit(1), (i - 1).cast("int")),
+                        F.col("host").substr(
+                            i + 1, F.length("host") - i + 1
+                        ),
+                    ),
+                ),
+            )
+        ).alias("key"),
+    ).distinct()
+    a = variants.select(F.col("host").alias("host_a"), "key")
+    b = variants.select(F.col("host").alias("host_b"), "key")
+    cand = (
+        a.join(b, "key")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .select("host_a", "host_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col("host_a"), F.col("host_b")) == 1
+    )

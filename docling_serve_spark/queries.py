@@ -12549,6 +12549,80 @@ def _bowtie_oracle(rounds: int = 5) -> str:
 ORACLE_BOWTIE = _bowtie_oracle(5)
 
 
+
+
+def q_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X238 — exact median WITHOUT a global sort
+    (operators/relational.py exact_kth_bisect): the lineitem extended
+    price in exact cents, selected by ~log2(range) filtered COUNT
+    passes over a cached single column — the way an exact quantile of
+    10^12 rows is actually taken (the total sort it replaces is the
+    single most expensive shape in Spark). Emits one row
+    (n_rows, median_cents) re-wrapped as a DataFrame; the oracle is
+    the ORDER BY / OFFSET formulation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents")
+    )
+    k_probe = li.count()
+    kth, n = relational.exact_kth_bisect(
+        li, F.col("cents"), k=(k_probe + 1) // 2
+    )
+    return spark.createDataFrame(
+        [(int(n), int(kth))], "n_rows bigint, median_cents bigint"
+    )
+
+
+ORACLE_EXACT_MEDIAN = (
+    "WITH v AS (SELECT CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* 100) AS BIGINT) AS cents FROM lineitem), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM v) "
+    "SELECT n_rows, (SELECT cents FROM v ORDER BY cents "
+    "LIMIT 1 OFFSET (SELECT (n_rows + 1) // 2 - 1 FROM n)) "
+    "AS median_cents FROM n"
+)
+
+
+def q_typo_host_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X239 — typosquat pairs at Levenshtein distance exactly 1
+    (operators/urltools.py typo_host_pairs, FastSS deletion-
+    neighborhood join) over a host population with planted edits:
+    base hosts s{k}.com plus substitution (x{k}.com) and deletion
+    (s{k}.co) variants for deterministic slices. The oracle is the
+    brute-force all-pairs levenshtein — losslessness is the parity
+    check, exactly like X226."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".com")).alias("host")
+    )
+    subs = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat(F.lit("x"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".com")).alias("host")
+    )
+    dels = docs.filter(F.col("doc_id") % 13 == 0).select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 40).cast("string"),
+                 F.lit(".co")).alias("host")
+    )
+    return urltools.typo_host_pairs(
+        base.unionByName(subs).unionByName(dels)
+    )
+
+
+ORACLE_TYPO_HOST_PAIRS = (
+    "WITH hosts AS (SELECT DISTINCT host FROM ("
+    "SELECT 's' || CAST(doc_id % 40 AS VARCHAR) || '.com' AS host "
+    "FROM documents "
+    "UNION ALL SELECT 'x' || CAST(doc_id % 40 AS VARCHAR) || '.com' "
+    "FROM documents WHERE doc_id % 9 = 0 "
+    "UNION ALL SELECT 's' || CAST(doc_id % 40 AS VARCHAR) || '.co' "
+    "FROM documents WHERE doc_id % 13 = 0)) "
+    "SELECT a.host AS host_a, b.host AS host_b "
+    "FROM hosts a JOIN hosts b ON a.host < b.host "
+    "WHERE levenshtein(a.host, b.host) = 1"
+)
+
+
 # ----------------------------------------------------------------- #
 # Catalog
 # ----------------------------------------------------------------- #
@@ -12831,6 +12905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "table_stats": q_table_stats,
     "bowtie_structure": q_bowtie_structure,
+    "exact_median_bisect": q_exact_median_bisect,
+    "typo_host_pairs": q_typo_host_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -13102,4 +13178,6 @@ ORACLES: dict[str, str] = {
     "session_windows": ORACLE_SESSION_WINDOWS,
     "table_stats": ORACLE_TABLE_STATS,
     "bowtie_structure": ORACLE_BOWTIE,
+    "exact_median_bisect": ORACLE_EXACT_MEDIAN,
+    "typo_host_pairs": ORACLE_TYPO_HOST_PAIRS,
 }

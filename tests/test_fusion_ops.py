@@ -622,3 +622,62 @@ def test_prefix_join_twin_ids_never_collide(spark):
     bases = {i for i in ids if i >= 0}
     assert twins and bases
     assert not (set(-i - 1 for i in twins) & twins)
+
+
+# ------------------------------------------------------------------ #
+# exact_kth_bisect (X238)
+# ------------------------------------------------------------------ #
+
+def test_kth_bisect_matches_sorted_reference(spark):
+    vals = [7, -3, 0, 42, 42, 5, -3, 9, 1000000, -50]
+    df = spark.createDataFrame([Row(v=x) for x in vals])
+    ref = sorted(vals)
+    for k in (1, 3, 5, len(vals)):
+        got, n = relational.exact_kth_bisect(df, F.col("v"), k)
+        assert (got, n) == (ref[k - 1], len(vals))
+
+
+def test_kth_bisect_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([Row(v=1)])
+    with _pytest.raises(ValueError):
+        relational.exact_kth_bisect(df, F.col("v"), 2)
+
+
+# ------------------------------------------------------------------ #
+# typo_host_pairs (X239)
+# ------------------------------------------------------------------ #
+
+def test_typo_pairs_hand_computed(spark):
+    from docling_serve_spark.operators.urltools import typo_host_pairs
+
+    hosts = spark.createDataFrame([Row(host=h) for h in [
+        "example.com",
+        "exampl.com",    # deletion: distance 1
+        "exomple.com",   # substitution: distance 1
+        "exampel.com",   # transposition: distance 2 -> excluded
+        "other.org",
+    ]])
+    got = {(r.host_a, r.host_b) for r in typo_host_pairs(hosts).collect()}
+    assert got == {
+        # '.' < 'e', so exampl.com sorts before example.com
+        ("exampl.com", "example.com"),
+        ("example.com", "exomple.com"),
+        # exampel -> exampl is itself one deletion (the trailing 'e'
+        # before 'l'), so the two typo variants pair up too
+        ("exampel.com", "exampl.com"),
+        # exampel.com vs example.com is a transposition = distance 2,
+        # correctly absent; exampl vs exomple is distance 2, absent
+    }
+
+
+def test_typo_pairs_duplicates_collapse(spark):
+    from docling_serve_spark.operators.urltools import typo_host_pairs
+
+    hosts = spark.createDataFrame(
+        [Row(host="a.com")] * 5 + [Row(host="b.com")] * 5
+    )
+    # distance("a.com","b.com") == 1 (substitution); dup rows collapse
+    got = typo_host_pairs(hosts).collect()
+    assert len(got) == 1

@@ -157,6 +157,8 @@ INVARIANCE_QUERIES = [
     "session_windows",       # native session_window merge semantics
     "table_stats",           # one-pass multi-column distinct counts
     "bowtie_structure",      # bounded dual reachability + tagging
+    "exact_median_bisect",   # bisection counts must be data-pure
+    "typo_host_pairs",       # deletion-key join + verify
 ]
 
 
