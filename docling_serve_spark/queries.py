@@ -12564,10 +12564,7 @@ def q_exact_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("bigint").alias("cents")
     )
-    k_probe = li.count()
-    kth, n = relational.exact_kth_bisect(
-        li, F.col("cents"), k=(k_probe + 1) // 2
-    )
+    kth, n = relational.exact_kth_bisect(li, F.col("cents"))
     return spark.createDataFrame(
         [(int(n), int(kth))], "n_rows bigint, median_cents bigint"
     )
