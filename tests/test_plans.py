@@ -852,3 +852,91 @@ def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
     assert z_b.overlap_bp < 5000
     assert z_a.point_scan_files_avg_bp < l_b.point_scan_files_avg_bp
     assert z_b.point_scan_files_avg_bp < l_b.point_scan_files_avg_bp
+
+
+def test_parquet_aggregate_pushdown(spark, tmp_path):
+    """X240 — MIN/MAX/COUNT over a parquet table must be answerable
+    from footer statistics alone (PushedAggregation in the scan):
+    at 100 TB the difference between reading metadata and reading
+    every row. Requires the v2 read path + the pushdown flag — both
+    asserted here so a conf regression fails CI."""
+    p = str(tmp_path / "agg")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(p)
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(p).agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        plan = _plan(spark, df)
+        assert "PushedAggregation: [COUNT(*), MIN(doc_id), MAX(doc_id)]" \
+            in plan, plan
+        r = df.collect()[0]
+        assert (r.n, r.lo, r.hi) == (500, 0, 499)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """X241 — a filter on the DIMENSION side must prune the
+    partitioned FACT scan at runtime (dynamic partition pruning):
+    the fact side never lists, let alone reads, partitions whose
+    keys the filtered dim cannot produce — the star-join access
+    pattern every partitioned 100 TB table relies on."""
+    p = str(tmp_path / "fact")
+    (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("part", (F.col("doc_id") % 10).cast("int"))
+        .write.partitionBy("part").parquet(p))
+    fact = spark.read.parquet(p)
+    dim = spark.range(10).select(
+        F.col("id").cast("int").alias("part"),
+        (F.col("id") * 2).alias("attr"),
+    ).filter(F.col("attr") < 6)
+    j = fact.join(dim, "part").select("doc_id", "part", "attr")
+    plan = _plan(spark, j)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the join is correct: parts 0,1,2 survive
+    assert {r.part for r in j.select("part").distinct().collect()} \
+        == {0, 1, 2}
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """X242 — AQE must SPLIT a skewed join partition at runtime: a
+    key holding 99% of the fact side becomes several tasks instead
+    of one straggler (the runtime half of the salting story — X215
+    is the explicit plan-level fix, this is the engine's own). The
+    executed adaptive plan carries skew=true on the SortMergeJoin
+    and 'skewed' on the AQEShuffleRead."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),  # incompressible
+        )
+        right = spark.range(5000).select(
+            (F.col("id") % 64).alias("k"), F.lit("y").alias("r")
+        ).distinct()
+        jj = left.join(right, "k")
+        qe = jj._jdf.queryExecution()
+        n = qe.executedPlan().execute().count()
+        assert n == 297000
+        final = qe.executedPlan().toString()
+        assert "skew=true" in final, final
+        assert "skewed" in final, final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
