@@ -177,13 +177,46 @@ def _run_wave(
     results = run_extraction(src, opts=opts).withColumn(
         "chunk", chunk_expr(n_chunks)
     )
+    # X244 — zero-extra-pass in-flight counters: an Observation rides
+    # the write plan itself (Spark evaluates the observed aggregates
+    # on the rows AS THEY STREAM to parquet — no second scan). The
+    # committed-file audit below stays the source of truth for the
+    # manifests (it reads what actually landed); the observation is
+    # the integrity cross-check: a divergence means the committed
+    # output is not what this job streamed (partial write survived a
+    # crash window, or a concurrent writer touched the directory).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = results.observe(
+        obs,
+        F.count(F.lit(1)).alias("num_docs"),
+        F.sum((F.col("status") == "success").cast("int"))
+        .alias("num_succeeded"),
+        F.sum((F.col("status") == "failure").cast("int"))
+        .alias("num_failed"),
+        F.sum("n_bytes").alias("bytes_processed"),
+    )
     (
-        results.write.mode("overwrite")
+        observed.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("chunk")
         .parquet(os.path.join(out_dir, "data"))
     )
+    streamed = obs.get
     counters = _wave_counters(spark, out_dir, wave)
+    audited = {
+        k: sum(counters[c][k] for c in wave)
+        for k in ("num_docs", "num_succeeded", "num_failed",
+                  "bytes_processed")
+    }
+    for k, v in audited.items():
+        if int(streamed[k] or 0) != v:
+            raise RuntimeError(
+                f"wave integrity check failed: streamed {k}="
+                f"{streamed[k]} but committed output audits to {v} — "
+                "the data directory changed underneath this job"
+            )
     for chunk in wave:
         with open(_manifest_path(out_dir, chunk), "w") as f:
             json.dump({"chunk": chunk, **counters[chunk]}, f)

@@ -574,3 +574,23 @@ def session_window_stats(
             .cast("bigint").alias("duration_sec"),
         )
     )
+
+
+def dedup_stream_native(pages: DataFrame, watermark: str = "1 hour",
+                        key_col: str = "url",
+                        ts_col: str = "warc_ts") -> DataFrame:
+    """X243 — the NATIVE bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps first-seen rows per key
+    and lets the ENGINE evict state once the watermark passes a key's
+    last sighting — the built-in alternative to X9's
+    applyInPandasWithState dedup (which this repo keeps for its
+    richer semantics: recrawl counters, explicit retention modes).
+    Use the native form when the dedup horizon IS an event-time
+    window (a crawl feed where the same url re-appears within hours,
+    not weeks): no Python state function, no Arrow boundary, state
+    eviction proven by the engine. Duplicates WITHIN the horizon are
+    dropped even when their event times differ (unlike
+    ``dropDuplicates``, which needs exact-equality on every column
+    it keys)."""
+    return pages.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark([key_col])

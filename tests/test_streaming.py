@@ -718,3 +718,46 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     assert some[1] == "2024-01-01 00:00:00"
     assert some[2] == "2024-01-01 00:09:00"
     assert some[4] == 540
+
+
+def test_native_watermark_dedup_drops_recrawls(spark, tmp_path):
+    """X243 — dropDuplicatesWithinWatermark keeps one row per url
+    across micro-batches within the horizon; a second drain from the
+    same checkpoint does not re-emit already-seen urls."""
+    from docling_serve_spark.streaming.ingest import dedup_stream_native
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def pages(n, ts, start=0):
+        return spark.createDataFrame(
+            [(f"https://h{i % 7}.com/p{start + i}", ts) for i in range(n)],
+            ["url", "warc_ts"],
+        ).select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"))
+
+    # batch 1: 20 urls, each duplicated twice at nearby times
+    a = pages(20, "2024-01-01 00:00:00")
+    b = pages(20, "2024-01-01 00:10:00")
+    a.unionByName(b).write.parquet(landing)
+
+    def drain():
+        src = (spark.readStream.schema("url string, warc_ts timestamp")
+               .parquet(landing))
+        q = run_to_parquet(dedup_stream_native(src), out, ckpt)
+        _await(q)
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 20
+    assert first.select("url").distinct().count() == 20
+
+    # batch 2: 10 recrawls of seen urls + 5 genuinely new
+    pages(10, "2024-01-01 00:20:00").write.mode("append").parquet(landing)
+    pages(5, "2024-01-01 00:30:00", start=1000).write.mode("append").parquet(
+        landing
+    )
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == 25
+    assert final.select("url").distinct().count() == 25
